@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the graft engine.
+  *
+  * Scale posture (SURVEY.md §4.3): AQE on (runtime shuffle coalescing +
+  * skew-join handling replaces the reference's hard-coded `coalesce(13)`,
+  * see /root/reference/data_processing/batch_processing/
+  * batch_process_Bronze_to_Silver.py:91), LAST_WIN map dedup to match the
+  * reference's Python `dict.update` merge semantics
+  * (batch_process_Bronze_to_Silver.py:81), and nanos-as-long so the
+  * nanosecond-precision event-time parquet reads as epoch-nano BIGINT
+  * (Spark has no TIMESTAMP(NANOS) type; integer event-times also make
+  * cross-engine comparisons exact).
+  */
+object GraftSession {
+
+  /** Configs applied to any session, including ones created externally
+    * (Verify/Bench own their builder; they call [[tune]]). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.compression.codec", "snappy")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale posture: every variant is join/groupBy-shaped (shuffle on a
+  * derived, well-distributed key), never all-pairs. The exact all-pairs
+  * verifier is only applied to LSH candidate pairs, whose count is bounded
+  * by bucket collisions, not n².
+  */
+object Dedup {
+
+  /** Exact dedup by a key expression (e.g. raw text or
+    * [[TextStats.fingerprint]]): one row per group, keeping the smallest id;
+    * `dup_count` reports group size. Map-side partial agg, single shuffle. */
+  def exact(df: DataFrame, key: Column, id: String): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Token k-shingles of the document, distinct. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextStats.tokens(lower(text))
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** MinHash signature: for each of `numHashes` permutations
+    * `h_i(x) = (a_i * x + b_i) mod p`, the min over the shingle set's base
+    * hashes. Base hash = Spark's Murmur3 (`hash`), permutation params drawn
+    * from a fixed seed so signatures are deterministic across runs/engines.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(seed)
+    val params = Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+    val sigs = params.map { case (a, b) =>
+      array_min(transform(shingleArr,
+        s => pmod(hash(s).cast("long") * a + b, lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over `df(id, text)`:
+    * signature -> `bands` bands of `rowsPerBand` -> band-hash bucket join ->
+    * exact Jaccard verification >= `threshold`.
+    *
+    * The band bucket join is an equi-join on (band_idx, band_hash) — fully
+    * shuffle-parallel; no n² stage. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, id: String, text: String,
+                 shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.6): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(
+      col(id).as("doc"),
+      shingles(col(text), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("doc"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bandhash")))
+    val a = banded.select(col("band"), col("bandhash"),
+      col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bandhash"),
+      col("doc").as("id_b"), col("sh").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(1.0))
+  }
+
+  /** Exact all-pairs n-gram Jaccard near-dup over a (small or pre-filtered)
+    * document set — the oracle-checkable ground truth the LSH variant
+    * approximates. Broadcast the right side when it fits. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        shingleK: Int, threshold: Double): DataFrame = {
+    val s = df.select(col(id).as("doc"), shingles(col(text), shingleK).as("sh"))
+    val a = s.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token Murmur3 hashes: sign-sum each bit position.
+    * Near-dups have small Hamming distance between simhashes. */
+  def simhash(text: Column): Column = {
+    val toks = TextStats.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (query side broadcast — exact, O(n·q)).
+  * Scale path: random-hyperplane LSH bucketing — candidates only meet inside
+  * a bucket equi-join, so the shuffle key is the bucket signature and no n²
+  * stage exists. All math in double precision via native higher-order
+  * functions (`zip_with`/`aggregate`) — codegen-adjacent, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * `queries(qid, qvec)` is broadcast against `corpus(nid, nvec)`; the
+    * n×q similarity pass is embarrassingly parallel over corpus partitions,
+    * then one shuffle on qid ranks the top-k. Self-matches excluded when ids
+    * collide.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Precompute norms once per row (not once per pair): 3x fewer flops in
+    // the n×q hot loop.
+    val q = queries.withColumn("__qn", l2Norm(col("qvec")))
+    val c = corpus.withColumn("__nn", l2Norm(col("nvec")))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      // rank on a rounded similarity so ordering is reproducible across
+      // engines/architectures despite float-sum association differences
+      .withColumn("cos",
+        round(dot(col("qvec"), col("nvec")) / (col("__qn") * col("__nn")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
+  /** Random-hyperplane (sign) LSH bucket id for a vector: `planes` random
+    * unit directions from a fixed seed; bit i = sign(v · h_i). Vectors in the
+    * same bucket are cosine-close with high probability; union over `tables`
+    * independent bucketings raises recall. */
+  def hyperplaneBuckets(vec: Column, dim: Int, planes: Int, tables: Int,
+                        seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    def gaussian(): Double = rnd.nextGaussian()
+    val buckets = (0 until tables).map { t =>
+      val sig = (0 until planes).map { _ =>
+        val plane = Array.fill(dim)(gaussian())
+        val d = aggregate(
+          zip_with(vec, typedlit(plane.toSeq), (x, h) => x.cast("double") * h),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1)).otherwise(lit(0))
+      }
+      struct(lit(t).as("table"),
+        sig.zipWithIndex.map { case (b, i) => b * (1 << i) }
+          .reduce(_ + _).as("bucket"))
+    }
+    array(buckets: _*)
+  }
+
+  /** ANN top-k via LSH: bucket both sides, equi-join on (table, bucket),
+    * exact cosine within candidates, rank top-k per query. Approximate —
+    * recall depends on planes/tables; use for the 100 TB path where
+    * broadcast of queries or corpus-wide scan per query set is infeasible. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              planes: Int = 12, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = queries.select(col("qid"), col("qvec"),
+      explode(hyperplaneBuckets(col("qvec"), dim, planes, tables)).as("qb"))
+      .select(col("qid"), col("qvec"),
+        col("qb.table").as("table"), col("qb.bucket").as("bucket"))
+    val cb = corpus.select(col("nid"), col("nvec"),
+      explode(hyperplaneBuckets(col("nvec"), dim, planes, tables)).as("cb"))
+      .select(col("nid"), col("nvec"),
+        col("cb.table").as("table"), col("cb.bucket").as("bucket"))
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+    val scored = cands
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality ratios, content fingerprinting, language-ID heuristic.
+  * All pure `functions._` compositions — codegen'd, no UDFs, so they run
+  * at scan speed over 100 TB of documents.
+  */
+object TextStats {
+
+  /** Whitespace tokens (single-space corpus; empty tokens removed so
+    * multi-space/leading/trailing whitespace is robust). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: counts regex word-pieces + punctuation marks,
+    * the standard pre-tokenizer shape (letters runs, digit runs, other). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of non-alphanumeric-non-space chars to all chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Order-insensitive content fingerprint: md5 of the sorted, lowercased
+    * token multiset. Two documents with the same bag of words collide —
+    * the exact-dedup key. (md5 hex matches any engine for the oracle.) */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(array_join(array_sort(tokens(lower(text))), " "), lit("utf-8")))
+
+  /** Simple quality score in [0,1]: penalizes very short docs, high
+    * punctuation, low token diversity. Deterministic and monotone in its
+    * inputs; thresholds follow common LLM-corpus heuristics (Gopher-style
+    * length/symbol-ratio filters). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenScore = least(n.cast("double") / lit(50.0), lit(1.0))
+    val divScore = when(n > 0,
+      size(array_distinct(tokens(text))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore + divScore + punctScore) / 3.0, 6)
+  }
+
+  /** Language-ID by stopword evidence: score = hits per language marker set,
+    * winner = max hits, ties alphabetical. A real n-gram profile model needs
+    * training data this container lacks; marker-set voting is the classic
+    * cheap heuristic and is fully relational (explode + join + max_by). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "que", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  def langIdScores(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, ms), i) =>
+        struct(
+          size(filter(toks, t => t.isin(ms: _*))).as("hits"),
+          // negated index so max() breaks score ties toward the
+          // alphabetically-first language
+          lit(-i).as("nrank"),
+          lit(lang).as("lang"))
+    }
+    array(scores: _*)
+  }
+
+  /** Best-guess language code; `und` when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val best = array_max(langIdScores(text))
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+}
