@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{Categorify, PointInTime}
+import graft.ops.{BronzeSilver, Categorify, PointInTime}
 import graft.llm.{Dedup, Similarity, TextStats}
+import graft.multimodal.Binary
 import graft.sources.Tables
+import graft.streaming.Streams
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2 inventory + LLM-pipeline north-star ops), each with a
@@ -204,6 +206,140 @@ object SparkEntry {
         (floor(TextStats.stopwordRatio(col("text"), Seq("the", "a")) * 10000 + 0.5) / 10000).as("stop_ratio"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- Bronze->Silver spine (SURVEY §3.1: S1,J1,P4,P2,F4,F5) ----------
+    "q14_bronze_silver" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      BronzeSilver.toSilver(
+        BronzeSilver.skeletonFromEvents(e),
+        BronzeSilver.commonFromEvents(e),
+        BronzeSilver.syntheticFields)
+        .orderBy(col("sample_id"))
+    }),
+
+    // ---- Silver->Gold multi-col categorify (SURVEY §3.2: F1-F3,P6) ------
+    "q15_gold_transform" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val base = cust.join(broadcast(nation),
+          cust("c_nationkey") === nation("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+        .na.drop()
+      val model = Categorify.fit(base, Seq("c_mktsegment", "n_name"))
+      model.transform(base)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg_idx"),
+          col("n_name").as("nat_idx"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- LLM ops: exact n-gram (unigram) Jaccard near-dup pairs ---------
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleK = 1,
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LLM ops: MinHash-LSH near-dup (approximate; rows-only check) ---
+    "q17_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.minhashLsh(docs, "doc_id", "text", shingleK = 3,
+          bands = 8, rowsPerBand = 4, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LLM ops: SimHash near-dup pairs (rows-only check: engine hash) -
+    "q18_simhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("hamming") <= 16)
+        .select("id_a", "id_b", "hamming")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LLM ops: brute-force cosine top-k over embeddings --------------
+    "q19_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      Similarity.cosineTopK(queries, corpus, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- LLM ops: language-ID by stopword-marker voting -----------------
+    "q20_langid" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LLM ops: quality scoring (Gopher-style heuristics) -------------
+    "q21_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Multimodal: binary payload metadata (decode stub in tests) -----
+    "q22_binary_meta" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      Binary.withMetadata(docs, "payload")
+        .select(col("doc_id"), col("n_bytes"), col("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Structured Streaming: latest-per-key materialization (T1-T6) ---
+    "q23_stream_latest" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      // file-source streams need a directory: stream the sf dir with a glob
+      // filter selecting only the events table file
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+      val latest = Streams.latestPerKey(stream, Seq("user_id"), "ts_us", "event_id")
+      Streams.runToMemory(latest, s"q23_mem_${System.nanoTime()}")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Window analytics: lag / running-min (SURVEY §2.10 surface) -----
+    "q25_window_analytics" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+          row_number().over(w).cast("long").as("rn"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          min("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_min"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- Rollup aggregation ---------------------------------------------
+    "q26_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // ---- Set operations ------------------------------------------------
+    "q27_setops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select("o_custkey")
+      keys("F").intersect(keys("O")).except(keys("P"))
+        .orderBy(col("o_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,5 +453,146 @@ object SparkEntry {
         |ELSE FLOOR(CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
         |  / len(string_split(text,' ')) * 10000 + 0.5) / 10000 END AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Oracle recomputes the expected silver table relationally from the
+    // typed events columns the synthetic blobs were built from.
+    "q14_bronze_silver" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS click,
+        |  CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS conversion
+        |  FROM events)
+        |SELECT event_id AS sample_id,
+        |CAST(user_id AS INTEGER) AS user_id,
+        |CAST(user_id % 11 AS INTEGER) AS user_profile,
+        |CAST(user_id % 2 AS INTEGER) AS user_gender,
+        |CAST(user_id % 7 AS INTEGER) AS user_age,
+        |CAST(event_id % 1000 AS INTEGER) AS item_id,
+        |CAST(event_id % 50 AS INTEGER) AS item_category,
+        |click, conversion
+        |FROM s WHERE NOT (click = 0 AND conversion = 1)
+        |ORDER BY sample_id""".stripMargin,
+
+    "q15_gold_transform" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_mktsegment IS NOT NULL AND n_name IS NOT NULL),
+        |f1 AS (SELECT c_mktsegment AS v, COUNT(*) AS c FROM base GROUP BY 1),
+        |i1 AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) - 1 AS BIGINT) AS idx FROM f1),
+        |f2 AS (SELECT n_name AS v, COUNT(*) AS c FROM base GROUP BY 1),
+        |i2 AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) - 1 AS BIGINT) AS idx FROM f2)
+        |SELECT c_custkey, i1.idx AS seg_idx, i2.idx AS nat_idx
+        |FROM base JOIN i1 ON c_mktsegment = i1.v JOIN i2 ON n_name = i2.v
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q17_minhash_lsh / q18_simhash intentionally omitted: both depend on
+    // engine-specific hash functions (Murmur3/xxhash64); the driver records
+    // a rows-only check, and ScalaTest verifies recall against q16's exact
+    // pairs.
+
+    "q19_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |p AS (
+        |  SELECT qid, nid,
+        |  FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid, nid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM p)
+        |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q20_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','un','est','que','pour'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('的','了','是','我','不'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q21_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |  len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  least(CAST(n AS DOUBLE) / 50.0, 1.0) AS len_score,
+        |  CASE WHEN n > 0 THEN CAST(len(list_distinct(list_filter(string_split(text,' '), x -> len(x) > 0))) AS DOUBLE) / n ELSE 0.0 END AS div_score,
+        |  1.0 - least((CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish
+        |  FROM t)
+        |SELECT doc_id,
+        |FLOOR((len_score + div_score + punct_score) / 3.0 * 1e6 + 0.5) / 1e6 AS quality,
+        |CAST(n_bpeish AS BIGINT) AS n_bpeish
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q22_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_stream_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us, event_type, value FROM r
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q25_window_analytics" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |LAG(event_type, 1) OVER w AS prev_type,
+        |MIN(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q26_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q27_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

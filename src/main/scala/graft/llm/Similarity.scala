@@ -24,6 +24,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Round to 6 decimals as floor(x*1e6+0.5)/1e6 — pure IEEE ops, so the
+    * result is bit-identical in any engine given identical input doubles
+    * (round()'s half-way handling is engine-specific; see SparkEntry
+    * Scaladoc). Rank on this so top-k ordering is reproducible. */
+  private[graft] def round6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * `queries(qid, qvec)` is broadcast against `corpus(nid, nvec)`; the
@@ -40,9 +46,9 @@ object Similarity {
     val joined = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       // rank on a rounded similarity so ordering is reproducible across
-      // engines/architectures despite float-sum association differences
+      // engines despite residual float differences
       .withColumn("cos",
-        round(dot(col("qvec"), col("nvec")) / (col("__qn") * col("__nn")), 6))
+        round6(dot(col("qvec"), col("nvec")) / (col("__qn") * col("__nn"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -91,7 +97,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
     val scored = cands
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 6))
+      .withColumn("cos", round6(cosine(col("qvec"), col("nvec"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

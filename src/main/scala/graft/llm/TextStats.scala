@@ -55,7 +55,8 @@ object TextStats {
       size(array_distinct(tokens(text))).cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    round((lenScore + divScore + punctScore) / 3.0, 6)
+    // floor-based rounding: deterministic across engines (see SparkEntry)
+    floor((lenScore + divScore + punctScore) / 3.0 * 1e6 + 0.5) / 1e6
   }
 
   /** Language-ID by stopword evidence: score = hits per language marker set,

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs
+  * per-partition so heavyweight codec state is initialized once per
+  * partition, not once per row.
+  *
+  * The actual media decode is STUBBED (this container ships no image/audio
+  * codecs): [[decodeStub]] derives a deterministic fake feature vector from
+  * the bytes. The Spark-side contract — schema, partition-batch execution
+  * shape, metadata extraction — is real and tested; swap [[decodeStub]]'s
+  * body for a JNI/codec call on a real cluster.
+  */
+object Binary {
+
+  /** Typed media row: id + payload + declared modality/codec. */
+  case class MediaRow(media_id: Long, payload: Array[Byte],
+                      modality: String, codec: String)
+
+  /** Decoded features: fixed-width embedding + basic dims. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long,
+                           width: Int, height: Int, feature: Array[Float])
+
+  /** Cheap columnar metadata — no decode needed, stays in codegen:
+    * byte length, content digest, magic-byte sniff. */
+  def withMetadata(df: DataFrame, payload: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(payload)).cast("long"))
+      .withColumn("digest", md5(col(payload)))
+      .withColumn("magic", hex(substring(col(payload), 1, 4)))
+
+  /** STUB decode — deterministic fake: "dimensions" and a `dim`-float
+    * feature vector derived from byte content, so tests are reproducible.
+    * Real implementation would decode the payload here (one codec init per
+    * partition — the reason this is mapPartitions, not a per-row UDF). */
+  def decodeStub(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site (real codecs allocate here)
+      rows.map { r =>
+        val n = r.payload.length
+        val h = java.util.Arrays.hashCode(r.payload)
+        val feature = Array.tabulate(dim) { i =>
+          // spread bits deterministically; bounded [-1, 1)
+          (((h * (i + 1)) >>> 8) % 1000) / 1000.0f * (if (((h >> i) & 1) == 0) 1 else -1)
+        }
+        MediaFeatures(r.media_id, n.toLong, width = (h & 0x3ff).abs,
+          height = ((h >> 10) & 0x3ff).abs, feature = feature)
+      }
+    }
+  }
+
+  /** Fixture: wrap the documents table's text as fake binary payloads so
+    * the plumbing is exercised without real media files. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"),
+      lit("text").as("modality"), lit("utf-8").as("codec"))
+      .as[MediaRow]
+  }
+}

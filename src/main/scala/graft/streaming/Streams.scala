@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface — the reference's Kafka JSON pipeline
+  * (/root/reference/data_processing/stream_processing/
+  * stream_silver_to_gold.py) and its Feast online-store materialization
+  * (feast-feature-store/feature_retrieval/ingest_stream_to_online_store.py),
+  * re-expressed source-agnostically: any streaming DataFrame in, any sink
+  * out. Kafka wrappers are provided for cluster use; tests drive the same
+  * transforms through file/memory sources (no Kafka broker in this
+  * container).
+  */
+object Streams {
+
+  /** Kafka source — topic of JSON values (stream_silver_to_gold.py:71-77).
+    * Requires the spark-sql-kafka connector jar on the cluster classpath. */
+  def fromKafka(spark: SparkSession, servers: String, topic: String,
+                startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("kafka.enable.auto.commit", "false")
+      .load()
+
+  /** JSON decode: raw `value` bytes -> typed columns (from_json + `value.*`,
+    * stream_silver_to_gold.py:78). */
+  def decodeJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("value"))
+      .select(col("value.*"))
+
+  /** JSON encode for a Kafka-shaped sink: all columns -> one `value` string
+    * (to_json(named_struct ...), stream_silver_to_gold.py:111-133). */
+  def encodeJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Kafka sink with the reference's trigger/checkpoint posture
+    * (stream_silver_to_gold.py:135-145). */
+  def toKafka(df: DataFrame, servers: String, topic: String,
+              checkpoint: String, triggerSecs: Int = 10) =
+    encodeJson(df).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .outputMode("append")
+
+  /** Streaming latest-row-per-key — the online feature store's
+    * newest-value-per-entity semantics, but ordered by *event time* with a
+    * tie-break instead of arrival order (fixes the reference's Redis-upsert
+    * out-of-order weakness, SURVEY.md §7.4 risk 4). Complete-mode
+    * aggregation: state is one row per key (entity-sized, not data-sized).
+    * For unbounded key spaces pair with watermark + foreachBatch MERGE
+    * instead. */
+  def latestPerKey(stream: DataFrame, key: Seq[String], ts: String,
+                   tieBreak: String): DataFrame = {
+    val payloadCols = stream.columns.filterNot(key.contains)
+    val payload = struct(payloadCols.map(col): _*)
+    stream.groupBy(key.map(col): _*)
+      .agg(max_by(payload, struct(col(ts), col(tieBreak))).as("__latest"))
+      .select(key.map(col) :+ col("__latest.*"): _*)
+  }
+
+  /** Run a streaming query over a bounded source to completion
+    * (Trigger.AvailableNow) into an in-memory table; returns the final
+    * result as a batch DataFrame. Drives the full Structured Streaming
+    * machinery (IncrementalExecution, state store) over file sources, which
+    * is how tests and oracle checks exercise the streaming path without a
+    * broker. */
+  def runToMemory(result: DataFrame, name: String,
+                  outputMode: String = "complete"): DataFrame = {
+    val q = result.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    result.sparkSession.table(name)
+  }
+}
