@@ -58,9 +58,10 @@ object AliccpCodec {
   /** Extract a field id from a parsed map as a nullable int column named
     * `name` — the 25-column Silver projection primitive
     * (batch_process_Bronze_to_Silver.py:206-300). `try_element_at` mirrors
-    * the reference's dict `.get` None-on-missing under ANSI mode; the
-    * reference's `when(isNotNull)` guard is redundant (cast of null is
-    * null). */
+    * the reference's dict `.get` None-on-missing under ANSI mode, and
+    * `try_cast` mirrors PySpark 3.3's non-ANSI null-on-garbage cast (Spark
+    * 4 ANSI `cast` would throw); the reference's `when(isNotNull)` guard is
+    * redundant (cast of null is null). */
   def field(m: Column, fieldId: String, name: String): Column =
-    try_element_at(m, lit(fieldId)).cast("int").as(name)
+    try_element_at(m, lit(fieldId)).try_cast("int").as(name)
 }

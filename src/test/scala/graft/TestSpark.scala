@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(cores = 4, shufflePartitions = 4)
+    s
+  }
+}

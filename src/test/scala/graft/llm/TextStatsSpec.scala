@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens handle repeated/leading/trailing whitespace") {
+    val out = Seq("  a  b c ").toDF("t")
+      .select(TextStats.tokens(col("t"))).as[Seq[String]].head()
+    assert(out === Seq("a", "b", "c"))
+  }
+
+  test("empty text: zero tokens, zero ratios") {
+    val df = Seq("").toDF("t")
+    assert(df.select(TextStats.tokenCount(col("t"))).as[Int].head() === 0)
+    assert(df.select(TextStats.stopwordRatio(col("t"), Seq("the"))).as[Double].head() === 0.0)
+    assert(df.select(TextStats.punctRatio(col("t"))).as[Double].head() === 0.0)
+  }
+
+  test("fingerprint is token-order-insensitive and case-insensitive") {
+    val df = Seq(("World hello", "hello world"), ("a b", "a c")).toDF("x", "y")
+    val out = df.select(
+      (TextStats.fingerprint(col("x")) === TextStats.fingerprint(col("y"))))
+      .as[Boolean].collect()
+    assert(out.toSeq === Seq(true, false))
+  }
+
+  test("langId votes by marker stopwords; und when no evidence") {
+    val df = Seq(
+      "the cat is in the house and it is happy",
+      "der hund ist nicht zu haus und das ist gut",
+      "xyzzy plugh 12345").toDF("t")
+    val out = df.select(TextStats.langId(col("t"))).as[String].collect()
+    assert(out.toSeq === Seq("en", "de", "und"))
+  }
+
+  test("bpeish token count splits words and punctuation") {
+    val out = Seq("don't stop, world!").toDF("t")
+      .select(TextStats.bpeishTokenCount(col("t"))).as[Int].head()
+    // don / ' / t / stop / , / world / ! -> 7
+    assert(out === 7)
+  }
+
+  test("quality score in [0,1]; longer diverse text scores higher than junk") {
+    val df = Seq(
+      ("good", (1 to 60).map(i => s"word$i").mkString(" ")),
+      ("junk", "!!! ??? !!! ??? !!!")).toDF("k", "t")
+    val m = df.select(col("k"), TextStats.qualityScore(col("t")))
+      .as[(String, Double)].collect().toMap
+    assert(m("good") > m("junk"))
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming semantics: out-of-order events must still resolve to
+  * latest-by-EVENT-time per key (not arrival order — the reference's Redis
+  * upsert weakness, SURVEY.md §7.4 risk 4), and the JSON codec must
+  * round-trip the reference's Kafka record shape. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("latestPerKey resolves by event time across out-of-order micro-batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val df = mem.toDF().toDF("k", "ts", "v")
+    val q = Streams.latestPerKey(df, Seq("k"), "ts", "v")
+      .writeStream.format("memory").queryName("lpk_test")
+      .outputMode("complete").start()
+    // batch 1: newest value for u1 arrives FIRST
+    mem.addData(("u1", 300L, "newest"), ("u2", 10L, "x"))
+    q.processAllAvailable()
+    // batch 2: late, older event for u1 arrives after
+    mem.addData(("u1", 100L, "stale-late"))
+    q.processAllAvailable()
+    val out = spark.table("lpk_test")
+      .select("k", "v").as[(String, String)].collect().toMap
+    q.stop()
+    // arrival-order upsert would yield u1 -> stale-late; event-time is correct
+    assert(out === Map("u1" -> "newest", "u2" -> "x"))
+  }
+
+  test("json encode/decode round-trips the Kafka record shape") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("score", DoubleType),
+      StructField("seg", StringType)))
+    val rows = Seq((7L, 0.5, "a"), (8L, 1.5, "b"))
+    val encoded = Streams.encodeJson(rows.toDF("user_id", "score", "seg"))
+    assert(encoded.columns.toSeq === Seq("value"))
+    val back = Streams.decodeJson(encoded, schema)
+      .as[(Long, Double, String)].collect().toSeq
+    assert(back === rows)
+  }
+
+  test("runToMemory drives an AvailableNow file stream to completion") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "v").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val out = Streams.runToMemory(
+      Streams.latestPerKey(stream, Seq("k"), "ts", "v"),
+      s"rtm_${System.nanoTime()}")
+    assert(out.select("k", "v").as[(Long, String)].collect().toSet
+      === Set((1L, "b"), (2L, "c")))
+  }
+}
