@@ -10,12 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed loop
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row (a bare .count() would
-      // let Catalyst prune the query to a row-count shortcut).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      // noop sink: materializes every output row through the normal action
+      // path (SQLExecution.withSQLConfPropagated — raw toRdd would drop
+      // session SQL confs on executor threads; a bare .count() would let
+      // Catalyst prune the query to a row-count shortcut).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -34,15 +34,19 @@ object Dedup {
     * `h_i(x) = (a_i * x + b_i) mod p`, the min over the shingle set's base
     * hashes. Base hash = Spark's Murmur3 (`hash`), permutation params drawn
     * from a fixed seed so signatures are deterministic across runs/engines.
+    *
+    * The base hash is materialized ONCE per shingle (inner `transform`),
+    * then each permutation maps over the precomputed longs — without this
+    * the Murmur3 runs numHashes× per shingle, which dominated the profile.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val rnd = new scala.util.Random(seed)
     val params = Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
       rnd.nextInt(Int.MaxValue).toLong)
+    val baseHashes = transform(shingleArr, s => hash(s).cast("long"))
     val sigs = params.map { case (a, b) =>
-      array_min(transform(shingleArr,
-        s => pmod(hash(s).cast("long") * a + b, lit(p))))
+      array_min(transform(baseHashes, h => pmod(h * a + b, lit(p))))
     }
     array(sigs: _*)
   }
@@ -63,30 +67,41 @@ object Dedup {
       col(id).as("doc"),
       shingles(col(text), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .cache() // reused: banded (exploded) + 2 shingle re-attach joins
+    // Band join carries only (band, bandhash, id) — the shingle arrays are
+    // re-attached to the (much smaller) candidate-pair set afterwards, so
+    // the wide arrays never ride the band shuffle.
     val banded = withSig.select(
-      col("doc"), col("sh"),
+      col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bandhash")))
-    val a = banded.select(col("band"), col("bandhash"),
-      col("doc").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bandhash"),
-      col("doc").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bandhash"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bandhash"), col("doc").as("id_b"))
     val cands = a.join(b, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val sh = withSig.select(col("doc"), col("sh"))
     cands
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays. The
+    * intersection size is bound once via `aggregate` composition: naive
+    * `inter/union` column reuse would evaluate array_intersect twice. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - inter
-    when(union > 0, inter / union).otherwise(lit(1.0))
+    // single array_intersect evaluation, folded into the final expression
+    val j = transform(array(size(array_intersect(a, b))), i => {
+      val inter = i.cast("double")
+      val union = (size(a) + size(b)).cast("double") - inter
+      when(union > 0, inter / union).otherwise(lit(1.0))
+    })
+    element_at(j, 1)
   }
 
   /** Exact all-pairs n-gram Jaccard near-dup over a (small or pre-filtered)
