@@ -9,6 +9,7 @@ import graft.ops.{BronzeSilver, Categorify, PointInTime}
 import graft.llm.{Dedup, Similarity, TextStats}
 import graft.multimodal.Binary
 import graft.sources.Tables
+import graft.store.FeatureStore
 import graft.streaming.Streams
 
 /** Driver contract — one named query per implemented operator
@@ -25,10 +26,11 @@ import graft.streaming.Streams
   */
 object SparkEntry {
 
-  /** Flagship query on sf0.001: AliCCP-style KV parse -> broadcast join ->
-    * filter -> typed projection (the reference's Bronze->Silver spine). */
+  /** Flagship query on sf0.001: the reference's full Bronze->Silver spine —
+    * KV parse -> broadcast join -> invalid-sample filter -> typed wide
+    * projection. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_kv_roundtrip")(spark, "/root/testdata/sf0.001")
+    queries("q14_bronze_silver")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Relational core (SURVEY §2.2/2.4: P*, A1-A2) -------------------
@@ -309,6 +311,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- LLM ops: ANN top-k via hyperplane LSH (approximate; rows-only) -
+    "q24_ann_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      // few planes / many tables: the fixture embeddings are near-random
+      // (neighbor cosine ~0.2-0.4), so narrow buckets would have ~0 recall
+      Similarity.annTopK(queries, corpus, dim = 64, k = 5,
+          planes = 4, tables = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- Feature store: online materialization + point lookup (A4,S10) --
+    "q28_online_lookup" -> ((s, dir) => {
+      val view = FeatureStore.FeatureView("user_latest", Seq("user_id"),
+        "ts_us", ttlUs = 365L * 24 * 3600 * 1000000,
+        features = Seq("event_id", "event_type", "value"))
+      val e = Tables.events(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_online")
+        .toString + "/user_latest"
+      FeatureStore.materializeOnline(view, e, path, tieBreak = "event_id")
+      val keys = e.select("user_id").distinct()
+        .filter(col("user_id") % 5 === 0)
+      FeatureStore.getOnlineFeatures(s, path, view, keys)
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // ---- Window analytics: lag / running-min (SURVEY §2.10 surface) -----
     "q25_window_analytics" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -569,6 +600,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id, ts_us, event_type, value FROM r
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q24_ann_topk omitted: candidate set depends on engine-seeded random
+    // hyperplanes — rows-only check; ScalaTest asserts recall vs exact topk.
+
+    "q28_online_lookup" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, event_type, value FROM r
+        |WHERE rn = 1 AND user_id % 5 = 0 ORDER BY user_id""".stripMargin,
 
     "q25_window_analytics" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 0f, 0f))).toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).as[Double].head() === 2.0)
+    assert(df.select(Similarity.l2Norm(col("a"))).as[Double].head() === 3.0)
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+      === 2.0 / (3.0 * 2.0))
+  }
+
+  test("cosineTopK ranks by similarity, excludes self, respects k") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))).toDF("nid", "nvec")
+    val qs = vecs.select(col("nid").as("qid"), col("nvec").as("qvec"))
+      .filter(col("qid") === 1L)
+    val out = Similarity.cosineTopK(qs, vecs, k = 2)
+      .select("nid", "rank").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1L), (3L, 2L))) // nearest first; self excluded
+  }
+
+  test("annTopK finds planted near-neighbors (high-cosine pairs)") {
+    // sign-LSH recall depends on cosine: P(bucket-match) ~ (1-θ/π)^planes per
+    // table, so near-random vectors (cos~0.2, as in the fixture embeddings)
+    // are not bucketable — plant genuine neighbors (cos ~0.95+) instead.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 40).map(_ => unit())
+    // pairs (2i, 2i+1): a base vector and a tiny perturbation of it
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.zipWithIndex.map { case (x, j) =>
+        x + 0.05f * (if ((i + j) % 2 == 0) 1 else -1) * math.abs(rnd.nextGaussian()).toFloat }
+      Seq((2L * i, v.toSeq), (2L * i + 1, twin.toSeq))
+    }
+    val corpus = rows.toDF("nid", "nvec")
+    val qs = corpus.filter(col("nid") % 2 === 0)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+    val ann = Similarity.annTopK(qs, corpus, dim = dim, k = 1,
+        planes = 8, tables = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val hits = (0 until 40).count(i => ann.get(2L * i).contains(2L * i + 1))
+    assert(hits >= 28, s"ANN found only $hits/40 planted twins")
+  }
+}
