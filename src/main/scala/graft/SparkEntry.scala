@@ -354,6 +354,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- Streaming JSON codec round-trip (C5/C6: Kafka record shape) ----
+    "q29_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = Tables(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "value")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      Streams.decodeJson(Streams.encodeJson(e), schema)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- Tumbling-window aggregation (T7; epoch-aligned) ----------------
+    "q30_tumbling_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("n_users"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // ---- Rollup aggregation ---------------------------------------------
     "q26_rollup" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -622,6 +646,15 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, rn""".stripMargin,
+
+    "q29_json_roundtrip" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q30_tumbling_window" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start,
+        |event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q26_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -65,6 +65,17 @@ object Streams {
       .select(key.map(col) :+ col("__latest.*"): _*)
   }
 
+  /** Watermarked append-mode dedup: keep the FIRST arrival of each key
+    * within the watermark horizon, dropping late duplicates — the
+    * reference's declared-but-unenforced 1-minute late-data bound
+    * (data_sources.py:27). State is bounded by the watermark: keys older
+    * than `delay` behind max event time are evicted, so this scales to
+    * unbounded streams (unlike complete-mode aggregation). */
+  def dedupWithinWatermark(stream: DataFrame, key: Seq[String],
+                           eventTimeCol: String, delay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Run a streaming query over a bounded source to completion
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame. Drives the full Structured Streaming

@@ -48,6 +48,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(back === rows)
   }
 
+  test("dedupWithinWatermark keeps first arrival, drops in-horizon duplicates") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val df = mem.toDF().toDF("k", "ts_s", "v")
+      .withColumn("evt", col("ts_s").cast("timestamp"))
+    val q = Streams.dedupWithinWatermark(df, Seq("k"), "evt", "10 seconds")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    mem.addData(("a", 100L, "first"), ("b", 100L, "b1"))
+    q.processAllAvailable()
+    mem.addData(("a", 105L, "dup-in-horizon")) // same key, within 10s
+    q.processAllAvailable()
+    val out = spark.table("wm_test").select("k", "v")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(out === Set(("a", "first"), ("b", "b1")))
+  }
+
   test("runToMemory drives an AvailableNow file stream to completion") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
