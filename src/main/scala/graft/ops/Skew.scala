@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for Zipfian keys (AliCCP user_id/item_id — vocab counts
+  * at batch_process_Silver_to_Gold.py:161-162 imply heavy head skew).
+  *
+  * AQE's skew-join split handles sort-merge joins adaptively
+  * (GraftSession enables it); these explicit tools cover the cases AQE
+  * can't: aggregation hot keys and joins where the build side must be
+  * replicated.
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (large) left side gets a uniform random
+    * salt in [0, buckets); the right side is replicated `buckets`× with
+    * every salt value, then the join key becomes (key, salt) — a hot key's
+    * rows now spread over `buckets` reducers instead of one. Right side
+    * should be the smaller input (its size multiplies by `buckets`).
+    *
+    * Correct for inner/left joins on equality keys: every left row still
+    * meets every right row of its key exactly once. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, key :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key. Spark's hash aggregate already does
+    * map-side partial aggregation; the explicit salt phase additionally
+    * splits a hot key across REDUCERS, which matters when one key's
+    * partials alone overwhelm a single task at the final stage.
+    *
+    * `partial` must be decomposable with `merge` (e.g. count/sum/min/max:
+    * partial=count, merge=sum). */
+  def saltedAgg(df: DataFrame, key: Seq[String], buckets: Int,
+                partial: Column => Column, merge: Column => Column,
+                valueCol: String, as: String): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    salted.groupBy((key :+ "__salt").map(col): _*)
+      .agg(partial(col(valueCol)).as("__p"))
+      .groupBy(key.map(col): _*)
+      .agg(merge(col("__p")).as(as))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface — the reference's Kafka JSON pipeline
@@ -63,6 +63,48 @@ object Streams {
     stream.groupBy(key.map(col): _*)
       .agg(max_by(payload, struct(col(ts), col(tieBreak))).as("__latest"))
       .select(key.map(col) :+ col("__latest.*"): _*)
+  }
+
+  /** Explicit-state latest-per-key via flatMapGroupsWithState — the
+    * unbounded-key-space scale path that complete-mode aggregation can't
+    * serve (its result table grows without bound and is re-emitted fully
+    * every trigger). State here is one row per ACTIVE key, evicted by
+    * processing-time timeout `ttl`, and only keys whose newest row CHANGED
+    * are emitted each micro-batch (update semantics, like the online
+    * store's upsert stream — but resolved by event time, not arrival).
+    *
+    * @param ttl processing-time idle eviction for a key's state; None keeps
+    *            state forever (use None in tests — ProcessingTimeTimeout
+    *            schedules continual timeout-evaluation batches, so
+    *            `processAllAvailable` never quiesces) */
+  def latestPerKeyStateful[K, S](
+      ds: Dataset[S], key: S => K, ts: S => Long,
+      ttl: Option[String] = None)(
+      implicit kEnc: Encoder[K], stateEnc: Encoder[(Long, S)],
+      outEnc: Encoder[(K, S)]): Dataset[(K, S)] = {
+    val timeoutMode =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Long, S), (K, S)](
+        OutputMode.Update(), timeoutMode) {
+        (k: K, rows: Iterator[S], state: GroupState[(Long, S)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val newest = rows.map(r => (ts(r), r))
+              .reduceOption((a, b) => if (b._1 >= a._1) b else a)
+            val prev = state.getOption
+            val winner = (prev ++ newest).reduceOption(
+              (a, b) => if (b._1 >= a._1) b else a)
+            winner match {
+              case Some(w) if !prev.contains(w) =>
+                state.update(w)
+                ttl.foreach(state.setTimeoutDuration)
+                Iterator.single((k, w._2))
+              case _ => Iterator.empty
+            }
+          }
+      }
   }
 
   /** Watermarked append-mode dedup: keep the FIRST arrival of each key

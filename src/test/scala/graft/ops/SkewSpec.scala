@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the plain-join result") {
+    // hot key: 900 of 1000 rows share key 1
+    val left = spark.range(1000)
+      .select(when(col("id") < 900, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((1L, "hot"), (950L, "cold"), (999L, "tail"))
+      .toDF("k", "attr")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "attr").as[(Long, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), buckets = 8)
+      .select("k", "payload", "attr").as[(Long, Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.size === 902)
+  }
+
+  test("saltedJoin left-outer keeps unmatched left rows once") {
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val right = Seq((1L, "only")).toDF("k", "attr")
+    val out = Skew.saltedJoin(left, right, Seq("k"), 4, "left")
+      .select("k", "attr").as[(Long, Option[String])].collect().toSeq.sorted
+    assert(out === Seq((1L, Some("only")), (2L, None)))
+  }
+
+  test("saltedAgg count equals plain groupBy count") {
+    val df = spark.range(10000)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+    val plain = df.groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), buckets = 16,
+      partial = count, merge = sum, valueCol = "v", as = "count")
+      .as[(Long, Long)].collect().toMap
+    assert(salted === plain)
+  }
+}

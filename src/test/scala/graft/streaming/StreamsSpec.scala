@@ -48,6 +48,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(back === rows)
   }
 
+  test("latestPerKeyStateful: explicit state emits only changed keys, by event time") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val out = Streams.latestPerKeyStateful[String, (String, Long, String)](
+      mem.toDS(), _._1, _._2)
+    val q = out.toDF("k", "row")
+      .selectExpr("k", "row._2 AS ts", "row._3 AS v")
+      .writeStream.format("memory").queryName("lpks_test")
+      .outputMode("update").start()
+    mem.addData(("u1", 300L, "newest"), ("u2", 10L, "x"))
+    q.processAllAvailable()
+    mem.addData(("u1", 100L, "stale-late"), ("u2", 20L, "y"))
+    q.processAllAvailable()
+    val rows = spark.table("lpks_test")
+      .selectExpr("k", "v").as[(String, String)].collect().toSeq
+    q.stop()
+    // u1's late row is older -> no second emission; u2 advanced -> re-emitted
+    assert(rows.count(_._1 == "u1") === 1)
+    assert(rows.filter(_._1 == "u1").head._2 === "newest")
+    assert(rows.filter(_._1 == "u2").map(_._2).toSet === Set("x", "y"))
+  }
+
   test("dedupWithinWatermark keeps first arrival, drops in-horizon duplicates") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(String, Long, String)]
