@@ -19,6 +19,7 @@ object GraftSession {
   /** Configs applied to any session, including ones created externally
     * (Verify/Bench own their builder; they call [[tune]]). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.ext.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,20 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.parse.ParseKvExpr
+
+/** Engine extensions, installed with
+  * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
+  * it): registers the custom codegen'd expressions as SQL functions so
+  * they work from `spark.sql(...)` and `call_function` alike. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_kv"),
+      new ExpressionInfo(classOf[ParseKvExpr].getName, "parse_kv"),
+      (children: Seq[Expression]) => ParseKvExpr(children.head)))
+  }
+}

@@ -36,8 +36,8 @@ object BronzeSilver {
       // without click (batch_process_Bronze_to_Silver.py:186-187)
       .filter(col("click") =!= 0 || col("conversion") =!= 1)
     val merged = mergeKv(
-      parseKv(col("common_blob")),
-      parseKv(col("blob")),
+      parseKvFast(col("common_blob")),
+      parseKvFast(col("blob")),
       map(lit("click"), col("click").cast("string"),
           lit("conversion"), col("conversion").cast("string")))
     joined.select(

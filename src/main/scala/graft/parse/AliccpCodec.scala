@@ -42,6 +42,13 @@ object AliccpCodec {
           substring_index(substring_index(t, WeightSep, 1), KvSep, -1).as("value"))))
   }
 
+  /** [[parseKv]] semantics via the custom single-pass codegen'd expression
+    * [[ParseKvExpr]] (registered as SQL `parse_kv` by GraftExtensions) —
+    * the hot-path variant used by the Bronze->Silver spine. Property-tested
+    * equal to [[parseKv]] in ParseKvExprSpec. */
+  def parseKvFast(blob: Column): Column =
+    call_function("parse_kv", coalesce(blob, lit("")))
+
   /** Inverse of [[parseKv]] (weight fixed to `1.0`) — for round-trip tests
     * and fixture synthesis. Preserves map entry order. */
   def formatKv(m: Column): Column =
