@@ -42,6 +42,19 @@ object Sources {
     df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, props)
   }
 
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on the bucket key is co-located —
+    * zero Exchange in the join plan (asserted in SourcesSpec). At 100 TB
+    * this converts the recurring silver⋈gold / fact⋈fact shuffles into a
+    * one-time layout cost. Requires a table catalog (saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, bucketKey: String,
+                    buckets: Int, sortBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketKey)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Single-file CSV sample sink (S5/R3/R4) — the reference's 10k-row
     * fixture dump (generate_example_data.py:71-72). */
   def writeCsvSample(df: DataFrame, path: String, n: Int): Unit =

@@ -1,0 +1,52 @@
+package graft.model
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.BronzeSilver
+import graft.parse.AliccpCodec._
+
+/** End-to-end fidelity of the full 25-column silver projection: a blob
+  * carrying every AliCCP field id must land in the right typed column. */
+class AliccpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("schema contract: 25 silver columns, 17 gold keeps, 16 index cols") {
+    assert(Aliccp.silverFields.size === 23)
+    assert(Aliccp.silverSchema.fields.length === 25)
+    assert(Aliccp.goldKeep.size === 17)
+    assert(Aliccp.goldIndexCols.size === 16)
+    assert(Aliccp.goldKeep.forall(c =>
+      Aliccp.silverSchema.fieldNames.contains(c)))
+  }
+
+  test("toSilver maps every field id to its column across skeleton+common") {
+    // skeleton carries item/interaction fields, common carries user fields —
+    // the split the reference's two bronze files use
+    val userIds = Set("101", "109_14", "110_14", "127_14", "150_14", "121",
+      "122", "124", "125", "126", "127", "128", "129")
+    val mk = (ids: Seq[(String, String)]) => ids.zipWithIndex
+      .map { case ((id, _), i) => s"$id$KvSep${100 + i}${WeightSep}1.0" }
+      .mkString(RecSep)
+    val commonBlob = mk(Aliccp.silverFields.filter(f => userIds(f._1)))
+    val skelBlob = mk(Aliccp.silverFields.filterNot(f => userIds(f._1)))
+    val skeleton = Seq((1L, 1, 0, "cf_1", skelBlob))
+      .toDF("sample_id", "click", "conversion", "key", "blob")
+    val common = Seq(("cf_1", commonBlob)).toDF("key", "blob")
+    val out = BronzeSilver.toSilver(skeleton, common, Aliccp.silverFields)
+    assert(out.columns.toSeq ===
+      "sample_id" +: Aliccp.silverSchema.fieldNames.toSeq)
+    val row = out.head()
+    // every mapped field non-null int; click/conversion injected
+    Aliccp.silverSchema.fieldNames.foreach { c =>
+      assert(!row.isNullAt(out.columns.indexOf(c)), s"column $c null")
+    }
+    assert(row.getAs[Int]("click") === 1)
+    assert(row.getAs[Int]("conversion") === 0)
+    // spot-check: user_id comes from common 101, item_id from skeleton 205
+    assert(row.getAs[Int]("user_id") === 100)
+    assert(row.getAs[Int]("position") === 109)
+  }
+}

@@ -32,6 +32,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() === 100L)
   }
 
+  test("bucketed tables join without any shuffle Exchange") {
+    import org.apache.spark.sql.functions.col
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    try {
+      // sort-merge path so co-location matters (broadcast would hide it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sources.writeBucketed(
+        spark.range(1000).withColumn("v", col("id") * 2).toDF("k", "v"),
+        "bkt_left", "k", buckets = 4)
+      Sources.writeBucketed(
+        spark.range(500).withColumn("w", col("id") + 1).toDF("k", "w"),
+        "bkt_right", "k", buckets = 4)
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be co-located, plan:\n$plan")
+      assert(joined.count() === 500L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   test("writeCsvSample: one file, header, n rows") {
     val dir = java.nio.file.Files.createTempDirectory("csvs").toString
     Sources.writeCsvSample(spark.range(50).toDF("id"), s"$dir/out", n = 7)
