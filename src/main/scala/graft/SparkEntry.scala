@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, PointInTime}
+import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Dedup, Similarity, TextStats}
 import graft.multimodal.Binary
 import graft.sources.Tables
@@ -387,6 +387,16 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- Skew-salted two-phase aggregation (same result, split reducers)
+    "q31_salted_agg" -> ((s, dir) => {
+      Skew.saltedAgg(Tables(s, dir, "lineitem"), Seq("l_returnflag"),
+          buckets = 8, partial = sum, merge = sum,
+          valueCol = "l_quantity", as = "sum_qty")
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("decimal(14,2)").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- Set operations ------------------------------------------------
     "q27_setops" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -661,6 +671,14 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // l_quantity is integral-valued: double partial sums are exact, so the
+    // salted two-phase result is order-independent and engine-exact.
+    "q31_salted_agg" ->
+      """SELECT l_returnflag,
+        |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q27_setops" ->
       """SELECT o_custkey FROM (
