@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.ParseKvExpr
+import graft.parse.{DotProductExpr, ParseKvExpr, SimhashExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -16,5 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("parse_kv"),
       new ExpressionInfo(classOf[ParseKvExpr].getName, "parse_kv"),
       (children: Seq[Expression]) => ParseKvExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
+      (children: Seq[Expression]) => SimhashExpr(children.head)))
   }
 }

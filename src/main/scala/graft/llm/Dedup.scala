@@ -118,18 +118,12 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over token Murmur3 hashes: sign-sum each bit position.
-    * Near-dups have small Hamming distance between simhashes. */
-  def simhash(text: Column): Column = {
-    val toks = TextStats.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  /** 64-bit SimHash over token XXH64 hashes (seed 42 = Spark's xxhash64):
+    * sign-sum each bit position. Near-dups have small Hamming distance.
+    * Native codegen'd kernel (graft.parse.SimhashExpr) — the HOF
+    * formulation needed 64 interpreted `aggregate` folds per row. */
+  def simhash(text: Column): Column =
+    call_function("simhash64", TextStats.tokens(lower(text)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

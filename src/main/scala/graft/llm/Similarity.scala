@@ -13,14 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float/double arrays, computed in double — the
+    * native codegen'd kernel (graft.parse.DotProductExpr); bit-identical to
+    * the `aggregate(zip_with(...))` HOF fold but without per-element
+    * interpreted lambda evaluation. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -66,9 +65,7 @@ object Similarity {
     val buckets = (0 until tables).map { t =>
       val sig = (0 until planes).map { _ =>
         val plane = Array.fill(dim)(gaussian())
-        val d = aggregate(
-          zip_with(vec, typedlit(plane.toSeq), (x, h) => x.cast("double") * h),
-          lit(0.0), (acc, v) => acc + v)
+        val d = call_function("vec_dot", vec, typedlit(plane.toSeq))
         when(d >= 0, lit(1)).otherwise(lit(0))
       }
       struct(lit(t).as("table"),
