@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{DotProductExpr, ParseKvExpr, SimhashExpr}
+import graft.parse.{DotProductExpr, JaccardExpr, ParseKvExpr, SimhashExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard"),
+      new ExpressionInfo(classOf[JaccardExpr].getName, "jaccard"),
+      (children: Seq[Expression]) =>
+        JaccardExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),

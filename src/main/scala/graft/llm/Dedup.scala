@@ -91,18 +91,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. The
-    * intersection size is bound once via `aggregate` composition: naive
-    * `inter/union` column reuse would evaluate array_intersect twice. */
-  def jaccard(a: Column, b: Column): Column = {
-    // single array_intersect evaluation, folded into the final expression
-    val j = transform(array(size(array_intersect(a, b))), i => {
-      val inter = i.cast("double")
-      val union = (size(a) + size(b)).cast("double") - inter
-      when(union > 0, inter / union).otherwise(lit(1.0))
-    })
-    element_at(j, 1)
-  }
+  /** Exact Jaccard similarity of two (distinct-element) arrays — native
+    * codegen'd kernel (graft.parse.JaccardExpr): one hash-set pass instead
+    * of the interpreted array_intersect + sizes composition. */
+  def jaccard(a: Column, b: Column): Column = call_function("jaccard", a, b)
 
   /** Exact all-pairs n-gram Jaccard near-dup over a (small or pre-filtered)
     * document set — the oracle-checkable ground truth the LSH variant

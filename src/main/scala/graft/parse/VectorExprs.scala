@@ -69,6 +69,64 @@ object DotProductExpr {
   }
 }
 
+/** Jaccard similarity of two string arrays — native kernel for the
+  * `size(array_intersect)/union` composition (ArrayIntersect builds a hash
+  * map per evaluation in interpreted eval). Semantics identical to
+  * `Dedup.jaccard`: inter = |distinct elems of a present in b|,
+  * union = numElements(a) + numElements(b) - inter (raw sizes, as the
+  * composition used), empty∪empty -> 1.0. */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard requires array<string> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardExpr.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.parse.JaccardExpr.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard"
+}
+
+object JaccardExpr {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val bSet = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) bSet.add(b.getUTF8String(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) {
+        val e = a.getUTF8String(i)
+        if (bSet.contains(e) && seen.add(e)) inter += 1
+      }
+      i += 1
+    }
+    val union = (a.numElements() + b.numElements()).toDouble - inter
+    if (union > 0) inter / union else 1.0
+  }
+}
+
 /** 64-bit SimHash over an array of tokens: per-token XXH64 (seed 42 —
   * identical to Spark's `xxhash64`), sign-vote per bit position. Same
   * output as the 64-`aggregate` HOF composition it replaces. */

@@ -1,0 +1,66 @@
+package graft.parse
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Native kernels must be bit-identical to the HOF compositions they
+  * replaced (they feed oracle-checked queries). */
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vec_dot equals the aggregate(zip_with) fold bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    val native = df.select(call_function("vec_dot", col("a"), col("b")))
+      .as[Double].collect()
+    assert(native.toSeq === hof.toSeq) // exact equality, not approx
+  }
+
+  test("vec_dot handles mixed float/double arrays (hyperplane path)") {
+    val out = Seq((Seq(1f, 2f), Seq(0.5, 0.25))).toDF("v", "p")
+      .select(call_function("vec_dot", col("v"), col("p"))).as[Double].head()
+    assert(out === 1.0)
+  }
+
+  test("jaccard equals the array_intersect composition") {
+    val nonEmpty = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("x")),
+      (Seq("a", "a", "b"), Seq("a"))).toDF("a", "b")
+    val comp = nonEmpty.select(
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b")))).cast("double")))
+      .as[Double].collect()
+    val native = nonEmpty.select(call_function("jaccard", col("a"), col("b")))
+      .as[Double].collect()
+    assert(native.toSeq === comp.toSeq)
+    // empty∪empty is defined as 1.0 (identical empty sets; the raw
+    // composition would divide by zero under ANSI)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    assert(empty.select(call_function("jaccard", col("a"), col("b")))
+      .as[Double].head() === 1.0)
+  }
+
+  test("simhash64 equals the per-bit xxhash64 vote composition") {
+    val df = Seq(Seq("alpha", "beta", "gamma"), Seq("x"), Seq.empty[String])
+      .toDF("toks")
+    val hashes = transform(col("toks"), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    val comp = df.select(bits.reduce((x, y) => x.bitwiseOR(y))).as[Long].collect()
+    val native = df.select(call_function("simhash64", col("toks"))).as[Long].collect()
+    assert(native.toSeq === comp.toSeq)
+  }
+}
