@@ -387,6 +387,27 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- Session windows: 30-min-gap user sessions (T7 surface) ---------
+    "q32_session_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("user_id"),
+          session_window(timestamp_micros(col("ts_us")), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
+          unix_micros(col("w.end")).as("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    // ---- Corpus stats: document frequency via explode (generator) -------
+    "q33_doc_freq" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(explode(
+          array_distinct(TextStats.tokens(lower(col("text"))))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 50)
+        .orderBy(desc("df"), asc("tok"))
+    }),
+
     // ---- Skew-salted two-phase aggregation (same result, split reducers)
     "q31_salted_agg" -> ((s, dir) => {
       Skew.saltedAgg(Tables(s, dir, "lineitem"), Seq("l_returnflag"),
@@ -671,6 +692,31 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // Session semantics: consecutive events <= 30 min apart merge; session
+    // end = last event + gap. Oracle rebuilds sessions with lag + running
+    // sum of gap-breaks.
+    "q32_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |o AS (SELECT user_id, tu,
+        |  CASE WHEN LAG(tu) OVER w IS NULL
+        |       OR tu - LAG(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(tu) AS s_start, MAX(tu) + 1800000000 AS s_end,
+        |COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "q33_doc_freq" ->
+      """SELECT tok, COUNT(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split(lower(text),' '), t -> len(t) > 0))) AS tok
+        |  FROM documents) t
+        |GROUP BY tok HAVING COUNT(*) >= 50
+        |ORDER BY df DESC, tok ASC""".stripMargin,
 
     // l_quantity is integral-valued: double partial sums are exact, so the
     // salted two-phase result is order-independent and engine-exact.
