@@ -118,6 +118,42 @@ object Streams {
     stream.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Continuous online-store materialization: foreachBatch MERGE of each
+    * micro-batch into a keyed latest-value parquet table — the engine's
+    * analog of the reference's Redis upsert stream
+    * (ingest_stream_to_online_store.py:48-82), but resolved by event time
+    * so a late-arriving older row never clobbers a newer one.
+    *
+    * Each batch: collapse the batch to latest-per-key, merge with the
+    * existing table (max_by event time again), write to a staging dir,
+    * then swap. The table stays entity-sized; the merge cost is
+    * O(batch + table), not O(history). */
+  def upsertOnline(stream: DataFrame, key: Seq[String], ts: String,
+                   tieBreak: String, path: String) = {
+    import graft.ops.PointInTime
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latestBatch = PointInTime.latestPerKey(batch, key, ts, tieBreak)
+        val dir = new java.io.File(path)
+        val merged =
+          if (dir.exists()) {
+            val existing = spark.read.parquet(path)
+            PointInTime.latestPerKey(
+              existing.unionByName(latestBatch), key, ts, tieBreak)
+          } else latestBatch
+        val staging = s"$path.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val old = new java.io.File(s"$path.old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        if (dir.exists() && !dir.renameTo(old))
+          throw new java.io.IOException(s"cannot stage out $path")
+        if (!new java.io.File(staging).renameTo(dir))
+          throw new java.io.IOException(s"cannot swap in $staging")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    }
+  }
+
   /** Run a streaming query over a bounded source to completion
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result as a batch DataFrame. Drives the full Structured Streaming

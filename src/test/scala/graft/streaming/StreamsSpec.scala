@@ -88,6 +88,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Set(("a", "first"), ("b", "b1")))
   }
 
+  test("upsertOnline: event-time upsert across micro-batches; late rows never clobber") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val path = s"$dir/online"
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertOnline(mem.toDF().toDF("uid", "ts", "v"),
+      Seq("uid"), "ts", "v", path).start()
+    mem.addData((1L, 100L, "a"), (2L, 50L, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, 200L, "newer"), (2L, 10L, "stale-late"), (3L, 1L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path)
+      .select("uid", "v").as[(Long, String)].collect().toMap
+    // uid 1 advanced, uid 2's late row ignored, uid 3 inserted
+    assert(out === Map(1L -> "newer", 2L -> "b", 3L -> "c"))
+  }
+
+  test("stream-static broadcast enrichment join") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val joined = mem.toDF().toDF("uid", "amount")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("uid"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    mem.addData((1L, 5.0), (9L, 7.0))
+    q.processAllAvailable()
+    val out = spark.table("ss_join")
+      .select("uid", "tier").as[(Long, Option[String])].collect().toSet
+    q.stop()
+    assert(out === Set((1L, Some("gold")), (9L, None)))
+  }
+
   test("runToMemory drives an AvailableNow file stream to completion") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
