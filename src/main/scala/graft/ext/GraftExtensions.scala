@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{DotProductExpr, JaccardExpr, ParseKvExpr, SimhashExpr}
+import graft.parse.{CountInExpr, DotProductExpr, JaccardExpr, ParseKvExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -21,6 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("tokens_ws"),
+      new ExpressionInfo(classOf[TokensExpr].getName, "tokens_ws"),
+      (children: Seq[Expression]) => TokensExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountInExpr].getName, "count_in"),
+      (children: Seq[Expression]) =>
+        CountInExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("jaccard"),
       new ExpressionInfo(classOf[JaccardExpr].getName, "jaccard"),

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** Whitespace tokens (single-space corpus; empty tokens removed so
-    * multi-space/leading/trailing whitespace is robust). */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    * multi-space/leading/trailing whitespace is robust). Native kernel
+    * (graft.parse.TokensExpr) — the filter(split) composition evaluates its
+    * lambda interpreted per token on every text operator. */
+  def tokens(text: Column): Column = call_function("tokens_ws", text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -26,8 +27,9 @@ object TextStats {
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
-    val stops = filter(toks, t => t.isin(stopwords: _*))
-    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+    val stops = call_function("count_in", toks,
+      array(stopwords.map(lit): _*))
+    when(size(toks) > 0, stops.cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -75,7 +77,7 @@ object TextStats {
     val scores = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((lang, ms), i) =>
         struct(
-          size(filter(toks, t => t.isin(ms: _*))).as("hits"),
+          call_function("count_in", toks, array(ms.map(lit): _*)).as("hits"),
           // negated index so max() breaks score ties toward the
           // alphabetically-first language
           lit(-i).as("nrank"),

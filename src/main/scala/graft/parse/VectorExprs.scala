@@ -3,7 +3,7 @@ package graft.parse
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,6 +67,101 @@ object DotProductExpr {
     }
     s
   }
+}
+
+/** Whitespace tokenizer: split on single spaces, drop empty tokens — the
+  * kernel behind TextStats.tokens. The `filter(split(text," "), len>0)`
+  * composition runs the filter lambda interpreted per token, on EVERY
+  * textual operator; this walks the string once. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tokens_ws requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokensExpr.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.parse.TokensExpr.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "tokens_ws"
+}
+
+object TokensExpr {
+  def tokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && str.charAt(i) != ' ') i += 1
+      if (i > start) out.add(UTF8String.fromString(str.substring(start, i)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Count of array elements contained in a FOLDABLE set — the kernel behind
+  * stopword ratios and language-ID marker voting, replacing one interpreted
+  * `filter(toks, isin(...))` pass per marker set. The set is built once per
+  * expression instance, not per row. */
+case class CountInExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "count_in requires (array<string>, foldable array<string>)")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  def countIn(arr: ArrayData): Int = {
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    countIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.countIn($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "count_in"
 }
 
 /** Jaccard similarity of two string arrays — native kernel for the

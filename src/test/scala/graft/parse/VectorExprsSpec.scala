@@ -50,6 +50,22 @@ class VectorExprsSpec extends AnyFunSuite {
       .as[Double].head() === 1.0)
   }
 
+  test("tokens_ws equals the filter(split) composition") {
+    val df = Seq("  a  b c ", "", "   ", "single", "x y").toDF("t")
+    val comp = df.select(filter(split(col("t"), " "), x => length(x) > 0))
+      .as[Seq[String]].collect()
+    val native = df.select(call_function("tokens_ws", col("t")))
+      .as[Seq[String]].collect()
+    assert(native.toSeq === comp.toSeq)
+  }
+
+  test("count_in counts set membership incl. duplicates") {
+    val out = Seq(Seq("the", "cat", "the", "dog")).toDF("toks")
+      .select(call_function("count_in", col("toks"),
+        array(lit("the"), lit("a")))).as[Int].head()
+    assert(out === 2)
+  }
+
   test("simhash64 equals the per-bit xxhash64 vote composition") {
     val df = Seq(Seq("alpha", "beta", "gamma"), Seq("x"), Seq.empty[String])
       .toDF("toks")
