@@ -387,6 +387,16 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- LLM ops: near-dup groups (pairs -> connected components) -------
+    "q34_dedup_groups" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 1, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("group_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Session windows: 30-min-gap user sessions (T7 surface) ---------
     "q32_session_window" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -692,6 +702,25 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q34_dedup_groups" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |closure(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT c.n, e.d FROM closure c JOIN edges e ON c.m = e.s)
+        |SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
+        |FROM closure GROUP BY n ORDER BY doc_id""".stripMargin,
 
     // Session semantics: consecutive events <= 30 min apart merge; session
     // end = last event + gap. Oracle rebuilds sessions with lag + running

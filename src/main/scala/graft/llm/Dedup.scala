@@ -110,6 +110,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Collapse near-dup PAIRS into groups: connected components by
+    * iterative min-label propagation. Each round every node takes the min
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow, so a handful. Data
+    * stays distributed; the driver only checks the convergence counter.
+    * (For adversarial graph diameters swap in large-star/small-star; the
+    * dedup-cluster workload doesn't need it.)
+    *
+    * Returns (node, label) where label = min doc id of the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // localCheckpoint each round: iterative self-joins otherwise nest every
+    // previous round into the logical plan (exponential re-planning, then
+    // OOM). On a cluster with an unreliable-executor concern use
+    // sparkContext.setCheckpointDir + .checkpoint() instead.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"CC did not converge in $maxIter rounds")
+    labels
+  }
+
   /** 64-bit SimHash over token XXH64 hashes (seed 42 = Spark's xxhash64):
     * sign-sum each bit position. Near-dups have small Hamming distance.
     * Native codegen'd kernel (graft.parse.SimhashExpr) — the HOF
