@@ -428,6 +428,35 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Cube aggregation ----------------------------------------------
+    "q35_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // ---- Pivot (event_type -> columns) ----------------------------------
+    "q36_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Regex extraction (RE2-compatible pattern set) ------------------
+    "q37_regex" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[a-z]+[0-9]+", 0).as("first_alnum"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_numbers"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Set operations ------------------------------------------------
     "q27_setops" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -754,6 +783,24 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q35_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT user_id,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'view') AS view,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q37_regex" ->
+      """SELECT doc_id,
+        |coalesce(regexp_extract(text, '[a-z]+[0-9]+'), '') AS first_alnum,
+        |CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q27_setops" ->
       """SELECT o_custkey FROM (
