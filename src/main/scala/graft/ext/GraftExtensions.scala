@@ -12,6 +12,7 @@ import graft.parse.{CountInExpr, DotProductExpr, JaccardExpr, ParseKvExpr, Simha
   * they work from `spark.sql(...)` and `call_function` alike. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => KernelRewriteRule)
     ext.injectFunction((
       new FunctionIdentifier("parse_kv"),
       new ExpressionInfo(classOf[ParseKvExpr].getName, "parse_kv"),

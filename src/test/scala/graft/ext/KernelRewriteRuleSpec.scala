@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KernelRewriteRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // parquet-backed so ConvertToLocalRelation can't fold the whole projection
+  // away before the rewrite is observable
+  private lazy val df = {
+    val dir = java.nio.file.Files.createTempDirectory("krr").toString
+    Seq(
+      (Seq(1f, 2f, 3f), Seq(0.5f, 0.5f, 0.5f)),
+      (Seq(-1f, 0f, 1f), Seq(1f, 1f, 1f))).toDF("a", "b")
+      .write.parquet(s"$dir/v")
+    spark.read.parquet(s"$dir/v")
+  }
+
+  test("HOF dot-product composition is rewritten to the vec_dot kernel") {
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"),
+      s"expected kernel rewrite, plan:\n$optimized")
+    assert(hof.as[Double].collect().toSet === Set(3.0, 0.0))
+  }
+
+  test("non-matching aggregates are left untouched") {
+    // different zero, different merge — must NOT rewrite
+    val other = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v * 2).as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // max-merge fold
+    val maxFold = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => greatest(acc, v)).as("d"))
+    assert(!maxFold.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+  }
+}
