@@ -428,6 +428,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- SQL surface (S11): the engine as a SQL endpoint over views -----
+    "q38_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT e.user_id,
+               COUNT(*) AS n_purchases,
+               MIN(e.ts_us) AS first_ts,
+               MAX(e.ts_us) AS last_ts
+        FROM events_v e
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+        HAVING COUNT(*) >= 2
+        ORDER BY e.user_id""")
+    }),
+
     // ---- Cube aggregation ----------------------------------------------
     "q35_cube" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -783,6 +799,13 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q38_sql_surface" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |MIN(epoch_us(ts)) AS first_ts, MAX(epoch_us(ts)) AS last_ts
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING COUNT(*) >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "q35_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
