@@ -324,6 +324,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- LLM ops: IVF ANN top-k (KMeans cells; rows-only) ---------------
+    "q39_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- Feature store: online materialization + point lookup (A4,S10) --
     "q28_online_lookup" -> ((s, dir) => {
       val view = FeatureStore.FeatureView("user_latest", Seq("user_id"),

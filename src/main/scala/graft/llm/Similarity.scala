@@ -54,6 +54,54 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: KMeans partitions the corpus into
+    * `nlist` cells; each query probes its `nprobe` nearest centroids and
+    * scores only those cells' vectors exactly. The candidate meeting is an
+    * equi-join on cell id — shuffle-parallel, no n² stage — and the
+    * centroid table (nlist × dim floats) broadcasts. The scale path when
+    * the corpus has cluster structure; hyperplane LSH (below) when it
+    * doesn't. Deterministic under the fixed seed.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val train = corpus.select(array_to_vector(
+      col("nvec").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids).toDF("cell", "cvec")
+    // corpus side: every vector lands in its single nearest cell.
+    // argmin ||v-c||² == argmax (v·c - ||c||²/2) — no per-pair norms needed.
+    val corpusCells = corpus.crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("nvec"), col("cvec")) -
+        (dot(col("cvec"), col("cvec")) / 2))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("nid").orderBy(desc("d"), asc("cell"))))
+      .filter(col("r") === 1).select("cell", "nid", "nvec")
+    // query side: probe nprobe nearest cells
+    val queryCells = queries.crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("qvec"), col("cvec")) -
+        (dot(col("cvec"), col("cvec")) / 2))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("d"), asc("cell"))))
+      .filter(col("r") <= nprobe).select("cell", "qid", "qvec")
+    val cands = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    cands.withColumn("cos", round6(cosine(col("qvec"), col("nvec"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
   /** Random-hyperplane (sign) LSH bucket id for a vector: `planes` random
     * unit directions from a fixed seed; bit i = sign(v · h_i). Vectors in the
     * same bucket are cosine-close with high probability; union over `tables`

@@ -28,6 +28,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Seq((2L, 1L), (3L, 2L))) // nearest first; self excluded
   }
 
+  test("ivfTopK finds planted twins with cluster structure") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 30).map(_ => unit())
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v.toSeq), (2L * i + 1, twin.toSeq))
+    }
+    val corpus = rows.toDF("nid", "nvec")
+    val qs = corpus.filter(col("nid") % 2 === 0)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+    val ivf = Similarity.ivfTopK(qs, corpus, k = 1, nlist = 8, nprobe = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val hits = (0 until 30).count(i => ivf.get(2L * i).contains(2L * i + 1))
+    assert(hits >= 24, s"IVF found only $hits/30 planted twins")
+  }
+
   test("annTopK finds planted near-neighbors (high-cosine pairs)") {
     // sign-LSH recall depends on cosine: P(bucket-match) ~ (1-θ/π)^planes per
     // table, so near-random vectors (cos~0.2, as in the fixture embeddings)
