@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{call_function, udaf, xxhash64}
+
+/** Sketch aggregates as typed `Aggregator`s — the §2.9 UDAF surface.
+  *
+  * KMV (k-minimum-values / bottom-k) distinct-count sketch: keep the k
+  * smallest hash values seen; if fewer than k values exist the count is
+  * exact, otherwise estimate (k-1)/u_k where u_k is the k-th minimum mapped
+  * to (0,1). The buffer is k longs regardless of input size, merge is a
+  * bounded union — partial aggregation ships kilobytes per partition at
+  * any data scale. Deterministic: input is pre-hashed with xxhash64, no
+  * RNG. */
+object Sketches {
+
+  class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
+    override def zero: Seq[Long] = Vector.empty
+
+    private def bound(s: Seq[Long]): Seq[Long] =
+      if (s.size <= k) s else s.take(k)
+
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      // sorted insert, dedup; Seq stays tiny (<= k)
+      if (buf.contains(h)) buf
+      else bound((buf :+ h).sorted)
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      bound((a ++ b).distinct.sorted)
+
+    override def finish(buf: Seq[Long]): Long =
+      if (buf.size < k) buf.size.toLong
+      else {
+        // map the k-th minimum signed long to u in (0,1)
+        val uK = (buf.last.toDouble / 1.8446744073709552e19) + 0.5
+        math.round((k - 1) / uK)
+      }
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column form: approximate distinct count of `col` with a k-value
+    * sketch. Usage: `df.agg(Sketches.kmvDistinct(col("x"), 256))`. */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    udaf(new KmvDistinct(k)).apply(xxhash64(c))
+}
