@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Dedup, Similarity, Sketches, TextStats}
 import graft.multimodal.Binary
 import graft.sources.Tables
 import graft.store.FeatureStore
@@ -436,6 +436,14 @@ object SparkEntry {
         .select(col("l_returnflag"),
           col("sum_qty").cast("decimal(14,2)").cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- Vocab sizes via KMV sketch (UDAF; rows-only: hash-specific) ----
+    "q40_vocab_sketch" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        Sketches.kmvDistinct(col("l_orderkey")).as("n_orders_est"),
+        Sketches.kmvDistinct(col("l_partkey")).as("n_parts_est"),
+        count(lit(1)).as("n_rows"))
     }),
 
     // ---- SQL surface (S11): the engine as a SQL endpoint over views -----
