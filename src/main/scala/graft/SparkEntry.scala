@@ -438,6 +438,39 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Anti-join: customers with no orders ----------------------------
+    "q41_anti_join" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      cust.join(orders, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Correlated EXISTS subquery (SQL surface) -----------------------
+    "q42_exists_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q42")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q42")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders_q42 o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_q42 l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        ORDER BY o_orderkey""")
+    }),
+
+    // ---- Scalar subquery: orders above global average price -------------
+    "q43_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q43")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders_q43
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(*) FROM orders_q43)
+        ORDER BY o_orderkey""")
+    }),
+
     // ---- Vocab sizes via KMV sketch (UDAF; rows-only: hash-specific) ----
     "q40_vocab_sketch" -> ((s, dir) => {
       Tables(s, dir, "lineitem").agg(
@@ -817,6 +850,25 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q41_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q42_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q43_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q38_sql_surface" ->
       """SELECT user_id, COUNT(*) AS n_purchases,
