@@ -438,6 +438,37 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Shipping-priority style 3-way join + top-k (TPC-H Q3 shape) ----
+    "q44_ship_priority" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      cust.filter(col("c_mktsegment") === "BUILDING")
+        .join(orders, cust("c_custkey") === orders("o_custkey"))
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- Conditional aggregation (TPC-H Q12 shape) ----------------------
+    "q45_cond_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // ---- Anti-join: customers with no orders ----------------------------
     "q41_anti_join" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
@@ -850,6 +881,24 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q44_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q45_cond_agg" ->
+      """SELECT l_linestatus,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q41_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

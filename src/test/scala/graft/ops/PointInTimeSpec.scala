@@ -46,6 +46,37 @@ class PointInTimeSpec extends AnyFunSuite {
     assert(none.count() === 1L && none.select("f_id").head().isNullAt(0))
   }
 
+  test("differential: asofJoin equals an independent window-based implementation on random data") {
+    val rnd = new scala.util.Random(99)
+    val keys = Seq("a", "b", "c", "d")
+    val feats = (1 to 300).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(1000).toLong,
+        s"p$i")).toDF("f_id", "k", "f_ts", "payload")
+    val lefts = (1 to 80).map(i =>
+      (1000L + i, keys(rnd.nextInt(keys.size)), rnd.nextInt(1100).toLong))
+      .toDF("p_id", "k", "p_ts")
+    val ttl = 200L
+
+    val viaOp = PointInTime.asofJoin(lefts, feats, Seq("k"), "p_ts", "f_ts",
+      ttlUs = ttl, strict = true, rightTieBreak = "f_id")
+      .select("p_id", "f_id").as[(Long, Option[Long])].collect().toMap
+
+    // independent formulation: join-all + row_number window, rank 1
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val j = lefts.join(feats, Seq("k"))
+      .filter(col("f_ts") < col("p_ts") && col("f_ts") >= col("p_ts") - ttl)
+      .withColumn("rn", row_number().over(Window.partitionBy("p_id")
+        .orderBy(desc("f_ts"), desc("f_id"))))
+      .filter(col("rn") === 1)
+    val viaWindow = lefts.join(j.select("p_id", "f_id"), Seq("p_id"), "left")
+      .select("p_id", "f_id").as[(Long, Option[Long])].collect().toMap
+
+    assert(viaOp === viaWindow)
+    assert(viaOp.size === 80)
+    assert(viaOp.values.exists(_.isDefined) && viaOp.values.exists(_.isEmpty))
+  }
+
   test("unmatched keys keep left row with null feature columns") {
     val left = Seq((11L, "nope", 500L)).toDF("p_id", "k", "p_ts")
     val out = PointInTime.asofJoin(left, feats, Seq("k"), "p_ts", "f_ts",
