@@ -438,6 +438,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Rolling-hash near-dup candidates (substring sharing; rows-only)
+    "q46_rolling_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          TextStats.rollingFingerprint(col("text")).as("fp"))
+      val a = docs.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("shared",
+          size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
+        .filter(col("shared") >= 8)
+        .select("id_a", "id_b", "shared")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Shipping-priority style 3-way join + top-k (TPC-H Q3 shape) ----
     "q44_ship_priority" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")

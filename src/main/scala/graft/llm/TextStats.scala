@@ -46,6 +46,14 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(to_binary(array_join(array_sort(tokens(lower(text))), " "), lit("utf-8")))
 
+  /** Winnowed rolling-hash fingerprint (MOSS scheme, k=8 chars, window 4):
+    * documents sharing a substring of length >= 11 chars share a
+    * fingerprint value — substring-level copy detection, vs
+    * [[fingerprint]]'s whole-document bag-of-words identity. Native kernel
+    * graft.parse.RollingHashExpr; returns array<long>. */
+  def rollingFingerprint(text: Column): Column =
+    call_function("rolling_fingerprint", text)
+
   /** Simple quality score in [0,1]: penalizes very short docs, high
     * punctuation, low token diversity. Deterministic and monotone in its
     * inputs; thresholds follow common LLM-corpus heuristics (Gopher-style

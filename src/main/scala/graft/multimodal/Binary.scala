@@ -31,6 +31,21 @@ object Binary {
       .withColumn("digest", md5(col(payload)))
       .withColumn("magic", hex(substring(col(payload), 1, 4)))
 
+  /** Modality detection from magic bytes (container sniffing — the part of
+    * media handling that needs no codec): PNG/JPEG/GIF/RIFF-WAV/MP4/PDF,
+    * else `unknown`. Works on the hex of the leading bytes so it composes
+    * with [[withMetadata]]'s `magic` column. */
+  def sniffModality(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(payload, 1, 12))
+    when(h.startsWith("89504E47"), "image/png")
+      .when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("47494638"), "image/gif")
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "audio/wav")
+      .when(substring(h, 9, 8) === "66747970", "video/mp4")
+      .when(h.startsWith("25504446"), "application/pdf")
+      .otherwise("unknown")
+  }
+
   /** STUB decode — deterministic fake: "dimensions" and a `dim`-float
     * feature vector derived from byte content, so tests are reproducible.
     * Real implementation would decode the payload here (one codec init per

@@ -46,6 +46,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out === 7)
   }
 
+  test("rolling fingerprint: shared long substrings share values; disjoint texts don't") {
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      ("a", s"PREFIX ONE $common SUFFIX ONE"),
+      ("b", s"totally different beginning $common and another end"),
+      ("c", "zzz qqq vvv kkk mmm nnn ppp rrr www yyy xxx")).toDF("k", "t")
+    val fp = df.select(col("k"), TextStats.rollingFingerprint(col("t")).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    val shared = fp("a").toSet & fp("b").toSet
+    assert(shared.nonEmpty, "docs sharing a 44-char substring must share fingerprints")
+    assert((fp("a").toSet & fp("c").toSet).isEmpty)
+    // deterministic and bounded: ~|doc|/w values
+    assert(fp("a").length < 60)
+  }
+
+  test("rolling fingerprint short-doc and empty edge cases") {
+    val out = Seq("", "ab", "exactly8").toDF("t")
+      .select(TextStats.rollingFingerprint(col("t"))).as[Seq[Long]].collect()
+    assert(out.forall(_.nonEmpty)) // always a non-empty deterministic signature
+    assert(out(0) === Seq(0L))
+  }
+
   test("quality score in [0,1]; longer diverse text scores higher than junk") {
     val df = Seq(
       ("good", (1 to 60).map(i => s"word$i").mkString(" ")),

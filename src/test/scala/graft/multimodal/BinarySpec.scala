@@ -22,6 +22,20 @@ class BinarySpec extends AnyFunSuite {
     assert(out(1)._2 === 15L)
   }
 
+  test("modality sniffing from magic bytes") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3, 4)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0, 0, 0, 0, 0, 0, 0, 0)
+    val wav = "RIFF1234WAVEfmt ".getBytes
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypisom1234".getBytes
+    val txt = "plain text".getBytes
+    val df = Seq(("png", png), ("jpg", jpg), ("wav", wav), ("mp4", mp4), ("txt", txt))
+      .toDF("k", "payload")
+    val out = df.select(col("k"), Binary.sniffModality(col("payload")))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("png" -> "image/png", "jpg" -> "image/jpeg",
+      "wav" -> "audio/wav", "mp4" -> "video/mp4", "txt" -> "unknown"))
+  }
+
   test("decode stub: deterministic fixed-width features, batch shape preserved") {
     val f1 = Binary.decodeStub(media, dim = 8).collect().sortBy(_.media_id)
     val f2 = Binary.decodeStub(media, dim = 8).collect().sortBy(_.media_id)
