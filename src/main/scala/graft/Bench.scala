@@ -13,16 +13,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed loop
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     def once(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
         val t0 = System.nanoTime()
         // noop sink: materializes every output row through the normal action
         // path (SQLExecution.withSQLConfPropagated — raw toRdd would drop
         // session SQL confs on executor threads; a bare .count() would let
-        // Catalyst prune the query to a row-count shortcut).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // Catalyst prune the query to a row-count shortcut). Watchdog per
+        // query: a hang must not stall the whole bench.
+        val f = Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          finally spark.sparkContext.clearJobGroup()
+        }
+        try Await.result(f, timeoutSec.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s")
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }

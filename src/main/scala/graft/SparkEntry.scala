@@ -447,7 +447,7 @@ object SparkEntry {
       val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .withColumn("shared",
-          size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
+          call_function("intersect_count", col("fp_a"), col("fp_b")))
         .filter(col("shared") >= 8)
         .select("id_a", "id_b", "shared")
         .orderBy(col("id_a"), col("id_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, JaccardExpr, ParseKvExpr, RollingHashExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, ParseKvExpr, RollingHashExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardExpr].getName, "jaccard"),
       (children: Seq[Expression]) =>
         JaccardExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCountExpr].getName, "intersect_count"),
+      (children: Seq[Expression]) =>
+        IntersectCountExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_fingerprint"),

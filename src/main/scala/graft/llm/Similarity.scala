@@ -69,7 +69,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val train = corpus.select(array_to_vector(
       col("nvec").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)

@@ -22,9 +22,23 @@ object Sketches {
       if (s.size <= k) s else s.take(k)
 
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
-      // sorted insert, dedup; Seq stays tiny (<= k)
-      if (buf.contains(h)) buf
-      else bound((buf :+ h).sorted)
+      // buf is sorted ascending. Common case after warmup: h >= max -> no-op
+      // in O(1); otherwise O(log k) binary-search insert. Never a full sort
+      // per row (that made the sketch 10x slower than exact countDistinct).
+      val v = buf.asInstanceOf[Seq[Long]]
+      if (v.size >= k && h >= v.last) v
+      else {
+        val idx = {
+          var lo = 0; var hi = v.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (v(mid) < h) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        if (idx < v.size && v(idx) == h) v // dedup
+        else bound((v.take(idx) :+ h) ++ v.drop(idx))
+      }
     }
 
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =

@@ -222,6 +222,55 @@ object JaccardExpr {
   }
 }
 
+/** |distinct(a) ∩ b| for two long arrays — the candidate filter for
+  * rolling-fingerprint near-dup joins (interpreted array_intersect builds
+  * per-row hash maps; this is one primitive-friendly pass). */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count requires array<bigint> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountExpr.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.parse.IntersectCountExpr.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "intersect_count"
+}
+
+object IntersectCountExpr {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val bSet = new java.util.HashSet[java.lang.Long](b.numElements() * 2)
+    var i = 0
+    while (i < b.numElements()) { bSet.add(b.getLong(i)); i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long](a.numElements() * 2)
+    var c = 0L
+    i = 0
+    while (i < a.numElements()) {
+      val e = a.getLong(i)
+      if (bSet.contains(e) && seen.add(e)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** 64-bit SimHash over an array of tokens: per-token XXH64 (seed 42 —
   * identical to Spark's `xxhash64`), sign-vote per bit position. Same
   * output as the 64-`aggregate` HOF composition it replaces. */

@@ -50,6 +50,18 @@ class VectorExprsSpec extends AnyFunSuite {
       .as[Double].head() === 1.0)
   }
 
+  test("intersect_count equals size(array_intersect) on long arrays") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L), Seq(1L)),
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val comp = df.select(size(array_intersect(col("a"), col("b"))))
+      .as[Int].collect()
+    val native = df.select(call_function("intersect_count", col("a"), col("b")))
+      .as[Long].collect()
+    assert(native.toSeq === comp.map(_.toLong).toSeq)
+  }
+
   test("tokens_ws equals the filter(split) composition") {
     val df = Seq("  a  b c ", "", "   ", "single", "x y").toDF("t")
     val comp = df.select(filter(split(col("t"), " "), x => length(x) > 0))
