@@ -105,6 +105,11 @@ object Dedup {
     val a = s.select(col("doc").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("doc").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      // classic length prefilter: J = inter/union <= min(|a|,|b|)/max(|a|,|b|),
+      // so pairs failing min >= t*max can never reach the threshold — skips
+      // the set intersection entirely for most of the cross product. Lossless.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

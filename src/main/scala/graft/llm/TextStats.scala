@@ -18,11 +18,13 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish subword proxy: counts regex word-pieces + punctuation marks,
-    * the standard pre-tokenizer shape (letters runs, digit runs, other). */
+  /** A BPE-ish subword proxy: counts alnum runs + individual non-alnum
+    * non-space marks, the standard pre-tokenizer shape. One
+    * regexp_extract_all pass (the lookaround-split formulation it replaces
+    * ran the split regex at every char boundary plus an interpreted filter
+    * lambda per piece). */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
