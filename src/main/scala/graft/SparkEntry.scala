@@ -438,6 +438,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Rollup with grouping flags -------------------------------------
+    "q47_grouping_flags" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // ---- Exact median via window formulation (engine-exact both sides) --
+    "q48_median" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      Tables(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("l_returnflag"))
+        // the two middle rows (or one, counted twice) average exactly:
+        // quantities are halves at most, so /2 stays exact in double
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- Rolling-hash near-dup candidates (substring sharing; rows-only)
     "q46_rolling_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
@@ -896,6 +921,24 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q47_grouping_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q48_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, SUM(l_quantity) / COUNT(*) AS median_qty
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q44_ship_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,

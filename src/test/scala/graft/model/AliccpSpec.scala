@@ -22,6 +22,28 @@ class AliccpSpec extends AnyFunSuite {
       Aliccp.silverSchema.fieldNames.contains(c)))
   }
 
+  test("typed Dataset[Interaction] round-trips the full silver schema") {
+    implicit val s = spark
+    val userIds = Set("101", "109_14", "110_14", "127_14", "150_14", "121",
+      "122", "124", "125", "126", "127", "128", "129")
+    val mk = (ids: Seq[(String, String)]) => ids.zipWithIndex
+      .map { case ((id, _), i) => s"$id$KvSep${100 + i}${WeightSep}1.0" }
+      .mkString(RecSep)
+    val skeleton = Seq((7L, 1, 0, "cf_1",
+      mk(Aliccp.silverFields.filterNot(f => userIds(f._1)))))
+      .toDF("sample_id", "click", "conversion", "key", "blob")
+    val common = Seq(("cf_1", mk(Aliccp.silverFields.filter(f => userIds(f._1)))))
+      .toDF("key", "blob")
+    val ds = Interaction.typed(
+      BronzeSilver.toSilver(skeleton, common, Aliccp.silverFields))
+    val row = ds.head()
+    assert(row.sample_id === 7L)
+    assert(row.user_id === Some(100) && row.click === Some(1))
+    assert(row.position.isDefined && row.conversion === Some(0))
+    // typed filter/map compiles and runs on the Dataset
+    assert(ds.filter(_.click.contains(1)).count() === 1L)
+  }
+
   test("toSilver maps every field id to its column across skeleton+common") {
     // skeleton carries item/interaction fields, common carries user fields —
     // the split the reference's two bronze files use

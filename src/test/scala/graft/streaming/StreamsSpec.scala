@@ -158,6 +158,26 @@ class StreamsSpec extends AnyFunSuite {
       s"recovered state should suppress the stale update, got $all")
   }
 
+  test("streaming session windows with watermark merge gap-close events") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("k", "ts_s")
+      .withColumn("evt", col("ts_s").cast("timestamp"))
+      .withWatermark("evt", "10 minutes")
+      .groupBy(col("k"), session_window(col("evt"), "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.select("k", "n").writeStream.format("memory")
+      .queryName("sess_test").outputMode("complete").start()
+    // two sessions for key a: {0, 20, 40} (gaps <= 30s) and {200}
+    mem.addData(("a", 0L), ("a", 20L), ("a", 40L), ("a", 200L), ("b", 5L))
+    q.processAllAvailable()
+    val out = spark.table("sess_test").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(out === Map("a" -> Seq(1L, 3L), "b" -> Seq(1L)))
+  }
+
   test("runToMemory drives an AvailableNow file stream to completion") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
