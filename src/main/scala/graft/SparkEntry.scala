@@ -438,6 +438,47 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Null semantics: coalesce / nullif / null-safe equality ---------
+    "q49_null_semantics" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.select(
+          col("event_id"),
+          // props is sometimes null in the fixture; exercise the trio
+          coalesce(col("props"), lit("<none>")).as("props_or_default"),
+          nullif(col("event_type"), lit("error")).as("type_or_null"),
+          (col("props") <=> lit(null)).as("props_is_null"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- String function battery ----------------------------------------
+    "q50_string_funcs" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          length(trim(col("c_name"))).cast("long").as("len_trim"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          translate(col("c_name"), "#", "-").as("translated"),
+          instr(col("c_name"), "0").cast("long").as("pos0"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Datetime function battery --------------------------------------
+    "q51_datetime_funcs" -> ((s, dir) => {
+      Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("1998-12-31").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_eoy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- Rollup with grouping flags -------------------------------------
     "q47_grouping_flags" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -921,6 +962,35 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q49_null_semantics" ->
+      """SELECT event_id,
+        |COALESCE(props, '<none>') AS props_or_default,
+        |NULLIF(event_type, 'error') AS type_or_null,
+        |props IS NULL AS props_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q50_string_funcs" ->
+      """SELECT c_custkey,
+        |UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+        |CAST(LENGTH(TRIM(c_name)) AS BIGINT) AS len_trim,
+        |LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |SUBSTRING(c_name, 1, 8) AS prefix,
+        |CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+        |TRANSLATE(c_name, '#', '-') AS translated,
+        |CAST(INSTR(c_name, '0') AS BIGINT) AS pos0
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB dayofweek: Sunday=0; Spark: Sunday=1 — oracle adds 1.
+    "q51_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        |CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS d,
+        |CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow,
+        |DATE_TRUNC('month', o_orderdate) AS month_start,
+        |CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q47_grouping_flags" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
