@@ -67,6 +67,27 @@ object Binary {
     }
   }
 
+  /** One sampled frame: parent id, frame index, frame payload. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampler — every `stride`-th "frame" of a video payload,
+    * modeled as fixed-size byte windows (a real implementation seeks
+    * container keyframes here; one demuxer init per partition). The
+    * explode shape matters at scale: output rows >> input rows, so this
+    * runs BEFORE any shuffle and the frame payloads never ride one. */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int = 16,
+                      stride: Int = 4): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0 until nFrames by stride).map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
   /** Fixture: wrap the documents table's text as fake binary payloads so
     * the plumbing is exercised without real media files. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -36,6 +36,17 @@ class BinarySpec extends AnyFunSuite {
       "wav" -> "audio/wav", "mp4" -> "video/mp4", "txt" -> "unknown"))
   }
 
+  test("frame sampling stub: strided windows, bounded tails, explode shape") {
+    val frames = Binary.frameSampleStub(media, frameBytes = 4, stride = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    // doc 1: 11 bytes -> floor(11/4)=2 full frames, stride 2 hits idx 0;
+    // doc 2: 15 bytes -> 3 frames, stride hits idx 0 and 2
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSeq
+      === Seq((1L, 0), (2L, 0), (2L, 2)))
+    assert(frames.forall(_.frame.length <= 4))
+    assert(new String(frames.head.frame) === "hell")
+  }
+
   test("decode stub: deterministic fixed-width features, batch shape preserved") {
     val f1 = Binary.decodeStub(media, dim = 8).collect().sortBy(_.media_id)
     val f2 = Binary.decodeStub(media, dim = 8).collect().sortBy(_.media_id)
