@@ -438,6 +438,24 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Interval join: same-user events within ±1h of each purchase ----
+    "q52_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val others = e.select(col("event_id").as("o_id"), col("user_id"),
+        col("ts_us").as("o_ts"))
+      val hourUs = 3600L * 1000000
+      purchases.join(others,
+          purchases("user_id") === others("user_id") &&
+            col("o_ts") >= col("p_ts") - hourUs &&
+            col("o_ts") <= col("p_ts") + hourUs &&
+            col("o_id") =!= col("p_id"), "left")
+        .groupBy(col("p_id"))
+        .agg(count(col("o_id")).as("n_nearby"))
+        .orderBy(col("p_id"))
+    }),
+
     // ---- Null semantics: coalesce / nullif / null-safe equality ---------
     "q49_null_semantics" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -962,6 +980,17 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q52_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT event_id AS o_id, user_id, epoch_us(ts) AS o_ts FROM events)
+        |SELECT p.p_id, COUNT(o.o_id) AS n_nearby
+        |FROM p LEFT JOIN o ON p.user_id = o.user_id
+        |  AND o.o_ts >= p.p_ts - 3600000000 AND o.o_ts <= p.p_ts + 3600000000
+        |  AND o.o_id <> p.p_id
+        |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin,
 
     "q49_null_semantics" ->
       """SELECT event_id,

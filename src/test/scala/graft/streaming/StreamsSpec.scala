@@ -158,6 +158,34 @@ class StreamsSpec extends AnyFunSuite {
       s"recovered state should suppress the stale update, got $all")
   }
 
+  test("stream-stream join with watermarks and a time-range condition") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val buys = MemoryStream[(Long, Long)]
+    val c = clicks.toDF().toDF("uid", "c_s")
+      .withColumn("c_t", col("c_s").cast("timestamp"))
+      .withWatermark("c_t", "1 minute")
+    val b = buys.toDF().toDF("b_uid", "b_s")
+      .withColumn("b_t", col("b_s").cast("timestamp"))
+      .withWatermark("b_t", "1 minute")
+    // attribute each buy to clicks within the preceding 30s
+    val joined = b.join(c,
+      col("uid") === col("b_uid") &&
+        col("c_t") <= col("b_t") && col("c_t") >= col("b_t") - expr("interval 30 seconds"))
+    val q = joined.select("b_uid", "c_s", "b_s")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    clicks.addData((1L, 100L), (1L, 140L), (2L, 100L))
+    buys.addData((1L, 150L), (2L, 500L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_test").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    // buy(1,150) matches click(1,140) only (click at 100 is >30s before);
+    // buy(2,500) has no click in range
+    assert(out === Set((1L, 140L, 150L)))
+  }
+
   test("streaming session windows with watermark merge gap-close events") {
     import org.apache.spark.sql.functions._
     implicit val sql = spark.sqlContext
