@@ -510,9 +510,12 @@ object SparkEntry {
     // ---- Exact median via window formulation (engine-exact both sides) --
     "q48_median" -> ((s, dir) => {
       val w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-      Tables(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val li = Tables(s, dir, "lineitem")
+      // group sizes via broadcast join (3 rows) — a count-over-partition
+      // window would force a second full sort of the fact table
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      li.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), Seq("l_returnflag"))
         .filter(col("rn") === expr("(cnt + 1) div 2") ||
           col("rn") === expr("(cnt + 2) div 2"))
         .groupBy(col("l_returnflag"))

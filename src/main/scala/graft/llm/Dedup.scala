@@ -145,8 +145,11 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).isEmpty
+      // convergence probe every other round: one possibly-redundant
+      // propagation is cheaper than a comparison job per round
+      if (i % 2 == 1 || i == maxIter - 1)
+        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") < col("old")).isEmpty
       labels = next
       i += 1
     }
