@@ -23,7 +23,7 @@ object PointInTime {
   def latestPerKey(df: DataFrame, key: Seq[String], ts: String,
                    tieBreak: String): DataFrame = {
     val payloadCols = df.columns.filterNot(key.contains)
-    val payload = struct(payloadCols.map(col): _*)
+    val payload = struct(payloadCols.toSeq.map(col): _*)
     df.groupBy(key.map(col): _*)
       .agg(max_by(payload, struct(col(ts), col(tieBreak))).as("__latest"))
       .select(key.map(col) :+ col("__latest.*"): _*)
@@ -48,7 +48,7 @@ object PointInTime {
     val l = left.withColumn("__rowid", monotonically_increasing_id())
     // Re-alias every right column to fresh attributes so left/right may share
     // a source (self-join) without ambiguous-reference analysis errors.
-    val r = right.select(right.columns.map(c => col(c).as(s"__r_$c")): _*)
+    val r = right.select(right.columns.toSeq.map(c => col(c).as(s"__r_$c")): _*)
     def rc(c: String) = col(s"__r_$c")
     val tsCond =
       if (strict) rc(rightTs) < col(leftTs) else rc(rightTs) <= col(leftTs)
@@ -57,12 +57,12 @@ object PointInTime {
     val rightCols = right.columns.filterNot(key.contains)
     val ord = if (rightTieBreak == null) Seq(rc(rightTs))
               else Seq(rc(rightTs), rc(rightTieBreak))
-    val payload = struct(rightCols.map(c => rc(c).as(c)): _*)
+    val payload = struct(rightCols.toSeq.map(c => rc(c).as(c)): _*)
     val matched = l.join(r, cond, "inner")
       .groupBy(col("__rowid"))
       .agg(max_by(payload, struct(ord: _*)).as("__m"))
     l.join(matched, Seq("__rowid"), "left")
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 }

@@ -36,7 +36,7 @@ object Streams {
   /** JSON encode for a Kafka-shaped sink: all columns -> one `value` string
     * (to_json(named_struct ...), stream_silver_to_gold.py:111-133). */
   def encodeJson(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
 
   /** Kafka sink with the reference's trigger/checkpoint posture
     * (stream_silver_to_gold.py:135-145). */
@@ -59,7 +59,7 @@ object Streams {
   def latestPerKey(stream: DataFrame, key: Seq[String], ts: String,
                    tieBreak: String): DataFrame = {
     val payloadCols = stream.columns.filterNot(key.contains)
-    val payload = struct(payloadCols.map(col): _*)
+    val payload = struct(payloadCols.toSeq.map(col): _*)
     stream.groupBy(key.map(col): _*)
       .agg(max_by(payload, struct(col(ts), col(tieBreak))).as("__latest"))
       .select(key.map(col) :+ col("__latest.*"): _*)
