@@ -46,6 +46,25 @@ class CategorifySpec extends AnyFunSuite {
     assert(ours === theirs)
   }
 
+  test("matches MLlib StringIndexer on tie-heavy random data (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet -> many frequency ties -> exercises the value-asc
+    // tie-break exhaustively
+    val gen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "d", "e"))
+    val prop = Prop.forAll(gen) { values =>
+      val df = values.toDF("v")
+      val ours = Categorify.fit(df, Seq("v")).lookups("v")
+        .as[(String, Long)].collect().toMap
+      val theirs = new StringIndexer().setInputCol("v").setOutputCol("i")
+        .setStringOrderType("frequencyDesc").setHandleInvalid("keep")
+        .fit(df).labelsArray(0).zipWithIndex
+        .map { case (v, i) => v -> i.toLong }.toMap
+      ours == theirs
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("save/load round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("catg").toString
     val df = Seq("a", "b", "b").toDF("v")
