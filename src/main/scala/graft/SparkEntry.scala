@@ -780,23 +780,25 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Oracle recomputes the expected silver table relationally from the
-    // typed events columns the synthetic blobs were built from.
-    "q14_bronze_silver" ->
-      """WITH s AS (
-        |  SELECT event_id, user_id,
-        |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS click,
-        |  CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS conversion
-        |  FROM events)
-        |SELECT event_id AS sample_id,
-        |CAST(user_id AS INTEGER) AS user_id,
-        |CAST(user_id % 11 AS INTEGER) AS user_profile,
-        |CAST(user_id % 2 AS INTEGER) AS user_gender,
-        |CAST(user_id % 7 AS INTEGER) AS user_age,
-        |CAST(event_id % 1000 AS INTEGER) AS item_id,
-        |CAST(event_id % 50 AS INTEGER) AS item_category,
-        |click, conversion
-        |FROM s WHERE NOT (click = 0 AND conversion = 1)
-        |ORDER BY sample_id""".stripMargin,
+    // typed events columns — generated from BronzeSilver.syntheticSpec, the
+    // same single source of truth that builds the blobs (full 23 fields).
+    "q14_bronze_silver" -> {
+      val fieldCols = BronzeSilver.syntheticSpec.map { case (_, name, mod, src) =>
+        val base = if (src == "user") "user_id" else "event_id"
+        val e = if (mod == 0L) base else s"$base % $mod"
+        s"CAST($e AS INTEGER) AS $name"
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT event_id, user_id,
+         |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS click,
+         |  CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS conversion
+         |  FROM events)
+         |SELECT event_id AS sample_id,
+         |$fieldCols,
+         |click, conversion
+         |FROM s WHERE NOT (click = 0 AND conversion = 1)
+         |ORDER BY sample_id""".stripMargin
+    },
 
     "q15_gold_transform" ->
       """WITH base AS (

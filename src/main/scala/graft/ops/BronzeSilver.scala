@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec._
@@ -49,35 +49,64 @@ object BronzeSilver {
 
   /** Deterministic bronze synthesis from the `events` fixture — the unit/
     * oracle harness for [[toSilver]] (the real AliCCP CSVs are not in this
-    * container). Field values are simple functions of the typed columns so
-    * a relational oracle can recompute the expected silver table. */
+    * container), covering the FULL 23-field silver projection (SURVEY
+    * §1.4). Single source of truth: each field's value is `source % mod`
+    * (mod 0 = identity) over a typed events column, so the DuckDB oracle
+    * recomputes the expected table from the same spec (SparkEntry builds
+    * its q14 SQL from this Seq).
+    *
+    * (id, column, modulus, source): user-side fields ride the common blob
+    * (derived from user_id), item/interaction fields ride the skeleton
+    * blob (derived from event_id) — the same split as the reference's two
+    * bronze files. */
+  val syntheticSpec: Seq[(String, String, Long, String)] = Seq(
+    ("101", "user_id", 0L, "user"),
+    ("109_14", "user_categories", 11L, "user"),
+    ("110_14", "user_shops", 13L, "user"),
+    ("127_14", "user_brands", 17L, "user"),
+    ("150_14", "user_intentions", 19L, "user"),
+    ("121", "user_profile", 23L, "user"),
+    ("122", "user_group", 29L, "user"),
+    ("124", "user_gender", 2L, "user"),
+    ("125", "user_age", 7L, "user"),
+    ("126", "user_consumption_1", 31L, "user"),
+    ("127", "user_consumption_2", 37L, "user"),
+    ("128", "user_is_occupied", 3L, "user"),
+    ("129", "user_geography", 41L, "user"),
+    ("205", "item_id", 1000L, "item"),
+    ("206", "item_category", 50L, "item"),
+    ("207", "item_shop", 97L, "item"),
+    ("210", "item_intention", 89L, "item"),
+    ("216", "item_brand", 83L, "item"),
+    ("508", "user_item_categories", 79L, "item"),
+    ("509", "user_item_shops", 73L, "item"),
+    ("702", "user_item_brands", 71L, "item"),
+    ("853", "user_item_intentions", 67L, "item"),
+    ("301", "position", 61L, "item"))
+
+  private def blobFor(src: Column, fields: Seq[(String, String, Long, String)]): Column = {
+    val frags = fields.map { case (id, _, mod, _) =>
+      val v = if (mod == 0L) src else src % mod
+      concat(lit(id), lit(KvSep), v.cast("string"), lit(WeightSep), lit("1.0"))
+    }
+    concat_ws(RecSep, frags: _*)
+  }
+
   def skeletonFromEvents(e: DataFrame): DataFrame =
     e.select(
       col("event_id").as("sample_id"),
       (col("event_id") % 3 === 0).cast("int").as("click"),
       (col("event_id") % 5 === 0).cast("int").as("conversion"),
       concat(lit("cf_"), col("user_id")).as("key"),
-      concat(
-        lit("205"), lit(KvSep), (col("event_id") % 1000).cast("string"),
-        lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("206"), lit(KvSep), (col("event_id") % 50).cast("string"),
-        lit(WeightSep), lit("1.0")).as("blob"))
+      blobFor(col("event_id"), syntheticSpec.filter(_._4 == "item")).as("blob"))
 
   def commonFromEvents(e: DataFrame): DataFrame =
     e.select(col("user_id")).distinct().select(
       concat(lit("cf_"), col("user_id")).as("key"),
-      concat(
-        lit("101"), lit(KvSep), col("user_id").cast("string"),
-        lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("121"), lit(KvSep), (col("user_id") % 11).cast("string"),
-        lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("124"), lit(KvSep), (col("user_id") % 2).cast("string"),
-        lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("125"), lit(KvSep), (col("user_id") % 7).cast("string"),
-        lit(WeightSep), lit("1.0")).as("blob"))
+      blobFor(col("user_id"), syntheticSpec.filter(_._4 == "user")).as("blob"))
 
-  /** The silver columns produced by the synthetic bronze above. */
-  val syntheticFields: Seq[(String, String)] = Seq(
-    "101" -> "user_id", "121" -> "user_profile", "124" -> "user_gender",
-    "125" -> "user_age", "205" -> "item_id", "206" -> "item_category")
+  /** The silver columns produced by the synthetic bronze above, in the
+    * reference's projection order. */
+  val syntheticFields: Seq[(String, String)] =
+    syntheticSpec.map(t => t._1 -> t._2)
 }
