@@ -438,6 +438,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Feature store: get_historical_features facade (J2 via API) -----
+    "q53_historical_features" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val view = FeatureStore.FeatureView("user_hist", Seq("user_id"),
+        "ts_us", ttlUs = 3L * 24 * 3600 * 1000000,
+        features = Seq("event_id", "value"))
+      val entities = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          col("ts_us").as("e_ts"))
+      FeatureStore.getHistoricalFeatures(entities, view, e, "e_ts",
+          tieBreak = "event_id")
+        .select(col("e_id"), col("user_id"), col("e_ts"),
+          col("event_id").as("f_id"), col("value").as("f_value"))
+        .orderBy(col("e_id"))
+    }),
+
     // ---- Interval join: same-user events within ±1h of each purchase ----
     "q52_interval_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -985,6 +1001,23 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // inclusive ts (strict=false), TTL 3 days, newest-first tie-break on id
+    "q53_historical_features" ->
+      """WITH en AS (
+        |  SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT user_id, epoch_us(ts) AS f_ts, event_id AS f_id, value AS f_value
+        |  FROM events),
+        |j AS (
+        |  SELECT en.e_id, f.f_id, f.f_value,
+        |  ROW_NUMBER() OVER (PARTITION BY en.e_id
+        |    ORDER BY f.f_ts DESC, f.f_id DESC) AS rn
+        |  FROM en JOIN f ON en.user_id = f.user_id
+        |   AND f.f_ts <= en.e_ts AND f.f_ts >= en.e_ts - 259200000000)
+        |SELECT en.e_id, en.user_id, en.e_ts, j.f_id, j.f_value
+        |FROM en LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON en.e_id = j.e_id
+        |ORDER BY en.e_id""".stripMargin,
 
     "q52_interval_join" ->
       """WITH p AS (
