@@ -438,6 +438,38 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Array function battery -----------------------------------------
+    "q54_array_funcs" -> ((s, dir) => {
+      val toks = TextStats.tokens(lower(col("text")))
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("first3"),
+          element_at(toks, 1).as("head_tok"),
+          element_at(toks, -1).as("last_tok"),
+          array_contains(toks, "spark").as("has_spark"),
+          size(array_remove(toks, "the")).cast("long").as("n_no_the"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Map function battery (KV codec adjacents) ----------------------
+    "q55_map_funcs" -> ((s, dir) => {
+      import AliccpCodec._
+      val e = Tables(s, dir, "events")
+      val m = parseKvFast(concat(
+        lit("101"), lit(KvSep), col("user_id").cast("string"),
+        lit(WeightSep), lit("1.0"), lit(RecSep),
+        lit("205"), lit(KvSep), (col("event_id") % 100).cast("string"),
+        lit(WeightSep), lit("1.0")))
+      e.select(
+          col("event_id"),
+          size(map_keys(m)).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+          array_join(array_sort(map_values(m)), ",").as("vals_sorted"),
+          element_at(m, "101").as("v101"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Feature store: get_historical_features facade (J2 via API) -----
     "q53_historical_features" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -1001,6 +1033,29 @@ object SparkEntry {
         |CAST(CAST(SUM(l_quantity) AS DECIMAL(14,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q54_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(toks) AS BIGINT) AS n,
+        |array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+        |toks[1] AS head_tok,
+        |toks[-1] AS last_tok,
+        |list_contains(toks, 'spark') AS has_spark,
+        |CAST(len(list_filter(toks, x -> x <> 'the')) AS BIGINT) AS n_no_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q55_map_funcs" ->
+      """SELECT event_id,
+        |CAST(2 AS BIGINT) AS n_keys,
+        |'101,205' AS keys_sorted,
+        |array_to_string(list_sort([CAST(user_id AS VARCHAR),
+        |  CAST(event_id % 100 AS VARCHAR)]), ',') AS vals_sorted,
+        |CAST(user_id AS VARCHAR) AS v101
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // inclusive ts (strict=false), TTL 3 days, newest-first tie-break on id
     "q53_historical_features" ->
