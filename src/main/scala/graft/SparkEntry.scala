@@ -813,19 +813,24 @@ object SparkEntry {
         |COUNT(*) AS n_rows FROM part""".stripMargin,
 
     "q12_dedup_exact" ->
-      """SELECT md5(array_to_string(list_sort(string_split(lower(text),' ')),' ')) AS dedup_key,
+      """SELECT md5(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' ')) AS dedup_key,
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // toks mirrors tokens_ws exactly (empty tokens from repeated/leading/
+    // trailing whitespace are dropped).
     "q13_text_stats" ->
-      """SELECT doc_id,
-        |CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text,' '), t -> len(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
         |CAST(length(text) AS BIGINT) AS len_chars,
-        |CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
-        |ELSE FLOOR(CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE)
-        |  / len(string_split(text,' ')) * 10000 + 0.5) / 10000 END AS stop_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |CASE WHEN len(toks) = 0 THEN 0.0
+        |ELSE FLOOR(CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
+        |  / len(toks) * 10000 + 0.5) / 10000 END AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // Oracle recomputes the expected silver table relationally from the
     // typed events columns — generated from BronzeSilver.syntheticSpec, the
@@ -1001,14 +1006,16 @@ object SparkEntry {
         |SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
         |FROM closure GROUP BY n ORDER BY doc_id""".stripMargin,
 
-    // Session semantics: consecutive events <= 30 min apart merge; session
+    // Session semantics: consecutive events < 30 min apart merge; Spark's
+    // session_window is half-open [ts, ts+gap), so an event exactly gap
+    // later starts a NEW session — hence >= in the break condition. Session
     // end = last event + gap. Oracle rebuilds sessions with lag + running
     // sum of gap-breaks.
     "q32_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
         |o AS (SELECT user_id, tu,
         |  CASE WHEN LAG(tu) OVER w IS NULL
-        |       OR tu - LAG(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |       OR tu - LAG(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
         |s AS (SELECT user_id, tu,
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu

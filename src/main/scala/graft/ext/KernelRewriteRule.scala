@@ -65,6 +65,9 @@ object KernelRewriteRule extends Rule[LogicalPlan] {
           finishF)
           if isProductLambda(prodF) && isSumLambda(mergeF) &&
             isIdentityFinish(finishF) =>
+        // Safe unconditionally: DotProductExpr reproduces the HOF's null
+        // semantics exactly (NULL on unequal lengths / null elements —
+        // zip_with pads with null and null poisons the fold).
         DotProductExpr(a, b)
     }
 }

@@ -12,8 +12,9 @@ import graft.parse.AliccpCodec._
   * Reference: /root/reference/data_processing/batch_processing/
   * batch_process_Bronze_to_Silver.py — join :182-184, filter :186-187
   * (drop rows with click=0 AND conversion=1), merge-parse :188-192 with
-  * skeleton-wins-over-common precedence (dict.update :81), projection
-  * :206-300.
+  * common-wins-over-skeleton precedence (the skeleton dict is built first,
+  * then `feat_dict.update(value_dict)` at :81 lets the common map
+  * overwrite it), projection :206-300.
   *
   * Scale design (SURVEY.md §4.2/§4.3): the common side is per-user (orders
   * of magnitude smaller than impressions) — broadcast it, so the 100 TB
@@ -35,9 +36,11 @@ object BronzeSilver {
       // keep iff NOT (click = 0 AND conversion = 1) — invalid conversion
       // without click (batch_process_Bronze_to_Silver.py:186-187)
       .filter(col("click") =!= 0 || col("conversion") =!= 1)
+    // Last-wins order mirrors process_csv_line_2: skeleton parsed first,
+    // common update()s over it, click/conversion assigned last (:80-83).
     val merged = mergeKv(
-      parseKvFast(col("common_blob")),
       parseKvFast(col("blob")),
+      parseKvFast(col("common_blob")),
       map(lit("click"), col("click").cast("string"),
           lit("conversion"), col("conversion").cast("string")))
     joined.select(

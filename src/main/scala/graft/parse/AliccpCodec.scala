@@ -58,8 +58,9 @@ object AliccpCodec {
       RecSep)
 
   /** Merge maps with last-wins precedence (later args win), mirroring the
-    * reference's `common.update(skeleton)` ordering at
-    * batch_process_Bronze_to_Silver.py:79-81. */
+    * reference's `feat_dict.update(value_dict)` at
+    * batch_process_Bronze_to_Silver.py:79-81 — the skeleton dict is built
+    * first and the common map overwrites it, so pass (skeleton, common). */
   def mergeKv(maps: Column*): Column = map_concat(maps: _*)
 
   /** Extract a field id from a parsed map as a nullable int column named

@@ -34,6 +34,9 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on null input, unequal lengths, or a null element — see dot().
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -42,8 +45,13 @@ case class DotProductExpr(left: Expression, right: Expression)
       isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.parse.DotProductExpr.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""java.lang.Double $tmp = graft.parse.DotProductExpr.dot(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
@@ -54,18 +62,24 @@ case class DotProductExpr(left: Expression, right: Expression)
 
 object DotProductExpr {
   /** Left-to-right fold in double — bit-identical to
-    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`. */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`
+    * INCLUDING its null semantics: zip_with pads unequal lengths with null
+    * and null propagates through the fold, so unequal lengths or any null
+    * element yield NULL (not a truncated/partial sum). This is what makes
+    * the KernelRewriteRule substitution safe on any input. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 }
 

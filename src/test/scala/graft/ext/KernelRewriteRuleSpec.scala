@@ -30,6 +30,33 @@ class KernelRewriteRuleSpec extends AnyFunSuite {
     assert(hof.as[Double].collect().toSet === Set(3.0, 0.0))
   }
 
+  test("rewrite preserves NULL-on-unequal-lengths semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("krr2").toString
+    Seq((Seq(1f, 2f, 3f), Seq(2f, 2f, 2f)), (Seq(1f, 2f), Seq(1f)))
+      .toDF("a", "b").write.parquet(s"$dir/v")
+    val uneq = spark.read.parquet(s"$dir/v")
+    val hof = uneq.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // zip_with pads the short side with null -> the HOF yields NULL; the
+    // guarded kernel must reproduce that, not truncate to min length
+    assert(hof.as[Option[Double]].collect().toSet === Set(Some(12.0), None))
+  }
+
+  test("null elements: rewrite fires and reproduces the HOF's NULL result") {
+    val dir = java.nio.file.Files.createTempDirectory("krr3").toString
+    Seq((Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(2f), Some(3f))))
+      .toDF("a", "b").write.parquet(s"$dir/v")
+    val nullable = spark.read.parquet(s"$dir/v")
+    val hof = nullable.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // null element poisons the HOF fold -> NULL; the kernel must match
+    assert(hof.as[Option[Double]].collect().toSet === Set(None))
+  }
+
   test("non-matching aggregates are left untouched") {
     // different zero, different merge — must NOT rewrite
     val other = df.select(aggregate(

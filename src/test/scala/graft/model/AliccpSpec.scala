@@ -71,4 +71,20 @@ class AliccpSpec extends AnyFunSuite {
     assert(row.getAs[Int]("user_id") === 100)
     assert(row.getAs[Int]("position") === 109)
   }
+
+  test("overlapping field id: common blob wins over skeleton blob") {
+    // process_csv_line_2 builds the skeleton dict then feat_dict.update
+    // (value_dict) — the COMMON value must overwrite the skeleton one
+    // (batch_process_Bronze_to_Silver.py:76-84).
+    val skelBlob = s"101${KvSep}111${WeightSep}1.0${RecSep}205${KvSep}7${WeightSep}1.0"
+    val commonBlob = s"101${KvSep}222${WeightSep}1.0"
+    val skeleton = Seq((1L, 1, 0, "cf_1", skelBlob))
+      .toDF("sample_id", "click", "conversion", "key", "blob")
+    val common = Seq(("cf_1", commonBlob)).toDF("key", "blob")
+    val out = BronzeSilver.toSilver(skeleton, common,
+      Seq("101" -> "user_id", "205" -> "item_id"))
+    val row = out.head()
+    assert(row.getAs[Int]("user_id") === 222, "common must win on overlap")
+    assert(row.getAs[Int]("item_id") === 7)
+  }
 }
