@@ -491,11 +491,14 @@ object SparkEntry {
       val e = Tables.events(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
-      val others = e.select(col("event_id").as("o_id"), col("user_id"),
-        col("ts_us").as("o_ts"))
+      // distinct alias on the right side: purchases/others share a parent,
+      // so purchases("user_id") === others("user_id") would resolve to the
+      // same attribute (trivially-true predicate + self-join heuristics)
+      val others = e.select(col("event_id").as("o_id"),
+        col("user_id").as("o_uid"), col("ts_us").as("o_ts"))
       val hourUs = 3600L * 1000000
       purchases.join(others,
-          purchases("user_id") === others("user_id") &&
+          col("user_id") === col("o_uid") &&
             col("o_ts") >= col("p_ts") - hourUs &&
             col("o_ts") <= col("p_ts") + hourUs &&
             col("o_id") =!= col("p_id"), "left")
