@@ -250,16 +250,12 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- LLM ops: SimHash near-dup pairs (rows-only check: engine hash) -
+    // ---- LLM ops: SimHash near-dup pairs, banded candidate generation ---
+    // (rows-only check: engine-seeded hash; DedupSpec asserts pair-set
+    // equality with the exact all-pairs result at the same radius)
     "q18_simhash" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("long"))
-        .filter(col("hamming") <= 16)
-        .select("id_a", "id_b", "hamming")
+      Dedup.simhashBandedPairs(
+          Tables(s, dir, "documents"), "doc_id", "text", radius = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -578,16 +574,9 @@ object SparkEntry {
 
     // ---- Rolling-hash near-dup candidates (substring sharing; rows-only)
     "q46_rolling_dedup" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"),
-          TextStats.rollingFingerprint(col("text")).as("fp"))
-      val a = docs.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("shared",
-          call_function("intersect_count", col("fp_a"), col("fp_b")))
-        .filter(col("shared") >= 8)
-        .select("id_a", "id_b", "shared")
+      Dedup.rollingDedupPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", minShared = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1152,6 +1141,52 @@ object SparkEntry {
         |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // Recomputes the winnowed Rabin-Karp fingerprint (RollingHashExpr: k=8,
+    // w=4, base 1000003 mod 2^31-1, rightmost-tie window minimum) in pure
+    // DuckDB list lambdas, then the same inverted-index pair count. The
+    // sequential `lastPos` in the kernel's winnow equals the previous
+    // window's argmin, so "record when minpos[i] != minpos[i-1]" reproduces
+    // it exactly. Docs are ASCII, so ord() == Java charAt.
+    "q46_rolling_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 10 = 0
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n < 8 THEN
+        |      [list_reduce(list_prepend(0::BIGINT, list_transform(range(1, n+1), j -> ord(text[j])::BIGINT)),
+        |         (h, c) -> (h * 1000003 + c) % 2147483647)]
+        |    ELSE
+        |      list_transform(range(1, n - 8 + 2), i ->
+        |        list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + 8), j -> ord(text[j])::BIGINT)),
+        |          (h, c) -> (h * 1000003 + c) % 2147483647))
+        |    END AS grams
+        |  FROM d
+        |),
+        |m AS (
+        |  SELECT doc_id, grams, len(grams) AS ng,
+        |    CASE WHEN len(grams) < 4 THEN [0]
+        |    ELSE list_transform(range(0, len(grams) - 4 + 1), w0 ->
+        |      w0 + list_max(list_transform(range(0, 4), t ->
+        |        CASE WHEN grams[(w0 + t + 1)::INT] = list_min(grams[(w0+1)::INT : (w0+4)::INT]) THEN t ELSE -1 END)))
+        |    END AS minpos
+        |  FROM g
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ng < 4 THEN [grams[1]]
+        |    ELSE list_filter(
+        |      list_transform(minpos, (p, i) ->
+        |        CASE WHEN i = 1 OR p != minpos[i-1] THEN grams[(p+1)::INT] ELSE NULL END),
+        |      x -> x IS NOT NULL)
+        |    END AS fps
+        |  FROM m
+        |),
+        |e AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q45_cond_agg" ->
       """SELECT l_linestatus,

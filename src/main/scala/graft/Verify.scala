@@ -16,7 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated subset filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // per-query watchdog: one hung query must not zero the whole round.
       // The query runs tagged with a job group so timeout cancels its jobs.
       import scala.concurrent.{Await, Future}

@@ -167,4 +167,81 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Substring-level near-dup pairs via an INVERTED INDEX over winnowed
+    * rolling-hash fingerprints (TextStats.rollingFingerprint): explode each
+    * doc's distinct fingerprint values, self-equi-join on the value, count
+    * co-occurrences per pair. `shared` = |distinct fp(a) ∩ fp(b)| — the same
+    * number the all-pairs `intersect_count` composition produced, with no n²
+    * stage: work is proportional to Σ bucket² over fingerprint buckets, not
+    * to doc-pairs.
+    *
+    * At web scale a ubiquitous boilerplate substring makes one fp bucket
+    * quadratic — `maxFpDocFreq` drops fingerprints appearing in more than
+    * that many docs (the standard "stop-fingerprint" cap; MOSS does the
+    * same). Capped runs are a candidate filter, not an exact intersection
+    * count. */
+  def rollingDedupPairs(df: DataFrame, id: String, text: String,
+                        minShared: Int,
+                        maxFpDocFreq: Option[Long] = None): DataFrame = {
+    val ex = df.select(col(id).as("doc"),
+      explode(array_distinct(TextStats.rollingFingerprint(col(text)))).as("fp"))
+    val index = maxFpDocFreq match {
+      case Some(cap) =>
+        // one extra agg over (fp) — tiny vs the pair join it prevents
+        val hot = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fp")
+        ex.join(hot, Seq("fp"), "left_anti")
+      case None => ex
+    }
+    val a = index.select(col("fp"), col("doc").as("id_a"))
+    val b = index.select(col("fp"), col("doc").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** SimHash near-dup pairs WITHOUT an all-pairs stage: split the 64-bit
+    * fingerprint into `radius + 1` bit-bands; by pigeonhole, any pair with
+    * hamming distance <= radius must agree exactly on at least one band, so
+    * a per-band equi-join on (band, bits) generates every qualifying pair
+    * (Manku et al., WWW'07 — the scheme Google used for web-crawl dedup).
+    * Candidates are then verified with the exact Hamming distance.
+    *
+    * Recall is EXACT (guaranteed superset of candidates), not approximate:
+    * the result equals the all-pairs crossJoin filtered to the same radius
+    * (asserted in DedupSpec). The join carries only (band, bits, id, sh) —
+    * 28 bytes/row — so the shuffle stays narrow at any corpus size.
+    *
+    * Scale note: band width is 64/(radius+1) bits; smaller radii give wider
+    * bands and exponentially fewer bucket collisions (radius 3 -> 16-bit
+    * bands, the classic production setting). Radius 8 -> 7-bit bands is
+    * fine into the tens of millions of docs; beyond that, tighten the
+    * radius or add Manku's permuted-table refinement. */
+  def simhashBandedPairs(df: DataFrame, id: String, text: String,
+                         radius: Int = 8): DataFrame = {
+    require(radius >= 0 && radius < 64, s"radius $radius out of [0, 64)")
+    val bands = radius + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    // first `rem` bands are one bit wider; offsets partition all 64 bits
+    val widths = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val hashed = df.select(col(id).as("doc"), simhash(col(text)).as("sh"))
+    val bandBits = widths.zip(offsets).map { case (w, off) =>
+      shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    val banded = hashed.select(col("doc"), col("sh"),
+      posexplode(array(bandBits: _*)).as(Seq("band", "bits")))
+    val a = banded.select(col("band"), col("bits"),
+      col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
 }

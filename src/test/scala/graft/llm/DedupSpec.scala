@@ -46,6 +46,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0) === 0L && out(1) > 0L)
   }
 
+  test("banded simhash pairs == all-pairs ground truth, with no cross join") {
+    // real fixture docs: the sf0.001 documents table has planted near-dups
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val radius = 8
+    val banded = Dedup.simhashBandedPairs(docs, "doc_id", "text", radius)
+    assert(!banded.queryExecution.executedPlan.toString.toLowerCase
+      .matches("(?s).*(cartesian|broadcastnestedloop).*"),
+      "banded path must not contain a cross/NLJ join")
+    // exact all-pairs ground truth at the same radius (test-only harness)
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val truth = h.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(h.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+    val bs = banded.as[(Long, Long, Long)].collect().toSet
+    val ts = truth.as[(Long, Long, Long)].collect().toSet
+    assert(ts.nonEmpty, "fixture must contain at least one near-dup pair")
+    assert(bs === ts, "pigeonhole banding must be lossless at radius <= bands-1")
+  }
+
+  test("banded simhash band widths partition all 64 bits (uneven radix)") {
+    // radius 8 -> 9 bands: 64 = 8 + 7*8; a doc XOR-identical except in one
+    // band must still be caught via any other band
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashBandedPairs(docs, "doc_id", "text", radius = 0)
+    assert(out.as[(Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val df = Seq("alpha beta gamma delta epsilon zeta").toDF("t")
       .select(Dedup.shingles(col("t"), 2).as("s"))
