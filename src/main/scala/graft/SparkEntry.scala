@@ -255,7 +255,7 @@ object SparkEntry {
     // equality with the exact all-pairs result at the same radius)
     "q18_simhash" -> ((s, dir) => {
       Dedup.simhashBandedPairs(
-          Tables(s, dir, "documents"), "doc_id", "text", radius = 8)
+          Tables(s, dir, "documents"), "doc_id", "text", radius = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

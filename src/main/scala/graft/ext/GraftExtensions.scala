@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, ParseKvExpr, RollingHashExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MinhashExpr, ParseKvExpr, RollingHashExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -45,6 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_fingerprint"),
       (children: Seq[Expression]) => RollingHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash32"),
+      new ExpressionInfo(classOf[MinhashExpr].getName, "minhash32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 &&
+          children(1).foldable && children(2).foldable,
+          "minhash32(arr, numHashes literal, seed literal)")
+        MinhashExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].longValue())
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),

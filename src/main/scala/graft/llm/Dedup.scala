@@ -32,18 +32,22 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` permutations
     * `h_i(x) = (a_i * x + b_i) mod p`, the min over the shingle set's base
-    * hashes. Base hash = Spark's Murmur3 (`hash`), permutation params drawn
-    * from a fixed seed so signatures are deterministic across runs/engines.
-    *
-    * The base hash is materialized ONCE per shingle (inner `transform`),
-    * then each permutation maps over the precomputed longs — without this
-    * the Murmur3 runs numHashes× per shingle, which dominated the profile.
-    */
-  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
+    * Murmur3 hashes — computed by the single-pass codegen'd kernel
+    * graft.parse.MinhashExpr (property-tested identical to
+    * [[minhashSignatureHof]], which needed numHashes interpreted lambda
+    * passes per row). Deterministic under the fixed seed. */
+  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column =
+    call_function("minhash32", shingleArr, lit(numHashes), lit(seed))
+
+  /** The pure-`functions._` composition of [[minhashSignature]] — kept as
+    * the independent reference the kernel is property-tested against. */
+  def minhashSignatureHof(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val rnd = new scala.util.Random(seed)
     val params = Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
       rnd.nextInt(Int.MaxValue).toLong)
+    // base hash materialized ONCE per shingle, then each permutation maps
+    // over the precomputed longs
     val baseHashes = transform(shingleArr, s => hash(s).cast("long"))
     val sigs = params.map { case (a, b) =>
       array_min(transform(baseHashes, h => pmod(h * a + b, lit(p))))

@@ -57,44 +57,54 @@ object Similarity {
   /** IVF (inverted-file) ANN top-k: KMeans partitions the corpus into
     * `nlist` cells; each query probes its `nprobe` nearest centroids and
     * scores only those cells' vectors exactly. The candidate meeting is an
-    * equi-join on cell id — shuffle-parallel, no n² stage — and the
-    * centroid table (nlist × dim floats) broadcasts. The scale path when
-    * the corpus has cluster structure; hyperplane LSH (below) when it
+    * equi-join on cell id — shuffle-parallel, no n² stage. The scale path
+    * when the corpus has cluster structure; hyperplane LSH (below) when it
     * doesn't. Deterministic under the fixed seed.
+    *
+    * The centroid index is nlist×dim floats — a PLAN-TIME LITERAL, so cell
+    * assignment is a single projection (nlist codegen'd vec_dot kernels +
+    * argmax), not a corpus×centroids join: the corpus is never replicated
+    * or shuffled to find its cell. KMeans fits on a `fitFraction` sample —
+    * cell quality needs the coarse cluster shape, not every point, and
+    * `nprobe` probing absorbs slightly-off boundaries.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              fitFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
-    val train = corpus.select(array_to_vector(
+    val fitSrc =
+      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, seed)
+    val train = fitSrc.select(array_to_vector(
       col("nvec").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+    // (cell, centroid, ||c||²): argmin ||v-c||² == argmax (v·c - ||c||²/2)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq, c.toArray.map(x => x * x).sum)
     }.toSeq
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = spark.createDataset(centroids).toDF("cell", "cvec")
-    // corpus side: every vector lands in its single nearest cell.
-    // argmin ||v-c||² == argmax (v·c - ||c||²/2) — no per-pair norms needed.
-    val corpusCells = corpus.crossJoin(broadcast(cents))
-      .withColumn("d", dot(col("nvec"), col("cvec")) -
-        (dot(col("cvec"), col("cvec")) / 2))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("nid").orderBy(desc("d"), asc("cell"))))
-      .filter(col("r") === 1).select("cell", "nid", "nvec")
-    // query side: probe nprobe nearest cells
-    val queryCells = queries.crossJoin(broadcast(cents))
-      .withColumn("d", dot(col("qvec"), col("cvec")) -
-        (dot(col("cvec"), col("cvec")) / 2))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("d"), asc("cell"))))
-      .filter(col("r") <= nprobe).select("cell", "qid", "qvec")
+    def score(vec: Column, cv: Seq[Float], n2: Double): Column =
+      dot(vec, typedlit(cv)) - lit(n2 / 2)
+    // corpus side: one projection; array_position takes the FIRST maximum,
+    // i.e. the lowest cell id on ties (same order the old window sort used)
+    val scoresC = array(cents.map { case (_, cv, n2) =>
+      score(col("nvec"), cv, n2) }: _*)
+    val corpusCells = corpus.withColumn("cell",
+      (array_position(scoresC, array_max(scoresC)) - 1).cast("int"))
+    // query side: top-nprobe cells from an nlist-element comparator sort —
+    // per query row, never per (query, centroid) pair
+    val qcells = array(cents.map { case (i, cv, n2) =>
+      struct(score(col("qvec"), cv, n2).as("d"), lit(i).as("cell")) }: _*)
+    val sortedCells = array_sort(qcells, (l, r) =>
+      when(l("d") > r("d"), -1).when(l("d") < r("d"), 1)
+        .otherwise(l("cell") - r("cell")).cast("int"))
+    val queryCells = queries.withColumn("cell",
+      explode(transform(slice(sortedCells, 1, nprobe), x => x("cell"))))
+    // each corpus vector lives in exactly one cell and probe cells are
+    // distinct, so (qid, nid) pairs are already unique — no dedup shuffle
     val cands = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     cands.withColumn("cos", round6(cosine(col("qvec"), col("nvec"))))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -285,6 +285,86 @@ object IntersectCountExpr {
   }
 }
 
+/** MinHash signature kernel: one pass over the shingle array computing all
+  * `numHashes` permutation minima at once. Bit-identical to the
+  * `transform(shingles, hash).array_min per permutation` HOF composition in
+  * Dedup.minhashSignatureHof (same Murmur3 seed-42 base hash, same
+  * `pmod(h*a+b, 2^31-1)` permutations from the same seeded param stream),
+  * but without numHashes interpreted lambda passes per row — the q17
+  * signature stage dominated its profile. Empty input -> empty signature
+  * (callers guarantee >= 1 shingle). */
+case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash32 requires array<string> and numHashes > 0, got " +
+        s"${child.dataType.catalogString}, $numHashes")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // identical param stream to Dedup.minhashSignatureHof
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = (1 + rnd.nextInt(Int.MaxValue - 1)).toLong
+      b(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
+  def minhash(arr: ArrayData): ArrayData = {
+    val (pa, pb) = params
+    val p = 2147483647L
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    // empty-set minimum mirrors array_min's "no elements" only when the
+    // caller never passes empty arrays; we return the identity (p) instead
+    // of null to keep the element type non-null
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        // Spark's hash() base: Murmur3 x86_32, seed 42, sign-extended
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+          .toLong
+        var j = 0
+        while (j < numHashes) {
+          val v = ((h * pa(j) + pb(j)) % p + p) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < numHashes) { if (out(j) == Long.MaxValue) out(j) = p; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    minhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.minhash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash32"
+}
+
 /** 64-bit SimHash over an array of tokens: per-token XXH64 (seed 42 —
   * identical to Spark's `xxhash64`), sign-vote per bit position. Same
   * output as the 64-`aggregate` HOF composition it replaces. */

@@ -84,4 +84,15 @@ class DedupSpec extends AnyFunSuite {
     val s2 = df.select(Dedup.minhashSignature(col("s"), 8)).as[Seq[Long]].head()
     assert(s1 === s2 && s1.length === 8)
   }
+
+  test("minhash kernel is bit-identical to the HOF composition on fixtures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+    val both = docs.select(
+      Dedup.minhashSignature(col("s"), 32).as("k"),
+      Dedup.minhashSignatureHof(col("s"), 32).as("h"))
+    assert(both.filter(not(col("k") === col("h"))).isEmpty,
+      "kernel and HOF signatures must agree on every doc")
+  }
 }
