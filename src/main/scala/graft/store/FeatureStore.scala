@@ -28,15 +28,17 @@ object FeatureStore {
   }
 
   /** Offline -> online materialization: collapse history to the newest row
-    * per entity key (by event time, tie-broken deterministically) and write
-    * a compact keyed table. Streaming ingest reaches the same layout via
-    * Streams.latestPerKey + foreachBatch overwrite. */
+    * per entity key (by event time, tie-broken deterministically) and
+    * publish a compact keyed snapshot through [[OnlineTable]] (atomic
+    * pointer flip — readers never see a half-written table). Streaming
+    * ingest reaches the same layout via Streams.upsertOnline. */
   def materializeOnline(view: FeatureView, source: DataFrame,
                         path: String, tieBreak: String = null): Unit = {
     val tb = Option(tieBreak).getOrElse(view.eventTime)
-    PointInTime.latestPerKey(view.project(source), view.entities,
-        view.eventTime, tb)
-      .write.mode("overwrite").parquet(path)
+    OnlineTable.publish(
+      PointInTime.latestPerKey(view.project(source), view.entities,
+        view.eventTime, tb),
+      path)
   }
 
   /** Online point lookup: entity keys -> latest feature row. The requested
@@ -44,7 +46,10 @@ object FeatureStore {
     * the online table is never shuffled. */
   def getOnlineFeatures(spark: SparkSession, path: String,
                         view: FeatureView, keys: DataFrame): DataFrame =
-    spark.read.parquet(path).join(broadcast(keys), view.entities)
+    OnlineTable.read(spark, path)
+      .getOrElse(throw new IllegalStateException(
+        s"online table at $path has never been published"))
+      .join(broadcast(keys), view.entities)
 
   /** Offline point-in-time retrieval: for each entity row (key, ts) attach
     * the newest feature row with eventTime <= ts within the view's TTL —

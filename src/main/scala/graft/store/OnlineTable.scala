@@ -1,0 +1,87 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned online-table layout with an atomic current-version pointer —
+  * the object-store-safe replacement for directory-rename swaps (which are
+  * neither atomic nor portable off a local filesystem: `java.io.File`
+  * cannot address HDFS/S3, and S3 has no atomic directory rename at all).
+  *
+  * Layout under `root`:
+  * {{{
+  *   root/_CURRENT          <- text file naming the live version dir
+  *   root/v-<version>/      <- immutable, fully-written parquet snapshots
+  * }}}
+  *
+  * A publish writes a NEW version directory to completion, then flips
+  * `_CURRENT` via `FileContext.rename(..., Options.Rename.OVERWRITE)` — a
+  * single-FILE rename, atomic on posix and HDFS; on S3 the equivalent
+  * single-object PUT is atomic per object. Readers resolve `_CURRENT` then
+  * scan an immutable directory, so they can never observe a half-written
+  * table; a reader holding the previous version keeps working because the
+  * previous snapshot is retained for one publish cycle (older ones are
+  * garbage-collected). A writer crash before the flip leaves only an
+  * unreferenced version dir, collected by the next successful publish.
+  *
+  * This is the manifest-pointer core of the transactional table formats
+  * (Delta/Iceberg keep a log of such pointers); single-writer,
+  * multi-reader — the online-store materialization topology.
+  */
+object OnlineTable {
+
+  private val CurrentFile = "_CURRENT"
+
+  /** Publish `df` as the new live snapshot of the table at `root`. */
+  def publish(df: DataFrame, root: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fc = FileContext.getFileContext(rootPath.toUri, hconf)
+    val fs = rootPath.getFileSystem(hconf)
+    val previous = currentVersion(spark, root)
+    val version = f"v-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists")
+      .parquet(new Path(rootPath, version).toString)
+    // flip the pointer: write-temp + atomic overwrite-rename of one file
+    val tmp = new Path(rootPath, s".$CurrentFile.$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+    // GC: keep the new and the immediately-previous snapshot (in-flight
+    // readers), drop everything older plus orphans from crashed publishes
+    val keep = Set(Some(version), previous).flatten
+    fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-") && !keep.contains(name))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The live version dir name, if the table has ever been published. */
+  def currentVersion(spark: SparkSession, root: String): Option[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val ptr = new Path(rootPath, CurrentFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.commons.io.IOUtils.copy(in, buf)
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Read the live snapshot (empty option if never published). */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    currentVersion(spark, root).map { v =>
+      spark.read.parquet(new Path(new Path(root), v).toString)
+    }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    currentVersion(spark, root).isDefined
+}

@@ -119,38 +119,38 @@ object Streams {
       .dropDuplicatesWithinWatermark(key)
 
   /** Continuous online-store materialization: foreachBatch MERGE of each
-    * micro-batch into a keyed latest-value parquet table — the engine's
-    * analog of the reference's Redis upsert stream
+    * micro-batch into a keyed latest-value table — the engine's analog of
+    * the reference's Redis upsert stream
     * (ingest_stream_to_online_store.py:48-82), but resolved by event time
     * so a late-arriving older row never clobbers a newer one.
     *
-    * Each batch: collapse the batch to latest-per-key, merge with the
-    * existing table (max_by event time again), write to a staging dir,
-    * then swap. The table stays entity-sized; the merge cost is
-    * O(batch + table), not O(history). */
+    * Each batch: apply `preprocess` (the reference's `preprocess_fn` hook,
+    * ingest_stream_to_online_store.py:30-34 — arbitrary per-batch
+    * DataFrame->DataFrame features/filtering before ingestion), collapse to
+    * latest-per-key, merge with the live snapshot (max_by event time
+    * again), and publish through [[graft.store.OnlineTable]] — immutable
+    * version dirs + an atomic pointer flip, safe for concurrent readers and
+    * object stores (no directory renames). The table stays entity-sized;
+    * merge cost is O(batch + table), not O(history). Batch retries after a
+    * failure republish idempotently (latest-per-key of a union is
+    * idempotent; a crashed publish leaves only an unreferenced version
+    * dir). */
   def upsertOnline(stream: DataFrame, key: Seq[String], ts: String,
-                   tieBreak: String, path: String) = {
+                   tieBreak: String, path: String,
+                   preprocess: DataFrame => DataFrame = identity) = {
     import graft.ops.PointInTime
+    import graft.store.OnlineTable
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val latestBatch = PointInTime.latestPerKey(batch, key, ts, tieBreak)
-        val dir = new java.io.File(path)
-        val merged =
-          if (dir.exists()) {
-            val existing = spark.read.parquet(path)
-            PointInTime.latestPerKey(
-              existing.unionByName(latestBatch), key, ts, tieBreak)
-          } else latestBatch
-        val staging = s"$path.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        val old = new java.io.File(s"$path.old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        if (dir.exists() && !dir.renameTo(old))
-          throw new java.io.IOException(s"cannot stage out $path")
-        if (!new java.io.File(staging).renameTo(dir))
-          throw new java.io.IOException(s"cannot swap in $staging")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        val latestBatch =
+          PointInTime.latestPerKey(preprocess(batch), key, ts, tieBreak)
+        val merged = OnlineTable.read(spark, path) match {
+          case Some(existing) => PointInTime.latestPerKey(
+            existing.unionByName(latestBatch), key, ts, tieBreak)
+          case None => latestBatch
+        }
+        OnlineTable.publish(merged, path)
     }
   }
 

@@ -93,17 +93,26 @@ class StreamsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val path = s"$dir/online"
     val mem = MemoryStream[(Long, Long, String)]
+    // non-identity preprocess hook (the reference's preprocess_fn): rows
+    // flagged "drop-me" must never reach the store
     val q = Streams.upsertOnline(mem.toDF().toDF("uid", "ts", "v"),
-      Seq("uid"), "ts", "v", path).start()
-    mem.addData((1L, 100L, "a"), (2L, 50L, "b"))
+      Seq("uid"), "ts", "v", path,
+      preprocess = df => df.filter(org.apache.spark.sql.functions
+        .col("v") =!= "drop-me")).start()
+    mem.addData((1L, 100L, "a"), (2L, 50L, "b"), (9L, 999L, "drop-me"))
     q.processAllAvailable()
+    // a reader that resolved the first snapshot keeps working even after
+    // the next publish (previous version is retained one cycle)
+    val oldSnapshot = graft.store.OnlineTable.read(spark, path).get
     mem.addData((1L, 200L, "newer"), (2L, 10L, "stale-late"), (3L, 1L, "c"))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(path)
+    val out = graft.store.OnlineTable.read(spark, path).get
       .select("uid", "v").as[(Long, String)].collect().toMap
-    // uid 1 advanced, uid 2's late row ignored, uid 3 inserted
+    // uid 1 advanced, uid 2's late row ignored, uid 3 inserted, 9 filtered
     assert(out === Map(1L -> "newer", 2L -> "b", 3L -> "c"))
+    assert(oldSnapshot.select("uid", "v").as[(Long, String)].collect().toMap
+      === Map(1L -> "a", 2L -> "b"))
   }
 
   test("stream-static broadcast enrichment join") {
