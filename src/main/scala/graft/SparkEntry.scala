@@ -466,6 +466,51 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- LLM ops: embedding-cosine near-dup (threshold retrieval) -------
+    "q56_cosine_neardup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      Similarity.cosineNearDup(queries, corpus, minCos = 0.3)
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    // ---- Exact multi-percentiles (percentile_cont semantics) ------------
+    "q57_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- Multimodal: REAL PNG header decode over synthesized payloads ---
+    // Valid PNG bytes are built per doc (signature + IHDR with dimensions
+    // derived from doc_id), parsed back by the media_meta kernel; the
+    // oracle recomputes the expected dimensions arithmetically — so a
+    // parser regression (offset, endianness, channel mapping) hash-fails.
+    "q58_media_meta" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val w = col("doc_id") % 1000 + 1
+      val h = col("doc_id") % 777 + 1
+      val colorType = when(col("doc_id") % 2 === 0, lit("02")).otherwise(lit("06"))
+      val pngHex = concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D49484452"), // IHDR length + tag
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("08"), colorType)    // bit depth 8, color type
+      val meta = Binary.mediaMeta(to_binary(pngHex, lit("hex")))
+      docs.select(col("doc_id"), meta.getField("kind").as("kind"),
+          meta.getField("width").as("width"),
+          meta.getField("height").as("height"),
+          meta.getField("channels").as("channels"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Feature store: get_historical_features facade (J2 via API) -----
     "q53_historical_features" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -891,6 +936,41 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // Same dot-fold as the Spark kernel (list_sum folds left-to-right like
+    // aggregate(zip_with)), round6 for reproducible threshold comparison.
+    "q56_cosine_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |p AS (
+        |  SELECT qid, nid,
+        |  FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM q, c WHERE qid <> nid)
+        |SELECT qid, nid, cos FROM p WHERE cos >= 0.3
+        |ORDER BY qid, nid""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile() (same linear
+    // interpolation at p*(n-1) over the sorted values)
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.75) AS p75,
+        |quantile_cont(l_extendedprice, 0.9) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // expected metadata recomputed arithmetically from the same doc_id
+    // derivation the Spark side encodes into the PNG bytes
+    "q58_media_meta" ->
+      """SELECT doc_id, 'png' AS kind,
+        |CAST(doc_id % 1000 + 1 AS INT) AS width,
+        |CAST(doc_id % 777 + 1 AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q20_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),

@@ -54,6 +54,26 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Embedding-cosine near-dup: every corpus row whose cosine similarity
+    * with a query-batch row meets `minCos` — the threshold (rather than
+    * top-k) retrieval shape LLM dedup pipelines run against a candidate
+    * batch. Exact: the bounded query batch broadcasts, the corpus scan is
+    * embarrassingly parallel, and no shuffle exists at all (threshold
+    * filtering needs no per-query ranking). For full-corpus×corpus
+    * near-dup at scale, generate candidates with [[annTopK]]'s LSH buckets
+    * instead and verify with the same cosine. */
+  def cosineNearDup(queries: DataFrame, corpus: DataFrame,
+                    minCos: Double): DataFrame = {
+    val q = queries.withColumn("__qn", l2Norm(col("qvec")))
+    val c = corpus.withColumn("__nn", l2Norm(col("nvec")))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        round6(dot(col("qvec"), col("nvec")) / (col("__qn") * col("__nn"))))
+      .filter(col("cos") >= minCos)
+      .select("qid", "nid", "cos")
+  }
+
   /** IVF (inverted-file) ANN top-k: KMeans partitions the corpus into
     * `nlist` cells; each query probes its `nprobe` nearest centroids and
     * scores only those cells' vectors exactly. The candidate meeting is an

@@ -46,6 +46,13 @@ object Binary {
       .otherwise("unknown")
   }
 
+  /** REAL header decode for PNG and WAV containers (no codec needed — only
+    * the header layout is read): struct(kind, width, height, channels,
+    * sample_rate), kind='unknown' with null fields for anything else.
+    * Native codegen'd kernel (graft.parse.MediaMetaExpr). */
+  def mediaMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("media_meta", payload)
+
   /** STUB decode — deterministic fake: "dimensions" and a `dim`-float
     * feature vector derived from byte content, so tests are reproducible.
     * Real implementation would decode the payload here (one codec init per

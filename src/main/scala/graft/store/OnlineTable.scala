@@ -32,16 +32,26 @@ object OnlineTable {
 
   private val CurrentFile = "_CURRENT"
 
-  /** Publish `df` as the new live snapshot of the table at `root`. */
-  def publish(df: DataFrame, root: String): Unit = {
+  /** Publish `df` as the new live snapshot of the table at `root`,
+    * retaining the newest `keepVersions` referenced snapshots (>= 2: the
+    * new one plus at least the previous for in-flight readers). Larger
+    * values give time-travel depth — [[readVersion]] can read any retained
+    * snapshot, the same pointer-log idea Delta/Iceberg build their history
+    * on. */
+  def publish(df: DataFrame, root: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fc = FileContext.getFileContext(rootPath.toUri, hconf)
     val fs = rootPath.getFileSystem(hconf)
-    val previous = currentVersion(spark, root)
-    val version = f"v-${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString.take(8)}"
+    val referenced = listVersions(spark, root).toSet ++ currentVersion(spark, root)
+    // strictly-increasing timestamps so version names always sort in
+    // publish order even for sub-millisecond back-to-back publishes
+    val prevTs = referenced.toSeq.sorted.lastOption
+      .map(_.stripPrefix("v-").take(13).toLong).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    val version = f"v-$ts%013d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists")
       .parquet(new Path(rootPath, version).toString)
     // flip the pointer: write-temp + atomic overwrite-rename of one file
@@ -49,15 +59,39 @@ object OnlineTable {
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
-    // GC: keep the new and the immediately-previous snapshot (in-flight
-    // readers), drop everything older plus orphans from crashed publishes
-    val keep = Set(Some(version), previous).flatten
+    // GC: version names sort by publish time; keep the newest keepVersions
+    // REFERENCED snapshots (a crashed publish's orphan was never
+    // referenced, so it is dropped regardless of age)
+    val keep = (referenced + version).toSeq.sorted.takeRight(keepVersions).toSet
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("v-") && !keep.contains(name))
         fs.delete(st.getPath, true)
     }
   }
+
+  /** Retained snapshot versions, oldest first (current is last). A version
+    * dir counts only if the pointer references or once referenced it —
+    * orphans from crashed publishes are excluded by GC at publish time, so
+    * listing the retained dirs is authoritative between publishes. */
+  def listVersions(spark: SparkSession, root: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    currentVersion(spark, root) match {
+      case None => Nil
+      case Some(cur) =>
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+          .map(_.getPath.getName)
+          .filter(_ <= cur) // never expose a not-yet-referenced in-flight dir
+          .sorted
+    }
+  }
+
+  /** Time-travel read of a retained snapshot (see [[listVersions]]). */
+  def readVersion(spark: SparkSession, root: String, version: String): DataFrame =
+    spark.read.parquet(new Path(new Path(root), version).toString)
 
   /** The live version dir name, if the table has ever been published. */
   def currentVersion(spark: SparkSession, root: String): Option[String] = {

@@ -36,6 +36,33 @@ class BinarySpec extends AnyFunSuite {
       "wav" -> "audio/wav", "mp4" -> "video/mp4", "txt" -> "unknown"))
   }
 
+  test("media_meta parses real PNG and WAV headers; garbage is 'unknown'") {
+    // hand-built valid headers, byte-for-byte per the format specs
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6) // bit depth 8, RGBA
+    val wav = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16)
+    val garbage = "definitely not media".getBytes
+    val truncatedPng = png.take(20) // signature ok, IHDR cut off
+    val out = Seq((1L, png), (2L, wav), (3L, garbage), (4L, truncatedPng))
+      .toDF("id", "payload")
+      .select(col("id"), Binary.mediaMeta(col("payload")).as("m"))
+      .select("id", "m.kind", "m.width", "m.height", "m.channels", "m.sample_rate")
+      .as[(Long, String, Option[Int], Option[Int], Option[Int], Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, "png", Some(640), Some(480), Some(4), None)))
+    assert(out(1) === ((2L, "wav", None, None, Some(2), Some(44100))))
+    assert(out(2) === ((3L, "unknown", None, None, None, None)))
+    assert(out(3) === ((4L, "unknown", None, None, None, None)))
+  }
+
   test("frame sampling stub: strided windows, bounded tails, explode shape") {
     val frames = Binary.frameSampleStub(media, frameBytes = 4, stride = 2)
       .collect().sortBy(f => (f.media_id, f.frame_idx))

@@ -49,6 +49,25 @@ class OnlineTableSpec extends AnyFunSuite {
     assert(versions(root).contains(live))
   }
 
+  test("time travel: deeper retention keeps history readable by version") {
+    val root = java.nio.file.Files.createTempDirectory("ot4").toString + "/t"
+    OnlineTable.publish(Seq((1L, "gen1")).toDF("k", "v"), root, keepVersions = 3)
+    OnlineTable.publish(Seq((1L, "gen2")).toDF("k", "v"), root, keepVersions = 3)
+    OnlineTable.publish(Seq((1L, "gen3")).toDF("k", "v"), root, keepVersions = 3)
+    val vs = OnlineTable.listVersions(spark, root)
+    assert(vs.size === 3)
+    assert(OnlineTable.readVersion(spark, root, vs.head)
+      .select("v").as[String].head() === "gen1")
+    assert(OnlineTable.readVersion(spark, root, vs.last)
+      .select("v").as[String].head() === "gen3")
+    // a fourth publish evicts gen1
+    OnlineTable.publish(Seq((1L, "gen4")).toDF("k", "v"), root, keepVersions = 3)
+    val vs2 = OnlineTable.listVersions(spark, root)
+    assert(vs2.size === 3 && !vs2.contains(vs.head))
+    assert(OnlineTable.read(spark, root).get
+      .select("v").as[String].head() === "gen4")
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
