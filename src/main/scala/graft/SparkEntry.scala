@@ -110,7 +110,7 @@ object SparkEntry {
     // — the oracle asserts the codec round-trips exactly.
     "q05_kv_roundtrip" -> ((s, dir) => {
       import AliccpCodec._
-      val e = Tables(s, dir, "events")
+      val e = Tables.wide(s, dir, "events")
       val blob1 = concat(
         lit("101"), lit(KvSep), col("user_id").cast("string"),
         lit(WeightSep), lit("1.0"), lit(RecSep),
@@ -211,12 +211,16 @@ object SparkEntry {
 
     // ---- Bronze->Silver spine (SURVEY §3.1: S1,J1,P4,P2,F4,F5) ----------
     "q14_bronze_silver" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
+      val e = Tables.wide(s, dir, "events")
+      // Deterministic output order WITHOUT orderBy's range exchange: its
+      // sampling pass re-executes the whole parse pipeline (measured 2x the
+      // query). The result is narrow (26 ints), so shuffle-to-one + sort is
+      // trivial while the parse stays parallel and runs once.
       BronzeSilver.toSilver(
         BronzeSilver.skeletonFromEvents(e),
         BronzeSilver.commonFromEvents(e),
         BronzeSilver.syntheticFields)
-        .orderBy(col("sample_id"))
+        .repartition(1).sortWithinPartitions("sample_id")
     }),
 
     // ---- Silver->Gold multi-col categorify (SURVEY §3.2: F1-F3,P6) ------
@@ -363,7 +367,7 @@ object SparkEntry {
     // ---- Streaming JSON codec round-trip (C5/C6: Kafka record shape) ----
     "q29_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val e = Tables(s, dir, "events")
+      val e = Tables.wide(s, dir, "events")
         .select("user_id", "event_id", "event_type", "value")
       val schema = StructType(Seq(
         StructField("user_id", LongType), StructField("event_id", LongType),
@@ -451,7 +455,7 @@ object SparkEntry {
     // ---- Map function battery (KV codec adjacents) ----------------------
     "q55_map_funcs" -> ((s, dir) => {
       import AliccpCodec._
-      val e = Tables(s, dir, "events")
+      val e = Tables.wide(s, dir, "events")
       val m = parseKvFast(concat(
         lit("101"), lit(KvSep), col("user_id").cast("string"),
         lit(WeightSep), lit("1.0"), lit(RecSep),

@@ -17,6 +17,23 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a fixture scan out to all cores BEFORE heavy per-row compute.
+    *
+    * Every fixture file is a SINGLE parquet row group, so the raw scan is
+    * one partition and per-row compute (KV parse, JSON codec, kernels)
+    * would run on one of 32 cores until the first shuffle. Real deployments
+    * get scan parallelism from file/row-group splits; this round-robin
+    * fan-out is the harness-side equivalent for the fixtures (a few MB of
+    * shuffle). Use it ONLY where parse/codec work dominates: it sits above
+    * the scan, so pushable filters must be applied by the caller BEFORE
+    * widening (or pushdown is lost) — and at 100 TB an unconditional
+    * repartition-after-scan would be a pointless full-data shuffle. */
+  def wide(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+  }
+
   /** events with `ts_us` (epoch micros, BIGINT) derived from the nano ts.
     * Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
     * exact-integer range, so floating division would corrupt low digits. */
