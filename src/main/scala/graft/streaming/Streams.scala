@@ -107,6 +107,30 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: left rows match right rows
+    * with the same `key` whose event time lies in
+    * `[leftTs, leftTs + window]` (e.g. clicks within 10s after their
+    * impression). Both sides carry watermarks, so join state is BOUNDED:
+    * Spark evicts buffered rows once the other side's watermark passes the
+    * interval — the state-cleanup contract a production attribution join
+    * needs (an unwatermarked stream-stream join buffers forever).
+    * `leftTs`/`rightTs` are TimestampType columns; `delay` is the
+    * out-of-orderness bound, `window` the match interval, as SQL interval
+    * strings. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         delay: String, window: String): DataFrame = {
+    require(leftTs != rightTs,
+      "left/right event-time columns must have distinct names")
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withColumnRenamed(key, "__rk").withWatermark(rightTs, delay)
+    l.join(r, expr(
+      s"""$key = __rk AND
+         |$rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + INTERVAL $window""".stripMargin))
+      .drop("__rk")
+  }
+
   /** Watermarked append-mode dedup: keep the FIRST arrival of each key
     * within the watermark horizon, dropping late duplicates — the
     * reference's declared-but-unenforced 1-minute late-data bound

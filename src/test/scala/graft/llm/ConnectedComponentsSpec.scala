@@ -29,4 +29,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.values.toSet === Set(0L))
     assert(out.size === 16)
   }
+
+  test("adversarial diameter: a 300-node path converges in O(log d) rounds") {
+    // plain min-label propagation would need ~300 rounds (>> maxIter 30);
+    // pointer doubling must compress the chain geometrically. Worst-case
+    // orientation: labels walk from one end.
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(0L))
+    assert(out.size === 301)
+  }
+
+  test("random graph: groups equal a union-find ground truth") {
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(400)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val truth = nodes.map(n => n -> find(n)).toMap
+    // canonicalize: component representative = min node id
+    val canon = truth.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    val out = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === canon)
+  }
 }

@@ -115,6 +115,31 @@ class StreamsSpec extends AnyFunSuite {
       === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("stream-stream interval join: clicks attribute to impressions in-window only") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val l = imps.toDF().toDF("ad_id", "imp_us")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val r = clicks.toDF().toDF("ad_id", "click_us")
+      .withColumn("click_ts", timestamp_micros(col("click_us")))
+    val joined = Streams.streamIntervalJoin(l, r, "ad_id",
+      "imp_ts", "click_ts", delay = "5 seconds", window = "10 seconds")
+    val q = joined.select("ad_id", "imp_us", "click_us")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    val base = 1700000000000000L
+    imps.addData((1L, base), (2L, base), (3L, base))
+    clicks.addData((1L, base + 3000000L))  // 3s after: attributed
+    clicks.addData((2L, base + 30000000L)) // 30s after: outside window
+    clicks.addData((4L, base + 1000000L))  // unknown ad: no impression
+    q.processAllAvailable()
+    val out = spark.table("ssj").select("ad_id").as[Long].collect().toSet
+    q.stop()
+    assert(out === Set(1L))
+  }
+
   test("stream-static broadcast enrichment join") {
     implicit val sql = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
