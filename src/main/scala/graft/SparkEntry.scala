@@ -529,6 +529,39 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: TF-IDF scoring (explode -> tf -> df -> join) ----------
+    // idf is the LINEAR ratio n_docs/df, not log(n/df): log goes through
+    // libm and differs across engines, while integer-product / single
+    // IEEE division is bit-identical (see Scaladoc conventions).
+    "q59_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .filter(col("tf") >= 3)
+        .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+        .ordered(col("doc_id"), col("tok"))
+    }),
+
+    // ---- Deterministic train/val/test split (content-hash bucketing) ----
+    // md5 of the id string is engine-independent, so the assignment is
+    // reproducible anywhere — the property a training-data split needs
+    // (rand()-based splits shift between runs/engines/partitionings).
+    "q60_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      docs.select(col("doc_id"), h.as("hash_bucket"),
+          when(h.isin("c", "d"), "val")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train").as("split"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Feature store: get_historical_features facade (J2 via API) -----
     "q53_historical_features" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -988,6 +1021,26 @@ object SparkEntry {
         |CAST(doc_id % 1000 + 1 AS INT) AS width,
         |CAST(doc_id % 777 + 1 AS INT) AS height,
         |CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q59_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, tok, tf, df,
+        |CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        |WHERE tf >= 3 ORDER BY doc_id, tok""".stripMargin,
+
+    "q60_split" ->
+      """SELECT doc_id,
+        |substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hash_bucket,
+        |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |     ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q20_langid" ->

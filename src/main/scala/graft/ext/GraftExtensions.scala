@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MediaMetaExpr, MinhashExpr, ParseKvExpr, RollingHashExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MediaMetaExpr, MinhashExpr, ParseKvExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_fingerprint"),
       (children: Seq[Expression]) => RollingHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles_k"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "shingles_k(text, k literal)")
+        ShinglesExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
     ext.injectFunction((
       new FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMetaExpr].getName, "media_meta"),

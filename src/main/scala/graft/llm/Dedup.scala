@@ -19,8 +19,15 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Token k-shingles of the document, distinct. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Token k-shingles of the document, distinct — single-pass codegen'd
+    * kernel (graft.parse.ShinglesExpr), property-tested identical to
+    * [[shinglesHof]]. */
+  def shingles(text: Column, k: Int): Column =
+    call_function("shingles_k", lower(text), lit(k))
+
+  /** The pure-`functions._` composition of [[shingles]] — the independent
+    * reference the kernel is property-tested against. */
+  def shinglesHof(text: Column, k: Int): Column = {
     val toks = TextStats.tokens(lower(text))
     val n = size(toks)
     array_distinct(

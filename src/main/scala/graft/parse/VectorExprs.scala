@@ -285,6 +285,77 @@ object IntersectCountExpr {
   }
 }
 
+/** Distinct token k-shingles in one pass — the kernel behind
+  * Dedup.shingles. The `transform(sequence, slice + array_join)` +
+  * `array_distinct` composition evaluates interpreted per shingle AND
+  * re-walks the token array per slice; this tokenizes and builds each
+  * shingle in a single sweep. Output order is first-occurrence, identical
+  * to array_distinct over the positional transform (property-tested in
+  * DedupSpec). k > token count falls back to the whole-doc shingle, and an
+  * empty string yields [""] — both exactly as the HOF composition. */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"shingles_k requires (string, k >= 1), got ${child.dataType.catalogString}, $k")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def shingle(s: UTF8String): ArrayData = {
+    val str = s.toString
+    // tokenize exactly like TokensExpr (split on ' ', drop empties)
+    val toks = new java.util.ArrayList[String]()
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && str.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    val m = toks.size()
+    if (m >= k) {
+      val sb = new java.lang.StringBuilder()
+      var w = 0
+      while (w + k <= m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.get(w + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        w += 1
+      }
+    } else {
+      // whole-doc fallback (k > token count), like array_join(toks, " ")
+      out.add(String.join(" ", toks))
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shingle($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles_k"
+}
+
 /** MinHash signature kernel: one pass over the shingle array computing all
   * `numHashes` permutation minima at once. Bit-identical to the
   * `transform(shingles, hash).array_min per permutation` HOF composition in

@@ -85,6 +85,19 @@ class DedupSpec extends AnyFunSuite {
     assert(s1 === s2 && s1.length === 8)
   }
 
+  test("shingle kernel is identical to the HOF composition on fixtures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "one two", "  padded   spaces  ", "a a a a a").toDF("text"))
+    for (k <- Seq(1, 3, 50)) {
+      val both = docs.select(
+        Dedup.shingles(col("text"), k).as("kern"),
+        Dedup.shinglesHof(col("text"), k).as("hof"))
+      assert(both.filter(not(col("kern") === col("hof"))).isEmpty,
+        s"kernel and HOF shingles must agree (k=$k), incl. order")
+    }
+  }
+
   test("minhash kernel is bit-identical to the HOF composition on fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)
