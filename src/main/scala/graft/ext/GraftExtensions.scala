@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MediaMetaExpr, MinhashExpr, ParseKvExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -17,6 +17,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("parse_kv"),
       new ExpressionInfo(classOf[ParseKvExpr].getName, "parse_kv"),
       (children: Seq[Expression]) => ParseKvExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("parse_kv_fields"),
+      new ExpressionInfo(classOf[ParseKvFieldsExpr].getName, "parse_kv_fields"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "parse_kv_fields(blob, array('field', ...) literal)")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ids = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        ParseKvFieldsExpr(children.head, ids)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),

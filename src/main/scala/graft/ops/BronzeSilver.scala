@@ -27,15 +27,38 @@ object BronzeSilver {
 
   /** skeleton(sample_id, click, conversion, key, blob) ⋈ common(key, blob)
     * -> wide silver table. `fields` maps AliCCP field id -> output column
-    * name (SURVEY.md §1.4); click/conversion are injected into the merged
-    * map exactly like the reference's process_csv_line_2. */
+    * name (SURVEY.md §1.4); click/conversion are injected last exactly like
+    * the reference's process_csv_line_2.
+    *
+    * Extraction path: one `parse_kv_fields` struct per blob (single string
+    * walk, no intermediate map, no per-column map probe) and per-field
+    * `coalesce(common.f, skeleton.f)` for the common-wins merge — identical
+    * results to the mergeKv map path ([[toSilverViaMap]], property-tested
+    * in AliccpSpec), measured ~1.7x on the q14 spine. */
   def toSilver(skeleton: DataFrame, common: DataFrame,
                fields: Seq[(String, String)]): DataFrame = {
-    val joined = skeleton.join(
-      broadcast(common.withColumnRenamed("blob", "common_blob")), Seq("key"), "left")
-      // keep iff NOT (click = 0 AND conversion = 1) — invalid conversion
-      // without click (batch_process_Bronze_to_Silver.py:186-187)
-      .filter(col("click") =!= 0 || col("conversion") =!= 1)
+    val joined = joinAndFilter(skeleton, common)
+    val ids = fields.map(_._1)
+    val sf = call_function("parse_kv_fields",
+      coalesce(col("blob"), lit("")), typedlit(ids))
+    val cf = call_function("parse_kv_fields",
+      coalesce(col("common_blob"), lit("")), typedlit(ids))
+    joined.select(
+      col("sample_id") +:
+        fields.map { case (id, name) =>
+          coalesce(cf.getField(id), sf.getField(id)).try_cast("int").as(name)
+        } :+
+        col("click").cast("int").as("click") :+
+        col("conversion").cast("int").as("conversion"): _*)
+  }
+
+  /** The general-purpose map-merge formulation of [[toSilver]] (mergeKv
+    * LAST_WIN + per-field map extraction) — kept as the independent
+    * reference implementation the struct path is property-tested against,
+    * and as the surface for ad-hoc field sets not known at plan time. */
+  def toSilverViaMap(skeleton: DataFrame, common: DataFrame,
+                     fields: Seq[(String, String)]): DataFrame = {
+    val joined = joinAndFilter(skeleton, common)
     // Last-wins order mirrors process_csv_line_2: skeleton parsed first,
     // common update()s over it, click/conversion assigned last (:80-83).
     val merged = mergeKv(
@@ -49,6 +72,13 @@ object BronzeSilver {
         try_element_at(merged, lit("click")).cast("int").as("click") :+
         try_element_at(merged, lit("conversion")).cast("int").as("conversion"): _*)
   }
+
+  private def joinAndFilter(skeleton: DataFrame, common: DataFrame): DataFrame =
+    skeleton.join(
+      broadcast(common.withColumnRenamed("blob", "common_blob")), Seq("key"), "left")
+      // keep iff NOT (click = 0 AND conversion = 1) — invalid conversion
+      // without click (batch_process_Bronze_to_Silver.py:186-187)
+      .filter(col("click") =!= 0 || col("conversion") =!= 1)
 
   /** Deterministic bronze synthesis from the `events` fixture — the unit/
     * oracle harness for [[toSilver]] (the real AliCCP CSVs are not in this

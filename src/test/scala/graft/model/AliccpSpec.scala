@@ -72,6 +72,18 @@ class AliccpSpec extends AnyFunSuite {
     assert(row.getAs[Int]("position") === 109)
   }
 
+  test("struct-extract toSilver is row-identical to the map-merge path") {
+    // synthetic spine at sf0.001: every field id, overlaps, missing keys
+    implicit val s = spark
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val skel = BronzeSilver.skeletonFromEvents(e)
+    val common = BronzeSilver.commonFromEvents(e)
+    val fast = BronzeSilver.toSilver(skel, common, BronzeSilver.syntheticFields)
+    val ref = BronzeSilver.toSilverViaMap(skel, common, BronzeSilver.syntheticFields)
+    assert(fast.schema === ref.schema)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
   test("overlapping field id: common blob wins over skeleton blob") {
     // process_csv_line_2 builds the skeleton dict then feat_dict.update
     // (value_dict) — the COMMON value must overwrite the skeleton one
