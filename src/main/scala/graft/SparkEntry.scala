@@ -562,6 +562,41 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: composed corpus-clean pipeline ------------------------
+    // The full cleanup pass a training-data pipeline chains: language
+    // filter + quality threshold + token bounds + exact-dedup keeping the
+    // canonical (min-id) representative per content fingerprint. Every
+    // stage is the already-oracled primitive (q20/q21/q13/q12), composed.
+    "q61_corpus_clean" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TextStats.langId(col("text")).as("lang"),
+        (floor(TextStats.qualityScore(col("text")) * 1e6 + 0.5) / 1e6).as("quality"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      val keep = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      scored.join(keep, Seq("fp", "doc_id"))
+        .filter(col("lang") === "en" && col("quality") >= 0.55 &&
+          col("n_tokens").between(5, 5000))
+        .select("doc_id", "lang", "quality", "n_tokens")
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Skew-salted equi-join (same rows as the plain join) ------------
+    // The salt spreads each hot user's events over `buckets` reducers; the
+    // oracle is the UNSALTED join — proving the rewrite is semantics-free.
+    "q62_salted_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select("user_id", "event_id", "value")
+      val users = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      Skew.saltedJoin(e, users, Seq("user_id"), buckets = 8)
+        .groupBy("user_id", "n_events")
+        .agg(count(lit(1)).as("n_joined"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .ordered(col("user_id"))
+    }),
+
     // ---- Feature store: get_historical_features facade (J2 via API) -----
     "q53_historical_features" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -1042,6 +1077,51 @@ object SparkEntry {
         |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
         |     ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // composition of the q20 (lang), q21 (quality), q13 (tokens), q12
+    // (fingerprint) oracle formulas with the same thresholds
+    "q61_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |  list_filter(string_split(text,' '), x -> len(x) > 0) AS toks,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS ltoks
+        |  FROM documents),
+        |lang AS (SELECT doc_id, CASE
+        |  WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |  WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(ltoks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+        |    len(list_filter(ltoks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','un','est','que','pour'))) AS s_fr,
+        |    len(list_filter(ltoks, x -> x IN ('的','了','是','我','不'))) AS s_zh
+        |    FROM t)),
+        |q AS (SELECT doc_id,
+        |  FLOOR((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |    + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+        |    + (1.0 - least((CASE WHEN length(text) > 0 THEN
+        |        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+        |        ELSE 0.0 END) * 5.0, 1.0))) / 3.0 * 1e6 + 0.5) / 1e6 AS quality,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t),
+        |f AS (SELECT doc_id, md5(array_to_string(list_sort(ltoks),' ')) AS fp FROM t),
+        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
+        |SELECT doc_id, lang, quality, n_tokens
+        |FROM k JOIN lang USING (doc_id) JOIN q USING (doc_id)
+        |WHERE lang = 'en' AND quality >= 0.55 AND n_tokens BETWEEN 5 AND 5000
+        |ORDER BY doc_id""".stripMargin,
+
+    // oracle = the UNSALTED join/aggregate: salting must be invisible
+    "q62_salted_join" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT e.user_id, u.n_events, COUNT(*) AS n_joined,
+        |CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin,
 
     "q20_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
