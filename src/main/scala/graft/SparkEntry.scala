@@ -325,6 +325,26 @@ object SparkEntry {
         .ordered(col("user_id"))
     }),
 
+    // ---- Streaming tumbling-window aggregation (T7 through the REAL
+    // streaming machinery: IncrementalExecution + state store, complete
+    // mode; distinct aggregates are unsupported on streams, so the
+    // payload aggregates are count + exact decimal sum) ----------------
+    "q63_stream_window" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val agg = stream
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      Streams.runToMemory(agg, s"q63_mem_${System.nanoTime()}")
+        .ordered(col("w_start"), col("event_type"))
+    }),
+
     // ---- LLM ops: ANN top-k via hyperplane LSH (approximate; rows-only) -
     "q24_ann_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1202,6 +1222,14 @@ object SparkEntry {
     "q30_tumbling_window" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start,
         |event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // the streaming result must equal the batch aggregation of the same
+    // bounded input — exactly-once over AvailableNow
+    "q63_stream_window" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q26_rollup" ->

@@ -159,13 +159,20 @@ object Dedup {
             .as("label"))
       // pointer doubling: label <- label(label). Labels only ever
       // decrease, so the jump is monotone and safe; it is what turns an
-      // O(diameter) walk into O(log diameter) rounds.
-      val l2 = prop.select(col("node").as("pnode"), col("label").as("plabel"))
-      val next = prop.join(l2, prop("label") === l2("pnode"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("plabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      // O(diameter) walk into O(log diameter) rounds. Round 0 is skipped
+      // (labels are still identity there, the jump is a no-op). Every
+      // round checkpoints: the convergence probes re-execute anything
+      // unmaterialized, which costs more than the barrier saves.
+      val doubled =
+        if (i == 0) prop
+        else {
+          val l2 = prop.select(col("node").as("pnode"), col("label").as("plabel"))
+          prop.join(l2, prop("label") === l2("pnode"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("plabel"), col("label")))
+                .as("label"))
+        }
+      val next = doubled.localCheckpoint()
       // convergence probe every other round: one possibly-redundant
       // propagation is cheaper than a comparison job per round
       if (i % 2 == 1 || i == maxIter - 1)

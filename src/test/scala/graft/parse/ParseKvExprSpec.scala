@@ -52,6 +52,30 @@ class ParseKvExprSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: parse_kv_fields slot equals map extraction on random blobs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ids = Seq("101", "205", "k", "absent")
+    val tok = Gen.oneOf(Gen.oneOf(ids), // bias toward requested ids
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
+    val triple = for { k <- tok; v <- tok; w <- tok }
+      yield s"$k$KvSep$v$WeightSep$w"
+    val degenerate = Gen.oneOf("", "x", s"x$KvSep", s"$WeightSep", s"a${KvSep}b")
+    val blob = Gen.listOf(Gen.frequency(8 -> triple, 2 -> degenerate))
+      .map(_.mkString(RecSep))
+    val prop = Prop.forAll(blob) { b =>
+      val df = Seq(b).toDF("b")
+      val struct = call_function("parse_kv_fields", col("b"), typedlit(ids))
+      val viaStruct = df.select(
+        array(ids.map(struct.getField): _*)).as[Seq[Option[String]]].head()
+      val viaMap = df.select(
+        array(ids.map(id => element_at(parseKvFast(col("b")), id)): _*))
+        .as[Seq[Option[String]]].head()
+      viaStruct == viaMap
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("parse_kv is callable from SQL (extension registration)") {
     val out = spark.sql(
       s"SELECT parse_kv('101${KvSep}7${WeightSep}1.0') AS m")
