@@ -156,22 +156,32 @@ object Similarity {
   /** ANN top-k via LSH: bucket both sides, equi-join on (table, bucket),
     * exact cosine within candidates, rank top-k per query. Approximate —
     * recall depends on planes/tables; use for the 100 TB path where
-    * broadcast of queries or corpus-wide scan per query set is infeasible. */
+    * broadcast of queries or corpus-wide scan per query set is infeasible.
+    *
+    * Only (table, bucket, id) rides the bucket join — a vector appears in
+    * `tables` buckets, and letting the embeddings ride that exploded
+    * shuffle multiplies the heaviest column by `tables` and again by every
+    * duplicated candidate pair. Vectors are re-attached to the (far
+    * smaller) deduplicated pair set, the same narrow-shuffle shape
+    * minhashLsh uses for its shingle arrays. */
   def annTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               planes: Int = 12, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qb = queries.select(col("qid"), col("qvec"),
+    val qb = queries.select(col("qid"),
       explode(hyperplaneBuckets(col("qvec"), dim, planes, tables)).as("qb"))
-      .select(col("qid"), col("qvec"),
+      .select(col("qid"),
         col("qb.table").as("table"), col("qb.bucket").as("bucket"))
-    val cb = corpus.select(col("nid"), col("nvec"),
+    val cb = corpus.select(col("nid"),
       explode(hyperplaneBuckets(col("nvec"), dim, planes, tables)).as("cb"))
-      .select(col("nid"), col("nvec"),
+      .select(col("nid"),
         col("cb.table").as("table"), col("cb.bucket").as("bucket"))
     val cands = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
       .dropDuplicates("qid", "nid")
     val scored = cands
+      .join(queries, Seq("qid"))
+      .join(corpus, Seq("nid"))
       .withColumn("cos", round6(cosine(col("qvec"), col("nvec"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
