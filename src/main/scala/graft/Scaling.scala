@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextStats}
+import graft.ops.BronzeSilver
+import graft.sources.Tables
+
+/** Weak-scaling evidence harness: replicate the sf fixtures `factor`×
+  * (fresh ids, salted doc text so near-dup structure stays realistic
+  * instead of every doc gaining `factor` exact clones), then time the
+  * heavy operator paths at both scales. If an operator's shape is right —
+  * bucketed candidates, broadcast dims, no n² — wall time grows ~linearly
+  * in rows; a super-linear blow-up exposes a hidden all-pairs/replication
+  * stage. Results land in SCALING.md.
+  *
+  * Usage: runMain graft.Scaling [srcSfDir] [factor] [workDir]
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize factor× tables with fresh ids ----------------------
+    val e = spark.read.parquet(s"$src/events.parquet")
+    (0 until factor).map { i =>
+      e.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    (0 until factor).map { i =>
+      // caesar-shift each replica's letters: every k-gram/shingle/token
+      // hash differs across replicas, so the corpus is factor× DISTINCT
+      // documents with the planted near-dup structure intact within each
+      // replica — true weak scaling. (An appended-token salt instead
+      // leaves fingerprints shared and turns every doc into a
+      // factor-way near-clone clique: pair counts then grow
+      // quadratically by design, which measures clique behavior, not
+      // scaling.)
+      val shifted = alphabet.drop(i % 26) + alphabet.take(i % 26)
+      d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        translate(col("text"), alphabet, shifted).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(10000000L * i)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ---- the heavy operator paths --------------------------------------
+    def bronzeSilver(dir: String): DataFrame = {
+      val ev = Tables.wide(spark, dir, "events")
+      BronzeSilver.toSilver(
+        BronzeSilver.skeletonFromEvents(ev),
+        BronzeSilver.commonFromEvents(ev),
+        BronzeSilver.syntheticFields)
+    }
+    def minhash(dir: String): DataFrame =
+      Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
+    def simhash(dir: String): DataFrame =
+      Dedup.simhashBandedPairs(Tables(spark, dir, "documents"),
+        "doc_id", "text", radius = 6)
+    def rolling(dir: String): DataFrame =
+      // q46's selectivity: the fixture's templated docs share enough
+      // 8-grams that full-corpus pair enumeration is dense by
+      // construction; the subsample keeps the planted structure
+      Dedup.rollingDedupPairs(
+        Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", minShared = 8)
+    def cosine(dir: String): DataFrame = {
+      val all = Tables(spark, dir, "embeddings")
+      Similarity.cosineTopK(
+        all.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        all.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 5)
+    }
+    def tfidfish(dir: String): DataFrame =
+      Tables(spark, dir, "documents")
+        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
+      "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
+      "cosine_topk" -> cosine, "token_df" -> tfidfish)
+
+    def time(fn: => DataFrame): (Double, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val t0 = System.nanoTime()
+      fn.observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, obs.get("n").asInstanceOf[Long])
+    }
+
+    val results = ops.map { case (name, fn) =>
+      val _ = time(fn(src)) // warm codegen/JIT on the small scale
+      val (t1, n1) = time(fn(src))
+      val (tN, nN) = time(fn(out))
+      spark.catalog.clearCache()
+      (name, t1, n1, tN, nN)
+    }
+    println("op,base_sec,base_rows,scaled_sec,scaled_rows,time_ratio")
+    results.foreach { case (name, t1, n1, tN, nN) =>
+      println(f"$name,$t1%.2f,$n1,$tN%.2f,$nN,${tN / t1}%.1f")
+    }
+    spark.stop()
+  }
+}
