@@ -8,7 +8,7 @@ import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Dedup, Similarity, Sketches, TextStats}
 import graft.multimodal.Binary
-import graft.sources.Tables
+import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
 
@@ -343,6 +343,28 @@ object SparkEntry {
           col("n"), col("sum_value"))
       Streams.runToMemory(agg, s"q63_mem_${System.nanoTime()}")
         .ordered(col("w_start"), col("event_type"))
+    }),
+
+    // ---- Bucketed co-located join: the one-time-layout answer to the
+    // recurring fact⋈dim shuffle. Both sides are bucketed on the join key
+    // at write time, so the join plan has NO Exchange on either side
+    // (asserted in SourcesSpec); the oracle is the plain join — bucketing
+    // must be semantically invisible. --------------------------------
+    "q64_bucketed_join" -> ((s, dir) => {
+      Sources.writeBucketed(
+        Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_q64_orders", "o_custkey", 8)
+      Sources.writeBucketed(
+        Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_q64_customer", "c_custkey", 8)
+      s.table("graft_q64_orders")
+        .join(s.table("graft_q64_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .ordered(col("c_custkey"))
     }),
 
     // ---- LLM ops: ANN top-k via hyperplane LSH (approximate; rows-only) -
@@ -1223,6 +1245,13 @@ object SparkEntry {
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start,
         |event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // bucketing must be invisible: oracle is the plain join + aggregate
+    "q64_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
 
     // the streaming result must equal the batch aggregation of the same
     // bounded input — exactly-once over AvailableNow
