@@ -49,6 +49,16 @@ object Sources {
     * one-time layout cost. Requires a table catalog (saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, bucketKey: String,
                     buckets: Int, sortBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // A fresh metastore can meet a stale warehouse dir left by an earlier
+    // session (LOCATION_ALREADY_EXISTS): drop the entry AND the orphaned
+    // location so overwrite is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketKey)
     (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
