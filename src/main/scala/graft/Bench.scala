@@ -17,8 +17,10 @@ object Bench {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     // optional comma-separated subset filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // per-query output row counts (plausibility audit alongside timings)
-    val rowCounts = scala.collection.mutable.Map[String, Long]()
+    // per-query output row counts (plausibility audit alongside timings).
+    // Concurrent map: a timed-out query's orphaned future may still write
+    // its count while the main thread reads for the final report.
+    val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     def once(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -39,7 +41,7 @@ object Bench {
           try {
             fn(spark, sfDir).observe(obs, count(lit(1)).as("n"))
               .write.format("noop").mode("overwrite").save()
-            rowCounts(name) = obs.get("n").asInstanceOf[Long]
+            rowCounts.put(name, obs.get("n").asInstanceOf[Long])
           } finally spark.sparkContext.clearJobGroup()
         }
         try Await.result(f, timeoutSec.seconds)
@@ -68,7 +70,7 @@ object Bench {
     val results = once().map { case (n, t) => n -> math.min(t, r1(n)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rc = results.map { case (k, _) => s"\"" + k + "\":" + rowCounts.getOrElse(k, -1L) }
+    val rc = results.map { case (k, _) => s"\"" + k + "\":" + rowCounts.getOrDefault(k, -1L) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rc,"sf":"$sfDir"}""")

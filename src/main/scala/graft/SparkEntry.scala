@@ -226,15 +226,11 @@ object SparkEntry {
     // ---- Bronze->Silver spine (SURVEY §3.1: S1,J1,P4,P2,F4,F5) ----------
     "q14_bronze_silver" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "events")
-      // Deterministic output order WITHOUT orderBy's range exchange: its
-      // sampling pass re-executes the whole parse pipeline (measured 2x the
-      // query). The result is narrow (26 ints), so shuffle-to-one + sort is
-      // trivial while the parse stays parallel and runs once.
       BronzeSilver.toSilver(
         BronzeSilver.skeletonFromEvents(e),
         BronzeSilver.commonFromEvents(e),
         BronzeSilver.syntheticFields)
-        .repartition(1).sortWithinPartitions("sample_id")
+        .ordered(col("sample_id"))
     }),
 
     // ---- Silver->Gold multi-col categorify (SURVEY §3.2: F1-F3,P6) ------

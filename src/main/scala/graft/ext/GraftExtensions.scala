@@ -24,9 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2 && children(1).foldable,
           "parse_kv_fields(blob, array('field', ...) literal)")
         val arr = children(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val ids = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+        require(arr != null, "parse_kv_fields: field list must not be NULL")
+        val ad = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ids = (0 until ad.numElements())
+          .map(i => ad.getUTF8String(i).toString)
         ParseKvFieldsExpr(children.head, ids)
       }))
     ext.injectFunction((
@@ -63,8 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2 && children(1).foldable,
           "shingles_k(text, k literal)")
-        ShinglesExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+        val k = children(1).eval()
+        require(k.isInstanceOf[Number],
+          s"shingles_k: k must be a non-null integer literal, got $k")
+        ShinglesExpr(children.head, k.asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("media_meta"),
@@ -77,9 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3 &&
           children(1).foldable && children(2).foldable,
           "minhash32(arr, numHashes literal, seed literal)")
-        MinhashExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[Number].longValue())
+        val (n, seed) = (children(1).eval(), children(2).eval())
+        require(n.isInstanceOf[Number] && seed.isInstanceOf[Number],
+          s"minhash32: numHashes/seed must be non-null numeric literals, got $n, $seed")
+        MinhashExpr(children.head, n.asInstanceOf[Number].intValue(),
+          seed.asInstanceOf[Number].longValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

@@ -48,10 +48,12 @@ object BronzeToSilver {
       BronzeSilver.toSilver(skeleton, common, Aliccp.silverFields), outDir)
   }
 
-  def main(args: Array[String]): Unit = {
-    val Array(skeletonCsv, commonCsv, outDir) = args
-    val spark = Jobs.session()
-    try run(spark, skeletonCsv, commonCsv, outDir) finally spark.stop()
+  def main(args: Array[String]): Unit = args match {
+    case Array(skeletonCsv, commonCsv, outDir) =>
+      val spark = Jobs.session()
+      try run(spark, skeletonCsv, commonCsv, outDir) finally spark.stop()
+    case _ => sys.error(
+      "usage: graft.jobs.BronzeToSilver <skeletonCsv> <commonCsv> <outDir>")
   }
 }
 
@@ -77,12 +79,15 @@ object SilverToGold {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 3 && args.length != 7) sys.error(
+      "usage: graft.jobs.SilverToGold <silverDir> <goldDir> <modelDir> " +
+        "[<jdbcUrl> <table> <user> <password>]")
+    val jdbc = args.drop(3) match {
+      case Array(url, table, user, pass) => Some((url, table, user, pass))
+      case _ => None
+    }
     val spark = Jobs.session()
-    try args match {
-      case Array(s, g, m) => run(spark, s, g, m)
-      case Array(s, g, m, url, table, user, pass) =>
-        run(spark, s, g, m, Some((url, table, user, pass)))
-    } finally spark.stop()
+    try run(spark, args(0), args(1), args(2), jdbc) finally spark.stop()
   }
 }
 
@@ -106,6 +111,8 @@ object StreamSilverToGold {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 5) sys.error("usage: graft.jobs.StreamSilverToGold " +
+      "<bootstrapServers> <inTopic> <outTopic> <checkpointDir> <modelDir>")
     val Array(servers, inTopic, outTopic, checkpoint, modelDir) = args
     val spark = Jobs.session()
     val model = Categorify.load(spark, modelDir, Aliccp.goldIndexCols)
@@ -123,6 +130,8 @@ object StreamSilverToGold {
   * value DOUBLE") so one binary serves every feature view. */
 object IngestStreamToOnlineStore {
   def main(args: Array[String]): Unit = {
+    if (args.length != 7) sys.error("usage: graft.jobs.IngestStreamToOnlineStore " +
+      "<bootstrapServers> <topic> <schemaDdl> <keyCol> <tsCol> <path> <checkpointDir>")
     val Array(servers, topic, schemaDdl, keyCol, tsCol, path, checkpoint) = args
     val spark = Jobs.session()
     val schema = StructType.fromDDL(schemaDdl)
@@ -151,6 +160,9 @@ object GetHistoricalFeatures {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 8) sys.error("usage: graft.jobs.GetHistoricalFeatures " +
+      "<entityDir> <sourceDir> <outDir> <key> <entityTsCol> <eventTimeCol> " +
+      "<ttlMicros> <feature,feature,...>")
     val Array(entityDir, sourceDir, outDir, key, entityTs, eventTime, ttl, features) = args
     val spark = Jobs.session()
     try run(spark, entityDir, sourceDir, outDir, key, entityTs, eventTime,

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * derived, well-distributed key), never all-pairs. The exact all-pairs
   * verifier is only applied to LSH candidate pairs, whose count is bounded
   * by bucket collisions, not n².
+  *
+  * REQUIRES [[graft.ext.GraftExtensions]] on the session
+  * (`spark.sql.extensions=graft.ext.GraftExtensions`; GraftSession sets
+  * it): the hot paths resolve the registered codegen kernels (shingles_k,
+  * minhash32, simhash64, jaccard, rolling_fingerprint). The `*Hof`
+  * variants are plain `functions._` compositions usable on any session.
   */
 object Dedup {
 
@@ -257,7 +263,11 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _).init
     val hashed = df.select(col(id).as("doc"), simhash(col(text)).as("sh"))
     val bandBits = widths.zip(offsets).map { case (w, off) =>
-      shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1L))
+      // JVM shifts are mod 64: (1L << 64) - 1 would be 0, collapsing the
+      // radius-0 single 64-bit band into one global bucket (an O(n²)
+      // self-join) — the full-width band needs the explicit all-ones mask
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("sh"), off).bitwiseAND(lit(mask))
     }
     val banded = hashed.select(col("doc"), col("sh"),
       posexplode(array(bandBits: _*)).as(Seq("band", "bits")))

@@ -402,18 +402,23 @@ case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        // Spark's hash() base: Murmur3 x86_32, seed 42, sign-extended
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-          .toLong
-        var j = 0
-        while (j < numHashes) {
-          val v = ((h * pa(j) + pb(j)) % p + p) % p
-          if (v < out(j)) out(j) = v
-          j += 1
+      // Spark's hash() base: Murmur3 x86_32, seed 42, sign-extended —
+      // including hash(NULL) == the seed, which the HOF reference lets
+      // participate in every permutation minimum, so null elements must
+      // hash to 42 here too (not be skipped) to stay bit-identical
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+            .toLong
         }
+      var j = 0
+      while (j < numHashes) {
+        val v = ((h * pa(j) + pb(j)) % p + p) % p
+        if (v < out(j)) out(j) = v
+        j += 1
       }
       i += 1
     }

@@ -68,7 +68,22 @@ object OnlineTable {
       if (st.isDirectory && name.startsWith("v-") && !keep.contains(name))
         fs.delete(st.getPath, true)
     }
+    // legacy migration tail: plain part-files written by a pre-versioning
+    // writer served as the live snapshot until the FIRST versioned publish
+    // (whose merge read them via read()); like any superseded snapshot
+    // they are retained one publish cycle for in-flight readers, then
+    // collected here on the next publish
+    if (referenced.nonEmpty)
+      legacyFiles(fs, rootPath).foreach(p => fs.delete(p, false))
   }
+
+  /** Data files of a pre-versioning (plain parquet dir) online table. */
+  private def legacyFiles(fs: org.apache.hadoop.fs.FileSystem,
+                          rootPath: Path): Seq[Path] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
 
   /** Retained snapshot versions, oldest first (current is last). A version
     * dir counts only if the pointer references or once referenced it —
@@ -110,12 +125,25 @@ object OnlineTable {
     }
   }
 
-  /** Read the live snapshot (empty option if never published). */
+  /** Read the live snapshot. A plain-parquet dir written by a
+    * pre-versioning writer (no `_CURRENT` pointer) is served as the live
+    * snapshot so an upgrade never silently drops previously materialized
+    * entities; the first publish merges and supersedes it. Empty option
+    * only if nothing was ever written. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(spark, root).map { v =>
-      spark.read.parquet(new Path(new Path(root), v).toString)
+    currentVersion(spark, root) match {
+      case Some(v) =>
+        Some(spark.read.parquet(new Path(new Path(root), v).toString))
+      case None =>
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val legacy = legacyFiles(fs, rootPath)
+        if (legacy.isEmpty) None
+        // explicit file list: the root may also hold v- dirs from a
+        // crashed first publish, which must not be swept into the scan
+        else Some(spark.read.parquet(legacy.map(_.toString): _*))
     }
 
   def exists(spark: SparkSession, root: String): Boolean =
-    currentVersion(spark, root).isDefined
+    read(spark, root).isDefined
 }

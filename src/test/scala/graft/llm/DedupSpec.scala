@@ -108,4 +108,16 @@ class DedupSpec extends AnyFunSuite {
     assert(both.filter(not(col("k") === col("h"))).isEmpty,
       "kernel and HOF signatures must agree on every doc")
   }
+
+  test("minhash kernel matches the HOF on null-bearing shingle arrays") {
+    // Spark's hash(NULL) is the seed (42) and participates in every
+    // permutation minimum in the HOF — the kernel must not skip nulls
+    val df = Seq(Seq[Option[String]](Some("tok"), None),
+      Seq[Option[String]](None)).toDF("s")
+    val both = df.select(
+      Dedup.minhashSignature(col("s"), 8).as("k"),
+      Dedup.minhashSignatureHof(col("s"), 8).as("h"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (k, h) => assert(k === h) }
+  }
 }

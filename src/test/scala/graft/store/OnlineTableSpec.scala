@@ -68,6 +68,29 @@ class OnlineTableSpec extends AnyFunSuite {
       .select("v").as[String].head() === "gen4")
   }
 
+  test("legacy plain-parquet table is readable and migrated by publishes") {
+    val root = java.nio.file.Files.createTempDirectory("ot5").toString + "/t"
+    // a pre-versioning writer left plain part-files at the root
+    Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+      .write.parquet(root)
+    assert(OnlineTable.read(spark, root).get.count() === 2,
+      "legacy layout must be served as the live snapshot")
+    // first versioned publish merges over it (as upsertOnline would)
+    val merged = OnlineTable.read(spark, root).get
+      .filter(col("k") =!= 1L)
+      .unionByName(Seq((1L, "new")).toDF("k", "v"))
+    OnlineTable.publish(merged, root)
+    val out = OnlineTable.read(spark, root).get
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "new", 2L -> "keep"))
+    // legacy files are retained one cycle (in-flight readers), then GC'd
+    def legacyCount = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(legacyCount > 0, "legacy retained for one publish cycle")
+    OnlineTable.publish(out.toSeq.toDF("k", "v"), root)
+    assert(legacyCount === 0, "legacy collected on the next publish")
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
