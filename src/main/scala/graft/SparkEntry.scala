@@ -125,20 +125,24 @@ object SparkEntry {
     "q05_kv_roundtrip" -> ((s, dir) => {
       import AliccpCodec._
       val e = Tables.wide(s, dir, "events")
+      // coalesce dynamic fragments: one NULL column must not null the
+      // whole concat (which would empty the map and lose the OTHER
+      // fields); try_cast because ANSI cast('') throws
       val blob1 = concat(
-        lit("101"), lit(KvSep), col("user_id").cast("string"),
+        lit("101"), lit(KvSep), coalesce(col("user_id").cast("string"), lit("")),
         lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("et"), lit(KvSep), col("event_type"), lit(WeightSep), lit("1.0"))
+        lit("et"), lit(KvSep), coalesce(col("event_type"), lit("")),
+        lit(WeightSep), lit("1.0"))
       val blob2 = concat(
-        lit("205"), lit(KvSep), col("event_id").cast("string"),
+        lit("205"), lit(KvSep), coalesce(col("event_id").cast("string"), lit("")),
         lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("et"), lit(KvSep), col("event_type"), lit("X"),
+        lit("et"), lit(KvSep), coalesce(col("event_type"), lit("")), lit("X"),
         lit(WeightSep), lit("1.0"))
       val m = mergeKv(parseKv(blob1), parseKv(blob2))
       e.select(
         col("event_id"),
-        try_element_at(m, lit("101")).cast("bigint").as("user_id_p"),
-        try_element_at(m, lit("205")).cast("bigint").as("item_p"),
+        try_element_at(m, lit("101")).try_cast("bigint").as("user_id_p"),
+        try_element_at(m, lit("205")).try_cast("bigint").as("item_p"),
         try_element_at(m, lit("et")).as("et_p"))
         .ordered(col("event_id"))
     }),
@@ -240,7 +244,9 @@ object SparkEntry {
       val base = cust.join(broadcast(nation),
           cust("c_nationkey") === nation("n_nationkey"))
         .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
-        .na.drop()
+        // drop on the indexed columns only — the oracle filters exactly
+        // these; a bare na.drop() would also drop NULL c_custkey rows
+        .na.drop(Seq("c_mktsegment", "n_name"))
       val model = Categorify.fit(base, Seq("c_mktsegment", "n_name"))
       model.transform(base)
         .select(col("c_custkey"), col("c_mktsegment").as("seg_idx"),
@@ -334,7 +340,8 @@ object SparkEntry {
         .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          sum((floor(col("value") * 1e4 + 0.5) / 1e4)
+            .cast("decimal(18,4)")).cast("double").as("sum_value"))
         .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
           col("n"), col("sum_value"))
       Streams.runToMemory(agg, s"q63_mem_${System.nanoTime()}")
@@ -445,8 +452,14 @@ object SparkEntry {
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
-        .ordered(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("l_linestatus")).as("__g_ls"))
+        // flags participate in the sort (total order even with NULL group
+        // values in the data), then drop out of the compared schema
+        .ordered(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), col("__g_rf"), col("__g_ls"))
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty")
     }),
 
     // ---- LLM ops: near-dup groups (pairs -> connected components) -------
@@ -497,8 +510,10 @@ object SparkEntry {
           col("doc_id"),
           size(toks).cast("long").as("n"),
           array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("first3"),
-          element_at(toks, 1).as("head_tok"),
-          element_at(toks, -1).as("last_tok"),
+          // try_: plain element_at THROWS on an empty array under Spark
+          // 4's default ANSI mode; the oracle's toks[1] yields NULL
+          try_element_at(toks, lit(1)).as("head_tok"),
+          try_element_at(toks, lit(-1)).as("last_tok"),
           array_contains(toks, "spark").as("has_spark"),
           size(array_remove(toks, "the")).cast("long").as("n_no_the"))
         .ordered(col("doc_id"))
@@ -508,17 +523,21 @@ object SparkEntry {
     "q55_map_funcs" -> ((s, dir) => {
       import AliccpCodec._
       val e = Tables.wide(s, dir, "events")
+      // coalesce each value: a NULL key column would null the whole
+      // concat (empty map, and plain element_at would then throw under
+      // ANSI); the oracle mirrors with the same COALESCE
       val m = parseKvFast(concat(
-        lit("101"), lit(KvSep), col("user_id").cast("string"),
+        lit("101"), lit(KvSep), coalesce(col("user_id").cast("string"), lit("")),
         lit(WeightSep), lit("1.0"), lit(RecSep),
-        lit("205"), lit(KvSep), (col("event_id") % 100).cast("string"),
+        lit("205"), lit(KvSep),
+        coalesce((col("event_id") % 100).cast("string"), lit("")),
         lit(WeightSep), lit("1.0")))
       e.select(
           col("event_id"),
           size(map_keys(m)).cast("long").as("n_keys"),
           array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
           array_join(array_sort(map_values(m)), ",").as("vals_sorted"),
-          element_at(m, "101").as("v101"))
+          try_element_at(m, lit("101")).as("v101"))
         .ordered(col("event_id"))
     }),
 
@@ -631,7 +650,11 @@ object SparkEntry {
       Skew.saltedJoin(e, users, Seq("user_id"), buckets = 8)
         .groupBy("user_id", "n_events")
         .agg(count(lit(1)).as("n_joined"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          // floor-round to the decimal's scale first: the raw-double
+          // decimal cast rounds via shortest-repr in Spark but via the
+          // binary value in DuckDB, diverging for >4-decimal doubles
+          sum((floor(col("value") * 1e4 + 0.5) / 1e4)
+            .cast("decimal(18,4)")).cast("double").as("sum_value"))
         .ordered(col("user_id"))
     }),
 
@@ -720,7 +743,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
-        .ordered(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+        // grouping flags in the sort: with NULL group values in the DATA,
+        // (rf, ls) alone cannot distinguish the (NULL, NULL) data group
+        // from rollup subtotal rows — the order would not be total
+        .ordered(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), col("g_rf"), col("g_ls"))
     }),
 
     // ---- Exact median via window formulation (engine-exact both sides) --
@@ -730,8 +757,12 @@ object SparkEntry {
       // group sizes via broadcast join (3 rows) — a count-over-partition
       // window would force a second full sort of the fact table
       val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("l_returnflag", "__rf")
       li.withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), Seq("l_returnflag"))
+        // null-safe join: a NULL returnflag group must keep its median row
+        // (plain equality would silently drop the whole NULL partition)
+        .join(broadcast(counts), col("l_returnflag") <=> col("__rf"))
+        .drop("__rf")
         .filter(col("rn") === expr("(cnt + 1) div 2") ||
           col("rn") === expr("(cnt + 2) div 2"))
         .groupBy(col("l_returnflag"))
@@ -893,7 +924,7 @@ object SparkEntry {
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |l_extendedprice*(1-l_discount) AS revenue,
-        |CAST(l_quantity AS INTEGER) AS qty_int
+        |CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -915,7 +946,7 @@ object SparkEntry {
     // The codec query's oracle asserts parse(format(x)) == x row-by-row.
     "q05_kv_roundtrip" ->
       """SELECT event_id, user_id AS user_id_p, event_id AS item_p,
-        |event_type || 'X' AS et_p
+        |COALESCE(event_type, '') || 'X' AS et_p
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q06_categorify" ->
@@ -925,7 +956,7 @@ object SparkEntry {
         |idx AS (
         |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) - 1 AS BIGINT) AS seg_idx
         |  FROM freq)
-        |SELECT c_custkey, seg_idx FROM customer JOIN idx ON c_mktsegment = v
+        |SELECT c_custkey, seg_idx FROM customer LEFT JOIN idx ON c_mktsegment = v
         |ORDER BY c_custkey""".stripMargin,
 
     "q07_latest_per_key" ->
@@ -974,7 +1005,7 @@ object SparkEntry {
         |COUNT(*) AS n_rows FROM part""".stripMargin,
 
     "q12_dedup_exact" ->
-      """SELECT md5(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' ')) AS dedup_key,
+      """SELECT md5(COALESCE(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' '), '')) AS dedup_key,
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1027,9 +1058,14 @@ object SparkEntry {
         |FROM base JOIN i1 ON c_mktsegment = i1.v JOIN i2 ON n_name = i2.v
         |ORDER BY c_custkey""".stripMargin,
 
+    // toks mirrors Dedup.shingles(k=1) INCLUDING its whole-doc fallback:
+    // an empty/whitespace-only doc shingles to [''] (not []), so two empty
+    // docs are jaccard-1.0 duplicates in both engines (DuckDB would give
+    // 0/0 -> NULL on bare empty lists)
     "q16_ngram_jaccard" ->
       """WITH s AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS toks
+        |  SELECT doc_id, CASE WHEN len(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) = 0
+        |    THEN [''] ELSE list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) END AS toks
         |  FROM documents WHERE doc_id % 10 = 0),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1146,7 +1182,7 @@ object SparkEntry {
         |        ELSE 0.0 END) * 5.0, 1.0))) / 3.0 * 1e6 + 0.5) / 1e6 AS quality,
         |  CAST(len(toks) AS BIGINT) AS n_tokens
         |  FROM t),
-        |f AS (SELECT doc_id, md5(array_to_string(list_sort(ltoks),' ')) AS fp FROM t),
+        |f AS (SELECT doc_id, md5(COALESCE(array_to_string(list_sort(ltoks),' '), '')) AS fp FROM t),
         |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
         |SELECT doc_id, lang, quality, n_tokens
         |FROM k JOIN lang USING (doc_id) JOIN q USING (doc_id)
@@ -1157,7 +1193,7 @@ object SparkEntry {
     "q62_salted_join" ->
       """WITH u AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
         |SELECT e.user_id, u.n_events, COUNT(*) AS n_joined,
-        |CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |CAST(SUM(CAST(FLOOR(e.value * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events e JOIN u USING (user_id)
         |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin,
 
@@ -1254,18 +1290,20 @@ object SparkEntry {
     "q63_stream_window" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start,
         |event_type, COUNT(*) AS n,
-        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q26_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  GROUPING(l_returnflag), GROUPING(l_linestatus)""".stripMargin,
 
     "q34_dedup_groups" ->
       """WITH RECURSIVE s AS (
-        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS toks
+        |  SELECT doc_id, CASE WHEN len(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) = 0
+        |    THEN [''] ELSE list_distinct(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) END AS toks
         |  FROM documents WHERE doc_id % 10 = 0),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1324,7 +1362,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |CAST(len(toks) AS BIGINT) AS n,
-        |array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+        |COALESCE(array_to_string(list_sort(list_distinct(toks))[1:3], ','), '') AS first3,
         |toks[1] AS head_tok,
         |toks[-1] AS last_tok,
         |list_contains(toks, 'spark') AS has_spark,
@@ -1335,9 +1373,9 @@ object SparkEntry {
       """SELECT event_id,
         |CAST(2 AS BIGINT) AS n_keys,
         |'101,205' AS keys_sorted,
-        |array_to_string(list_sort([CAST(user_id AS VARCHAR),
-        |  CAST(event_id % 100 AS VARCHAR)]), ',') AS vals_sorted,
-        |CAST(user_id AS VARCHAR) AS v101
+        |array_to_string(list_sort([COALESCE(CAST(user_id AS VARCHAR), ''),
+        |  COALESCE(CAST(event_id % 100 AS VARCHAR), '')]), ',') AS vals_sorted,
+        |COALESCE(CAST(user_id AS VARCHAR), '') AS v101
         |FROM events ORDER BY event_id""".stripMargin,
 
     // inclusive ts (strict=false), TTL 3 days, newest-first tie-break on id
@@ -1402,7 +1440,7 @@ object SparkEntry {
         |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
         |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
 
     "q48_median" ->
       """WITH r AS (
@@ -1479,9 +1517,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a single NULL o_custkey would make NOT IN
+    // return the empty set while left_anti ignores NULL right keys
     "q41_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
     "q42_exists_subquery" ->

@@ -128,8 +128,11 @@ object BronzeSilver {
   def skeletonFromEvents(e: DataFrame): DataFrame =
     e.select(
       col("event_id").as("sample_id"),
-      (col("event_id") % 3 === 0).cast("int").as("click"),
-      (col("event_id") % 5 === 0).cast("int").as("conversion"),
+      // when/otherwise, not bool-cast: a NULL event_id must yield 0 like
+      // the oracle's CASE WHEN ... THEN 1 ELSE 0 (a NULL click would also
+      // be silently dropped by the invalid-sample filter)
+      when(col("event_id") % 3 === 0, 1).otherwise(0).as("click"),
+      when(col("event_id") % 5 === 0, 1).otherwise(0).as("conversion"),
       concat(lit("cf_"), col("user_id")).as("key"),
       blobFor(col("event_id"), syntheticSpec.filter(_._4 == "item")).as("blob"))
 
