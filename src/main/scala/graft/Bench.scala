@@ -68,12 +68,30 @@ object Bench {
     // let ContextCleaner reclaim localCheckpoint blocks before pass 2
     System.gc()
     val results = once().map { case (n, t) => n -> math.min(t, r1(n)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rc = results.map { case (k, _) => s"\"" + k + "\":" + rowCounts.getOrDefault(k, -1L) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rc,"sf":"$sfDir"}""")
+    // The harness captures only the TAIL of the run's output, so the single
+    // reported JSON line must stay short enough to survive truncation
+    // (full-precision timings + row counts go to BENCH_DETAIL.json instead).
+    // Full query names at 3 decimals; if the line would outgrow the capture
+    // window, fall back to the unambiguous qNN prefixes.
+    def line(names: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + names(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(identity)
+    val out = if (full.length <= 1800) full else line(_.takeWhile(_ != '_'))
+    val detail = {
+      val qs = results.map { case (k, v) => s"""  "$k": {"sec": $v, "rows": ${rowCounts.getOrDefault(k, -1L)}}""" }
+        .mkString("{\n", ",\n", "\n}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}"""
+    }
+    try {
+      val p = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(out)
     spark.stop()
   }
 }
