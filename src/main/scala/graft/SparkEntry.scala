@@ -463,9 +463,14 @@ object SparkEntry {
     }),
 
     // ---- LLM ops: near-dup groups (pairs -> connected components) -------
+    // Pair generation is the EXACT prefix-filtered inverted-index join —
+    // same pair set as the all-pairs harness (proven in DedupSpec), so the
+    // recursive-CTE oracle stays byte-identical, but no crossJoin exists
+    // anywhere in the plan: at 100x the docs this scales with rare-shingle
+    // bucket sizes, not doc-pairs².
     "q34_dedup_groups" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
         shingleK = 1, threshold = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("group_id"))

@@ -124,9 +124,71 @@ object Dedup {
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       // classic length prefilter: J = inter/union <= min(|a|,|b|)/max(|a|,|b|),
       // so pairs failing min >= t*max can never reach the threshold — skips
-      // the set intersection entirely for most of the cross product. Lossless.
+      // the set intersection entirely for most of the cross product. The
+      // 1e-9 slack keeps it lossless under float rounding: 0.8*5 is
+      // 4.0000000000000002 in doubles, which would wrongly drop an exact
+      // J=0.8 pair of sizes (4,5). Borderline admits are re-verified by the
+      // exact jaccard filter below.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))) - lit(1e-9))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** EXACT Jaccard near-dup pairs WITHOUT an all-pairs stage: prefix
+    * filtering (Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity
+    * Search" WWW'07; Chaudhuri/Ganti/Kaushik SSJoin ICDE'06). Returns the
+    * SAME pair set as [[ngramJaccardPairs]] — not an approximation — but
+    * generates candidates through an inverted index instead of a crossJoin.
+    *
+    * Principle: order every shingle set by a global total order; if
+    * J(a,b) >= t then |a∩b| >= ceil(t·max(|a|,|b|)) =: α, and the smallest
+    * common shingle must sit within the first |x| − α + 1 positions of each
+    * ordered set (its position is bounded by the >= α−1 larger common
+    * shingles behind it). So an equi-join on PREFIX shingles alone yields a
+    * guaranteed superset of qualifying pairs; exact Jaccard then verifies.
+    *
+    * The global order is rarest-first (ascending corpus document frequency,
+    * ties by value): prefixes then hold the rarest shingles, so inverted-
+    * index buckets stay small — work is Σ bucket² over rare shingles, not
+    * n². One df agg + one window rank + one equi-join; every shuffle keys
+    * on well-distributed values. The α used is ceil(t·|x|) − 1, one looser
+    * than the tight bound, as a float guard: ceil(0.8·5) evaluates to 5 in
+    * doubles (0.8·5 = 4.0000000000000002), which would over-shorten the
+    * prefix and silently drop an exact-boundary pair. One extra prefix
+    * token per doc buys guaranteed losslessness.
+    *
+    * [[ngramJaccardPairs]] stays as the independent all-pairs ground truth
+    * this is asserted equal to (DedupSpec), fixture-scale only. */
+  def prefixJaccardPairs(df: DataFrame, id: String, text: String,
+                         shingleK: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(col(id).as("doc"), shingles(col(text), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .cache() // reused: inverted index build + 2 pair re-attach joins
+    val ex = s.select(col("doc"), col("n"), explode(col("sh")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("tok"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc").orderBy(asc("df"), asc("tok"))))
+    // prefix length |x| − α + 1 with α = ceil(t·|x|) − 1 (float guard above)
+    val prefix = ranked
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 2)
+      .select(col("tok"), col("doc"), col("n"))
+    val a = prefix.select(col("tok"), col("doc").as("id_a"), col("n").as("n_a"))
+    val b = prefix.select(col("tok"), col("doc").as("id_b"), col("n").as("n_b"))
+    val cands = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      // same lossless length filter (with float slack) as ngramJaccardPairs
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sh = s.select(col("doc"), col("sh"))
+    cands
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

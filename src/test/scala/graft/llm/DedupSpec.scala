@@ -77,6 +77,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.as[(Long, Long, Long)].collect().toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("prefix-filtered jaccard pairs == all-pairs ground truth, no cross join") {
+    // fixture docs (planted near-dups) plus adversarial edges: an exact
+    // J=4/5=0.8 boundary pair (the float-guard case: 0.8*5 rounds to
+    // 4.0000000000000002, so a naive ceil-prefix or min>=t*max filter
+    // drops it), identical docs, and an empty doc
+    val extra = Seq(
+      (9000001L, "alpha beta gamma delta"),
+      (9000002L, "alpha beta gamma delta epsilon"),
+      (9000003L, "zz yy xx ww vv"),
+      (9000004L, "zz yy xx ww vv"),
+      (9000005L, "")).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").union(extra)
+    for (t <- Seq(0.8, 0.6)) {
+      val fast = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        shingleK = 1, threshold = t)
+      assert(!fast.queryExecution.executedPlan.toString.toLowerCase
+        .matches("(?s).*(cartesian|broadcastnestedloop).*"),
+        "prefix-filtered path must not contain a cross/NLJ join")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 1, threshold = t)
+      val fs = fast.as[(Long, Long, Double)].collect().toSet
+      val ts = truth.as[(Long, Long, Double)].collect().toSet
+      assert(ts.exists(p => p._1 == 9000001L && p._2 == 9000002L),
+        "boundary J=0.8 pair must qualify (float-guarded prefilter)")
+      assert(fs === ts, s"prefix filtering must be lossless at t=$t")
+    }
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val df = Seq("alpha beta gamma delta epsilon zeta").toDF("t")
       .select(Dedup.shingles(col("t"), 2).as("s"))
