@@ -81,29 +81,29 @@ object Similarity {
     * when the corpus has cluster structure; hyperplane LSH (below) when it
     * doesn't. Deterministic under the fixed seed.
     *
-    * The centroid index is nlist×dim floats — a PLAN-TIME LITERAL, so cell
-    * assignment is a single projection (nlist codegen'd vec_dot kernels +
-    * argmax), not a corpus×centroids join: the corpus is never replicated
-    * or shuffled to find its cell. KMeans fits on a `fitFraction` sample —
-    * cell quality needs the coarse cluster shape, not every point, and
-    * `nprobe` probing absorbs slightly-off boundaries.
+    * Fits a throwaway [[IvfIndex]] inline. A REAL deployment builds the
+    * index once and probes it many times — use [[IvfIndex.fit]] +
+    * [[IvfIndex.Model.save]]/[[IvfIndex.load]] and the `Model` overload
+    * below, exactly like [[graft.ops.Categorify]]'s fit/save/load split;
+    * the per-run KMeans fit otherwise dominates probe latency.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              fitFraction: Double = 0.25): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              fitFraction: Double = 0.25): DataFrame =
+    ivfTopK(queries, corpus, k,
+      IvfIndex.fit(corpus, nlist, seed, fitFraction), nprobe)
+
+  /** Probe path of IVF top-k against a pre-fitted centroid index.
+    *
+    * The centroid index is nlist×dim floats — a PLAN-TIME LITERAL, so cell
+    * assignment is a single projection (nlist codegen'd vec_dot kernels +
+    * argmax), not a corpus×centroids join: the corpus is never replicated
+    * or shuffled to find its cell.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              index: IvfIndex.Model, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fitSrc =
-      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, seed)
-    val train = fitSrc.select(array_to_vector(
-      col("nvec").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .fit(train)
-    // (cell, centroid, ||c||²): argmin ||v-c||² == argmax (v·c - ||c||²/2)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq, c.toArray.map(x => x * x).sum)
-    }.toSeq
+    val cents = index.centroids
     def score(vec: Column, cv: Seq[Float], n2: Double): Column =
       dot(vec, typedlit(cv)) - lit(n2 / 2)
     // corpus side: one projection; array_position takes the FIRST maximum,

@@ -50,6 +50,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 24, s"IVF found only $hits/30 planted twins")
   }
 
+  test("IvfIndex save/load round-trips and probes identically to fresh fit") {
+    val dim = 8
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.toDF("nid", "nvec")
+    val qs = corpus.filter(col("nid") % 10 === 0)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+    val fitted = IvfIndex.fit(corpus, nlist = 4, fitFraction = 1.0)
+    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString + "/idx"
+    fitted.save(spark, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded === fitted, "persisted index must round-trip bit-identically")
+    val a = Similarity.ivfTopK(qs, corpus, k = 3, fitted, nprobe = 2)
+      .collect().toSet
+    val b = Similarity.ivfTopK(qs, corpus, k = 3, loaded, nprobe = 2)
+      .collect().toSet
+    assert(a === b, "fresh-fit and loaded index must probe identically")
+  }
+
   test("annTopK finds planted near-neighbors (high-cosine pairs)") {
     // sign-LSH recall depends on cosine: P(bucket-match) ~ (1-θ/π)^planes per
     // table, so near-random vectors (cos~0.2, as in the fixture embeddings)
