@@ -12,8 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed loop
+    // Warmup outside the timed loop: the first measured query otherwise
+    // absorbs one-time costs that are not its own — JIT of the task loop,
+    // the parquet footer/codec machinery, whole-stage-codegen (janino)
+    // compilation, the registered kernel functions, and the noop sink
+    // path. A tiny real parquet scan through the same action path warms
+    // all of them (q01 measured 3.4s cold vs ~1.2s warmed, round 3).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(
+        org.apache.spark.sql.functions.call_function("simhash64",
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("n_name"), " ")).as("s"))
+      .write.format("noop").mode("overwrite").save()
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     // optional comma-separated subset filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -72,16 +83,22 @@ object Bench {
     val total = results.map(_._2).sum
     // The harness captures only the TAIL of the run's output, so the single
     // reported JSON line must stay short enough to survive truncation
-    // (full-precision timings + row counts go to BENCH_DETAIL.json instead).
-    // Full query names at 3 decimals; if the line would outgrow the capture
-    // window, fall back to the unambiguous qNN prefixes.
-    def line(names: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + names(k) + "\":" + fmt(v) }
+    // (full-precision timings + row counts go to BENCH_DETAIL.json, the
+    // canonical keyed record). The compact line's "value" is the sum OF THE
+    // ROUNDED per-query entries, so a consumer cross-checking sum == value
+    // always agrees; BENCH_DETAIL.json holds the full-precision total. If
+    // the per-query map would outgrow the capture window it is dropped
+    // entirely (never renamed keys — a qNN short form would silently
+    // mismatch joins against CORRECTNESS/BENCH_DETAIL query names).
+    val roundedTotal = results
+      .map { case (_, v) => BigDecimal(fmt(v)) }.sum.toString
+    val full = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$roundedTotal,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = line(identity)
-    val out = if (full.length <= 1800) full else line(_.takeWhile(_ != '_'))
+    val out = if (full.length <= 1800) full
+      else s"""{"metric":"total","value":$roundedTotal,"unit":"sec","queries":"see BENCH_DETAIL.json","sf":"$sfDir"}"""
     val detail = {
       val qs = results.map { case (k, v) => s"""  "$k": {"sec": $v, "rows": ${rowCounts.getOrDefault(k, -1L)}}""" }
         .mkString("{\n", ",\n", "\n}")
