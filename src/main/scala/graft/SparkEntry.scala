@@ -267,20 +267,28 @@ object SparkEntry {
         .ordered(col("id_a"), col("id_b"))
     }),
 
-    // ---- LLM ops: MinHash-LSH near-dup (approximate; rows-only check) ---
+    // ---- LLM ops: MinHash-LSH near-dup (oracle-checked end to end) ------
+    // hashMode=md5 makes the per-shingle base hash DuckDB-recomputable
+    // (md5_number_lower >> 33), and band candidacy is raw-slice equality —
+    // so the oracle independently recomputes signatures, banding AND
+    // verification. Production corpora keep the default murmur3 base
+    // (same plan, cheaper hash); DedupSpec pins both modes' recall.
     "q17_minhash_lsh" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.minhashLsh(docs, "doc_id", "text", shingleK = 3,
-          bands = 8, rowsPerBand = 4, threshold = 0.6)
+          bands = 8, rowsPerBand = 4, threshold = 0.6, hashMode = "md5")
         .ordered(col("id_a"), col("id_b"))
     }),
 
     // ---- LLM ops: SimHash near-dup pairs, banded candidate generation ---
-    // (rows-only check: engine-seeded hash; DedupSpec asserts pair-set
-    // equality with the exact all-pairs result at the same radius)
+    // hashMode=md5 (DuckDB md5_number_lower) lets the oracle recompute the
+    // 64-bit fingerprints bit-for-bit and take exact all-pairs hamming at
+    // the same radius; the banded result provably equals it (pigeonhole,
+    // DedupSpec). Production default stays xxh64.
     "q18_simhash" -> ((s, dir) => {
       Dedup.simhashBandedPairs(
-          Tables(s, dir, "documents"), "doc_id", "text", radius = 6)
+          Tables(s, dir, "documents"), "doc_id", "text", radius = 6,
+          hashMode = "md5")
         .ordered(col("id_a"), col("id_b"))
     }),
 
@@ -1096,10 +1104,80 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // q17_minhash_lsh / q18_simhash intentionally omitted: both depend on
-    // engine-specific hash functions (Murmur3/xxhash64); the driver records
-    // a rows-only check, and ScalaTest verifies recall against q16's exact
-    // pairs.
+    // q17/q18 run their kernels in hashMode=md5 (graft.parse.Md5Hash ==
+    // DuckDB md5_number_lower), so the oracle recomputes the per-token
+    // hashes — and everything downstream — independently in SQL.
+
+    // MinHash signatures from the same (a_i, b_i) permutation stream the
+    // kernel derives from seed 42 (inlined as literals below), base hash
+    // md5_number_lower >> 33 (31 bits: a*h+b stays under 2^62, overflow-
+    // free in both engines' BIGINTs). Candidacy = some raw signature band
+    // agrees (the engine joins on the slice itself, not a hash of it),
+    // then exact Jaccard >= 0.6.
+    "q17_minhash_lsh" -> {
+      val rnd = new scala.util.Random(42L)
+      val params = Seq.fill(32)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+        rnd.nextInt(Int.MaxValue).toLong)
+      val sigExprs = params.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
+      }.mkString("[\n        ", ",\n        ", "]")
+      val bandEq = (0 until 8).map { bnd =>
+        val lo = bnd * 4 + 1
+        val hi = bnd * 4 + 4
+        s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+      }.mkString(" OR ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+         |    ELSE [COALESCE(array_to_string(toks, ' '), '')] END AS sh
+         |  FROM t),
+         |mh AS (
+         |  SELECT doc_id, sh, list_transform(sh, tok -> (md5_number_lower(tok) >> 33)::BIGINT) AS hs
+         |  FROM s),
+         |sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM mh),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM sig a, sig b
+         |  WHERE a.doc_id < b.doc_id AND ($bandEq)),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+         |      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // SimHash fingerprints recomputed bit-for-bit (per-token
+    // md5_number_lower, sign-vote per bit), then EXACT all-pairs hamming
+    // at radius 6 — which the engine's banded pigeonhole join provably
+    // equals (DedupSpec asserts set equality per mode).
+    "q18_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+        |v AS (
+        |  SELECT doc_id, r.j,
+        |    SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, range(64) r(j)
+        |  GROUP BY doc_id, r.j),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN 1::UBIGINT << j ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+        |  FROM v GROUP BY doc_id),
+        |sh AS (
+        |  SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+        |  FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q19_cosine_topk" ->
       """WITH q AS (

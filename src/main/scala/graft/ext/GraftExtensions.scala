@@ -77,18 +77,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash32"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "minhash32"),
       (children: Seq[Expression]) => {
-        require(children.length == 3 &&
-          children(1).foldable && children(2).foldable,
-          "minhash32(arr, numHashes literal, seed literal)")
+        require((children.length == 3 || children.length == 4) &&
+          children.drop(1).forall(_.foldable),
+          "minhash32(arr, numHashes literal, seed literal[, mode literal])")
         val (n, seed) = (children(1).eval(), children(2).eval())
         require(n.isInstanceOf[Number] && seed.isInstanceOf[Number],
           s"minhash32: numHashes/seed must be non-null numeric literals, got $n, $seed")
+        val mode = if (children.length == 4)
+          children(3).eval().toString else "murmur3"
         MinhashExpr(children.head, n.asInstanceOf[Number].intValue(),
-          seed.asInstanceOf[Number].longValue())
+          seed.asInstanceOf[Number].longValue(), mode)
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
-      (children: Seq[Expression]) => SimhashExpr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1 ||
+          (children.length == 2 && children(1).foldable),
+          "simhash64(arr[, mode literal])")
+        val mode = if (children.length == 2)
+          children(1).eval().toString else "xxh64"
+        SimhashExpr(children.head, mode)
+      }))
   }
 }

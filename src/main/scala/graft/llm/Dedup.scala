@@ -49,8 +49,10 @@ object Dedup {
     * graft.parse.MinhashExpr (property-tested identical to
     * [[minhashSignatureHof]], which needed numHashes interpreted lambda
     * passes per row). Deterministic under the fixed seed. */
-  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L): Column =
-    call_function("minhash32", shingleArr, lit(numHashes), lit(seed))
+  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 42L,
+                       hashMode: String = "murmur3"): Column =
+    call_function("minhash32", shingleArr, lit(numHashes), lit(seed),
+      lit(hashMode))
 
   /** The pure-`functions._` composition of [[minhashSignature]] — kept as
     * the independent reference the kernel is property-tested against. */
@@ -78,24 +80,29 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                 threshold: Double = 0.6): DataFrame = {
+                 threshold: Double = 0.6,
+                 hashMode: String = "murmur3"): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSig = df.select(
       col(id).as("doc"),
       shingles(col(text), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, 42L, hashMode))
       .cache() // reused: banded (exploded) + 2 shingle re-attach joins
-    // Band join carries only (band, bandhash, id) — the shingle arrays are
+    // Band join carries only (band, bandkey, id) — the shingle arrays are
     // re-attached to the (much smaller) candidate-pair set afterwards, so
-    // the wide arrays never ride the band shuffle.
+    // the wide arrays never ride the band shuffle. The band key is the raw
+    // rowsPerBand-long signature slice (8·rowsPerBand bytes), not a hash of
+    // it: still narrow, and candidacy is then EXACTLY "some band agrees" —
+    // no engine-specific band-hash in the semantics, so an external oracle
+    // can recompute the same candidate set.
     val banded = withSig.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bandhash")))
-    val a = banded.select(col("band"), col("bandhash"), col("doc").as("id_a"))
-    val b = banded.select(col("band"), col("bandhash"), col("doc").as("id_b"))
-    val cands = a.join(b, Seq("band", "bandhash"))
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+        .as(Seq("band", "bandkey")))
+    val a = banded.select(col("band"), col("bandkey"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bandkey"), col("doc").as("id_b"))
+    val cands = a.join(b, Seq("band", "bandkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -254,12 +261,14 @@ object Dedup {
     labels
   }
 
-  /** 64-bit SimHash over token XXH64 hashes (seed 42 = Spark's xxhash64):
-    * sign-sum each bit position. Near-dups have small Hamming distance.
-    * Native codegen'd kernel (graft.parse.SimhashExpr) — the HOF
-    * formulation needed 64 interpreted `aggregate` folds per row. */
-  def simhash(text: Column): Column =
-    call_function("simhash64", TextStats.tokens(lower(text)))
+  /** 64-bit SimHash over per-token 64-bit hashes: sign-sum each bit
+    * position. Near-dups have small Hamming distance. Native codegen'd
+    * kernel (graft.parse.SimhashExpr) — the HOF formulation needed 64
+    * interpreted `aggregate` folds per row. `hashMode` "xxh64" (production
+    * default, = Spark's xxhash64 seed 42) or "md5" (DuckDB-recomputable;
+    * see graft.parse.Md5Hash). */
+  def simhash(text: Column, hashMode: String = "xxh64"): Column =
+    call_function("simhash64", TextStats.tokens(lower(text)), lit(hashMode))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -315,7 +324,8 @@ object Dedup {
     * fine into the tens of millions of docs; beyond that, tighten the
     * radius or add Manku's permuted-table refinement. */
   def simhashBandedPairs(df: DataFrame, id: String, text: String,
-                         radius: Int = 8): DataFrame = {
+                         radius: Int = 8,
+                         hashMode: String = "xxh64"): DataFrame = {
     require(radius >= 0 && radius < 64, s"radius $radius out of [0, 64)")
     val bands = radius + 1
     val base = 64 / bands
@@ -323,7 +333,8 @@ object Dedup {
     // first `rem` bands are one bit wider; offsets partition all 64 bits
     val widths = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val hashed = df.select(col(id).as("doc"), simhash(col(text)).as("sh"))
+    val hashed = df.select(col(id).as("doc"),
+      simhash(col(text), hashMode).as("sh"))
     val bandBits = widths.zip(offsets).map { case (w, off) =>
       // JVM shifts are mod 64: (1L << 64) - 1 would be 0, collapsing the
       // radius-0 single 64-bit band into one global bucket (an O(n²)

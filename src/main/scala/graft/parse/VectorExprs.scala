@@ -356,6 +356,44 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingles_k"
 }
 
+/** Cross-engine 64-bit MD5 token hash: the bit pattern of DuckDB's
+  * `md5_number_lower(s)` (bytes 8..15 of the MD5 digest, little-endian),
+  * reinterpreted as a signed JVM long. MD5 is the one 64-bit-capable hash
+  * both engines compute identically from public primitives, which is what
+  * lets hash-seeded operators (SimHash, MinHash) be ORACLE-CHECKED against
+  * DuckDB instead of rows-only: the oracle recomputes the same per-token
+  * hashes in SQL. Production pipelines keep the default engine hashes
+  * (XXH64/Murmur3 — several× cheaper); the md5 mode exists for
+  * cross-engine verification and costs one digest per token. */
+object Md5Hash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  def lower64(s: UTF8String): Long = {
+    val d = md.get()
+    val bytes = buf.get()
+    d.reset()
+    d.update(s.getBytes)
+    d.digest(bytes, 0, 16)
+    var out = 0L
+    var i = 15
+    while (i >= 8) { out = (out << 8) | (bytes(i) & 0xffL); i -= 1 }
+    out
+  }
+
+  /** Non-negative 31-bit base hash for MinHash permutations (fits the
+    * overflow-free `(a*h+b) % p` arithmetic in BOTH engines' 64-bit
+    * integers): the top 31 bits of [[lower64]] — `md5_number_lower(s) >> 33`
+    * in DuckDB. */
+  def base31(s: UTF8String): Long = Md5Hash.lower64(s) >>> 33
+}
+
 /** MinHash signature kernel: one pass over the shingle array computing all
   * `numHashes` permutation minima at once. Bit-identical to the
   * `transform(shingles, hash).array_min per permutation` HOF composition in
@@ -363,16 +401,23 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   * `pmod(h*a+b, 2^31-1)` permutations from the same seeded param stream),
   * but without numHashes interpreted lambda passes per row — the q17
   * signature stage dominated its profile. Empty input -> empty signature
-  * (callers guarantee >= 1 shingle). */
-case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
+  * (callers guarantee >= 1 shingle).
+  *
+  * `hashMode` selects the base hash: "murmur3" (Spark `hash()`, the
+  * production default) or "md5" ([[Md5Hash.base31]], DuckDB-recomputable —
+  * see [[Md5Hash]]). */
+case class MinhashExpr(child: Expression, numHashes: Int, seed: Long,
+                       hashMode: String = "murmur3")
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 =>
+    case ArrayType(StringType, _)
+        if numHashes > 0 && Set("murmur3", "md5")(hashMode) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"minhash32 requires array<string> and numHashes > 0, got " +
-        s"${child.dataType.catalogString}, $numHashes")
+      s"minhash32 requires array<string>, numHashes > 0 and hashMode in " +
+        s"(murmur3|md5), got ${child.dataType.catalogString}, $numHashes, " +
+        hashMode)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -391,6 +436,8 @@ case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
     (a, b)
   }
 
+  @transient private lazy val useMd5: Boolean = hashMode == "md5"
+
   def minhash(arr: ArrayData): ArrayData = {
     val (pa, pb) = params
     val p = 2147483647L
@@ -408,6 +455,7 @@ case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
       // hash to 42 here too (not be skipped) to stay bit-identical
       val h =
         if (arr.isNullAt(i)) 42L
+        else if (useMd5) Md5Hash.base31(arr.getUTF8String(i))
         else {
           val s = arr.getUTF8String(i)
           org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -441,24 +489,33 @@ case class MinhashExpr(child: Expression, numHashes: Int, seed: Long)
   override def prettyName: String = "minhash32"
 }
 
-/** 64-bit SimHash over an array of tokens: per-token XXH64 (seed 42 —
-  * identical to Spark's `xxhash64`), sign-vote per bit position. Same
-  * output as the 64-`aggregate` HOF composition it replaces. */
-case class SimhashExpr(child: Expression) extends UnaryExpression {
+/** 64-bit SimHash over an array of tokens: per-token 64-bit hash,
+  * sign-vote per bit position. Same output as the 64-`aggregate` HOF
+  * composition it replaces.
+  *
+  * `hashMode` selects the token hash: "xxh64" (seed 42, identical to
+  * Spark's `xxhash64` — the production default) or "md5"
+  * ([[Md5Hash.lower64]], DuckDB-recomputable as `md5_number_lower` — lets
+  * SimHash pipelines be oracle-checked end to end, see [[Md5Hash]]). */
+case class SimhashExpr(child: Expression, hashMode: String = "xxh64")
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if Set("xxh64", "md5")(hashMode) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires array<string>, got ${t.catalogString}")
+      s"simhash64 requires array<string> and hashMode in (xxh64|md5), " +
+        s"got ${t.catalogString}, $hashMode")
   }
 
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
-    SimhashExpr.simhash(input.asInstanceOf[ArrayData])
+    SimhashExpr.simhash(input.asInstanceOf[ArrayData], hashMode == "md5")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.parse.SimhashExpr.simhash($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.parse.SimhashExpr.simhash($c, ${hashMode == "md5"})")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
@@ -467,15 +524,17 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
 }
 
 object SimhashExpr {
-  def simhash(arr: ArrayData): Long = {
+  def simhash(arr: ArrayData, useMd5: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s: UTF8String = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h =
+          if (useMd5) Md5Hash.lower64(s)
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
         var b = 0
         while (b < 64) {
           votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)

@@ -106,6 +106,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("md5 token hash matches DuckDB md5_number_lower bit-for-bit") {
+    // pinned against `SELECT md5_number_lower('abc'), md5_number_lower('')`
+    // run in DuckDB: bytes 8..15 of the digest, little-endian
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.parse.Md5Hash.lower64(UTF8String.fromString("abc"))
+      === 8250560606382298838L)
+    assert(graft.parse.Md5Hash.lower64(UTF8String.fromString(""))
+      === java.lang.Long.parseUnsignedLong("9098107892288553193"))
+    assert(graft.parse.Md5Hash.base31(UTF8String.fromString("abc"))
+      === (8250560606382298838L >>> 33))
+  }
+
+  test("banded simhash in md5 mode == all-pairs ground truth (oracle mode)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val radius = 6
+    val banded = Dedup.simhashBandedPairs(docs, "doc_id", "text", radius,
+      hashMode = "md5")
+    val h = docs.select(col("doc_id"),
+      Dedup.simhash(col("text"), "md5").as("sh"))
+    val truth = h.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(h.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+    val bs = banded.as[(Long, Long, Long)].collect().toSet
+    val ts = truth.as[(Long, Long, Long)].collect().toSet
+    assert(ts.nonEmpty, "fixture must contain at least one md5-mode pair")
+    assert(bs === ts)
+  }
+
+  test("minhash LSH in md5 mode still finds the planted duplicate pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst optimizer plans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.9,
+      hashMode = "md5")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val df = Seq("alpha beta gamma delta epsilon zeta").toDF("t")
       .select(Dedup.shingles(col("t"), 2).as("s"))
