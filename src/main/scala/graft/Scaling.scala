@@ -87,6 +87,13 @@ object Scaling {
       Dedup.rollingDedupPairs(
         Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", minShared = 8)
+    def rollingCapped(dir: String): DataFrame =
+      // the stop-fingerprint cap (drop fingerprints in > 50 docs): the
+      // recommended production guard against boilerplate-driven quadratic
+      // buckets — see SCALING.md capped-vs-uncapped row
+      Dedup.rollingDedupPairs(
+        Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", minShared = 8, maxFpDocFreq = Some(50L))
     def cosine(dir: String): DataFrame = {
       val all = Tables(spark, dir, "embeddings")
       Similarity.cosineTopK(
@@ -100,10 +107,14 @@ object Scaling {
         .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
 
-    val ops: Seq[(String, String => DataFrame)] = Seq(
+    val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
+      "rolling_capped" -> rollingCapped,
       "cosine_topk" -> cosine, "token_df" -> tfidfish)
+    // comma-separated subset filter for targeted runs (mirrors Bench)
+    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
+    val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
 
     def time(fn: => DataFrame): (Double, Long) = {
       val obs = org.apache.spark.sql.Observation()

@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * per-partition so heavyweight codec state is initialized once per
   * partition, not once per row.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[decodeStub]] derives a deterministic fake feature vector from
-  * the bytes. The Spark-side contract — schema, partition-batch execution
-  * shape, metadata extraction — is real and tested; swap [[decodeStub]]'s
-  * body for a JNI/codec call on a real cluster.
+  * SCOPE — what is real vs stubbed (do not over-claim this module):
+  *  - REAL and oracle/spec-checked: byte metadata ([[withMetadata]]),
+  *    magic-byte container sniffing ([[sniffModality]]), and PNG/WAV
+  *    HEADER parsing ([[mediaMeta]] — width/height/channels/sample_rate
+  *    read from the container header layout, q58's oracle recomputes the
+  *    expected dims arithmetically).
+  *  - STUBBED: pixel/sample/frame DECODE. No codec ships in this
+  *    container, so [[decodeStub]] and [[frameSampleStub]] produce
+  *    deterministic fakes behind the production execution shape
+  *    (mapPartitions with a per-partition init site, typed schemas,
+  *    explode-before-shuffle). "Multimodal decode" must not be claimed
+  *    beyond headers; swap the stub bodies for JNI/codec calls on a real
+  *    cluster.
   */
 object Binary {
 
@@ -53,10 +61,11 @@ object Binary {
   def mediaMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("media_meta", payload)
 
-  /** STUB decode — deterministic fake: "dimensions" and a `dim`-float
-    * feature vector derived from byte content, so tests are reproducible.
-    * Real implementation would decode the payload here (one codec init per
-    * partition — the reason this is mapPartitions, not a per-row UDF). */
+  /** STUB decode — NOT a media decoder. Deterministic fake: "dimensions"
+    * and a `dim`-float feature vector derived from byte content, so tests
+    * are reproducible. Only the execution contract is real: one codec
+    * init per partition (the reason this is mapPartitions, not a per-row
+    * UDF), typed MediaFeatures schema, no payload ever rides a shuffle. */
   def decodeStub(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
