@@ -874,10 +874,14 @@ object SparkEntry {
     }),
 
     // ---- Vocab sizes via KMV sketch (UDAF; rows-only: hash-specific) ----
+    // hashMode=md5: the KMV estimate is a pure function of the hash
+    // values, so with a cross-engine hash the oracle recomputes the exact
+    // bottom-k set and estimate in SQL (distinct -> hash -> k smallest ->
+    // (k-1)/u_k). Production sketches keep xxh64.
     "q40_vocab_sketch" -> ((s, dir) => {
       Tables(s, dir, "lineitem").agg(
-        Sketches.kmvDistinct(col("l_orderkey")).as("n_orders_est"),
-        Sketches.kmvDistinct(col("l_partkey")).as("n_parts_est"),
+        Sketches.kmvDistinct(col("l_orderkey"), 256, "md5").as("n_orders_est"),
+        Sketches.kmvDistinct(col("l_partkey"), 256, "md5").as("n_parts_est"),
         count(lit(1)).as("n_rows"))
     }),
 
@@ -1195,6 +1199,72 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // Hyperplane-LSH ANN, fully recomputed: the 8 tables x 4 planes of
+    // seeded gaussians are inlined as double literals (shortest-repr
+    // round-trip, so both engines hold bit-identical planes), bucket bits
+    // are sign tests on the same left-to-right dot fold q19 already
+    // proves cross-engine, candidacy = some table's bucket agrees, then
+    // the q19 cosine/rank pipeline. Deterministic end to end — no float
+    // knife-edge beyond the sign test on identical doubles.
+    "q24_ann_topk" -> {
+      val rnd = new scala.util.Random(42L)
+      // identical stream to Similarity.hyperplaneBuckets(dim=64, planes=4,
+      // tables=8, seed=42): tables outer, planes inner, 64 gaussians each
+      val tablesPlanes: Seq[Seq[Array[Double]]] = Seq.fill(8)(
+        Seq.fill(4)(Array.fill(64)(rnd.nextGaussian())))
+      def dotSql(v: String, plane: Array[Double]): String =
+        s"list_sum(list_apply(list_zip($v, [${plane.mkString(",")}]), x -> x[1] * x[2]))"
+      def bucketSql(v: String, t: Int): String =
+        tablesPlanes(t).zipWithIndex.map { case (pl, i) =>
+          s"(CASE WHEN ${dotSql(v, pl)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      val bucketCols = (0 until 8).map(t => s"${bucketSql("ev", t)} AS b$t")
+        .mkString(",\n    ")
+      val bandMatch = (0 until 8).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, ev,
+         |    $bucketCols
+         |  FROM v),
+         |q AS (SELECT * FROM b WHERE vec_id % 20 = 0),
+         |c AS (SELECT * FROM b),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    FLOOR(list_sum(list_apply(list_zip(q.ev, c.ev), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_apply(q.ev, x -> x * x))) *
+         |       sqrt(list_sum(list_apply(c.ev, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+         |  FROM q, c WHERE q.vec_id <> c.vec_id AND ($bandMatch)),
+         |r AS (SELECT qid, nid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+         |  FROM p)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+
+    // KMV sketch recomputed exactly: distinct values -> md5_number_lower
+    // reinterpreted signed (the engine orders k-minimums over SIGNED
+    // longs) -> k smallest -> (k-1)/u_k estimate with the identical double
+    // constant and floor(x+0.5) rounding (Java Math.round).
+    "q40_vocab_sketch" -> {
+      def est(key: String): String =
+        s"""(WITH h AS (
+           |  SELECT DISTINCT (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+           |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+           |    ELSE CAST(h0 AS BIGINT) END) AS sh
+           |  FROM (SELECT md5_number_lower(CAST($key AS VARCHAR)) AS h0
+           |        FROM (SELECT DISTINCT $key FROM lineitem))),
+           |k AS (SELECT sh FROM h ORDER BY sh LIMIT 256),
+           |a AS (SELECT COUNT(*) AS cnt, MAX(sh) AS kth FROM k)
+           |SELECT CASE WHEN cnt < 256 THEN cnt
+           |  ELSE CAST(FLOOR(255.0 / ((CAST(kth AS DOUBLE) / 1.8446744073709552e19) + 0.5) + 0.5) AS BIGINT) END
+           |FROM a)""".stripMargin
+      s"""SELECT
+         |${est("l_orderkey")} AS n_orders_est,
+         |${est("l_partkey")} AS n_parts_est,
+         |(SELECT COUNT(*) FROM lineitem) AS n_rows""".stripMargin
+    },
 
     // Same dot-fold as the Spark kernel (list_sum folds left-to-right like
     // aggregate(zip_with)), round6 for reproducible threshold comparison.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"shingles_k: k must be a non-null integer literal, got $k")
         ShinglesExpr(children.head, k.asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_lower64"),
+      new ExpressionInfo(classOf[Md5Lower64Expr].getName, "md5_lower64"),
+      (children: Seq[Expression]) => Md5Lower64Expr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMetaExpr].getName, "media_meta"),

@@ -58,7 +58,18 @@ object Sketches {
   }
 
   /** Column form: approximate distinct count of `col` with a k-value
-    * sketch. Usage: `df.agg(Sketches.kmvDistinct(col("x"), 256))`. */
-  def kmvDistinct(c: Column, k: Int = 256): Column =
-    udaf(new KmvDistinct(k)).apply(xxhash64(c))
+    * sketch. Usage: `df.agg(Sketches.kmvDistinct(col("x"), 256))`.
+    *
+    * `hashMode` "xxh64" (production default) or "md5": hash the value's
+    * canonical string form with the cross-engine `md5_lower64` kernel
+    * (= DuckDB `md5_number_lower`), which makes the whole sketch — bottom-k
+    * set, k-th minimum, estimate — recomputable by an external oracle
+    * (the estimate is a pure function of the hash values; see q40's
+    * oracle SQL). */
+  def kmvDistinct(c: Column, k: Int = 256, hashMode: String = "xxh64"): Column = {
+    val hashed =
+      if (hashMode == "md5") call_function("md5_lower64", c.cast("string"))
+      else xxhash64(c)
+    udaf(new KmvDistinct(k)).apply(hashed)
+  }
 }

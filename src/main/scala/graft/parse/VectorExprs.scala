@@ -394,6 +394,32 @@ object Md5Hash {
   def base31(s: UTF8String): Long = Md5Hash.lower64(s) >>> 33
 }
 
+/** Scalar form of [[Md5Hash.lower64]], registered as SQL `md5_lower64`:
+  * the cross-engine 64-bit hash (DuckDB `md5_number_lower` reinterpreted
+  * signed) for operators whose results must be oracle-recomputable from
+  * their input hashes (e.g. the KMV sketch's bottom-k). */
+case class Md5Lower64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_lower64 requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.lower64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.parse.Md5Hash.lower64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_lower64"
+}
+
 /** MinHash signature kernel: one pass over the shingle array computing all
   * `numHashes` permutation minima at once. Bit-identical to the
   * `transform(shingles, hash).array_min per permutation` HOF composition in

@@ -24,6 +24,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"estimate $est off >15%")
   }
 
+  test("md5 hash mode: exact below k, sane estimate above k (oracle mode)") {
+    val small = spark.range(100).select((col("id") % 37).as("v"))
+      .repartition(8)
+    assert(small.agg(Sketches.kmvDistinct(col("v"), 256, "md5"))
+      .as[Long].head() === 37L)
+    val big = spark.range(50000).select((col("id") % 10000).as("v"))
+      .repartition(16)
+    val est = big.agg(Sketches.kmvDistinct(col("v"), 256, "md5")).as[Long].head()
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"estimate $est off >15%")
+  }
+
   test("deterministic across runs") {
     val df = spark.range(5000).select((col("id") % 999).as("v")).repartition(8)
     val a = df.agg(Sketches.kmvDistinct(col("v"))).as[Long].head()
