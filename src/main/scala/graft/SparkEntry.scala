@@ -491,7 +491,11 @@ object SparkEntry {
     // same pair set as the all-pairs harness (proven in DedupSpec), so the
     // recursive-CTE oracle stays byte-identical, but no crossJoin exists
     // anywhere in the plan: at 100x the docs this scales with rare-shingle
-    // bucket sizes, not doc-pairs².
+    // bucket sizes, not doc-pairs². Bench note: at the 500-doc fixture the
+    // extra ~6 shuffle stages are pure scheduler latency (~2.5s measured;
+    // a bare count on this fixture costs 2s of the same overhead), which
+    // is the deliberate trade — the crossJoin it replaced is faster below
+    // ~10^4 docs and impossible above ~10^6.
     "q34_dedup_groups" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
