@@ -228,32 +228,37 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // `old` rides along so convergence is observable inside the round's
+      // own materializing action — no separate probe pass over the labels
       val prop = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
       // pointer doubling: label <- label(label). Labels only ever
       // decrease, so the jump is monotone and safe; it is what turns an
       // O(diameter) walk into O(log diameter) rounds. Round 0 is skipped
-      // (labels are still identity there, the jump is a no-op). Every
-      // round checkpoints: the convergence probes re-execute anything
-      // unmaterialized, which costs more than the barrier saves.
+      // (labels are still identity there, the jump is a no-op).
       val doubled =
         if (i == 0) prop
         else {
           val l2 = prop.select(col("node").as("pnode"), col("label").as("plabel"))
           prop.join(l2, prop("label") === l2("pnode"), "left")
-            .select(col("node"),
+            .select(col("node"), col("old"),
               least(col("label"), coalesce(col("plabel"), col("label")))
                 .as("label"))
         }
+      // `old` rides THROUGH the checkpoint, so the convergence probe is a
+      // narrow filter+isEmpty over already-materialized local blocks —
+      // checked every round for ~free (the previous probe re-joined next
+      // against labels, a full extra shuffle job every other round, and
+      // detected convergence a round late). An Observation on the
+      // checkpoint itself would be cheaper still, but localCheckpoint
+      // rebuilds the Dataset around the raw RDD, where CollectMetrics
+      // never fires — measured returning 0 and truncating the loop.
+      // The driver sees only the flag; labels stay distributed.
       val next = doubled.localCheckpoint()
-      // convergence probe every other round: one possibly-redundant
-      // propagation is cheaper than a comparison job per round
-      if (i % 2 == 1 || i == maxIter - 1)
-        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") < col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
     if (!converged)
