@@ -383,7 +383,7 @@ object SparkEntry {
         .ordered(col("c_custkey"))
     }),
 
-    // ---- LLM ops: ANN top-k via hyperplane LSH (approximate; rows-only) -
+    // ---- LLM ops: ANN top-k via hyperplane LSH (oracle-checked) ---------
     "q24_ann_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 20 === 0)
@@ -408,8 +408,10 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       val index = ivfCache.computeIfAbsent(dir, _ => {
-        val path = java.nio.file.Files.createTempDirectory("graft_ivf")
-          .toString + "/index"
+        // stable per-sfDir path (overwritten on rebuild) — repeated JVM
+        // runs reuse one directory instead of leaking a fresh tempdir each
+        val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_ivf_${Integer.toHexString(dir.hashCode)}", "index").toString
         IvfIndex.fit(corpus, nlist = 16).save(s, path)
         IvfIndex.load(s, path) // probe from the PERSISTED index, for real
       })
@@ -547,7 +549,10 @@ object SparkEntry {
           // 4's default ANSI mode; the oracle's toks[1] yields NULL
           try_element_at(toks, lit(1)).as("head_tok"),
           try_element_at(toks, lit(-1)).as("last_tok"),
-          array_contains(toks, "spark").as("has_spark"),
+          // pinned false on NULL text in BOTH engines: a nullable boolean
+          // round-trips ambiguously through the comparator's dataframe
+          // layer (None vs NaN) even when both sides are NULL
+          coalesce(array_contains(toks, "spark"), lit(false)).as("has_spark"),
           size(array_remove(toks, "the")).cast("long").as("n_no_the"))
         .ordered(col("doc_id"))
     }),
@@ -877,7 +882,7 @@ object SparkEntry {
         ORDER BY o_orderkey""")
     }),
 
-    // ---- Vocab sizes via KMV sketch (UDAF; rows-only: hash-specific) ----
+    // ---- Vocab sizes via KMV sketch (UDAF; oracle-checked via md5 mode) -
     // hashMode=md5: the KMV estimate is a pure function of the hash
     // values, so with a cross-engine hash the oracle recomputes the exact
     // bottom-k set and estimate in SQL (distinct -> hash -> k smallest ->
@@ -1042,7 +1047,7 @@ object SparkEntry {
         |COUNT(*) AS n_rows FROM part""".stripMargin,
 
     "q12_dedup_exact" ->
-      """SELECT md5(COALESCE(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' '), '')) AS dedup_key,
+      """SELECT CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' '), '')) END AS dedup_key,
         |CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1056,7 +1061,7 @@ object SparkEntry {
         |CAST(len(toks) AS BIGINT) AS n_tokens,
         |CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
         |CAST(length(text) AS BIGINT) AS len_chars,
-        |CASE WHEN len(toks) = 0 THEN 0.0
+        |CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
         |ELSE FLOOR(CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
         |  / len(toks) * 10000 + 0.5) / 10000 END AS stop_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
@@ -1136,7 +1141,7 @@ object SparkEntry {
       }.mkString(" OR ")
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |s AS (
          |  SELECT doc_id, CASE WHEN len(toks) >= 3
          |    THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
@@ -1179,7 +1184,8 @@ object SparkEntry {
         |  FROM v GROUP BY doc_id),
         |sh AS (
         |  SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
-        |  FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |  LEFT JOIN sh0 s USING (doc_id)),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -1334,7 +1340,7 @@ object SparkEntry {
         |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS ltoks
         |  FROM documents),
         |lang AS (SELECT doc_id, CASE
-        |  WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN COALESCE(greatest(s_de,s_en,s_es,s_fr,s_zh), 0) = 0 THEN 'und'
         |  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
         |  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
         |  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
@@ -1380,7 +1386,7 @@ object SparkEntry {
         |  len(list_filter(toks, x -> x IN ('的','了','是','我','不'))) AS s_zh
         |  FROM t)
         |SELECT doc_id, CASE
-        |  WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN COALESCE(greatest(s_de,s_en,s_es,s_fr,s_zh), 0) = 0 THEN 'und'
         |  WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
         |  WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
         |  WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
@@ -1420,8 +1426,6 @@ object SparkEntry {
         |SELECT user_id, event_id, ts_us, event_type, value FROM r
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-    // q24_ann_topk omitted: candidate set depends on engine-seeded random
-    // hyperplanes — rows-only check; ScalaTest asserts recall vs exact topk.
 
     "q28_online_lookup" ->
       """WITH r AS (
@@ -1535,10 +1539,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |CAST(len(toks) AS BIGINT) AS n,
-        |COALESCE(array_to_string(list_sort(list_distinct(toks))[1:3], ','), '') AS first3,
+        |CASE WHEN toks IS NULL THEN NULL ELSE COALESCE(array_to_string(list_sort(list_distinct(toks))[1:3], ','), '') END AS first3,
         |toks[1] AS head_tok,
         |toks[-1] AS last_tok,
-        |list_contains(toks, 'spark') AS has_spark,
+        |COALESCE(list_contains(toks, 'spark'), false) AS has_spark,
         |CAST(len(list_filter(toks, x -> x <> 'the')) AS BIGINT) AS n_no_the
         |FROM t ORDER BY doc_id""".stripMargin,
 
@@ -1733,7 +1737,7 @@ object SparkEntry {
 
     "q37_regex" ->
       """SELECT doc_id,
-        |coalesce(regexp_extract(text, '[a-z]+[0-9]+'), '') AS first_alnum,
+        |CASE WHEN text IS NULL THEN NULL ELSE coalesce(regexp_extract(text, '[a-z]+[0-9]+'), '') END AS first_alnum,
         |CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
         |FROM documents ORDER BY doc_id""".stripMargin,
 

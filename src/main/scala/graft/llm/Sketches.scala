@@ -65,7 +65,12 @@ object Sketches {
     * (= DuckDB `md5_number_lower`), which makes the whole sketch — bottom-k
     * set, k-th minimum, estimate — recomputable by an external oracle
     * (the estimate is a pure function of the hash values; see q40's
-    * oracle SQL). */
+    * oracle SQL).
+    *
+    * NULL contract: xxh64 mode counts NULL as one distinct value
+    * (`xxhash64(NULL)` = the seed); md5 mode requires a non-null column —
+    * `cast(NULL as string)` stays NULL, which the typed Long aggregator
+    * rejects — matching the oracle, which is defined over values. */
   def kmvDistinct(c: Column, k: Int = 256, hashMode: String = "xxh64"): Column = {
     val hashed =
       if (hashMode == "md5") call_function("md5_lower64", c.cast("string"))

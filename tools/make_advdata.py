@@ -29,7 +29,11 @@ def append(name, rows):
 append('documents', [
   dict(doc_id=900000, text='', lang='en', source='adv', n_chars=0),
   dict(doc_id=900010, text='   ', lang='en', source='adv', n_chars=3),
-  dict(doc_id=900020, text='one  two   one', lang='en', source='adv', n_chars=14)])
+  dict(doc_id=900020, text='one  two   one', lang='en', source='adv', n_chars=14),
+  # NULL text: engines must agree on dropping vs defaulting in every
+  # text-consuming oracle (q17/q18 regressed latently on this once —
+  # the engine drops NULL-sig docs, a COALESCE'd oracle kept them)
+  dict(doc_id=900030, text=None, lang='en', source='adv', n_chars=None)])
 
 ts0 = pq.read_table(f'{dst}/events.parquet').column('ts')[0].as_py()
 append('events', [
