@@ -71,6 +71,35 @@ class JobsSpec extends AnyFunSuite {
       gold.select("user_id").head().getInt(0))
   }
 
+  test("CorpusClean filters, exact-dedups and collapses near-dup groups") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("jobs3").toString
+    val base = "the cat and the dog played in the garden all day and night"
+    Seq(
+      (1L, base),                                  // group rep
+      (2L, base),                                  // exact clone of 1
+      (3L, base.replace("night", "evening")),      // near-clone of 1
+      (4L, "der hund und die katze und das haus und ist nicht ein zu"), // de
+      (5L, "the end"),                             // too short
+      (6L, "a completely different story about the spark engine and its optimizer plans"))
+      .toDF("doc_id", "text").write.parquet(s"$root/docs")
+    val stats = CorpusClean.run(spark, s"$root/docs", s"$root/clean",
+      minQuality = 0.0, minTokens = 3, nearDup = "prefix", shingleK = 3,
+      threshold = 0.5)
+    assert(stats === CorpusClean.Stats(input = 6, afterFilter = 4,
+      afterExact = 3, kept = 2))
+    val kept = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 6L),
+      "min-id reps survive; clones, near-clones, junk and non-en drop")
+    // the bucketed (approximate) candidate path also runs end to end
+    val s2 = CorpusClean.run(spark, s"$root/docs", s"$root/clean2",
+      minQuality = 0.0, minTokens = 3, nearDup = "minhash", shingleK = 3,
+      threshold = 0.5)
+    assert(s2.kept === 2,
+      "LSH recall finds the planted near-clone at this similarity")
+  }
+
   test("GetHistoricalFeatures writes the point-in-time join result") {
     import spark.implicits._
     val root = Files.createTempDirectory("jobs2").toString
