@@ -94,6 +94,14 @@ object Scaling {
       Dedup.rollingDedupPairs(
         Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", minShared = 8, maxFpDocFreq = Some(50L))
+    def prefixJaccard(dir: String): DataFrame =
+      // q34's pair stage: exact prefix-filtered inverted-index join. Its
+      // fixture-scale cost is fixed stage latency; THIS row is the
+      // evidence that the cost grows with rare-shingle bucket sizes, not
+      // doc-pairs² (the crossJoin it replaced would grow 100× for 10×)
+      Dedup.prefixJaccardPairs(
+        Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK = 1, threshold = 0.8)
     def cosine(dir: String): DataFrame = {
       val all = Tables(spark, dir, "embeddings")
       Similarity.cosineTopK(
@@ -111,6 +119,7 @@ object Scaling {
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
       "rolling_capped" -> rollingCapped,
+      "prefix_jaccard" -> prefixJaccard,
       "cosine_topk" -> cosine, "token_df" -> tfidfish)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
