@@ -36,10 +36,8 @@ object Bench {
     // Concurrent map: a timed-out query's orphaned future may still write
     // its count while the main thread reads for the final report.
     val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    def once(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
+    def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -68,6 +66,10 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // per-pass raw timing on stderr: the reported min-of-2 hides
+        // which pass was slow, which is the first question when a query's
+        // in-suite number diverges from its isolated number
+        System.err.println(f"[bench] pass $name%-22s ${dt}%.3f s")
         // Untimed inter-query hygiene: operators cache intermediates that
         // stay referenced by the CacheManager after the query completes;
         // across 55 queries x 2 passes the accumulation GC-thrashes the
@@ -76,13 +78,27 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       }
+    val headline = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // two passes, report per-query min: first pass pays JIT/codegen-cache
     // warmup; min-of-2 is the steady-state number a long-running cluster
     // job actually sees
-    val r1 = once().toMap
+    val r1 = onePass(headline).toMap
     // let ContextCleaner reclaim localCheckpoint blocks before pass 2
     System.gc()
-    val results = once().map { case (n, t) => n -> math.min(t, r1(n)) }
+    val results = onePass(headline).map { case (n, t) => n -> math.min(t, r1(n)) }
+    // production-hash-mode twins of the md5-oracle-mode queries: timed the
+    // same way but recorded in BENCH_DETAIL only (suffix __prod), so the
+    // headline total keeps measuring exactly the correctness-verified
+    // queries while the production-path cost stays visible
+    val prod = {
+      val qs = SparkEntry.prodVariants.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+      if (qs.isEmpty) Seq.empty[(String, Double)] else {
+        val p1 = onePass(qs).toMap
+        onePass(qs).map { case (n, t) => n -> math.min(t, p1(n)) }
+      }
+    }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     // The harness captures only the TAIL of the run's output, so the single
@@ -104,7 +120,7 @@ object Bench {
     val out = if (full.length <= 1800) full
       else s"""{"metric":"total","value":$roundedTotal,"unit":"sec","queries":"see BENCH_DETAIL.json","sf":"$sfDir"}"""
     val detail = {
-      val qs = results.map { case (k, v) => s"""  "$k": {"sec": $v, "rows": ${rowCounts.getOrDefault(k, -1L)}}""" }
+      val qs = (results ++ prod).map { case (k, v) => s"""  "$k": {"sec": $v, "rows": ${rowCounts.getOrDefault(k, -1L)}}""" }
         .mkString("{\n", ",\n", "\n}")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}"""
     }

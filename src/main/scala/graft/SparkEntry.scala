@@ -408,12 +408,31 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       val index = ivfCache.computeIfAbsent(dir, _ => {
-        // stable per-sfDir path (overwritten on rebuild) — repeated JVM
-        // runs reuse one directory instead of leaking a fresh tempdir each
-        val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_ivf_${Integer.toHexString(dir.hashCode)}", "index").toString
-        IvfIndex.fit(corpus, nlist = 16).save(s, path)
-        IvfIndex.load(s, path) // probe from the PERSISTED index, for real
+        // stable per-sfDir path so repeated JVM runs reuse one directory
+        // instead of leaking a fresh tempdir each. Keyed on an MD5 digest
+        // of the FULL dir string (hashCode collides across strings), and
+        // published by write-to-unique-temp + atomic rename: a concurrent
+        // JVM benching the same dir either wins the rename or loads the
+        // winner's fully-written index — never a torn or wrong-dataset read
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
+        val fin = base.resolve("index")
+        if (!java.nio.file.Files.exists(fin)) {
+          val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
+          IvfIndex.fit(corpus, nlist = 16).save(s, tmp.toString)
+          try java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException =>
+            // lost the publish race; the winner's rename was atomic, so
+            // `fin` is complete — drop our duplicate build and load theirs
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        IvfIndex.load(s, fin.toString) // probe the PERSISTED index, for real
       })
       Similarity.ivfTopK(queries, corpus, k = 5, index, nprobe = 4)
         .ordered(col("qid"), col("rank"))
@@ -489,18 +508,20 @@ object SparkEntry {
     }),
 
     // ---- LLM ops: near-dup groups (pairs -> connected components) -------
-    // Pair generation is the EXACT prefix-filtered inverted-index join —
-    // same pair set as the all-pairs harness (proven in DedupSpec), so the
-    // recursive-CTE oracle stays byte-identical, but no crossJoin exists
-    // anywhere in the plan: at 100x the docs this scales with rare-shingle
-    // bucket sizes, not doc-pairs². Bench note: at the 500-doc fixture the
-    // extra ~6 shuffle stages are pure scheduler latency (~2.5s measured;
-    // a bare count on this fixture costs 2s of the same overhead), which
-    // is the deliberate trade — the crossJoin it replaced is faster below
-    // ~10^4 docs and impossible above ~10^6.
+    // Pair generation is size-gated (Dedup.jaccardPairsAuto): below 10⁴
+    // docs the all-pairs plan (O(n²) work but a 2-stage critical path),
+    // above it the EXACT prefix-filtered inverted-index join — both yield
+    // the same pair set (proven in DedupSpec), so the recursive-CTE oracle
+    // is byte-identical either way and no plan ever crossJoins data it
+    // cannot afford to: at 100× the docs the prefix path scales with
+    // rare-shingle bucket sizes, not doc-pairs². The gate exists because
+    // the prefix plan's ~8 extra sequential stages are pure fixed latency
+    // at fixture scale (~4–6 s; the round-4 bench measured it amplifying
+    // 4× under suite-level load — longest serial stage chain in the
+    // suite), while above ~10⁴ docs the n² term dominates everything.
     "q34_dedup_groups" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
         shingleK = 1, threshold = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("group_id"))
@@ -946,6 +967,34 @@ object SparkEntry {
         o.filter(col("o_orderstatus") === st).select("o_custkey")
       keys("F").intersect(keys("O")).except(keys("P"))
         .ordered(col("o_custkey"))
+    }),
+  )
+
+  /** Production-hash-mode twins of the queries whose [[queries]] entry
+    * runs in hashMode=md5 (the DuckDB-recomputable oracle mode; one MD5
+    * digest per token, several times the murmur3/xxh64 cost). The bench
+    * times these too and records them in BENCH_DETAIL under a `__prod`
+    * suffix, so the number a production corpus would see stays visible
+    * next to the oracle-mode headline. Same plan shape — only the hash
+    * kernel differs. */
+  def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_minhash_lsh__prod" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6,
+          hashMode = "murmur3")
+        .ordered(col("id_a"), col("id_b"))
+    }),
+    "q18_simhash__prod" -> ((s, dir) => {
+      Dedup.simhashBandedPairs(
+          Tables(s, dir, "documents"), "doc_id", "text", radius = 6,
+          hashMode = "xxh64")
+        .ordered(col("id_a"), col("id_b"))
+    }),
+    "q40_vocab_sketch__prod" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        Sketches.kmvDistinct(col("l_orderkey"), 256, "xxh64").as("n_orders_est"),
+        Sketches.kmvDistinct(col("l_partkey"), 256, "xxh64").as("n_parts_est"),
+        count(lit(1)).as("n_rows"))
     }),
   )
 

@@ -87,8 +87,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (n, seed) = (children(1).eval(), children(2).eval())
         require(n.isInstanceOf[Number] && seed.isInstanceOf[Number],
           s"minhash32: numHashes/seed must be non-null numeric literals, got $n, $seed")
-        val mode = if (children.length == 4)
-          children(3).eval().toString else "murmur3"
+        val mode = if (children.length == 4) {
+          val m = children(3).eval() // NULL literal is foldable: check it
+          require(m != null,
+            "minhash32(arr, numHashes literal, seed literal[, mode literal]): mode must be a non-null string literal")
+          m.toString
+        } else "murmur3"
         MinhashExpr(children.head, n.asInstanceOf[Number].intValue(),
           seed.asInstanceOf[Number].longValue(), mode)
       }))
@@ -99,8 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1 ||
           (children.length == 2 && children(1).foldable),
           "simhash64(arr[, mode literal])")
-        val mode = if (children.length == 2)
-          children(1).eval().toString else "xxh64"
+        val mode = if (children.length == 2) {
+          val m = children(1).eval() // NULL literal is foldable: check it
+          require(m != null,
+            "simhash64(arr[, mode literal]): mode must be a non-null string literal")
+          m.toString
+        } else "xxh64"
         SimhashExpr(children.head, mode)
       }))
   }

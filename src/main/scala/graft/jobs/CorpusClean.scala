@@ -39,20 +39,37 @@ object CorpusClean {
           nearDup: String = "minhash", threshold: Double = 0.6,
           shingleK: Int = 3): Stats = {
     // format: on
+    import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(inDir)
+    // stage counts ride the pipeline's own passes as CollectMetrics
+    // (Observation) — a 100 TB corpus cannot afford dedicated count()
+    // recomputations of the scoring stage just for observability
+    val stageObs = org.apache.spark.sql.Observation("corpus_clean_stages")
+    val keepCond = col("lang") === lang && col("quality") >= minQuality &&
+      col("n_tokens").between(minTokens, maxTokens)
     val scored = docs.select(col("doc_id"), col("text"),
-      TextStats.langId(col("text")).as("lang"),
-      TextStats.qualityScore(col("text")).as("quality"),
-      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextStats.fingerprint(col("text")).as("fp"))
-    val filtered = scored
-      .filter(col("lang") === lang && col("quality") >= minQuality &&
-        col("n_tokens").between(minTokens, maxTokens))
-    // exact dedup: one representative (min id) per bag-of-words fingerprint
-    val exactReps = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactKept = filtered.join(exactReps, Seq("fp", "doc_id"))
+        TextStats.langId(col("text")).as("lang"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .observe(stageObs, count(lit(1)).as("input"),
+        count(when(keepCond, 1)).as("after_filter"))
+    val filtered = scored.filter(keepCond)
+    // exact dedup: one representative (min id) per bag-of-words
+    // fingerprint. A window rank is ONE shuffle on fp; the agg+self-join
+    // formulation this replaced shuffled twice and scanned `filtered` in
+    // two plan branches (which would also double-count the Observation)
+    val exactKept = filtered
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
       .select("doc_id", "text", "lang", "quality", "n_tokens")
       .cache() // reused: pair generation + representative anti-join + write
+    // One deliberate pass fills the cache and fires the stage metrics;
+    // every downstream consumer (pair gen's first job runs under
+    // localCheckpoint, where CollectMetrics never fires) reads cached
+    // blocks and never re-executes the scoring stage.
+    exactKept.write.format("noop").mode("overwrite").save()
     // near-dup collapse: pairs -> components -> drop non-representatives
     val pairs = nearDup match {
       case "minhash" => Dedup.minhashLsh(exactKept, "doc_id", "text",
@@ -64,10 +81,16 @@ object CorpusClean {
     val nonReps = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("node") =!= col("label")) // label = component's min id
       .select(col("node").as("doc_id"))
+    val keptObs = org.apache.spark.sql.Observation("corpus_clean_kept")
     val cleaned = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
-    Sources.writeParquet(cleaned, outDir)
-    Stats(docs.count(), filtered.count(), exactKept.count(),
-      spark.read.parquet(outDir).count())
+      .observe(keptObs, count(lit(1)).as("kept"))
+    try {
+      Sources.writeParquet(cleaned, outDir)
+      Stats(stageObs.get("input").asInstanceOf[Long],
+        stageObs.get("after_filter").asInstanceOf[Long],
+        exactKept.count(), // cached blocks — no recompute
+        keptObs.get("kept").asInstanceOf[Long])
+    } finally exactKept.unpersist()
   }
 
   def main(args: Array[String]): Unit = args match {

@@ -201,6 +201,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Size-gated EXACT Jaccard pair generation: the all-pairs plan below
+    * `allPairsMax` docs, the prefix-filtered inverted-index plan above it.
+    * Both return the identical pair set (DedupSpec asserts it), so the
+    * gate is purely a physical-plan choice — the same call Spark's own
+    * join planning makes between broadcast-NLJ and shuffle join. Rationale
+    * (measured, SCALING.md): the prefix plan's ~8-stage critical path is
+    * pure fixed latency at fixture scale (~4–6 s regardless of rows, and
+    * the longest sequential stage chain in the suite, so it amplifies any
+    * per-stage slowdown — GC pressure, co-located load — multiplicatively,
+    * the round-4 in-suite bench pathology), while the crossJoin is O(n²)
+    * work that is faster below ~10⁴ docs and impossible above ~10⁶. The
+    * gating count is a single-column scan — negligible next to either
+    * join at any scale. */
+  def jaccardPairsAuto(df: DataFrame, id: String, text: String,
+                       shingleK: Int, threshold: Double,
+                       allPairsMax: Long = 10000): DataFrame =
+    if (df.select(id).count() <= allPairsMax)
+      ngramJaccardPairs(df, id, text, shingleK, threshold)
+    else
+      prefixJaccardPairs(df, id, text, shingleK, threshold)
+
   /** Collapse near-dup PAIRS into groups: connected components by
     * iterative min-label propagation WITH POINTER DOUBLING. Each round
     * every node takes the min label among itself and its neighbors, then

@@ -106,6 +106,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("size-gated jaccardPairsAuto: both gate outcomes, identical pair set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // force each side of the gate on the same input; the pair sets must
+    // be byte-identical because the gate is a physical-plan choice only
+    val small = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      shingleK = 1, threshold = 0.8, allPairsMax = Long.MaxValue)
+    val large = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      shingleK = 1, threshold = 0.8, allPairsMax = 0)
+    assert(!large.queryExecution.executedPlan.toString.toLowerCase
+      .matches("(?s).*(cartesian|broadcastnestedloop).*"),
+      "above the gate the plan must not contain a cross/NLJ join")
+    val ss = small.as[(Long, Long, Double)].collect().toSet
+    val ls = large.as[(Long, Long, Double)].collect().toSet
+    assert(ss.nonEmpty && ss === ls)
+  }
+
   test("md5 token hash matches DuckDB md5_number_lower bit-for-bit") {
     // pinned against `SELECT md5_number_lower('abc'), md5_number_lower('')`
     // run in DuckDB: bytes 8..15 of the digest, little-endian
