@@ -213,14 +213,23 @@ object Dedup {
     * the round-4 in-suite bench pathology), while the crossJoin is O(n²)
     * work that is faster below ~10⁴ docs and impossible above ~10⁶. The
     * gating count is a single-column scan — negligible next to either
-    * join at any scale. */
+    * join at any scale.
+    *
+    * `allPairsMax` < 0 (the default) reads the gate from conf
+    * `spark.graft.dedup.allPairsMax` (default 10000) — an ops knob, and
+    * how the load-sensitivity experiment in SCALING.md forces each path
+    * from the unmodified bench binary. */
   def jaccardPairsAuto(df: DataFrame, id: String, text: String,
                        shingleK: Int, threshold: Double,
-                       allPairsMax: Long = 10000): DataFrame =
-    if (df.select(id).count() <= allPairsMax)
+                       allPairsMax: Long = -1): DataFrame = {
+    val cap = if (allPairsMax >= 0) allPairsMax
+      else df.sparkSession.conf
+        .get("spark.graft.dedup.allPairsMax", "10000").toLong
+    if (df.select(id).count() <= cap)
       ngramJaccardPairs(df, id, text, shingleK, threshold)
     else
       prefixJaccardPairs(df, id, text, shingleK, threshold)
+  }
 
   /** Collapse near-dup PAIRS into groups: connected components by
     * iterative min-label propagation WITH POINTER DOUBLING. Each round
