@@ -690,8 +690,13 @@ object SparkEntry {
         (floor(TextStats.qualityScore(col("text")) * 1e6 + 0.5) / 1e6).as("quality"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextStats.fingerprint(col("text")).as("fp"))
-      val keep = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      scored.join(keep, Seq("fp", "doc_id"))
+      // min-doc_id-per-fingerprint via ONE window rank: the groupBy +
+      // self-join formulation scanned `scored` twice, i.e. ran every text
+      // kernel (langId/quality/tokens/fingerprint) twice per document
+      scored
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
         .filter(col("lang") === "en" && col("quality") >= 0.55 &&
           col("n_tokens").between(5, 5000))
         .select("doc_id", "lang", "quality", "n_tokens")
