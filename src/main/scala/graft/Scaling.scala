@@ -144,6 +144,54 @@ object Scaling {
     results.foreach { case (name, t1, n1, tN, nN) =>
       println(f"$name,$t1%.2f,$n1,$tN%.2f,$nN,${tN / t1}%.1f")
     }
+
+    // ---- connected components in isolation (rounds + wall time) --------
+    // Pairs are pre-materialized to parquet so the row times CC itself,
+    // not the pair generator stacked on top: the claim under test is
+    // O(log diameter) rounds with ~linear per-round cost, and rounds must
+    // stay flat as the corpus grows.
+    if (only.forall(_.contains("cc"))) {
+      def ccRow(dir: String, tag: String): (Double, Int, Long) = {
+        val pairsPath = s"$out/cc_pairs_$tag.parquet"
+        Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",
+            shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
+          .write.mode("overwrite").parquet(pairsPath)
+        val pairs = spark.read.parquet(pairsPath)
+        val t0 = System.nanoTime()
+        val (labels, rounds) =
+          Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+        val n = labels.count() // rounds already materialized; this is cheap
+        ((System.nanoTime() - t0) / 1e9, rounds, n)
+      }
+      val _ = ccRow(src, "warm") // warm codegen/JIT
+      val (t1, r1, n1) = ccRow(src, "base")
+      val (tN, rN, nN) = ccRow(out, "scaled")
+      spark.catalog.clearCache()
+      println("op,base_sec,base_rounds,base_nodes,scaled_sec,scaled_rounds,scaled_nodes,time_ratio")
+      println(f"cc,$t1%.2f,$r1,$n1,$tN%.2f,$rN,$nN,${tN / t1}%.1f")
+    }
+
+    // ---- the composed CorpusClean job, both candidate modes ------------
+    // Proves the full score->filter->exact-dedup->CC-collapse->write job
+    // stays equi-join-shaped at factor× docs: wall time ~linear, retention
+    // ratio stable (the caesar-shifted replicas keep per-replica near-dup
+    // structure, so kept/input should track the base corpus).
+    if (only.forall(o => o.contains("corpus_clean"))) {
+      import graft.jobs.CorpusClean
+      println("op,base_sec,base_kept/input,scaled_sec,scaled_kept/input,time_ratio")
+      for (mode <- Seq("minhash", "prefix")) {
+        def run(dir: String, tag: String): (Double, CorpusClean.Stats) = {
+          val t0 = System.nanoTime()
+          val stats = CorpusClean.run(spark, s"$dir/documents.parquet",
+            s"$out/clean_${mode}_$tag", nearDup = mode)
+          ((System.nanoTime() - t0) / 1e9, stats)
+        }
+        val (t1, s1) = run(src, "base")
+        val (tN, sN) = run(out, "scaled")
+        spark.catalog.clearCache()
+        println(f"corpus_clean_$mode,$t1%.2f,${s1.kept}/${s1.input},$tN%.2f,${sN.kept}/${sN.input},${tN / t1}%.1f")
+      }
+    }
     spark.stop()
   }
 }

@@ -45,6 +45,12 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
 
+  /** Most recent sfDir q39 probed in this JVM — lets [[oracleSql]] inline
+    * the EXACT centroids that run used (Verify dumps oracle SQL after the
+    * queries execute), so KMeans fit nondeterminism can never split the
+    * Spark result from its DuckDB twin. */
+  @volatile private var ivfLastDir: String = _
+
   /** Flagship query on sf0.001: the reference's full Bronze->Silver spine —
     * KV parse -> broadcast join -> invalid-sample filter -> typed wide
     * projection. */
@@ -408,32 +414,61 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       val index = ivfCache.computeIfAbsent(dir, _ => {
-        // stable per-sfDir path so repeated JVM runs reuse one directory
-        // instead of leaking a fresh tempdir each. Keyed on an MD5 digest
-        // of the FULL dir string (hashCode collides across strings), and
-        // published by write-to-unique-temp + atomic rename: a concurrent
-        // JVM benching the same dir either wins the rename or loads the
+        import java.nio.file.{Files, Paths, StandardCopyOption, FileSystemException}
+        import scala.jdk.CollectionConverters._
+        // stable per-(sfDir, dataset-content) path so repeated JVM runs
+        // reuse one directory instead of leaking a fresh tempdir each, yet
+        // a REGENERATED dataset at the same path gets a fresh fit: the MD5
+        // key folds in the embeddings files' (name, size, mtime) alongside
+        // the full dir string (hashCode collides across strings; a
+        // path-only key would silently reuse stale centroids). Published
+        // by write-to-unique-temp + atomic rename: a concurrent JVM
+        // benching the same dir either wins the rename or loads the
         // winner's fully-written index — never a torn or wrong-dataset read
+        val embPath = Paths.get(dir, "embeddings.parquet")
+        val contentFp = if (Files.exists(embPath))
+          Files.walk(embPath).iterator().asScala
+            .filter(Files.isRegularFile(_)).toSeq.map(_.toString).sorted
+            .map(p => s"$p:${Files.size(Paths.get(p))}:" +
+              Files.getLastModifiedTime(Paths.get(p)).toMillis)
+            .mkString("|")
+          else ""
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val base = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
+          .digest((dir + "\u0000" + contentFp).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
         val fin = base.resolve("index")
-        if (!java.nio.file.Files.exists(fin)) {
+        def rmTree(p: java.nio.file.Path): Unit =
+          Files.walk(p).iterator().asScala.toSeq
+            .reverse.foreach(Files.deleteIfExists(_))
+        if (!Files.exists(fin)) {
           val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
           IvfIndex.fit(corpus, nlist = 16).save(s, tmp.toString)
-          try java.nio.file.Files.move(tmp, fin,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileSystemException =>
-            // lost the publish race; the winner's rename was atomic, so
-            // `fin` is complete — drop our duplicate build and load theirs
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+          catch { case e: FileSystemException =>
+            if (Files.exists(fin)) rmTree(tmp) // lost the publish race; the
+              // winner's rename was atomic, so `fin` is complete — drop our
+              // duplicate build and load theirs
+            else {
+              // NOT a race (e.g. AtomicMoveNotSupported on exotic tmpdirs):
+              // nothing was published — fall back to a plain move so `fin`
+              // exists, or surface the real failure instead of a confusing
+              // missing-path error from load
+              try Files.move(tmp, fin)
+              catch { case _: FileSystemException => throw e }
+            }
           }
+          // opportunistic sweep of index.tmp.* leaked by crashed builders;
+          // a concurrent builder losing its tmp just falls into the
+          // lost-the-race branch above and loads the published `fin`
+          if (Files.isDirectory(base))
+            Files.list(base).iterator().asScala
+              .filter(_.getFileName.toString.startsWith("index.tmp."))
+              .foreach(p => try rmTree(p) catch { case _: Exception => () })
         }
         IvfIndex.load(s, fin.toString) // probe the PERSISTED index, for real
       })
+      ivfLastDir = dir
       Similarity.ivfTopK(queries, corpus, k = 5, index, nprobe = 4)
         .ordered(col("qid"), col("rank"))
     }),
@@ -975,14 +1010,27 @@ object SparkEntry {
     }),
   )
 
-  /** Production-hash-mode twins of the queries whose [[queries]] entry
-    * runs in hashMode=md5 (the DuckDB-recomputable oracle mode; one MD5
-    * digest per token, several times the murmur3/xxh64 cost). The bench
-    * times these too and records them in BENCH_DETAIL under a `__prod`
-    * suffix, so the number a production corpus would see stays visible
-    * next to the oracle-mode headline. Same plan shape — only the hash
-    * kernel differs. */
+  /** Production-path twins of headline queries, timed by the bench but
+    * recorded in BENCH_DETAIL's `variants` map only — the headline total
+    * keeps measuring exactly the correctness-verified queries while the
+    * at-scale cost stays visible next to it. Two kinds:
+    *
+    *   - `__prod`: hashMode=murmur3/xxh64 twins of the md5-oracle-mode
+    *     queries (one MD5 digest per token is several times the production
+    *     hash cost; same plan shape, only the kernel differs).
+    *   - `__prefix`: q34 with the size gate forced to the prefix-filtered
+    *     inverted-index plan — the path a >10⁴-doc corpus executes. The
+    *     benched q34 at sf0.1 (600 docs) sits below the gate, so without
+    *     this twin the scale path would have no tracked timing. */
   def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_dedup_groups__prefix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+        shingleK = 1, threshold = 0.8, allPairsMax = 0) // force prefix path
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("group_id"))
+        .ordered(col("doc_id"))
+    }),
     "q17_minhash_lsh__prod" -> ((s, dir) => {
       Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
           shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6,
@@ -1803,5 +1851,61 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
         |ORDER BY o_custkey""".stripMargin,
-  )
+  ) ++ q39OracleSql
+
+  /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark
+    * run probed in this JVM ([[ivfCache]]; Verify dumps oracle SQL AFTER
+    * executing the queries, so the model is always present by dump time —
+    * and because the centroids enter the SQL as literals from that exact
+    * model, KMeans fit nondeterminism cannot split the engines). DuckDB
+    * recomputes everything downstream of the fit: per-vector cell argmax
+    * (first-max-wins = lowest cell on ties, matching Spark's
+    * `array_position`), per-query top-`nprobe` cells (score desc, cell asc
+    * — the same total order ivfTopK's comparator sort uses), the cell
+    * equi-join, and the q19-proven cosine/rank pipeline. Centroid floats
+    * widen to exact doubles; `Double.toString` shortest-repr round-trips
+    * through DuckDB's parser bit-identically (the q24 technique). The
+    * ||c||²/2 terms are inlined as literals too, so the only arithmetic
+    * both engines perform is the identical left-to-right dot fold.
+    * Omitted — driver falls back to rows-only — if q39 never ran. */
+  private def q39OracleSql: Map[String, String] =
+    Option(ivfLastDir).flatMap(d => Option(ivfCache.get(d))).map { m =>
+      val cents = m.centroids.sortBy(_._1) // cell order 0..nlist-1
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      // score_i(v) = v·c_i − ||c_i||²/2 — identical to Similarity.ivfTopK
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }.mkString("[\n    ", ",\n    ", "]")
+      val cellIds = cents.map(_._1).mkString("[", ",", "]")
+      "q39_ivf_topk" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |cs AS (
+           |  SELECT vec_id, ev, $scores AS ss
+           |  FROM v),
+           |cc AS (
+           |  SELECT vec_id AS nid, ev AS nv,
+           |    list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM cs),
+           |qp AS (
+           |  SELECT vec_id AS qid, ev AS qv,
+           |    UNNEST(ss) AS s, UNNEST($cellIds) AS cell
+           |  FROM cs WHERE vec_id % 20 = 0),
+           |qsel AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cell ASC) AS rn
+           |    FROM qp) WHERE rn <= 4),
+           |p AS (
+           |  SELECT qid, nid,
+           |    FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+           |       sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+           |  FROM qsel JOIN cc USING (cell) WHERE qid <> nid),
+           |r AS (SELECT qid, nid, cos,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+           |  FROM p)
+           |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
 }

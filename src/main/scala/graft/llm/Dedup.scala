@@ -218,14 +218,29 @@ object Dedup {
     * `allPairsMax` < 0 (the default) reads the gate from conf
     * `spark.graft.dedup.allPairsMax` (default 10000) — an ops knob, and
     * how the load-sensitivity experiment in SCALING.md forces each path
-    * from the unmodified bench binary. */
+    * from the unmodified bench binary.
+    *
+    * The gating count is one extra action over `df`'s lineage. On a cached
+    * or cheap input that is negligible next to either join; when `df` is
+    * the uncached tail of an expensive pipeline, pass `docCount` (from an
+    * `Observation` on an upstream action, or any a-priori bound — the gate
+    * only needs which side of the cap the corpus falls on, so any
+    * same-side estimate is as good as the exact count) and no extra pass
+    * happens at all. */
   def jaccardPairsAuto(df: DataFrame, id: String, text: String,
                        shingleK: Int, threshold: Double,
-                       allPairsMax: Long = -1): DataFrame = {
+                       allPairsMax: Long = -1, docCount: Long = -1): DataFrame = {
     val cap = if (allPairsMax >= 0) allPairsMax
-      else df.sparkSession.conf
-        .get("spark.graft.dedup.allPairsMax", "10000").toLong
-    if (df.select(id).count() <= cap)
+      else {
+        val raw = df.sparkSession.conf
+          .get("spark.graft.dedup.allPairsMax", "10000")
+        try raw.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.dedup.allPairsMax must be a long, got '$raw'")
+        }
+      }
+    val n = if (docCount >= 0) docCount else df.select(id).count()
+    if (n <= cap)
       ngramJaccardPairs(df, id, text, shingleK, threshold)
     else
       prefixJaccardPairs(df, id, text, shingleK, threshold)
@@ -243,7 +258,16 @@ object Dedup {
     *
     * Returns (node, label) where label = min doc id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it ran
+    * — each round materializes inside the call (localCheckpoint), so the
+    * count is final at return. The weak-scaling harness records it as the
+    * O(log diameter) evidence (SCALING.md `cc` row): rounds must stay
+    * ~flat as the corpus grows, only per-round cost may scale. */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
+                                    bCol: String, maxIter: Int = 30): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
@@ -293,7 +317,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"CC did not converge in $maxIter rounds")
-    labels
+    (labels, i)
   }
 
   /** 64-bit SimHash over per-token 64-bit hashes: sign-sum each bit

@@ -123,6 +123,57 @@ class DedupSpec extends AnyFunSuite {
     assert(ss.nonEmpty && ss === ls)
   }
 
+  test("gate boundary pinned: allPairsMax == n vs n-1, J=0.8 pair agrees on both paths") {
+    def hasCross(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.toLowerCase
+        .matches("(?s).*(cartesian|broadcastnestedloop).*")
+    // fixture plus the exact J=4/5=0.8 threshold-boundary pair — BOTH
+    // physical paths must keep it (the float-guard case: 0.8*5 rounds up
+    // to 4.0000000000000002 in a naive prefilter)
+    val extra = Seq(
+      (9000001L, "alpha beta gamma delta"),
+      (9000002L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").union(extra)
+    val n = docs.count()
+    // gate semantics are <= cap: cap == n stays all-pairs, cap == n-1
+    // tips to prefix — pin both sides of the boundary by plan shape
+    val atGate = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      shingleK = 1, threshold = 0.8, allPairsMax = n)
+    val overGate = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      shingleK = 1, threshold = 0.8, allPairsMax = n - 1)
+    assert(hasCross(atGate), "cap == n must choose the all-pairs plan")
+    assert(!hasCross(overGate), "cap == n-1 must choose the prefix plan")
+    val as = atGate.as[(Long, Long, Double)].collect().toSet
+    val os = overGate.as[(Long, Long, Double)].collect().toSet
+    assert(as.exists(p => p._1 == 9000001L && p._2 == 9000002L),
+      "threshold-boundary pair must survive the all-pairs path")
+    assert(as === os, "both gate outcomes must agree at the boundary")
+  }
+
+  test("caller-supplied docCount skips the gating count and is honored") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // cap 0 with claimed count 0: 0 <= 0 chooses all-pairs even though the
+    // real corpus is larger — plan shape proves docCount preempted count()
+    val forced = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      shingleK = 1, threshold = 0.8, allPairsMax = 0, docCount = 0)
+    assert(forced.queryExecution.executedPlan.toString.toLowerCase
+      .matches("(?s).*(cartesian|broadcastnestedloop).*"))
+  }
+
+  test("malformed allPairsMax conf surfaces a clear error") {
+    spark.conf.set("spark.graft.dedup.allPairsMax", "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.jaccardPairsAuto(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+          "doc_id", "text", shingleK = 1, threshold = 0.8)
+      }
+      assert(e.getMessage.contains("spark.graft.dedup.allPairsMax"))
+    } finally spark.conf.unset("spark.graft.dedup.allPairsMax")
+  }
+
   test("md5 token hash matches DuckDB md5_number_lower bit-for-bit") {
     // pinned against `SELECT md5_number_lower('abc'), md5_number_lower('')`
     // run in DuckDB: bytes 8..15 of the digest, little-endian
