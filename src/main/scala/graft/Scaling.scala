@@ -174,8 +174,13 @@ object Scaling {
     // ---- the composed CorpusClean job, both candidate modes ------------
     // Proves the full score->filter->exact-dedup->CC-collapse->write job
     // stays equi-join-shaped at factor× docs: wall time ~linear, retention
-    // ratio stable (the caesar-shifted replicas keep per-replica near-dup
-    // structure, so kept/input should track the base corpus).
+    // ratio stable. Language/quality gates are disabled (lang="*",
+    // minQuality=0): the caesar-shifted replicas defeat langId marker
+    // voting and the stopword-ratio quality term BY CONSTRUCTION (that is
+    // what makes their shingles distinct), so with the default filters the
+    // scaled run's dedup stages would only ever see the unshifted replica
+    // — the row would measure the scoring scan, not the pipeline. Scoring
+    // still computes lang/quality for every doc; only the filter is open.
     if (only.forall(o => o.contains("corpus_clean"))) {
       import graft.jobs.CorpusClean
       println("op,base_sec,base_kept/input,scaled_sec,scaled_kept/input,time_ratio")
@@ -183,7 +188,8 @@ object Scaling {
         def run(dir: String, tag: String): (Double, CorpusClean.Stats) = {
           val t0 = System.nanoTime()
           val stats = CorpusClean.run(spark, s"$dir/documents.parquet",
-            s"$out/clean_${mode}_$tag", nearDup = mode)
+            s"$out/clean_${mode}_$tag", lang = "*", minQuality = 0.0,
+            nearDup = mode)
           ((System.nanoTime() - t0) / 1e9, stats)
         }
         val (t1, s1) = run(src, "base")

@@ -45,7 +45,10 @@ object CorpusClean {
     // (Observation) — a 100 TB corpus cannot afford dedicated count()
     // recomputations of the scoring stage just for observability
     val stageObs = org.apache.spark.sql.Observation("corpus_clean_stages")
-    val keepCond = col("lang") === lang && col("quality") >= minQuality &&
+    // lang = "*" admits every language (corpora that are multilingual by
+    // design, or synthetic scaling corpora whose replicas defeat langId)
+    val langOk = if (lang == "*") lit(true) else col("lang") === lang
+    val keepCond = langOk && col("quality") >= minQuality &&
       col("n_tokens").between(minTokens, maxTokens)
     val scored = docs.select(col("doc_id"), col("text"),
         TextStats.langId(col("text")).as("lang"),
