@@ -1008,7 +1008,75 @@ object SparkEntry {
       keys("F").intersect(keys("O")).except(keys("P"))
         .ordered(col("o_custkey"))
     }),
+
+    // ---- LLM ops: greedy sequence packing (fixed token budget) ----------
+    // Training-data batch construction: assign docs to packs of <= budget
+    // tokens, streaming within each source in doc_id order (the standard
+    // first-fit approximation — a boundary doc spills into the next pack
+    // and the trainer truncates). ONE window cumsum per source partition;
+    // no shuffle beyond the partitioning the window needs, and each
+    // source's packing is independent — embarrassingly parallel at any
+    // corpus size. floor(cum/budget), never a double cast (Spark casts
+    // truncate, DuckDB casts round).
+    "q65_pack_sequences" -> ((s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+            .as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_before") / budget).cast("long"))
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .ordered(col("source"), col("doc_id"))
+    }),
+
+    // ---- LLM ops: stratified mixture sampling (deterministic) -----------
+    // Data-mixture construction: per-source sampling rates applied via a
+    // content-hash uniform (md5_lower64 >>> 33 is 31 bits, exact as a
+    // double in [0,1) — identical in any engine), so the sample is
+    // reproducible across runs, engines, and partitionings, unlike
+    // rand()-based sample(). Pure per-row projection + filter: no
+    // shuffle at all, scales with the scan.
+    "q66_stratified_sample" -> ((s, dir) => {
+      val u = shiftrightunsigned(
+        call_function("md5_lower64", col("doc_id").cast("string")), 33)
+        .cast("double") / 2147483648.0
+      val rate = stratifiedRates.foldLeft(lit(stratifiedDefaultRate)) {
+        case (acc, (src, r)) => when(col("source") === src, r).otherwise(acc)
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), u.as("u"))
+        .filter(col("u") < rate)
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- LLM ops: corpus-wide semantic dedup (LSH + cosine + CC) --------
+    // The embedding-space analogue of q34: no query batch, the whole
+    // corpus against itself — the shape that at 100 TB can only be a
+    // bucket self-join (both sides unbounded, broadcast impossible).
+    // Candidates meet inside (table, bucket) equi-join buckets, exact
+    // cosine verifies, connected components collapses pair cliques into
+    // linear groups. Approximate recall by design (hyperplane collision
+    // bound); the oracle recomputes the identical LSH, so correctness of
+    // everything downstream of the planes is exact.
+    "q67_semantic_dedup" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val pairs = Similarity.semanticDupPairs(corpus, dim = 64,
+        minCos = 0.4, planes = 8, tables = 4)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("label").as("group_id"))
+        .ordered(col("vec_id"))
+    }),
   )
+
+  /** Per-source sampling rates for q66 (default rate for the rest) —
+    * shared by the query and its generated oracle CASE expression. */
+  private val stratifiedRates: Seq[(String, Double)] =
+    Seq("src0" -> 0.05, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.5)
+  private val stratifiedDefaultRate = 0.75
 
   /** Production-path twins of headline queries, timed by the bench but
     * recorded in BENCH_DETAIL's `variants` map only — the headline total
@@ -1851,6 +1919,80 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
         |ORDER BY o_custkey""".stripMargin,
+
+    // Same whitespace tokenizer as q13 (empty fragments dropped, NULL ->
+    // 0 tokens via COALESCE on both sides); cum/2048 is float division in
+    // both engines and FLOOR output is integral-exact, so the BIGINT cast
+    // is safe (a direct double cast would truncate in Spark, round here).
+    "q65_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  COALESCE(CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // md5_number_lower >> 33 is the same 31-bit value as the engine's
+    // md5_lower64 >>> 33 (unsigned in DuckDB, logical shift of the signed
+    // long in Spark — top 33 bits discarded either way); /2^31 is exact.
+    "q66_stratified_sample" -> {
+      val cases = stratifiedRates
+        .map { case (s0, r) => s"WHEN '$s0' THEN $r" }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 33 AS DOUBLE)
+         |    / 2147483648.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, u FROM h
+         |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // q24's LSH recompute (seeded planes as shortest-repr double
+    // literals, sign-test bucket bits, any-table band match) composed
+    // with q34's recursive-CTE connected components — the full semantic
+    // dedup pipeline rebuilt from literals + the q19-proven cosine fold.
+    "q67_semantic_dedup" -> {
+      val rnd = new scala.util.Random(42L)
+      // identical stream to Similarity.hyperplaneBuckets(dim=64, planes=8,
+      // tables=4, seed=42): tables outer, planes inner, 64 gaussians each
+      val tablesPlanes: Seq[Seq[Array[Double]]] = Seq.fill(4)(
+        Seq.fill(8)(Array.fill(64)(rnd.nextGaussian())))
+      def dotSql(v: String, plane: Array[Double]): String =
+        s"list_sum(list_apply(list_zip($v, [${plane.mkString(",")}]), x -> x[1] * x[2]))"
+      def bucketSql(v: String, t: Int): String =
+        tablesPlanes(t).zipWithIndex.map { case (pl, i) =>
+          s"(CASE WHEN ${dotSql(v, pl)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      val bucketCols = (0 until 4).map(t => s"${bucketSql("ev", t)} AS b$t")
+        .mkString(",\n    ")
+      val bandMatch = (0 until 4).map(t => s"a.b$t = c.b$t").mkString(" OR ")
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |b AS (SELECT vec_id, ev,
+         |    $bucketCols
+         |  FROM v),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    FLOOR(list_sum(list_apply(list_zip(a.ev, c.ev), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_apply(a.ev, x -> x * x))) *
+         |       sqrt(list_sum(list_apply(c.ev, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+         |  FROM b a, b c WHERE a.vec_id < c.vec_id AND ($bandMatch)),
+         |q AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM q
+         |  UNION ALL SELECT id_b, id_a FROM q),
+         |closure(n, m) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT c2.n, e.d FROM closure c2 JOIN edges e ON c2.m = e.s)
+         |SELECT n AS vec_id, LEAST(n, MIN(m)) AS group_id
+         |FROM closure GROUP BY n ORDER BY vec_id""".stripMargin
+    },
   ) ++ q39OracleSql
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

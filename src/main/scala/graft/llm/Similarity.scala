@@ -132,6 +132,35 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Corpus-wide embedding near-dup PAIRS — the full-corpus×corpus
+    * semantic-dedup shape [[cosineNearDup]]'s broadcast-batch form cannot
+    * reach (no side is bounded): LSH-bucket the corpus once, self-join on
+    * (table, bucket) so candidates only meet inside a bucket, verify with
+    * exact cosine. Approximate — recall is the standard hyperplane-LSH
+    * collision bound under `planes`/`tables`; every emitted pair is
+    * exactly verified. Only (table, bucket, id) rides the bucket
+    * self-join (the annTopK narrow-shuffle shape); vectors re-attach to
+    * the deduplicated pair set. Feed the result to
+    * [[Dedup.connectedComponents]] to collapse groups — pairs from clone
+    * cliques are quadratic in clique size, groups are linear. */
+  def semanticDupPairs(corpus: DataFrame, dim: Int, minCos: Double,
+                       planes: Int = 8, tables: Int = 4): DataFrame = {
+    val cb = corpus.select(col("nid"),
+      explode(hyperplaneBuckets(col("nvec"), dim, planes, tables)).as("b"))
+      .select(col("nid"), col("b.table").as("table"), col("b.bucket").as("bucket"))
+    val cands = cb.select(col("nid").as("id_a"), col("table"), col("bucket"))
+      .join(cb.select(col("nid").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val va = corpus.select(col("nid").as("id_a"), col("nvec").as("va"))
+    val vb = corpus.select(col("nid").as("id_b"), col("nvec").as("vb"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", round6(cosine(col("va"), col("vb"))))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Random-hyperplane (sign) LSH bucket id for a vector: `planes` random
     * unit directions from a fixed seed; bit i = sign(v · h_i). Vectors in the
     * same bucket are cosine-close with high probability; union over `tables`

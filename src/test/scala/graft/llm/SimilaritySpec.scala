@@ -97,4 +97,33 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = (0 until 40).count(i => ann.get(2L * i).contains(2L * i + 1))
     assert(hits >= 28, s"ANN found only $hits/40 planted twins")
   }
+
+  test("semanticDupPairs finds planted twin pairs, verifies cosine, no cross join") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 30).map(_ => unit())
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.zipWithIndex.map { case (x, j) =>
+        x + 0.03f * (if ((i + j) % 2 == 0) 1 else -1) * math.abs(rnd.nextGaussian()).toFloat }
+      Seq((2L * i, v.toSeq), (2L * i + 1, twin.toSeq))
+    }
+    val corpus = rows.toDF("nid", "nvec")
+    val pairs = Similarity.semanticDupPairs(corpus, dim = dim, minCos = 0.9,
+      planes = 6, tables = 6)
+    // the whole-corpus self-join must stay bucket-equi-join-shaped
+    assert(!pairs.queryExecution.executedPlan.toString.toLowerCase
+      .matches("(?s).*(cartesian|broadcastnestedloop).*"),
+      "semantic dedup must not contain a cross/NLJ join")
+    val got = pairs.as[(Long, Long, Double)].collect()
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.9 },
+      "pairs must be ordered, above threshold")
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    val hits = (0 until 30).count(i => gotSet.contains((2L * i, 2L * i + 1)))
+    assert(hits >= 24, s"semantic dedup found only $hits/30 planted twin pairs")
+  }
 }
