@@ -60,8 +60,17 @@ object Scaling {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until factor).map { i =>
+      // per-replica coordinate permutation — the embedding analogue of the
+      // caesar shift: norms and WITHIN-replica dot products are preserved
+      // (permutations are orthogonal), so each replica keeps the base
+      // corpus's neighbor structure, while CROSS-replica cosines are those
+      // of unrelated random vectors — factor× distinct vectors, no
+      // clone cliques. Replica 0 is the identity (base corpus intact).
+      val perm =
+        if (i == 0) (0 until 64).toList
+        else new scala.util.Random(1000 + i).shuffle((0 until 64).toList)
       emb.select((col("vec_id") + lit(10000000L * i)).as("vec_id"),
-        col("embedding"))
+        array(perm.map(j => col("embedding").getItem(j)): _*).as("embedding"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -169,6 +178,28 @@ object Scaling {
       spark.catalog.clearCache()
       println("op,base_sec,base_rounds,base_nodes,scaled_sec,scaled_rounds,scaled_nodes,time_ratio")
       println(f"cc,$t1%.2f,$r1,$n1,$tN%.2f,$rN,$nN,${tN / t1}%.1f")
+    }
+
+    // ---- corpus-wide semantic dedup: fixed vs density-scaled planes ----
+    // Candidate mass is Σ bucket² ≈ n²/(tables·2^planes): with FIXED
+    // planes it grows quadratically in n (each bucket densifies), so the
+    // at-scale discipline is planes ∝ log₂(n) — hold per-bucket density
+    // and the mass grows ~linearly (the same rule as IVF's nlist ∝ √n).
+    // Both rows are measured so the knob's effect is evidence, not claim.
+    if (only.forall(_.contains("semantic_dup"))) {
+      def pairsOp(dir: String, planes: Int): (Double, Long) = time(
+        graft.llm.Similarity.semanticDupPairs(
+          Tables(spark, dir, "embeddings")
+            .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+          dim = 64, minCos = 0.4, planes = planes, tables = 4))
+      val _ = pairsOp(src, 8) // warm codegen/JIT
+      val (t1, n1) = pairsOp(src, 8)
+      val (tF, nF) = pairsOp(out, 8)  // fixed planes: buckets densify
+      val (tS, nS) = pairsOp(out, 8 + (math.log(factor) / math.log(2)).ceil.toInt)
+      spark.catalog.clearCache()
+      println("op,base_sec,base_pairs,scaled_sec,scaled_pairs,time_ratio")
+      println(f"semantic_dup_fixed_planes,$t1%.2f,$n1,$tF%.2f,$nF,${tF / t1}%.1f")
+      println(f"semantic_dup_scaled_planes,$t1%.2f,$n1,$tS%.2f,$nS,${tS / t1}%.1f")
     }
 
     // ---- the composed CorpusClean job, both candidate modes ------------

@@ -1052,6 +1052,27 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: intra-document repetition ratio (quality signal) ------
+    // The Gopher/RefinedWeb-style repetition rule: fraction of duplicate
+    // token 3-grams within each document (1 - distinct/total). Reuses the
+    // single-pass codegen'd shingle kernel for the distinct count and
+    // tokenCount for the total (total 3-grams = n_tokens - 2) — a pure
+    // projection, no shuffle, no second tokenization pass.
+    "q68_repetition_ratio" -> ((s, dir) => {
+      val nt = coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+      val total = greatest(nt - 2, lit(0L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), total.as("n_grams"),
+          when(total > 0, size(Dedup.shingles(col("text"), 3)).cast("long"))
+            .otherwise(lit(0L)).as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") > 0,
+            floor((lit(1.0) - col("n_distinct").cast("double") /
+              col("n_grams").cast("double")) * 1e6 + 0.5) / 1e6)
+            .otherwise(lit(0.0)))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: corpus-wide semantic dedup (LSH + cosine + CC) --------
     // The embedding-space analogue of q34: no query batch, the whole
     // corpus against itself — the shape that at 100 TB can only be a
@@ -1951,6 +1972,27 @@ object SparkEntry {
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // 3-grams rebuilt positionally (1-based list indexing); NULL text
+    // falls to the ELSE-0 branch in both engines. Same lower+whitespace
+    // tokenizer as the shingle kernel.
+    "q68_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_grams,
+        |  CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+        |    list_apply(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+        |  ELSE 0 END AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_grams > 0
+        |    THEN FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_grams) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // q24's LSH recompute (seeded planes as shortest-repr double
     // literals, sign-test bucket bits, any-table band match) composed
