@@ -1073,6 +1073,30 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: stride-window chunking (context-window generator) -----
+    // Split each doc's tokens into overlapping windows of 32 with stride
+    // 16 — the chunking every RAG/embedding/training-context pipeline
+    // runs before encoding. A generator (posexplode over the start
+    // sequence) + per-row slice: no shuffle, output ~n_tokens/stride rows
+    // per doc, chunk_id == start/stride by construction. The tail chunk
+    // is short rather than dropped (every token lands in ≥1 chunk).
+    "q69_chunk_windows" -> ((s, dir) => {
+      val win = 32
+      val stride = 16
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      d.select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(win)))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("start").cast("long").as("start"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .ordered(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- LLM ops: corpus-wide semantic dedup (LSH + cosine + CC) --------
     // The embedding-space analogue of q34: no query batch, the whole
     // corpus against itself — the shape that at 100 TB can only be a
@@ -1993,6 +2017,24 @@ object SparkEntry {
         |    THEN FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_grams) * 1e6 + 0.5) / 1e6
         |    ELSE 0.0 END AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // range(0, n, 16) is Spark's sequence(0, n-1, 16) (stop-exclusive vs
+    // inclusive-bound, same elements); chunk_id = start // stride since
+    // starts are stride multiples; list_slice clamps like Spark slice.
+    // Chunks are never empty (start < n), so array_to_string's
+    // NULL-on-empty quirk cannot fire.
+    "q69_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, toks, UNNEST(range(0, n, 16)) AS start FROM nz),
+        |c AS (SELECT doc_id, start, list_slice(toks, start + 1, start + 32) AS chunk FROM s)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q24's LSH recompute (seeded planes as shortest-repr double
     // literals, sign-test bucket bits, any-table band match) composed
