@@ -43,17 +43,23 @@ object Scaling {
     val d = spark.read.parquet(s"$src/documents.parquet")
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     (0 until factor).map { i =>
-      // caesar-shift each replica's letters: every k-gram/shingle/token
-      // hash differs across replicas, so the corpus is factor× DISTINCT
-      // documents with the planted near-dup structure intact within each
-      // replica — true weak scaling. (An appended-token salt instead
-      // leaves fingerprints shared and turns every doc into a
-      // factor-way near-clone clique: pair counts then grow
-      // quadratically by design, which measures clique behavior, not
-      // scaling.)
-      val shifted = alphabet.drop(i % 26) + alphabet.take(i % 26)
+      // per-replica seeded alphabet permutation: every k-gram/shingle/
+      // token hash differs across replicas, so the corpus is factor×
+      // DISTINCT documents with the planted near-dup structure intact
+      // within each replica — true weak scaling. A caesar ROTATION here
+      // wraps at factor > 26 (shift i%26 == shift 0 makes replicas 26+
+      // byte-identical clones of the first ones — exactly the clique
+      // contamination this synthesis exists to avoid); a seeded
+      // permutation draw has no wrap. (An appended-token salt instead
+      // leaves fingerprints shared and turns every doc into a factor-way
+      // near-clone clique: pair counts then grow quadratically by
+      // design, which measures clique behavior, not scaling.)
+      val shuffled =
+        if (i == 0) alphabet
+        else new scala.util.Random(2000 + i)
+          .shuffle(alphabet.toList).mkString
       d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        translate(col("text"), alphabet, shifted).as("text"),
+        translate(col("text"), alphabet, shuffled).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)

@@ -45,11 +45,11 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
 
-  /** Most recent sfDir q39 probed in this JVM — lets [[oracleSql]] inline
-    * the EXACT centroids that run used (Verify dumps oracle SQL after the
-    * queries execute), so KMeans fit nondeterminism can never split the
-    * Spark result from its DuckDB twin. */
-  @volatile private var ivfLastDir: String = _
+  /** Cache key of the most recent q39 probe in this JVM — lets
+    * [[oracleSql]] inline the EXACT centroids that run used (Verify dumps
+    * oracle SQL after the queries execute), so KMeans fit nondeterminism
+    * can never split the Spark result from its DuckDB twin. */
+  @volatile private var ivfLastKey: String = _
 
   /** Flagship query on sf0.001: the reference's full Bronze->Silver spine —
     * KV parse -> broadcast join -> invalid-sample filter -> typed wide
@@ -413,34 +413,44 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-      val index = ivfCache.computeIfAbsent(dir, _ => {
-        import java.nio.file.{Files, Paths, StandardCopyOption, FileSystemException}
-        import scala.jdk.CollectionConverters._
-        // stable per-(sfDir, dataset-content) path so repeated JVM runs
-        // reuse one directory instead of leaking a fresh tempdir each, yet
-        // a REGENERATED dataset at the same path gets a fresh fit: the MD5
-        // key folds in the embeddings files' (name, size, mtime) alongside
-        // the full dir string (hashCode collides across strings; a
-        // path-only key would silently reuse stale centroids). Published
-        // by write-to-unique-temp + atomic rename: a concurrent JVM
-        // benching the same dir either wins the rename or loads the
-        // winner's fully-written index — never a torn or wrong-dataset read
-        val embPath = Paths.get(dir, "embeddings.parquet")
-        val contentFp = if (Files.exists(embPath))
-          Files.walk(embPath).iterator().asScala
-            .filter(Files.isRegularFile(_)).toSeq.map(_.toString).sorted
-            .map(p => s"$p:${Files.size(Paths.get(p))}:" +
-              Files.getLastModifiedTime(Paths.get(p)).toMillis)
-            .mkString("|")
-          else ""
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest((dir + "\u0000" + contentFp).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+      import java.nio.file.{Files, Paths, StandardCopyOption, FileSystemException}
+      import scala.jdk.CollectionConverters._
+      // The cache key — in memory AND on disk — is (dir, dataset content):
+      // the MD5 folds in the embeddings files' (name, size, mtime)
+      // alongside the full dir string (hashCode collides across strings;
+      // a path-only key would silently reuse stale centroids after the
+      // dataset at that path is regenerated, within this JVM or across
+      // JVMs). The fingerprint is a handful of file stats — computed per
+      // call, cheap next to any probe.
+      val embPath = Paths.get(dir, "embeddings.parquet")
+      val contentFp = if (Files.exists(embPath)) {
+        val st = Files.walk(embPath)
+        try st.iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq.map(_.toString).sorted
+          .map(p => s"$p:${Files.size(Paths.get(p))}:" +
+            Files.getLastModifiedTime(Paths.get(p)).toMillis)
+          .mkString("|")
+        finally st.close()
+      } else ""
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + "\u0000" + contentFp).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val index = ivfCache.computeIfAbsent(digest, _ => {
+        // stable per-digest path so repeated JVM runs reuse one directory
+        // instead of leaking a fresh tempdir each. Published by
+        // write-to-unique-temp + atomic rename: a concurrent JVM benching
+        // the same dir either wins the rename or loads the winner's
+        // fully-written index — never a torn or wrong-dataset read
         val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
         val fin = base.resolve("index")
+        // tolerates a concurrent sweeper deleting the tree under us
         def rmTree(p: java.nio.file.Path): Unit =
-          Files.walk(p).iterator().asScala.toSeq
-            .reverse.foreach(Files.deleteIfExists(_))
+          try {
+            val st = Files.walk(p)
+            try st.iterator().asScala.toSeq
+              .reverse.foreach(Files.deleteIfExists(_))
+            finally st.close()
+          } catch { case _: java.nio.file.NoSuchFileException => () }
         if (!Files.exists(fin)) {
           val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
           IvfIndex.fit(corpus, nlist = 16).save(s, tmp.toString)
@@ -458,17 +468,24 @@ object SparkEntry {
               catch { case _: FileSystemException => throw e }
             }
           }
-          // opportunistic sweep of index.tmp.* leaked by crashed builders;
-          // a concurrent builder losing its tmp just falls into the
-          // lost-the-race branch above and loads the published `fin`
-          if (Files.isDirectory(base))
-            Files.list(base).iterator().asScala
+          // sweep index.tmp.* leaked by CRASHED builders only: an hour-old
+          // age floor keeps a concurrent builder's live tmp out of reach
+          // (a whole build is seconds), and rmTree tolerates the
+          // mirror-image race of two sweepers
+          if (Files.isDirectory(base)) {
+            val ls = Files.list(base)
+            try ls.iterator().asScala
               .filter(_.getFileName.toString.startsWith("index.tmp."))
+              .filter(p => try Files.getLastModifiedTime(p).toMillis <
+                  System.currentTimeMillis() - 3600L * 1000
+                catch { case _: Exception => false })
               .foreach(p => try rmTree(p) catch { case _: Exception => () })
+            finally ls.close()
+          }
         }
         IvfIndex.load(s, fin.toString) // probe the PERSISTED index, for real
       })
-      ivfLastDir = dir
+      ivfLastKey = digest
       Similarity.ivfTopK(queries, corpus, k = 5, index, nprobe = 4)
         .ordered(col("qid"), col("rank"))
     }),
@@ -1138,8 +1155,12 @@ object SparkEntry {
   def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_dedup_groups__prefix" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      // force the prefix path; docCount skips the gating count() so the
+      // timed variant measures the prefix plan alone (the outcome is
+      // predetermined with cap 0 — any claimed n > 0 tips it)
       val pairs = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
-        shingleK = 1, threshold = 0.8, allPairsMax = 0) // force prefix path
+        shingleK = 1, threshold = 0.8, allPairsMax = 0,
+        docCount = Long.MaxValue)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("group_id"))
         .ordered(col("doc_id"))
@@ -2095,7 +2116,7 @@ object SparkEntry {
     * both engines perform is the identical left-to-right dot fold.
     * Omitted — driver falls back to rows-only — if q39 never ran. */
   private def q39OracleSql: Map[String, String] =
-    Option(ivfLastDir).flatMap(d => Option(ivfCache.get(d))).map { m =>
+    Option(ivfLastKey).flatMap(k => Option(ivfCache.get(k))).map { m =>
       val cents = m.centroids.sortBy(_._1) // cell order 0..nlist-1
       def dotSql(v: String, cv: Seq[Float]): String =
         s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"

@@ -24,6 +24,10 @@ import json
 import sys
 
 
+class GateInputError(Exception):
+    """Unusable input artifact — exit 2, never confused with a regression."""
+
+
 def load_queries(path):
     with open(path) as f:
         doc = json.load(f)
@@ -32,11 +36,11 @@ def load_queries(path):
         # the captured log tail — extract the last {"metric":...} line
         lines = [ln for ln in doc["tail"].splitlines() if '"metric"' in ln]
         if not lines:
-            raise SystemExit(f"[bench-gate] no metric line in {path}'s tail")
+            raise GateInputError(f"[bench-gate] no metric line in {path}'s tail")
         doc = json.loads(lines[-1][lines[-1].index('{"metric"'):])
     qs = doc.get("queries", {})
     if isinstance(qs, str):  # compact fallback line: "see BENCH_DETAIL.json"
-        raise SystemExit(f"[bench-gate] {path} has no per-query map: {qs!r}")
+        raise GateInputError(f"[bench-gate] {path} has no per-query map: {qs!r}")
     out = {}
     for name, v in qs.items():
         out[name] = v["sec"] if isinstance(v, dict) else float(v)
@@ -53,7 +57,7 @@ def main(argv):
     factor = float(argv[3]) if len(argv) == 4 else 2.0
     try:
         cur, prior = load_queries(argv[1]), load_queries(argv[2])
-    except (OSError, json.JSONDecodeError) as e:
+    except (OSError, json.JSONDecodeError, GateInputError) as e:
         print(f"[bench-gate] cannot load inputs: {e}", file=sys.stderr)
         return 2
     bad = []
@@ -70,8 +74,9 @@ def main(argv):
     print(f"[bench-gate] shared-query totals: prior {tp:.2f}s -> current {tc:.2f}s")
     if bad:
         for name, p, c in bad:
+            ratio = f"{c / p:.1f}x" if p > 0 else "inf"
             print(f"[bench-gate] REGRESSION {name}: {p:.2f}s -> {c:.2f}s "
-                  f"({c / p:.1f}x, +{c - p:.2f}s)", file=sys.stderr)
+                  f"({ratio}, +{c - p:.2f}s)", file=sys.stderr)
         return 1
     print(f"[bench-gate] OK: no query slowed >{factor}x (+0.5s floor) "
           f"across {len(set(cur) & set(prior))} shared queries")
