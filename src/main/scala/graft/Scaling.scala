@@ -162,9 +162,11 @@ object Scaling {
 
     // ---- connected components in isolation (rounds + wall time) --------
     // Pairs are pre-materialized to parquet so the row times CC itself,
-    // not the pair generator stacked on top: the claim under test is
-    // O(log diameter) rounds with ~linear per-round cost, and rounds must
-    // stay flat as the corpus grows.
+    // not the pair generator stacked on top, and the union-find gate is
+    // DISABLED (localMax=0): this row's purpose is evidence for the
+    // DISTRIBUTED path — O(log diameter) rounds with ~linear per-round
+    // cost, rounds flat as the corpus grows. (The gate would otherwise
+    // solve these fixture-sized pair sets on the driver in microseconds.)
     if (only.forall(_.contains("cc"))) {
       def ccRow(dir: String, tag: String): (Double, Int, Long) = {
         val pairsPath = s"$out/cc_pairs_$tag.parquet"
@@ -172,11 +174,14 @@ object Scaling {
             shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
           .write.mode("overwrite").parquet(pairsPath)
         val pairs = spark.read.parquet(pairsPath)
-        val t0 = System.nanoTime()
-        val (labels, rounds) =
-          Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
-        val n = labels.count() // rounds already materialized; this is cheap
-        ((System.nanoTime() - t0) / 1e9, rounds, n)
+        spark.conf.set("spark.graft.cc.localMax", "0")
+        try {
+          val t0 = System.nanoTime()
+          val (labels, rounds) =
+            Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+          val n = labels.count() // rounds already materialized; this is cheap
+          ((System.nanoTime() - t0) / 1e9, rounds, n)
+        } finally spark.conf.unset("spark.graft.cc.localMax")
       }
       val _ = ccRow(src, "warm") // warm codegen/JIT
       val (t1, r1, n1) = ccRow(src, "base")

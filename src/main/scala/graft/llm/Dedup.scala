@@ -256,18 +256,83 @@ object Dedup {
     * large-star/small-star MapReduce formulation). Data stays distributed;
     * the driver only checks the convergence counter.
     *
-    * Returns (node, label) where label = min doc id of the component. */
+    * Returns (node, label) where label = min doc id of the component.
+    *
+    * SIZE-GATED like [[jaccardPairsAuto]]: below
+    * `spark.graft.cc.localMax` pairs (default 100 000, ~1.6 MB of longs —
+    * broadcast-scale; 0 disables) the solve is a driver union-find over
+    * the collected edge list, replacing 2·O(log d) shuffle jobs (each a
+    * full stage barrier) with microseconds. Deduplicated near-dup pair
+    * sets are routinely tiny relative to the corpus, so this is the
+    * common case at ANY corpus size; the decision probe IS the fetch
+    * (`limit(localMax+1).collect()` — CollectLimit executes partitions
+    * incrementally, so a large pair set pays only a truncated
+    * first-partitions pass before falling through to the distributed
+    * path). Long-keyed pairs only; other key types always distribute.
+    * Both paths return identical results (spec-asserted). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
+  /** Driver union-find for the below-gate path: root of every set is its
+    * minimum id by construction (union attaches the larger root beneath
+    * the smaller), so find(node) IS the component's min label — the same
+    * contract the distributed propagation converges to. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = parent.getOrDefault(x, x)
+      if (r == x) { parent.put(x, x); x }
+      else {
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq.sorted
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds it ran
-    * — each round materializes inside the call (localCheckpoint), so the
-    * count is final at return. The weak-scaling harness records it as the
-    * O(log diameter) evidence (SCALING.md `cc` row): rounds must stay
-    * ~flat as the corpus grows, only per-round cost may scale. */
+    * (0 = the union-find path; each distributed round materializes inside
+    * the call via localCheckpoint, so the count is final at return). The
+    * weak-scaling harness records it as the O(log diameter) evidence
+    * (SCALING.md `cc` row, which forces the distributed path): rounds
+    * must stay ~flat as the corpus grows, only per-round cost may scale. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
                                     bCol: String, maxIter: Int = 30): (DataFrame, Int) = {
+    val sess = pairs.sparkSession
+    val localMax = {
+      val raw = sess.conf.get("spark.graft.cc.localMax", "100000")
+      try raw.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"spark.graft.cc.localMax must be a long, got '$raw'")
+      }
+    }
+    import org.apache.spark.sql.types.LongType
+    val longKeyed = pairs.schema(aCol).dataType == LongType &&
+      pairs.schema(bCol).dataType == LongType
+    if (localMax > 0 && longKeyed) {
+      val cap = math.min(localMax, Int.MaxValue - 2L).toInt
+      val fetched = pairs.select(col(aCol), col(bCol)).limit(cap + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (fetched.length <= cap)
+        return (localComponents(sess, fetched), 0)
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
