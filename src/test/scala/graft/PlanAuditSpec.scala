@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide physical-plan guard: no query may contain a cartesian or
+  * broadcast-nested-loop join unless it is on the documented allowlist —
+  * the plan-shape regression a single bad refactor (a dropped join key, a
+  * non-equi condition) would otherwise introduce silently. Plans are built
+  * at sf0.001; queries whose operators execute jobs at plan-build time
+  * (Categorify fit, CC rounds, IVF fit) run them at that scale, which
+  * keeps the whole audit cheap.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose cross/NLJ is a documented design choice:
+    *   - q16: the exact all-pairs ground-truth harness (its point).
+    *   - q19/q56: bounded query batch BROADCAST against the corpus scan —
+    *     a broadcast NLJ over a ~125-row side, the intended exact baseline.
+    *   - q34: below the size gate (10⁴ docs) the all-pairs plan IS the
+    *     chosen physical plan; above it DedupSpec asserts cross-free.
+    *   - q59: a broadcast scalar (corpus doc count) joined into every row.
+    */
+  private val allowed = Set(
+    "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
+    "q34_dedup_groups", "q59_tfidf")
+
+  test("no undocumented cartesian/broadcast-NLJ in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+          .toString.toLowerCase
+        val hasCross =
+          plan.contains("cartesianproduct") || plan.contains("broadcastnestedloop")
+        if (hasCross && !allowed(name)) Some(name)
+        else if (!hasCross && allowed(name)) None // allowlist is permissive,
+          // not required: a query may lose its NLJ (e.g. q34 above-gate)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented cross/NLJ joins in: ${offenders.mkString(", ")}")
+  }
+}
