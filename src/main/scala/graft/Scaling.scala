@@ -213,6 +213,102 @@ object Scaling {
       println(f"semantic_dup_scaled_planes,$t1%.2f,$n1,$tS%.2f,$nS,${tS / t1}%.1f")
     }
 
+    // ---- ANN recall: measured, not collision-bound theory ---------------
+    // recall@k of the hyperplane-LSH and IVF probes against the exact
+    // cosine top-k ground truth (q19's pipeline), and pair-recall of the
+    // corpus-wide semantic-dedup candidate generator against the exact
+    // threshold pair set — the numbers behind the planes/tables/nprobe
+    // knobs. Every emitted pair/neighbor is exactly verified by
+    // construction (precision 1.0); recall is the only approximation.
+    if (only.forall(_.contains("recall"))) {
+      import graft.llm.Dedup
+      def recallAt(dir: String): Unit = {
+        val emb = Tables(spark, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+        val k = 5
+        val exact = Similarity.cosineTopK(queries, corpus, k)
+          .select(col("qid"), col("nid")).cache()
+        val nExact = exact.count().toDouble
+        def recall(approx: DataFrame): Double =
+          approx.select(col("qid"), col("nid"))
+            .join(exact, Seq("qid", "nid"), "left_semi").count() / nExact
+        val annR = recall(Similarity.annTopK(queries, corpus, dim = 64,
+          k = k, planes = 4, tables = 8)) // q24's settings
+        val ivfR = recall(Similarity.ivfTopK(queries, corpus, k = k,
+          nlist = 16, nprobe = 4)) // q39's settings
+        // pair-recall of the LSH self-join candidate generator (q67's
+        // settings) vs the exact threshold pair set; corpus-as-queries
+        // broadcast is fine at recall-harness scale
+        val exactPairs = Similarity.cosineNearDup(
+            emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            corpus, minCos = 0.4)
+          .filter(col("qid") < col("nid"))
+          .select(col("qid").as("id_a"), col("nid").as("id_b")).cache()
+        val nPairs = exactPairs.count().toDouble
+        val lshPairs = Similarity.semanticDupPairs(corpus, dim = 64,
+          minCos = 0.4, planes = 8, tables = 4)
+        val pairR =
+          if (nPairs == 0) 1.0
+          else lshPairs.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
+            .count() / nPairs
+        // CC robustness downstream of imperfect pairs: do the groups the
+        // LSH pairs induce match the groups the exact pairs induce?
+        val gLsh = Dedup.connectedComponents(lshPairs, "id_a", "id_b")
+          .withColumnRenamed("label", "l_lsh")
+        val gEx = Dedup.connectedComponents(exactPairs, "id_a", "id_b")
+          .withColumnRenamed("label", "l_ex")
+        val nodesAgree = gLsh.join(gEx, Seq("node"))
+          .filter(col("l_lsh") === col("l_ex")).count()
+        val nodesTotal = math.max(gEx.count(), 1L)
+        println("metric,dir,value")
+        println(f"ann_topk_recall@$k,$dir,$annR%.4f")
+        println(f"ivf_topk_recall@$k,$dir,$ivfR%.4f")
+        println(f"semantic_pair_recall,$dir,$pairR%.4f (exact_pairs=${nPairs.toLong})")
+        println(f"semantic_group_label_agreement,$dir,${nodesAgree.toDouble / nodesTotal}%.4f")
+        exact.unpersist(); exactPairs.unpersist()
+      }
+      recallAt(src)
+    }
+
+    // ---- sequence packing: windowed vs distributed prefix sum ----------
+    // The adversarial shape is ONE source: packWindowed's per-source
+    // window puts every row in a single task (parallelism = #sources),
+    // while packSequences range-buckets the id span so parallelism scales
+    // with rows. Synthetic single-source input isolates the packing stage
+    // itself (token counting is a projection, identical in both paths).
+    if (only.forall(_.contains("packing"))) {
+      import graft.llm.Pack
+      val baseRows = 2000000L
+      def synth(n: Long, path: String): String = {
+        spark.range(n).select(col("id").as("doc_id"),
+            lit("s0").as("source"),
+            (pmod(hash(col("id")), lit(400)) + 1).cast("long").as("n_tokens"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+      val basePath = synth(baseRows, s"$out/pack_base.parquet")
+      val scaledPath = synth(baseRows * factor, s"$out/pack_scaled.parquet")
+      def packOp(path: String, dist: Boolean): (Double, Long) = time {
+        val df = spark.read.parquet(path)
+        if (dist) Pack.packSequences(df, "doc_id", "source", "n_tokens", 2048)
+        else Pack.packWindowed(df, "doc_id", "source", "n_tokens", 2048)
+      }
+      val _ = packOp(basePath, dist = true) // warm codegen/JIT
+      val (tw1, nw1) = packOp(basePath, dist = false)
+      val (twN, _) = packOp(scaledPath, dist = false)
+      spark.catalog.clearCache()
+      val (td1, _) = packOp(basePath, dist = true)
+      val (tdN, _) = packOp(scaledPath, dist = true)
+      spark.catalog.clearCache()
+      println("op,base_sec,base_rows,scaled_sec,time_ratio")
+      println(f"pack_windowed,$tw1%.2f,$nw1,$twN%.2f,${twN / tw1}%.1f")
+      println(f"pack_distributed,$td1%.2f,$nw1,$tdN%.2f,${tdN / td1}%.1f")
+    }
+
     // ---- the composed CorpusClean job, both candidate modes ------------
     // Proves the full score->filter->exact-dedup->CC-collapse->write job
     // stays equi-join-shaped at factor× docs: wall time ~linear, retention

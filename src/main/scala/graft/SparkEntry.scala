@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
-import graft.llm.{Dedup, IvfIndex, Similarity, Sketches, TextStats}
-import graft.multimodal.Binary
+import graft.llm.{Dedup, IvfIndex, Pack, Similarity, Sketches, TextStats}
+import graft.multimodal.{Binary, Png}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -45,11 +45,34 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
 
-  /** Cache key of the most recent q39 probe in this JVM — lets
+  /** Digest of each sfDir's q39 probe in this JVM, keyed BY DIR — lets
     * [[oracleSql]] inline the EXACT centroids that run used (Verify dumps
     * oracle SQL after the queries execute), so KMeans fit nondeterminism
-    * can never split the Spark result from its DuckDB twin. */
-  @volatile private var ivfLastKey: String = _
+    * can never split the Spark result from its DuckDB twin. Dir-keyed so a
+    * JVM that probes several sfDirs (multi-SF bench sweeps) can never leak
+    * one dataset's centroids into another's dump: the oracle emits only
+    * when exactly ONE dir was probed — Verify's shape — and otherwise
+    * omits q39, degrading to the driver's rows-only check instead of
+    * risking a wrong twin ([[soleDigest]]). */
+  private val ivfDigestByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The exactly-one-probed-dir rule, separated for spec coverage. */
+  private[graft] def soleDigest(ds: Iterable[String]): Option[String] =
+    ds.toSet.toList match { case d :: Nil => Some(d); case _ => None }
+
+  /** Test hook: snapshot/override the probed-dir record (SparkEntrySpec
+    * exercises the multi-dir omission without probing a second dataset). */
+  private[graft] def ivfDigestSnapshot: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    ivfDigestByDir.asScala.toMap
+  }
+  private[graft] def ivfDigestRestore(m: Map[String, String]): Unit = {
+    ivfDigestByDir.clear()
+    m.foreach { case (k, v) => ivfDigestByDir.put(k, v) }
+  }
+  private[graft] def ivfDigestRecord(dir: String, digest: String): Unit =
+    ivfDigestByDir.put(dir, digest)
 
   /** Flagship query on sf0.001: the reference's full Bronze->Silver spine —
     * KV parse -> broadcast join -> invalid-sample filter -> typed wide
@@ -413,7 +436,7 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-      import java.nio.file.{Files, Paths, StandardCopyOption, FileSystemException}
+      import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       // The cache key — in memory AND on disk — is (dir, dataset content):
       // the MD5 folds in the embeddings files' (name, size, mtime)
@@ -454,20 +477,9 @@ object SparkEntry {
         if (!Files.exists(fin)) {
           val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
           IvfIndex.fit(corpus, nlist = 16).save(s, tmp.toString)
-          try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-          catch { case e: FileSystemException =>
-            if (Files.exists(fin)) rmTree(tmp) // lost the publish race; the
-              // winner's rename was atomic, so `fin` is complete — drop our
-              // duplicate build and load theirs
-            else {
-              // NOT a race (e.g. AtomicMoveNotSupported on exotic tmpdirs):
-              // nothing was published — fall back to a plain move so `fin`
-              // exists, or surface the real failure instead of a confusing
-              // missing-path error from load
-              try Files.move(tmp, fin)
-              catch { case _: FileSystemException => throw e }
-            }
-          }
+          // atomic rename, concurrent-publisher-safe; the non-atomic-move
+          // fallback re-checks under an exclusive lock (IvfIndex.publish)
+          IvfIndex.publish(tmp, fin)
           // sweep index.tmp.* leaked by CRASHED builders only: an hour-old
           // age floor keeps a concurrent builder's live tmp out of reach
           // (a whole build is seconds), and rmTree tolerates the
@@ -485,7 +497,7 @@ object SparkEntry {
         }
         IvfIndex.load(s, fin.toString) // probe the PERSISTED index, for real
       })
-      ivfLastKey = digest
+      ivfDigestByDir.put(dir, digest)
       Similarity.ivfTopK(queries, corpus, k = 5, index, nprobe = 4)
         .ordered(col("qid"), col("rank"))
     }),
@@ -1030,21 +1042,21 @@ object SparkEntry {
     // Training-data batch construction: assign docs to packs of <= budget
     // tokens, streaming within each source in doc_id order (the standard
     // first-fit approximation — a boundary doc spills into the next pack
-    // and the trainer truncates). ONE window cumsum per source partition;
-    // no shuffle beyond the partitioning the window needs, and each
-    // source's packing is independent — embarrassingly parallel at any
-    // corpus size. floor(cum/budget), never a double cast (Spark casts
+    // and the trainer truncates). Pack.packSequences is a DISTRIBUTED
+    // prefix sum: each source's id span is range-bucketed, per-bucket
+    // token totals (a tiny aggregate) become cumulative bucket offsets,
+    // and each bucket cumsums locally — parallelism scales with rows, not
+    // #sources (a single-window-per-source formulation serializes each
+    // source onto one task; PackSpec asserts both produce identical
+    // output). floor(cum/budget), never a double cast (Spark casts
     // truncate, DuckDB casts round).
     "q65_pack_sequences" -> ((s, dir) => {
-      val budget = 2048
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
-            .as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .withColumn("pack_id", floor(col("cum_before") / budget).cast("long"))
+      Pack.packSequences(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", budget = 2048)
         .select("doc_id", "source", "n_tokens", "pack_id")
         .ordered(col("source"), col("doc_id"))
     }),
@@ -1112,6 +1124,64 @@ object SparkEntry {
           size(col("chunk")).cast("long").as("n_tokens"),
           array_join(col("chunk"), " ").as("chunk_text"))
         .ordered(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- Streaming ingest-time dedup gate (T4 + q12's spine on a stream).
+    // The full Structured Streaming machinery (file source -> watermark ->
+    // dropDuplicatesWithinWatermark state store -> append sink) gates
+    // bag-of-words duplicate docs at ingest; batch-equivalence is the
+    // oracle (DISTINCT fingerprints — the kept-row identity is arrival-
+    // order-dependent, so only the deterministic fingerprint column is
+    // emitted; StreamsSpec pins the row-level late/duplicate semantics).
+    // Event time synthesized from doc_id: the fixture docs carry no
+    // timestamp, and the watermark needs one. Offset +1s so doc_id 0
+    // lands strictly after the initial epoch-0 watermark (a row AT the
+    // watermark is late by the strict-inequality rule and silently
+    // dropped — measured: doc 0 vanished without the offset).
+    "q71_stream_dedup" -> ((s, dir) => {
+      val schema = Tables(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("evt", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val gated = Streams.dedupByFingerprint(stream, "text", "evt", "1 minute")
+        .select("fingerprint")
+      Streams.runToMemory(gated, s"q71_mem_${System.nanoTime()}", "append")
+        .ordered(col("fingerprint"))
+    }),
+
+    // ---- Multimodal: REAL PNG pixel decode (inflate + unfilter) ---------
+    // Per doc: synthesize a small PNG whose pixel bytes follow a closed
+    // formula of doc_id (gray for even ids, RGB for odd; every scanline
+    // filter type 0-4 exercised by Png.encode's y%5 choice), push it
+    // through the REAL decoder (zlib inflate + None/Sub/Up/Average/Paeth
+    // unfiltering), and emit per-image pixel stats. The oracle recomputes
+    // the stats arithmetically from the formula — if any filter branch,
+    // the inflate loop, or the raster indexing were wrong, the stats
+    // hash-diverge. Generation + decode are one mapPartitions pass; only
+    // fixed-width stats ever ride a shuffle (rasters stay inside the
+    // partition), which is the 100 TB posture for any media decode.
+    "q70_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 5).toInt
+            val h = 4 + (id % 3).toInt
+            val c = if (id % 2 == 0) 1 else 3
+            val px = Array.tabulate(w * h * c)(i =>
+              ((id * 31 + i.toLong * 7) % 256).toByte)
+            Binary.MediaRow(id, Png.encode(Png.Image(w, h, c, px)),
+              "image", "png")
+          }
+        }
+      Binary.decodeImage(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .ordered(col("doc_id"))
     }),
 
     // ---- LLM ops: corpus-wide semantic dedup (LSH + cosine + CC) --------
@@ -2057,6 +2127,33 @@ object SparkEntry {
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Batch equivalence of the streaming dedup gate: the set of distinct
+    // fingerprints (q12's md5-of-sorted-tokens key; NULL text -> NULL key
+    // kept as its own group, exactly like DISTINCT treats NULL).
+    "q71_stream_dedup" ->
+      """SELECT DISTINCT CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(list_sort(list_filter(string_split(lower(text),' '), t -> len(t) > 0)),' '), '')) END AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // The decode path (inflate + unfilter) has no SQL twin — what the
+    // oracle CAN recompute exactly is the pixel-stat arithmetic from the
+    // synthesis formula, which the Spark side only reaches THROUGH the
+    // real encoder+decoder round-trip. doc_id is non-negative, so % agrees
+    // across engines (both take the dividend's sign).
+    "q70_png_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h, c, w*h*c AS n,
+        |  list_apply(range(w*h*c), i -> (doc_id*31 + i*7) % 256) AS px
+        |  FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_px,
+        |  FLOOR(CAST(list_sum(px) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
+        |  CAST(list_min(px) AS BIGINT) AS min_px,
+        |  CAST(list_max(px) AS BIGINT) AS max_px
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     // q24's LSH recompute (seeded planes as shortest-repr double
     // literals, sign-test bucket bits, any-table band match) composed
     // with q34's recursive-CTE connected components — the full semantic
@@ -2114,9 +2211,14 @@ object SparkEntry {
     * through DuckDB's parser bit-identically (the q24 technique). The
     * ||c||²/2 terms are inlined as literals too, so the only arithmetic
     * both engines perform is the identical left-to-right dot fold.
-    * Omitted — driver falls back to rows-only — if q39 never ran. */
-  private def q39OracleSql: Map[String, String] =
-    Option(ivfLastKey).flatMap(k => Option(ivfCache.get(k))).map { m =>
+    * Omitted — driver falls back to rows-only — if q39 never ran, or if
+    * MORE THAN ONE sfDir was probed in this JVM (the dump's single map
+    * entry could then name the wrong dataset's centroids; see
+    * [[ivfDigestByDir]]). */
+  private def q39OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k => Option(ivfCache.get(k))).map { m =>
       val cents = m.centroids.sortBy(_._1) // cell order 0..nlist-1
       def dotSql(v: String, cv: Seq[Float]): String =
         s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
@@ -2155,4 +2257,5 @@ object SparkEntry {
            |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
     }.toMap
+  }
 }

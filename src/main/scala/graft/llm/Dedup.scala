@@ -264,15 +264,28 @@ object Dedup {
     * the collected edge list, replacing 2·O(log d) shuffle jobs (each a
     * full stage barrier) with microseconds. Deduplicated near-dup pair
     * sets are routinely tiny relative to the corpus, so this is the
-    * common case at ANY corpus size; the decision probe IS the fetch
-    * (`limit(localMax+1).collect()` — CollectLimit executes partitions
-    * incrementally, so a large pair set pays only a truncated
-    * first-partitions pass before falling through to the distributed
-    * path). Long-keyed pairs only; other key types always distribute.
+    * common case at ANY corpus size. The decision probe IS the fetch —
+    * `limit(localMax+1).collect()`. Cost honesty: CollectLimit stops
+    * CONSUMING early, but every shuffle map stage upstream of `pairs`
+    * still executes in full before the first row is available; what the
+    * probe saves is the reduce-side work past the cap, and when the run
+    * falls through to the distributed path the DAGScheduler reuses those
+    * completed map stages rather than recomputing them. A pipeline that
+    * already knows its pair count (an `Observation` on an upstream
+    * action, or any same-side-of-the-cap estimate) should pass
+    * `pairCountHint` >= 0: a hint above the cap skips the probe entirely
+    * and goes straight to the distributed solve. Long-keyed pairs only;
+    * other key types always distribute.
+    *
+    * NULL ids: a pair with a NULL endpoint carries no linkage and is
+    * dropped up front — BOTH paths see the same null-free edge list
+    * (spec-asserted; previously the union-find path read NULLs as node 0
+    * while the distributed path's joins dropped them).
     * Both paths return identical results (spec-asserted). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          maxIter: Int = 30,
+                          pairCountHint: Long = -1): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, pairCountHint)._1
 
   /** Driver union-find for the below-gate path: root of every set is its
     * minimum id by construction (union attaches the larger root beneath
@@ -314,7 +327,8 @@ object Dedup {
     * (SCALING.md `cc` row, which forces the distributed path): rounds
     * must stay ~flat as the corpus grows, only per-round cost may scale. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
-                                    bCol: String, maxIter: Int = 30): (DataFrame, Int) = {
+                                    bCol: String, maxIter: Int = 30,
+                                    pairCountHint: Long = -1): (DataFrame, Int) = {
     val sess = pairs.sparkSession
     val localMax = {
       val raw = sess.conf.get("spark.graft.cc.localMax", "100000")
@@ -323,17 +337,22 @@ object Dedup {
           s"spark.graft.cc.localMax must be a long, got '$raw'")
       }
     }
+    // shared null semantics for BOTH paths: a NULL endpoint links nothing
+    val clean = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     import org.apache.spark.sql.types.LongType
     val longKeyed = pairs.schema(aCol).dataType == LongType &&
       pairs.schema(bCol).dataType == LongType
     if (localMax > 0 && longKeyed) {
       val cap = math.min(localMax, Int.MaxValue - 2L).toInt
-      val fetched = pairs.select(col(aCol), col(bCol)).limit(cap + 1)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      if (fetched.length <= cap)
-        return (localComponents(sess, fetched), 0)
+      if (pairCountHint < 0 || pairCountHint <= cap) {
+        // probe-is-the-fetch; a hint above the cap skips this entirely
+        val fetched = clean.select(col(aCol), col(bCol)).limit(cap + 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (fetched.length <= cap)
+          return (localComponents(sess, fetched), 0)
+      }
     }
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = clean.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
     // localCheckpoint each round: iterative self-joins otherwise nest every

@@ -56,6 +56,66 @@ object IvfIndex {
     }.toSeq)
   }
 
+  /** Publish a fully-written index directory `tmp` to its final path
+    * `fin` by atomic rename, safe under concurrent publishers: losing the
+    * rename race is success (the winner's tree is complete — drop our
+    * duplicate and load theirs). On filesystems without atomic directory
+    * moves (AtomicMoveNotSupported on exotic tmpdirs) the fallback
+    * serializes through an exclusive lock file in `fin`'s parent and
+    * RE-CHECKS under the lock — two fallback publishers can therefore
+    * never interleave a non-atomic move (one publishes, the other sees
+    * `fin` and drops its tmp). IvfPublishSpec races publishers both ways. */
+  def publish(tmp: java.nio.file.Path, fin: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, FileSystemException, StandardCopyOption}
+    try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: FileSystemException =>
+      if (Files.exists(fin)) rmTree(tmp) // lost the atomic publish race
+      else publishLocked(tmp, fin, e)
+    }
+  }
+
+  /** Non-atomic fallback, factored out so IvfPublishSpec can race it
+    * directly (the atomic path is untestably fast to lose on tmpfs).
+    * Two locks, both required: the JVM monitor serializes publisher
+    * THREADS (java.nio file locks are per-process — a second thread
+    * locking the same file throws OverlappingFileLockException rather
+    * than blocking), and the file lock serializes publisher PROCESSES. */
+  private val publishMonitor = new Object
+  private[llm] def publishLocked(tmp: java.nio.file.Path,
+                                 fin: java.nio.file.Path,
+                                 cause: Throwable): Unit = publishMonitor.synchronized {
+    import java.nio.file.{Files, FileSystemException, StandardOpenOption}
+    val lockPath = fin.getParent.resolve(fin.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lk = ch.lock()
+      try {
+        if (Files.exists(fin)) rmTree(tmp) // published while we waited
+        else {
+          try Files.move(tmp, fin)
+          catch { case _: FileSystemException =>
+            // neither atomic nor plain move worked and nobody else
+            // published: surface the ORIGINAL failure, not a confusing
+            // missing-path error from a later load
+            if (Files.exists(fin)) rmTree(tmp) else throw cause
+          }
+        }
+      } finally lk.release()
+    } finally ch.close()
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      val st = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally st.close()
+    } catch { case _: java.nio.file.NoSuchFileException => () }
+  }
+
   def load(spark: SparkSession, path: String): Model = {
     val rows = spark.read.parquet(path)
       .select("cell", "centroid")

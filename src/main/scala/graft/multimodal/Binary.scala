@@ -10,17 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * SCOPE — what is real vs stubbed (do not over-claim this module):
   *  - REAL and oracle/spec-checked: byte metadata ([[withMetadata]]),
-  *    magic-byte container sniffing ([[sniffModality]]), and PNG/WAV
-  *    HEADER parsing ([[mediaMeta]] — width/height/channels/sample_rate
-  *    read from the container header layout, q58's oracle recomputes the
-  *    expected dims arithmetically).
-  *  - STUBBED: pixel/sample/frame DECODE. No codec ships in this
-  *    container, so [[decodeStub]] and [[frameSampleStub]] produce
+  *    magic-byte container sniffing ([[sniffModality]]), PNG/WAV HEADER
+  *    parsing ([[mediaMeta]] — width/height/channels/sample_rate read
+  *    from the container header layout, q58's oracle recomputes the
+  *    expected dims arithmetically), and PNG PIXEL decode
+  *    ([[decodeImage]] via [[Png.decode]] — zlib inflate + full scanline
+  *    unfiltering, q70's oracle recomputes per-image pixel stats
+  *    arithmetically from the synthesis parameters).
+  *  - STUBBED: video frame / audio sample decode. No AV codec ships in
+  *    this container, so [[decodeStub]] and [[frameSampleStub]] produce
   *    deterministic fakes behind the production execution shape
   *    (mapPartitions with a per-partition init site, typed schemas,
   *    explode-before-shuffle). "Multimodal decode" must not be claimed
-  *    beyond headers; swap the stub bodies for JNI/codec calls on a real
-  *    cluster.
+  *    beyond images + headers; swap the stub bodies for JNI/codec calls
+  *    on a real cluster.
   */
 object Binary {
 
@@ -61,7 +64,55 @@ object Binary {
   def mediaMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("media_meta", payload)
 
-  /** STUB decode — NOT a media decoder. Deterministic fake: "dimensions"
+  /** REAL image decode + per-image pixel stats: PNG payloads through
+    * [[Png.decode]] (inflate + unfilter — an actual pixel decoder, see Png
+    * Scaladoc for scope), reduced per-partition to fixed-width stats so
+    * raster buffers never ride a shuffle. Undecodable payloads (wrong
+    * magic, truncated, unsupported color mode) yield `ok=false` rows with
+    * null stats — a poison image must never fail the task. mapPartitions
+    * keeps the per-partition init contract (a JNI codec would allocate
+    * here; the pure-JVM path allocates nothing heavier than its buffers).
+    * mean_px uses floor(x*1e6+0.5)/1e6 so an external oracle reproduces it
+    * bit-for-bit (see SparkEntry rounding convention). */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site (a real JNI codec context would live here)
+      rows.map { r =>
+        try {
+          val img = Png.decode(r.payload)
+          val px = img.pixels
+          var i = 0; var sum = 0L; var mn = 255; var mx = 0
+          while (i < px.length) {
+            val v = px(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = px.length.toLong
+          val mean =
+            if (n == 0) 0.0
+            else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
+          ImageStats(r.media_id, ok = true, img.width, img.height,
+            img.channels, n, mean, mn.toLong, mx.toLong)
+        } catch { case _: IllegalArgumentException =>
+          ImageStats(r.media_id, ok = false, -1, -1, -1, -1L, 0.0, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Per-image decoded-pixel stats — the fixed-width shuffle-safe shape
+    * [[decodeImage]] reduces rasters to. */
+  case class ImageStats(media_id: Long, ok: Boolean, width: Int, height: Int,
+                        channels: Int, n_px: Long, mean_px: Double,
+                        min_px: Long, max_px: Long)
+
+  /** STUB decode — NOT a media decoder (images have the REAL
+    * [[decodeImage]] path; this remains only as the execution-shape
+    * placeholder for audio/video feature extraction). Deterministic fake:
+    * "dimensions"
     * and a `dim`-float feature vector derived from byte content, so tests
     * are reproducible. Only the execution contract is real: one codec
     * init per partition (the reason this is mapPartitions, not a per-row

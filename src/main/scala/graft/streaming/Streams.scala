@@ -142,6 +142,23 @@ object Streams {
     stream.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Ingest-time near-dup gate: compute the order-insensitive content
+    * fingerprint ([[graft.llm.TextStats.fingerprint]] — md5 of the sorted
+    * lowercased token multiset) for each arriving document and keep only
+    * the FIRST arrival of each fingerprint within the watermark horizon —
+    * the streaming analogue of the batch exact-dedup spine (q12), gating
+    * duplicates out of a training-data corpus AT INGEST instead of in a
+    * nightly batch sweep. State is one entry per distinct fingerprint
+    * inside the horizon (evicted as the watermark passes), so memory is
+    * bounded by the dedup window, not the stream. The fingerprint rides
+    * out in column `fingerprint` for downstream audit/metrics. */
+  def dedupByFingerprint(stream: DataFrame, textCol: String,
+                         eventTimeCol: String, delay: String): DataFrame =
+    dedupWithinWatermark(
+      stream.withColumn("fingerprint",
+        graft.llm.TextStats.fingerprint(col(textCol))),
+      Seq("fingerprint"), eventTimeCol, delay)
+
   /** Continuous online-store materialization: foreachBatch MERGE of each
     * micro-batch into a keyed latest-value table — the engine's analog of
     * the reference's Redis upsert stream

@@ -52,6 +52,58 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.size === 301)
   }
 
+  test("NULL-endpoint pairs link nothing — both paths agree") {
+    // (None, 3) and (4, None) must NOT create edges; previously the
+    // union-find path read NULL as node 0, silently welding 0 into a
+    // component the distributed path never built
+    val pairs = Seq(
+      (Option(1L), Option(2L)),
+      (Option.empty[Long], Option(3L)),
+      (Option(4L), Option.empty[Long]),
+      (Option(0L), Option(9L))).toDF("id_a", "id_b")
+    val gate = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = distributed(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 0L -> 0L, 9L -> 0L)
+    assert(gate === expected)
+    assert(dist === expected)
+  }
+
+  test("pairCountHint above the cap skips the probe and distributes; below keeps the gate") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val (gateLabels, gateRounds) = Dedup.connectedComponentsWithRounds(
+      pairs, "id_a", "id_b", pairCountHint = 2L)
+    assert(gateRounds === 0) // hint <= cap: union-find path
+    val (distLabels, distRounds) = Dedup.connectedComponentsWithRounds(
+      pairs, "id_a", "id_b", pairCountHint = 200001L)
+    assert(distRounds > 0) // hint > cap: straight to distributed, no probe
+    assert(gateLabels.as[(Long, Long)].collect().toMap ===
+      distLabels.as[(Long, Long)].collect().toMap)
+  }
+
+  test("deep path graph: 10^4 nodes converge within the O(log d) bound") {
+    // diameter 10^4 -> log2(d) ~ 13.3; pointer doubling halves label-chain
+    // length each round on top of one-hop propagation, so rounds must land
+    // within a small constant of log2(diameter). Plain propagation would
+    // need ~10^4 rounds — this is the claim at Dedup.scala's doubling
+    // comment, previously untested beyond 300 nodes.
+    val n = 10000L
+    val pairs = spark.range(n - 1)
+      .selectExpr("id AS id_a", "id + 1 AS id_b")
+    spark.conf.set("spark.graft.cc.localMax", "0")
+    val (labels, rounds) = try
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    finally spark.conf.unset("spark.graft.cc.localMax")
+    val distinctLabels = labels.select("label").distinct()
+      .as[Long].collect().toSeq
+    assert(distinctLabels === Seq(0L))
+    assert(labels.count() === n)
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound,
+      s"$rounds rounds on a diameter-$n path exceeds log2(d)+4 = $bound")
+  }
+
   test("random graph: groups equal a union-find ground truth") {
     val rnd = new scala.util.Random(1234)
     val edges = Seq.fill(400)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))

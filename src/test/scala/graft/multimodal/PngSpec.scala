@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PngSpec extends AnyFunSuite {
+
+  private def randomImage(rnd: scala.util.Random, w: Int, h: Int,
+                          c: Int): Png.Image =
+    Png.Image(w, h, c, Array.fill(w * h * c)(rnd.nextInt(256).toByte))
+
+  test("decode inverts encode exactly — all channel counts, random pixels") {
+    val rnd = new scala.util.Random(42)
+    for (c <- Seq(1, 2, 3, 4); (w, h) <- Seq((1, 1), (3, 7), (16, 16), (31, 5))) {
+      val img = randomImage(rnd, w, h, c)
+      val back = Png.decode(Png.encode(img))
+      assert(back.width === w && back.height === h && back.channels === c)
+      assert(back.pixels.toSeq === img.pixels.toSeq,
+        s"pixel mismatch at w=$w h=$h c=$c")
+    }
+  }
+
+  test("every filter branch is exercised: heights >= 5 cover filters 0-4") {
+    // encode uses filter y%5 — a 10-row image runs each filter twice, and
+    // gradient + noise content makes each predictor's delta nontrivial
+    val rnd = new scala.util.Random(7)
+    val w = 9; val h = 10; val c = 3
+    val px = Array.tabulate(w * h * c) { i =>
+      ((i % 251) + rnd.nextInt(5)).toByte
+    }
+    val img = Png.Image(w, h, c, px)
+    assert(Png.decode(Png.encode(img)).pixels.toSeq === px.toSeq)
+  }
+
+  test("the encoded bytes are a conformant container: sniff + header agree") {
+    val img = randomImage(new scala.util.Random(1), 8, 6, 3)
+    val bytes = Png.encode(img)
+    // PNG signature
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
+    // IHDR width/height big-endian at offsets 16/20
+    def u32(off: Int) = (0 until 4).foldLeft(0)((a, i) => (a << 8) | (bytes(off + i) & 0xff))
+    assert(u32(16) === 8 && u32(20) === 6)
+  }
+
+  test("malformed input throws IllegalArgumentException, never crashes") {
+    val good = Png.encode(randomImage(new scala.util.Random(2), 4, 4, 1))
+    intercept[IllegalArgumentException](Png.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Png.decode(good.take(20))) // truncated
+    val badMagic = good.clone(); badMagic(0) = 0
+    intercept[IllegalArgumentException](Png.decode(badMagic))
+    // corrupt IDAT payload (flip bytes mid-stream) -> inflate or length check
+    val corrupt = good.clone()
+    for (i <- 40 until math.min(48, corrupt.length)) corrupt(i) = 0x55
+    intercept[Exception](Png.decode(corrupt))
+  }
+
+  test("decodeImage maps poison payloads to ok=false rows, stats to real ones") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val img = Png.Image(4, 2, 1,
+      Array.tabulate(8)(i => (i * 10).toByte)) // 0,10,...,70: mean 35
+    val rows = Seq(
+      Binary.MediaRow(1L, Png.encode(img), "image", "png"),
+      Binary.MediaRow(2L, Array[Byte](9, 9, 9), "image", "png"))
+    val out = Binary.decodeImage(rows.toDS()).collect().sortBy(_.media_id)
+    assert(out.length === 2)
+    assert(out(0).ok && out(0).width === 4 && out(0).height === 2 &&
+      out(0).n_px === 8L && out(0).mean_px === 35.0 &&
+      out(0).min_px === 0L && out(0).max_px === 70L)
+    assert(!out(1).ok && out(1).width === -1)
+  }
+}

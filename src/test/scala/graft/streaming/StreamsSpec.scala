@@ -88,6 +88,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Set(("a", "first"), ("b", "b1")))
   }
 
+  test("dedupByFingerprint gates bag-of-words duplicates at ingest, late dups included") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val df = mem.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("evt", col("ts_s").cast("timestamp"))
+    val q = Streams.dedupByFingerprint(df, "text", "evt", "30 seconds")
+      .writeStream.format("memory").queryName("fpd_test")
+      .outputMode("append").start()
+    // batch 1: two docs; "world hello" is a TOKEN PERMUTATION of doc 1 —
+    // same bag-of-words fingerprint, must be gated out in-batch
+    mem.addData((1L, 100L, "hello world"), (2L, 100L, "world hello"),
+      (3L, 101L, "something else"))
+    q.processAllAvailable()
+    // batch 2: a LATE duplicate (older event time, still in horizon) and a
+    // case/whitespace variant — both collapse to already-seen fingerprints
+    mem.addData((4L, 90L, "Hello   WORLD"), (5L, 102L, "else something"))
+    q.processAllAvailable()
+    // batch 3: genuinely new content passes the gate
+    mem.addData((6L, 103L, "fresh content"))
+    q.processAllAvailable()
+    val out = spark.table("fpd_test").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(out === Set(1L, 3L, 6L))
+  }
+
   test("upsertOnline: event-time upsert across micro-batches; late rows never clobber") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
