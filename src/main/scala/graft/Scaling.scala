@@ -221,7 +221,6 @@ object Scaling {
     // knobs. Every emitted pair/neighbor is exactly verified by
     // construction (precision 1.0); recall is the only approximation.
     if (only.forall(_.contains("recall"))) {
-      import graft.llm.Dedup
       def recallAt(dir: String): Unit = {
         val emb = Tables(spark, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 20 === 0)
@@ -239,35 +238,41 @@ object Scaling {
           k = k, planes = 4, tables = 8)) // q24's settings
         val ivfR = recall(Similarity.ivfTopK(queries, corpus, k = k,
           nlist = 16, nprobe = 4)) // q39's settings
-        // pair-recall of the LSH self-join candidate generator (q67's
-        // settings) vs the exact threshold pair set; corpus-as-queries
-        // broadcast is fine at recall-harness scale
+        // pair-recall of the LSH self-join candidate generator vs the
+        // exact threshold pair set, STRATIFIED by cosine band (the 0.4-0.5
+        // band is borderline pairs of near-random vectors — the pairs
+        // dedup actually targets live in the high bands) and swept over
+        // the tables knob so the recall-vs-cost response is measured, not
+        // cited from the collision bound. Corpus-as-queries broadcast is
+        // fine at recall-harness scale.
         val exactPairs = Similarity.cosineNearDup(
             emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
             corpus, minCos = 0.4)
           .filter(col("qid") < col("nid"))
-          .select(col("qid").as("id_a"), col("nid").as("id_b")).cache()
+          .select(col("qid").as("id_a"), col("nid").as("id_b"),
+            col("cos")).cache()
         val nPairs = exactPairs.count().toDouble
-        val lshPairs = Similarity.semanticDupPairs(corpus, dim = 64,
-          minCos = 0.4, planes = 8, tables = 4)
-        val pairR =
-          if (nPairs == 0) 1.0
-          else lshPairs.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
-            .count() / nPairs
-        // CC robustness downstream of imperfect pairs: do the groups the
-        // LSH pairs induce match the groups the exact pairs induce?
-        val gLsh = Dedup.connectedComponents(lshPairs, "id_a", "id_b")
-          .withColumnRenamed("label", "l_lsh")
-        val gEx = Dedup.connectedComponents(exactPairs, "id_a", "id_b")
-          .withColumnRenamed("label", "l_ex")
-        val nodesAgree = gLsh.join(gEx, Seq("node"))
-          .filter(col("l_lsh") === col("l_ex")).count()
-        val nodesTotal = math.max(gEx.count(), 1L)
         println("metric,dir,value")
         println(f"ann_topk_recall@$k,$dir,$annR%.4f")
         println(f"ivf_topk_recall@$k,$dir,$ivfR%.4f")
-        println(f"semantic_pair_recall,$dir,$pairR%.4f (exact_pairs=${nPairs.toLong})")
-        println(f"semantic_group_label_agreement,$dir,${nodesAgree.toDouble / nodesTotal}%.4f")
+        for (tables <- Seq(4, 8, 16)) {
+          val lshPairs = Similarity.semanticDupPairs(corpus, dim = 64,
+            minCos = 0.4, planes = 8, tables = tables).cache()
+          val hit = lshPairs.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
+            .count().toDouble
+          val pairR = if (nPairs == 0) 1.0 else hit / nPairs
+          val bands = exactPairs
+            .withColumn("band", floor(col("cos") * 10) / 10)
+            .join(lshPairs.select(col("id_a"), col("id_b"),
+              lit(1).as("found")), Seq("id_a", "id_b"), "left")
+            .groupBy("band").agg(count(lit(1)).as("n"),
+              sum(coalesce(col("found"), lit(0))).as("hits"))
+            .orderBy("band").collect()
+            .map(r => f"cos${r.getDouble(0)}%.1f:${r.getLong(2)}/${r.getLong(1)}")
+            .mkString(" ")
+          println(f"semantic_pair_recall_t$tables,$dir,$pairR%.4f (exact_pairs=${nPairs.toLong}; by band: $bands)")
+          lshPairs.unpersist()
+        }
         exact.unpersist(); exactPairs.unpersist()
       }
       recallAt(src)

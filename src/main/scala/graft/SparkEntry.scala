@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Dedup, IvfIndex, Pack, Similarity, Sketches, TextStats}
-import graft.multimodal.{Binary, Png}
+import graft.multimodal.{Binary, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -1184,6 +1184,47 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: REAL WAV PCM sample decode -------------------------
+    // q70's audio twin: per doc, synthesize a RIFF/WAVE 16-bit PCM clip
+    // whose samples follow a closed formula of doc_id, decode it through
+    // the REAL chunk-walk + PCM reader (an ancillary LIST chunk is
+    // planted before `data` so the walk is exercised, not just offset
+    // 44), and emit per-clip amplitude stats. Sample sums and sums of
+    // squares are exact in Long, so the only float arithmetic is one
+    // divide, one sqrt, and the shared floor-rounding — the oracle
+    // recomputes all of it from the formula. Same scale posture as q70:
+    // decode inside the partition, only fixed-width stats ride shuffles.
+    "q72_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 64 + (id % 129).toInt
+            val ch = if (id % 3 == 0) 1 else 2
+            val samples = Array.tabulate(n)(i =>
+              (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+            val wav = Wav.encode(Wav.Clip(8000 + (id % 5).toInt * 4000,
+              ch, samples))
+            // splice an ancillary LIST chunk between fmt and data so the
+            // decoder must actually walk chunks (RIFF size field patched
+            // to stay spec-conformant)
+            val junk = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 1, 2, 3, 4)
+            val spliced = wav.take(36) ++ junk ++ wav.drop(36)
+            val riffLen = (spliced.length - 8).toLong
+            (0 until 4).foreach(i =>
+              spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+            Binary.MediaRow(id, spliced, "audio", "wav")
+          }
+        }
+      Binary.decodeAudio(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"), col("mean_amp"), col("rms"), col("peak"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: corpus-wide semantic dedup (LSH + cosine + CC) --------
     // The embedding-space analogue of q34: no query batch, the whole
     // corpus against itself — the shape that at 100 TB can only be a
@@ -2152,6 +2193,28 @@ object SparkEntry {
         |  FLOOR(CAST(list_sum(px) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // q70's audio twin: the chunk walk + PCM extraction has no SQL
+    // equivalent; the oracle recomputes the sample-stat arithmetic from
+    // the synthesis formula, which the Spark side only reaches THROUGH
+    // the real encode→splice→decode round-trip. Sums/sums-of-squares are
+    // integer-exact; the only float ops (divide, sqrt, floor-round) are
+    // IEEE-identical in both engines.
+    "q72_wav_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  64 + doc_id % 129 AS n,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS c,
+        |  8000 + (doc_id % 5) * 4000 AS sr
+        |  FROM documents),
+        |v AS (SELECT doc_id, n, c, sr,
+        |  list_apply(range(n), i -> (doc_id*131 + i*17) % 65536 - 32768) AS s
+        |  FROM p)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(c AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  FLOOR(CAST(list_sum(s) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_amp,
+        |  FLOOR(sqrt(CAST(list_sum(list_apply(s, x -> x*x)) AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
+        |  CAST(list_max(list_apply(s, x -> abs(x))) AS BIGINT) AS peak
         |FROM v ORDER BY doc_id""".stripMargin,
 
     // q24's LSH recompute (seeded planes as shortest-repr double

@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   *    expected dims arithmetically), and PNG PIXEL decode
   *    ([[decodeImage]] via [[Png.decode]] — zlib inflate + full scanline
   *    unfiltering, q70's oracle recomputes per-image pixel stats
-  *    arithmetically from the synthesis parameters).
-  *  - STUBBED: video frame / audio sample decode. No AV codec ships in
-  *    this container, so [[decodeStub]] and [[frameSampleStub]] produce
-  *    deterministic fakes behind the production execution shape
-  *    (mapPartitions with a per-partition init site, typed schemas,
-  *    explode-before-shuffle). "Multimodal decode" must not be claimed
-  *    beyond images + headers; swap the stub bodies for JNI/codec calls
-  *    on a real cluster.
+  *    arithmetically from the synthesis parameters), and WAV PCM SAMPLE
+  *    decode ([[decodeAudio]] via [[Wav.decode]] — chunk walk +
+  *    little-endian 16-bit PCM, q72's oracle recomputes per-clip sample
+  *    stats the same way).
+  *  - STUBBED: video frame decode and COMPRESSED audio (MP3/AAC/Opus).
+  *    Those genuinely need codec libraries this container lacks, so
+  *    [[decodeStub]] and [[frameSampleStub]] produce deterministic fakes
+  *    behind the production execution shape (mapPartitions with a
+  *    per-partition init site, typed schemas, explode-before-shuffle).
+  *    "Multimodal decode" must not be claimed beyond images + PCM audio +
+  *    headers; swap the stub bodies for JNI/codec calls on a real
+  *    cluster.
   */
 object Binary {
 
@@ -108,6 +112,51 @@ object Binary {
   case class ImageStats(media_id: Long, ok: Boolean, width: Int, height: Int,
                         channels: Int, n_px: Long, mean_px: Double,
                         min_px: Long, max_px: Long)
+
+  /** REAL audio decode + per-clip sample stats: RIFF/WAVE PCM payloads
+    * through [[Wav.decode]] (chunk walk + little-endian 16-bit PCM — see
+    * Wav Scaladoc for scope), reduced per-partition to fixed-width stats
+    * so sample buffers never ride a shuffle. Same poison-row and
+    * per-partition-init contract as [[decodeImage]]; mean/RMS use
+    * floor(x*1e6+0.5)/1e6 for external-oracle bit parity (sample sums and
+    * sums of squares are exact in Long, so the only float ops are one
+    * divide, one sqrt, and the rounding — identical in any engine). */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init site (a real codec context would live here)
+      rows.map { r =>
+        try {
+          val clip = Wav.decode(r.payload)
+          val xs = clip.samples
+          var i = 0; var sum = 0L; var sumSq = 0L; var peak = 0L
+          while (i < xs.length) {
+            val v = xs(i).toLong
+            sum += v
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val n = xs.length.toLong
+          def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+          AudioStats(r.media_id, ok = true, clip.sampleRate, clip.channels,
+            n,
+            if (n == 0) 0.0 else r6(sum.toDouble / n),
+            if (n == 0) 0.0 else r6(math.sqrt(sumSq.toDouble / n)),
+            peak)
+        } catch { case _: IllegalArgumentException =>
+          AudioStats(r.media_id, ok = false, -1, -1, -1L, 0.0, 0.0, -1L)
+        }
+      }
+    }
+  }
+
+  /** Per-clip decoded-sample stats — the fixed-width shuffle-safe shape
+    * [[decodeAudio]] reduces PCM buffers to. */
+  case class AudioStats(media_id: Long, ok: Boolean, sample_rate: Int,
+                        channels: Int, n_samples: Long, mean_amp: Double,
+                        rms: Double, peak: Long)
 
   /** STUB decode — NOT a media decoder (images have the REAL
     * [[decodeImage]] path; this remains only as the execution-shape

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WavSpec extends AnyFunSuite {
+
+  private def randomClip(rnd: scala.util.Random, n: Int, ch: Int,
+                         rate: Int): Wav.Clip =
+    Wav.Clip(rate, ch, Array.fill(n)(rnd.nextInt(65536).toShort))
+
+  test("decode inverts encode exactly — mono/stereo, extreme samples") {
+    val rnd = new scala.util.Random(42)
+    for ((n, ch, rate) <- Seq((1, 1, 8000), (64, 2, 44100), (1001, 1, 16000))) {
+      val clip = randomClip(rnd, n, ch, rate)
+      val back = Wav.decode(Wav.encode(clip))
+      assert(back.sampleRate === rate && back.channels === ch)
+      assert(back.samples.toSeq === clip.samples.toSeq)
+    }
+    // full-range extremes round-trip (sign handling of the u16 -> Short cast)
+    val ext = Wav.Clip(8000, 1, Array(Short.MinValue, Short.MaxValue, 0, -1, 1))
+    assert(Wav.decode(Wav.encode(ext)).samples.toSeq === ext.samples.toSeq)
+  }
+
+  test("ancillary chunks are walked over, odd-length chunks stay aligned") {
+    val clip = Wav.Clip(8000, 1, Array[Short](5, -5, 100))
+    val wav = Wav.encode(clip)
+    // splice an ODD-length LIST chunk (3 bytes + pad) between fmt and data;
+    // patch the RIFF size so the container stays conformant
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = wav.take(36) ++ junk ++ wav.drop(36)
+    val riffLen = (spliced.length - 8).toLong
+    (0 until 4).foreach(i => spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+    assert(Wav.decode(spliced).samples.toSeq === clip.samples.toSeq)
+  }
+
+  test("malformed/unsupported input throws, never crashes") {
+    val good = Wav.encode(Wav.Clip(8000, 1, Array[Short](1, 2, 3)))
+    intercept[IllegalArgumentException](Wav.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Wav.decode(good.take(20))) // truncated
+    val badTag = good.clone(); badTag(20) = 3 // float PCM unsupported
+    intercept[IllegalArgumentException](Wav.decode(badTag))
+    val badBits = good.clone(); badBits(34) = 8 // 8-bit unsupported
+    intercept[IllegalArgumentException](Wav.decode(badBits))
+  }
+
+  test("decodeAudio maps poison payloads to ok=false, stats to real ones") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // samples 3, -4, 0: sum=-1, sumSq=25 -> mean=-1/3, rms=sqrt(25/3)
+    val clip = Wav.Clip(16000, 2, Array[Short](3, -4, 0))
+    val rows = Seq(
+      Binary.MediaRow(1L, Wav.encode(clip), "audio", "wav"),
+      Binary.MediaRow(2L, Array[Byte](0, 0, 0), "audio", "wav"))
+    val out = Binary.decodeAudio(rows.toDS()).collect().sortBy(_.media_id)
+    assert(out(0).ok && out(0).sample_rate === 16000 &&
+      out(0).channels === 2 && out(0).n_samples === 3L)
+    assert(out(0).mean_amp === math.floor(-1.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(out(0).rms === math.floor(math.sqrt(25.0 / 3) * 1e6 + 0.5) / 1e6)
+    assert(out(0).peak === 4L)
+    assert(!out(1).ok && out(1).sample_rate === -1)
+  }
+}
