@@ -56,6 +56,12 @@ object Pack {
     *               `spark.graft.pack.ranges` (default: the session's
     *               shuffle parallelism). Any value >= 1 produces identical
     *               output — it is purely a parallelism knob.
+    *
+    * Memory note: the bucketed input is cached (MEMORY_AND_DISK — spills,
+    * never OOMs) because two consumers read it: the per-bucket totals
+    * aggregate and the bucket-local cumsum. The cache carries ALL of
+    * `df`'s columns, so pre-project to (id, source, tokens) before
+    * calling — as q65 does — rather than packing a wide dataframe.
     */
   def packSequences(df: DataFrame, idCol: String, sourceCol: String,
                     tokensCol: String, budget: Long,

@@ -41,6 +41,28 @@ class PngSpec extends AnyFunSuite {
     assert(u32(16) === 8 && u32(20) === 6)
   }
 
+  test("property: decode∘encode is identity over random images") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val genImage = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      c <- Gen.oneOf(1, 2, 3, 4)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      Png.Image(w, h, c, Array.fill(w * h * c)(rnd.nextInt(256).toByte))
+    }
+    val prop = Prop.forAll(genImage) { img =>
+      val back = Png.decode(Png.encode(img))
+      back.width == img.width && back.height == img.height &&
+        back.channels == img.channels &&
+        java.util.Arrays.equals(back.pixels, img.pixels)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("malformed input throws IllegalArgumentException, never crashes") {
     val good = Png.encode(randomImage(new scala.util.Random(2), 4, 4, 1))
     intercept[IllegalArgumentException](Png.decode(Array[Byte](1, 2, 3)))

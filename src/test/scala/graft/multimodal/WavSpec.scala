@@ -33,6 +33,27 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.decode(spliced).samples.toSeq === clip.samples.toSeq)
   }
 
+  test("property: decode∘encode is identity over random clips") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val genClip = for {
+      n <- Gen.choose(0, 512)
+      ch <- Gen.choose(1, 8)
+      rate <- Gen.oneOf(8000, 16000, 44100, 48000)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      Wav.Clip(rate, ch, Array.fill(n)(rnd.nextInt(65536).toShort))
+    }
+    val prop = Prop.forAll(genClip) { clip =>
+      val back = Wav.decode(Wav.encode(clip))
+      back.sampleRate == clip.sampleRate && back.channels == clip.channels &&
+        back.samples.toSeq == clip.samples.toSeq
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("malformed/unsupported input throws, never crashes") {
     val good = Wav.encode(Wav.Clip(8000, 1, Array[Short](1, 2, 3)))
     intercept[IllegalArgumentException](Wav.decode(Array[Byte](1, 2, 3)))
