@@ -1184,6 +1184,24 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: benchmark decontamination (n-gram overlap) ------------
+    // Every-17th doc stands in for the eval/benchmark set; flag corpus
+    // docs sharing >= 3 distinct token 3-grams with any benchmark doc
+    // (short fixture docs, hence k=3/minShared=3 where production runs
+    // k=13/minShared=1). Inverted-index equi-join on the shingle value —
+    // never corpus x benchmark all-pairs. Self-pairs excluded in the
+    // query: a real benchmark set is disjoint from the corpus; here the
+    // benchmark IS a corpus subset.
+    "q73_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      Dedup.contaminationPairs(docs, "doc_id", "text",
+          bench, "bench_id", "bench_text", shingleK = 3, minShared = 3)
+        .filter(col("doc") =!= col("bench_doc"))
+        .ordered(col("doc"), col("bench_doc"))
+    }),
+
     // ---- Multimodal: REAL WAV PCM sample decode -------------------------
     // q70's audio twin: per doc, synthesize a RIFF/WAVE 16-bit PCM clip
     // whose samples follow a closed formula of doc_id, decode it through
@@ -2032,7 +2050,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         |FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 8 ORDER BY id_a, id_b""".stripMargin,
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q45_cond_agg" ->
       """SELECT l_linestatus,
@@ -2194,6 +2212,29 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Same 3-gram construction as q68's oracle (lower + whitespace
+    // tokens, positional rebuild, list_distinct), with the shingle
+    // kernel's whole-doc fallback for docs shorter than k reproduced via
+    // CASE; COALESCE guards DuckDB's array_to_string([],s)->NULL quirk so
+    // empty docs yield the '' shingle exactly like Spark's array_join.
+    "q73_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |    list_apply(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [COALESCE(array_to_string(toks, ' '), '')] END AS sh
+        |  FROM t),
+        |d AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+        |b AS (SELECT doc_id AS bench_doc, g FROM d WHERE doc_id % 17 = 0)
+        |SELECT d.doc_id AS doc, b.bench_doc, COUNT(*) AS shared
+        |FROM d JOIN b ON d.g = b.g
+        |WHERE d.doc_id <> b.bench_doc
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc, bench_doc""".stripMargin,
 
     // q70's audio twin: the chunk walk + PCM extraction has no SQL
     // equivalent; the oracle recomputes the sample-stat arithmetic from

@@ -404,6 +404,48 @@ object Dedup {
     (labels, i)
   }
 
+  /** Benchmark decontamination: documents sharing >= `minShared` distinct
+    * token k-grams with a benchmark/eval document — the n-gram-overlap
+    * contamination rule LLM training pipelines run before training so
+    * eval data does not leak into the corpus (GPT-3 appendix C shape:
+    * flag any training doc overlapping an eval doc on long n-grams).
+    * Returns (doc, bench_doc, shared).
+    *
+    * Scale posture: inverted-index equi-join on the shingle VALUE — the
+    * corpus explodes to (doc, shingle) rows, the benchmark side likewise,
+    * candidates meet only inside equal-shingle buckets (Σ bucket² work,
+    * the rollingDedupPairs shape), never a corpus × benchmark all-pairs
+    * stage. The benchmark side is typically tiny but nothing here
+    * requires it to be.
+    *
+    * `maxShingleDocFreq` drops shingles appearing in more than that many
+    * CORPUS documents before the join (boilerplate k-grams carry no
+    * contamination signal and their buckets go quadratic — the same
+    * stop-fingerprint discipline as rollingDedupPairs); capped runs are a
+    * candidate filter, and `shared` then under-counts boilerplate-heavy
+    * overlaps. Short documents (< k tokens) fall back to a whole-doc
+    * shingle (the [[shingles]] kernel contract), so two short docs only
+    * ever match on exact text equality. */
+  def contaminationPairs(docs: DataFrame, docId: String, docText: String,
+                         bench: DataFrame, benchId: String, benchText: String,
+                         shingleK: Int, minShared: Int,
+                         maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val d = docs.select(col(docId).as("doc"),
+      explode(shingles(col(docText), shingleK)).as("sh"))
+    val corpus = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = d.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        d.join(hot, Seq("sh"), "left_anti")
+      case None => d
+    }
+    val b = bench.select(col(benchId).as("bench_doc"),
+      explode(shingles(col(benchText), shingleK)).as("sh"))
+    corpus.join(b, Seq("sh"))
+      .groupBy("doc", "bench_doc").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 64-bit SimHash over per-token 64-bit hashes: sign-sum each bit
     * position. Near-dups have small Hamming distance. Native codegen'd
     * kernel (graft.parse.SimhashExpr) — the HOF formulation needed 64

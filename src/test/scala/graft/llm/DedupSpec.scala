@@ -151,6 +151,57 @@ class DedupSpec extends AnyFunSuite {
     assert(as === os, "both gate outcomes must agree at the boundary")
   }
 
+  test("contaminationPairs flags the planted overlap, spares clean docs, no cross join") {
+    // doc 1 embeds bench 100's 8-token text verbatim -> all six of its
+    // 3-grams shared; doc 2 shares nothing; doc 3 is a SHORT doc (< k
+    // tokens, whole-doc-shingle fallback) exactly equal to short bench 101
+    val docs = Seq(
+      (1L, "intro words the quick brown fox jumps over lazy dogs outro tail"),
+      (2L, "completely unrelated content about catalyst optimizer rules"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over lazy dogs"),
+      (101L, "tiny doc")).toDF("bench_id", "bench_text")
+    val out = Dedup.contaminationPairs(docs, "doc_id", "text",
+      bench, "bench_id", "bench_text", shingleK = 3, minShared = 5)
+    assert(!out.queryExecution.executedPlan.toString.toLowerCase
+      .matches("(?s).*(cartesian|broadcastnestedloop).*"))
+    val pairs = out.select("doc", "bench_doc", "shared")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 x bench 100: 3-grams of the shared 8-token run "the quick
+    // brown fox jumps over lazy dogs" = 6 shared shingles >= 5
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 100L)))
+    assert(pairs.head._3 === 6L)
+    // the short-doc fallback matches only on exact text equality
+    val short = Dedup.contaminationPairs(docs, "doc_id", "text",
+      bench, "bench_id", "bench_text", shingleK = 3, minShared = 1)
+      .select("doc", "bench_doc").as[(Long, Long)].collect().toSet
+    assert(short.contains((3L, 101L)))
+    assert(!short.exists(_._1 == 2L))
+  }
+
+  test("contaminationPairs: the hot-shingle cap drops boilerplate buckets") {
+    // every doc shares the boilerplate run; only doc 1 shares RARE grams
+    // with the benchmark beyond it
+    val boiler = "all rights reserved by the example corporation footer"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, s"seven eight nine ten eleven twelve $boiler")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"alpha beta gamma delta epsilon zeta $boiler"))
+      .toDF("bench_id", "bench_text")
+    val uncapped = Dedup.contaminationPairs(docs, "doc_id", "text",
+      bench, "bench_id", "bench_text", shingleK = 3, minShared = 1)
+      .select("doc").as[Long].collect().toSet
+    assert(uncapped === Set(1L, 2L, 3L)) // boilerplate flags everyone
+    val capped = Dedup.contaminationPairs(docs, "doc_id", "text",
+      bench, "bench_id", "bench_text", shingleK = 3, minShared = 1,
+      maxShingleDocFreq = Some(2L))
+      .select("doc").as[Long].collect().toSet
+    assert(capped === Set(1L)) // only the genuine overlap survives
+  }
+
   test("caller-supplied docCount skips the gating count and is honored") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
