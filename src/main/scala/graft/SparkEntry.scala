@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
-import graft.llm.{Dedup, IvfIndex, Pack, Similarity, Sketches, TextStats}
+import graft.llm.{Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
 import graft.multimodal.{Binary, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -1184,6 +1184,19 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
+    // Two passes, zero joins: corpus stats (N, avgdl, per-term df) land
+    // in one driver-sized row and re-enter the scoring projection as
+    // plan literals (the IVF centroid discipline). linearIdf keeps every
+    // float op at +,*,/ — ln is not bit-identical across engines (q59's
+    // documented dodge) — so the oracle reproduces scores exactly; the
+    // log being monotone, per-term rankings are unchanged.
+    "q74_bm25" -> ((s, dir) => {
+      Rank.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+          terms = bm25Terms)
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: benchmark decontamination (n-gram overlap) ------------
     // Every-17th doc stands in for the eval/benchmark set; flag corpus
     // docs sharing >= 3 distinct token 3-grams with any benchmark doc
@@ -1268,6 +1281,10 @@ object SparkEntry {
   private val stratifiedRates: Seq[(String, Double)] =
     Seq("src0" -> 0.05, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.5)
   private val stratifiedDefaultRate = 0.75
+
+  /** q74's fixed query-term set — shared between the query and its
+    * generated oracle so the two can never drift. */
+  private val bm25Terms = Seq("table", "hash", "scan")
 
   /** Production-path twins of headline queries, timed by the bench but
     * recorded in BENCH_DETAIL's `variants` map only — the headline total
@@ -2212,6 +2229,35 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
+    // interpolate via Double.toString (shortest repr — parses back
+    // bit-identically, the q24/q39 technique), the data-dependent stats
+    // (N, avgdl, df) are recomputed by the oracle itself with the exact
+    // arithmetic and association order the Spark projection uses, and
+    // every float op is +,*,/ (linear idf — see the query comment).
+    "q74_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n  ")
+      val dfAggs = bm25Terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = bm25Terms.indices.map(i =>
+        s"(((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1})) / " +
+          s"(tf$i + $k1 * (${1 - b} + $b * (dl / avgdl)))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |  $tfCols
+         |  FROM t),
+         |g AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfAggs FROM d),
+         |sc AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  FLOOR(($score) * 1e6 + 0.5) / 1e6 AS bm25 FROM d, g)
+         |SELECT doc_id, dl, bm25 FROM sc WHERE bm25 > 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Same 3-gram construction as q68's oracle (lower + whitespace
     // tokens, positional rebuild, list_distinct), with the shingle
