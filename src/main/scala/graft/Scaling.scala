@@ -129,13 +129,26 @@ object Scaling {
       Tables(spark, dir, "documents")
         .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
+    def decontaminate(dir: String): DataFrame = {
+      // q73's shape: every-17th doc stands in for the benchmark set; the
+      // inverted-index join's work is Σ bucket² over shared shingles, so
+      // the row evidences ~linear growth (benchmark side grows with the
+      // corpus here — the worst case; a real eval set is fixed-size)
+      val docs = Tables(spark, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      Dedup.contaminationPairs(docs, "doc_id", "text",
+        bench, "bench_id", "bench_text", shingleK = 3, minShared = 3)
+        .filter(col("doc") =!= col("bench_doc"))
+    }
 
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
       "rolling_capped" -> rollingCapped,
       "prefix_jaccard" -> prefixJaccard,
-      "cosine_topk" -> cosine, "token_df" -> tfidfish)
+      "cosine_topk" -> cosine, "token_df" -> tfidfish,
+      "decontaminate" -> decontaminate)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
