@@ -2067,7 +2067,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         |FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q45_cond_agg" ->
       """SELECT l_linestatus,
