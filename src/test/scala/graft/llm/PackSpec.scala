@@ -61,7 +61,9 @@ class PackSpec extends AnyFunSuite {
     val rows = Seq[(Long, String, Long)](
       (1L, "a", 512L), (5L, "a", 512L), (900L, "a", 1024L), (901L, "a", 1L),
       (3L, "b", 0L), (4L, "b", 0L), (999999999L, "b", 2048L),
-      (42L, "c", 5000L))
+      (42L, "c", 5000L),
+      // negative ids: bucket math is (id - lo) with lo = per-source min
+      (-50L, "d", 300L), (-2L, "d", 300L), (7L, "d", 900L))
     for (ranges <- Seq(1, 3, 16))
       assertPathsAgree(synth(rows), budget = 1024, ranges = ranges)
   }
