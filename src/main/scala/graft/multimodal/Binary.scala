@@ -100,8 +100,14 @@ object Binary {
             else math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
           ImageStats(r.media_id, ok = true, img.width, img.height,
             img.channels, n, mean, mn.toLong, mx.toLong)
-        } catch { case _: IllegalArgumentException =>
-          ImageStats(r.media_id, ok = false, -1, -1, -1, -1L, 0.0, -1L, -1L)
+        } catch {
+          // NonFatal, not just IllegalArgumentException: a crafted header
+          // can steer the codec into arithmetic/bounds exceptions the
+          // explicit requires don't anticipate, and the poison contract is
+          // "bad payload -> ok=false row", never a task failure. Fatal
+          // errors (OOM, etc.) still propagate.
+          case scala.util.control.NonFatal(_) =>
+            ImageStats(r.media_id, ok = false, -1, -1, -1, -1L, 0.0, -1L, -1L)
         }
       }
     }
@@ -145,8 +151,11 @@ object Binary {
             if (n == 0) 0.0 else r6(sum.toDouble / n),
             if (n == 0) 0.0 else r6(math.sqrt(sumSq.toDouble / n)),
             peak)
-        } catch { case _: IllegalArgumentException =>
-          AudioStats(r.media_id, ok = false, -1, -1, -1L, 0.0, 0.0, -1L)
+        } catch {
+          // same poison contract as decodeImage: any non-fatal decode
+          // failure maps to an ok=false row, never a task failure
+          case scala.util.control.NonFatal(_) =>
+            AudioStats(r.media_id, ok = false, -1, -1, -1L, 0.0, 0.0, -1L)
         }
       }
     }

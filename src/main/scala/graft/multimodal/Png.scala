@@ -23,6 +23,13 @@ object Png {
   final case class Image(width: Int, height: Int, channels: Int,
                          pixels: Array[Byte])
 
+  /** Hard ceiling on the filtered-raster allocation (256 MiB ≈ a 9k x 7k
+    * RGBA image). Anything larger in an executor-side decode is either a
+    * crafted header or data that should not ride a task anyway; the bound
+    * keeps a 100-byte poison payload from provoking a multi-GB allocation
+    * before any consistency check can run. */
+  val MaxRasterBytes: Long = 256L * 1024 * 1024
+
   private val SIGNATURE =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -90,17 +97,37 @@ object Png {
     }
     require(width > 0 && height > 0 && channels > 0, "missing IHDR")
     require(idat.size() > 0, "missing IDAT")
+    // All size arithmetic in Long: an adversarial IHDR (width near 2^31, or
+    // width*channels*height crossing 2^31) must fail this require, not wrap
+    // into a NegativeArraySizeException in `new Array` or a short buffer the
+    // unfilter loop overruns. The cap also bounds allocation: a 100-byte
+    // payload claiming a 2-gigapixel raster is rejected BEFORE any multi-GB
+    // `new Array` can OOM the executor.
+    val strideL = width.toLong * channels
+    val rawLenL = Math.multiplyExact(strideL + 1L, height.toLong)
+    require(rawLenL <= MaxRasterBytes,
+      s"raster $width x $height x $channels = $rawLenL bytes exceeds " +
+        s"$MaxRasterBytes-byte cap")
     // one Inflater per call; callers running per-partition reuse nothing
     // heavier than this (the init-site contract lives in Binary.decodeImage)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
-    val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     var produced = 0
     try {
       while (produced < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, produced, raw.length - produced)
-        require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+        if (n == 0 && !inflater.finished()) {
+          // Zero progress with output space free is always malformed input:
+          // FDICT streams park here (needsDictionary, needsInput()==false)
+          // and would spin forever; exhausted input means truncation. Either
+          // way a crafted payload must throw — yielding an ok=false row —
+          // not hang the executor task.
+          require(!inflater.needsDictionary,
+            "preset-dictionary (FDICT) zlib stream unsupported")
+          throw new IllegalArgumentException("truncated IDAT stream")
+        }
         produced += n
       }
     } finally inflater.end()

@@ -203,12 +203,23 @@ object Streams {
     * broker. */
   def runToMemory(result: DataFrame, name: String,
                   outputMode: String = "complete"): DataFrame = {
+    val spark = result.sparkSession
     val q = result.writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    result.sparkSession.table(name)
+    // The memory sink's table is fully materialized on the driver already;
+    // re-enter its rows as a local relation and DROP the temp view before
+    // returning. Callers use throwaway query names (q23/q63/q71 suffix
+    // nanoTime), so leaving the view registered would accumulate one
+    // materialized result table plus its streaming-query state per
+    // invocation in a long-lived JVM (bench and verify loops).
+    import scala.jdk.CollectionConverters._
+    val t = spark.table(name)
+    val local = spark.createDataFrame(t.collect().toSeq.asJava, t.schema)
+    spark.catalog.dropTempView(name)
+    local
   }
 }

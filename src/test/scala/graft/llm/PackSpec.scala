@@ -68,6 +68,28 @@ class PackSpec extends AnyFunSuite {
       assertPathsAgree(synth(rows), budget = 1024, ranges = ranges)
   }
 
+  test("null ids agree across paths: nulls-first, bucket -1 on the scale path") {
+    // one null id per source keeps the outcome deterministic (multiple
+    // nulls share the duplicate-id nondeterminism caveat on BOTH paths)
+    val rows = Seq[(java.lang.Long, String, java.lang.Long)](
+      (null, "a", 700L), (1L, "a", 400L), (2L, "a", 400L),
+      (10L, "b", 100L), (null, "b", 950L), (11L, "b", 100L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    for (ranges <- Seq(1, 2, 8)) {
+      val w = Pack.packWindowed(df, "doc_id", "source", "n_tokens", 1000)
+      val d = Pack.packSequences(df, "doc_id", "source", "n_tokens", 1000,
+        ranges)
+      def m(x: DataFrame) = x.select("doc_id", "source", "pack_id")
+        .collect().map(r => (Option(r.get(0)), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(m(d) === m(w), s"ranges=$ranges")
+      // the null row's 700 tokens occupy pack 0 of source a: doc 1 stays in
+      // pack 0 (cum_before 700), doc 2 spills to pack 1 (cum_before 1100)
+      assert(m(w)((None, "a")) === 0L && m(w)((Some(1L), "a")) === 0L &&
+        m(w)((Some(2L), "a")) === 1L)
+    }
+  }
+
   test("empty input produces an empty result on both paths") {
     val empty = synth(Seq.empty)
     assert(Pack.packWindowed(empty, "doc_id", "source", "n_tokens", 100)

@@ -75,6 +75,54 @@ class PngSpec extends AnyFunSuite {
     intercept[Exception](Png.decode(corrupt))
   }
 
+  // patch big-endian u32 fields inside an encoded PNG (the decoder does not
+  // verify chunk CRCs, so a header edit is enough to forge an IHDR)
+  private def patch32(png: Array[Byte], off: Int, v: Long): Array[Byte] = {
+    val out = png.clone()
+    out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+    out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    out
+  }
+
+  test("adversarial IHDR dims throw cleanly — no overflow alloc, no OOM") {
+    val good = Png.encode(randomImage(new scala.util.Random(3), 4, 4, 1))
+    // width/height live at offsets 16/20 (8 sig + 4 len + 4 'IHDR')
+    // (a) width*height crosses 2^31: Int math would wrap negative and blow
+    //     up as NegativeArraySizeException; Long math must reject it
+    val overflow = patch32(patch32(good, 16, 46341L), 20, 46341L)
+    val e1 = intercept[IllegalArgumentException](Png.decode(overflow))
+    assert(e1.getMessage.contains("cap"), e1.getMessage)
+    // (b) huge-but-Int-valid dims: a 100-byte payload must not provoke a
+    //     multi-GB allocation before any consistency check
+    val huge = patch32(good, 16, 1L << 30)
+    val e2 = intercept[IllegalArgumentException](Png.decode(huge))
+    assert(e2.getMessage.contains("cap"), e2.getMessage)
+  }
+
+  test("FDICT zlib stream throws instead of spinning the inflate loop") {
+    // hand-rolled minimal PNG: 1x1 gray IHDR + an IDAT whose zlib header
+    // sets the preset-dictionary flag (CMF=0x78 FLG=0x20; (0x7820)%31==0,
+    // so Inflater accepts the header, then parks with needsDictionary)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte), 0, 4)
+      out.write(ctype.getBytes("US-ASCII"), 0, 4)
+      out.write(data, 0, data.length)
+      out.write(new Array[Byte](4), 0, 4) // CRC unchecked by the decoder
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0))
+    chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x55, 0x55))
+    chunk("IEND", Array.emptyByteArray)
+    val e = graft.TestSpark.timed(5000) {
+      intercept[IllegalArgumentException](Png.decode(out.toByteArray))
+    }
+    assert(e.getMessage.toLowerCase.contains("dictionary"), e.getMessage)
+  }
+
   test("decodeImage maps poison payloads to ok=false rows, stats to real ones") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
