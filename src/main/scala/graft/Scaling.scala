@@ -250,7 +250,7 @@ object Scaling {
         val annR = recall(Similarity.annTopK(queries, corpus, dim = 64,
           k = k, planes = 4, tables = 8)) // q24's settings
         val ivfR = recall(Similarity.ivfTopK(queries, corpus, k = k,
-          nlist = 16, nprobe = 4)) // q39's settings
+          nlist = 64, nprobe = 16)) // q39's settings (see ivf_curve rows)
         // pair-recall of the LSH self-join candidate generator vs the
         // exact threshold pair set, STRATIFIED by cosine band (the 0.4-0.5
         // band is borderline pairs of near-random vectors — the pairs
@@ -268,6 +268,30 @@ object Scaling {
         println("metric,dir,value")
         println(f"ann_topk_recall@$k,$dir,$annR%.4f")
         println(f"ivf_topk_recall@$k,$dir,$ivfR%.4f")
+        // IVF recall-vs-cost curve: sweep nprobe at each nlist, reporting
+        // recall@k alongside the MEASURED fraction of corpus vectors scored
+        // per query (cells are not balanced, so the analytic nprobe/nlist
+        // underestimates hot cells). This is the evidence behind q39's
+        // default: pick the knee, not an accidental setting.
+        val corpusN = corpus.count().toDouble
+        val nQ = queries.count().toDouble
+        for (nlist <- Seq(16, 64)) {
+          val idx = graft.llm.IvfIndex.fit(corpus, nlist)
+          val cellSizes = corpus
+            .withColumn("cell", Similarity.ivfCell(col("nvec"), idx))
+            .groupBy("cell").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          for (nprobe <- Seq(1, 2, 4, 6, 8, 16).filter(_ <= nlist)) {
+            val r = recall(Similarity.ivfTopK(queries, corpus, k, idx, nprobe))
+            val scanned = queries.withColumn("cell",
+                explode(Similarity.ivfProbeCells(col("qvec"), idx, nprobe)))
+              .groupBy("cell").count().collect()
+              .map(rr => rr.getLong(1) * cellSizes.getOrElse(rr.getInt(0), 0L))
+              .sum.toDouble
+            println(f"ivf_curve_nlist${nlist}_nprobe$nprobe,$dir,$r%.4f " +
+              f"(scanned_frac=${scanned / (nQ * corpusN)}%.3f)")
+          }
+        }
         for (tables <- Seq(4, 8, 16)) {
           val lshPairs = Similarity.semanticDupPairs(corpus, dim = 64,
             minCos = 0.4, planes = 8, tables = tables).cache()

@@ -45,6 +45,18 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
 
+  /** q39's IVF settings, chosen from the measured recall-vs-cost curve
+    * (SCALING.md "ANN recall"): on the near-random fixture embeddings
+    * recall tracks scanned fraction ~linearly whatever the knobs, and
+    * nlist=64/nprobe=16 (recall@5 0.764 at 0.467 of the corpus scored)
+    * strictly dominates the old nlist=16/nprobe=4 (0.70 at 0.447) on both
+    * axes — finer cells are uniformly better. nlist follows the √n
+    * discipline (√50k ≈ 224 capped for fixture cell population; at corpus
+    * scale nlist grows with √n, not this constant). Shared by the query
+    * and its oracle twin so the two can never diverge. */
+  private val Q39Nlist = 64
+  private val Q39Nprobe = 16
+
   /** Digest of each sfDir's q39 probe in this JVM, keyed BY DIR — lets
     * [[oracleSql]] inline the EXACT centroids that run used (Verify dumps
     * oracle SQL after the queries execute), so KMeans fit nondeterminism
@@ -455,17 +467,21 @@ object SparkEntry {
           .mkString("|")
         finally st.close()
       } else ""
+      // the layout+params tag versions the on-disk tree: a JVM running
+      // older code (centroids-only layout, nlist=16) and this one can
+      // never load each other's index dirs
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + "\u0000" + contentFp).getBytes("UTF-8"))
+        .digest((dir + "\u0000" + contentFp +
+          s"\u0000ivf2:nlist=$Q39Nlist").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+      val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
+      val fin = base.resolve("index")
       val index = ivfCache.computeIfAbsent(digest, _ => {
         // stable per-digest path so repeated JVM runs reuse one directory
         // instead of leaking a fresh tempdir each. Published by
         // write-to-unique-temp + atomic rename: a concurrent JVM benching
         // the same dir either wins the rename or loads the winner's
         // fully-written index — never a torn or wrong-dataset read
-        val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
-        val fin = base.resolve("index")
         // tolerates a concurrent sweeper deleting the tree under us
         def rmTree(p: java.nio.file.Path): Unit =
           try {
@@ -476,7 +492,13 @@ object SparkEntry {
           } catch { case _: java.nio.file.NoSuchFileException => () }
         if (!Files.exists(fin)) {
           val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
-          IvfIndex.fit(corpus, nlist = 16).save(s, tmp.toString)
+          // BOTH halves of the index are built offline then published as
+          // one atomic tree: centroids/ (driver-sized) and cells/ (the
+          // inverted file — corpus partitioned by cell, what lets the
+          // probe read only probed cells)
+          val m = IvfIndex.fit(corpus, nlist = Q39Nlist)
+          m.save(s, tmp.resolve("centroids").toString)
+          IvfIndex.buildInverted(corpus, m, tmp.resolve("cells").toString)
           // atomic rename, concurrent-publisher-safe; the non-atomic-move
           // fallback re-checks under an exclusive lock (IvfIndex.publish)
           IvfIndex.publish(tmp, fin)
@@ -495,10 +517,13 @@ object SparkEntry {
             finally ls.close()
           }
         }
-        IvfIndex.load(s, fin.toString) // probe the PERSISTED index, for real
+        IvfIndex.load(s, fin.resolve("centroids").toString)
       })
       ivfDigestByDir.put(dir, digest)
-      Similarity.ivfTopK(queries, corpus, k = 5, index, nprobe = 4)
+      // probe the PERSISTED inverted file: the scan prunes to the probed
+      // cells' partitions — no corpus-wide centroid scoring per run
+      Similarity.ivfTopKPersisted(queries, fin.resolve("cells").toString,
+          k = 5, index, nprobe = Q39Nprobe)
         .ordered(col("qid"), col("rank"))
     }),
 
@@ -2394,7 +2419,7 @@ object SparkEntry {
            |  SELECT qid, qv, cell FROM (
            |    SELECT qid, qv, cell,
            |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cell ASC) AS rn
-           |    FROM qp) WHERE rn <= 4),
+           |    FROM qp) WHERE rn <= $Q39Nprobe),
            |p AS (
            |  SELECT qid, nid,
            |    FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /

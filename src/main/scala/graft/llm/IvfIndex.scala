@@ -56,6 +56,23 @@ object IvfIndex {
     }.toSeq)
   }
 
+  /** Write the INVERTED FILE: the corpus tagged with its cell id, stored
+    * as parquet partitioned BY cell. This is the half of IVF the centroid
+    * table alone cannot give you: with cells materialized as partitions, a
+    * probe READS only its probed cells' directories (partition pruning at
+    * the scan) instead of re-scoring every corpus row against every
+    * centroid per query batch — at 100 TB the corpus-side probe IO drops
+    * to ~nprobe/nlist of the data. `repartition(cell)` gives one writer
+    * task per cell (no small-file explosion); the build is the offline
+    * half of fit-once/probe-many, exactly like the centroid fit.
+    * `corpus` must expose `nid` and the embedding as `nvec`. */
+  def buildInverted(corpus: DataFrame, index: Model, path: String): Unit =
+    corpus
+      .withColumn("cell", Similarity.ivfCell(
+        org.apache.spark.sql.functions.col("nvec"), index))
+      .repartition(org.apache.spark.sql.functions.col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
   /** Publish a fully-written index directory `tmp` to its final path
     * `fin` by atomic rename, safe under concurrent publishers: losing the
     * rename race is success (the winner's tree is complete — drop our

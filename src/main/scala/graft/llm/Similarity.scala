@@ -102,27 +102,42 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               index: IvfIndex.Model, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = index.centroids
-    def score(vec: Column, cv: Seq[Float], n2: Double): Column =
-      dot(vec, typedlit(cv)) - lit(n2 / 2)
-    // corpus side: one projection; array_position takes the FIRST maximum,
-    // i.e. the lowest cell id on ties (same order the old window sort used)
-    val scoresC = array(cents.map { case (_, cv, n2) =>
-      score(col("nvec"), cv, n2) }: _*)
-    val corpusCells = corpus.withColumn("cell",
-      (array_position(scoresC, array_max(scoresC)) - 1).cast("int"))
-    // query side: top-nprobe cells from an nlist-element comparator sort —
-    // per query row, never per (query, centroid) pair
-    val qcells = array(cents.map { case (i, cv, n2) =>
-      struct(score(col("qvec"), cv, n2).as("d"), lit(i).as("cell")) }: _*)
-    val sortedCells = array_sort(qcells, (l, r) =>
-      when(l("d") > r("d"), -1).when(l("d") < r("d"), 1)
-        .otherwise(l("cell") - r("cell")).cast("int"))
+    val corpusCells = corpus.withColumn("cell", ivfCell(col("nvec"), index))
     val queryCells = queries.withColumn("cell",
-      explode(transform(slice(sortedCells, 1, nprobe), x => x("cell"))))
-    // each corpus vector lives in exactly one cell and probe cells are
-    // distinct, so (qid, nid) pairs are already unique — no dedup shuffle
+      explode(ivfProbeCells(col("qvec"), index, nprobe)))
+    ivfRank(queryCells, corpusCells, k)
+  }
+
+  /** Probe path against a PERSISTED inverted file
+    * ([[IvfIndex.buildInverted]]): only the probed cells' partition
+    * directories are READ — the scan prunes to ~nprobe/nlist of the corpus
+    * on disk, and no corpus row is ever scored against a centroid at probe
+    * time (assignment happened once, at build). Identical output to
+    * [[ivfTopK]] on the same corpus/index (SimilaritySpec asserts it).
+    *
+    * The probed-cell set collects to the driver to drive the pruning
+    * filter — bounded by nlist by construction, so this is driver-sized
+    * regardless of query-batch size (and eager: calling this runs one tiny
+    * job over the query batch). */
+  def ivfTopKPersisted(queries: DataFrame, cellsPath: String, k: Int,
+                       index: IvfIndex.Model, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val queryCells = queries.withColumn("cell",
+      explode(ivfProbeCells(col("qvec"), index, nprobe)))
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusCells = spark.read.parquet(cellsPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    ivfRank(queryCells, corpusCells, k)
+  }
+
+  /** Shared IVF ranking tail: meet candidates on cell id, score exactly,
+    * keep each query's top k. Each corpus vector lives in exactly one cell
+    * and probe cells are distinct, so (qid, nid) pairs are already
+    * unique — no dedup shuffle. */
+  private def ivfRank(queryCells: DataFrame, corpusCells: DataFrame,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cands = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
@@ -130,6 +145,38 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "cos", "rank")
+  }
+
+  /** score_i(v) = v·c_i − ||c_i||²/2 — argmax over i equals the nearest
+    * centroid by L2 (the ||v||² term is constant per row). Centroids enter
+    * as plan literals. */
+  private def ivfScore(vec: Column, cv: Seq[Float], n2: Double): Column =
+    dot(vec, typedlit(cv)) - lit(n2 / 2)
+
+  /** Nearest-cell id for a vector under `index` — the corpus-side
+    * assignment: one codegen'd projection (nlist vec_dot kernels + argmax),
+    * never a corpus×centroids join. array_position takes the FIRST
+    * maximum, i.e. the lowest cell id on ties. Public so callers can
+    * materialize cell layouts (partition-by-cell storage) and so the
+    * recall harness can measure per-cell populations. */
+  def ivfCell(vec: Column, index: IvfIndex.Model): Column = {
+    val scores = array(index.centroids.map { case (_, cv, n2) =>
+      ivfScore(vec, cv, n2) }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Top-`nprobe` probe cells for a query vector, best-first: an
+    * nlist-element comparator sort per query ROW, never a per-(query,
+    * centroid) pair stage. Ties break toward the lower cell id, matching
+    * [[ivfCell]]. */
+  def ivfProbeCells(vec: Column, index: IvfIndex.Model,
+                    nprobe: Int): Column = {
+    val qcells = array(index.centroids.map { case (i, cv, n2) =>
+      struct(ivfScore(vec, cv, n2).as("d"), lit(i).as("cell")) }: _*)
+    val sorted = array_sort(qcells, (l, r) =>
+      when(l("d") > r("d"), -1).when(l("d") < r("d"), 1)
+        .otherwise(l("cell") - r("cell")).cast("int"))
+    transform(slice(sorted, 1, nprobe), x => x("cell"))
   }
 
   /** Corpus-wide embedding near-dup PAIRS — the full-corpus×corpus

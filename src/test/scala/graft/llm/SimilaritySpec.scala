@@ -70,6 +70,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b, "fresh-fit and loaded index must probe identically")
   }
 
+  test("ivfTopKPersisted equals the in-memory probe and prunes to probed cells") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.toDF("nid", "nvec")
+    val qs = corpus.filter(col("nid") % 25 === 0)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+    val idx = IvfIndex.fit(corpus, nlist = 6, fitFraction = 1.0)
+    val cells = java.nio.file.Files.createTempDirectory("ivf_inv").toString +
+      "/cells"
+    IvfIndex.buildInverted(corpus, idx, cells)
+    val mem = Similarity.ivfTopK(qs, corpus, k = 3, idx, nprobe = 2)
+      .collect().toSet
+    val per = Similarity.ivfTopKPersisted(qs, cells, k = 3, idx, nprobe = 2)
+    assert(per.collect().toSet === mem,
+      "persisted inverted-file probe must equal the in-memory probe")
+    // the probe plan must carry the cell pruning filter down to the scan:
+    // with partition-valued `cell`, an IN-filter on it is partition pruning
+    val plan = per.queryExecution.executedPlan.toString
+    assert(plan.contains("cell"), s"expected cell pruning in plan:\n$plan")
+  }
+
   test("annTopK finds planted near-neighbors (high-cosine pairs)") {
     // sign-LSH recall depends on cosine: P(bucket-match) ~ (1-θ/π)^planes per
     // table, so near-random vectors (cos~0.2, as in the fixture embeddings)
