@@ -351,6 +351,70 @@ object Scaling {
       println(f"pack_distributed,$td1%.2f,$nw1,$tdN%.2f,${tdN / td1}%.1f")
     }
 
+    // ---- incremental dedup: fixed ingest batch vs growing index --------
+    // The claim behind DedupIndex: once the corpus's identity is
+    // persisted, admitting a fixed batch costs index-probe equi-joins,
+    // not a corpus recompute. Compared against the alternative a
+    // per-ingest pipeline would otherwise run — full minhashLsh over
+    // corpus+batch — at corpus N and factor×N: the full re-dedup must pay
+    // ~factor×, the admit only the probes' index-scan growth. Build is
+    // timed too (the amortized offline half, expected ~linear).
+    if (only.forall(_.contains("incr_dedup"))) {
+      import graft.llm.DedupIndex
+      val cfg = DedupIndex.Config()
+      val baseDocs = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val scaledDocs = spark.read.parquet(s"$out/documents.parquet")
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      // fixed batch: 800 fresh docs (fresh alphabet permutation -> new
+      // fingerprint/shingle space) + 100 exact + 100 near copies of base
+      // docs, so every probe path does real work at both scales
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val freshPerm = new scala.util.Random(777777)
+        .shuffle(alpha.toList).mkString
+      val batch = baseDocs.filter(col("doc_id") % 5 === 1).limit(800)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          translate(col("text"), alpha, freshPerm).as("text"))
+        .unionByName(baseDocs.filter(col("doc_id") % 50 === 2).limit(100)
+          .select((col("doc_id") + 910000000L).as("doc_id"), col("text")))
+        .unionByName(baseDocs.filter(col("doc_id") % 50 === 3).limit(100)
+          .select((col("doc_id") + 920000000L).as("doc_id"),
+            concat(col("text"), lit(" appended salt token")).as("text")))
+        .repartition(cpus.toInt).cache()
+      val nB = batch.count()
+      def buildAt(docs: DataFrame, path: String): Double = {
+        val t0 = System.nanoTime()
+        DedupIndex.build(docs, "doc_id", "text", path, cfg)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def admitAt(path: String): (Double, Long) = time {
+        DedupIndex.admissions(batch, "doc_id", "text", path, cfg)
+      }
+      val p1 = s"$out/incr_idx_base"; val pN = s"$out/incr_idx_scaled"
+      // warm the build path (parquet writer + kernel codegen) so the base
+      // timing is not charged one-time JIT costs
+      val _w = buildAt(baseDocs.limit(500), s"$out/incr_idx_warm")
+      val tb1 = buildAt(baseDocs, p1)
+      val tbN = buildAt(scaledDocs, pN)
+      val _ = admitAt(p1) // warm codegen/JIT
+      val (ta1, _) = admitAt(p1)
+      val (taN, _) = admitAt(pN)
+      def full(docs: DataFrame): (Double, Long) = {
+        val r = time(Dedup.minhashLsh(docs.unionByName(batch),
+          "doc_id", "text"))
+        spark.catalog.clearCache() // minhashLsh caches its signature frame
+        r
+      }
+      val _ = full(baseDocs.limit(1000)) // warm
+      val (tf1, _) = full(baseDocs)
+      val (tfN, _) = full(scaledDocs)
+      println("op,batch_rows,base_sec,scaled_sec,time_ratio")
+      println(f"incr_build,$nB,$tb1%.2f,$tbN%.2f,${tbN / tb1}%.1f")
+      println(f"incr_admit,$nB,$ta1%.2f,$taN%.2f,${taN / ta1}%.1f")
+      println(f"full_rededup,$nB,$tf1%.2f,$tfN%.2f,${tfN / tf1}%.1f")
+      batch.unpersist()
+    }
+
     // ---- the composed CorpusClean job, both candidate modes ------------
     // Proves the full score->filter->exact-dedup->CC-collapse->write job
     // stays equi-join-shaped at factor× docs: wall time ~linear, retention

@@ -1222,6 +1222,30 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: incremental dedup against a persisted index -----------
+    // The production ingest shape: docs with doc_id % 3 != 0 stand in for
+    // the already-deduped corpus whose identity (fingerprints + MinHash
+    // sigs + LSH band keys) is persisted; the % 3 == 0 docs are the new
+    // batch, admitted or rejected via equi-join probes of that index —
+    // the corpus text is never re-read, re-shingled, or re-shuffled.
+    // hashMode=md5 so the oracle recomputes fingerprints, signatures,
+    // banding AND the admission rules in SQL (the q17 technique);
+    // production keeps murmur3. Reasons are deterministic: priority
+    // exact_index > exact_batch > near_index > near_batch, earlier
+    // (smaller-id) sibling wins within the batch.
+    "q75_incremental_dedup" -> ((s, dir) => {
+      import graft.llm.DedupIndex
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val cfg = DedupIndex.Config(hashMode = "md5")
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
+        .toString + "/idx"
+      DedupIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path, cfg)
+      DedupIndex.admissions(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", path, cfg)
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: benchmark decontamination (n-gram overlap) ------------
     // Every-17th doc stands in for the eval/benchmark set; flag corpus
     // docs sharing >= 3 distinct token 3-grams with any benchmark doc
@@ -2282,6 +2306,64 @@ object SparkEntry {
          |  FLOOR(($score) * 1e6 + 0.5) / 1e6 AS bm25 FROM d, g)
          |SELECT doc_id, dl, bm25 FROM sc WHERE bm25 > 0
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // The full incremental-dedup gate recomputed in SQL: fingerprints
+    // (q12's md5-of-sorted-bag), md5-mode MinHash signatures + raw-slice
+    // band candidacy (q17's construction, byte-identical params from the
+    // same seeded generator), the signature-estimated Jaccard gate
+    // (integer count / 32.0 — exact power-of-two division in both
+    // engines), and the four admission rules at their priority order.
+    "q75_incremental_dedup" -> {
+      val rnd = new scala.util.Random(42L)
+      val params = Seq.fill(32)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+        rnd.nextInt(Int.MaxValue).toLong)
+      val sigExprs = params.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
+      }.mkString("[\n        ", ",\n        ", "]")
+      def bandEq(l: String, r: String) = (0 until 8).map { bnd =>
+        val lo = bnd * 4 + 1
+        val hi = bnd * 4 + 4
+        s"$l.sig[$lo:$hi] = $r.sig[$lo:$hi]"
+      }.mkString(" OR ")
+      def estJ(l: String, r: String) =
+        s"len(list_filter(list_zip($l.sig, $r.sig), x -> x[1] = x[2])) / 32.0"
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id,
+         |    md5(COALESCE(array_to_string(list_sort(toks), ' '), '')) AS fp,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+         |      ELSE [COALESCE(array_to_string(toks, ' '), '')] END AS sh
+         |  FROM t),
+         |mh AS (
+         |  SELECT doc_id, fp, list_transform(sh, tok -> (md5_number_lower(tok) >> 33)::BIGINT) AS hs
+         |  FROM f),
+         |feat AS (SELECT doc_id, fp, $sigExprs AS sig FROM mh),
+         |idx AS (SELECT * FROM feat WHERE doc_id % 3 <> 0),
+         |bat AS (SELECT * FROM feat WHERE doc_id % 3 = 0),
+         |ex_i AS (SELECT DISTINCT b.doc_id FROM bat b JOIN idx i ON b.fp = i.fp),
+         |ex_b AS (
+         |  SELECT b.doc_id FROM bat b
+         |  JOIN (SELECT fp, MIN(doc_id) AS m FROM bat GROUP BY fp) g
+         |    ON b.fp = g.fp AND b.doc_id > g.m),
+         |nr_i AS (
+         |  SELECT DISTINCT b.doc_id FROM bat b JOIN idx i
+         |    ON (${bandEq("b", "i")})
+         |  WHERE ${estJ("b", "i")} >= 0.6),
+         |nr_b AS (
+         |  SELECT DISTINCT b.doc_id FROM bat b JOIN bat a
+         |    ON a.doc_id < b.doc_id AND (${bandEq("a", "b")})
+         |  WHERE ${estJ("b", "a")} >= 0.6)
+         |SELECT b.doc_id,
+         |  CASE WHEN b.doc_id IN (SELECT doc_id FROM ex_i) THEN 'exact_index'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM ex_b) THEN 'exact_batch'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM nr_i) THEN 'near_index'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM nr_b) THEN 'near_batch'
+         |       ELSE 'admitted' END AS reason
+         |FROM bat b ORDER BY doc_id""".stripMargin
     },
 
     // Same 3-gram construction as q68's oracle (lower + whitespace
