@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
-import graft.llm.{Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
+import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
 import graft.multimodal.{Binary, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -56,6 +56,15 @@ object SparkEntry {
     * and its oracle twin so the two can never diverge. */
   private val Q39Nlist = 64
   private val Q39Nprobe = 16
+
+  /** q76's per-dir learned BPE merge tables — fit once per JVM per dir,
+    * and the record that lets [[q76OracleSql]] inline the EXACT merges
+    * that run used (same single-probed-dir rule as [[ivfDigestByDir]]:
+    * the oracle emits only when exactly one dir was fit, Verify's shape,
+    * and otherwise omits q76 -> rows-only fallback). */
+  private val bpeByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Bpe.Merges]()
+  private val Q76Merges = 64
 
   /** Digest of each sfDir's q39 probe in this JVM, keyed BY DIR — lets
     * [[oracleSql]] inline the EXACT centroids that run used (Verify dumps
@@ -1246,6 +1255,87 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: REAL BPE tokenization (fit + codegen'd apply) ---------
+    // Classic byte-pair encoding: merge rules learned from the corpus's
+    // word histogram (one groupBy shuffle; greedy loop on the
+    // vocabulary-sized histogram, which is how BPE trains everywhere),
+    // then applied as a SINGLE codegen'd projection — the bracketed
+    // replace-fold encoding in Bpe.applyBpe, no UDF, no per-row
+    // interpreter, no shuffle. The learned merges are recorded per dir
+    // and inlined into the oracle (the q39 centroid technique), which
+    // replays the identical replace fold as a recursive CTE — the
+    // tokenization itself is hash-checked, not just row counts. BpeSpec
+    // separately proves the encoding equals the textbook per-word
+    // algorithm on this corpus.
+    "q76_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = bpeByDir.computeIfAbsent(dir,
+        d => Bpe.fit(Tables(s, d, "documents").filter(col("text").isNotNull),
+          "text", numMerges = Q76Merges))
+      docs.select(col("doc_id"),
+          Bpe.applyBpe(col("text"), merges).as("bpe_tokens"))
+        .withColumn("n_bpe",
+          when(length(col("bpe_tokens")) === 0, lit(0L))
+            .otherwise(size(split(col("bpe_tokens"), " ")).cast("long")))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Streaming point-in-time as-of enrichment (q08 live) ------------
+    // The feature store's training-serving-skew guarantee on a live
+    // stream: each even-id event is enriched with the NEWEST odd-id
+    // "feature update" of the same user as of the event's time, within a
+    // 6-hour lookback — two chained watermark-bounded stateful
+    // operators (interval join, then windowed max_by as-of selection),
+    // resolved by event time with a deterministic tie-break. The oracle
+    // is the equivalent batch as-of join in SQL. Sentinel rows (unused
+    // keys, +1 day) are unioned onto BOTH inputs so the bounded source's
+    // final watermark clears every real window — a production stream
+    // advances it naturally (see streamAsofEnrich scaladoc).
+    "q77_stream_asof" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      def raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      // sentinel shift must clear the WHOLE span plus the lookback: the
+      // agg's effective watermark trails the join inputs' by the join's
+      // event-time range, and sentinels derive from rows spread across
+      // the ~30-day fixture span — a +1 day shift would leave most of
+      // them inside the span and strand the final lookback's windows
+      val dayUs = 32L * 86400000000L
+      // Sentinel keys that can never equal a data key OR each other — the
+      // two sides' sentinels must not join, and adversarial fixtures may
+      // contain small negative ids. NO post-aggregation sentinel filter:
+      // a predicate like event_id >= 0 is pushed by Catalyst through the
+      // agg and join into the union's sentinel branch, removing the
+      // sentinel rows BEFORE the watermark node — which silently strands
+      // the final lookback's windows (found the hard way; the inner join
+      // on unmatched keys already keeps sentinels out of the output).
+      val evKey = Long.MinValue + 1L
+      val ftKey = Long.MinValue + 2L
+      val events = raw.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          timestamp_micros(col("ts_us")).as("e_t"))
+        .unionByName(raw.filter(col("event_id") % 1000 === 0)
+          .select(lit(evKey).as("event_id"), lit(evKey).as("user_id"),
+            (col("ts_us") + dayUs).as("ts_us"),
+            timestamp_micros(col("ts_us") + dayUs).as("e_t")))
+      val feats = raw.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("feat_id"), col("user_id"),
+          col("value").as("feat_value"),
+          timestamp_micros(col("ts_us")).as("f_t"))
+        .unionByName(raw.filter(col("event_id") % 1000 === 1)
+          .select(lit(ftKey).as("feat_id"), lit(ftKey).as("user_id"),
+            lit(0.0).as("feat_value"),
+            timestamp_micros(col("ts_us") + dayUs).as("f_t")))
+      val enriched = Streams.streamAsofEnrich(events, feats, "user_id",
+        "e_t", "f_t", delay = "10 seconds", lookback = "6 hours",
+        eventCols = Seq("event_id", "user_id", "ts_us"),
+        featureCols = Seq("feat_id", "feat_value"), tieBreak = "feat_id")
+      Streams.runToMemory(enriched,
+          s"q77_mem_${System.nanoTime()}", "append")
+        .ordered(col("event_id"), col("user_id"), col("ts_us"))
+    }),
+
     // ---- LLM ops: benchmark decontamination (n-gram overlap) ------------
     // Every-17th doc stands in for the eval/benchmark set; flag corpus
     // docs sharing >= 3 distinct token 3-grams with any benchmark doc
@@ -2252,6 +2342,29 @@ object SparkEntry {
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Batch equivalence of the streaming as-of enrichment: the same
+    // point-in-time join in SQL — newest odd-id row per user at or before
+    // each even-id event's time, within the 6-hour lookback, ties to
+    // the larger feat_id (mirrors max_by over (f_t, feat_id)). Sentinels
+    // never appear: they carry unused keys and the query filters them.
+    "q77_stream_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_id % 2 = 0),
+        |ft AS (
+        |  SELECT event_id AS feat_id, user_id, epoch_us(ts) AS f_us, value AS feat_value
+        |  FROM events WHERE event_id % 2 = 1),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts_us, f.feat_id, f.feat_value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY e.event_id, e.user_id, e.ts_us
+        |      ORDER BY f.f_us DESC, f.feat_id DESC) AS rn
+        |  FROM ev e JOIN ft f ON e.user_id = f.user_id
+        |    AND f.f_us <= e.ts_us AND f.f_us >= e.ts_us - 21600000000)
+        |SELECT event_id, user_id, ts_us, feat_id, feat_value
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id, user_id, ts_us""".stripMargin,
+
     // Batch equivalence of the streaming dedup gate: the set of distinct
     // fingerprints (q12's md5-of-sorted-tokens key; NULL text -> NULL key
     // kept as its own group, exactly like DISTINCT treats NULL).
@@ -2452,7 +2565,7 @@ object SparkEntry {
          |SELECT n AS vec_id, LEAST(n, MIN(m)) AS group_id
          |FROM closure GROUP BY n ORDER BY vec_id""".stripMargin
     },
-  ) ++ q39OracleSql
+  ) ++ q39OracleSql ++ q76OracleSql
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark
     * run probed in this JVM ([[ivfCache]]; Verify dumps oracle SQL AFTER
@@ -2513,6 +2626,52 @@ object SparkEntry {
            |  FROM p)
            |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  /** q76's oracle, generated from the merges the run actually learned:
+    * the identical bracketed replace-fold replayed as a recursive CTE (one
+    * iteration per merge rank). Same emission rule as [[q39OracleSql]] —
+    * exactly one fit dir, else omit (rows-only fallback). Single quotes in
+    * learned symbols are SQL-escaped by doubling. */
+  private def q76OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val entries = bpeByDir.asScala
+    // an empty merge table (degenerate corpus) would make the VALUES list
+    // empty SQL — omit and fall back to rows-only
+    soleDigest(entries.keys).map(entries(_))
+      .filter(_.rules.nonEmpty).map { m =>
+      def esc(s: String) = s.replace("'", "''")
+      val n = m.rules.size
+      val vals = m.rules.zipWithIndex.map { case ((a, b), i) =>
+        s"(${i + 1}, '${esc(s"[$a][$b]")}', '${esc(s"[$a$b]")}')"
+      }.mkString(",\n    ")
+      "q76_bpe_tokenize" ->
+        s"""WITH RECURSIVE m(k, pat, rep) AS (VALUES
+           |    $vals),
+           |t AS (
+           |  SELECT doc_id, regexp_replace(lower(text), '[\\[\\]]', '', 'g') AS txt
+           |  FROM documents WHERE text IS NOT NULL),
+           |enc AS (
+           |  SELECT doc_id, COALESCE(array_to_string(
+           |    list_transform(list_filter(string_split(txt, ' '), x -> len(x) > 0),
+           |      w -> array_to_string(list_transform(range(1, len(w) + 1),
+           |             i -> '[' || w[i:i] || ']'), '')),
+           |    ' '), '') AS s
+           |  FROM t),
+           |it AS (
+           |  SELECT doc_id, s, 0 AS k FROM enc
+           |  UNION ALL
+           |  SELECT it.doc_id, replace(it.s, m.pat, m.rep), it.k + 1
+           |  FROM it JOIN m ON m.k = it.k + 1),
+           |fin AS (
+           |  SELECT doc_id,
+           |    replace(replace(replace(replace(s, '] [', ']['), '][', ' '), '[', ''), ']', '') AS bpe_tokens
+           |  FROM it WHERE k = $n)
+           |SELECT doc_id, bpe_tokens,
+           |  CASE WHEN length(bpe_tokens) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(string_split(bpe_tokens, ' ')) AS BIGINT) END AS n_bpe
+           |FROM fin ORDER BY doc_id""".stripMargin
     }.toMap
   }
 }

@@ -131,6 +131,59 @@ object Streams {
       .drop("__rk")
   }
 
+  /** Streaming point-in-time (as-of) enrichment: each event joins the
+    * NEWEST feature row with the same `key` whose event time lies in
+    * `[eventTs - lookback, eventTs]` — the feature store's
+    * training-serving-skew guarantee ([[graft.ops.PointInTime]], q08) on a
+    * live stream. Two chained stateful operators, both watermark-bounded:
+    *
+    *  1. stream-stream interval join (state evicted once the other side's
+    *     watermark clears the lookback window — never unbounded);
+    *  2. as-of selection: `max_by(feature, (featureTs, tieBreak))` grouped
+    *     per event (plus a 1-second event-time window so append mode has
+    *     an emission trigger) — latest-feature-wins resolved by EVENT
+    *     time with a deterministic tie-break, not arrival order.
+    *
+    * Events with no feature inside the lookback are dropped (inner
+    * semantics — the enrichment gate shape). Emission is driven by the
+    * watermark, AND the effective watermark at the selection stage trails
+    * the inputs' by the join's event-time range (`lookback`): a BOUNDED
+    * source's final `lookback + delay` of windows only flush if something
+    * later advances the watermark past `stream end + lookback` — q77
+    * unions far-future sentinel rows (unmatched keys) onto both inputs
+    * for exactly that; an unbounded production stream advances it
+    * naturally. CAUTION if filtering sentinels out of the result: a
+    * predicate on a grouping column (e.g. `event_id >= 0`) is pushed by
+    * Catalyst through the aggregation and join into the sentinel union
+    * branch, deleting the sentinels BEFORE the watermark node and
+    * silently stranding those final windows. Give sentinels keys the
+    * join can never match and leave the output unfiltered.
+    *
+    * `eventCols` must uniquely identify an event row (they are the as-of
+    * group); `featureCols` is the payload the winning feature contributes.
+    */
+  def streamAsofEnrich(events: DataFrame, features: DataFrame, key: String,
+                       eventTs: String, featureTs: String,
+                       delay: String, lookback: String,
+                       eventCols: Seq[String], featureCols: Seq[String],
+                       tieBreak: String): DataFrame = {
+    require(eventTs != featureTs,
+      "event/feature event-time columns must have distinct names")
+    val l = events.withWatermark(eventTs, delay)
+    val r = features.withColumnRenamed(key, "__rk")
+      .withWatermark(featureTs, delay)
+    val joined = l.join(r, expr(
+      s"""$key = __rk AND
+         |$featureTs <= $eventTs AND
+         |$featureTs >= $eventTs - INTERVAL $lookback""".stripMargin))
+      .drop("__rk")
+    joined
+      .groupBy(eventCols.map(col) :+ window(col(eventTs), "1 second"): _*)
+      .agg(max_by(struct(featureCols.map(col): _*),
+        struct(col(featureTs), col(tieBreak))).as("__f"))
+      .select(eventCols.map(col) :+ col("__f.*"): _*)
+  }
+
   /** Watermarked append-mode dedup: keep the FIRST arrival of each key
     * within the watermark horizon, dropping late duplicates — the
     * reference's declared-but-unenforced 1-minute late-data bound

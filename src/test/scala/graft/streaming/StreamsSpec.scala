@@ -246,6 +246,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Set((1L, 140L, 150L)))
   }
 
+  test("streamAsofEnrich: latest feature as of event time, inside lookback") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val ev = MemoryStream[(Long, Long, Long)]
+    val ft = MemoryStream[(Long, Long, Long, Double)]
+    val e = ev.toDF().toDF("event_id", "uid", "e_s")
+      .withColumn("e_t", col("e_s").cast("timestamp"))
+    val f = ft.toDF().toDF("feat_id", "uid", "f_s", "fv")
+      .withColumn("f_t", col("f_s").cast("timestamp"))
+    val enriched = Streams.streamAsofEnrich(e, f, "uid", "e_t", "f_t",
+      delay = "10 seconds", lookback = "1 minute",
+      eventCols = Seq("event_id", "uid", "e_s"),
+      featureCols = Seq("feat_id", "fv"), tieBreak = "feat_id")
+    val q = enriched.select("event_id", "uid", "e_s", "feat_id", "fv")
+      .writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    ft.addData((101L, 1L, 10L, 1.0), (102L, 1L, 50L, 2.0),
+      (103L, 1L, 120L, 3.0),
+      (201L, 2L, 30L, 5.0), (202L, 2L, 30L, 6.0), // same-ts tie for uid 2
+      (999L, 998L, 4000L, 0.0)) // watermark-flush sentinel, unused key
+    ev.addData((1L, 1L, 60L),   // [0,60]: feats at 10,50 -> latest 50
+      (2L, 1L, 115L),           // [55,115]: nothing (50 too old, 120 future)
+      (3L, 1L, 125L),           // [65,125]: feat at 120
+      (4L, 2L, 40L),            // tie at 30 -> max feat_id wins
+      (99L, 999L, 4000L))       // watermark-flush sentinel, unused key
+    q.processAllAvailable()
+    val out = spark.table("asof_test").as[(Long, Long, Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(out === Set(
+      (1L, 1L, 60L, 102L, 2.0),
+      (3L, 1L, 125L, 103L, 3.0),
+      (4L, 2L, 40L, 202L, 6.0)),
+      s"as-of enrichment mismatch: $out")
+  }
+
   test("streaming session windows with watermark merge gap-close events") {
     import org.apache.spark.sql.functions._
     implicit val sql = spark.sqlContext
