@@ -142,13 +142,26 @@ object Scaling {
         .filter(col("doc") =!= col("bench_doc"))
     }
 
+    // q76's apply path with a FIXED merge table (fit once on the base
+    // corpus — a deployed tokenizer is a constant, like GPT-2's vocab):
+    // the row evidences that the bracketed replace-fold is a stateless
+    // projection, ~linear in rows with zero shuffles
+    lazy val bpeMerges = graft.llm.Bpe.fit(
+      spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("text").isNotNull), "text", numMerges = 64)
+    def bpeApply(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.llm.Bpe.applyBpe(col("text"), bpeMerges).as("toks"))
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
       "rolling_capped" -> rollingCapped,
       "prefix_jaccard" -> prefixJaccard,
       "cosine_topk" -> cosine, "token_df" -> tfidfish,
-      "decontaminate" -> decontaminate)
+      "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }

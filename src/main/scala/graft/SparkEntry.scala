@@ -1280,6 +1280,21 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: unigram LM scoring (perplexity-proxy quality) ---------
+    // Fit an MLE unigram model on the corpus (top-20 vocab — smaller than
+    // the fixture's ~31 types, so the OOV path does real work) and score
+    // each doc's mean in-vocab probability. Fit AND apply are both
+    // recomputed by the oracle in SQL — no run-state needed. Exactness
+    // via per-token 1e-9 floor-round + DECIMAL sum (order-free), no logs
+    // (ln is not bit-identical across engines — the q74 lesson).
+    "q79_unigram_lm" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val vocab = UnigramLm.fit(docs, "text", vocabSize = 20)
+      UnigramLm.score(docs, "doc_id", "text", vocab)
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Streaming point-in-time as-of enrichment (q08 live) ------------
     // The feature store's training-serving-skew guarantee on a live
     // stream: each even-id event is enriched with the NEWEST odd-id
@@ -1334,6 +1349,33 @@ object SparkEntry {
       Streams.runToMemory(enriched,
           s"q77_mem_${System.nanoTime()}", "append")
         .ordered(col("event_id"), col("user_id"), col("ts_us"))
+    }),
+
+    // ---- LLM ops: PII redaction (emails/URLs/IPs/phones) ----------------
+    // Corpus hygiene before training: typed placeholder substitution with
+    // per-category counts, RE2-compatible patterns, fixed application
+    // order (URL consumes embedded email/IP shapes). The fixture docs
+    // carry no PII, so each doc gets deterministic synthesized PII from a
+    // doc_id formula — the q70/q72 pattern: the inputs are closed-form,
+    // the REDACTION is the real operator, and the oracle re-runs the same
+    // regexes in SQL. Stateless projection; zero shuffles at any scale.
+    "q78_pii_redact" -> ((s, dir) => {
+      import graft.llm.Redact
+      val d = col("doc_id")
+      val pii = concat(col("text"),
+        lit(" contact user"), d, lit("@mail"), d % 7,
+        lit(".example.org via http://site"), d % 13,
+        lit(".example.com/p/"), d,
+        lit(" from "), d % 223 + 1, lit("."), d % 256, lit("."),
+        (d * 7) % 256, lit("."), d % 250 + 1,
+        lit(" call +1-"), d % 900 + 100, lit("-"),
+        lpad((d % 10000).cast("string"), 4, "0"))
+      val base = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(d, pii.as("s"))
+      val cnts = Redact.counts(col("s"))
+      base.select(d +: Redact.scrub(col("s")).as("redacted") +:
+          cnts.map { case (cat, c) => c.as(s"n_$cat") }: _*)
+        .ordered(d)
     }),
 
     // ---- LLM ops: benchmark decontamination (n-gram overlap) ------------
@@ -2341,6 +2383,63 @@ object SparkEntry {
         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Fit and apply both recomputed: histogram over all tokens, MLE over
+    // the FULL total, top-20 by (count desc, tok asc), left join back,
+    // per-token 1e-9 floor-round summed as DECIMAL, final mean rounded
+    // 1e-6 — the exact arithmetic UnigramLm performs.
+    "q79_unigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+        |h AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |v AS (
+        |  SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM h) AS p
+        |  FROM h ORDER BY c DESC, tok ASC LIMIT 20),
+        |j AS (SELECT u.doc_id, u.tok, v.p FROM u LEFT JOIN v USING (tok)),
+        |g AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(*) FILTER (WHERE p IS NULL) AS n_oov,
+        |    SUM(CAST(FLOOR(COALESCE(p, 0) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sp
+        |  FROM j GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(g.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(g.sp AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS mean_p
+        |FROM t LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same synthesized-PII construction and the same four RE2
+    // patterns re-run in DuckDB, counts measured at each rule's stage
+    // (after earlier replacements) exactly like Redact.counts.
+    "q78_pii_redact" -> {
+      val stages = Seq(
+        ("url", graft.llm.Redact.UrlRe, "<URL>"),
+        ("email", graft.llm.Redact.EmailRe, "<EMAIL>"),
+        ("ip", graft.llm.Redact.Ipv4Re, "<IP>"),
+        ("phone", graft.llm.Redact.PhoneRe, "<PHONE>"))
+      s"""WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+         |  '.example.org via http://site' || (doc_id % 13) ||
+         |  '.example.com/p/' || doc_id ||
+         |  ' from ' || (doc_id % 223 + 1) || '.' || (doc_id % 256) || '.' ||
+         |  ((doc_id * 7) % 256) || '.' || (doc_id % 250 + 1) ||
+         |  ' call +1-' || (doc_id % 900 + 100) || '-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s0
+         |  FROM t),
+         |${stages.zipWithIndex.map { case ((cat, re, tok), i) =>
+            s"""r$i AS (SELECT *,
+               |  CAST(len(regexp_extract_all(s$i, '$re')) AS BIGINT) AS n_$cat,
+               |  regexp_replace(s$i, '$re', '$tok', 'g') AS s${i + 1}
+               |  FROM ${if (i == 0) "p" else s"r${i - 1}"})""".stripMargin
+          }.mkString(",\n")}
+         |SELECT doc_id, s4 AS redacted, n_url, n_email, n_ip, n_phone
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
 
     // Batch equivalence of the streaming as-of enrichment: the same
     // point-in-time join in SQL — newest odd-id row per user at or before

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the perplexity-proxy quality signal a
+  * training pipeline uses to rank "in-distribution-ness" of documents
+  * against a reference corpus (the cheap tier below a real LM scorer;
+  * same role, join-shaped and exact).
+  *
+  *  - [[fit]]: token histogram (one shuffle, map-side combined) -> top
+  *    `vocabSize` types by frequency (deterministic tie-break) with
+  *    maximum-likelihood probability p(w) = count(w)/total. The model is
+  *    a driver-small DIMENSION TABLE, not per-doc state.
+  *  - [[score]]: tokens left-join the vocabulary (broadcast — the model
+  *    is vocab-sized), per-doc mean in-vocab probability plus OOV count.
+  *    Out-of-vocabulary tokens contribute probability 0 — the score IS
+  *    the in-distribution mass, so boilerplate scores high and
+  *    gibberish/OOV-heavy text scores near 0.
+  *
+  * Cross-engine exactness (the q63/q74 technique): each token's
+  * probability is floor-rounded to 1e-9 (exact in IEEE), summed as
+  * DECIMAL (exact, order-free — a float sum would vary with Spark's
+  * partition order and never match an external engine), and only the
+  * final mean is a float op, floor-rounded to 1e-6. No logs anywhere: ln
+  * is not bit-identical across engines (the q74 linear-idf lesson).
+  */
+object UnigramLm {
+
+  /** Fit the vocabulary: (tok, p) for the top `vocabSize` types.
+    * `total` counts ALL occurrences (including types cut by the limit),
+    * so probabilities are true corpus MLE, not renormalized. */
+  def fit(docs: DataFrame, text: String, vocabSize: Int): DataFrame = {
+    val hist = docs
+      .select(explode(TextStats.tokens(lower(col(text)))).as("tok"))
+      .groupBy("tok").count()
+    // driver-sized: one long. sum() is null on an empty corpus -> 1
+    // avoids a 0/0 (the vocab is empty then anyway)
+    val total = math.max(1L,
+      Option(hist.agg(sum("count")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    hist.orderBy(desc("count"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), (col("count").cast("double") / total).as("p"))
+  }
+
+  /** Per-doc LM score against a fitted vocabulary:
+    * (id, n_tokens, n_oov, mean_p). Empty/whitespace docs score 0.0 with
+    * n_tokens 0. */
+  def score(docs: DataFrame, id: String, text: String,
+            vocab: DataFrame): DataFrame = {
+    // explode_outer keeps zero-token docs (tok null) in the aggregation
+    val toks = docs.select(col(id).as("__doc"),
+      explode_outer(TextStats.tokens(lower(col(text)))).as("tok"))
+    val p9 = (floor(coalesce(col("p"), lit(0.0)) * 1e9 + 0.5) / 1e9)
+      .cast("decimal(28,12)")
+    toks.join(broadcast(vocab.select(col("tok"), col("p"))),
+        Seq("tok"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(col("tok")).as("n_tokens"),
+        count(when(col("tok").isNotNull && col("p").isNull, 1))
+          .as("n_oov"),
+        sum(when(col("tok").isNotNull, p9)).as("__sp"))
+      .select(col("__doc").as(id), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(floor(col("__sp").cast("double") / col("n_tokens")
+            * 1e6 + 0.5) / 1e6).as("mean_p"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fit: MLE probs over ALL occurrences, deterministic top-K tie-break") {
+    // counts: a=3, b=2, c=2, d=1 -> total 8; top-3 = a, then b,c (tie ->
+    // lexicographic)
+    val docs = Seq("a a a b b", "c c d").toDF("text")
+    val v = UnigramLm.fit(docs, "text", vocabSize = 3)
+      .as[(String, Double)].collect().toMap
+    assert(v === Map("a" -> 3.0 / 8, "b" -> 2.0 / 8, "c" -> 2.0 / 8))
+  }
+
+  test("score: mean in-vocab probability, OOV contributes zero") {
+    val corpus = Seq("a a a b b", "c c d").toDF("text")
+    val v = UnigramLm.fit(corpus, "text", vocabSize = 3)
+    val out = UnigramLm.score(
+        Seq((1L, "a b"), (2L, "d d"), (3L, "a zz"), (4L, "   "))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", v)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: (0.375 + 0.25)/2 = 0.3125; doc 2: d cut from vocab -> OOV
+    assert(out(1L) === ((2L, 0L, 0.3125)))
+    assert(out(2L) === ((2L, 2L, 0.0)))
+    // doc 3: (0.375 + 0)/2 = 0.1875, one OOV
+    assert(out(3L) === ((2L, 1L, 0.1875)))
+    // doc 4: whitespace only -> zero tokens, score 0
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("score ranks in-distribution text above gibberish on the fixture") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val v = UnigramLm.fit(docs, "text", vocabSize = 20)
+    val scored = UnigramLm.score(docs.limit(50), "doc_id", "text", v)
+    val meanReal = scored.agg(avg("mean_p")).head().getDouble(0)
+    val gib = UnigramLm.score(
+      Seq((1L, "qzx wvu plok mnbv")).toDF("doc_id", "text"),
+      "doc_id", "text", v).head().getDouble(3)
+    assert(meanReal > 0.01 && gib === 0.0,
+      s"real=$meanReal gibberish=$gib")
+  }
+}
