@@ -264,6 +264,33 @@ object Scaling {
           k = k, planes = 4, tables = 8)) // q24's settings
         val ivfR = recall(Similarity.ivfTopK(queries, corpus, k = k,
           nlist = 64, nprobe = 16)) // q39's settings (see ivf_curve rows)
+        // int8-quantized brute force (q81) vs float exact: recall of the
+        // quantized ranking, and the MEASURED on-disk byte ratio of the
+        // int8+scale layout vs float32 (parquet-compressed, both sides)
+        locally {
+          import graft.llm.Quant
+          val quantR = recall(Quant.quantizedTopK(queries, corpus, k))
+          val base = java.nio.file.Files
+            .createTempDirectory("quant_probe").toString
+          corpus.select(col("nid"), col("nvec"))
+            .write.mode("overwrite").parquet(s"$base/f32")
+          corpus.select(col("nid"),
+              Quant.quantize(col("nvec")).as("q"),
+              Quant.scaleOf(col("nvec")).as("s"))
+            .write.mode("overwrite").parquet(s"$base/i8")
+          def bytes(p: String): Long = {
+            val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(java.nio.file.Files.size).sum
+            } finally st.close()
+          }
+          println(f"quantized_topk_recall@$k,$dir,$quantR%.4f " +
+            f"(i8_bytes/f32_bytes=${bytes(s"$base/i8").toDouble /
+              bytes(s"$base/f32")}%.3f)")
+        }
         // pair-recall of the LSH self-join candidate generator vs the
         // exact threshold pair set, STRATIFIED by cosine band (the 0.4-0.5
         // band is borderline pairs of near-random vectors — the pairs

@@ -66,6 +66,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Bpe.Merges]()
   private val Q76Merges = 64
 
+  /** q80's per-dir waterfilled mix rates — same record/emission contract
+    * as [[bpeByDir]]: the oracle inlines the exact rates this run
+    * computed (shortest-repr double literals round-trip DuckDB's parser
+    * bit-identically — the q24/q39 technique). */
+  private val mixRatesByDir = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[Option[String], Double]]()
+
   /** Digest of each sfDir's q39 probe in this JVM, keyed BY DIR — lets
     * [[oracleSql]] inline the EXACT centroids that run used (Verify dumps
     * oracle SQL after the queries execute), so KMeans fit nondeterminism
@@ -1280,6 +1287,48 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: temperature source mixing (training-mix sampling) -----
+    // The multilingual/multi-domain mixing rule: per-source representation
+    // follows n^0.5 instead of raw counts (rare sources upweighted),
+    // solved by driver-side waterfilling over the tiny source histogram
+    // and applied as a deterministic hash-coin filter (q66's md5 uniform —
+    // repeatable, externally recomputable, unlike rand()). Pure filter
+    // projection: no shuffle at any scale. alpha=0.5, target = half the
+    // corpus; the learned rates are recorded per dir and inlined into the
+    // oracle (the q76-merges mechanism).
+    "q80_temperature_mix" -> ((s, dir) => {
+      import graft.llm.Mix
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy("source").count().collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val rates = Mix.temperatureRates(counts, alpha = 0.5,
+        targetRows = total / 2)
+      mixRatesByDir.put(dir, rates)
+      Mix.sample(docs, "doc_id", "source", rates)
+        .select("doc_id", "source")
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- LLM ops: int8-quantized similarity (the 4x memory lever) -------
+    // q19's brute-force top-k re-run in the QUANTIZED domain: symmetric
+    // per-vector int8 (floor(x/max|x|*127 + 0.5)), cosine scored with
+    // exact integer sums (the scales cancel), quarter the candidate
+    // bytes at any scale. Deterministic end to end — integer dots are
+    // order-free and the few float ops (sqrt, divide, floor-round) are
+    // IEEE-identical — so the oracle recomputes quantization AND scoring
+    // exactly. QuantSpec pins recall vs the float top-k (>= 0.9).
+    "q81_quantized_topk" -> ((s, dir) => {
+      import graft.llm.Quant
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      Quant.quantizedTopK(queries, corpus, k = 5)
+        .ordered(col("qid"), col("rank"))
+    }),
+
     // ---- LLM ops: unigram LM scoring (perplexity-proxy quality) ---------
     // Fit an MLE unigram model on the corpus (top-20 vocab — smaller than
     // the fixture's ~31 types, so the OOV path does real work) and score
@@ -2384,6 +2433,38 @@ object SparkEntry {
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Quantization and scoring recomputed exactly: same double-cast,
+    // same floor(x/mx*127+0.5), integer dot/norm sums (order-free), same
+    // zero-norm guard and 1e-6 rounding, same (qcos desc, nid asc) ties.
+    "q81_quantized_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |m AS (SELECT vec_id, ev,
+        |  list_max(list_apply(ev, x -> abs(x))) AS mx FROM v),
+        |qv AS (SELECT vec_id,
+        |  CASE WHEN mx IS NULL OR mx = 0
+        |       THEN list_apply(ev, x -> CAST(0 AS BIGINT))
+        |       ELSE list_apply(ev, x -> CAST(FLOOR(x / mx * 127 + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |qs AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % 20 = 0),
+        |cs AS (SELECT vec_id AS nid, q AS qn FROM qv),
+        |p AS (SELECT qid, nid,
+        |  list_sum(list_apply(list_zip(qq, qn), x -> x[1] * x[2])) AS d,
+        |  list_sum(list_apply(qq, x -> x * x)) AS na,
+        |  list_sum(list_apply(qn, x -> x * x)) AS nb
+        |  FROM qs, cs WHERE qid <> nid),
+        |sc AS (SELECT qid, nid,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(d AS DOUBLE) /
+        |         (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |         * 1e6 + 0.5) / 1e6 END AS qcos
+        |  FROM p),
+        |r AS (SELECT qid, nid, qcos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT qid, nid, qcos, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
     // Fit and apply both recomputed: histogram over all tokens, MLE over
     // the FULL total, top-20 by (count desc, tok asc), left join back,
     // per-token 1e-9 floor-round summed as DECIMAL, final mean rounded
@@ -2664,7 +2745,7 @@ object SparkEntry {
          |SELECT n AS vec_id, LEAST(n, MIN(m)) AS group_id
          |FROM closure GROUP BY n ORDER BY vec_id""".stripMargin
     },
-  ) ++ q39OracleSql ++ q76OracleSql
+  ) ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark
     * run probed in this JVM ([[ivfCache]]; Verify dumps oracle SQL AFTER
@@ -2725,6 +2806,28 @@ object SparkEntry {
            |  FROM p)
            |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  /** q80's oracle: the run's waterfilled rates inlined as literals over
+    * the q66 md5-uniform, null source on its own branch. Same
+    * single-dir emission rule as the other run-state oracles. */
+  private def q80OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val entries = mixRatesByDir.asScala
+    soleDigest(entries.keys).map(entries(_)).map { rates =>
+      val cases = rates.collect { case (Some(s0), r) =>
+        s"WHEN source = '${s0.replace("'", "''")}' THEN $r" }.mkString(" ")
+      val nullRate = rates.getOrElse(None, 0.0)
+      "q80_temperature_mix" ->
+        s"""WITH h AS (SELECT doc_id, source,
+           |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 33 AS DOUBLE)
+           |    / 2147483648.0 AS u
+           |  FROM documents)
+           |SELECT doc_id, source FROM h
+           |WHERE u < CASE WHEN source IS NULL THEN $nullRate $cases
+           |  ELSE 0.0 END
+           |ORDER BY doc_id""".stripMargin
     }.toMap
   }
 

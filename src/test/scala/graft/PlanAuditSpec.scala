@@ -21,10 +21,11 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q34: below the size gate (10⁴ docs) the all-pairs plan IS the
     *     chosen physical plan; above it DedupSpec asserts cross-free.
     *   - q59: a broadcast scalar (corpus doc count) joined into every row.
+    *   - q81: q19's bounded-broadcast exact baseline, quantized domain.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
-    "q34_dedup_groups", "q59_tfidf")
+    "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
