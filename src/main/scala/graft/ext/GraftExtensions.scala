@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_i"),
+      new ExpressionInfo(classOf[IntDotExpr].getName, "vec_dot_i"),
+      (children: Seq[Expression]) =>
+        IntDotExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("tokens_ws"),
       new ExpressionInfo(classOf[TokensExpr].getName, "tokens_ws"),

@@ -42,8 +42,15 @@ object Quant {
   }
 
   /** Exact integer dot product of two quantized vectors (long — 64 dims
-    * of ±127 peaks at ~10^6, nowhere near overflow). */
-  def intDot(a: Column, b: Column): Column =
+    * of ±127 peaks at ~10^6, nowhere near overflow). Native kernel
+    * (graft.parse.IntDotExpr — one tight loop; the HOF composition
+    * evaluates its lambda interpreted per element inside the n×q scoring
+    * join). QuantSpec property-tests kernel == composition. */
+  def intDot(a: Column, b: Column): Column = call_function("vec_dot_i", a, b)
+
+  /** The pure-`functions._` composition [[intDot]] replaces — kept as the
+    * independent reference the kernel is property-tested against. */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 

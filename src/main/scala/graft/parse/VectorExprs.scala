@@ -83,6 +83,84 @@ object DotProductExpr {
   }
 }
 
+/** Exact integer dot product over integral arrays (tinyint..bigint) —
+  * the kernel behind quantized similarity ([[graft.llm.Quant]]): a
+  * 64-dim int8 dot inside an n×q scoring join evaluates its lambda
+  * per element when written as `aggregate(zip_with(...))`; this is one
+  * tight loop with the same long arithmetic. Null semantics identical
+  * to that composition (and to [[DotProductExpr]]): NULL on null input,
+  * unequal lengths, or any null element — never a partial sum. */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_i requires integral-array args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemType(left), elemType(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intDotExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("idot")
+      s"""java.lang.Long $tmp = $ref.eval2($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+  }
+
+  /** Codegen entry point (instance method so element types ride along). */
+  def eval2(a: ArrayData, b: ArrayData): java.lang.Long =
+    IntDotExpr.dot(a, b, elemType(left), elemType(right))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot_i"
+}
+
+object IntDotExpr {
+  private def get(a: ArrayData, i: Int, t: DataType): Long = t match {
+    case ByteType => a.getByte(i).toLong
+    case ShortType => a.getShort(i).toLong
+    case IntegerType => a.getInt(i).toLong
+    case LongType => a.getLong(i)
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  def dot(a: ArrayData, b: ArrayData, ta: DataType,
+          tb: DataType): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
 /** Whitespace tokenizer: split on single spaces, drop empty tokens — the
   * kernel behind TextStats.tokens. The `filter(split(text," "), len>0)`
   * composition runs the filter lambda interpreted per token, on EVERY

@@ -37,6 +37,28 @@ class QuantSpec extends AnyFunSuite {
     }
   }
 
+  test("property: vec_dot_i kernel == HOF composition, incl null semantics") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(16)((rnd.nextInt(255) - 127).toByte))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        Quant.intDot(col("a"), col("b")).as("k"),
+        Quant.intDotHof(col("a"), col("b")).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(diff === 0L)
+    // unequal lengths and null elements -> NULL on both paths
+    val edge = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+    val rowsE = edge.select(Quant.intDot(col("a"), col("b")),
+      Quant.intDotHof(col("a"), col("b"))).collect()
+    rowsE.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString))
+  }
+
   test("quantized cosine approximates float cosine closely") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 40L).map(i =>
