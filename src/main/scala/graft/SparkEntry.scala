@@ -1287,6 +1287,27 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: length-bucketed packing (padding efficiency) ----------
+    // q65's packing keyed by LENGTH BUCKET instead of source: grouping
+    // docs of similar token count before first-fit packing is the
+    // standard padding-waste lever for fixed-budget training batches.
+    // Bucket = floor(log2(n))+1 computed as the BINARY-STRING LENGTH
+    // (length(bin(n)) here, length(format('{:b}',n)) in DuckDB) — integer-
+    // exact in both engines, where a float log2 could straddle a power of
+    // two differently. Same distributed prefix-sum scale path as q65.
+    "q82_bucketed_pack" -> ((s, dir) => {
+      val nTokens =
+        coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), nTokens.as("n_tokens"))
+        .withColumn("len_bucket",
+          length(bin(greatest(col("n_tokens"), lit(1L)))).cast("long"))
+      Pack.packSequences(docs, "doc_id", "len_bucket", "n_tokens",
+          budget = 2048)
+        .select("doc_id", "len_bucket", "n_tokens", "pack_id")
+        .ordered(col("len_bucket"), col("doc_id"))
+    }),
+
     // ---- LLM ops: temperature source mixing (training-mix sampling) -----
     // The multilingual/multi-domain mixing rule: per-source representation
     // follows n^0.5 instead of raw counts (rare sources upweighted),
@@ -2378,6 +2399,25 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // q65's windowed ground truth partitioned by the length bucket; the
+    // bucket is the binary-string length of max(n_tokens, 1) — exact
+    // integer log2 in both engines.
+    "q82_bucketed_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  COALESCE(CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CAST(length(format('{:b}', greatest(n_tokens, 1))) AS BIGINT) AS len_bucket
+        |  FROM t),
+        |c AS (SELECT doc_id, len_bucket, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY len_bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM b)
+        |SELECT doc_id, len_bucket, n_tokens,
+        |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id
+        |FROM c ORDER BY len_bucket, doc_id""".stripMargin,
 
     // md5_number_lower >> 33 is the same 31-bit value as the engine's
     // md5_lower64 >>> 33 (unsigned in DuckDB, logical shift of the signed
