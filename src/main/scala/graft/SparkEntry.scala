@@ -1416,9 +1416,20 @@ object SparkEntry {
         "e_t", "f_t", delay = "10 seconds", lookback = "6 hours",
         eventCols = Seq("event_id", "user_id", "ts_us"),
         featureCols = Seq("feat_id", "feat_value"), tieBreak = "feat_id")
-      Streams.runToMemory(enriched,
+      // State-partition sizing is per-stream-load tuning: this query runs
+      // TWO chained stateful operators whose per-batch cost is dominated
+      // by state-store commits (one per partition per operator per
+      // batch), and 32 partitions of state for a fixture-sized stream is
+      // pure commit overhead (measured: ~1/3 of wall at 32 vs 8).
+      // Partitioning does not affect results (hash-partitioned state,
+      // same keys either way — the oracle pins it). Scoped + restored:
+      // queries run sequentially under Verify/Bench.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Streams.runToMemory(enriched,
           s"q77_mem_${System.nanoTime()}", "append")
         .ordered(col("event_id"), col("user_id"), col("ts_us"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // ---- LLM ops: PII redaction (emails/URLs/IPs/phones) ----------------

@@ -3,9 +3,9 @@ package graft.ext
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
-import graft.parse.DotProductExpr
+import graft.parse.{DotProductExpr, IntDotExpr}
 
 /** Optimizer rule: recognizes the idiomatic higher-order-function dot
   * product
@@ -33,6 +33,31 @@ object KernelRewriteRule extends Rule[LogicalPlan] {
   private def isProductLambda(f: LambdaFunction): Boolean = f match {
     case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
       (asDouble(l), asDouble(r)) match {
+        case (Some(a: NamedLambdaVariable), Some(b: NamedLambdaVariable)) =>
+          (a.exprId == x.exprId && b.exprId == y.exprId) ||
+            (a.exprId == y.exprId && b.exprId == x.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def integralElem(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+
+  private def asLong(e: Expression): Option[Expression] = e match {
+    case Cast(inner, LongType, _, _) => Some(inner)
+    case other if other.dataType == LongType => Some(other)
+    case _ => None
+  }
+
+  /** Integer analogue of [[isProductLambda]]: `(x, y) -> x * y` modulo
+    * widening casts to long. */
+  private def isIntProductLambda(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      (asLong(l), asLong(r)) match {
         case (Some(a: NamedLambdaVariable), Some(b: NamedLambdaVariable)) =>
           (a.exprId == x.exprId && b.exprId == y.exprId) ||
             (a.exprId == y.exprId && b.exprId == x.exprId)
@@ -69,5 +94,15 @@ object KernelRewriteRule extends Rule[LogicalPlan] {
         // semantics exactly (NULL on unequal lengths / null elements —
         // zip_with pads with null and null poisons the fold).
         DotProductExpr(a, b)
+      case ArrayAggregate(
+          ZipWith(a, b, prodF: LambdaFunction),
+          Literal(0L, LongType),
+          mergeF: LambdaFunction,
+          finishF)
+          if isIntProductLambda(prodF) && isSumLambda(mergeF) &&
+            isIdentityFinish(finishF) &&
+            integralElem(a.dataType) && integralElem(b.dataType) =>
+        // integer analogue — same null-semantics argument (IntDotExpr)
+        IntDotExpr(a, b)
     }
 }

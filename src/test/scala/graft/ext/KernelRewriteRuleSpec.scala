@@ -57,6 +57,27 @@ class KernelRewriteRuleSpec extends AnyFunSuite {
     assert(hof.as[Option[Double]].collect().toSet === Set(None))
   }
 
+  test("integer HOF dot composition is rewritten to the vec_dot_i kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("krr4").toString
+    Seq(
+      (Seq(1.toByte, 2.toByte), Seq(3.toByte, 4.toByte)),
+      (Seq(127.toByte, -127.toByte), Seq(1.toByte, 1.toByte)))
+      .toDF("a", "b").write.parquet(s"$dir/v")
+    val ints = spark.read.parquet(s"$dir/v")
+    val hof = ints.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot_i"),
+      s"expected integer kernel rewrite, plan:\n$optimized")
+    assert(hof.as[Long].collect().toSet === Set(11L, 0L))
+    // a DOUBLE fold over integral arrays must not take the int kernel
+    val dbl = ints.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("vec_dot_i"))
+  }
+
   test("non-matching aggregates are left untouched") {
     // different zero, different merge — must NOT rewrite
     val other = df.select(aggregate(
