@@ -287,6 +287,37 @@ object Dedup {
                           pairCountHint: Long = -1): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, pairCountHint)._1
 
+  /** Duplicate-cluster representative selection — the PRODUCTION keep
+    * rule: given near-dup pairs and a per-doc score, collapse each
+    * connected component to its best-scoring member (score desc, id asc
+    * on ties — exact copies tie on score and fall back to the stable id
+    * order), instead of the arbitrary min-id [[exact]] keeps. Docs in no
+    * pair form singleton groups and keep themselves.
+    *
+    * Returns one row per input doc: (id, group_id, keep_id) with
+    * group_id = the component's min label (singletons: the doc itself).
+    * Filter `id === keep_id` downstream for the deduped corpus; the full
+    * mapping is returned so provenance ("which doc replaced mine")
+    * survives.
+    *
+    * Scale: components come from the O(log d) pointer-doubling path
+    * ([[connectedComponents]]); the winner pick is one ranking window
+    * PER COMPONENT — components are clique-sized, not corpus-sized, so
+    * the window never serializes the corpus. */
+  def keepBest(docs: DataFrame, id: String, score: String,
+               pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as("__n"), col("label").as("__lbl"))
+    val w = Window.partitionBy("group_id").orderBy(desc(score), asc(id))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs.select(col(id), col(score))
+      .join(cc, col(id) === col("__n"), "left")
+      .withColumn("group_id", coalesce(col("__lbl"), col(id)))
+      .withColumn("keep_id", first(col(id)).over(w))
+      .select(col(id), col("group_id"), col("keep_id"))
+  }
+
   /** Driver union-find for the below-gate path: root of every set is its
     * minimum id by construction (union attaches the larger root beneath
     * the smaller), so find(node) IS the component's min label — the same

@@ -312,4 +312,22 @@ class DedupSpec extends AnyFunSuite {
       .as[(Seq[Long], Seq[Long])].collect()
     both.foreach { case (k, h) => assert(k === h) }
   }
+
+  test("keepBest: best score wins per component, ties to min id, singletons self") {
+    val spark2 = spark
+    import spark2.implicits._
+    // component {1,2,3} (chain), component {10,11}, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // best is 2
+      (10L, 0.7), (11L, 0.7),          // tie -> min id 10
+      (20L, 0.1)).toDF("doc_id", "q")
+    val out = Dedup.keepBest(docs, "doc_id", "q", pairs, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, 2L)) && out(2L) === ((1L, 2L)) &&
+      out(3L) === ((1L, 2L)))
+    assert(out(10L) === ((10L, 10L)) && out(11L) === ((10L, 10L)))
+    assert(out(20L) === ((20L, 20L)))
+  }
 }
