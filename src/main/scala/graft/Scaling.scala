@@ -261,7 +261,7 @@ object Scaling {
           approx.select(col("qid"), col("nid"))
             .join(exact, Seq("qid", "nid"), "left_semi").count() / nExact
         val annR = recall(Similarity.annTopK(queries, corpus, dim = 64,
-          k = k, planes = 4, tables = 8)) // q24's settings
+          k = k, planes = 4, tables = 16)) // q24's settings
         val ivfR = recall(Similarity.ivfTopK(queries, corpus, k = k,
           nlist = 64, nprobe = 16)) // q39's settings (see ivf_curve rows)
         // int8-quantized brute force (q81) vs float exact: recall of the
@@ -331,6 +331,30 @@ object Scaling {
             println(f"ivf_curve_nlist${nlist}_nprobe$nprobe,$dir,$r%.4f " +
               f"(scanned_frac=${scanned / (nQ * corpusN)}%.3f)")
           }
+        }
+        // annTopK recall-vs-cost curve: sweep (planes, tables), reporting
+        // recall@k alongside the MEASURED fraction of (query, corpus)
+        // pairs that reach the exact-cosine verify stage (distinct
+        // candidates / (|Q|·|C|) — the LSH analogue of IVF's
+        // scanned_frac; buckets are not uniform, so the analytic
+        // collision bound underestimates hot buckets). Evidence behind
+        // q24's default: a chosen point on a curve, not an accident.
+        for (planes <- Seq(4, 6, 8); tables <- Seq(8, 16, 32, 64)
+             if planes > 4 || tables < 64) {
+          def buckets(df: DataFrame, id: String, vec: String): DataFrame =
+            df.select(col(id), explode(Similarity.hyperplaneBuckets(
+                col(vec), dim = 64, planes = planes, tables = tables)).as("b"))
+              .select(col(id), col("b.table").as("table"),
+                col("b.bucket").as("bucket"))
+          val nCands = buckets(queries, "qid", "qvec")
+            .join(buckets(corpus, "nid", "nvec"), Seq("table", "bucket"))
+            .filter(col("qid") =!= col("nid"))
+            .select("qid", "nid").dropDuplicates("qid", "nid")
+            .count().toDouble
+          val r = recall(Similarity.annTopK(queries, corpus, dim = 64,
+            k = k, planes = planes, tables = tables))
+          println(f"ann_curve_p${planes}_t$tables,$dir,$r%.4f " +
+            f"(cand_frac=${nCands / (nQ * corpusN)}%.3f)")
         }
         for (tables <- Seq(4, 8, 16)) {
           val lshPairs = Similarity.semanticDupPairs(corpus, dim = 64,

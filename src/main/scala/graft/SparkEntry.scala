@@ -447,9 +447,14 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       // few planes / many tables: the fixture embeddings are near-random
-      // (neighbor cosine ~0.2-0.4), so narrow buckets would have ~0 recall
+      // (neighbor cosine ~0.2-0.4), so narrow buckets would have ~0
+      // recall. (4, 16) is the smallest measured >=0.9 recall@5 point on
+      // the swept curve (SCALING.md "ANN recall": 0.906 at cand_frac
+      // 0.643, vs 0.74 at 0.410 for the old (4, 8)); the curve's
+      // dominant frontier and the planes-vs-tables cost model are
+      // documented there.
       Similarity.annTopK(queries, corpus, dim = 64, k = 5,
-          planes = 4, tables = 8)
+          planes = 4, tables = 16)
         .ordered(col("qid"), col("rank"))
     }),
 
@@ -1304,6 +1309,109 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: Gopher line-repetition quality rules ------------------
+    // Rae et al. 2021 (Gopher, arXiv:2112.11446 Table A1) repetition
+    // filters at LINE granularity, complementing q68's trigram ratio: the
+    // fraction of non-empty lines that duplicate another line of the SAME
+    // document, and the fraction of characters those duplicated lines
+    // hold; keep = both under the published thresholds (0.30 / 0.20).
+    // Shape: explode lines -> (doc, line) count -> per-doc agg — two
+    // partial-agg shuffles whose keys stay inside the doc's hash space,
+    // and after the first agg only (count, length) ride, not text.
+    // Scan-bound at 100 TB.
+    "q84_line_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val lines = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\n"),
+          l => length(trim(l)) > 0)).as("line"))
+      val perLine = lines
+        .withColumn("ln", length(col("line")).cast("long"))
+        .groupBy(col("doc_id"), col("line"), col("ln"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = perLine.groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("cnt") > 1, col("ln") * col("cnt")).otherwise(lit(0L)))
+          .as("dup_chars"),
+        sum(col("ln") * col("cnt")).as("tot_chars"))
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+        .withColumn("n_distinct_lines",
+          coalesce(col("n_distinct_lines"), lit(0L)))
+        .withColumn("dup_line_frac", when(col("n_lines") > 0,
+          r6((col("n_lines") - col("n_distinct_lines")).cast("double") /
+            col("n_lines").cast("double"))).otherwise(lit(0.0)))
+        .withColumn("dup_char_frac",
+          when(coalesce(col("tot_chars"), lit(0L)) > 0,
+            r6(col("dup_chars").cast("double") /
+              col("tot_chars").cast("double"))).otherwise(lit(0.0)))
+        .withColumn("keep", (col("dup_line_frac") <= 0.3 &&
+          col("dup_char_frac") <= 0.2).cast("int"))
+        .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+          col("dup_line_frac"), col("dup_char_frac"), col("keep"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- LLM ops: corpus-wide paragraph dedup (CCNet granularity) -------
+    // Wenzek et al. 2020 (CCNet) dedup at PARAGRAPH granularity: exact
+    // duplicate paragraphs (non-whitespace lines) are removed CORPUS-wide
+    // keeping the first occurrence (min doc_id, then min position), and
+    // each doc is reassembled from its surviving paragraphs in original
+    // order. Shape: posexplode -> first-occurrence rank (one shuffle keyed
+    // by paragraph content — groups are clique-sized, never corpus-sized)
+    // -> per-doc reassembly (one shuffle on doc_id). Docs whose every
+    // paragraph loses vanish from the output (nothing left to emit).
+    "q85_paragraph_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val paras = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+        .filter(length(trim(col("para"))) > 0)
+      val w = Window.partitionBy("para").orderBy(asc("doc_id"), asc("pos"))
+      paras.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x("para")), "\n").as("new_text"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- LLM ops: seeded deterministic shuffle + sharding ---------------
+    // Reproducible global training order: each doc draws a 31-bit key from
+    // the cross-engine md5 kernel under a literal salt, lands in
+    // shard = key mod 8, and gets a dense 1-based position within its
+    // shard by (key, doc_id) order. Position is NOT one window over 8
+    // shard-sized partitions (that serializes the corpus through 8 tasks)
+    // — it is q65's distributed prefix sum: 256 range buckets per shard
+    // from the key's top bits, a driver-sized (shard, bucket) offset
+    // table re-entering as a broadcast, bucket-local row_number + offset.
+    // The oracle is the semantic definition (one ROW_NUMBER per shard) —
+    // hash equality proves the distributed decomposition exact.
+    "q86_seeded_shuffle" -> ((s, dir) => {
+      val nShards = 8
+      val u = shiftrightunsigned(call_function("md5_lower64",
+        concat(lit("shuf42:"), col("doc_id").cast("string"))), 33)
+      val keyed = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), u.as("u"))
+        .withColumn("shard", (col("u") % nShards).cast("int"))
+        .withColumn("bucket", shiftrightunsigned(col("u"), 23).cast("int"))
+      val offsets = keyed.groupBy("shard", "bucket").count()
+        .withColumn("offset",
+          sum(col("count")).over(Window.partitionBy("shard")
+            .orderBy("bucket")) - col("count"))
+        .select("shard", "bucket", "offset")
+      val wb = Window.partitionBy("shard", "bucket")
+        .orderBy(asc("u"), asc("doc_id"))
+      keyed.join(broadcast(offsets), Seq("shard", "bucket"))
+        .withColumn("pos",
+          (row_number().over(wb) + col("offset")).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: length-bucketed packing (padding efficiency) ----------
     // q65's packing keyed by LENGTH BUCKET instead of source: grouping
     // docs of similar token count before first-fit packing is the
@@ -1893,8 +2001,8 @@ object SparkEntry {
     "q24_ann_topk" -> {
       val rnd = new scala.util.Random(42L)
       // identical stream to Similarity.hyperplaneBuckets(dim=64, planes=4,
-      // tables=8, seed=42): tables outer, planes inner, 64 gaussians each
-      val tablesPlanes: Seq[Seq[Array[Double]]] = Seq.fill(8)(
+      // tables=16, seed=42): tables outer, planes inner, 64 gaussians each
+      val tablesPlanes: Seq[Seq[Array[Double]]] = Seq.fill(16)(
         Seq.fill(4)(Array.fill(64)(rnd.nextGaussian())))
       def dotSql(v: String, plane: Array[Double]): String =
         s"list_sum(list_apply(list_zip($v, [${plane.mkString(",")}]), x -> x[1] * x[2]))"
@@ -1902,9 +2010,9 @@ object SparkEntry {
         tablesPlanes(t).zipWithIndex.map { case (pl, i) =>
           s"(CASE WHEN ${dotSql(v, pl)} >= 0 THEN ${1 << i} ELSE 0 END)"
         }.mkString("(", " + ", ")")
-      val bucketCols = (0 until 8).map(t => s"${bucketSql("ev", t)} AS b$t")
+      val bucketCols = (0 until 16).map(t => s"${bucketSql("ev", t)} AS b$t")
         .mkString(",\n    ")
-      val bandMatch = (0 until 8).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      val bandMatch = (0 until 16).map(t => s"q.b$t = c.b$t").mkString(" OR ")
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
          |b AS (
@@ -2505,6 +2613,72 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, group_id, keep_id FROM k ORDER BY doc_id""".stripMargin
     },
+
+    // Gopher line-repetition rules rebuilt literally: non-empty trimmed
+    // split on chr(10), per-(doc, line) counts, per-doc fractions with the
+    // shared floor-1e6 rounding; the keep thresholds compare the ROUNDED
+    // doubles on both sides, so the decision boundary is exact.
+    "q84_line_repetition" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0)) AS line
+        |  FROM d),
+        |g AS (SELECT doc_id, line, len(line) AS ln, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY doc_id, line),
+        |p AS (SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN ln * cnt ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(SUM(ln * cnt) AS BIGINT) AS tot_chars
+        |  FROM g GROUP BY doc_id),
+        |j AS (SELECT d.doc_id,
+        |  COALESCE(n_lines, 0) AS n_lines,
+        |  COALESCE(n_distinct_lines, 0) AS n_distinct_lines,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(tot_chars, 0) AS tot_chars
+        |  FROM d LEFT JOIN p ON d.doc_id = p.doc_id),
+        |r AS (SELECT doc_id, n_lines, n_distinct_lines,
+        |  CASE WHEN n_lines > 0
+        |    THEN FLOOR((CAST(n_lines - n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN tot_chars > 0
+        |    THEN FLOOR((CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS dup_char_frac
+        |  FROM j)
+        |SELECT doc_id, n_lines, n_distinct_lines, dup_line_frac, dup_char_frac,
+        |  CAST(CASE WHEN dup_line_frac <= 0.3 AND dup_char_frac <= 0.2
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Paragraph dedup rebuilt literally: unnest + generate_subscripts
+    // expand in lockstep (0-based pos matching posexplode), first
+    // occurrence by (doc_id, pos) per exact paragraph value, reassembly
+    // via ORDER BY string_agg.
+    "q85_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |p AS (SELECT doc_id, unnest(ls) AS para,
+        |  CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos FROM x),
+        |f AS (SELECT doc_id, pos, para FROM p WHERE len(trim(para)) > 0),
+        |k AS (SELECT doc_id, pos, para,
+        |  ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        |  FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(para, chr(10) ORDER BY pos) AS new_text
+        |FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The shuffle's SEMANTIC definition: one ROW_NUMBER per shard over the
+    // 31-bit md5 key — the engine side must reproduce this exactly from
+    // its range-bucketed distributed prefix sum (q65's decomposition);
+    // hash equality proves the decomposition introduces no off-by-one at
+    // any bucket boundary.
+    "q86_seeded_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(md5_number_lower(concat('shuf42:', CAST(doc_id AS VARCHAR))) >> 33 AS BIGINT) AS u
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, CAST(u % 8 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY u % 8 ORDER BY u, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // q65's windowed ground truth partitioned by the length bucket; the
     // bucket is the binary-string length of max(n_tokens, 1) — exact
