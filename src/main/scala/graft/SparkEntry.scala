@@ -1490,6 +1490,20 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: bigram LM scoring (context-sensitive tier) ------------
+    // q79's signal with context: mean conditional in-distribution mass
+    // p(w2|w1) over the doc's adjacent pairs, against a corpus-fitted
+    // top-20 bigram table. Same log-free decimal-sum parity discipline
+    // (ln is not bit-identical across engines); the bigram construction
+    // is one zip_with projection, never a positional self-join.
+    "q87_bigram_lm" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val model = UnigramLm.fitBigrams(docs, "text", vocabSize = 20)
+      UnigramLm.scoreBigrams(docs, "doc_id", "text", model)
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Streaming point-in-time as-of enrichment (q08 live) ------------
     // The feature store's training-serving-skew guarantee on a live
     // stream: each even-id event is enriched with the NEWEST odd-id
@@ -2809,6 +2823,40 @@ object SparkEntry {
         |  CAST(COALESCE(g.n_oov, 0) AS BIGINT) AS n_oov,
         |  CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
         |       ELSE FLOOR(CAST(g.sp AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS mean_p
+        |FROM t LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q79's oracle shape one order up: bigrams rebuilt positionally
+    // (range is end-exclusive, so range(1, len) enumerates exactly the
+    // n-1 adjacent pairs), conditional p = c(w1 w2)/c(w1) with the
+    // denominator joined on the bigram's first token, then the identical
+    // decimal-sum / floor-round pipeline.
+    "q87_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id,
+        |  UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS big
+        |  FROM t),
+        |u AS (SELECT UNNEST(toks) AS tok FROM t),
+        |h1 AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY tok),
+        |hb AS (SELECT big, COUNT(*) AS cb FROM b GROUP BY big),
+        |v AS (
+        |  SELECT tb.big, CAST(cb AS DOUBLE) / c1 AS p
+        |  FROM (SELECT big, cb FROM hb ORDER BY cb DESC, big ASC LIMIT 20) tb
+        |  JOIN h1 ON string_split(tb.big, ' ')[1] = h1.tok),
+        |j AS (SELECT b.doc_id, b.big, v.p FROM b LEFT JOIN v USING (big)),
+        |g AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    COUNT(*) FILTER (WHERE p IS NULL) AS n_oov,
+        |    SUM(CAST(FLOOR(COALESCE(p, 0) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sp
+        |  FROM j GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(g.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN COALESCE(g.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(g.sp AS DOUBLE) / g.n_bigrams * 1e6 + 0.5) / 1e6
         |  END AS mean_p
         |FROM t LEFT JOIN g USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model scoring — the perplexity-proxy quality signal a
@@ -41,6 +41,58 @@ object UnigramLm {
         .map(_.asInstanceOf[Long]).getOrElse(0L))
     hist.orderBy(desc("count"), asc("tok")).limit(vocabSize)
       .select(col("tok"), (col("count").cast("double") / total).as("p"))
+  }
+
+  /** Adjacent-pair "w1 w2" strings for a token array; [] for <2 tokens.
+    * Built with zip_with over two slices — one codegen'd projection, no
+    * explode/self-join on positions. */
+  private def bigramsOf(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Bigram tier of the same signal — context-sensitive
+    * in-distribution mass (the CCNet-style perplexity filter, kept
+    * log-free for cross-engine exactness): conditional probability
+    * p(w2|w1) = c(w1 w2) / c(w1) for the top `vocabSize` bigrams by
+    * count (ties to lexicographic). Fit is two histograms (each one
+    * map-side-combined shuffle); the denominator join runs AFTER the
+    * top-K cut, so only vocabSize rows meet the unigram table. The model
+    * is a driver-small dimension table, like [[fit]]'s. */
+  def fitBigrams(docs: DataFrame, text: String, vocabSize: Int): DataFrame = {
+    val bigs = docs
+      .select(explode(bigramsOf(TextStats.tokens(lower(col(text))))).as("big"))
+      .groupBy("big").count()
+    val unis = docs
+      .select(explode(TextStats.tokens(lower(col(text)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    bigs.orderBy(desc("count"), asc("big")).limit(vocabSize)
+      .withColumn("w1", split(col("big"), " ").getItem(0))
+      .join(unis, col("w1") === col("tok"))
+      .select(col("big"), (col("count").cast("double") / col("c1")).as("p"))
+  }
+
+  /** Per-doc bigram LM score: (id, n_bigrams, n_oov, mean_p) with the
+    * identical decimal-sum / floor-round parity discipline as [[score]].
+    * Docs with <2 tokens score 0.0 with n_bigrams 0. */
+  def scoreBigrams(docs: DataFrame, id: String, text: String,
+                   model: DataFrame): DataFrame = {
+    val bigs = docs.select(col(id).as("__doc"),
+      explode_outer(bigramsOf(TextStats.tokens(lower(col(text))))).as("big"))
+    val p9 = (floor(coalesce(col("p"), lit(0.0)) * 1e9 + 0.5) / 1e9)
+      .cast("decimal(28,12)")
+    bigs.join(broadcast(model.select(col("big"), col("p"))),
+        Seq("big"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(col("big")).as("n_bigrams"),
+        count(when(col("big").isNotNull && col("p").isNull, 1))
+          .as("n_oov"),
+        sum(when(col("big").isNotNull, p9)).as("__sp"))
+      .select(col("__doc").as(id), col("n_bigrams"), col("n_oov"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(floor(col("__sp").cast("double") / col("n_bigrams")
+            * 1e6 + 0.5) / 1e6).as("mean_p"))
   }
 
   /** Per-doc LM score against a fitted vocabulary:

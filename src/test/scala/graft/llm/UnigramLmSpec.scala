@@ -36,6 +36,32 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("fitBigrams: conditional p(w2|w1), top-K tie-break, denominator over all w1 uses") {
+    // bigrams: "a a" x2, "a b" x2 (one per doc), "b a" x1;
+    // unigrams a=5, b=2 -> p(a|a)=2/5, p(b|a)=2/5
+    val docs = Seq("a a a b", "a b a").toDF("text")
+    val v = UnigramLm.fitBigrams(docs, "text", vocabSize = 2)
+      .as[(String, Double)].collect().toMap
+    // top-2 by count: "a a"(2) and "a b"(2); "b a"(1) is cut
+    assert(v === Map("a a" -> 0.4, "a b" -> 0.4))
+  }
+
+  test("scoreBigrams: mean conditional mass, short docs score zero") {
+    val corpus = Seq("a a a b", "a b a").toDF("text")
+    val m = UnigramLm.fitBigrams(corpus, "text", vocabSize = 2)
+    val out = UnigramLm.scoreBigrams(
+        Seq((1L, "a a b"), (2L, "b a"), (3L, "a"), (4L, null))
+          .toDF("doc_id", "text").filter(col("text").isNotNull),
+        "doc_id", "text", m)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: bigrams "a a","a b" -> (0.4+0.4)/2; doc 2: "b a" cut -> OOV
+    assert(out(1L) === ((2L, 0L, 0.4)))
+    assert(out(2L) === ((1L, 1L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
   test("score ranks in-distribution text above gibberish on the fixture") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
