@@ -57,6 +57,12 @@ object SparkEntry {
   private val Q39Nlist = 64
   private val Q39Nprobe = 16
 
+  /** q89's per-cluster sample budget: hot cells are thinned to ~this
+    * many docs (rate = min(1, T/|cell|)), cold cells keep everything —
+    * the cluster-balancing shape. A constant, not a per-SF knob: the
+    * semantics ("cap every cluster's contribution") are scale-free. */
+  private val Q89Target = 40L
+
   /** q76's per-dir learned BPE merge tables — fit once per JVM per dir,
     * and the record that lets [[q76OracleSql]] inline the EXACT merges
     * that run used (same single-probed-dir rule as [[ivfDigestByDir]]:
@@ -107,6 +113,89 @@ object SparkEntry {
     * projection. */
   def entry(spark: SparkSession): DataFrame =
     queries("q14_bronze_silver")(spark, "/root/testdata/sf0.001")
+
+  /** Acquire the per-(dir, dataset-content) persisted IVF index — build
+    * + atomic-publish on first use, load thereafter — and record its
+    * digest for the run-state oracles. Returns the model and the
+    * published index root (centroids/ + cells/). Hoisted from q39 so
+    * q89's cluster-balanced sampling shares the IDENTICAL index and
+    * digest-emission rule; `corpus` must be (nid, nvec)-shaped. */
+  private def ivfAcquire(s: SparkSession, dir: String,
+                         corpus: DataFrame): (IvfIndex.Model, java.nio.file.Path) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // The cache key — in memory AND on disk — is (dir, dataset content):
+    // the MD5 folds in the embeddings files' (name, size, mtime)
+    // alongside the full dir string (hashCode collides across strings;
+    // a path-only key would silently reuse stale centroids after the
+    // dataset at that path is regenerated, within this JVM or across
+    // JVMs). The fingerprint is a handful of file stats — computed per
+    // call, cheap next to any probe.
+    val embPath = Paths.get(dir, "embeddings.parquet")
+    val contentFp = if (Files.exists(embPath)) {
+      val st = Files.walk(embPath)
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.map(_.toString).sorted
+        .map(p => s"$p:${Files.size(Paths.get(p))}:" +
+          Files.getLastModifiedTime(Paths.get(p)).toMillis)
+        .mkString("|")
+      finally st.close()
+    } else ""
+    // the layout+params tag versions the on-disk tree: a JVM running
+    // older code (centroids-only layout, nlist=16) and this one can
+    // never load each other's index dirs
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "\u0000" + contentFp +
+        s"\u0000ivf2:nlist=$Q39Nlist").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
+    val fin = base.resolve("index")
+    val index = ivfCache.computeIfAbsent(digest, _ => {
+      // stable per-digest path so repeated JVM runs reuse one directory
+      // instead of leaking a fresh tempdir each. Published by
+      // write-to-unique-temp + atomic rename: a concurrent JVM benching
+      // the same dir either wins the rename or loads the winner's
+      // fully-written index — never a torn or wrong-dataset read
+      // tolerates a concurrent sweeper deleting the tree under us
+      def rmTree(p: java.nio.file.Path): Unit =
+        try {
+          val st = Files.walk(p)
+          try st.iterator().asScala.toSeq
+            .reverse.foreach(Files.deleteIfExists(_))
+          finally st.close()
+        } catch { case _: java.nio.file.NoSuchFileException => () }
+      if (!Files.exists(fin)) {
+        val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
+        // BOTH halves of the index are built offline then published as
+        // one atomic tree: centroids/ (driver-sized) and cells/ (the
+        // inverted file — corpus partitioned by cell, what lets the
+        // probe read only probed cells)
+        val m = IvfIndex.fit(corpus, nlist = Q39Nlist)
+        m.save(s, tmp.resolve("centroids").toString)
+        IvfIndex.buildInverted(corpus, m, tmp.resolve("cells").toString)
+        // atomic rename, concurrent-publisher-safe; the non-atomic-move
+        // fallback re-checks under an exclusive lock (IvfIndex.publish)
+        IvfIndex.publish(tmp, fin)
+        // sweep index.tmp.* leaked by CRASHED builders only: an hour-old
+        // age floor keeps a concurrent builder's live tmp out of reach
+        // (a whole build is seconds), and rmTree tolerates the
+        // mirror-image race of two sweepers
+        if (Files.isDirectory(base)) {
+          val ls = Files.list(base)
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("index.tmp."))
+            .filter(p => try Files.getLastModifiedTime(p).toMillis <
+                System.currentTimeMillis() - 3600L * 1000
+              catch { case _: Exception => false })
+            .foreach(p => try rmTree(p) catch { case _: Exception => () })
+          finally ls.close()
+        }
+      }
+      IvfIndex.load(s, fin.resolve("centroids").toString)
+    })
+    ivfDigestByDir.put(dir, digest)
+    (index, fin)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Relational core (SURVEY §2.2/2.4: P*, A1-A2) -------------------
@@ -469,83 +558,40 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      // The cache key — in memory AND on disk — is (dir, dataset content):
-      // the MD5 folds in the embeddings files' (name, size, mtime)
-      // alongside the full dir string (hashCode collides across strings;
-      // a path-only key would silently reuse stale centroids after the
-      // dataset at that path is regenerated, within this JVM or across
-      // JVMs). The fingerprint is a handful of file stats — computed per
-      // call, cheap next to any probe.
-      val embPath = Paths.get(dir, "embeddings.parquet")
-      val contentFp = if (Files.exists(embPath)) {
-        val st = Files.walk(embPath)
-        try st.iterator().asScala
-          .filter(Files.isRegularFile(_)).toSeq.map(_.toString).sorted
-          .map(p => s"$p:${Files.size(Paths.get(p))}:" +
-            Files.getLastModifiedTime(Paths.get(p)).toMillis)
-          .mkString("|")
-        finally st.close()
-      } else ""
-      // the layout+params tag versions the on-disk tree: a JVM running
-      // older code (centroids-only layout, nlist=16) and this one can
-      // never load each other's index dirs
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest((dir + "\u0000" + contentFp +
-          s"\u0000ivf2:nlist=$Q39Nlist").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
-      val fin = base.resolve("index")
-      val index = ivfCache.computeIfAbsent(digest, _ => {
-        // stable per-digest path so repeated JVM runs reuse one directory
-        // instead of leaking a fresh tempdir each. Published by
-        // write-to-unique-temp + atomic rename: a concurrent JVM benching
-        // the same dir either wins the rename or loads the winner's
-        // fully-written index — never a torn or wrong-dataset read
-        // tolerates a concurrent sweeper deleting the tree under us
-        def rmTree(p: java.nio.file.Path): Unit =
-          try {
-            val st = Files.walk(p)
-            try st.iterator().asScala.toSeq
-              .reverse.foreach(Files.deleteIfExists(_))
-            finally st.close()
-          } catch { case _: java.nio.file.NoSuchFileException => () }
-        if (!Files.exists(fin)) {
-          val tmp = base.resolve(s"index.tmp.${ProcessHandle.current().pid()}")
-          // BOTH halves of the index are built offline then published as
-          // one atomic tree: centroids/ (driver-sized) and cells/ (the
-          // inverted file — corpus partitioned by cell, what lets the
-          // probe read only probed cells)
-          val m = IvfIndex.fit(corpus, nlist = Q39Nlist)
-          m.save(s, tmp.resolve("centroids").toString)
-          IvfIndex.buildInverted(corpus, m, tmp.resolve("cells").toString)
-          // atomic rename, concurrent-publisher-safe; the non-atomic-move
-          // fallback re-checks under an exclusive lock (IvfIndex.publish)
-          IvfIndex.publish(tmp, fin)
-          // sweep index.tmp.* leaked by CRASHED builders only: an hour-old
-          // age floor keeps a concurrent builder's live tmp out of reach
-          // (a whole build is seconds), and rmTree tolerates the
-          // mirror-image race of two sweepers
-          if (Files.isDirectory(base)) {
-            val ls = Files.list(base)
-            try ls.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("index.tmp."))
-              .filter(p => try Files.getLastModifiedTime(p).toMillis <
-                  System.currentTimeMillis() - 3600L * 1000
-                catch { case _: Exception => false })
-              .foreach(p => try rmTree(p) catch { case _: Exception => () })
-            finally ls.close()
-          }
-        }
-        IvfIndex.load(s, fin.resolve("centroids").toString)
-      })
-      ivfDigestByDir.put(dir, digest)
+      val (index, fin) = ivfAcquire(s, dir, corpus)
       // probe the PERSISTED inverted file: the scan prunes to the probed
       // cells' partitions — no corpus-wide centroid scoring per run
       Similarity.ivfTopKPersisted(queries, fin.resolve("cells").toString,
           k = 5, index, nprobe = Q39Nprobe)
         .ordered(col("qid"), col("rank"))
+    }),
+
+    // ---- LLM ops: cluster-balanced sampling (SemDeDup/DataComp shape) ---
+    // Semantic diversification for training-data selection: assign every
+    // embedding to its IVF cell (the SAME persisted index q39 probes),
+    // cap each cluster's contribution at ~Q89Target docs via a
+    // deterministic per-row md5-uniform coin against rate =
+    // min(1, T/|cell|) — hot/redundant regions are thinned, rare regions
+    // survive whole. Cell assignment is one codegen'd projection
+    // (centroids as plan literals), counts are an nlist-row broadcast;
+    // zero corpus-sized shuffles. The oracle replays the fitted
+    // centroids, counts, and the q66 uniform literally.
+    "q89_cluster_sample" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, _) = ivfAcquire(s, dir, corpus)
+      val assigned = emb.select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), index).as("cell"))
+      val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
+      val u = shiftrightunsigned(call_function("md5_lower64",
+        col("vec_id").cast("string")), 33).cast("double") / 2147483648.0
+      assigned.join(broadcast(counts), Seq("cell"))
+        .withColumn("rate", least(lit(1.0),
+          lit(Q89Target.toDouble) / col("cn").cast("double")))
+        .filter(u < col("rate"))
+        .select(col("vec_id"), col("cell"))
+        .ordered(col("vec_id"))
     }),
 
     // ---- Feature store: online materialization + point lookup (A4,S10) --
@@ -1504,6 +1550,32 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: coverage-targeted vocab pruning + OOV rate ------------
+    // Tokenizer-training vocabulary selection: the smallest
+    // high-frequency vocabulary covering >= 90% of corpus token mass
+    // (exact integer coverage test — see coverageVocab), then each doc's
+    // OOV rate against it — the signal that decides whether a tokenizer
+    // retrain is due and which docs a frozen vocab serves badly. The
+    // vocab is broadcast (vocab-sized, not corpus-sized).
+    "q88_vocab_coverage" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val vocab = UnigramLm.coverageVocab(docs, "text", num = 9, den = 10)
+      val toks = docs.select(col("doc_id").as("__doc"),
+        explode_outer(TextStats.tokens(lower(col("text")))).as("tok"))
+      toks.join(broadcast(vocab.withColumn("__in", lit(1))),
+          Seq("tok"), "left")
+        .groupBy("__doc")
+        .agg(count(col("tok")).as("n_tokens"),
+          count(when(col("tok").isNotNull && col("__in").isNull, 1))
+            .as("n_oov"))
+        .select(col("__doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(floor(col("n_oov").cast("double") /
+              col("n_tokens") * 1e6 + 0.5) / 1e6).as("oov_rate"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Streaming point-in-time as-of enrichment (q08 live) ------------
     // The feature store's training-serving-skew guarantee on a live
     // stream: each even-id event is enriched with the NEWEST odd-id
@@ -1733,7 +1805,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql
+    staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
+      q89OracleSql
 
   /** The hand-written oracle twins, split from [[oracleSql]] so the
     * checksum manifest (ORACLE_MANIFEST.json, `graft.OracleManifest`)
@@ -2861,6 +2934,38 @@ object SparkEntry {
         |FROM t LEFT JOIN g USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Coverage vocabulary rebuilt with the same EXACT integer test:
+    // 10 * cum_before < 9 * total admits tokens while coverage is still
+    // short of 90%, over the identical (count desc, tok asc) order — no
+    // float comparison anywhere near the cut line.
+    "q88_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+        |h AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, c,
+        |      CAST(SUM(c) OVER (ORDER BY c DESC, tok ASC
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |    FROM h)
+        |  WHERE 10 * (cum - c) < 9 * (SELECT CAST(SUM(c) AS BIGINT) FROM h)),
+        |j AS (SELECT u.doc_id, u.tok,
+        |  CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM u LEFT JOIN v ON u.tok = v.tok),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov
+        |  FROM j GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(g.n_tokens, 0) AS n_tokens,
+        |  COALESCE(g.n_oov, 0) AS n_oov,
+        |  CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(g.n_oov AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS oov_rate
+        |FROM t LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // The same synthesized-PII construction and the same four RE2
     // patterns re-run in DuckDB, counts measured at each rule's stage
     // (after earlier replacements) exactly like Redact.counts.
@@ -3174,6 +3279,37 @@ object SparkEntry {
            |  FROM p)
            |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  /** q89's oracle: the SAME fitted index as q39 (identical
+    * single-probed-dir digest rule) replayed for cell assignment —
+    * centroid scores as double literals, first-max tie-break — then
+    * per-cell counts, rate = min(1, T/count), and the q66 md5-uniform
+    * keep test, all recomputed from scratch in DuckDB. */
+  private def q89OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k => Option(ivfCache.get(k))).map { m =>
+      val cents = m.centroids.sortBy(_._1)
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }.mkString("[\n    ", ",\n    ", "]")
+      "q89_cluster_sample" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |cc AS (
+           |  SELECT vec_id, list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM (SELECT vec_id, $scores AS ss FROM v)),
+           |n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cn FROM cc GROUP BY cell),
+           |r AS (SELECT cc.vec_id, cc.cell,
+           |  LEAST(CAST(1 AS DOUBLE), CAST($Q89Target AS DOUBLE) / CAST(cn AS DOUBLE)) AS rate,
+           |  CAST(md5_number_lower(CAST(cc.vec_id AS VARCHAR)) >> 33 AS DOUBLE)
+           |    / 2147483648.0 AS u
+           |  FROM cc JOIN n USING (cell))
+           |SELECT vec_id, CAST(cell AS INT) AS cell FROM r
+           |WHERE u < rate ORDER BY vec_id""".stripMargin
     }.toMap
   }
 

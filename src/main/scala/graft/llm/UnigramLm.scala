@@ -95,6 +95,32 @@ object UnigramLm {
             * 1e6 + 0.5) / 1e6).as("mean_p"))
   }
 
+  /** Coverage-targeted vocabulary pruning — the tokenizer-training step
+    * that picks the SMALLEST high-frequency vocabulary covering at least
+    * `num/den` of total token mass: the prefix of the (count desc, tok
+    * asc) order whose cumulative mass first reaches the target. The
+    * coverage test is exact integer arithmetic
+    * (den·cum_before < num·total — a token enters while coverage is
+    * still short), no float knife-edge for an oracle to disagree on.
+    * The cumulative window runs over the HISTOGRAM — vocabulary-sized,
+    * not corpus-sized — and `total` is a driver-sized one-long aggregate
+    * re-entering as a plan literal (the q74/BM25 discipline). */
+  def coverageVocab(docs: DataFrame, text: String,
+                    num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(explode(TextStats.tokens(lower(col(text)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = Option(hist.agg(sum("c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val w = Window.orderBy(desc("c"), asc("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum("c").over(w))
+      .filter(lit(den.toLong) * (col("cum") - col("c")) <
+        lit(num.toLong) * lit(total))
+      .select("tok")
+  }
+
   /** Per-doc LM score against a fitted vocabulary:
     * (id, n_tokens, n_oov, mean_p). Empty/whitespace docs score 0.0 with
     * n_tokens 0. */

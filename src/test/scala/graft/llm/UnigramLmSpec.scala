@@ -62,6 +62,22 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("coverageVocab: smallest prefix reaching the target, exact boundary") {
+    // counts: a=5, b=3, c=1, d=1 -> total 10. 90% target: a(5) short,
+    // +b(8) short, +c(9) short (cum_before 8 < 9), +d enters? cum_before
+    // 9 < 9 is FALSE -> d cut. Vocab = {a, b, c}.
+    val docs = Seq("a a a a a b b b", "c d").toDF("text")
+    val v = UnigramLm.coverageVocab(docs, "text", num = 9, den = 10)
+      .as[String].collect().toSet
+    assert(v === Set("a", "b", "c"))
+    // 100% coverage keeps everything; 50%: a alone (cum_before 0 < 5,
+    // then b: 5 < 5 false)
+    assert(UnigramLm.coverageVocab(docs, "text", 1, 1)
+      .as[String].collect().toSet === Set("a", "b", "c", "d"))
+    assert(UnigramLm.coverageVocab(docs, "text", 1, 2)
+      .as[String].collect().toSet === Set("a"))
+  }
+
   test("score ranks in-distribution text above gibberish on the fixture") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
