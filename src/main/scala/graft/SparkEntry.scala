@@ -1404,19 +1404,25 @@ object SparkEntry {
     // duplicate paragraphs (non-whitespace lines) are removed CORPUS-wide
     // keeping the first occurrence (min doc_id, then min position), and
     // each doc is reassembled from its surviving paragraphs in original
-    // order. Shape: posexplode -> first-occurrence rank (one shuffle keyed
-    // by paragraph content — groups are clique-sized, never corpus-sized)
-    // -> per-doc reassembly (one shuffle on doc_id). Docs whose every
-    // paragraph loses vanish from the output (nothing left to emit).
+    // order. Deliberately WINDOWLESS: a row_number over para content
+    // sends every copy of a hot paragraph ("all rights reserved" x 10^8
+    // at corpus scale) to ONE partition; min(struct(doc_id, pos)) is the
+    // same first-occurrence rule as a partial-aggregable min — hot
+    // paragraphs collapse map-side before the shuffle, and the agg's
+    // output IS the keeper row set, no join back. Then one doc_id
+    // shuffle reassembles. Docs whose every paragraph loses vanish from
+    // the output (nothing left to emit).
     "q85_paragraph_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val paras = docs.select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
         .filter(length(trim(col("para"))) > 0)
-      val w = Window.partitionBy("para").orderBy(asc("doc_id"), asc("pos"))
-      paras.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .groupBy("doc_id")
+      val keepers = paras
+        .groupBy("para")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+          col("para"))
+      keepers.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -102,9 +102,14 @@ object UnigramLm {
     * coverage test is exact integer arithmetic
     * (den·cum_before < num·total — a token enters while coverage is
     * still short), no float knife-edge for an oracle to disagree on.
-    * The cumulative window runs over the HISTOGRAM — vocabulary-sized,
-    * not corpus-sized — and `total` is a driver-sized one-long aggregate
-    * re-entering as a plan literal (the q74/BM25 discipline). */
+    * `total` is a driver-sized one-long aggregate re-entering as a plan
+    * literal (the q74/BM25 discipline), and the cumulative mass is the
+    * q65/q86 distributed prefix sum, NOT one global window (a web-scale
+    * histogram has ~10^8-10^9 distinct tokens — one sort partition would
+    * serialize it): tokens range-bucket by length(bin(c)) — exact
+    * integer log2, so (bucket desc, c desc, tok asc) IS the global
+    * (c desc, tok asc) order — a <=64-row offset table re-enters as a
+    * broadcast, and the window is bucket-local. */
   def coverageVocab(docs: DataFrame, text: String,
                     num: Int, den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -113,9 +118,16 @@ object UnigramLm {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val total = Option(hist.agg(sum("c")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val w = Window.orderBy(desc("c"), asc("tok"))
+    val bucketed = hist.withColumn("__b", length(bin(col("c"))))
+    val offsets = bucketed.groupBy("__b").agg(sum("c").as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(
+        Window.orderBy(desc("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val wb = Window.partitionBy("__b").orderBy(desc("c"), asc("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("cum", sum("c").over(w))
+    bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum", sum("c").over(wb) + col("__off"))
       .filter(lit(den.toLong) * (col("cum") - col("c")) <
         lit(num.toLong) * lit(total))
       .select("tok")
