@@ -155,13 +155,40 @@ object Scaling {
         .select(col("doc_id"),
           graft.llm.Bpe.applyBpe(col("text"), bpeMerges).as("toks"))
 
+    def paraDedup(dir: String): DataFrame = {
+      // q85's exact shape with a PLANTED corpus-wide boilerplate line
+      // prepended to every doc — the hot-key adversary (one paragraph
+      // with |corpus| occurrences, growing with the factor). The
+      // min-struct keeper agg combines map-side, so the hot paragraph
+      // never funnels through one task; this row is the measured
+      // evidence (the row_number-window formulation it replaced routes
+      // every copy to a single partition by construction).
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("all rights reserved\n"), col("text")).as("text"))
+      val paras = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+        .filter(length(trim(col("para"))) > 0)
+      paras.groupBy("para")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
+          col("para"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x("para")), "\n").as("new_text"))
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
       "rolling_capped" -> rollingCapped,
       "prefix_jaccard" -> prefixJaccard,
       "cosine_topk" -> cosine, "token_df" -> tfidfish,
-      "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply)
+      "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply,
+      "para_dedup" -> paraDedup)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -594,6 +594,37 @@ object SparkEntry {
         .ordered(col("vec_id"))
     }),
 
+    // ---- LLM ops: per-source corpus report ------------------------------
+    // The curation dashboard a mixture designer reads before setting
+    // q80's temperatures: per source — doc count, token mass, mean doc
+    // length, mean quality (decimal-summed: a float sum would vary with
+    // Spark's partition order and never match an external engine), and
+    // how many of its docs are exact duplicates of ANY doc CORPUS-wide
+    // (md5 content groups of size > 1 — cross-source dups a per-source
+    // rollup alone cannot see). Two partial-agg shuffles plus one
+    // fingerprint equi-join; all skew is group-sized, AQE-handled.
+    "q90_corpus_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val base = docs.select(col("source"), col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextStats.qualityScore(col("text")).cast("decimal(18,12)").as("q"),
+        md5(col("text").cast("binary")).as("fp"))
+      val fpc = base.groupBy("fp").agg(count(lit(1)).as("fpc"))
+      base.join(fpc, Seq("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("q").as("__sq"),
+          sum(when(col("fpc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (floor(col("n_tokens").cast("double") / col("n_docs") * 1e6
+            + 0.5) / 1e6).as("avg_tokens"),
+          (floor(col("__sq").cast("double") / col("n_docs") * 1e6
+            + 0.5) / 1e6).as("mean_quality"),
+          col("n_dup_docs"))
+        .ordered(col("source"))
+    }),
+
     // ---- Feature store: online materialization + point lookup (A4,S10) --
     "q28_online_lookup" -> ((s, dir) => {
       val view = FeatureStore.FeatureView("user_latest", Seq("user_id"),
@@ -2706,6 +2737,34 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, group_id, keep_id FROM k ORDER BY doc_id""".stripMargin
     },
+
+    // Corpus report rebuilt literally: q83's quality expression (shared
+    // rounding), md5 content fingerprints for corpus-wide exact-dup
+    // groups, decimal-summed quality, and the floor-1e6 means.
+    "q90_corpus_report" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        |qn AS (SELECT doc_id, source, text,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n FROM d),
+        |b AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok,
+        |  CAST(FLOOR((least(CAST(n AS DOUBLE) / 50.0, 1.0) +
+        |    (CASE WHEN n > 0 THEN CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS DOUBLE) / n ELSE 0.0 END) +
+        |    (1.0 - least((CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END) * 5.0, 1.0))) / 3.0 * 1e6 + 0.5) / 1e6 AS DECIMAL(18,12)) AS q,
+        |  md5(text) AS fp
+        |  FROM qn),
+        |f AS (SELECT fp, COUNT(*) AS fpc FROM b GROUP BY fp),
+        |g AS (SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  SUM(q) AS sq,
+        |  CAST(SUM(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |  FROM b JOIN f USING (fp) GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  FLOOR(CAST(n_tokens AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS avg_tokens,
+        |  FLOOR(CAST(sq AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS mean_quality,
+        |  n_dup_docs
+        |FROM g ORDER BY source""".stripMargin,
 
     // Gopher line-repetition rules rebuilt literally: non-empty trimmed
     // split on chr(10), per-(doc, line) counts, per-doc fractions with the
