@@ -69,6 +69,11 @@ def load_queries(path):
         if not lines:
             raise GateInputError(f"[bench-gate] no metric line in {path}'s tail")
         doc = json.loads(lines[-1][lines[-1].index('{"metric"'):])
+    if "bench" in doc and "queries" not in doc:
+        # annotated artifact (BENCH_r{N}_notes.json / _rerun_quiet.json):
+        # the full detail doc nests under "bench". Without this unwrap the
+        # gate would "pass" on ZERO shared queries — a silent no-op.
+        doc = doc["bench"]
     qs = doc.get("queries", {})
     if isinstance(qs, str):  # compact fallback line: "see BENCH_DETAIL.json"
         raise GateInputError(f"[bench-gate] {path} has no per-query map: {qs!r}")
