@@ -1307,6 +1307,38 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: perceptual image fingerprint (dHash) ---------------
+    // Image near-dup detection over REAL decoded pixels: q70's PNG
+    // pipeline continued past stats to a perceptual difference-hash —
+    // horizontal luma gradient signs packed into a 64-bit fingerprint,
+    // integer-exact end to end (integer luma, no float anywhere). Band
+    // the hash with the SimHash machinery for corpus-wide image dedup.
+    // The fixture's closed-form pixels let the oracle recompute every
+    // DECODED byte and the full hash in SQL — the decode is verified a
+    // second way, through a downstream consumer.
+    "q91_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 5).toInt
+            val h = 4 + (id % 3).toInt
+            val c = if (id % 2 == 0) 1 else 3
+            val px = Array.tabulate(w * h * c)(i =>
+              ((id * 31 + i.toLong * 7) % 256).toByte)
+            Binary.MediaRow(id, Png.encode(Png.Image(w, h, c, px)),
+              "image", "png")
+          }
+        }
+      Binary.imageDhash(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("dhash"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
     // Two passes, zero joins: corpus stats (N, avgdl, per-term df) land
     // in one driver-sized row and re-enter the scoring projection as
@@ -3109,6 +3141,33 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // The dHash replayed from the closed-form pixels: the same integer
+    // luma ((299r+587g+114b)//1000 for RGB, raw byte for grayscale), the
+    // same LSB-first gradient-sign packing. k walks row-major over the
+    // (w-1)*h horizontal pairs — at most 42 bits on this fixture, so the
+    // engine's 64-bit cap never binds. lum is 1-indexed (DuckDB lists).
+    "q91_image_dhash" ->
+      """WITH p AS (SELECT doc_id,
+        |  4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h), j ->
+        |    CASE WHEN c = 1 THEN (doc_id*31 + j*7) % 256
+        |    ELSE (((doc_id*31 + (j*3)*7) % 256) * 299 +
+        |          ((doc_id*31 + (j*3+1)*7) % 256) * 587 +
+        |          ((doc_id*31 + (j*3+2)*7) % 256) * 114) // 1000 END) AS lum
+        |  FROM p),
+        |hsh AS (SELECT doc_id, w, h,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, h * (w - 1)), k ->
+        |    CASE WHEN lum[k // (w - 1) * w + (k % (w - 1)) + 2] >
+        |              lum[k // (w - 1) * w + (k % (w - 1)) + 1]
+        |      THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |      ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS dhash
+        |  FROM g)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, dhash
+        |FROM hsh ORDER BY doc_id""".stripMargin,
 
     // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
     // interpolate via Double.toString (shortest repr — parses back

@@ -119,6 +119,55 @@ object Binary {
                         channels: Int, n_px: Long, mean_px: Double,
                         min_px: Long, max_px: Long)
 
+  /** Perceptual fingerprint row for [[imageDhash]]. */
+  case class ImageDhash(media_id: Long, ok: Boolean, width: Int,
+                        height: Int, dhash: Long)
+
+  /** REAL-decode perceptual difference-hash (dHash) — the image near-dup
+    * fingerprint: the sign of the horizontal luma gradient at each
+    * adjacent-pixel pair, packed LSB-first in raster order (capped at 64
+    * bits; production dHash resizes to 9×8 grayscale first, which these
+    * fixture-scale rasters already fit). Luma is integer
+    * (299·r + 587·g + 114·b)/1000 for ≥3 channels, channel 0 otherwise —
+    * every step integer-exact, so an external oracle recomputes the hash
+    * bit-for-bit from known pixels. Near-dup images (brightness shifts,
+    * small edits) land within a small Hamming radius: band the 64-bit
+    * hash exactly like [[graft.llm.Dedup.simhashBandedPairs]] bands its
+    * fingerprint for corpus-wide pairing. Same poison contract as
+    * [[decodeImage]]: undecodable payloads yield ok=false rows, never a
+    * task failure. */
+  def imageDhash(media: Dataset[MediaRow]): Dataset[ImageDhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = Png.decode(r.payload)
+          val w = img.width; val h = img.height; val c = img.channels
+          def gray(j: Int): Int =
+            if (c >= 3) {
+              val b = j * c
+              ((img.pixels(b) & 0xff) * 299 +
+                (img.pixels(b + 1) & 0xff) * 587 +
+                (img.pixels(b + 2) & 0xff) * 114) / 1000
+            } else img.pixels(j * c) & 0xff
+          var hash = 0L; var k = 0; var y = 0
+          while (y < h && k < 64) {
+            var x = 0
+            while (x < w - 1 && k < 64) {
+              if (gray(y * w + x + 1) > gray(y * w + x)) hash |= 1L << k
+              k += 1; x += 1
+            }
+            y += 1
+          }
+          ImageDhash(r.media_id, ok = true, w, h, hash)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageDhash(r.media_id, ok = false, -1, -1, 0L)
+        }
+      }
+    }
+  }
+
   /** REAL audio decode + per-clip sample stats: RIFF/WAVE PCM payloads
     * through [[Wav.decode]] (chunk walk + little-endian 16-bit PCM — see
     * Wav Scaladoc for scope), reduced per-partition to fixed-width stats

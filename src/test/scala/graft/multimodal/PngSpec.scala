@@ -138,4 +138,40 @@ class PngSpec extends AnyFunSuite {
       out(0).min_px === 0L && out(0).max_px === 70L)
     assert(!out(1).ok && out(1).width === -1)
   }
+
+  test("imageDhash: hand-computed gradient bits, RGB luma, poison row") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 3x2 grayscale: rows (10, 20, 5) and (7, 7, 9) ->
+    // pairs: 10<20 (bit0=1), 20>5 (bit1=0), 7=7 (bit2=0, strict >),
+    // 7<9 (bit3=1) -> hash = 0b1001 = 9
+    val g = Png.Image(3, 2, 1, Array[Byte](10, 20, 5, 7, 7, 9))
+    // 2x1 RGB: luma (299*100+587*50+114*0)/1000 = 59;
+    // (299*0+587*0+114*255)/1000 = 29 -> 59 > 29: bit0 = 0 -> hash 0
+    val rgb = Png.Image(2, 1, 3,
+      Array[Byte](100, 50, 0, 0, 0, 255.toByte))
+    val rows = Seq(
+      Binary.MediaRow(1L, Png.encode(g), "image", "png"),
+      Binary.MediaRow(2L, Png.encode(rgb), "image", "png"),
+      Binary.MediaRow(3L, Array[Byte](1, 2, 3), "image", "png"))
+    val out = Binary.imageDhash(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).ok && out(1L).dhash === 9L)
+    assert(out(2L).ok && out(2L).dhash === 0L)
+    assert(!out(3L).ok)
+  }
+
+  test("imageDhash is brightness-shift tolerant where mean stats are not") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val base = Array.tabulate(12)(i => (i * 17 % 97).toByte)
+    val brighter = base.map(b => ((b & 0xff) + 40).min(255).toByte)
+    val rows = Seq(
+      Binary.MediaRow(1L, Png.encode(Png.Image(4, 3, 1, base)), "image", "png"),
+      Binary.MediaRow(2L, Png.encode(Png.Image(4, 3, 1, brighter)), "image", "png"))
+    val out = Binary.imageDhash(rows.toDS()).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    // a uniform brightness shift preserves every gradient sign
+    assert(out(1L) === out(2L))
+  }
 }
