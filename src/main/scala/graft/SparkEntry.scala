@@ -1339,6 +1339,35 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: windowed audio features (energy + ZCR) -------------
+    // q72's WAV pipeline continued past stats: the decoded PCM framed
+    // into 32-sample windows, each reduced to total absolute amplitude
+    // and the zero-crossing count — the integer-exact front half of an
+    // acoustic fingerprint (q91's story for audio). The oracle replays
+    // the framing and both features from the fixture's closed-form
+    // samples, re-verifying the RIFF/PCM decoder through a downstream
+    // consumer.
+    "q92_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 64 + (id % 129).toInt
+            val ch = if (id % 3 == 0) 1 else 2
+            val samples = Array.tabulate(n)(i =>
+              (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+            Binary.MediaRow(id,
+              Wav.encode(Wav.Clip(8000 + (id % 5).toInt * 4000, ch, samples)),
+              "audio", "wav")
+          }
+        }
+      Binary.audioFrames(media, frameSize = 32)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("frame"), col("sum_abs"), col("zero_crossings"))
+        .ordered(col("doc_id"), col("frame"))
+    }),
+
     // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
     // Two passes, zero joins: corpus stats (N, avgdl, per-term df) land
     // in one driver-sized row and re-enter the scoring projection as
@@ -3168,6 +3197,24 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, dhash
         |FROM hsh ORDER BY doc_id""".stripMargin,
+
+    // The framing replayed from q72's closed-form samples: 0-based frame
+    // index over n // 32 full windows, sum of |s| per window, and the
+    // (prev < 0) != (cur < 0) crossing test over within-frame adjacent
+    // pairs — all integer, 1-indexed list access (s[j+1] is 0-based j).
+    "q92_audio_frames" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |  list_apply(range(n), i -> (doc_id*131 + i*17) % 65536 - 32768) AS s
+        |  FROM p),
+        |f AS (SELECT doc_id, s, UNNEST(range(0, n // 32)) AS frame FROM v)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  CAST(list_sum(list_transform(range(frame*32, frame*32 + 32),
+        |    j -> abs(s[CAST(j AS INT) + 1]))) AS BIGINT) AS sum_abs,
+        |  CAST(list_sum(list_transform(range(frame*32 + 1, frame*32 + 32),
+        |    j -> CASE WHEN (s[CAST(j AS INT)] < 0) <> (s[CAST(j AS INT) + 1] < 0)
+        |      THEN 1 ELSE 0 END)) AS INT) AS zero_crossings
+        |FROM f ORDER BY doc_id, frame""".stripMargin,
 
     // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
     // interpolate via Double.toString (shortest repr — parses back

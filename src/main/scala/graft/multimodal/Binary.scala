@@ -216,6 +216,45 @@ object Binary {
                         channels: Int, n_samples: Long, mean_amp: Double,
                         rms: Double, peak: Long)
 
+  /** One windowed-feature row of [[audioFrames]]. */
+  case class AudioFrame(media_id: Long, ok: Boolean, frame: Int,
+                        sum_abs: Long, zero_crossings: Int)
+
+  /** REAL-decode windowed audio feature extraction — the audio analogue
+    * of [[imageDhash]]: the PCM stream framed into fixed windows of
+    * `frameSize` samples (full frames only; channel-agnostic over the
+    * interleaved stream), each reduced to the two classic integer-exact
+    * fingerprint features — total absolute amplitude (energy proxy) and
+    * the zero-crossing count ((prev < 0) != (cur < 0), within-frame
+    * only) — the front half of an acoustic-fingerprint pipeline, with
+    * every step integer so an external oracle replays it exactly. One
+    * row per (clip, frame): fixed-width, shuffle-safe, never a sample
+    * buffer on the wire. Poison payloads yield a single ok=false row;
+    * clips shorter than one frame yield nothing. */
+  def audioFrames(media: Dataset[MediaRow],
+                  frameSize: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      try {
+        val s = Wav.decode(r.payload).samples
+        (0 until s.length / frameSize).map { f =>
+          val start = f * frameSize
+          var sa = 0L; var zc = 0; var j = start
+          val end = start + frameSize
+          while (j < end) {
+            sa += math.abs(s(j).toLong)
+            if (j > start && ((s(j - 1) < 0) != (s(j) < 0))) zc += 1
+            j += 1
+          }
+          AudioFrame(r.media_id, ok = true, f, sa, zc)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(AudioFrame(r.media_id, ok = false, -1, 0L, 0))
+      }
+    }
+  }
+
   /** STUB decode — NOT a media decoder (images have the REAL
     * [[decodeImage]] path; this remains only as the execution-shape
     * placeholder for audio/video feature extraction). Deterministic fake:

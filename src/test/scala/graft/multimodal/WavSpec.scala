@@ -80,4 +80,26 @@ class WavSpec extends AnyFunSuite {
     assert(out(0).peak === 4L)
     assert(!out(1).ok && out(1).sample_rate === -1)
   }
+
+  test("audioFrames: hand-computed energy + crossings, tail drop, poison") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 9 samples, frameSize 4 -> 2 full frames, 1 tail sample dropped.
+    // frame 0: (1, -2, 3, 0)  sum_abs=6, crossings: 1/-2, -2/3 -> 2
+    //          (3/0 is not a crossing: 0 is non-negative like 3)
+    // frame 1: (-5, -6, 7, 8) sum_abs=26, crossings: -6/7 -> 1
+    val clip = Wav.Clip(8000, 1,
+      Array[Short](1, -2, 3, 0, -5, -6, 7, 8, 9))
+    val rows = Seq(
+      Binary.MediaRow(1L, Wav.encode(clip), "audio", "wav"),
+      Binary.MediaRow(2L, Array[Byte](1, 1), "audio", "wav"))
+    val out = Binary.audioFrames(rows.toDS(), frameSize = 4).collect()
+    val good = out.filter(_.ok).sortBy(_.frame)
+    assert(good.length === 2)
+    assert(good(0).frame === 0 && good(0).sum_abs === 6L &&
+      good(0).zero_crossings === 2)
+    assert(good(1).frame === 1 && good(1).sum_abs === 26L &&
+      good(1).zero_crossings === 1)
+    assert(out.exists(r => !r.ok && r.media_id === 2L))
+  }
 }
