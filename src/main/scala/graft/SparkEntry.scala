@@ -1339,6 +1339,36 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: REAL box-filter image resize (3x3 pooling) ---------
+    // The resize step of an image preprocessing pipeline over q70's
+    // closed-form fixture: real PNG decode, integer luma, average-pool
+    // onto a 3x3 grid with standard integer box edges (ox*w/3 floor
+    // division — uneven boxes absorb the remainder). Per cell: box luma
+    // sum, pixel count, floor-average — all integer, so the oracle
+    // replays the pooling bit-for-bit from the pixel formula.
+    "q93_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 5).toInt
+            val h = 4 + (id % 3).toInt
+            val c = if (id % 2 == 0) 1 else 3
+            val px = Array.tabulate(w * h * c)(i =>
+              ((id * 31 + i.toLong * 7) % 256).toByte)
+            Binary.MediaRow(id, Png.encode(Png.Image(w, h, c, px)),
+              "image", "png")
+          }
+        }
+      Binary.imageResize(media, outW = 3, outH = 3)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("oy").cast("long").as("oy"),
+          col("ox").cast("long").as("ox"),
+          col("px_sum"), col("px_n"), col("px_avg"))
+        .ordered(col("doc_id"), col("oy"), col("ox"))
+    }),
+
     // ---- Multimodal: windowed audio features (energy + ZCR) -------------
     // q72's WAV pipeline continued past stats: the decoded PCM framed
     // into 32-sample windows, each reduced to total absolute amplitude
@@ -3197,6 +3227,39 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, dhash
         |FROM hsh ORDER BY doc_id""".stripMargin,
+
+    // The 3x3 box pooling replayed from the closed-form pixels: q91's
+    // luma CTE verbatim, cell = oy*3+ox unnested per image, integer box
+    // edges via floor division (// is left-associative, same precedence
+    // as * and %, so cell // 3 * h // 3 is ((cell//3)*h)//3 = oy*h//3),
+    // and the box sum walked as a single flat range over the box area —
+    // lum is 1-indexed (the +1), everything else 0-based.
+    "q93_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |  4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h), j ->
+        |    CASE WHEN c = 1 THEN (doc_id*31 + j*7) % 256
+        |    ELSE (((doc_id*31 + (j*3)*7) % 256) * 299 +
+        |          ((doc_id*31 + (j*3+1)*7) % 256) * 587 +
+        |          ((doc_id*31 + (j*3+2)*7) % 256) * 114) // 1000 END) AS lum
+        |  FROM p),
+        |cells AS (SELECT doc_id, w, h, lum, UNNEST(range(0, 9)) AS cell FROM g),
+        |b AS (SELECT doc_id, w, lum, cell // 3 AS oy, cell % 3 AS ox,
+        |  cell // 3 * h // 3 AS y0, (cell // 3 + 1) * h // 3 AS y1,
+        |  cell % 3 * w // 3 AS x0, (cell % 3 + 1) * w // 3 AS x1
+        |  FROM cells),
+        |r AS (SELECT doc_id, oy, ox,
+        |  CAST(list_sum(list_transform(range(0, (y1 - y0) * (x1 - x0)), i ->
+        |    lum[(y0 + i // (x1 - x0)) * w + x0 + i % (x1 - x0) + 1]))
+        |    AS BIGINT) AS px_sum,
+        |  CAST((y1 - y0) * (x1 - x0) AS BIGINT) AS px_n
+        |  FROM b)
+        |SELECT doc_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+        |  px_sum, px_n, px_sum // px_n AS px_avg
+        |FROM r ORDER BY doc_id, oy, ox""".stripMargin,
 
     // The framing replayed from q72's closed-form samples: 0-based frame
     // index over n // 32 full windows, sum of |s| per window, and the

@@ -255,6 +255,62 @@ object Binary {
     }
   }
 
+  /** One output cell of [[imageResize]]. */
+  case class ImageCell(media_id: Long, ok: Boolean, oy: Int, ox: Int,
+                       px_sum: Long, px_n: Long, px_avg: Long)
+
+  /** REAL-decode box-filter downscale — the resize step of an image
+    * preprocessing pipeline, over REAL decoded pixels: each payload is
+    * PNG-decoded, reduced to integer luma (the [[imageDhash]] formula:
+    * (299·r + 587·g + 114·b)/1000 for ≥3 channels, channel 0 otherwise),
+    * and average-pooled onto an `outW`×`outH` grid. Box edges use the
+    * standard integer mapping x0 = ox·w/outW, x1 = (ox+1)·w/outW (floor
+    * division — uneven boxes absorb the remainder), so every source
+    * pixel lands in exactly one box. Per cell the emitted features are
+    * all integer-exact — the box luma sum, the box pixel count, and the
+    * floor-average — so an external oracle replays the resize
+    * bit-for-bit from known pixels. One fixed-width row per (image,
+    * cell): rasters never ride a shuffle, which is the 100 TB posture
+    * for any decode path. Upscale is out of scope (a box would be
+    * empty): w < outW or h < outH is a decode failure under the same
+    * poison contract as [[decodeImage]] — a single ok=false row, never
+    * a task failure. */
+  def imageResize(media: Dataset[MediaRow], outW: Int,
+                  outH: Int): Dataset[ImageCell] = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0, s"output grid must be positive ($outW x $outH)")
+    media.flatMap { r =>
+      try {
+        val img = Png.decode(r.payload)
+        val w = img.width; val h = img.height; val c = img.channels
+        require(w >= outW && h >= outH,
+          s"upscale unsupported (${w}x$h -> ${outW}x$outH)")
+        def gray(j: Int): Int =
+          if (c >= 3) {
+            val b = j * c
+            ((img.pixels(b) & 0xff) * 299 +
+              (img.pixels(b + 1) & 0xff) * 587 +
+              (img.pixels(b + 2) & 0xff) * 114) / 1000
+          } else img.pixels(j * c) & 0xff
+        for (oy <- 0 until outH; ox <- 0 until outW) yield {
+          val y0 = oy * h / outH; val y1 = (oy + 1) * h / outH
+          val x0 = ox * w / outW; val x1 = (ox + 1) * w / outW
+          var s = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += gray(y * w + x); x += 1 }
+            y += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          ImageCell(r.media_id, ok = true, oy, ox, s, n, s / n)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(ImageCell(r.media_id, ok = false, -1, -1, 0L, 0L, 0L))
+      }
+    }
+  }
+
   /** STUB decode — NOT a media decoder (images have the REAL
     * [[decodeImage]] path; this remains only as the execution-shape
     * placeholder for audio/video feature extraction). Deterministic fake:

@@ -161,6 +161,40 @@ class PngSpec extends AnyFunSuite {
     assert(!out(3L).ok)
   }
 
+  test("imageResize: hand-computed box pooling, uneven boxes, upscale poison") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 5x4 grayscale, pixel j = j, pooled 2x2. Integer box edges:
+    // cols [0,2) and [2,5) (the odd column lands in the right boxes),
+    // rows [0,2) and [2,4).
+    //   cell(0,0): {0,1,5,6}            sum 12, n 4, avg 3
+    //   cell(0,1): {2,3,4,7,8,9}        sum 33, n 6, avg 5
+    //   cell(1,0): {10,11,15,16}        sum 52, n 4, avg 13
+    //   cell(1,1): {12,13,14,17,18,19}  sum 93, n 6, avg 15 (floor)
+    val img = Png.Image(5, 4, 1, Array.tabulate(20)(_.toByte))
+    val rows = Seq(
+      Binary.MediaRow(1L, Png.encode(img), "image", "png"),
+      // 2x2 source into a 3x3 grid would need an empty box: poison row
+      Binary.MediaRow(2L, Png.encode(
+        Png.Image(2, 2, 1, Array[Byte](1, 2, 3, 4))), "image", "png"),
+      Binary.MediaRow(3L, Array[Byte](9, 9), "image", "png"))
+    val twoByTwo = Binary.imageResize(
+      rows.take(1).toDS(), outW = 2, outH = 2).collect()
+      .map(r => (r.oy, r.ox) -> r).toMap
+    assert(twoByTwo.size === 4 && twoByTwo.values.forall(_.ok))
+    assert(twoByTwo((0, 0)).px_sum === 12L && twoByTwo((0, 0)).px_n === 4L &&
+      twoByTwo((0, 0)).px_avg === 3L)
+    assert(twoByTwo((0, 1)).px_sum === 33L && twoByTwo((0, 1)).px_n === 6L &&
+      twoByTwo((0, 1)).px_avg === 5L)
+    assert(twoByTwo((1, 0)).px_sum === 52L && twoByTwo((1, 0)).px_avg === 13L)
+    assert(twoByTwo((1, 1)).px_sum === 93L && twoByTwo((1, 1)).px_avg === 15L)
+    val threeByThree = Binary.imageResize(
+      rows.toDS(), outW = 3, outH = 3).collect()
+    assert(threeByThree.count(_.ok) === 9)           // only doc 1 decodes
+    assert(threeByThree.filter(!_.ok).map(_.media_id).sorted
+      === Array(2L, 3L))
+  }
+
   test("imageDhash is brightness-shift tolerant where mean stats are not") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
