@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   *    decode ([[decodeAudio]] via [[Wav.decode]] — chunk walk +
   *    little-endian 16-bit PCM, q72's oracle recomputes per-clip sample
   *    stats the same way).
-  *  - STUBBED: video frame decode and COMPRESSED audio (MP3/AAC/Opus).
-  *    Those genuinely need codec libraries this container lacks, so
-  *    [[decodeStub]] and [[frameSampleStub]] produce deterministic fakes
-  *    behind the production execution shape (mapPartitions with a
-  *    per-partition init site, typed schemas, explode-before-shuffle).
-  *    "Multimodal decode" must not be claimed beyond images + PCM audio +
-  *    headers; swap the stub bodies for JNI/codec calls on a real
-  *    cluster.
+  *  - REAL, added after the PNG/WAV codecs: VIDEO frame decode for
+  *    uncompressed-DIB AVI ([[videoFrames]] via [[Avi.decode]] — RIFF
+  *    chunk walk + bottom-up BGR raster normalization, q94's oracle
+  *    recomputes per-frame luma stats from the synthesis formula) and
+  *    COMPRESSED audio for G.711 mu-law (format 7) and IMA ADPCM
+  *    (format 17) WAV payloads ([[decodeAudio]] — [[Wav.decode]] expands
+  *    them to PCM; q95/q96 oracles replay the companding / adaptive
+  *    quantization arithmetic).
+  *  - STUBBED: inter-frame compressed video (H.264/VP9/MJPEG) and
+  *    perceptual-codec audio (MP3/AAC/Opus). Those genuinely need codec
+  *    libraries this container lacks, so [[decodeStub]] and
+  *    [[frameSampleStub]] produce deterministic fakes behind the
+  *    production execution shape (mapPartitions with a per-partition
+  *    init site, typed schemas, explode-before-shuffle). "Multimodal
+  *    decode" must not be claimed beyond images + PCM/mu-law/ADPCM audio
+  *    + DIB video + headers; swap the stub bodies for JNI/codec calls on
+  *    a real cluster.
   */
 object Binary {
 
@@ -311,6 +320,55 @@ object Binary {
     }
   }
 
+  /** One sampled decoded frame's stats — the fixed-width shuffle-safe
+    * shape [[videoFrames]] reduces rasters to. */
+  case class VideoFrameStats(media_id: Long, ok: Boolean, frame_idx: Int,
+                             width: Int, height: Int, luma_sum: Long,
+                             luma_min: Long, luma_max: Long)
+
+  /** REAL video frame sampling + decode — the video analogue of
+    * [[decodeImage]]: each AVI payload is demuxed through [[Avi.decode]]
+    * (RIFF chunk walk, uncompressed-DIB frames, bottom-up BGR rows
+    * normalized to top-down RGB — see Avi Scaladoc for scope), every
+    * `stride`-th frame is kept (frame sampling — the standard first step
+    * of video feature extraction, since adjacent frames are
+    * near-duplicates), and each sampled frame reduces to integer luma
+    * stats (the [[imageDhash]] formula: (299·r + 587·g + 114·b)/1000).
+    * One fixed-width row per (video, sampled frame): rasters never ride
+    * a shuffle. The explode shape runs BEFORE any shuffle, which is the
+    * 100 TB posture when output rows >> input rows. Same poison contract
+    * as [[decodeImage]]: undecodable payloads yield one ok=false row,
+    * never a task failure. */
+  def videoFrames(media: Dataset[MediaRow],
+                  stride: Int): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive ($stride)")
+    media.flatMap { r =>
+      try {
+        val v = Avi.decode(r.payload)
+        val w = v.width; val h = v.height
+        (0 until v.frames.length by stride).map { fi =>
+          val px = v.frames(fi)
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var j = 0
+          while (j < w * h) {
+            val b = j * 3
+            val lum = ((px(b) & 0xff) * 299 + (px(b + 1) & 0xff) * 587 +
+              (px(b + 2) & 0xff) * 114) / 1000
+            sum += lum
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            j += 1
+          }
+          VideoFrameStats(r.media_id, ok = true, fi, w, h, sum, mn, mx)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(VideoFrameStats(r.media_id, ok = false, -1, -1, -1, 0L, 0L, 0L))
+      }
+    }
+  }
+
   /** STUB decode — NOT a media decoder (images have the REAL
     * [[decodeImage]] path; this remains only as the execution-shape
     * placeholder for audio/video feature extraction). Deterministic fake:
@@ -339,9 +397,10 @@ object Binary {
   /** One sampled frame: parent id, frame index, frame payload. */
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame sampler — every `stride`-th "frame" of a video payload,
-    * modeled as fixed-size byte windows (a real implementation seeks
-    * container keyframes here; one demuxer init per partition). The
+  /** STUB frame sampler for COMPRESSED video (uncompressed-DIB AVI has
+    * the REAL [[videoFrames]] path) — every `stride`-th "frame" of a
+    * payload, modeled as fixed-size byte windows (a real implementation
+    * seeks container keyframes here; one demuxer init per partition). The
     * explode shape matters at scale: output rows >> input rows, so this
     * runs BEFORE any shuffle and the frame payloads never ride one. */
   def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int = 16,

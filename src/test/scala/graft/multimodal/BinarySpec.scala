@@ -84,4 +84,27 @@ class BinarySpec extends AnyFunSuite {
     // features bounded as documented
     assert(f1.flatMap(_.feature).forall(v => v >= -1.0f && v < 1.0f))
   }
+
+  test("videoFrames: real AVI decode, stride sampling, luma stats, poison") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 2x1 frames with known RGB: luma = (299r + 587g + 114b) / 1000
+    def frame(rgb: (Int, Int, Int)*): Array[Byte] =
+      rgb.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val v = Avi.Video(2, 1, Array(
+      frame((255, 0, 0), (0, 0, 0)),    // lumas 76, 0
+      frame((0, 255, 0), (0, 0, 255)),  // lumas 149, 114 (skipped, stride 2)
+      frame((10, 10, 10), (20, 20, 20)) // lumas 10, 20
+    ))
+    val rows = Seq(
+      Binary.MediaRow(1L, Avi.encode(v), "video", "avi"),
+      Binary.MediaRow(2L, Array[Byte](9, 9, 9), "video", "avi"))
+    val out = Binary.videoFrames(rows.toDS(), stride = 2).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    val good = out.filter(_.ok)
+    assert(good.map(f => (f.frame_idx, f.luma_sum, f.luma_min, f.luma_max)).toSeq
+      === Seq((0, 76L, 0L, 76L), (2, 30L, 10L, 20L)))
+    assert(good.forall(f => f.width == 2 && f.height == 1))
+    assert(out.exists(r => !r.ok && r.media_id === 2L))
+  }
 }
