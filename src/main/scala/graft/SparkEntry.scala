@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
-import graft.multimodal.{Binary, Png, Wav}
+import graft.multimodal.{Avi, Binary, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -1396,6 +1396,96 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"),
           col("frame"), col("sum_abs"), col("zero_crossings"))
         .ordered(col("doc_id"), col("frame"))
+    }),
+
+    // ---- Multimodal: REAL video frame sampling + decode (AVI/DIB) -------
+    // The video analogue of q70: per doc, synthesize a closed-form
+    // uncompressed-DIB AVI (2-4 frames whose pixel bytes follow a formula
+    // of doc_id and frame index), demux + decode through the REAL RIFF
+    // container walk (bottom-up BGR padded rows -> top-down RGB), sample
+    // every 2nd frame, and reduce each sampled raster to integer luma
+    // stats. The oracle replays the sampling and the luma arithmetic from
+    // the formula — a wrong row flip, BGR swap, pad handling, or chunk
+    // walk hash-diverges. Explode-before-shuffle: rasters never leave
+    // the partition, only fixed-width stats do (the 100 TB posture).
+    "q94_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 5).toInt
+            val h = 4 + (id % 3).toInt
+            val nf = 2 + (id % 3).toInt
+            val frames = Array.tabulate(nf) { f =>
+              Array.tabulate(w * h * 3)(j =>
+                ((id * 31 + f.toLong * 97 + j.toLong * 7) % 256).toByte)
+            }
+            Binary.MediaRow(id, Avi.encode(Avi.Video(w, h, frames)),
+              "video", "avi")
+          }
+        }
+      Binary.videoFrames(media, stride = 2)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("luma_sum"), col("luma_min"), col("luma_max"))
+        .ordered(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- Multimodal: REAL compressed-audio decode #1 (G.711 mu-law) -----
+    // q72 extended to genuinely COMPRESSED audio: the fixture samples are
+    // companded 2:1 through the real mu-law encoder, decoded back by the
+    // real expander, and reduced to per-clip stats. mu-law is stateless
+    // per byte, so the oracle replays compress-then-expand per sample in
+    // closed form (clip+bias, segment by threshold CASE, mantissa by
+    // integer shifts) — bit-exact against the ITU segment arithmetic.
+    "q95_ulaw_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 64 + (id % 129).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+            Binary.MediaRow(id, Wav.encodeUlaw(Wav.Clip(8000, 1, samples)),
+              "audio", "wav")
+          }
+        }
+      Binary.decodeAudio(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("n_samples"), col("mean_amp"), col("rms"), col("peak"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Multimodal: REAL compressed-audio decode #2 (IMA ADPCM) --------
+    // The adaptive codec: 4:1 compression where every decoded sample
+    // depends on the full predictor/step-index state walk before it. The
+    // Spark side runs the real encoder + decoder; the oracle replays the
+    // combined encode-decode state machine as a recursive CTE over the
+    // public step/index-adjust tables — if any nibble bit, clamp, table
+    // entry, or the cross-sample state threading were wrong, every
+    // downstream sample (and the stats hash) diverges. Fixture sized to
+    // one ADPCM block; multi-block state carry is pinned by WavSpec.
+    "q96_adpcm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 16 + (id % 17).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+            Binary.MediaRow(id, Wav.encodeAdpcm(Wav.Clip(8000, 1, samples)),
+              "audio", "wav")
+          }
+        }
+      Binary.decodeAudio(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("n_samples"), col("mean_amp"), col("rms"), col("peak"))
+        .ordered(col("doc_id"))
     }),
 
     // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
@@ -3278,6 +3368,121 @@ object SparkEntry {
         |    j -> CASE WHEN (s[CAST(j AS INT)] < 0) <> (s[CAST(j AS INT) + 1] < 0)
         |      THEN 1 ELSE 0 END)) AS INT) AS zero_crossings
         |FROM f ORDER BY doc_id, frame""".stripMargin,
+
+    // The frame sampling + luma stats replayed from the closed-form AVI
+    // pixels: range(0, nf, 2) is the stride-2 sample, the luma formula is
+    // q91's ((299r+587g+114b)//1000) with the frame term (fi*97) added to
+    // the byte formula — all integer, so a decoder row-flip/BGR-swap/pad
+    // error hash-diverges.
+    "q94_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |  4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h, 2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, UNNEST(range(0, nf, 2)) AS fi FROM p),
+        |g AS (SELECT doc_id, w, h, fi,
+        |  list_transform(range(0, w * h), j ->
+        |    (((doc_id*31 + fi*97 + (j*3)*7) % 256) * 299 +
+        |     ((doc_id*31 + fi*97 + (j*3+1)*7) % 256) * 587 +
+        |     ((doc_id*31 + fi*97 + (j*3+2)*7) % 256) * 114) // 1000) AS lum
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(lum) AS BIGINT) AS luma_sum,
+        |  CAST(list_min(lum) AS BIGINT) AS luma_min,
+        |  CAST(list_max(lum) AS BIGINT) AS luma_max
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // compress-then-expand replayed per sample in closed form: clip to
+    // 32635, add the 0x84 bias, segment e by threshold CASE (the top
+    // magnitude bit), then the expanded value is (x >> (e+3)) * 8 + 4
+    // scaled by 2^e minus the bias — the &15 mantissa identity folded in
+    // ((v-16)*8+132 = v*8+4 for v in [16,32)). Stats as in q72.
+    "q95_ulaw_decode" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |  list_apply(range(n), i -> (doc_id*131 + i*17) % 65536 - 32768) AS s
+        |  FROM p),
+        |u AS (SELECT doc_id, n,
+        |  list_transform(s, x -> least(abs(x), 32635) + 132) AS xs,
+        |  list_transform(s, x -> CASE WHEN x < 0 THEN -1 ELSE 1 END) AS sg
+        |  FROM v),
+        |e AS (SELECT doc_id, n, xs, sg,
+        |  list_transform(xs, x -> CASE WHEN x >= 16384 THEN 7
+        |    WHEN x >= 8192 THEN 6 WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+        |    WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2 WHEN x >= 256 THEN 1
+        |    ELSE 0 END) AS es
+        |  FROM u),
+        |d AS (SELECT doc_id, n,
+        |  list_transform(range(n), i -> sg[CAST(i AS INT) + 1] *
+        |    ((xs[CAST(i AS INT) + 1] // (1 << (es[CAST(i AS INT) + 1] + 3))
+        |      * 8 + 4) * (1 << es[CAST(i AS INT) + 1]) - 132)) AS ds
+        |  FROM e)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  FLOOR(CAST(list_sum(ds) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_amp,
+        |  FLOOR(sqrt(CAST(list_sum(list_apply(ds, x -> x*x)) AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
+        |  CAST(list_max(list_apply(ds, x -> abs(x))) AS BIGINT) AS peak
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // The combined ADPCM encode-decode state machine as a recursive CTE:
+    // sample 0 is the block header's verbatim predictor; each step looks
+    // up the public 89-entry step table, runs the encoder's successive
+    // approximation (step, step/2, step/4 against |target - pred|), the
+    // decoder's reconstruction (step/8 + bit-weighted halves, int16
+    // clamp) and the index adjust ((nib3-3)*2 for 4..7, else -1, clamped
+    // to [0,88]) — stats accumulate along the walk, the k = n-1 row is
+    // the finished clip. Layered subqueries name each intermediate once.
+    "q96_adpcm_decode" -> {
+      val steps = graft.multimodal.Wav.AdpcmSteps.mkString("[", ",", "]")
+      s"""WITH RECURSIVE p AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+         |v AS (SELECT doc_id, n,
+         |  list_apply(range(n), i -> (doc_id*131 + i*17) % 65536 - 32768) AS s
+         |  FROM p),
+         |w AS (
+         |  SELECT doc_id, n, s, 0 AS k,
+         |    CAST(s[1] AS INTEGER) AS pred, 0 AS idx,
+         |    CAST(s[1] AS BIGINT) AS ssum,
+         |    CAST(s[1] AS BIGINT) * s[1] AS ssq,
+         |    CAST(abs(s[1]) AS BIGINT) AS peak
+         |  FROM v
+         |  UNION ALL
+         |  SELECT doc_id, n, s, k + 1, np, nidx,
+         |    ssum + np, ssq + CAST(np AS BIGINT) * np,
+         |    GREATEST(peak, CAST(abs(np) AS BIGINT))
+         |  FROM (
+         |    SELECT doc_id, n, s, k, ssum, ssq, peak,
+         |      CAST(CASE WHEN sgn THEN GREATEST(-32768, pred - diffq)
+         |           ELSE LEAST(32767, pred + diffq) END AS INTEGER) AS np,
+         |      LEAST(88, GREATEST(0, idx +
+         |        CASE WHEN nib3 < 4 THEN -1 ELSE (nib3 - 3) * 2 END)) AS nidx
+         |    FROM (
+         |      SELECT *,
+         |        (CASE WHEN b2 THEN 4 ELSE 0 END) +
+         |        (CASE WHEN b1 THEN 2 ELSE 0 END) +
+         |        (CASE WHEN b0 THEN 1 ELSE 0 END) AS nib3,
+         |        step // 8 + CASE WHEN b2 THEN step ELSE 0 END
+         |          + CASE WHEN b1 THEN step // 2 ELSE 0 END
+         |          + CASE WHEN b0 THEN step // 4 ELSE 0 END AS diffq
+         |      FROM (
+         |        SELECT *, d2 >= step // 4 AS b0
+         |        FROM (
+         |          SELECT *, d1 >= step // 2 AS b1,
+         |            d1 - CASE WHEN d1 >= step // 2 THEN step // 2 ELSE 0 END AS d2
+         |          FROM (
+         |            SELECT *, d0 >= step AS b2,
+         |              d0 - CASE WHEN d0 >= step THEN step ELSE 0 END AS d1
+         |            FROM (
+         |              SELECT *, diff < 0 AS sgn, abs(diff) AS d0
+         |              FROM (
+         |                SELECT doc_id, n, s, k, pred, idx, ssum, ssq, peak,
+         |                  $steps[idx + 1] AS step,
+         |                  CAST(s[k + 2] AS INTEGER) - pred AS diff
+         |                FROM w WHERE k < n - 1))))))))
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |  FLOOR(CAST(ssum AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_amp,
+         |  FLOOR(sqrt(CAST(ssq AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
+         |  peak
+         |FROM w WHERE k = n - 1 ORDER BY doc_id""".stripMargin
+    },
 
     // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
     // interpolate via Double.toString (shortest repr — parses back

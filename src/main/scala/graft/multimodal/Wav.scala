@@ -67,8 +67,9 @@ object Wav {
 
   // ---- IMA/DVI ADPCM (format 17) --------------------------------------
 
-  /** Public IMA ADPCM step-size table (89 entries). */
-  private[multimodal] val AdpcmSteps: Array[Int] = Array(
+  /** Public IMA ADPCM step-size table (89 entries) — public access: the
+    * q96 oracle interpolates it into its replay SQL. */
+  val AdpcmSteps: Array[Int] = Array(
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
