@@ -1488,6 +1488,27 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: DSIR importance resampling (target vs raw LM ratio) ---
+    // Data selection via importance resampling (Xie et al.): pick the
+    // raw-corpus docs most "target-like" by the ratio of in-distribution
+    // masses under a target-domain LM vs a raw-corpus LM. One corpus
+    // pass scores both models (single explode, two broadcast vocab
+    // joins — tokenizing 100 TB twice would double the dominant cost);
+    // the log-free ratio keeps cross-engine exactness (see dsirWeights).
+    // Selection is deterministic top-K on (weight desc, id asc) —
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // heads, no global sort, no RangePartitioner sampling pass.
+    "q97_dsir_select" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val target = docs.filter(col("source").isin("src0", "src1", "src2"))
+      val tModel = UnigramLm.fit(target, "text", vocabSize = 20)
+      val rModel = UnigramLm.fit(docs, "text", vocabSize = 20)
+      UnigramLm.dsirWeights(docs, "doc_id", "text", tModel, rModel)
+        .orderBy(col("dsir_w").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
     // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
     // Two passes, zero joins: corpus stats (N, avgdl, per-term df) land
     // in one driver-sized row and re-enter the scoring projection as
@@ -3483,6 +3504,43 @@ object SparkEntry {
          |  peak
          |FROM w WHERE k = n - 1 ORDER BY doc_id""".stripMargin
     },
+
+    // q79's oracle run twice off ONE token unnest (target histogram is
+    // the source-filtered slice, raw is everything), the same per-token
+    // 1e-9 floor + DECIMAL sum per model, the same 1e-6 mean rounds,
+    // then the one float divide for the ratio and the deterministic
+    // (weight desc, id asc) top-100 cut.
+    "q97_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, source, UNNEST(toks) AS tok FROM t),
+        |ht AS (SELECT tok, COUNT(*) AS c FROM u
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY tok),
+        |vt AS (SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM ht) AS p
+        |  FROM ht ORDER BY c DESC, tok ASC LIMIT 20),
+        |hr AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |vr AS (SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM hr) AS p
+        |  FROM hr ORDER BY c DESC, tok ASC LIMIT 20),
+        |j AS (SELECT u.doc_id, u.tok, vt.p AS pt, vr.p AS pr
+        |  FROM u LEFT JOIN vt USING (tok) LEFT JOIN vr USING (tok)),
+        |g AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  SUM(CAST(FLOOR(COALESCE(pt, 0) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS st,
+        |  SUM(CAST(FLOOR(COALESCE(pr, 0) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sr
+        |  FROM j GROUP BY doc_id),
+        |m AS (SELECT t.doc_id,
+        |  CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
+        |    ELSE FLOOR(CAST(g.st AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS p_target,
+        |  CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
+        |    ELSE FLOOR(CAST(g.sr AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS p_raw
+        |  FROM t LEFT JOIN g USING (doc_id))
+        |SELECT doc_id, n_tokens, p_target, p_raw,
+        |  FLOOR(p_target / (p_raw + 1e-6) * 1e6 + 0.5) / 1e6 AS dsir_w
+        |FROM m ORDER BY dsir_w DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
     // interpolate via Double.toString (shortest repr — parses back

@@ -133,6 +133,48 @@ object UnigramLm {
       .select("tok")
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): each document scored
+    * against BOTH a target-domain model and a raw-corpus model in ONE
+    * pass — a single explode (the expensive step at corpus scale: token
+    * rows >> doc rows) feeds two broadcast vocabulary joins and one
+    * aggregation, instead of scoring twice and joining doc-level results
+    * (which would tokenize the corpus twice and add a doc_id shuffle).
+    * The weight is the ratio of in-distribution masses
+    * w = p_target / (p_raw + 1e-6) — the paper's likelihood ratio kept
+    * LOG-FREE (a product of per-token ratios over/underflows doubles and
+    * ln is not bit-identical across engines — the q74 lesson); both
+    * masses use [[score]]'s exact decimal-sum discipline, so the one
+    * float divide is IEEE-identical in any engine. Output:
+    * (id, n_tokens, p_target, p_raw, dsir_w). Downstream selection is
+    * deterministic top-K on (dsir_w desc, id asc) — Spark plans
+    * orderBy+limit as TakeOrdered (distributed per-partition top-K +
+    * driver merge of K-row heads, no global sort). */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  targetVocab: DataFrame, rawVocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(id).as("__doc"),
+      explode_outer(TextStats.tokens(lower(col(text)))).as("tok"))
+    def p9(c: Column): Column =
+      (floor(coalesce(c, lit(0.0)) * 1e9 + 0.5) / 1e9).cast("decimal(28,12)")
+    def mass(sumCol: Column): Column =
+      when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(floor(sumCol.cast("double") / col("n_tokens")
+          * 1e6 + 0.5) / 1e6)
+    toks
+      .join(broadcast(targetVocab.select(col("tok"), col("p").as("__pt"))),
+        Seq("tok"), "left")
+      .join(broadcast(rawVocab.select(col("tok"), col("p").as("__pr"))),
+        Seq("tok"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNotNull, p9(col("__pt")))).as("__st"),
+        sum(when(col("tok").isNotNull, p9(col("__pr")))).as("__sr"))
+      .select(col("__doc").as(id), col("n_tokens"),
+        mass(col("__st")).as("p_target"), mass(col("__sr")).as("p_raw"))
+      .withColumn("dsir_w",
+        floor(col("p_target") / (col("p_raw") + 1e-6) * 1e6 + 0.5) / 1e6)
+  }
+
   /** Per-doc LM score against a fitted vocabulary:
     * (id, n_tokens, n_oov, mean_p). Empty/whitespace docs score 0.0 with
     * n_tokens 0. */

@@ -78,6 +78,34 @@ class UnigramLmSpec extends AnyFunSuite {
       .as[String].collect().toSet === Set("a"))
   }
 
+  test("dsirWeights: likelihood ratio from one pass matches score twice") {
+    val docs = Seq(
+      (1L, "a a a b", "tgt"), (2L, "b b c", "tgt"),
+      (3L, "c c c d d", "raw"), (4L, "a d", "raw"), (5L, "  ", "raw"))
+      .toDF("doc_id", "text", "source")
+    val tModel = UnigramLm.fit(docs.filter(col("source") === "tgt"), "text", 3)
+    val rModel = UnigramLm.fit(docs, "text", 3)
+    val out = UnigramLm.dsirWeights(docs, "doc_id", "text", tModel, rModel)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the one-pass result must equal composing score() twice
+    val tS = UnigramLm.score(docs, "doc_id", "text", tModel)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    val rS = UnigramLm.score(docs, "doc_id", "text", rModel)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    for (id <- 1L to 5L) {
+      val (_, _, pt, pr, w) = out(id)
+      assert(pt === tS(id), s"p_target doc $id")
+      assert(pr === rS(id), s"p_raw doc $id")
+      assert(w === math.floor(pt / (pr + 1e-6) * 1e6 + 0.5) / 1e6,
+        s"ratio doc $id")
+    }
+    // target-like docs outweigh raw-only docs
+    assert(out(1L)._5 > out(3L)._5)
+    // whitespace doc: zero tokens, weight 0
+    assert(out(5L)._2 === 0L && out(5L)._5 === 0.0)
+  }
+
   test("score ranks in-distribution text above gibberish on the fixture") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
