@@ -29,18 +29,25 @@ object UnigramLm {
 
   /** Fit the vocabulary: (tok, p) for the top `vocabSize` types.
     * `total` counts ALL occurrences (including types cut by the limit),
-    * so probabilities are true corpus MLE, not renormalized. */
+    * so probabilities are true corpus MLE, not renormalized.
+    *
+    * Fully LAZY — one plan, no driver action: the denominator is a
+    * one-row aggregate over the same token histogram, broadcast back
+    * onto the top-K rows. Both consumers sit on the identical
+    * scan→explode→partial-agg exchange, so ReuseExchange tokenizes the
+    * corpus ONCE (an eager driver-side `total` — the earlier shape —
+    * re-ran the whole tokenize a second time; at corpus scale the
+    * explode IS the dominant cost). greatest(·, 1) absorbs the empty
+    * corpus (sum is null, and the vocab is empty then anyway). */
   def fit(docs: DataFrame, text: String, vocabSize: Int): DataFrame = {
     val hist = docs
       .select(explode(TextStats.tokens(lower(col(text)))).as("tok"))
       .groupBy("tok").count()
-    // driver-sized: one long. sum() is null on an empty corpus -> 1
-    // avoids a 0/0 (the vocab is empty then anyway)
-    val total = math.max(1L,
-      Option(hist.agg(sum("count")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val total = hist.agg(
+      greatest(sum("count"), lit(1L)).cast("double").as("__total"))
     hist.orderBy(desc("count"), asc("tok")).limit(vocabSize)
-      .select(col("tok"), (col("count").cast("double") / total).as("p"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), (col("count").cast("double") / col("__total")).as("p"))
   }
 
   /** Adjacent-pair "w1 w2" strings for a token array; [] for <2 tokens.

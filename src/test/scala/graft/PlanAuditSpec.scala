@@ -22,10 +22,14 @@ class PlanAuditSpec extends AnyFunSuite {
     *     chosen physical plan; above it DedupSpec asserts cross-free.
     *   - q59: a broadcast scalar (corpus doc count) joined into every row.
     *   - q81: q19's bounded-broadcast exact baseline, quantized domain.
+    *   - q79/q97: UnigramLm.fit joins a one-row broadcast aggregate (the
+    *     token-count denominator) onto the top-K vocab — the lazy-total
+    *     shape that lets ReuseExchange tokenize the corpus once.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
-    "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk")
+    "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
+    "q79_unigram_lm", "q97_dsir_select")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
