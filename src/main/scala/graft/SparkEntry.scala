@@ -1509,6 +1509,23 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- LLM ops: CCNet quality partitioning (head/middle/tail) ---------
+    // Wenzek et al.'s perplexity-bucket step on q79's score: cut the
+    // corpus at the EXACT score terciles — affordable at corpus scale
+    // because mean_p is 1e-6-quantized, so the percentile aggregator's
+    // value→count state is domain-bounded (~1e6 entries), not row-
+    // bounded. The cuts re-enter as a one-row broadcast (documented
+    // NLJ — PlanAuditSpec); ties on a cut land in the higher bucket.
+    "q98_ccnet_buckets" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val vocab = UnigramLm.fit(docs, "text", vocabSize = 20)
+      val scored = UnigramLm.score(docs, "doc_id", "text", vocab)
+      UnigramLm.qualityBuckets(scored, "mean_p")
+        .select(col("doc_id"), col("mean_p"), col("bucket"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: BM25 keyword relevance (linear-idf, engine-exact) -----
     // Two passes, zero joins: corpus stats (N, avgdl, per-term df) land
     // in one driver-sized row and re-enter the scoring projection as
@@ -3541,6 +3558,37 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, p_target, p_raw,
         |  FLOOR(p_target / (p_raw + 1e-6) * 1e6 + 0.5) / 1e6 AS dsir_w
         |FROM m ORDER BY dsir_w DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // q79's scoring chain, then quantile_cont at 1.0/3 and 2.0/3 (the
+    // q57-proved percentile parity; the fraction is the same IEEE
+    // division both engines perform) feeding the same >= comparisons.
+    "q98_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+        |h AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |v AS (
+        |  SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM h) AS p
+        |  FROM h ORDER BY c DESC, tok ASC LIMIT 20),
+        |j AS (SELECT u.doc_id, u.tok, v.p FROM u LEFT JOIN v USING (tok)),
+        |g AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CAST(FLOOR(COALESCE(p, 0) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sp
+        |  FROM j GROUP BY doc_id),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN COALESCE(g.n_tokens, 0) = 0 THEN 0.0
+        |         ELSE FLOOR(CAST(g.sp AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |    END AS mean_p
+        |  FROM t LEFT JOIN g USING (doc_id)),
+        |c AS (SELECT quantile_cont(mean_p, 1.0/3) AS c1,
+        |             quantile_cont(mean_p, 2.0/3) AS c2 FROM s)
+        |SELECT s.doc_id, s.mean_p,
+        |  CASE WHEN s.mean_p >= c.c2 THEN 'head'
+        |       WHEN s.mean_p >= c.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s, c ORDER BY s.doc_id""".stripMargin,
 
     // Generated twin: the Scala-computed constants (k1+1, 1-b, ...)
     // interpolate via Double.toString (shortest repr — parses back

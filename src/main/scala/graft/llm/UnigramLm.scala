@@ -182,6 +182,33 @@ object UnigramLm {
         floor(col("p_target") / (col("p_raw") + 1e-6) * 1e6 + 0.5) / 1e6)
   }
 
+  /** CCNet-style quality partitioning (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): split a
+    * scored corpus into head/middle/tail by the terciles of the per-doc
+    * LM score — head trains as-is, middle gets a second look, tail is
+    * dropped. The cut points are EXACT percentiles (the q57
+    * quantile_cont-parity aggregate), not approx_percentile, and that is
+    * corpus-scalable here because [[score]] floor-quantizes mean_p to
+    * 1e-6 in [0,1]: the percentile aggregator's state is a value→count
+    * map bounded by the ~1e6-value domain (map-side combined) no matter
+    * how many documents flow in — exactness does not cost corpus-scale
+    * memory. The two cuts are one extra one-row aggregate over the
+    * already-scored rows, broadcast back as a scalar dimension (no
+    * driver action, no second scoring pass); the label is two
+    * comparisons against bit-identical thresholds, so a tie on a cut
+    * value lands in the higher bucket in every engine. */
+  def qualityBuckets(scored: DataFrame, scoreCol: String): DataFrame = {
+    val cuts = scored.agg(
+      percentile(col(scoreCol), lit(1.0 / 3)).as("__c1"),
+      percentile(col(scoreCol), lit(2.0 / 3)).as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("__c2"), lit("head"))
+          .when(col(scoreCol) >= col("__c1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__c1", "__c2")
+  }
+
   /** Per-doc LM score against a fitted vocabulary:
     * (id, n_tokens, n_oov, mean_p). Empty/whitespace docs score 0.0 with
     * n_tokens 0. */

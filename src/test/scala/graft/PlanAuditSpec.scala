@@ -25,11 +25,13 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q79/q97: UnigramLm.fit joins a one-row broadcast aggregate (the
     *     token-count denominator) onto the top-K vocab — the lazy-total
     *     shape that lets ReuseExchange tokenize the corpus once.
+    *   - q98: fit's scalar total plus qualityBuckets' one-row broadcast
+    *     tercile cuts joined onto every scored row.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
-    "q79_unigram_lm", "q97_dsir_select")
+    "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -106,6 +106,24 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(5L)._2 === 0L && out(5L)._5 === 0.0)
   }
 
+  test("qualityBuckets: exact terciles, ties land in the higher bucket") {
+    // 6 distinct scores -> cuts at positions (n-1)/3 and 2(n-1)/3:
+    // c1 between .2/.3 (interpolated 0.2666..), c2 between .4/.5 (.4666..)
+    val scored = Seq(
+      (1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5), (6L, 0.6))
+      .toDF("doc_id", "mean_p")
+    val out = UnigramLm.qualityBuckets(scored, "mean_p")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out === Map(1L -> "tail", 2L -> "tail", 3L -> "middle",
+      4L -> "middle", 5L -> "head", 6L -> "head"))
+    // all-equal scores: both cuts equal the value, >= sends every row
+    // to head — the documented tie rule, no empty-bucket surprises
+    val flat = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)).toDF("doc_id", "mean_p")
+    val fOut = UnigramLm.qualityBuckets(flat, "mean_p")
+      .as[(Long, Double, String)].collect().map(_._3).toSet
+    assert(fOut === Set("head"))
+  }
+
   test("score ranks in-distribution text above gibberish on the fixture") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
