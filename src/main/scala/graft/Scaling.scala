@@ -181,6 +181,20 @@ object Scaling {
             x => x("para")), "\n").as("new_text"))
     }
 
+    def ccnetBuckets(dir: String): DataFrame = {
+      // q98's exact shape: evidence that EXACT tercile cuts stay
+      // affordable as the corpus grows. Scoring scales with tokens; the
+      // percentile aggregator's value→count state is bounded by the
+      // 1e-6-quantized score domain, so the cut step's merge cost is
+      // ~constant — the whole chain should track the linear token cost,
+      // with no corpus-sized driver or single-task collection anywhere.
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      val vocab = graft.llm.UnigramLm.fit(docs, "text", vocabSize = 20)
+      graft.llm.UnigramLm.qualityBuckets(
+        graft.llm.UnigramLm.score(docs, "doc_id", "text", vocab), "mean_p")
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -188,7 +202,7 @@ object Scaling {
       "prefix_jaccard" -> prefixJaccard,
       "cosine_topk" -> cosine, "token_df" -> tfidfish,
       "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply,
-      "para_dedup" -> paraDedup)
+      "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
