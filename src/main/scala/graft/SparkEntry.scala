@@ -1944,6 +1944,23 @@ object SparkEntry {
         .ordered(col("doc"), col("bench_doc"))
     }),
 
+    // ---- LLM ops: contamination span removal (the q73 surgery step) -----
+    // Lee et al.'s decontamination REMOVAL: excise every token span a
+    // benchmark k-gram covers instead of dropping the whole doc. Same
+    // every-17th-doc benchmark stand-in and k=3 as q73 (production runs
+    // k=13); the corpus side excludes the benchmark docs (a real eval
+    // set is disjoint — and a bench doc would otherwise self-scrub to
+    // empty). Strict k-grams both sides: sub-k docs pass untouched.
+    "q99_decontam_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("text").as("bench_text"))
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+          bench, "bench_text", k = 3)
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: REAL WAV PCM sample decode -------------------------
     // q70's audio twin: per doc, synthesize a RIFF/WAVE 16-bit PCM clip
     // whose samples follow a closed formula of doc_id, decode it through
@@ -3699,6 +3716,34 @@ object SparkEntry {
         |WHERE d.doc_id <> b.bench_doc
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY doc, bench_doc""".stripMargin,
+
+    // q73's inverted index turned into surgery: positional 3-grams, the
+    // benchmark shingle set, covered positions = hit pos + {0,1,2}
+    // (deduped), kept tokens rebuilt positionally. COALESCE on
+    // array_to_string: DuckDB returns NULL for an empty list where
+    // Spark's array_join returns '' (the documented divergence).
+    "q99_decontam_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 3 THEN
+        |    list_apply(range(len(toks) - 2), i -> struct_pack(pos := i,
+        |      sh := toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |  ELSE [] END) AS ps FROM t),
+        |b AS (SELECT DISTINCT ps.sh AS sh FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id, ps.pos + r.i AS pos
+        |  FROM g JOIN b ON ps.sh = b.sh CROSS JOIN range(3) AS r(i)
+        |  WHERE g.doc_id % 17 <> 0),
+        |hl AS (SELECT doc_id, list(pos) AS rm FROM hits GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, len(toks) AS n_toks,
+        |  CASE WHEN hl.rm IS NULL THEN toks
+        |    ELSE list_apply(list_filter(range(len(toks)),
+        |      p -> NOT list_contains(hl.rm, p)), p -> toks[p+1]) END AS kept
+        |  FROM t LEFT JOIN hl USING (doc_id) WHERE t.doc_id % 17 <> 0)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |  CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // q70's audio twin: the chunk walk + PCM extraction has no SQL
     // equivalent; the oracle recomputes the sample-stat arithmetic from

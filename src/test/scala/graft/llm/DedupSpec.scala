@@ -180,6 +180,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!short.exists(_._1 == 2L))
   }
 
+  test("removeContaminatedSpans: excises covered spans, merges overlaps, keeps sub-k docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // hits at pos 0,1,2 -> covered 0..4
+      (2L, "x a b c d y"),       // two overlapping hits -> covered 1..4
+      (3L, "clean words only here"),
+      (4L, "c d e"),             // fully covered -> empty survivor
+      (5L, "c d"),               // sub-k: bench substring but NO k-gram
+      (6L, "   ")).toDF("doc_id", "text")
+    val bench = Seq("c d e", "a b c d").toDF("bench_text")
+    val out = Dedup.removeContaminatedSpans(
+        docs, "doc_id", "text", bench, "bench_text", k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: "c d e"@2 plus the bench 4-token run's "a b c"@0 and
+    // "b c d"@1 -> covered {0..4}, only the tail token survives
+    assert(out(1L) === ((6L, 5L, "f")))
+    // doc 2: bench 4-token "a b c d" contributes 3-grams "a b c" and
+    // "b c d"; hits at pos 1 and 2 -> covered {1,2,3,4} -> "x y"
+    assert(out(2L) === ((6L, 4L, "x y")))
+    assert(out(3L) === ((4L, 0L, "clean words only here")))
+    assert(out(4L) === ((3L, 3L, "")))
+    assert(out(5L) === ((2L, 0L, "c d")))
+    assert(out(6L) === ((0L, 0L, "")))
+  }
+
   test("contaminationPairs: the hot-shingle cap drops boilerplate buckets") {
     // every doc shares the boilerplate run; only doc 1 shares RARE grams
     // with the benchmark beyond it
