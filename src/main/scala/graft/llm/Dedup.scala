@@ -485,14 +485,21 @@ object Dedup {
     * re-joined in order. Strict positional k-grams on BOTH sides (a doc
     * shorter than k has no full k-gram to leak and passes untouched —
     * unlike the detector's whole-doc fallback, removal must never erase
-    * a doc over a sub-k phrase). Scale shape: the only joins are a
-    * shingle-value equi-join (work ~ Σ bucket² over shared shingles,
-    * never corpus × benchmark — the benchmark shingle set is eval-sized
-    * and AQE broadcasts it) and a (doc, pos) anti-join; the rebuild is
-    * one per-doc aggregation whose state is bounded by doc length.
-    * Output: (docId, n_tokens, n_removed, clean_text); a fully
-    * contaminated doc survives as an empty clean_text row — the caller
-    * decides whether to drop it. */
+    * a doc over a sub-k phrase). Scale shape — the corpus is tokenized
+    * ONCE and nothing token-level ever rides a shuffle: the tokenized
+    * rows are repartitioned by doc (one exchange both consumers reuse —
+    * the q97 lesson: at 100 TB the tokenize is the dominant cost, so a
+    * second scan branch would double it), the positional-shingle branch
+    * equi-joins the benchmark shingle set (work ~ Σ bucket² over shared
+    * shingles, never corpus × benchmark; the set is eval-sized and AQE
+    * broadcasts it) and collapses to ONE hit-position array per flagged
+    * doc (bounded by doc length), and that hit-doc-sized table joins
+    * back on the already-doc-partitioned rows. The excision itself is a
+    * per-row index-aware filter (token i survives unless some hit start
+    * h covers it) — no posexplode, no (doc, pos) shuffle, no
+    * collect_list rebuild. Output: (docId, n_tokens, n_removed,
+    * clean_text); a fully contaminated doc survives as an empty
+    * clean_text row — the caller decides whether to drop it. */
   def removeContaminatedSpans(docs: DataFrame, docId: String,
                               docText: String, bench: DataFrame,
                               benchText: String, k: Int): DataFrame = {
@@ -504,30 +511,22 @@ object Dedup {
         .otherwise(array().cast("array<struct<pos:int,sh:string>>"))
     val base = docs.select(col(docId).as("doc"),
       TextStats.tokens(lower(col(docText))).as("__t"))
+      .repartition(col("doc"))
     val docSh = base.select(col("doc"), explode(posShingles(col("__t"))).as("g"))
       .select(col("doc"), col("g.pos").as("pos"), col("g.sh").as("sh"))
     val benchSh = bench
       .select(explode(posShingles(TextStats.tokens(lower(col(benchText))))).as("g"))
       .select(col("g.sh").as("sh")).distinct()
-    val covered = docSh.join(benchSh, Seq("sh"))
-      .select(col("doc"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
-      .distinct()
-    // posexplode_outer keeps zero-token docs as one (null, null) row; a
-    // null pos never matches the anti-join key, so empty docs survive
-    val toks = base.select(col("doc"),
-      posexplode_outer(col("__t")).as(Seq("pos", "tok")))
-    val rebuilt = toks.join(covered, Seq("doc", "pos"), "left_anti")
-      .groupBy("doc")
-      .agg(count(col("tok")).as("__nk"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("pos"), col("tok")))), x => x("tok")), " ").as("__ct"))
-    // left join: a FULLY contaminated doc has no surviving token rows
-    base.select(col("doc"), size(col("__t")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc"), "left")
-      .select(col("doc").as(docId), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
-        coalesce(col("__ct"), lit("")).as("clean_text"))
+    val hitsPerDoc = docSh.join(benchSh, Seq("sh"))
+      .groupBy("doc").agg(collect_set(col("pos")).as("__hits"))
+    val hits = coalesce(col("__hits"), array().cast("array<int>"))
+    val kept = filter(col("__t"),
+      (_, i) => !exists(hits, h => i >= h && i <= h + lit(k - 1)))
+    base.join(hitsPerDoc, Seq("doc"), "left")
+      .select(col("doc").as(docId),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
   }
 
   /** 64-bit SimHash over per-token 64-bit hashes: sign-sum each bit
