@@ -195,6 +195,21 @@ object Scaling {
         graft.llm.UnigramLm.score(docs, "doc_id", "text", vocab), "mean_p")
     }
 
+    def spanScrub(dir: String): DataFrame = {
+      // q99's exact shape at a benchmark that grows with the corpus
+      // (every-17th doc — worst case; a real eval set is fixed-size).
+      // The row evidences the one-tokenize/no-token-shuffle rework:
+      // cost tracks the single tokenize + doc-repartition, with the
+      // shingle-join work ~ Σ bucket² over shared shingles.
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      graft.llm.Dedup.removeContaminatedSpans(
+        docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0)
+          .select(col("text").as("bench_text")),
+        "bench_text", k = 3)
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -202,7 +217,8 @@ object Scaling {
       "prefix_jaccard" -> prefixJaccard,
       "cosine_topk" -> cosine, "token_df" -> tfidfish,
       "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply,
-      "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets)
+      "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets,
+      "span_scrub" -> spanScrub)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
