@@ -499,10 +499,22 @@ object Dedup {
     * h covers it) — no posexplode, no (doc, pos) shuffle, no
     * collect_list rebuild. Output: (docId, n_tokens, n_removed,
     * clean_text); a fully contaminated doc survives as an empty
-    * clean_text row — the caller decides whether to drop it. */
+    * clean_text row — the caller decides whether to drop it.
+    *
+    * Per-row excision cost is O(tokens × hits) with a short-circuiting
+    * exists; hits per doc are bounded by the doc's shingle count, so a
+    * ubiquitous boilerplate shingle (in the benchmark AND everywhere in
+    * the corpus) is the one input that both densifies the join bucket
+    * and inflates every doc's hit array. `maxShingleDocFreq` is the
+    * [[contaminationPairs]] guard for exactly that: drop shingles whose
+    * corpus document-frequency exceeds the cap before the join —
+    * production runs k=13 plus a cap; a 13-gram frequent across the
+    * whole corpus is boilerplate, not benchmark leakage. */
   def removeContaminatedSpans(docs: DataFrame, docId: String,
                               docText: String, bench: DataFrame,
-                              benchText: String, k: Int): DataFrame = {
+                              benchText: String, k: Int,
+                              maxShingleDocFreq: Option[Long] = None)
+      : DataFrame = {
     def posShingles(tcol: Column): Column =
       when(size(tcol) >= k,
         transform(sequence(lit(0), size(tcol) - k),
@@ -512,8 +524,16 @@ object Dedup {
     val base = docs.select(col(docId).as("doc"),
       TextStats.tokens(lower(col(docText))).as("__t"))
       .repartition(col("doc"))
-    val docSh = base.select(col("doc"), explode(posShingles(col("__t"))).as("g"))
+    val allSh = base.select(col("doc"), explode(posShingles(col("__t"))).as("g"))
       .select(col("doc"), col("g.pos").as("pos"), col("g.sh").as("sh"))
+    val docSh = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = allSh.groupBy("sh")
+          .agg(count_distinct(col("doc")).as("df"))
+          .filter(col("df") > cap).select("sh")
+        allSh.join(hot, Seq("sh"), "left_anti")
+      case None => allSh
+    }
     val benchSh = bench
       .select(explode(posShingles(TextStats.tokens(lower(col(benchText))))).as("g"))
       .select(col("g.sh").as("sh")).distinct()

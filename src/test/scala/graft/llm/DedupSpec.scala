@@ -205,6 +205,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) === ((0L, 0L, "")))
   }
 
+  test("removeContaminatedSpans: the hot-shingle cap spares boilerplate, still cuts rare leakage") {
+    // "terms of service apply" rides every doc AND the benchmark; only
+    // doc 1 additionally leaks the benchmark's rare "secret eval answer"
+    val docs = Seq(
+      (1L, "terms of service apply secret eval answer end"),
+      (2L, "terms of service apply normal content here"),
+      (3L, "terms of service apply other words too")).toDF("doc_id", "text")
+    val bench = Seq("terms of service apply secret eval answer")
+      .toDF("bench_text")
+    val capped = Dedup.removeContaminatedSpans(
+        docs, "doc_id", "text", bench, "bench_text", k = 3,
+        maxShingleDocFreq = Some(2L))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // doc-frequency > 2 kills the boilerplate 3-grams ("terms of
+    // service", "of service apply"); doc 1's rare grams ("service apply
+    // secret" @2 ... "secret eval answer" @4) still cover 2..6
+    assert(capped(1L) === ((5L, "terms of end")))
+    assert(capped(2L)._1 === 0L && capped(3L)._1 === 0L)
+    // uncapped, the boilerplate prefix is cut from every doc: doc 1's
+    // hits @0..4 cover 0..6, only the 8th token survives
+    val raw = Dedup.removeContaminatedSpans(
+        docs, "doc_id", "text", bench, "bench_text", k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(raw(1L) === 7L && raw(2L) > 0L && raw(3L) > 0L)
+  }
+
   test("contaminationPairs: the hot-shingle cap drops boilerplate buckets") {
     // every doc shares the boilerplate run; only doc 1 shares RARE grams
     // with the benchmark beyond it
