@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   * see /root/reference/data_processing/batch_processing/
   * batch_process_Bronze_to_Silver.py:91), LAST_WIN map dedup to match the
   * reference's Python `dict.update` merge semantics
-  * (batch_process_Bronze_to_Silver.py:81), and nanos-as-long so the
+  * (batch_process_Bronze_to_Silver.py:81), and nanos-as-long so a
   * nanosecond-precision event-time parquet reads as epoch-nano BIGINT
   * (Spark has no TIMESTAMP(NANOS) type; integer event-times also make
-  * cross-engine comparisons exact).
+  * cross-engine comparisons exact). Fixture generations have shipped both
+  * nano and micro event-time precision — graft.sources.Tables.tsUsOf
+  * normalizes either to epoch-micros BIGINT.
   */
 object GraftSession {
 

@@ -20,8 +20,9 @@ import graft.streaming.Streams
   *  - every aggregate/computed column is aliased identically in both sides;
   *  - floating aggregates are ROUNDed in both sides (FP sums associate
   *    differently across engines);
-  *  - all event-time logic is integer epoch-micros (`events.ts` reads as
-  *    epoch-nanos BIGINT via nanosAsLong; DuckDB mirrors with epoch_us);
+  *  - all event-time logic is integer epoch-micros (`events.ts` is
+  *    normalized by Tables.tsUsOf whatever the parquet precision; DuckDB
+  *    mirrors with epoch_us);
   *  - every result has a deterministic total ORDER BY.
   */
 object SparkEntry {
@@ -479,7 +480,7 @@ object SparkEntry {
       // filter selecting only the events table file
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsOf(schema))
         .select("user_id", "event_id", "ts_us", "event_type", "value")
       val latest = Streams.latestPerKey(stream, Seq("user_id"), "ts_us", "event_id")
       Streams.runToMemory(latest, s"q23_mem_${System.nanoTime()}")
@@ -494,7 +495,7 @@ object SparkEntry {
       val schema = Tables(s, dir, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsOf(schema))
       val agg = stream
         .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
           col("event_type"))
@@ -1847,7 +1848,7 @@ object SparkEntry {
       val schema = Tables(s, dir, "events").schema
       def raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsOf(schema))
       // sentinel shift must clear the WHOLE span plus the lookback: the
       // agg's effective watermark trails the join inputs' by the join's
       // event-time range, and sentinels derive from rows spread across

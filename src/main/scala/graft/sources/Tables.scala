@@ -34,11 +34,32 @@ object Tables {
     if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
   }
 
-  /** events with `ts_us` (epoch micros, BIGINT) derived from the nano ts.
-    * Integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
-    * exact-integer range, so floating division would corrupt low digits. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Epoch-micros BIGINT for an event-time column, whatever precision the
+    * fixture generation chose — the generator has shipped both:
+    *  - nanosecond parquet surfaces as epoch-nano BIGINT (nanosAsLong;
+    *    Spark has no TIMESTAMP(NANOS)) -> integer `div 1000`. Integer
+    *    `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+    *    exact-integer range, so floating division would corrupt low digits.
+    *  - micro/milli parquet surfaces as TIMESTAMP or TIMESTAMP_NTZ ->
+    *    `unix_micros` after a cast to TIMESTAMP. The session time zone is
+    *    pinned UTC ([[graft.GraftSession.tune]]), so the NTZ->TZ cast
+    *    preserves the file's raw int64 — and DuckDB's `epoch_us(ts)` on
+    *    the naive timestamp reads the identical number, keeping every
+    *    event-time oracle exact under either file layout.
+    */
+  def tsUsOf(schema: org.apache.spark.sql.types.StructType,
+             tsCol: String = "ts"): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    apply(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    import org.apache.spark.sql.types._
+    schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol div 1000")
+      case _        => unix_micros(col(tsCol).cast(TimestampType))
+    }
+  }
+
+  /** events with `ts_us` (epoch micros, BIGINT) derived via [[tsUsOf]]. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = apply(spark, sfDir, "events")
+    e.withColumn("ts_us", tsUsOf(e.schema))
   }
 }
