@@ -210,6 +210,27 @@ object Scaling {
         "bench_text", k = 3)
     }
 
+    def classRoute(dir: String): DataFrame = {
+      // q100's exact shape: per-source model fit (one melt+groupBy pass
+      // with the length-bin top-K prefilter) + argmax routing (one
+      // explode, one broadcast model join, K-row-per-doc window). Cost
+      // should track the two tokenize passes ~linearly; the window input
+      // is docs×K rows, never the token stream.
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      val m = graft.llm.UnigramLm.fitClassVocab(docs, "source", "text", 20)
+      graft.llm.UnigramLm.routeByClass(docs, "doc_id", "text", m)
+    }
+
+    def sourceOverlap(dir: String): DataFrame =
+      // q102's exact shape: the shingle-keyed self-join after per-group
+      // distinct is structurally capped at C(G,2) pairs per shingle
+      // value, so cost should track the distinct (shingle) volume, not
+      // any pairwise blowup — this row is the measured evidence.
+      Dedup.crossGroupOverlap(
+        Tables(spark, dir, "documents").filter(col("text").isNotNull),
+        "source", "text", k = 3)
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -218,7 +239,8 @@ object Scaling {
       "cosine_topk" -> cosine, "token_df" -> tfidfish,
       "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply,
       "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets,
-      "span_scrub" -> spanScrub)
+      "span_scrub" -> spanScrub, "class_route" -> classRoute,
+      "source_overlap" -> sourceOverlap)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }

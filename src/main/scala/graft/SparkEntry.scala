@@ -2021,6 +2021,57 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("label").as("group_id"))
         .ordered(col("vec_id"))
     }),
+
+    // ---- LLM ops: classifier-based quality/domain routing ---------------
+    // The curation pipeline's classifier stage (GPT-3's quality filter /
+    // LLaMA's "reference-like" filter shape): per-source unigram models
+    // fitted in one corpus pass (exact scale-safe top-K per class — the
+    // q88 length-bin prefilter), every doc scored against EVERY class in
+    // one explode + one broadcast join, argmax class out. Log-free
+    // class-conditional mass with decimal sums keeps both engines
+    // bit-identical; ties route to the lexicographically smallest class.
+    // self_routed (pred == actual source) doubles as a separability
+    // report of the corpus mixture.
+    "q100_class_route" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val model = UnigramLm.fitClassVocab(docs, "source", "text",
+        vocabSize = 20)
+      UnigramLm.routeByClass(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_cls"), col("n_tokens"),
+          col("mass"),
+          (col("pred_cls") === col("source")).cast("long").as("self_routed"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- LLM ops: deterministic training-shard manifest ------------------
+    // Corpus -> trainer packaging: content-addressed shard assignment
+    // (md5 hash-mod — stable across re-runs/engines/partitionings, never
+    // crawl-order-correlated) + the per-shard manifest a loader validates
+    // against: doc/token/byte counts, id range, and an order-free integer
+    // checksum. Assignment is a zero-shuffle projection; the manifest is
+    // one nShards-group map-side-combined aggregation.
+    "q101_shard_manifest" -> ((s, dir) => {
+      import graft.llm.Shards
+      val docs = Tables(s, dir, "documents")
+      Shards.manifest(Shards.assign(docs, "doc_id", nShards = 8),
+          "doc_id", "text", "n_chars")
+        .ordered(col("shard"))
+    }),
+
+    // ---- LLM ops: cross-source n-gram overlap (mixture diversity) --------
+    // Pairwise Jaccard overlap of per-source distinct 3-shingle sets —
+    // the audit a mixture designer reads before weighting sources (two
+    // near-identical sources would be double-weighted). The shingle-keyed
+    // self-join is structurally capped: after the per-source distinct, a
+    // shingle joins at most C(#sources,2) pairs.
+    "q102_source_overlap" -> ((s, dir) => {
+      Dedup.crossGroupOverlap(
+          Tables(s, dir, "documents").filter(col("text").isNotNull),
+          "source", "text", k = 3)
+        .ordered(col("g_a"), col("g_b"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -3809,6 +3860,89 @@ object SparkEntry {
          |SELECT n AS vec_id, LEAST(n, MIN(m)) AS group_id
          |FROM closure GROUP BY n ORDER BY vec_id""".stripMargin
     },
+
+    // Per-class unigram models + argmax routing rebuilt relationally:
+    // per-source MLE vocabularies (top-20 by count desc, tok asc — the
+    // exact fitClassVocab order), the q79 decimal-sum mass per (doc,
+    // class), a grid completing zero-hit classes at 0.0, and the same
+    // (mass desc, cls asc) rank-1 winner. self_routed as BIGINT, not
+    // BOOLEAN: integer stringification is engine-stable for the hash.
+    "q100_class_route" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, source, UNNEST(toks) AS tok FROM t),
+        |h AS (SELECT source AS cls, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |tot AS (SELECT cls, CAST(SUM(c) AS DOUBLE) AS tot FROM h GROUP BY 1),
+        |v AS (SELECT cls, tok, p FROM (
+        |  SELECT h.cls, h.tok, CAST(c AS DOUBLE) / tot.tot AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY h.cls ORDER BY c DESC, tok ASC) AS rn
+        |  FROM h JOIN tot USING (cls)) WHERE rn <= 20),
+        |j AS (SELECT u.doc_id, v.cls,
+        |  SUM(CAST(FLOOR(v.p * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sp
+        |  FROM u JOIN v USING (tok) GROUP BY 1, 2),
+        |grid AS (SELECT t.doc_id, t.source, len(t.toks) AS n_tokens, c.cls
+        |  FROM t CROSS JOIN (SELECT DISTINCT cls FROM v) c),
+        |sc AS (SELECT g.doc_id, g.source, g.cls, g.n_tokens,
+        |  CASE WHEN g.n_tokens = 0 OR j.sp IS NULL THEN 0.0
+        |    ELSE FLOOR(CAST(j.sp AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  END AS mass
+        |  FROM grid g LEFT JOIN j ON g.doc_id = j.doc_id AND g.cls = j.cls),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY mass DESC, cls ASC) AS rn FROM sc)
+        |SELECT doc_id, cls AS pred_cls, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  mass,
+        |  CAST(CASE WHEN cls = source THEN 1 ELSE 0 END AS BIGINT) AS self_routed
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Shard assignment + manifest rebuilt from the same md5 >> 33
+    // 31-bit hash (the q66 discipline); token counts mirror the
+    // un-lowered whitespace tokenizer (q13), and the checksum is the
+    // identical order-free integer sum over 'id:n_chars' hashes.
+    "q101_shard_manifest" ->
+      """WITH a AS (SELECT doc_id, text, COALESCE(n_chars, 0) AS nc,
+        |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 33 AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |b AS (SELECT shard, doc_id, nc,
+        |  CASE WHEN text IS NULL THEN 0
+        |    ELSE len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |  END AS nt,
+        |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(nc AS VARCHAR)) >> 33 AS BIGINT) AS ck
+        |  FROM a)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+        |  CAST(SUM(ck) AS BIGINT) AS checksum
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Per-source distinct 3-shingle sets (the shinglesHof semantics:
+    // whole-doc fallback under 3 tokens, with COALESCE around
+    // array_to_string — DuckDB maps [] to NULL where Spark yields ''),
+    // shingle-keyed intersection counts, and a size-table cross grid so
+    // zero-overlap pairs surface with jaccard 0.
+    "q102_source_overlap" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT source AS g, UNNEST(
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_apply(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |  ELSE [COALESCE(array_to_string(toks, ' '), '')] END) AS sh FROM t),
+        |s AS (SELECT g, COUNT(*) AS n FROM sh GROUP BY g),
+        |i AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2),
+        |grid AS (SELECT x.g AS g_a, y.g AS g_b, x.n AS n_a, y.n AS n_b
+        |  FROM s x CROSS JOIN s y WHERE x.g < y.g)
+        |SELECT g.g_a, g.g_b, CAST(g.n_a AS BIGINT) AS n_a,
+        |  CAST(g.n_b AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+        |  FLOOR(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |    (g.n_a + g.n_b - COALESCE(i.inter, 0)) * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM grid g LEFT JOIN i USING (g_a, g_b)
+        |ORDER BY g_a, g_b""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

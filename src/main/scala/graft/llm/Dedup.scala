@@ -643,4 +643,42 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Pairwise cross-GROUP n-gram overlap — the corpus diversity audit a
+    * mixture designer reads before setting source weights (and the
+    * source-level analogue of [[decontaminate]]'s doc-level question):
+    * for every pair of groups (sources, snapshots, languages), the
+    * Jaccard overlap of their distinct token k-shingle SETS. High
+    * overlap between two sources means double-weighting near-identical
+    * content; near-zero overlap against the rest flags an outlier
+    * source worth inspecting.
+    *
+    * Shape: distinct (group, shingle) — one shuffle — then a shingle-
+    * keyed self-join. After the distinct, a shingle appears in at most
+    * G rows (G = #groups), so the join fans out to at most C(G,2) pairs
+    * per shingle VALUE — the all-pairs blowup is structurally capped by
+    * the group count, no df cap needed (contrast [[contaminationPairs]],
+    * where one side is per-document). The G-row size table broadcast-
+    * crosses with itself to keep zero-intersection pairs in the output
+    * (documented broadcast NLJ — G² rows, PlanAuditSpec allowlist). */
+  def crossGroupOverlap(docs: DataFrame, groupCol: String, text: String,
+                        k: Int): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("g"), explode(shingles(col(text), k)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("inter"))
+    val grid = sizes.select(col("g").as("g_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))))
+      .filter(col("g_a") < col("g_b"))
+    grid.join(inter, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("jaccard",
+        floor(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")) * 1e6 + 0.5) / 1e6)
+  }
 }

@@ -231,4 +231,85 @@ object UnigramLm {
           .otherwise(floor(col("__sp").cast("double") / col("n_tokens")
             * 1e6 + 0.5) / 1e6).as("mean_p"))
   }
+
+  /** Per-class unigram vocabularies in ONE corpus pass: (cls, tok, p)
+    * with the top `vocabSize` types of EACH class — the model behind
+    * [[routeByClass]]'s classifier. One melt+groupBy shuffle builds the
+    * (class, token) histogram; per-class totals are a class-count-sized
+    * aggregate (classes are few: sources, languages, quality tiers);
+    * probabilities are true per-class MLE (totals count ALL occurrences,
+    * including types cut by the limit), exactly like [[fit]].
+    *
+    * Top-K per class is EXACT and never sorts a class's whole histogram
+    * in one task (the q88 length-bin trick, adapted from cumulative mass
+    * to cumulative headcount): rows bucket by the integer log2 of their
+    * count; a bucket whose higher buckets already hold >= K rows of the
+    * class cannot contain a top-K member, so the rank window only ever
+    * sees the few magnitude bands straddling rank K — at web scale that
+    * is thousands of rows per class, not the ~1e8-type histogram. */
+  def fitClassVocab(docs: DataFrame, classCol: String, text: String,
+                    vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col(classCol).as("cls"),
+        explode(TextStats.tokens(lower(col(text)))).as("tok"))
+      .groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy("cls").agg(sum("c").cast("double").as("__tot"))
+    val bucketed = hist.withColumn("__b", length(bin(col("c"))))
+    val keep = bucketed.groupBy("cls", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__before", coalesce(sum("__n").over(
+        Window.partitionBy("cls").orderBy(desc("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") < vocabSize)
+      .select("cls", "__b")
+    val w = Window.partitionBy("cls").orderBy(desc("c"), asc("tok"))
+    bucketed.join(broadcast(keep), Seq("cls", "__b"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= vocabSize)
+      .join(broadcast(totals), Seq("cls"))
+      .select(col("cls"), col("tok"),
+        (col("c").cast("double") / col("__tot")).as("p"))
+  }
+
+  /** Classifier-based routing — the quality/domain-classifier stage of a
+    * curation pipeline (the GPT-3 appendix-A / LLaMA "reference-like"
+    * filter shape, with the class-conditional unigram mass standing in
+    * for fastText's linear score, kept LOG-FREE so it is exact across
+    * engines): score every document against EVERY class vocabulary from
+    * [[fitClassVocab]] and emit the argmax class.
+    *
+    * One explode feeds one broadcast join against the stacked model
+    * (classes x vocabSize rows — driver-small); per-(doc, class) masses
+    * use [[score]]'s decimal-sum discipline; the doc x class score grid
+    * is completed with a broadcast cross of the class list (zero-hit
+    * classes score 0.0, so a doc with no in-vocab token routes to the
+    * lexicographically smallest class — deterministic in any engine);
+    * the winner is a rank-1 window over the K class rows of each doc.
+    * Output: (id, pred_cls, n_tokens, mass). Shuffles are doc-keyed and
+    * carry K rows per doc — corpus-scale-safe for the tens of classes a
+    * real mixture has. */
+  def routeByClass(docs: DataFrame, id: String, text: String,
+                   model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id).as("__doc"),
+      explode_outer(TextStats.tokens(lower(col(text)))).as("tok"))
+    val nTok = toks.groupBy("__doc").agg(count(col("tok")).as("n_tokens"))
+    val p9 = (floor(col("p") * 1e9 + 0.5) / 1e9).cast("decimal(28,12)")
+    val sums = toks
+      .join(broadcast(model.select(col("tok"), col("cls"), col("p"))),
+        Seq("tok"))
+      .groupBy("__doc", "cls").agg(sum(p9).as("__sp"))
+    val classes = model.select("cls").distinct()
+    val grid = nTok.crossJoin(broadcast(classes))
+    val w = Window.partitionBy("__doc").orderBy(desc("mass"), asc("cls"))
+    grid.join(sums, Seq("__doc", "cls"), "left")
+      .select(col("__doc"), col("cls"), col("n_tokens"),
+        when(col("n_tokens") === 0 || col("__sp").isNull, lit(0.0))
+          .otherwise(floor(col("__sp").cast("double") / col("n_tokens")
+            * 1e6 + 0.5) / 1e6).as("mass"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__doc").as(id), col("cls").as("pred_cls"),
+        col("n_tokens"), col("mass"))
+  }
 }

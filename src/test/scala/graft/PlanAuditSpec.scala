@@ -27,11 +27,19 @@ class PlanAuditSpec extends AnyFunSuite {
     *     shape that lets ReuseExchange tokenize the corpus once.
     *   - q98: fit's scalar total plus qualityBuckets' one-row broadcast
     *     tercile cuts joined onto every scored row.
+    *   - q100: routeByClass completes the doc x class score grid with a
+    *     broadcast cross of the class list (K rows, K = #classes) so
+    *     zero-hit classes score 0.0; plus fitClassVocab's class-total
+    *     broadcast.
+    *   - q102: the G-row per-group size table (G = #groups) broadcast-
+    *     crossed with itself so zero-intersection pairs stay in the
+    *     overlap matrix.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
-    "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets")
+    "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
+    "q100_class_route", "q102_source_overlap")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

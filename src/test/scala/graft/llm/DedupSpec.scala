@@ -383,4 +383,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(10L) === ((10L, 10L)) && out(11L) === ((10L, 10L)))
     assert(out(20L) === ((20L, 20L)))
   }
+
+  test("crossGroupOverlap: hand-computed Jaccard, zero-overlap pairs kept") {
+    // k=2 shingle sets: x = {"a b","b c"} from "a b c"; y = {"a b"} (short
+    // doc fallback is the whole doc); z = {"q r"} — disjoint from both
+    val docs = Seq(
+      ("x", "a b c"), ("y", "a b"), ("z", "q r")
+    ).toDF("source", "text")
+    val out = Dedup.crossGroupOverlap(docs, "source", "text", k = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // |x|=2, |y|=1, inter=1 -> j = 1/2
+    assert(out(("x", "y")) === ((2L, 1L, 1L, 0.5)))
+    assert(out(("x", "z")) === ((2L, 1L, 0L, 0.0)))
+    assert(out(("y", "z")) === ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("crossGroupOverlap: within-group duplicate shingles count once") {
+    val docs = Seq(
+      ("x", "a b a b"), ("x", "a b"), ("y", "a b")
+    ).toDF("source", "text")
+    val out = Dedup.crossGroupOverlap(docs, "source", "text", k = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().head
+    // x's distinct 2-shingles: {"a b","b a"}; y's: {"a b"}
+    assert(out === (("x", "y", 2L, 1L, 1L, 0.5)))
+  }
 }

@@ -137,4 +137,51 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(meanReal > 0.01 && gib === 0.0,
       s"real=$meanReal gibberish=$gib")
   }
+
+  test("fitClassVocab: per-class MLE with per-class top-K and tie-breaks") {
+    val docs = Seq(
+      ("x", "a a a b"), ("x", "b c"),       // x: a=3 b=2 c=1, total 6
+      ("y", "d d e e")                      // y: d=2 e=2, total 4
+    ).toDF("cls", "text")
+    val m = UnigramLm.fitClassVocab(docs, "cls", "text", vocabSize = 2)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // x keeps a,b (c cut; total still counts it); y tie d/e -> lexicographic
+    assert(m === Map(
+      ("x", "a") -> 3.0 / 6, ("x", "b") -> 2.0 / 6,
+      ("y", "d") -> 2.0 / 4, ("y", "e") -> 2.0 / 4))
+  }
+
+  test("routeByClass: argmax class, zero-hit and empty docs route deterministically") {
+    val corpus = Seq(
+      ("x", "a a a b"), ("x", "b c"),
+      ("y", "d d e e")
+    ).toDF("cls", "text")
+    val m = UnigramLm.fitClassVocab(corpus, "cls", "text", vocabSize = 2)
+    val out = UnigramLm.routeByClass(Seq(
+        (1L, "a b"),     // x-mass (.5+.333)/2, y-mass 0 -> x
+        (2L, "d e"),     // y
+        (3L, "zz qq"),   // OOV everywhere: all masses 0 -> smallest cls = x
+        (4L, "   ")      // empty: n_tokens 0 -> x
+      ).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 === "x" && out(1L)._2 === 2L)
+    assert(out(2L)._1 === "y")
+    assert(out(3L) === (("x", 2L, 0.0)))
+    assert(out(4L) === (("x", 0L, 0.0)))
+    // winning mass quantization matches the score discipline: 1e-6 floor
+    assert(out(1L)._3 === math.floor(
+      (math.floor(3.0 / 6 * 1e9 + 0.5) / 1e9 +
+        math.floor(2.0 / 6 * 1e9 + 0.5) / 1e9) / 2 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("routeByClass: class-tied mass routes to lexicographically smallest") {
+    val corpus = Seq(("x", "a a"), ("y", "a a")).toDF("cls", "text")
+    val m = UnigramLm.fitClassVocab(corpus, "cls", "text", vocabSize = 1)
+    val out = UnigramLm.routeByClass(
+        Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, String, Long, Double)].collect().head
+    assert(out._2 === "x" && out._4 === 1.0)
+  }
 }
