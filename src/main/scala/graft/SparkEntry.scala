@@ -3879,13 +3879,13 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY h.cls ORDER BY c DESC, tok ASC) AS rn
         |  FROM h JOIN tot USING (cls)) WHERE rn <= 20),
         |j AS (SELECT u.doc_id, v.cls,
-        |  SUM(CAST(FLOOR(v.p * 1e9 + 0.5) / 1e9 AS DECIMAL(28,12))) AS sp
+        |  SUM(CAST(FLOOR(v.p * 1e9 + 0.5) AS BIGINT)) AS sn
         |  FROM u JOIN v USING (tok) GROUP BY 1, 2),
         |grid AS (SELECT t.doc_id, t.source, len(t.toks) AS n_tokens, c.cls
         |  FROM t CROSS JOIN (SELECT DISTINCT cls FROM v) c),
         |sc AS (SELECT g.doc_id, g.source, g.cls, g.n_tokens,
-        |  CASE WHEN g.n_tokens = 0 OR j.sp IS NULL THEN 0.0
-        |    ELSE FLOOR(CAST(j.sp AS DOUBLE) / g.n_tokens * 1e6 + 0.5) / 1e6
+        |  CASE WHEN g.n_tokens = 0 OR j.sn IS NULL THEN 0.0
+        |    ELSE FLOOR(CAST(j.sn AS DOUBLE) / 1e9 / g.n_tokens * 1e6 + 0.5) / 1e6
         |  END AS mass
         |  FROM grid g LEFT JOIN j ON g.doc_id = j.doc_id AND g.cls = j.cls),
         |r AS (SELECT *, ROW_NUMBER() OVER (

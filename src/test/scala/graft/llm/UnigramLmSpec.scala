@@ -170,10 +170,11 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(2L)._1 === "y")
     assert(out(3L) === (("x", 2L, 0.0)))
     assert(out(4L) === (("x", 0L, 0.0)))
-    // winning mass quantization matches the score discipline: 1e-6 floor
+    // winning mass quantization matches the integer-numerator discipline:
+    // sum of floor(p*1e9+0.5) longs, then /1e9 /n_tokens, 1e-6 floor
     assert(out(1L)._3 === math.floor(
-      (math.floor(3.0 / 6 * 1e9 + 0.5) / 1e9 +
-        math.floor(2.0 / 6 * 1e9 + 0.5) / 1e9) / 2 * 1e6 + 0.5) / 1e6)
+      (math.floor(3.0 / 6 * 1e9 + 0.5) +
+        math.floor(2.0 / 6 * 1e9 + 0.5)) / 1e9 / 2 * 1e6 + 0.5) / 1e6)
   }
 
   test("routeByClass: class-tied mass routes to lexicographically smallest") {
