@@ -2072,6 +2072,50 @@ object SparkEntry {
           "source", "text", k = 3)
         .ordered(col("g_a"), col("g_b"))
     }),
+
+    // ---- Streaming SESSION windows through the real machinery (T7) ------
+    // q32's sessionization run as a stream: watermarked session_window
+    // state (merging session store), append mode, AvailableNow — the
+    // batch oracle IS the contract, like q63/q71. A sentinel user at
+    // +32 days advances the global watermark past every real session's
+    // end so the bounded source flushes them (the q77 technique); the
+    // sentinel's own sessions are excluded AFTER the memory sink
+    // collects — a driver-local filter on the materialized result, NOT a
+    // predicate in the streaming plan (Catalyst would push it through
+    // the agg into the union's sentinel branch, removing the watermark
+    // driver before it acts — the q77 lesson).
+    "q103_stream_session" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      def raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+      val dayUs = 32L * 86400000000L
+      val sentKey = Long.MinValue + 1L
+      val withSent = raw.select(col("user_id"), col("ts_us"))
+        .unionByName(raw.filter(col("event_id") % 1000 === 0)
+          .select(lit(sentKey).as("user_id"),
+            (col("ts_us") + dayUs).as("ts_us")))
+        .withColumn("e_t", timestamp_micros(col("ts_us")))
+        .withWatermark("e_t", "10 seconds")
+      val sess = withSent
+        .groupBy(col("user_id"),
+          session_window(col("e_t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
+          unix_micros(col("w.end")).as("s_end"), col("n"))
+      // state-partition sizing: one stateful operator on a fixture-sized
+      // stream — 8 partitions of state, commits dominate otherwise (q77)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Streams.runToMemory(sess, s"q103_mem_${System.nanoTime()}",
+          "append")
+        // null-SAFE exclusion: a plain =!= would silently drop NULL-key
+        // sessions (adversarial fixtures carry NULL user_ids; the oracle
+        // sessionizes them as a group like any other)
+        .filter(!(col("user_id") <=> lit(sentKey)))
+        .ordered(col("user_id"), col("s_start"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -3943,6 +3987,23 @@ object SparkEntry {
         |    (g.n_a + g.n_b - COALESCE(i.inter, 0)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM grid g LEFT JOIN i USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
+
+    // q32's batch sessionization IS the streaming contract (the
+    // q63/q71 batch-equivalence discipline): gap >= 30 min breaks a
+    // session, end = last event + gap.
+    "q103_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |o AS (SELECT user_id, tu,
+        |  CASE WHEN LAG(tu) OVER w IS NULL
+        |       OR tu - LAG(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(tu) AS s_start, MAX(tu) + 1800000000 AS s_end,
+        |COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark
