@@ -2116,6 +2116,38 @@ object SparkEntry {
         .ordered(col("user_id"), col("s_start"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+
+    // ---- Corpus ops: snapshot diff (CDC between corpus versions) --------
+    // Yesterday's corpus vs today's, simulated deterministically from one
+    // table: docs absent on one side (% 7 buckets) and a mutated-text
+    // band (% 11) classify added/removed/changed/unchanged through the
+    // null-safe content-hash full-outer join — the audit that sizes what
+    // an incremental pipeline (q75's index, the ingest spine) re-runs.
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 7 =!= 5)
+      Dedup.snapshotDiff(old, nw, "doc_id", "text")
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Corpus ops: vocabulary drift between snapshots -----------------
+    // The data-drift monitor between crawls: top-50 token distributions
+    // of two snapshot halves, full-outer joined, per-token probability
+    // gap. Log-free (no KL/JS — ln is not bit-identical across engines);
+    // 0.5 * sum(delta) over the rows is the head-scoped total-variation
+    // distance.
+    "q105_vocab_drift" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      UnigramLm.vocabDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", vocabSize = 50)
+        .ordered(col("tok"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -3987,6 +4019,55 @@ object SparkEntry {
         |    (g.n_a + g.n_b - COALESCE(i.inter, 0)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM grid g LEFT JOIN i USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
+
+    // Null-safe content-hash diff rebuilt relationally: both engines
+    // md5 the UTF-8 text bytes (NULL -> the reserved sentinel), FULL
+    // OUTER JOIN USING coalesces the id, and the CASE ladder is
+    // identical. The %-bucket snapshot simulation drops NULL ids on
+    // both sides in both engines (NULL % k <> j is NULL-false).
+    "q104_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  COALESCE(md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v1'
+        |                    ELSE text END), '<null>') AS f
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |n AS (SELECT doc_id, COALESCE(md5(text), '<null>') AS f
+        |  FROM documents WHERE doc_id % 7 <> 5)
+        |SELECT doc_id,
+        |  CASE WHEN o.f IS NULL THEN 'added'
+        |       WHEN n.f IS NULL THEN 'removed'
+        |       WHEN o.f = n.f THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Two q79-shaped MLE fits (top-50, count desc / tok asc ties, totals
+    // over ALL occurrences) full-outer joined; each side 1e-9-quantized
+    // with absent = 0, delta re-quantized after the one abs-difference
+    // IEEE op — the identical fixed float sequence in both engines.
+    "q105_vocab_drift" ->
+      """WITH ta AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |ua AS (SELECT UNNEST(toks) AS tok FROM ta),
+        |ha AS (SELECT tok, COUNT(*) AS c FROM ua GROUP BY tok),
+        |va AS (
+        |  SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM ha) AS p
+        |  FROM ha ORDER BY c DESC, tok ASC LIMIT 50),
+        |tb AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |ub AS (SELECT UNNEST(toks) AS tok FROM tb),
+        |hb AS (SELECT tok, COUNT(*) AS c FROM ub GROUP BY tok),
+        |vb AS (
+        |  SELECT tok, CAST(c AS DOUBLE) / (SELECT SUM(c) FROM hb) AS p
+        |  FROM hb ORDER BY c DESC, tok ASC LIMIT 50),
+        |j AS (SELECT tok,
+        |  FLOOR(COALESCE(va.p, 0) * 1e9 + 0.5) / 1e9 AS p_a,
+        |  FLOOR(COALESCE(vb.p, 0) * 1e9 + 0.5) / 1e9 AS p_b
+        |  FROM va FULL OUTER JOIN vb USING (tok))
+        |SELECT tok, p_a, p_b,
+        |  FLOOR(abs(p_a - p_b) * 1e9 + 0.5) / 1e9 AS delta
+        |FROM j ORDER BY tok""".stripMargin,
 
     // q32's batch sessionization IS the streaming contract (the
     // q63/q71 batch-equivalence discipline): gap >= 30 min breaks a

@@ -661,6 +661,31 @@ object Dedup {
     * where one side is per-document). The G-row size table broadcast-
     * crosses with itself to keep zero-intersection pairs in the output
     * (documented broadcast NLJ — G² rows, PlanAuditSpec allowlist). */
+  /** Corpus snapshot diff — the CDC-style audit between two versions of
+    * an evolving corpus (nightly crawl vs yesterday's, a re-ingest vs
+    * the published set): every doc id classified `added` / `removed` /
+    * `changed` / `unchanged` by a full outer join on the id plus a
+    * null-safe content-hash compare. This is what decides how much of
+    * an incremental pipeline ([[graft.llm.DedupIndex]], the stream
+    * ingest spine) actually needs to re-run.
+    *
+    * One id-keyed shuffle join; the content compare is a per-row md5 —
+    * no text ever rides the shuffle beyond its 32-hex digest. NULL text
+    * hashes to a reserved sentinel digest so (null, null) compares
+    * unchanged and (null, "x") compares changed in every engine. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                   text: String): DataFrame = {
+    def fp(c: Column): Column = coalesce(md5(c.cast("binary")), lit("<null>"))
+    val o = oldDf.select(col(id).as("__id"), fp(col(text)).as("__fp_old"))
+    val n = newDf.select(col(id).as("__id"), fp(col(text)).as("__fp_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(id),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def crossGroupOverlap(docs: DataFrame, groupCol: String, text: String,
                         k: Int): DataFrame = {
     val sh = docs

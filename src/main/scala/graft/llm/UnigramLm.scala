@@ -341,4 +341,35 @@ object UnigramLm {
       .select(col("__doc").as(id), col("cls").as("pred_cls"),
         col("n_tokens"), col("mass"))
   }
+
+  /** Vocabulary drift between two corpus snapshots — the data-drift
+    * monitor a pipeline reads between crawls (a shifted token
+    * distribution is the early signal that quality filters, classifier
+    * thresholds, and mixture weights were tuned on stale data): the top
+    * `vocabSize` token distributions of each snapshot ([[fit]] MLE,
+    * totals over ALL occurrences), full-outer-joined on the token with
+    * each side's probability quantized to 1e-9 (absent = 0), plus the
+    * per-token absolute gap `delta`. `0.5 * sum(delta)` over the rows is
+    * the total-variation distance restricted to the joined vocabulary —
+    * kept LOG-FREE (no KL/JS: ln is not bit-identical across engines,
+    * the q74 lesson) and truncation-scoped BY DESIGN: both top-K sets
+    * cover the head of each distribution; drift in the tail below both
+    * cuts is invisible at any K, which is the standard operating point
+    * for a monitor (the head moves first — new boilerplate, template
+    * shifts, language-mix changes all surface as head churn).
+    *
+    * Two independent fits (each one melt+groupBy shuffle over its
+    * snapshot); the join is vocab-sized (<= 2K rows) — driver-light,
+    * corpus-scale-safe. */
+  def vocabDrift(a: DataFrame, b: DataFrame, text: String,
+                 vocabSize: Int): DataFrame = {
+    def q9(c: Column): Column =
+      floor(coalesce(c, lit(0.0)) * 1e9 + 0.5) / 1e9
+    val va = fit(a, text, vocabSize).select(col("tok"), col("p").as("__pa"))
+    val vb = fit(b, text, vocabSize).select(col("tok"), col("p").as("__pb"))
+    va.join(vb, Seq("tok"), "full_outer")
+      .select(col("tok"), q9(col("__pa")).as("p_a"), q9(col("__pb")).as("p_b"))
+      .withColumn("delta",
+        floor(abs(col("p_a") - col("p_b")) * 1e9 + 0.5) / 1e9)
+  }
 }

@@ -400,6 +400,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out(("y", "z")) === ((1L, 1L, 0L, 0.0)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged incl. null text") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, (null: String)),
+      (4L, "d"), (5L, (null: String))).toDF("doc_id", "text")
+    val nw = Seq((1L, "a"), (2L, "B"), (3L, (null: String)),
+      (5L, "now set"), (6L, "new")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, nw, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
+
   test("crossGroupOverlap: within-group duplicate shingles count once") {
     val docs = Seq(
       ("x", "a b a b"), ("x", "a b"), ("y", "a b")

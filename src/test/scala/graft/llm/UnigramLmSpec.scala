@@ -177,6 +177,22 @@ class UnigramLmSpec extends AnyFunSuite {
         math.floor(2.0 / 6 * 1e9 + 0.5)) / 1e9 / 2 * 1e6 + 0.5) / 1e6)
   }
 
+  test("vocabDrift: per-token gaps, absent-side zero, identical halves flat") {
+    val a = Seq("a a a b").toDF("text")   // p: a=3/4, b=1/4
+    val b = Seq("a c c c").toDF("text")   // p: a=1/4, c=3/4
+    val out = UnigramLm.vocabDrift(a, b, "text", vocabSize = 2)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") === ((0.75, 0.25, 0.5)))
+    assert(out("b") === ((0.25, 0.0, 0.25)))
+    assert(out("c") === ((0.0, 0.75, 0.75)))
+    // TV over the head = 0.5 * sum(delta)
+    assert(out.values.map(_._3).sum / 2 === 0.75)
+    val same = UnigramLm.vocabDrift(a, a, "text", vocabSize = 2)
+      .as[(String, Double, Double, Double)].collect()
+    assert(same.forall(_._4 === 0.0))
+  }
+
   test("routeByClass: class-tied mass routes to lexicographically smallest") {
     val corpus = Seq(("x", "a a"), ("y", "a a")).toDF("cls", "text")
     val m = UnigramLm.fitClassVocab(corpus, "cls", "text", vocabSize = 1)
