@@ -2148,6 +2148,33 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1), "text", vocabSize = 50)
         .ordered(col("tok"))
     }),
+
+    // ---- Corpus ops: HTML/markup text extraction ------------------------
+    // The crawl->text stage (trafilatura-lite): the fixture text is
+    // wrapped in three deterministic page templates (head/style + body,
+    // div + trailing script whose STRING PAYLOAD contains a tag, plain
+    // passthrough) plus an entity-bearing footer, then stripped back by
+    // the regexp fold — an encode->extract round-trip (the q70/q72
+    // codec discipline), so tag removal, script-payload discard, entity
+    // decode order, and whitespace normalization are all hash-checked.
+    "q106_html_strip" -> ((s, dir) => {
+      val t = col("text")
+      val page = when(col("doc_id") % 3 === 0,
+          concat(lit("<html><head><style>p{color:red}</style></head>" +
+            "<body><h1>Title</h1>\n<p>"), t,
+            lit("</p><p>&amp;copy; 2024 &lt;graft&gt;</p></body></html>")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<div class=\"a\">\t"), t,
+            lit("</div><script>var x = \"<p>\";</script>")))
+        .otherwise(t)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          TextStats.stripMarkup(col("page")).as("clean_text"),
+          (length(col("page")) -
+            length(TextStats.stripMarkup(col("page")))).as("n_stripped"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4068,6 +4095,37 @@ object SparkEntry {
         |SELECT tok, p_a, p_b,
         |  FLOOR(abs(p_a - p_b) * 1e9 + 0.5) / 1e9 AS delta
         |FROM j ORDER BY tok""".stripMargin,
+
+    // The identical template synthesis + regexp fold in DuckDB: same
+    // patterns (the Java/RE2 common subset — explicit whitespace class,
+    // no lookaround), same entity order (&amp; last), 'gs' flags for
+    // global + dot-matches-newline ((?i) inline for case). length() on
+    // both sides counts codepoints of the same strings.
+    "q106_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    '<html><head><style>p{color:red}</style></head><body><h1>Title</h1>' ||
+        |    chr(10) || '<p>' || text ||
+        |    '</p><p>&amp;copy; 2024 &lt;graft&gt;</p></body></html>'
+        |  WHEN doc_id % 3 = 1 THEN
+        |    '<div class="a">' || chr(9) || text ||
+        |    '</div><script>var x = "<p>";</script>'
+        |  ELSE text END AS page
+        |  FROM documents),
+        |s AS (SELECT doc_id, page,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(page, '(?i)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gs'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g'))
+        |  AS clean_text
+        |  FROM p)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(page) - length(clean_text) AS INTEGER) AS n_stripped
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // q32's batch sessionization IS the streaming contract (the
     // q63/q71 batch-equivalence discipline): gap >= 30 min breaks a

@@ -101,4 +101,37 @@ object TextStats {
     val best = array_max(langIdScores(text))
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
   }
+
+  /** Web-corpus markup stripping — the text-extraction stage between a
+    * crawl and every operator above (trafilatura-lite: a crawl's HTML is
+    * noise until the tags, script/style payloads, and entities are
+    * gone). One codegen'd projection — a fold of regexp_replace/replace
+    * kernels, no UDF:
+    *
+    *   1. drop whole script/style ELEMENTS to a space (their text is
+    *      code, not prose; a space so flanking prose never fuses) —
+    *      non-greedy, case-insensitive, dot-matches-newline;
+    *   2. strip remaining tags to a SPACE (adjacent text must not fuse);
+    *   3. decode the core entities, `&amp;` LAST (single-pass decode:
+    *      `&amp;lt;` must yield the literal `&lt;`, not `<`);
+    *   4. collapse runs of the EXPLICIT class [ \t\n\r\f] (not `\s` —
+    *      Java counts \x0B as \s, RE2 does not; the explicit class is
+    *      the engine-portable subset) and trim.
+    *
+    * Every pattern stays in the Java-regex/RE2 common subset (no
+    * lookaround, no backrefs), so an external engine replays the exact
+    * fold — the q106 oracle does. NULL stays NULL (every kernel is
+    * null-propagating in both engines). */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) =>
+      call_function("replace", c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
 }

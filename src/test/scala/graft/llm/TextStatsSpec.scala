@@ -77,4 +77,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(m("good") > m("junk"))
     assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("stripMarkup: tags, script/style payloads, entities, whitespace") {
+    val cases = Seq(
+      // tags out, adjacent text separated by the injected space
+      ("<p>hello</p><p>world</p>", "hello world"),
+      // script/style PAYLOADS vanish entirely (code, not prose) — even
+      // when the payload contains a tag inside a string literal
+      ("a<script>var x = \"<p>\";</script>b", "a b"),
+      ("x<style media=\"all\">p{}</style>y", "x y"),
+      ("<SCRIPT>\nmulti\nline\n</SCRIPT>done", "done"),
+      // entity decode, &amp; last: &amp;lt; -> literal &lt;
+      ("&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp; &amp;lt;",
+        "<tag> \"q\" 's' a b & &lt;"),
+      // whitespace runs (incl. tabs/newlines/formfeed) collapse + trim
+      ("  a\t\tb\n\nc\fd  ", "a b c d"),
+      // plain text passes through
+      ("already clean", "already clean"))
+      .zipWithIndex.map { case ((in, want), i) => (i.toLong, in, want) }
+      .toDF("id", "html", "want")
+    val out = cases.select(col("id"),
+        TextStats.stripMarkup(col("html")).as("got"), col("want"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, got, want) =>
+      assert(got === want, s"case $id")
+    }
+    // null propagates
+    val n = Seq((1L, (null: String))).toDF("id", "html")
+      .select(TextStats.stripMarkup(col("html"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
