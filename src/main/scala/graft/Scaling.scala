@@ -231,6 +231,22 @@ object Scaling {
         Tables(spark, dir, "documents").filter(col("text").isNotNull),
         "source", "text", k = 3)
 
+    def snapshotDiff(dir: String): DataFrame = {
+      // q104's exact shape: one id-keyed shuffle join carrying 32-hex
+      // digests — cost should track rows, never text volume
+      val docs = Tables(spark, dir, "documents")
+      graft.llm.Dedup.snapshotDiff(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 7 =!= 5), "doc_id", "text")
+    }
+
+    def htmlStrip(dir: String): DataFrame =
+      // q106's kernel over the raw text (no template wrap): a pure
+      // scan-bound projection — the row evidences zero-shuffle linearity
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextStats.stripMarkup(col("text")).as("clean"))
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -240,7 +256,8 @@ object Scaling {
       "decontaminate" -> decontaminate, "bpe_apply" -> bpeApply,
       "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets,
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
-      "source_overlap" -> sourceOverlap)
+      "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
+      "html_strip" -> htmlStrip)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
