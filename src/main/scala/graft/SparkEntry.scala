@@ -2175,6 +2175,34 @@ object SparkEntry {
             length(TextStats.stripMarkup(col("page")))).as("n_stripped"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- Corpus ops: Unicode NFC canonicalization -----------------------
+    // Dedup-prep normalization: composed (U+00E9) and decomposed
+    // (e + U+0301) spellings are byte-different, so every fingerprint
+    // operator treats them as distinct docs until NFC'd. The fixture
+    // text is ASCII, so the round-trip synthesizes the interesting
+    // cases: a decomposed-diacritic suffix (must compose), the composed
+    // twin (already NFC — byte-identical passthrough), and decomposed
+    // Hangul jamo (L+V must compose to the syllable). DuckDB's
+    // nfc_normalize implements the same public Unicode algorithm, so
+    // the normalized TEXT (not just flags) is hash-checked.
+    "q107_nfc_normalize" -> ((s, dir) => {
+      val t = col("text")
+      val mixed = when(col("doc_id") % 4 === 0,
+          concat(t, lit(" cafe\u0301")))   // decomposed e + combining acute
+        .when(col("doc_id") % 4 === 1,
+          concat(t, lit(" caf\u00e9")))     // composed e-acute (already NFC)
+        .when(col("doc_id") % 4 === 2,
+          concat(t, lit(" \u1100\u1161")))  // Hangul jamo L+V -> U+AC00
+        .otherwise(t)                       // pure-ASCII fast path
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), mixed.as("mixed"))
+        .select(col("doc_id"),
+          TextStats.nfc(col("mixed")).as("norm_text"),
+          (!(TextStats.nfc(col("mixed")) <=> col("mixed")))
+            .cast("long").as("changed"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4126,6 +4154,24 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(page) - length(clean_text) AS INTEGER) AS n_stripped
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The identical mixed-form synthesis (chr() codepoints = the Spark
+    // side's \\u escapes) normalized by DuckDB's nfc_normalize — the
+    // same public Unicode canonical-composition algorithm the JDK
+    // Normalizer implements; the normalized TEXT is hash-compared, so
+    // any algorithmic divergence would surface. NULL: IS DISTINCT FROM
+    // mirrors the null-safe <=> so changed stays 0.
+    "q107_nfc_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769)
+        |       WHEN doc_id % 4 = 1 THEN text || ' caf' || chr(233)
+        |       WHEN doc_id % 4 = 2 THEN text || ' ' || chr(4352) || chr(4449)
+        |       ELSE text END AS mixed
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(mixed) AS norm_text,
+        |  CAST(CASE WHEN nfc_normalize(mixed) IS DISTINCT FROM mixed
+        |       THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q32's batch sessionization IS the streaming contract (the
     // q63/q71 batch-equivalence discipline): gap >= 30 min breaks a

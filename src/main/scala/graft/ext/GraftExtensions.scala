@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("tokens_ws"),
       new ExpressionInfo(classOf[TokensExpr].getName, "tokens_ws"),
       (children: Seq[Expression]) => TokensExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcExpr].getName, "nfc"),
+      (children: Seq[Expression]) => NfcExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("count_in"),
       new ExpressionInfo(classOf[CountInExpr].getName, "count_in"),

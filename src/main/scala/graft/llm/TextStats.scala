@@ -16,6 +16,11 @@ object TextStats {
     * lambda interpreted per token on every text operator. */
   def tokens(text: Column): Column = call_function("tokens_ws", text)
 
+  /** Unicode NFC canonicalization (graft.parse.NfcExpr) — run BEFORE any
+    * content-identity hash: composed and decomposed spellings of the
+    * same text are byte-different until normalized. ASCII fast path. */
+  def nfc(text: Column): Column = call_function("nfc", text)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish subword proxy: counts alnum runs + individual non-alnum

@@ -187,6 +187,60 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_ws"
 }
 
+/** Unicode NFC normalization — the canonicalization a dedup/fingerprint
+  * pipeline runs BEFORE hashing: composed ("é" U+00E9) and decomposed
+  * ("e"+U+0301) spellings of the same text are byte-different, so every
+  * content-identity operator (exact dedup, MinHash, rolling fingerprints,
+  * the snapshot diff) silently treats them as distinct documents until
+  * normalized. Canonical composition only (NFC), NOT NFKC — compatibility
+  * folding ("ﬁ"→"fi") is lossy and a corpus-policy decision, not a
+  * canonicalization. Delegates to `java.text.Normalizer` (the JDK's
+  * implementation of the public Unicode standard; DuckDB's
+  * `nfc_normalize` implements the same algorithm — cross-engine-exact,
+  * which the q107 oracle exercises on synthesized decomposed text). The
+  * ASCII-only fast path skips the Normalizer entirely — real corpora are
+  * dominated by ASCII runs and NFC is the identity on them. */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcExpr.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.parse.NfcExpr.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc"
+}
+
+object NfcExpr {
+  def nfc(s: UTF8String): UTF8String = {
+    // ASCII fast path: NFC is the identity below U+0080; UTF8String
+    // knows byte-level ASCII-ness without decoding
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if (bytes(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TokensExpr {
   def tokens(s: UTF8String): ArrayData = {
     val str = s.toString

@@ -107,4 +107,21 @@ class TextStatsSpec extends AnyFunSuite {
       .select(TextStats.stripMarkup(col("html"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("nfc: composes decomposed forms, identity on NFC/ASCII, null-safe") {
+    val cases = Seq(
+      (0L, "cafe\u0301", "caf\u00e9"),            // e + combining acute
+      (1L, "caf\u00e9", "caf\u00e9"),             // already composed
+      (2L, "\u1100\u1161", "\uac00"),            // Hangul jamo L+V
+      (3L, "plain ascii", "plain ascii"),
+      (4L, "", ""))
+      .toDF("id", "in", "want")
+    val out = cases.select(col("id"), TextStats.nfc(col("in")).as("got"),
+        col("want"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, got, want) => assert(got === want, s"case $id") }
+    val n = Seq((1L, (null: String))).toDF("id", "t")
+      .select(TextStats.nfc(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
