@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -48,6 +48,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc"),
       new ExpressionInfo(classOf[NfcExpr].getName, "nfc"),
       (children: Seq[Expression]) => NfcExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable &&
+          children(2).foldable,
+          "bpe_apply(sanitized_text, array(pairLeft...) literal, array(pairRight...) literal)")
+        def strs(e: Expression): Seq[String] = {
+          val arr = e.eval()
+          require(arr != null, "bpe_apply: merge arrays must not be NULL")
+          val ad = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+        }
+        val a = strs(children(1)); val b = strs(children(2))
+        require(a.length == b.length,
+          "bpe_apply: merge halves must align")
+        BpeApplyExpr(children.head, a.zip(b))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("count_in"),
       new ExpressionInfo(classOf[CountInExpr].getName, "count_in"),

@@ -103,10 +103,24 @@ object Bpe {
   }
 
   /** Tokenize `text` with the learned merges: returns the space-joined
-    * BPE token sequence (flat across words, classic output shape). A
-    * single codegen'd projection — the merge fold is `rules.size`
-    * `replace` kernels over the bracketed encoding. */
-  def applyBpe(text: Column, merges: Merges): Column = {
+    * BPE token sequence (flat across words, classic output shape). ONE
+    * codegen'd kernel pass (graft.parse.BpeApplyExpr): per word, the
+    * textbook ordered symbol-merge loop — O(rules x word symbols) over
+    * the raw text, vs the replace-fold's `rules.size` full-string scans
+    * of a 3x bracketed encoding. The fold ([[applyBpeFold]]) remains the
+    * cross-engine SPECIFICATION — the q76 oracle replays it as a
+    * recursive CTE — and BpeSpec property-tests kernel == fold on
+    * random text under random fitted merge tables. */
+  def applyBpe(text: Column, merges: Merges): Column =
+    call_function("bpe_apply", sanitize(text),
+      array(merges.rules.map(r => lit(r._1)): _*),
+      array(merges.rules.map(r => lit(r._2)): _*))
+
+  /** The replace-fold formulation — the oracle-replayable reference
+    * [[applyBpe]] is property-tested against. A word becomes one
+    * bracketed symbol per char and each merge is a plain string
+    * replacement (see the object scaladoc). */
+  private[llm] def applyBpeFold(text: Column, merges: Merges): Column = {
     // per word: one bracketed symbol per char -> [t][h][e]
     val bracketed = transform(words(text),
       w => array_join(transform(split(w, ""), c => concat(lit("["), c, lit("]"))), ""))

@@ -93,4 +93,28 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(n(1L) === got(1L).split(" ").length.toLong && n(2L) === 0L)
   }
+
+  test("kernel apply equals the replace-fold SPEC on random text + merges") {
+    // the fold is what the q76 oracle replays; the kernel must be the
+    // identical function on arbitrary input: brackets (stripped by the
+    // shared sanitize), unicode, case, whitespace runs, empties
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde é日[ ]A"
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, (0 until len)
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (nm <- Seq(0, 1, 7, 32)) {
+      val m = Bpe.fit(df, "text", numMerges = nm)
+      val both = df.select(col("doc_id"),
+          Bpe.applyBpe(col("text"), m).as("kernel"),
+          Bpe.applyBpeFold(col("text"), m).as("fold"))
+        .as[(Long, String, String)].collect()
+      both.foreach { case (id, k, f) =>
+        assert(k === f, s"numMerges=$nm doc $id: kernel '$k' != fold '$f'")
+      }
+    }
+  }
 }
