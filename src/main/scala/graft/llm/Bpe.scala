@@ -133,14 +133,17 @@ object Bpe {
     val flat = call_function("replace",
       call_function("replace", merged, lit("] ["), lit("][")),
       lit("]["), lit(" "))
+    // NULL propagates (kernel contract: nullSafeEval); '' stays ''
     when(length(flat) > 0,
       call_function("replace",
         call_function("replace", flat, lit("["), lit("")),
         lit("]"), lit("")))
-      .otherwise(lit(""))
+      .when(flat.isNotNull, lit(""))
   }
 
-  /** BPE token count under the merges — `size(split)` on the flat form. */
+  /** BPE token count under the merges — `size(split)` on the flat form.
+    * NULL text -> NULL count (applyBpe null-propagates, so the
+    * `when`/`split`/`size` chain does too). */
   def tokenCount(text: Column, merges: Merges): Column = {
     val t = applyBpe(text, merges)
     when(length(t) === 0, lit(0L))

@@ -644,23 +644,6 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Pairwise cross-GROUP n-gram overlap — the corpus diversity audit a
-    * mixture designer reads before setting source weights (and the
-    * source-level analogue of [[decontaminate]]'s doc-level question):
-    * for every pair of groups (sources, snapshots, languages), the
-    * Jaccard overlap of their distinct token k-shingle SETS. High
-    * overlap between two sources means double-weighting near-identical
-    * content; near-zero overlap against the rest flags an outlier
-    * source worth inspecting.
-    *
-    * Shape: distinct (group, shingle) — one shuffle — then a shingle-
-    * keyed self-join. After the distinct, a shingle appears in at most
-    * G rows (G = #groups), so the join fans out to at most C(G,2) pairs
-    * per shingle VALUE — the all-pairs blowup is structurally capped by
-    * the group count, no df cap needed (contrast [[contaminationPairs]],
-    * where one side is per-document). The G-row size table broadcast-
-    * crosses with itself to keep zero-intersection pairs in the output
-    * (documented broadcast NLJ — G² rows, PlanAuditSpec allowlist). */
   /** Corpus snapshot diff — the CDC-style audit between two versions of
     * an evolving corpus (nightly crawl vs yesterday's, a re-ingest vs
     * the published set): every doc id classified `added` / `removed` /
@@ -686,6 +669,23 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Pairwise cross-GROUP n-gram overlap — the corpus diversity audit a
+    * mixture designer reads before setting source weights (and the
+    * source-level analogue of [[decontaminate]]'s doc-level question):
+    * for every pair of groups (sources, snapshots, languages), the
+    * Jaccard overlap of their distinct token k-shingle SETS. High
+    * overlap between two sources means double-weighting near-identical
+    * content; near-zero overlap against the rest flags an outlier
+    * source worth inspecting.
+    *
+    * Shape: distinct (group, shingle) — one shuffle — then a shingle-
+    * keyed self-join. After the distinct, a shingle appears in at most
+    * G rows (G = #groups), so the join fans out to at most C(G,2) pairs
+    * per shingle VALUE — the all-pairs blowup is structurally capped by
+    * the group count, no df cap needed (contrast [[contaminationPairs]],
+    * where one side is per-document). The G-row size table broadcast-
+    * crosses with itself to keep zero-intersection pairs in the output
+    * (documented broadcast NLJ — G² rows, PlanAuditSpec allowlist). */
   def crossGroupOverlap(docs: DataFrame, groupCol: String, text: String,
                         k: Int): DataFrame = {
     val sh = docs

@@ -23,10 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract: the INPUT is already sanitized (lowercased, bracket chars
   * stripped — `Bpe.sanitize`); words are single-space-separated tokens
-  * (empties dropped, the TokensExpr rule); word symbols are UTF-16 code
-  * units, exactly the fold's `split(w, "")` semantics. Merges never
-  * cross words — merge k's pair only contains symbols produced by
-  * merges < k, so one ordered pass per rule is exact BPE. */
+  * (empties dropped, the TokensExpr rule); word symbols are Unicode
+  * CODE POINTS — exactly the fold's `split(w, "")` semantics
+  * (UTF8String.split with an empty pattern iterates whole UTF-8 code
+  * points, keeping e.g. an emoji as ONE symbol) and the q76 oracle's
+  * per-code-point slicing. The symbol loop therefore walks
+  * `codePointAt`/`Character.charCount`, never bare `charAt` (which
+  * would shear supplementary-plane characters into lone surrogates
+  * that UTF8String.fromString re-encodes as '?'). Merges never cross
+  * words — merge k's pair only contains symbols produced by merges
+  * < k, so one ordered pass per rule is exact BPE. NULL propagates
+  * (UnaryExpression default), and the fold spec matches. */
 case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
     extends UnaryExpression {
 
@@ -55,11 +62,15 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
       if (i > start) {
         val wl = i - start
         if (wl > syms.length) syms = new Array[String](wl)
-        var j = 0
-        while (j < wl) {
-          syms(j) = String.valueOf(str.charAt(start + j)); j += 1
+        // one symbol per CODE POINT (wl code units is an upper bound)
+        var j = start
+        var len = 0
+        while (j < i) {
+          val cc = Character.charCount(str.codePointAt(j))
+          syms(len) = str.substring(j, j + cc)
+          len += 1
+          j += cc
         }
-        var len = wl
         var r = 0
         while (r < ruleA.length && len > 1) {
           val a = ruleA(r); val b = ruleB(r)

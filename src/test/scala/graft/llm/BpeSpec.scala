@@ -97,23 +97,31 @@ class BpeSpec extends AnyFunSuite {
   test("kernel apply equals the replace-fold SPEC on random text + merges") {
     // the fold is what the q76 oracle replays; the kernel must be the
     // identical function on arbitrary input: brackets (stripped by the
-    // shared sanitize), unicode, case, whitespace runs, empties
+    // shared sanitize), unicode INCLUDING supplementary-plane code
+    // points (one emoji = ONE symbol, never two sheared surrogates),
+    // case, whitespace runs, empties, and NULL (both null-propagate)
     val rnd = new scala.util.Random(42)
-    val alphabet = "abcde é日[ ]A"
+    val alphabet: IndexedSeq[String] =
+      "abcde é日[ ]A".map(_.toString) :+ "😀" :+ "😀"
     val docs = (0 until 60).map { i =>
       val len = rnd.nextInt(40)
       (i.toLong, (0 until len)
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
-    }
+    } :+ (60L -> null.asInstanceOf[String])
     val df = docs.toDF("doc_id", "text")
     for (nm <- Seq(0, 1, 7, 32)) {
-      val m = Bpe.fit(df, "text", numMerges = nm)
+      val m = Bpe.fit(df.filter(col("text").isNotNull), "text",
+        numMerges = nm)
       val both = df.select(col("doc_id"),
           Bpe.applyBpe(col("text"), m).as("kernel"),
           Bpe.applyBpeFold(col("text"), m).as("fold"))
-        .as[(Long, String, String)].collect()
-      both.foreach { case (id, k, f) =>
+        .collect()
+      both.foreach { r =>
+        val (id, k, f) = (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2))
         assert(k === f, s"numMerges=$nm doc $id: kernel '$k' != fold '$f'")
+        if (id == 60L) assert(k == null, "NULL must propagate")
       }
     }
   }
