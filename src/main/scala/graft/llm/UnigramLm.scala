@@ -109,8 +109,13 @@ object UnigramLm {
     * coverage test is exact integer arithmetic
     * (den·cum_before < num·total — a token enters while coverage is
     * still short), no float knife-edge for an oracle to disagree on.
-    * `total` is a driver-sized one-long aggregate re-entering as a plan
-    * literal (the q74/BM25 discipline), and the cumulative mass is the
+    * `total` is a LAZY one-row aggregate broadcast-crossed back onto
+    * the histogram ([[fit]]'s own discipline — fit's doc comment names
+    * the eager `head()` total as the shape it replaced: a driver action
+    * that runs the full scan→explode→groupBy a second time, so the
+    * corpus would be tokenized TWICE; here all consumers sit on the one
+    * histogram exchange and ReuseExchange tokenizes once), and the
+    * cumulative mass is the
     * q65/q86 distributed prefix sum, NOT one global window (a web-scale
     * histogram has ~10^8-10^9 distinct tokens — one sort partition would
     * serialize it): tokens range-bucket by length(bin(c)) — exact
@@ -123,8 +128,7 @@ object UnigramLm {
     val hist = docs
       .select(explode(TextStats.tokens(lower(col(text)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = Option(hist.agg(sum("c")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val total = hist.agg(sum("c").as("__total"))
     val bucketed = hist.withColumn("__b", length(bin(col("c"))))
     val offsets = bucketed.groupBy("__b").agg(sum("c").as("__bc"))
       .withColumn("__off", coalesce(sum(col("__bc")).over(
@@ -134,9 +138,10 @@ object UnigramLm {
     val wb = Window.partitionBy("__b").orderBy(desc("c"), asc("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offsets), Seq("__b"))
+      .crossJoin(broadcast(total))
       .withColumn("cum", sum("c").over(wb) + col("__off"))
       .filter(lit(den.toLong) * (col("cum") - col("c")) <
-        lit(num.toLong) * lit(total))
+        lit(num.toLong) * col("__total"))
       .select("tok")
   }
 

@@ -40,13 +40,31 @@ object Categorify {
           .drop(s"__${c}_val", s"__${c}_idx")
       }
 
+    /** Sharded write — a web-scale vocabulary (item_id: ~1.84 M distinct
+      * at reference scale, ~100× that at the design bar) must not funnel
+      * through one `coalesce(1)` task; files stay bounded via
+      * maxRecordsPerFile and AQE coalesces the small shuffles. */
     def save(path: String): Unit =
       lookups.foreach { case (c, lut) =>
-        lut.coalesce(1).write.mode("overwrite").parquet(s"$path/$c")
+        lut.write.mode("overwrite")
+          .option("maxRecordsPerFile", (4 << 20).toString)
+          .parquet(s"$path/$c")
       }
   }
 
-  /** Single-pass multi-column frequency fit. */
+  /** Single-pass multi-column frequency fit.
+    *
+    * Ranking shape: a naive `Window.partitionBy(column)` puts each
+    * column's ENTIRE vocabulary in one sort partition (~184 M rows for a
+    * 100×-scaled item_id — a single-task serialization). Instead the
+    * q65/q86/coverageVocab distributed prefix-sum: bucket rows by
+    * `length(bin(count))` — exact integer log2, so within a column
+    * (bucket desc, count desc, value asc) IS the global
+    * (count desc, value asc) order — rank inside the (column, bucket)
+    * partition, and add a broadcast per-(column, bucket) row-count
+    * offset (≤64 buckets × #columns rows). Fully parallel; the only
+    * driver materialization is the #columns-row size map off the cached
+    * lookup table. */
   def fit(df: DataFrame, cols: Seq[String]): Model = {
     // Melt: one (col, value) row per cell, then a single groupBy computes all
     // vocabularies together. Nulls are excluded (StringIndexer drops them).
@@ -56,13 +74,24 @@ object Categorify {
         array(cols.map(c => col(c).cast("string")): _*))).as(Seq("c", "value")))
       .filter(col("value").isNotNull)
     val freq = pairs.groupBy("c", "value").count()
-    val w = Window.partitionBy("c").orderBy(desc("count"), asc("value"))
-    val indexed = freq
-      .withColumn("idx", row_number().over(w).cast("long") - 1)
+    val bucketed = freq.withColumn("__b", length(bin(col("count"))))
+    // per-(column, bucket) row counts -> rank offsets; the window runs
+    // over ≤64 rows per column, never over the vocabulary itself
+    val offsets = bucketed.groupBy("c", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy("c").orderBy(desc("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("c", "__b", "__off")
+    val wb = Window.partitionBy("c", "__b")
+      .orderBy(desc("count"), asc("value"))
+    val indexed = bucketed.join(broadcast(offsets), Seq("c", "__b"))
+      .withColumn("idx",
+        row_number().over(wb).cast("long") - 1 + col("__off"))
       .select("c", "value", "idx")
       .cache()
     val lookups = cols.map(c =>
       c -> indexed.filter(col("c") === c).select("value", "idx")).toMap
+    // distributed agg over the CACHED lookup table; #columns-row result
     val sizes = indexed.groupBy("c").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Model(lookups, cols.map(c => c -> sizes.getOrElse(c, 0L)).toMap)
@@ -76,12 +105,24 @@ object Categorify {
 
   /** Pure-column variant for a single column when the vocabulary must stay
     * in-plan (used by oracle-checked queries): returns (df with idx column).
-    * Same semantics as fit+transform but expressed as one windowed join. */
+    * Same semantics as fit+transform but expressed as one in-plan join.
+    * Same bucketed prefix-sum ranking as [[fit]] — no fully-global
+    * `Window.orderBy` (that would sort the whole vocabulary in one
+    * task); the only single-partition window left runs over the ≤64-row
+    * bucket table. */
   def indexColumn(df: DataFrame, c: String, as: String): DataFrame = {
     val freq = df.filter(col(c).isNotNull)
       .groupBy(col(c).cast("string").as("__v")).count()
-    val w = Window.orderBy(desc("count"), asc("__v"))
-    val lut = freq.withColumn(as, row_number().over(w).cast("long") - 1)
+    val bucketed = freq.withColumn("__b", length(bin(col("count"))))
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(desc("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val wb = Window.partitionBy("__b").orderBy(desc("count"), asc("__v"))
+    val lut = bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn(as,
+        row_number().over(wb).cast("long") - 1 + col("__off"))
       .select("__v", as)
     df.join(broadcast(lut), df(c).cast("string") === lut("__v"), "left")
       .drop("__v")

@@ -36,12 +36,16 @@ class PlanAuditSpec extends AnyFunSuite {
     *     overlap matrix.
     *   - q105: two UnigramLm.fits, each with the one-row broadcast total
     *     (the q79 lazy-denominator shape).
+    *   - q88: coverageVocab's one-row broadcast token-mass total (same
+    *     lazy-denominator shape as q79 — replaced the eager head() that
+    *     tokenized the corpus twice).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
-    "q100_class_route", "q102_source_overlap", "q105_vocab_drift")
+    "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
+    "q88_vocab_coverage")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

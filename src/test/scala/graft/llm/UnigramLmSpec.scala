@@ -78,6 +78,20 @@ class UnigramLmSpec extends AnyFunSuite {
       .as[String].collect().toSet === Set("a"))
   }
 
+  test("coverageVocab tokenizes the corpus once (runtime exchange reuse)") {
+    // the lazy one-row total must share the token-histogram exchange with
+    // the main query — the eager head() shape this replaced ran the whole
+    // scan->explode->groupBy twice, and nothing in the result would show it
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val v = UnigramLm.coverageVocab(docs, "text", num = 9, den = 10)
+    v.collect()
+    val ex = v.queryExecution.executedPlan.toString
+    assert(ex.contains("ReusedQueryStage") || ex.contains("ReusedExchange"),
+      s"no runtime exchange reuse in:\n$ex")
+  }
+
   test("dsirWeights: likelihood ratio from one pass matches score twice") {
     val docs = Seq(
       (1L, "a a a b", "tgt"), (2L, "b b c", "tgt"),
