@@ -1,0 +1,634 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG (JFIF/T.81) decoder — a REAL pixel decoder (not
+  * a stub): the full marker walk (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped),
+  * canonical Huffman entropy decoding with byte-unstuffing and restart
+  * markers, dequantization, an integer inverse DCT, sampling-factor
+  * chroma upsampling, and fixed-point YCbCr→RGB conversion. Baseline
+  * sequential JPEG is a public-spec, dependency-free algorithm — unlike
+  * perceptual codecs (H.264/Opus) it needs no codec library, which is why
+  * web-crawl image ingestion (overwhelmingly JPEG) belongs on the real
+  * path next to [[Png]].
+  *
+  * SCOPE: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit
+  * precision, 1 component (grayscale) or 3 components (YCbCr), sampling
+  * factors 1..4 with replication upsampling, restart intervals, one
+  * interleaved scan (or a single-component scan). Progressive (SOF2),
+  * arithmetic coding, 12-bit precision, and CMYK throw with a clear
+  * message — the decode operator maps that to an `ok=false` row, never a
+  * task failure.
+  *
+  * DETERMINISM CONTRACT (what an external oracle can replay exactly):
+  *  - IDCT: a two-pass separable integer transform over a 13-bit scaled
+  *    cosine table `C13(u)(x) = round(s(u)·cos((2x+1)uπ/16)·8192)`,
+  *    s(0)=1/√8, s(u)=1/2. Pass 1 descales by `(acc + 1024) >> 11`,
+  *    pass 2 by `(acc + 16384) >> 15`, then +128 level shift and clamp.
+  *    For a DC-only block every pixel is exactly
+  *    `clamp(128 + ((2896·((2896·d + 1024) >> 11) + 16384) >> 15))`
+  *    with `d` the dequantized DC — pure integer arithmetic an oracle
+  *    replays in SQL (q108).
+  *  - Upsampling: pure replication — chroma sample at
+  *    `(x·h/hMax, y·v/vMax)` (floor).
+  *  - Color: libjpeg-style 16-bit fixed point, half-up —
+  *    `r = y + ((91881·cr' + 32768) >> 16)`,
+  *    `g = y - ((22554·cb' + 46802·cr' + 32768) >> 16)`,
+  *    `b = y + ((116130·cb' + 32768) >> 16)` with cb'/cr' centered at 0,
+  *    each clamped to [0, 255].
+  * `JpegSpec` cross-checks general decode against the JDK's ImageIO
+  * reader (an independent libjpeg-lineage implementation; IDCTs may
+  * legally differ by ±1-2 per pixel) and the DC-only path bit-exactly.
+  *
+  * The matching [[encodeDcOnly]] synthesizes spec-conformant DC-only
+  * fixtures COEFFICIENT-side (no forward DCT — the encoder writes chosen
+  * quantized coefficients directly), so fixture pixels follow the closed
+  * form above and every stage the decoder runs — table parse, canonical
+  * Huffman decode, DC prediction (and its restart-marker reset),
+  * dequantization, IDCT, upsampling, color conversion — is verified
+  * end-to-end by arithmetic an external engine recomputes.
+  *
+  * Reference behavior modeled on the image-bytes columns of
+  * /root/reference/data_processing (multimodal payload plumbing); the
+  * codec itself follows the public T.81/JFIF spec only.
+  */
+object Jpeg {
+
+  /** Same hard allocation ceiling as [[Png.MaxRasterBytes]]: header-driven
+    * allocations (component planes + output raster) must stay bounded no
+    * matter what a crafted SOF claims. */
+  val MaxRasterBytes: Long = Png.MaxRasterBytes
+
+  // zigzag scan position -> natural (row-major) coefficient index, T.81 §A.3.6
+  private[multimodal] val NaturalOrder: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** 13-bit scaled IDCT cosine table (see determinism contract). */
+  private val C13: Array[Array[Int]] = Array.tabulate(8, 8) { (u, x) =>
+    val s = if (u == 0) 1.0 / math.sqrt(8.0) else 0.5
+    math.round(s * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 8192.0).toInt
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Canonical Huffman decode table (T.81 F.2.2.3): per code length
+    * 1..16, the smallest/largest code and the index of its first value. */
+  private final class Huff(counts: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length, "DHT counts/values mismatch")
+    }
+    def value(l: Int, code: Int): Int = vals(valPtr(l) + code - minCode(l))
+  }
+
+  /** Entropy-segment bit reader: byte-stuffing (FF 00 -> FF datum),
+    * restart-marker alignment, hard failure on truncation or a stray
+    * marker mid-data (a crafted payload must throw, never spin). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def bit(): Int = {
+      if (cnt == 0) fill()
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    private def fill(): Unit = {
+      require(pos < b.length, "truncated entropy-coded data")
+      var v = b(pos) & 0xff; pos += 1
+      if (v == 0xff) {
+        require(pos < b.length, "truncated entropy-coded data after 0xFF")
+        val m = b(pos) & 0xff
+        if (m == 0x00) pos += 1
+        else throw new IllegalArgumentException(
+          f"marker 0xFF$m%02X inside entropy-coded data")
+      }
+      buf = v; cnt = 8
+    }
+    def expectRst(n: Int): Unit = {
+      cnt = 0 // byte-align, discard pad bits
+      require(pos + 2 <= b.length, "truncated at restart marker")
+      val ok = (b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) == (0xd0 + n)
+      require(ok, f"expected RST$n%d, got 0x${b(pos)}%02X${b(pos + 1)}%02X")
+      pos += 2
+    }
+  }
+
+  /** T.81 EXTEND (F.2.2.1): map an s-bit magnitude code to its signed
+    * coefficient value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a baseline JPEG byte array to its raw pixel raster (gray:
+    * 1 channel; color: interleaved RGB). Throws IllegalArgumentException
+    * on malformed/unsupported input — a decode operator maps that to a
+    * null row, never a task failure. */
+  def decode(jpeg: Array[Byte]): Png.Image = {
+    require(jpeg.length >= 4 &&
+      (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG: bad SOI")
+    val qt = new Array[Array[Int]](4)
+    val dcTab = new Array[Huff](4)
+    val acTab = new Array[Huff](4)
+    var width = -1; var height = -1
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+    var off = 2
+    while (true) {
+      require(off + 2 <= jpeg.length, "truncated JPEG: no SOS before EOF")
+      require((jpeg(off) & 0xff) == 0xff, f"expected marker at $off%d")
+      var m = jpeg(off + 1) & 0xff
+      while (m == 0xff) { // fill bytes
+        off += 1
+        require(off + 2 <= jpeg.length, "truncated JPEG in fill bytes")
+        m = jpeg(off + 1) & 0xff
+      }
+      off += 2
+      m match {
+        case 0xd9 => // EOI before SOS
+          throw new IllegalArgumentException("EOI before any scan")
+        case 0xd8 =>
+          throw new IllegalArgumentException("unexpected second SOI")
+        case 0x01 => () // TEM, standalone
+        case rst if rst >= 0xd0 && rst <= 0xd7 =>
+          throw new IllegalArgumentException("stray RST marker outside scan")
+        case _ =>
+          require(off + 2 <= jpeg.length, "truncated marker segment")
+          val len = u16(jpeg, off)
+          require(len >= 2 && off + len <= jpeg.length,
+            f"truncated segment for marker 0xFF$m%02X")
+          val body = off + 2
+          val end = off + len
+          m match {
+            case 0xdb => // DQT — one or more tables
+              var p = body
+              while (p < end) {
+                val pq = (jpeg(p) & 0xff) >> 4
+                val tq = jpeg(p) & 0x0f
+                require(pq == 0, "16-bit quant tables unsupported (8-bit only)")
+                require(p + 65 <= end, "truncated DQT")
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(i) = jpeg(p + 1 + i) & 0xff; i += 1 }
+                qt(tq) = t // zigzag order, as stored
+                p += 65
+              }
+            case 0xc4 => // DHT — one or more tables
+              var p = body
+              while (p < end) {
+                require(p + 17 <= end, "truncated DHT")
+                val tc = (jpeg(p) & 0xff) >> 4
+                val th = jpeg(p) & 0x0f
+                require(tc <= 1, s"bad DHT class $tc")
+                val counts = new Array[Int](16)
+                var n = 0
+                var i = 0
+                while (i < 16) { counts(i) = jpeg(p + 1 + i) & 0xff; n += counts(i); i += 1 }
+                require(n <= 256 && p + 17 + n <= end, "truncated DHT values")
+                val vals = new Array[Int](n)
+                i = 0
+                while (i < n) { vals(i) = jpeg(p + 17 + i) & 0xff; i += 1 }
+                val h = new Huff(counts, vals)
+                if (tc == 0) dcTab(th) = h else acTab(th) = h
+                p += 17 + n
+              }
+            case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+              require(comps == null, "multiple SOF segments")
+              require(len >= 8, "SOF too short")
+              val prec = jpeg(body) & 0xff
+              require(prec == 8, s"precision $prec unsupported (8-bit only)")
+              height = u16(jpeg, body + 1)
+              width = u16(jpeg, body + 3)
+              val nc = jpeg(body + 5) & 0xff
+              require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+              require(nc == 1 || nc == 3,
+                s"$nc components unsupported (grayscale or YCbCr only)")
+              require(len == 8 + 3 * nc, "SOF length mismatch")
+              comps = Array.tabulate(nc) { i =>
+                val p = body + 6 + 3 * i
+                val id = jpeg(p) & 0xff
+                val hh = (jpeg(p + 1) & 0xff) >> 4
+                val vv = jpeg(p + 1) & 0x0f
+                val tq = jpeg(p + 2) & 0xff
+                require(hh >= 1 && hh <= 4 && vv >= 1 && vv <= 4,
+                  s"sampling ${hh}x$vv out of range")
+                require(tq <= 3, s"bad quant table id $tq")
+                Comp(id, hh, vv, tq)
+              }
+            case 0xc2 =>
+              throw new IllegalArgumentException(
+                "progressive JPEG (SOF2) unsupported — baseline only")
+            case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 && sof != 0xcc =>
+              throw new IllegalArgumentException(
+                f"SOF 0xFF$sof%02X unsupported — baseline only")
+            case 0xdd =>
+              require(len == 4, "bad DRI length")
+              restartInterval = u16(jpeg, body)
+            case 0xda => // SOS — decode the scan and return
+              require(comps != null, "SOS before SOF")
+              val ns = jpeg(body) & 0xff
+              require(ns == comps.length,
+                s"scan has $ns components, frame has ${comps.length} " +
+                  "(multi-scan files unsupported)")
+              require(len == 6 + 2 * ns, "SOS length mismatch")
+              val scanDc = new Array[Huff](ns)
+              val scanAc = new Array[Huff](ns)
+              var i = 0
+              while (i < ns) {
+                val cs = jpeg(body + 1 + 2 * i) & 0xff
+                val td = (jpeg(body + 2 + 2 * i) & 0xff) >> 4
+                val ta = jpeg(body + 2 + 2 * i) & 0x0f
+                val ci = comps.indexWhere(_.id == cs)
+                require(ci == i, s"scan component order mismatch (id $cs)")
+                require(td <= 3 && ta <= 3, "bad Huffman table id")
+                scanDc(i) = dcTab(td); scanAc(i) = acTab(ta)
+                require(scanDc(i) != null && scanAc(i) != null,
+                  s"scan references missing Huffman table ($td/$ta)")
+                i += 1
+              }
+              comps.foreach(c => require(qt(c.tq) != null,
+                s"missing quant table ${c.tq}"))
+              return decodeScan(jpeg, end, width, height, comps,
+                scanDc, scanAc, qt, restartInterval)
+            case _ => () // APPn, COM, ancillary — skipped
+          }
+          off = end
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Integer IDCT per the determinism contract; `coef` natural order
+    * (already dequantized), `out` row-major spatial [0,255]. */
+  private def idct(coef: Array[Int], tmp: Array[Int], out: Array[Int]): Unit = {
+    var u = 0
+    while (u < 8) { // pass 1: one coefficient column -> spatial rows
+      var y = 0
+      while (y < 8) {
+        var acc = 0L
+        var v = 0
+        while (v < 8) { acc += C13(v)(y).toLong * coef(v * 8 + u); v += 1 }
+        tmp(y * 8 + u) = ((acc + 1024L) >> 11).toInt
+        y += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) { // pass 2: rows
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var u2 = 0
+        while (u2 < 8) { acc += C13(u2)(x).toLong * tmp(y * 8 + u2); u2 += 1 }
+        var p = (((acc + 16384L) >> 15) + 128L).toInt
+        if (p < 0) p = 0 else if (p > 255) p = 255
+        out(y * 8 + x) = p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def decodeScan(b: Array[Byte], dataOff: Int, width: Int,
+                         height: Int, comps: Array[Comp],
+                         scanDc: Array[Huff], scanAc: Array[Huff],
+                         qt: Array[Array[Int]],
+                         restartInterval: Int): Png.Image = {
+    val nc = comps.length
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    // Single-component scans are never interleaved (T.81 A.2.2): the MCU
+    // is one block and sampling factors don't enter the geometry.
+    val (mcusX, mcusY, effH, effV) =
+      if (nc == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+      else (
+        (width + 8 * hMax - 1) / (8 * hMax),
+        (height + 8 * vMax - 1) / (8 * vMax),
+        comps.map(_.h), comps.map(_.v))
+    // All header-driven allocations bounded BEFORE any new Array (the Png
+    // poison lesson): component planes plus the output raster.
+    var planeBytes = 0L
+    val planeW = new Array[Int](nc)
+    val planeH = new Array[Int](nc)
+    var ci = 0
+    while (ci < nc) {
+      planeW(ci) = Math.multiplyExact(mcusX * effH(ci), 8)
+      planeH(ci) = Math.multiplyExact(mcusY * effV(ci), 8)
+      planeBytes += Math.multiplyExact(planeW(ci).toLong, planeH(ci).toLong)
+      ci += 1
+    }
+    val outBytes = Math.multiplyExact(
+      Math.multiplyExact(width.toLong, height.toLong),
+      (if (nc == 1) 1 else 3).toLong)
+    require(planeBytes + outBytes <= MaxRasterBytes,
+      s"raster ${width}x$height ($planeBytes + $outBytes bytes) exceeds " +
+        s"$MaxRasterBytes-byte cap")
+    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
+    val pred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Int](64)
+    val px = new Array[Int](64)
+    val reader = new BitReader(b, dataOff)
+    var rstIdx = 0
+    var mcu = 0
+    val nMcus = mcusX.toLong * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        reader.expectRst(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = (mcu % mcusX).toInt
+      val my = (mcu / mcusX).toInt
+      ci = 0
+      while (ci < nc) {
+        val q = qt(comps(ci).tq)
+        var v0 = 0
+        while (v0 < effV(ci)) {
+          var h0 = 0
+          while (h0 < effH(ci)) {
+            // ---- one 8x8 block (T.81 F.2.2) ----
+            java.util.Arrays.fill(coef, 0)
+            val t = huffDecode(reader, scanDc(ci))
+            require(t <= 15, s"bad DC category $t")
+            pred(ci) += extend(reader.receive(t), t)
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = huffDecode(reader, scanAc(ci))
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                require(k < 64, "AC coefficient index overflow")
+                coef(NaturalOrder(k)) = extend(reader.receive(s), s) * q(k)
+                k += 1
+              }
+            }
+            idct(coef, tmp, px)
+            // place into the component plane
+            val bx = (mx * effH(ci) + h0) * 8
+            val by = (my * effV(ci) + v0) * 8
+            val stride = planeW(ci)
+            val plane = planes(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowBase = (by + yy) * stride + bx
+              while (xx < 8) {
+                plane(rowBase + xx) = px(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            h0 += 1
+          }
+          v0 += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // assemble: crop planes, upsample by replication, convert color
+    if (nc == 1) {
+      val out = new Array[Byte](width * height)
+      val stride = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * stride, out, y * width, width)
+        y += 1
+      }
+      Png.Image(width, height, 1, out)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < height) {
+        val yRow = (y * cy.v / vMax) * planeW(0)
+        val bRow = (y * cb.v / vMax) * planeW(1)
+        val rRow = (y * cr.v / vMax) * planeW(2)
+        var x = 0
+        while (x < width) {
+          val yv = planes(0)(yRow + x * cy.h / hMax) & 0xff
+          val cbC = (planes(1)(bRow + x * cb.h / hMax) & 0xff) - 128
+          val crC = (planes(2)(rRow + x * cr.h / hMax) & 0xff) - 128
+          var r = yv + ((91881 * crC + 32768) >> 16)
+          var g = yv - ((22554 * cbC + 46802 * crC + 32768) >> 16)
+          var bl = yv + ((116130 * cbC + 32768) >> 16)
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (bl < 0) bl = 0 else if (bl > 255) bl = 255
+          val d = (y * width + x) * 3
+          out(d) = r.toByte; out(d + 1) = g.toByte; out(d + 2) = bl.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Png.Image(width, height, 3, out)
+    }
+  }
+
+  private def huffDecode(r: BitReader, h: Huff): Int = {
+    var code = r.bit()
+    var l = 1
+    while (code > h.maxCode(l)) {
+      require(l < 16, "invalid Huffman code (no match within 16 bits)")
+      code = (code << 1) | r.bit()
+      l += 1
+    }
+    h.value(l, code)
+  }
+
+  // =========================================================================
+  // Fixture encoder: DC-only, coefficient-domain
+  // =========================================================================
+
+  /** One frame component of a [[encodeDcOnly]] fixture: sampling factors,
+    * quant/Huffman table ids, and the quantized DC coefficient for each
+    * (blockRow, blockCol) — including padding blocks of partial MCUs. */
+  final case class DcComp(h: Int, v: Int, tq: Int, td: Int, ta: Int,
+                          dc: (Int, Int) => Int)
+
+  /** Canonical Huffman ENCODE table from (BITS, HUFFVAL). */
+  private final class HuffEnc(counts: Array[Int], vals: Array[Int]) {
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < counts(l - 1)) {
+          codeOf(vals(k)) = code; lenOf(vals(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy bit writer with byte stuffing; final byte padded with 1s. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) flushByte()
+        i -= 1
+      }
+    }
+    private def flushByte(): Unit = {
+      out.write(buf & 0xff)
+      if ((buf & 0xff) == 0xff) out.write(0x00) // stuffing
+      buf = 0; cnt = 0
+    }
+    def pad(): Unit = if (cnt > 0) { // 1-bit padding per T.81 F.1.2.3
+      while (cnt < 8) { buf = (buf << 1) | 1; cnt += 1 }
+      flushByte()
+    }
+  }
+
+  /** Minimal spec-conformant Huffman tables for the fixture encoder (any
+    * valid DHT works — the decoder reads whatever the file declares):
+    * DC: categories 0..11 as 4-bit codes (0000..1011; 1111 stays unused,
+    * keeping the all-ones code reserved). AC: EOB and ZRL as 2-bit codes. */
+  private val FixtureDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val FixtureDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val FixtureAcBits = Array(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val FixtureAcVals = Array(0x00, 0xf0)
+
+  /** Encode a DC-only baseline JPEG from chosen quantized coefficients:
+    * SOI, DQT (each distinct tq), DHT (each distinct td/ta, fixture
+    * tables), optional DRI, SOF0, SOS, entropy-coded DC-only blocks with
+    * restart markers, EOI. `quant` maps table id -> 64 zigzag-order
+    * entries. Components: 1 (grayscale) or 3 (YCbCr). */
+  def encodeDcOnly(width: Int, height: Int, comps: Seq[DcComp],
+                   quant: Map[Int, Array[Int]],
+                   restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "bad dimensions")
+    require(comps.size == 1 || comps.size == 3, "1 or 3 components")
+    comps.foreach { c =>
+      require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4, "bad sampling")
+      require(quant.contains(c.tq), s"missing quant table ${c.tq}")
+    }
+    quant.values.foreach(q => require(q.length == 64 &&
+      q.forall(v => v >= 1 && v <= 255), "quant entries must be 1..255"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    quant.toSeq.sortBy(_._1).foreach { case (tq, q) =>
+      seg(0xdb, Array(tq) ++ q)
+    }
+    val nc = comps.size
+    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, nc) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Seq(i + 1, (c.h << 4) | c.v, c.tq)
+      })
+    val dcEnc = new HuffEnc(FixtureDcBits, FixtureDcVals)
+    val acEnc = new HuffEnc(FixtureAcBits, FixtureAcVals)
+    comps.map(_.td).distinct.sorted.foreach { td =>
+      seg(0xc4, Array(td) ++ FixtureDcBits ++ FixtureDcVals)
+    }
+    comps.map(_.ta).distinct.sorted.foreach { ta =>
+      seg(0xc4, Array(0x10 | ta) ++ FixtureAcBits ++ FixtureAcVals)
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(nc) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Seq(i + 1, (c.td << 4) | c.ta)
+      } ++ Seq(0, 63, 0))
+    // entropy-coded data — geometry mirrors the decoder exactly
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val (mcusX, mcusY, effH, effV) =
+      if (nc == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+      else (
+        (width + 8 * hMax - 1) / (8 * hMax),
+        (height + 8 * vMax - 1) / (8 * vMax),
+        comps.map(_.h).toArray, comps.map(_.v).toArray)
+    val w = new BitWriter(out)
+    val pred = new Array[Int](nc)
+    var rstIdx = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        w.pad()
+        marker(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < nc) {
+        val c = comps(ci)
+        var v0 = 0
+        while (v0 < effV(ci)) {
+          var h0 = 0
+          while (h0 < effH(ci)) {
+            val dc = c.dc(my * effV(ci) + v0, mx * effH(ci) + h0)
+            // |dc| <= 1023 keeps every DIFF within category 11, the
+            // largest symbol in the fixture DC table
+            require(dc >= -1023 && dc <= 1023, s"DC $dc out of fixture range")
+            val diff = dc - pred(ci)
+            pred(ci) = dc
+            val s = 32 - Integer.numberOfLeadingZeros(diff.abs)
+            w.put(dcEnc.codeOf(s), dcEnc.lenOf(s))
+            if (s > 0)
+              w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            w.put(acEnc.codeOf(0x00), acEnc.lenOf(0x00)) // EOB
+            h0 += 1
+          }
+          v0 += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    w.pad()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** The DC-only closed-form pixel value (determinism contract) — shared
+    * by fixtures, specs, and oracles: `d` is the DEQUANTIZED DC. */
+  def dcOnlyPixel(d: Int): Int = {
+    val p1 = (2896 * d + 1024) >> 11
+    val v = 128 + ((2896 * p1 + 16384) >> 15)
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+}
