@@ -1,25 +1,29 @@
 package graft.multimodal
 
 /** Pure-JVM RIFF/AVI video container codec — a REAL frame decoder (not a
-  * stub) for uncompressed 24-bit DIB video: the full RIFF chunk walk
-  * (`hdrl`→`strl`→`strf`, `movi` frame chunks, ancillary `JUNK`/`idx1`
-  * skipped) plus the DIB raster layout — bottom-up row order, BGR byte
-  * order, rows padded to 4-byte boundaries — normalized to top-down RGB.
-  * Uncompressed DIB needs no codec library (the "decode" is byte layout
-  * plus arithmetic), so, like [[Wav]] and [[Png]], this path carries no
-  * fake anywhere; the matching encoder synthesizes spec-conformant
-  * fixtures. This is the video half of frame sampling
-  * ([[Binary.videoFrames]]): demux + frame decode; inter-frame compressed
-  * codecs (H.264/VP9/MJPEG) genuinely need codec libraries this container
-  * lacks and stay behind [[Binary.frameSampleStub]].
+  * stub) for uncompressed 24-bit DIB video AND Motion-JPEG: the full RIFF
+  * chunk walk (`hdrl`→`strl`→`strf`, `movi` frame chunks, ancillary
+  * `JUNK`/`idx1` skipped) plus per-frame decode — DIB raster layout
+  * (bottom-up rows, BGR bytes, 4-byte row padding) normalized to top-down
+  * RGB, or, for `biCompression='MJPG'`, each frame chunk through the REAL
+  * baseline JPEG decoder ([[Jpeg.decode]]; MJPEG is intra-only — every
+  * frame is an independent baseline JPEG, which is exactly why it needs
+  * no inter-frame codec library). Like [[Wav]] and [[Png]], this path
+  * carries no fake anywhere; the matching encoder synthesizes
+  * spec-conformant fixtures. This is the video half of frame sampling
+  * ([[Binary.videoFrames]]): demux + frame decode; inter-frame codecs
+  * (H.264/VP9) genuinely need codec libraries this container lacks and
+  * stay behind [[Binary.frameSampleStub]].
   *
-  * SCOPE: RIFF form `AVI `, one video stream, `biCompression=0` (BI_RGB),
-  * `biBitCount=24`; positive biHeight (bottom-up, the common layout) and
-  * negative (top-down) both handled. Anything else throws with a clear
-  * message — the decode operator maps that to an `ok=false` row, never a
-  * task failure. Header-driven allocations are overflow-checked in Long
-  * and capped (the [[Png]] poison lesson: a 12-byte payload claiming
-  * 2^30-wide frames must fail fast, not allocate).
+  * SCOPE: RIFF form `AVI `, one video stream, `biCompression=0` (BI_RGB,
+  * `biBitCount=24`) or `'MJPG'` (baseline JPEG frames, gray or YCbCr —
+  * grayscale frames expand to RGB so [[Video]] keeps one shape); positive
+  * biHeight (bottom-up, the common layout) and negative (top-down) both
+  * handled. Anything else throws with a clear message — the decode
+  * operator maps that to an `ok=false` row, never a task failure.
+  * Header-driven allocations are overflow-checked in Long and capped (the
+  * [[Png]] poison lesson: a 12-byte payload claiming 2^30-wide frames
+  * must fail fast, not allocate).
   *
   * Reference behavior modeled on the media-bytes columns of
   * /root/reference/data_processing (multimodal payload plumbing); the
@@ -58,6 +62,7 @@ object Avi {
       "not an AVI: bad RIFF/AVI header")
     var width = -1; var height = -1; var bottomUp = true
     var haveFmt = false
+    var mjpeg = false
     val frames = Array.newBuilder[Array[Byte]]
 
     // Walk one chunk range; LIST chunks recurse into their payload. Only
@@ -89,11 +94,39 @@ object Avi {
             val h = math.abs(hRaw)
             val bits = u16(avi, body + 14)
             val comp = u32(avi, body + 16)
-            require(comp == 0, s"AVI compression $comp unsupported (BI_RGB=0 only)")
-            require(bits == 24, s"bit depth $bits unsupported (24 only)")
+            // biCompression: 0 = BI_RGB, fourcc 'MJPG' (LE) = Motion-JPEG
+            mjpeg = comp == 0x47504a4dL
+            require(comp == 0 || mjpeg,
+              s"AVI compression $comp unsupported (BI_RGB=0 or MJPG only)")
+            require(mjpeg || bits == 24,
+              s"bit depth $bits unsupported (24 only)")
             require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
               s"unreasonable dimensions ${w}x$h")
             width = w; height = h; haveFmt = true
+          case c if c.length == 4 && haveFmt && mjpeg &&
+            (c.endsWith("db") || c.endsWith("dc")) &&
+            c(0).isDigit && c(1).isDigit =>
+            // MJPEG frame chunk: one independent baseline JPEG per frame
+            // through the real decoder; grayscale frames expand to RGB so
+            // Video keeps one raster shape. Frame dims must match strf.
+            val img = Jpeg.decode(
+              java.util.Arrays.copyOfRange(avi, body, body + len.toInt))
+            require(img.width == width && img.height == height,
+              s"MJPG frame ${img.width}x${img.height} != strf ${width}x$height")
+            val out =
+              if (img.channels == 3) img.pixels
+              else {
+                require(img.channels == 1, s"MJPG frame channels ${img.channels}")
+                val o = new Array[Byte](width * height * 3)
+                var j = 0
+                while (j < width * height) {
+                  val v = img.pixels(j)
+                  o(j * 3) = v; o(j * 3 + 1) = v; o(j * 3 + 2) = v
+                  j += 1
+                }
+                o
+              }
+            frames += out
           case c if c.length == 4 && haveFmt &&
             (c.endsWith("db") || c.endsWith("dc")) &&
             c(0).isDigit && c(1).isDigit =>
@@ -212,6 +245,64 @@ object Avi {
       }
     }
     require(p == total, s"encode size mismatch: $p != $total")
+    out
+  }
+
+  /** Encode per-frame baseline-JPEG payloads as a spec-conformant MJPG
+    * AVI: same header layout as [[encode]] with `biCompression='MJPG'`,
+    * one `00dc` chunk per frame (odd-length chunks word-padded). The
+    * JPEG payloads are written as-is — pair with [[Jpeg.encodeDcOnly]]
+    * for closed-form fixtures. */
+  def encodeMjpeg(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
+      s"unreasonable dimensions ${w}x$h")
+    require(frames.nonEmpty, "no frames")
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def put16(x: Int): Unit = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff) }
+    def put32(x: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((x >> (8 * i)) & 0xff).toInt))
+    val maxFrame = frames.map(_.length).max
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length % 2)).sum
+    val total = 12 + (8 + hdrlLen) + (8 + moviLen)
+    ascii("RIFF"); put32(total - 8L); ascii("AVI ")
+    ascii("LIST"); put32(hdrlLen.toLong); ascii("hdrl")
+    ascii("avih"); put32(56L)
+    put32(33333L)
+    put32(0L); put32(0L); put32(0L)
+    put32(frames.length.toLong)
+    put32(0L)
+    put32(1L)
+    put32(maxFrame.toLong)
+    put32(w.toLong); put32(h.toLong)
+    put32(0L); put32(0L); put32(0L); put32(0L)
+    ascii("LIST"); put32(4L + (8 + 56) + (8 + 40)); ascii("strl")
+    ascii("strh"); put32(56L)
+    ascii("vids"); ascii("MJPG")
+    put32(0L); put16(0); put16(0); put32(0L)
+    put32(1L)
+    put32(30L)
+    put32(0L)
+    put32(frames.length.toLong)
+    put32(maxFrame.toLong)
+    put32(0xffffffffL)
+    put32(0L)
+    put16(0); put16(0); put16(w); put16(h)
+    ascii("strf"); put32(40L)
+    put32(40L); put32(w.toLong); put32(h.toLong)
+    put16(1); put16(24)
+    put32(0x47504a4dL) // biCompression = 'MJPG'
+    put32(maxFrame.toLong)
+    put32(0L); put32(0L); put32(0L); put32(0L)
+    ascii("LIST"); put32(moviLen.toLong); ascii("movi")
+    frames.foreach { f =>
+      ascii("00dc"); put32(f.length.toLong)
+      bos.write(f)
+      if (f.length % 2 == 1) bos.write(0) // word-align
+    }
+    val out = bos.toByteArray
+    require(out.length == total, s"encode size mismatch: ${out.length} != $total")
     out
   }
 }

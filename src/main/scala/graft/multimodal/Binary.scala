@@ -28,15 +28,23 @@ import org.apache.spark.sql.functions._
   *    (format 17) WAV payloads ([[decodeAudio]] — [[Wav.decode]] expands
   *    them to PCM; q95/q96 oracles replay the companding / adaptive
   *    quantization arithmetic).
-  *  - STUBBED: inter-frame compressed video (H.264/VP9/MJPEG) and
+  *  - REAL, the web-crawl staple: baseline JPEG PIXEL decode
+  *    ([[Jpeg.decode]] — Huffman entropy decode, dequant, integer IDCT,
+  *    chroma upsampling, YCbCr→RGB; q108's oracle replays the DC-only
+  *    closed form). Every image operator routes through the
+  *    container-dispatching [[decodeRaster]], so PNG and JPEG payloads
+  *    mix freely in one column. MJPEG AVI video rides the same decoder
+  *    ([[Avi.decode]] with `biCompression='MJPG'` — intra-only, one
+  *    baseline JPEG per frame; q109's oracle replays per-frame stats).
+  *  - STUBBED: inter-frame compressed video (H.264/VP9) and
   *    perceptual-codec audio (MP3/AAC/Opus). Those genuinely need codec
   *    libraries this container lacks, so [[decodeStub]] and
   *    [[frameSampleStub]] produce deterministic fakes behind the
   *    production execution shape (mapPartitions with a per-partition
   *    init site, typed schemas, explode-before-shuffle). "Multimodal
-  *    decode" must not be claimed beyond images + PCM/mu-law/ADPCM audio
-  *    + DIB video + headers; swap the stub bodies for JNI/codec calls on
-  *    a real cluster.
+  *    decode" must not be claimed beyond images (PNG + baseline JPEG) +
+  *    PCM/mu-law/ADPCM audio + DIB/MJPEG video + headers; swap the stub
+  *    bodies for JNI/codec calls on a real cluster.
   */
 object Binary {
 
@@ -47,6 +55,20 @@ object Binary {
   /** Decoded features: fixed-width embedding + basic dims. */
   case class MediaFeatures(media_id: Long, n_bytes: Long,
                            width: Int, height: Int, feature: Array[Float])
+
+  /** Container-dispatching raster decode — the single entry every image
+    * operator ([[decodeImage]], [[imageDhash]], [[imageResize]]) routes
+    * through, so each operator is container-agnostic: PNG signature ->
+    * [[Png.decode]], JPEG SOI -> [[Jpeg.decode]] (both REAL pixel
+    * decoders), anything else throws into the caller's poison contract. */
+  private[multimodal] def decodeRaster(payload: Array[Byte]): Png.Image = {
+    require(payload != null && payload.length >= 2, "empty image payload")
+    if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') Png.decode(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      Jpeg.decode(payload)
+    else throw new IllegalArgumentException(
+      "unrecognized image container (PNG and baseline JPEG supported)")
+  }
 
   /** Cheap columnar metadata — no decode needed, stays in codegen:
     * byte length, content digest, magic-byte sniff. */
@@ -77,9 +99,9 @@ object Binary {
   def mediaMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("media_meta", payload)
 
-  /** REAL image decode + per-image pixel stats: PNG payloads through
-    * [[Png.decode]] (inflate + unfilter — an actual pixel decoder, see Png
-    * Scaladoc for scope), reduced per-partition to fixed-width stats so
+  /** REAL image decode + per-image pixel stats: PNG and baseline-JPEG
+    * payloads through [[decodeRaster]] (actual pixel decoders — see
+    * Png/Jpeg Scaladoc for scope), reduced per-partition to fixed-width stats so
     * raster buffers never ride a shuffle. Undecodable payloads (wrong
     * magic, truncated, unsupported color mode) yield `ok=false` rows with
     * null stats — a poison image must never fail the task. mapPartitions
@@ -93,7 +115,7 @@ object Binary {
       // per-partition init site (a real JNI codec context would live here)
       rows.map { r =>
         try {
-          val img = Png.decode(r.payload)
+          val img = decodeRaster(r.payload)
           val px = img.pixels
           var i = 0; var sum = 0L; var mn = 255; var mx = 0
           while (i < px.length) {
@@ -150,7 +172,7 @@ object Binary {
     media.mapPartitions { rows =>
       rows.map { r =>
         try {
-          val img = Png.decode(r.payload)
+          val img = decodeRaster(r.payload)
           val w = img.width; val h = img.height; val c = img.channels
           def gray(j: Int): Int =
             if (c >= 3) {
@@ -290,7 +312,7 @@ object Binary {
     require(outW > 0 && outH > 0, s"output grid must be positive ($outW x $outH)")
     media.flatMap { r =>
       try {
-        val img = Png.decode(r.payload)
+        val img = decodeRaster(r.payload)
         val w = img.width; val h = img.height; val c = img.channels
         require(w >= outW && h >= outH,
           s"upscale unsupported (${w}x$h -> ${outW}x$outH)")

@@ -97,6 +97,31 @@ class AviSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("MJPEG AVI: per-frame baseline JPEG decode, gray expanded to RGB") {
+    // DC-only JPEG frames -> closed-form flat-per-block pixels; the MJPG
+    // path must route each 00dc chunk through Jpeg.decode and expand
+    // grayscale rasters to the Video RGB shape
+    val w = 24; val h = 16; val q = 16
+    val jpegs = Array.tabulate(3) { fi =>
+      Jpeg.encodeDcOnly(w, h,
+        Seq(Jpeg.DcComp(1, 1, 0, 0, 0, (bR, bC) => fi * 4 + bR * 2 + bC + 1)),
+        Map(0 -> Array.fill(64)(q)))
+    }
+    val v = Avi.decode(Avi.encodeMjpeg(w, h, jpegs))
+    assert(v.width === w && v.height === h && v.frames.length === 3)
+    for (fi <- 0 until 3; y <- 0 until h; x <- 0 until w) {
+      val want = Jpeg.dcOnlyPixel(((fi * 4 + (y / 8) * 2 + x / 8 + 1) * q))
+      val d = (y * w + x) * 3
+      val f = v.frames(fi)
+      assert((f(d) & 0xff) === want && (f(d + 1) & 0xff) === want &&
+        (f(d + 2) & 0xff) === want, s"frame $fi pixel ($x,$y)")
+    }
+    // a poison JPEG frame fails the AVI decode (caller maps to ok=false)
+    val poison = jpegs.clone(); poison(1) = Array[Byte](1, 2, 3, 4)
+    intercept[IllegalArgumentException](
+      Avi.decode(Avi.encodeMjpeg(w, h, poison)))
+  }
+
   test("malformed/unsupported input throws, never hangs or allocates wild") {
     val good = Avi.encode(Avi.Video(2, 2, Array(new Array[Byte](12))))
     intercept[IllegalArgumentException](Avi.decode(Array[Byte](1, 2, 3)))
