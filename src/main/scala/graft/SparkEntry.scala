@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
-import graft.multimodal.{Avi, Binary, Png, Wav}
+import graft.multimodal.{Avi, Binary, Jpeg, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -2203,6 +2203,97 @@ object SparkEntry {
             .cast("long").as("changed"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- Multimodal: REAL baseline JPEG pixel decode --------------------
+    // The web-crawl staple (crawl image corpora are overwhelmingly JPEG):
+    // per doc, synthesize a DC-only baseline JPEG COEFFICIENT-side (no
+    // forward DCT — chosen quantized coefficients written directly, so
+    // pixels follow Jpeg.dcOnlyPixel's closed-form integer contract),
+    // alternating grayscale and YCbCr color across 4:2:0 / 4:2:2 / 4:4:4
+    // subsampling, with restart intervals on every third doc. The REAL
+    // decoder runs everything: marker walk, canonical Huffman decode, DC
+    // prediction (+ restart reset), dequantization, the 13-bit integer
+    // IDCT, replication chroma upsampling, fixed-point YCbCr->RGB. The
+    // oracle replays the per-block pixel arithmetic in SQL — a wrong
+    // Huffman table build, predictor reset, IDCT descale, upsample
+    // index, or color constant hash-diverges. Same 100 TB posture as
+    // q70: generation + decode in one mapPartitions pass, only
+    // fixed-width stats ride a shuffle.
+    "q108_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val rst = if (id % 3 == 0) 2 else 0
+            val lumaDc = (bR: Int, bC: Int) =>
+              ((id + 3 * bR + 5 * bC) % 24).toInt
+            val payload =
+              if (id % 2 == 0)
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(1, 1, 0, 0, 0, lumaDc)),
+                  Map(0 -> Array.fill(64)(16)), rst)
+              else {
+                val (ch, cv) = (id % 6) match {
+                  case 1 => (2, 2) // 4:2:0
+                  case 3 => (2, 1) // 4:2:2
+                  case _ => (1, 1) // 4:4:4
+                }
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(ch, cv, 0, 0, 0, lumaDc),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 5).toInt),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 7).toInt)),
+                  Map(0 -> Array.fill(64)(16), 1 -> Array.fill(64)(17)), rst)
+              }
+            Binary.MediaRow(id, payload, "image", "jpeg")
+          }
+        }
+      Binary.decodeImage(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Multimodal: REAL Motion-JPEG video frame decode ----------------
+    // q94's pipeline over genuinely COMPRESSED video: an MJPG AVI whose
+    // frame chunks are independent DC-only baseline JPEGs (intra-only —
+    // the one compressed video codec that needs no codec library), each
+    // demuxed by the RIFF walk and decoded by the real JPEG decoder,
+    // every 2nd frame sampled and reduced to integer luma stats.
+    // Grayscale frames expand to RGB, so luma = (299v+587v+114v)/1000 =
+    // v exactly, and the oracle replays the per-block closed form.
+    "q109_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 9).toInt
+            val h = 8 + (id % 13).toInt
+            val nf = 2 + (id % 3).toInt
+            val jpegs = Array.tabulate(nf) { f =>
+              Jpeg.encodeDcOnly(w, h,
+                Seq(Jpeg.DcComp(1, 1, 0, 0, 0, (bR, bC) =>
+                  ((id + 7 * f + 3 * bR + 5 * bC) % 20).toInt)),
+                Map(0 -> Array.fill(64)(16)))
+            }
+            Binary.MediaRow(id, Avi.encodeMjpeg(w, h, jpegs),
+              "video", "mjpeg")
+          }
+        }
+      Binary.videoFrames(media, stride = 2)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("luma_sum"), col("luma_min"), col("luma_max"))
+        .ordered(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4189,6 +4280,69 @@ object SparkEntry {
         |SELECT user_id, MIN(tu) AS s_start, MAX(tu) + 1800000000 AS s_end,
         |COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // The JPEG decode replayed from the DC-only closed form: a DC-only
+    // block is flat, every pixel = Jpeg.dcOnlyPixel(dequantized DC) —
+    // the decoder's own two-pass integer IDCT collapsed to
+    // 128 + (2896*((2896*d + 1024)//2048) + 16384)//32768 (all terms
+    // nonnegative here, so // matches the JVM's >> descale), and for
+    // color the fixed-point YCbCr->RGB constants replayed verbatim with
+    // flat chroma. Blocks walk the visible ceil(w/8) x ceil(h/8) grid;
+    // partial blocks weight by their cropped pixel count (padding blocks
+    // of partial MCUs are encoded but never visible). Restart intervals
+    // and subsampling change the bitstream, not the absolute DCs, so one
+    // formula covers every fixture variant — which is exactly what makes
+    // a predictor-reset or upsample-index bug hash-diverge.
+    "q108_jpeg_decode" ->
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+        |  FROM documents),
+        |co AS (SELECT doc_id, w, h, c,
+        |  (2896*((2896*(doc_id % 5 * 17) + 1024)//2048) + 16384)//32768 AS cb_off,
+        |  (2896*((2896*(doc_id % 7 * 17) + 1024)//2048) + 16384)//32768 AS cr_off
+        |  FROM p),
+        |b AS (SELECT doc_id, w, h, c, cb_off, cr_off,
+        |  UNNEST(range(((h+7)//8) * ((w+7)//8))) AS blk FROM co),
+        |v AS (SELECT doc_id, w, h, c, cb_off, cr_off,
+        |  128 + (2896*((2896*(((doc_id + 3*(blk // ((w+7)//8)) + 5*(blk % ((w+7)//8))) % 24) * 16) + 1024)//2048) + 16384)//32768 AS yv,
+        |  LEAST(8, h - 8*(blk // ((w+7)//8))) * LEAST(8, w - 8*(blk % ((w+7)//8))) AS cnt
+        |  FROM b),
+        |ch AS (SELECT doc_id, w, h, c, cnt,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv + (91881*cr_off + 32768)//65536)) END AS v1,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv - (22554*cb_off + 46802*cr_off + 32768)//65536)) END AS v2,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv + (116130*cb_off + 32768)//65536)) END AS v3
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST(w*h*c AS BIGINT) AS n_px,
+        |  FLOOR(CAST(SUM(CASE WHEN c = 1 THEN v1*cnt ELSE (v1+v2+v3)*cnt END) AS DOUBLE)
+        |    / (w*h*c) * 1e6 + 0.5) / 1e6 AS mean_px,
+        |  CAST(MIN(LEAST(v1, v2, v3)) AS BIGINT) AS min_px,
+        |  CAST(MAX(GREATEST(v1, v2, v3)) AS BIGINT) AS max_px
+        |FROM ch GROUP BY doc_id, w, h, c ORDER BY doc_id""".stripMargin,
+
+    // q94's sampling CTE over q108's closed form: stride-2 frame sample,
+    // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
+    // = (299v+587v+114v)//1000 = v exactly), block-weighted sum and
+    // block-level min/max.
+    "q109_mjpeg_frames" ->
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 8 + doc_id % 13 AS h,
+        |  2 + doc_id % 3 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, UNNEST(range(0, nf, 2)) AS fi FROM p),
+        |b AS (SELECT doc_id, w, h, fi,
+        |  UNNEST(range(((h+7)//8) * ((w+7)//8))) AS blk FROM f),
+        |v AS (SELECT doc_id, w, h, fi,
+        |  128 + (2896*((2896*(((doc_id + 7*fi + 3*(blk // ((w+7)//8)) + 5*(blk % ((w+7)//8))) % 20) * 16) + 1024)//2048) + 16384)//32768 AS lv,
+        |  LEAST(8, h - 8*(blk // ((w+7)//8))) * LEAST(8, w - 8*(blk % ((w+7)//8))) AS cnt
+        |  FROM b)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(lv*cnt) AS BIGINT) AS luma_sum,
+        |  CAST(MIN(lv) AS BIGINT) AS luma_min,
+        |  CAST(MAX(lv) AS BIGINT) AS luma_max
+        |FROM v GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark
