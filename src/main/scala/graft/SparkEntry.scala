@@ -810,11 +810,16 @@ object SparkEntry {
         .ordered(col("l_returnflag"))
     }),
 
-    // ---- Multimodal: REAL PNG header decode over synthesized payloads ---
-    // Valid PNG bytes are built per doc (signature + IHDR with dimensions
-    // derived from doc_id), parsed back by the media_meta kernel; the
-    // oracle recomputes the expected dimensions arithmetically — so a
-    // parser regression (offset, endianness, channel mapping) hash-fails.
+    // ---- Multimodal: REAL PNG/JPEG header decode over synthesized bytes -
+    // Valid container bytes are built per doc — a PNG signature + IHDR,
+    // or (every third doc) a JPEG SOI + SOF0 frame header — with
+    // dimensions derived from doc_id, parsed back by the media_meta
+    // kernel; the oracle recomputes the expected dimensions
+    // arithmetically — so a parser regression (offset, endianness,
+    // channel mapping, marker-walk bug) hash-fails. The JPEG branch
+    // exercises the bounded marker walk: media_meta must step over
+    // nothing here (SOF first), while BinarySpec covers APPn-prefixed
+    // and damaged layouts.
     "q58_media_meta" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val w = col("doc_id") % 1000 + 1
@@ -825,7 +830,16 @@ object SparkEntry {
         lit("0000000D49484452"), // IHDR length + tag
         lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
         lit("08"), colorType)    // bit depth 8, color type
-      val meta = Binary.mediaMeta(to_binary(pngHex, lit("hex")))
+      val jpegHex = concat(
+        lit("FFD8"),             // SOI
+        lit("FFC00011"),         // SOF0, len 17 (3 components)
+        lit("08"),               // precision
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03"),               // 3 components
+        lit("011100021101031101")) // id/sampling/quant per component
+      val payloadHex = when(col("doc_id") % 3 === 2, jpegHex)
+        .otherwise(pngHex)
+      val meta = Binary.mediaMeta(to_binary(payloadHex, lit("hex")))
       docs.select(col("doc_id"), meta.getField("kind").as("kind"),
           meta.getField("width").as("width"),
           meta.getField("height").as("height"),
@@ -2718,12 +2732,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // expected metadata recomputed arithmetically from the same doc_id
-    // derivation the Spark side encodes into the PNG bytes
+    // derivation the Spark side encodes into the PNG/JPEG bytes
     "q58_media_meta" ->
-      """SELECT doc_id, 'png' AS kind,
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 3 = 2 THEN 'jpeg' ELSE 'png' END AS kind,
         |CAST(doc_id % 1000 + 1 AS INT) AS width,
         |CAST(doc_id % 777 + 1 AS INT) AS height,
-        |CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels
+        |CAST(CASE WHEN doc_id % 3 = 2 THEN 3
+        |     WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q59_tfidf" ->

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Container-format metadata decode for multimodal binary columns: parses
-  * PNG (IHDR) and WAV (RIFF/fmt) headers straight from the byte stream —
-  * real format parsing, not a stub; no codec library required because only
-  * the header layout is read, never the sample data. Unknown/truncated
-  * payloads yield kind='unknown' with null fields (never an exception — a
-  * 100 TB crawl always contains garbage bytes).
+  * PNG (IHDR), WAV (RIFF/fmt), and JPEG (marker walk to the first SOFn)
+  * headers straight from the byte stream — real format parsing, not a
+  * stub; no codec library required because only the header layout is
+  * read, never the sample data. Unknown/truncated payloads yield
+  * kind='unknown' with null fields (never an exception — a 100 TB crawl
+  * always contains garbage bytes); a JPEG whose headers are damaged past
+  * SOI still reports kind='jpeg' with null dims (best-effort, bounded
+  * walk).
   *
   * This is the "typed metadata over opaque binary" layer of the multimodal
   * pipeline (SURVEY-adjacent; the reference has no media path): metadata
@@ -95,6 +98,38 @@ object MediaMetaExpr {
         ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt ")) {
       return row("wav", channels = le16(bytes, 22),
         sampleRate = le32(bytes, 24))
+    }
+    // JPEG: SOI, then a bounded marker walk to the first SOFn frame
+    // header (dims + component count live there; any SOF flavor has the
+    // same layout, so progressive files still report dims). Bounded and
+    // exception-free: segment irregularities after a valid SOI degrade to
+    // kind='jpeg' with null dims.
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      var off = 2
+      var guard = 0
+      while (off + 4 <= bytes.length && guard < 4096) {
+        guard += 1
+        if ((bytes(off) & 0xff) != 0xff) return row("jpeg")
+        var m = bytes(off + 1) & 0xff
+        while (m == 0xff && off + 3 <= bytes.length) { // fill bytes
+          off += 1; m = bytes(off + 1) & 0xff
+        }
+        if (m == 0xd9 || m == 0xda) return row("jpeg") // EOI/SOS: no SOF seen
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+        else {
+          val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+          if (len < 2 || off + 2 + len > bytes.length) return row("jpeg")
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (len < 8 || off + 10 > bytes.length) return row("jpeg")
+            val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+            val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+            return row("jpeg", w, h, bytes(off + 9) & 0xff)
+          }
+          off += 2 + len
+        }
+      }
+      return row("jpeg")
     }
     row("unknown")
   }
