@@ -516,11 +516,20 @@ object Jpeg {
   /** Minimal spec-conformant Huffman tables for the fixture encoder (any
     * valid DHT works — the decoder reads whatever the file declares):
     * DC: categories 0..11 as 4-bit codes (0000..1011; 1111 stays unused,
-    * keeping the all-ones code reserved). AC: EOB and ZRL as 2-bit codes. */
+    * keeping the all-ones code reserved). AC for DC-only streams: EOB and
+    * ZRL as 2-bit codes. AC for general coefficients: every RRRRSSSS
+    * symbol — 255 of them as 9-bit codes plus the last (0xFF, never
+    * emitted) at 10 bits, because a DHT count is one BYTE and a single
+    * length cannot hold all 256; the split keeps the table canonical
+    * and the all-ones code unused. Wasteful on the wire, trivially
+    * canonical, and the decoder exercises the same table-build path
+    * either way. */
   private val FixtureDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val FixtureDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
   private val FixtureAcBits = Array(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val FixtureAcVals = Array(0x00, 0xf0)
+  private val FlatAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+  private val FlatAcVals: Array[Int] = Array.tabulate(256)(identity)
 
   /** Encode a DC-only baseline JPEG from chosen quantized coefficients:
     * SOI, DQT (each distinct tq), DHT (each distinct td/ta, fixture
@@ -621,6 +630,134 @@ object Jpeg {
     }
     w.pad()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One frame component of an [[encodeCoeffs]] fixture: sampling
+    * factors, table ids, and the full 64-entry ZIGZAG-order quantized
+    * coefficient block for each (blockRow, blockCol). */
+  final case class CoefComp(h: Int, v: Int, tq: Int, td: Int, ta: Int,
+                            coef: (Int, Int) => Array[Int])
+
+  /** General coefficient-domain baseline encoder — [[encodeDcOnly]]'s big
+    * sibling for cross-decoder testing: arbitrary quantized coefficients
+    * per block (so the full AC run-length/ZRL/EOB grammar, every DC/AC
+    * magnitude category, and the complete IDCT are exercised), encoded
+    * with the flat 9-bit AC table. `JpegSpec` uses this to compare
+    * [[decode]] against the JDK ImageIO reader on random-coefficient
+    * images — something a forward-DCT encoder could not do exactly
+    * (there would be no ground truth for what the coefficients ARE). */
+  def encodeCoeffs(width: Int, height: Int, comps: Seq[CoefComp],
+                   quant: Map[Int, Array[Int]],
+                   restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "bad dimensions")
+    require(comps.size == 1 || comps.size == 3, "1 or 3 components")
+    comps.foreach { c =>
+      require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4, "bad sampling")
+      require(quant.contains(c.tq), s"missing quant table ${c.tq}")
+    }
+    quant.values.foreach(q => require(q.length == 64 &&
+      q.forall(v => v >= 1 && v <= 255), "quant entries must be 1..255"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    quant.toSeq.sortBy(_._1).foreach { case (tq, q) => seg(0xdb, Array(tq) ++ q) }
+    val nc = comps.size
+    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, nc) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Seq(i + 1, (c.h << 4) | c.v, c.tq)
+      })
+    val dcEnc = new HuffEnc(FixtureDcBits, FixtureDcVals)
+    val acEnc = new HuffEnc(FlatAcBits, FlatAcVals)
+    comps.map(_.td).distinct.sorted.foreach { td =>
+      seg(0xc4, Array(td) ++ FixtureDcBits ++ FixtureDcVals)
+    }
+    comps.map(_.ta).distinct.sorted.foreach { ta =>
+      seg(0xc4, Array(0x10 | ta) ++ FlatAcBits ++ FlatAcVals)
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(nc) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Seq(i + 1, (c.td << 4) | c.ta)
+      } ++ Seq(0, 63, 0))
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val (mcusX, mcusY, effH, effV) =
+      if (nc == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+      else (
+        (width + 8 * hMax - 1) / (8 * hMax),
+        (height + 8 * vMax - 1) / (8 * vMax),
+        comps.map(_.h).toArray, comps.map(_.v).toArray)
+    val w = new BitWriter(out)
+    val pred = new Array[Int](nc)
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v.abs)
+    def putMag(v: Int, s: Int): Unit =
+      if (s > 0) w.put(if (v < 0) v + (1 << s) - 1 else v, s)
+    var rstIdx = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        w.pad(); marker(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < nc) {
+        val c = comps(ci)
+        var v0 = 0
+        while (v0 < effV(ci)) {
+          var h0 = 0
+          while (h0 < effH(ci)) {
+            val blk = c.coef(my * effV(ci) + v0, mx * effH(ci) + h0)
+            require(blk.length == 64, "coefficient block must have 64 entries")
+            val dc = blk(0)
+            require(dc >= -1023 && dc <= 1023, s"DC $dc out of fixture range")
+            val diff = dc - pred(ci)
+            pred(ci) = dc
+            val s = cat(diff)
+            w.put(dcEnc.codeOf(s), dcEnc.lenOf(s))
+            putMag(diff, s)
+            // AC: zigzag run-length per T.81 F.1.2.2
+            var run = 0
+            var k = 1
+            while (k < 64) {
+              val v = blk(k)
+              if (v == 0) run += 1
+              else {
+                require(v >= -1023 && v <= 1023, s"AC $v out of range")
+                while (run > 15) {
+                  w.put(acEnc.codeOf(0xf0), acEnc.lenOf(0xf0)); run -= 16
+                }
+                val sa = cat(v)
+                val rs = (run << 4) | sa
+                w.put(acEnc.codeOf(rs), acEnc.lenOf(rs))
+                putMag(v, sa)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) w.put(acEnc.codeOf(0x00), acEnc.lenOf(0x00)) // EOB
+            h0 += 1
+          }
+          v0 += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    w.pad()
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -12,9 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *     IDCT implementations may legally differ by a small per-pixel
   *     delta (T.81 places accuracy, not bit-identity, requirements on
   *     the DCT pair), so the assertion is a tight tolerance, not
-  *     equality. Grayscale only: for color ImageIO's writer subsamples
-  *     chroma and its fancy (interpolating) upsampler diverges from this
-  *     decoder's contractual replication upsampling by design.
+  *     equality. Two flavors: ImageIO-WRITTEN smooth grayscale (standard
+  *     Annex K tables through the full writer pipeline), and
+  *     random-COEFFICIENT fixtures via [[Jpeg.encodeCoeffs]] (gray and
+  *     color), where both decoders see identical quantized coefficients
+  *     — the full AC grammar, ZRL runs, restart intervals, and every
+  *     magnitude category, with an exact answer to diff against.
+  *     Non-flat chroma rides 4:4:4 only (ImageIO's interpolating
+  *     upsampler legitimately differs from contractual replication on
+  *     non-constant subsampled planes).
   *  3. Poison inputs fail fast with IllegalArgumentException — never a
   *     hang, never an unbounded allocation.
   */
@@ -109,6 +115,124 @@ class JpegSpec extends AnyFunSuite {
       }
       assert(maxDiff <= 2,
         s"trial $trial (${w}x$h): max per-pixel diff $maxDiff vs ImageIO")
+    }
+  }
+
+  private def refDecode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  private def maxChannelDiff(ours: Png.Image,
+                             ref: java.awt.image.BufferedImage): Int = {
+    // raw raster samples for grayscale: getRGB would push gray through a
+    // gray->sRGB ColorSpace conversion (a gamma curve), which compares
+    // color management, not the decoder
+    val grayRef = ref.getRaster.getNumBands == 1
+    var worst = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val (rr, rg, rb) =
+        if (grayRef) {
+          val v = ref.getRaster.getSample(x, y, 0)
+          (v, v, v)
+        } else {
+          val rgb = ref.getRGB(x, y)
+          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        }
+      val (or_, og, ob) =
+        if (ours.channels == 3) {
+          val d = (y * ours.width + x) * 3
+          (ours.pixels(d) & 0xff, ours.pixels(d + 1) & 0xff,
+            ours.pixels(d + 2) & 0xff)
+        } else {
+          val v = ours.pixels(y * ours.width + x) & 0xff
+          (v, v, v)
+        }
+      worst = math.max(worst, math.max(math.abs(or_ - rr),
+        math.max(math.abs(og - rg), math.abs(ob - rb))))
+    }
+    worst
+  }
+
+  /** Random sparse zigzag coefficient block: DC plus a few AC values,
+    * including occasional long zero runs (ZRL) and a tail value. The
+    * unclamped IDCT swing is bounded (|f−128| ≤ |dc·q|/8 + 0.25·Σ|ac·q|
+    * ≤ 230): libjpeg-lineage reference decoders "clamp" through a
+    * range-limit table that only covers moderately out-of-range values
+    * and WRAPS beyond it, so a wildly out-of-gamut block would compare
+    * clamp-vs-wrap policy instead of decoder-vs-decoder arithmetic. */
+  private def randomBlock(rnd: scala.util.Random, q: Array[Int],
+                          maxMag: Int): Array[Int] = {
+    val blk = new Array[Int](64)
+    blk(0) = rnd.nextInt(2 * maxMag + 1) - maxMag
+    for (_ <- 0 until rnd.nextInt(8)) {
+      val k = 1 + rnd.nextInt(63)
+      blk(k) = rnd.nextInt(2 * maxMag + 1) - maxMag
+    }
+    if (rnd.nextInt(4) == 0) blk(63) = 1 + rnd.nextInt(maxMag) // forces ZRL runs
+    def swing: Double = math.abs(blk(0) * q(0)) / 8.0 +
+      (1 until 64).map(k => 0.25 * math.abs(blk(k) * q(k))).sum
+    while (swing > 230) (0 until 64).foreach(k => blk(k) /= 2)
+    blk
+  }
+
+  test("random-coefficient decode agrees with ImageIO — grayscale") {
+    // coefficient-domain fixtures make ImageIO an exact-input reference:
+    // both decoders see the same quantized coefficients, so the only
+    // legal divergence is IDCT rounding (T.81 bounds accuracy, not bits)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      val q = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 24 else 40))
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+      val bytes = Jpeg.encodeCoeffs(w, h,
+        Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (bR, bC) =>
+          blocks.getOrElseUpdate((bR, bC), randomBlock(rnd, q, 60)))),
+        Map(0 -> q), restartInterval = if (trial % 2 == 0) 3 else 0)
+      val d = maxChannelDiff(Jpeg.decode(bytes), refDecode(bytes))
+      assert(d <= 2, s"trial $trial (${w}x$h): max diff $d vs ImageIO")
+    }
+  }
+
+  test("random-coefficient decode agrees with ImageIO — color") {
+    // 4:4:4 runs all three components through full random AC (no
+    // upsampling in play); 4:2:0 keeps chroma DC-only, because a FLAT
+    // chroma plane upsamples identically under replication and ImageIO's
+    // interpolating upsampler — luma still carries full AC. Tolerance 3:
+    // IDCT rounding on Y plus chroma rounding through the (shared
+    // fixed-point) color convert.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 4) {
+      val w = 8 + rnd.nextInt(32)
+      val h = 8 + rnd.nextInt(32)
+      val qY = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 20 else 32))
+      val qC = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 20 else 32))
+      val is420 = trial % 2 == 0
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int, Int), Array[Int]]
+      def comp(ci: Int, hh: Int, vv: Int, tq: Int, td: Int, ta: Int,
+               chromaFlat: Boolean): Jpeg.CoefComp =
+        Jpeg.CoefComp(hh, vv, tq, td, ta, (bR, bC) =>
+          // flat chroma must be GLOBALLY flat (one shared block): ImageIO
+          // interpolates across chroma-block boundaries, replication
+          // doesn't — only a constant plane upsamples identically
+          blocks.getOrElseUpdate(
+            (ci, if (chromaFlat) 0 else bR, if (chromaFlat) 0 else bC), {
+            if (chromaFlat) {
+              val b = new Array[Int](64)
+              b(0) = rnd.nextInt(9) - 4
+              b
+            } else randomBlock(rnd, if (tq == 0) qY else qC, 40)
+          }))
+      val comps =
+        if (is420) Seq(comp(0, 2, 2, 0, 0, 0, chromaFlat = false),
+          comp(1, 1, 1, 1, 1, 1, chromaFlat = true),
+          comp(2, 1, 1, 1, 1, 1, chromaFlat = true))
+        else Seq(comp(0, 1, 1, 0, 0, 0, chromaFlat = false),
+          comp(1, 1, 1, 1, 1, 1, chromaFlat = false),
+          comp(2, 1, 1, 1, 1, 1, chromaFlat = false))
+      val bytes = Jpeg.encodeCoeffs(w, h, comps, Map(0 -> qY, 1 -> qC))
+      val d = maxChannelDiff(Jpeg.decode(bytes), refDecode(bytes))
+      assert(d <= 3,
+        s"trial $trial (${w}x$h ${if (is420) "4:2:0" else "4:4:4"}): max diff $d")
     }
   }
 
