@@ -247,6 +247,35 @@ object Scaling {
         .select(col("doc_id"),
           graft.llm.TextStats.stripMarkup(col("text")).as("clean"))
 
+    def jpegDecode(dir: String): DataFrame = {
+      // q108's shape: per-doc DC-only JPEG synthesize + REAL decode in
+      // one mapPartitions pass, rasters reduced to stats in-partition —
+      // the row evidences per-row-codec linearity with zero shuffle
+      import graft.multimodal.{Binary, Jpeg}
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents").select(col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val lumaDc = (bR: Int, bC: Int) => ((id + 3 * bR + 5 * bC) % 24).toInt
+            val payload =
+              if (id % 2 == 0)
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(1, 1, 0, 0, 0, lumaDc)),
+                  Map(0 -> Array.fill(64)(16)))
+              else
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(2, 2, 0, 0, 0, lumaDc),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 5).toInt),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 7).toInt)),
+                  Map(0 -> Array.fill(64)(16), 1 -> Array.fill(64)(17)))
+            Binary.MediaRow(id, payload, "image", "jpeg")
+          }
+        }
+      Binary.decodeImage(media).filter(col("ok")).toDF()
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -257,7 +286,7 @@ object Scaling {
       "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets,
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
       "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
-      "html_strip" -> htmlStrip)
+      "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
