@@ -2308,6 +2308,49 @@ object SparkEntry {
           col("luma_sum"), col("luma_min"), col("luma_max"))
         .ordered(col("doc_id"), col("frame_idx"))
     }),
+
+    // ---- Multimodal: container-agnostic image fingerprint ---------------
+    // A crawl image column is never one format: even docs carry q91's
+    // closed-form PNGs (gray and RGB), odd docs carry q108's DC-only
+    // JPEGs (restart intervals on every third doc) — ONE column, ONE
+    // operator. imageDhash routes each payload through the container
+    // dispatch (PNG signature -> inflate+unfilter, JPEG SOI -> Huffman+
+    // IDCT) and reduces every raster to the same 64-bit perceptual
+    // fingerprint. The oracle replays BOTH decoded-pixel formulas and
+    // the LSB-first gradient-sign packing — including the 64-bit cap,
+    // which the larger JPEG fixtures actually hit (q91's never did).
+    "q110_image_dhash_mixed" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            if (id % 2 == 0) {
+              val w = 4 + (id % 5).toInt
+              val h = 4 + (id % 3).toInt
+              val c = if (id % 4 == 0) 1 else 3
+              val px = Array.tabulate(w * h * c)(i =>
+                ((id * 31 + i.toLong * 7) % 256).toByte)
+              Binary.MediaRow(id, Png.encode(Png.Image(w, h, c, px)),
+                "image", "png")
+            } else {
+              val w = 10 + (id % 23).toInt
+              val h = 9 + (id % 17).toInt
+              val rst = if (id % 3 == 0) 2 else 0
+              Binary.MediaRow(id, Jpeg.encodeDcOnly(w, h,
+                Seq(Jpeg.DcComp(1, 1, 0, 0, 0, (bR, bC) =>
+                  ((id + 3 * bR + 5 * bC) % 24).toInt)),
+                Map(0 -> Array.fill(64)(16)), rst), "image", "jpeg")
+            }
+          }
+        }
+      Binary.imageDhash(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("dhash"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4359,6 +4402,41 @@ object SparkEntry {
         |  CAST(MIN(lv) AS BIGINT) AS luma_min,
         |  CAST(MAX(lv) AS BIGINT) AS luma_max
         |FROM v GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q91's luma+hash CTEs with a per-container pixel formula: PNG docs
+    // replay the byte formula (gray raw / RGB integer luma), JPEG docs
+    // replay the DC-only closed form per 8x8 block. The gradient-sign
+    // packing is shared, with the engine's 64-bit cap made explicit via
+    // LEAST(h*(w-1), 64) — the JPEG fixtures exceed it, which also means
+    // bit 63 is reachable: DuckDB's signed << overflows at 63 where the
+    // JVM wraps, so the sign bit enters as the literal Long.MinValue.
+    "q110_image_dhash_mixed" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5
+        |       ELSE 10 + doc_id % 23 END AS w,
+        |  CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 3
+        |       ELSE 9 + doc_id % 17 END AS h,
+        |  CASE WHEN doc_id % 2 = 0 AND doc_id % 4 <> 0 THEN 3 ELSE 1 END AS c
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h), j ->
+        |    CASE WHEN doc_id % 2 = 1 THEN
+        |      128 + (2896*((2896*(((doc_id + 3*((j // w) // 8) + 5*((j % w) // 8)) % 24) * 16) + 1024)//2048) + 16384)//32768
+        |    WHEN c = 1 THEN (doc_id*31 + j*7) % 256
+        |    ELSE (((doc_id*31 + (j*3)*7) % 256) * 299 +
+        |          ((doc_id*31 + (j*3+1)*7) % 256) * 587 +
+        |          ((doc_id*31 + (j*3+2)*7) % 256) * 114) // 1000 END) AS lum
+        |  FROM p),
+        |hsh AS (SELECT doc_id, w, h,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, LEAST(h * (w - 1), 64)), k ->
+        |    CASE WHEN lum[k // (w - 1) * w + (k % (w - 1)) + 2] <=
+        |              lum[k // (w - 1) * w + (k % (w - 1)) + 1]
+        |      THEN CAST(0 AS BIGINT)
+        |      WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END)), 0) AS BIGINT) AS dhash
+        |  FROM g)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, dhash
+        |FROM hsh ORDER BY doc_id""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

@@ -292,7 +292,8 @@ object Binary {
 
   /** REAL-decode box-filter downscale — the resize step of an image
     * preprocessing pipeline, over REAL decoded pixels: each payload is
-    * PNG-decoded, reduced to integer luma (the [[imageDhash]] formula:
+    * decoded ([[decodeRaster]] — PNG or baseline JPEG), reduced to
+    * integer luma (the [[imageDhash]] formula:
     * (299·r + 587·g + 114·b)/1000 for ≥3 channels, channel 0 otherwise),
     * and average-pooled onto an `outW`×`outH` grid. Box edges use the
     * standard integer mapping x0 = ox·w/outW, x1 = (ox+1)·w/outW (floor
