@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
-import graft.multimodal.{Avi, Binary, Jpeg, Png, Wav}
+import graft.multimodal.{Avi, Binary, Gif, Jpeg, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -810,21 +810,21 @@ object SparkEntry {
         .ordered(col("l_returnflag"))
     }),
 
-    // ---- Multimodal: REAL PNG/JPEG header decode over synthesized bytes -
-    // Valid container bytes are built per doc — a PNG signature + IHDR,
-    // or (every third doc) a JPEG SOI + SOF0 frame header — with
-    // dimensions derived from doc_id, parsed back by the media_meta
-    // kernel; the oracle recomputes the expected dimensions
-    // arithmetically — so a parser regression (offset, endianness,
-    // channel mapping, marker-walk bug) hash-fails. The JPEG branch
-    // exercises the bounded marker walk: media_meta must step over
-    // nothing here (SOF first), while BinarySpec covers APPn-prefixed
-    // and damaged layouts.
+    // ---- Multimodal: REAL image header decode over synthesized bytes ----
+    // Valid container bytes are built per doc — PNG signature + IHDR,
+    // JPEG SOI + SOF0 frame header, or a GIF signature + logical screen
+    // descriptor, by doc_id % 4 — with dimensions derived from doc_id,
+    // parsed back by the media_meta kernel; the oracle recomputes the
+    // expected dimensions arithmetically — so a parser regression
+    // (offset, endianness — GIF dims are LITTLE-endian where PNG/JPEG
+    // are big — channel mapping, marker-walk bug) hash-fails. BinarySpec
+    // covers APPn-prefixed and damaged layouts.
     "q58_media_meta" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val w = col("doc_id") % 1000 + 1
       val h = col("doc_id") % 777 + 1
-      val colorType = when(col("doc_id") % 2 === 0, lit("02")).otherwise(lit("06"))
+      val m = col("doc_id") % 4
+      val colorType = when(m === 0, lit("02")).otherwise(lit("06"))
       val pngHex = concat(
         lit("89504E470D0A1A0A"), // signature
         lit("0000000D49484452"), // IHDR length + tag
@@ -837,7 +837,14 @@ object SparkEntry {
         lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
         lit("03"),               // 3 components
         lit("011100021101031101")) // id/sampling/quant per component
-      val payloadHex = when(col("doc_id") % 3 === 2, jpegHex)
+      def le16hex(v: Column): Column =
+        concat(lpad(hex(v % 256), 2, "0"), lpad(hex(floor(v / 256)), 2, "0"))
+      val gifHex = concat(
+        lit("474946383961"),     // "GIF89a"
+        le16hex(w), le16hex(h),
+        lit("000000"))           // no GCT, background, aspect
+      val payloadHex = when(m === 2, jpegHex)
+        .when(m === 3, gifHex)
         .otherwise(pngHex)
       val meta = Binary.mediaMeta(to_binary(payloadHex, lit("hex")))
       docs.select(col("doc_id"), meta.getField("kind").as("kind"),
@@ -2351,6 +2358,47 @@ object SparkEntry {
           col("dhash"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- Multimodal: REAL GIF decode (LZW + palette + interlace) --------
+    // Per doc: closed-form palette-indexed pixels, REAL LZW compression
+    // (Gif.encode builds the palette and compresses for real; odd docs
+    // interlaced), decoded back through the container dispatch and
+    // reduced by the 3x3 box resize — deliberately a POSITION-SENSITIVE
+    // consumer: per-image stats would pass even if the 4-pass interlace
+    // de-weave scrambled rows, box sums do not. The oracle replays the
+    // palette formula and the pooling arithmetic; GIF is lossless, so
+    // there is no tolerance anywhere — a wrong LZW width switch,
+    // dictionary reset, palette index, or de-weave hash-diverges.
+    "q111_gif_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 6 + (id % 11).toInt
+            val h = 5 + (id % 7).toInt
+            val n = 4 + (id % 13).toInt
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val j = (id + i.toLong * 3) % n
+              px(i * 3) = ((id * 7 + j * 13) % 256).toByte
+              px(i * 3 + 1) = ((id * 11 + j * 17) % 256).toByte
+              px(i * 3 + 2) = ((id * 13 + j * 19) % 256).toByte
+              i += 1
+            }
+            Binary.MediaRow(id,
+              Gif.encode(Png.Image(w, h, 3, px), interlaced = id % 2 == 1),
+              "image", "gif")
+          }
+        }
+      Binary.imageResize(media, outW = 3, outH = 3)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("oy").cast("long").as("oy"),
+          col("ox").cast("long").as("ox"),
+          col("px_sum"), col("px_n"), col("px_avg"))
+        .ordered(col("doc_id"), col("oy"), col("ox"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -2775,14 +2823,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // expected metadata recomputed arithmetically from the same doc_id
-    // derivation the Spark side encodes into the PNG/JPEG bytes
+    // derivation the Spark side encodes into the PNG/JPEG/GIF bytes
     "q58_media_meta" ->
       """SELECT doc_id,
-        |CASE WHEN doc_id % 3 = 2 THEN 'jpeg' ELSE 'png' END AS kind,
+        |CASE doc_id % 4 WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+        |     ELSE 'png' END AS kind,
         |CAST(doc_id % 1000 + 1 AS INT) AS width,
         |CAST(doc_id % 777 + 1 AS INT) AS height,
-        |CAST(CASE WHEN doc_id % 3 = 2 THEN 3
-        |     WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels
+        |CAST(CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q59_tfidf" ->
@@ -4437,6 +4485,34 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, dhash
         |FROM hsh ORDER BY doc_id""".stripMargin,
+
+    // q93's box-pooling CTEs over the GIF palette formula: pixel i's
+    // palette slot is (doc_id + 3i) % n, each channel a linear formula of
+    // (doc_id, slot), luma the shared integer formula. The LZW/interlace
+    // round-trip is lossless, so the decoded bytes ARE the formula.
+    "q111_gif_resize" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 11 AS w, 5 + doc_id % 7 AS h,
+        |  4 + doc_id % 13 AS n FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h), i ->
+        |    (((doc_id*7 + ((doc_id + i*3) % n)*13) % 256) * 299 +
+        |     ((doc_id*11 + ((doc_id + i*3) % n)*17) % 256) * 587 +
+        |     ((doc_id*13 + ((doc_id + i*3) % n)*19) % 256) * 114) // 1000) AS lum
+        |  FROM p),
+        |cells AS (SELECT doc_id, w, h, lum, UNNEST(range(0, 9)) AS cell FROM g),
+        |b AS (SELECT doc_id, w, lum, cell // 3 AS oy, cell % 3 AS ox,
+        |  cell // 3 * h // 3 AS y0, (cell // 3 + 1) * h // 3 AS y1,
+        |  cell % 3 * w // 3 AS x0, (cell % 3 + 1) * w // 3 AS x1
+        |  FROM cells),
+        |r AS (SELECT doc_id, oy, ox,
+        |  CAST(list_sum(list_transform(range(0, (y1 - y0) * (x1 - x0)), i ->
+        |    lum[(y0 + i // (x1 - x0)) * w + x0 + i % (x1 - x0) + 1]))
+        |    AS BIGINT) AS px_sum,
+        |  CAST((y1 - y0) * (x1 - x0) AS BIGINT) AS px_n
+        |  FROM b)
+        |SELECT doc_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+        |  px_sum, px_n, px_sum // px_n AS px_avg
+        |FROM r ORDER BY doc_id, oy, ox""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

@@ -59,15 +59,18 @@ object Binary {
   /** Container-dispatching raster decode — the single entry every image
     * operator ([[decodeImage]], [[imageDhash]], [[imageResize]]) routes
     * through, so each operator is container-agnostic: PNG signature ->
-    * [[Png.decode]], JPEG SOI -> [[Jpeg.decode]] (both REAL pixel
-    * decoders), anything else throws into the caller's poison contract. */
+    * [[Png.decode]], JPEG SOI -> [[Jpeg.decode]], GIF -> [[Gif.decode]]
+    * (all REAL pixel decoders), anything else throws into the caller's
+    * poison contract. */
   private[multimodal] def decodeRaster(payload: Array[Byte]): Png.Image = {
-    require(payload != null && payload.length >= 2, "empty image payload")
+    require(payload != null && payload.length >= 3, "empty image payload")
     if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') Png.decode(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
       Jpeg.decode(payload)
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      Gif.decode(payload)
     else throw new IllegalArgumentException(
-      "unrecognized image container (PNG and baseline JPEG supported)")
+      "unrecognized image container (PNG, baseline JPEG, GIF supported)")
   }
 
   /** Cheap columnar metadata — no decode needed, stays in codegen:

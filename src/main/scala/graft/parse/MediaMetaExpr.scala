@@ -9,10 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Container-format metadata decode for multimodal binary columns: parses
-  * PNG (IHDR), WAV (RIFF/fmt), and JPEG (marker walk to the first SOFn)
-  * headers straight from the byte stream — real format parsing, not a
-  * stub; no codec library required because only the header layout is
-  * read, never the sample data. Unknown/truncated payloads yield
+  * PNG (IHDR), WAV (RIFF/fmt), GIF (logical screen descriptor), and JPEG
+  * (marker walk to the first SOFn) headers straight from the byte
+  * stream — real format parsing, not a stub; no codec library required
+  * because only the header layout is read, never the sample data. Unknown/truncated payloads yield
   * kind='unknown' with null fields (never an exception — a 100 TB crawl
   * always contains garbage bytes); a JPEG whose headers are damaged past
   * SOI still reports kind='jpeg' with null dims (best-effort, bounded
@@ -98,6 +98,13 @@ object MediaMetaExpr {
         ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt ")) {
       return row("wav", channels = le16(bytes, 22),
         sampleRate = le32(bytes, 24))
+    }
+    // GIF: signature + logical screen descriptor (LE dims; palette
+    // always expands to RGB on the decode path, so channels = 3)
+    if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      return row("gif", le16(bytes, 6), le16(bytes, 8), 3)
     }
     // JPEG: SOI, then a bounded marker walk to the first SOFn frame
     // header (dims + component count live there; any SOF flavor has the
