@@ -2399,6 +2399,22 @@ object SparkEntry {
           col("px_sum"), col("px_n"), col("px_avg"))
         .ordered(col("doc_id"), col("oy"), col("ox"))
     }),
+
+    // ---- LLM ops: cross-corpus exact-substring dedup (ExactSubstr) ------
+    // Lee et al. 2022's second dedup pass, the one MinHash doesn't
+    // cover: verbatim k-token spans repeated ACROSS documents (mirrored
+    // boilerplate, quoted passages, templated intros) are scrubbed from
+    // every doc except the min-id holder of each window — one canonical
+    // copy survives corpus-wide. Exhaustive at window granularity (no
+    // sampling, unlike q46's winnowed fingerprints), join-shaped (no
+    // suffix array): one tokenize, a window histogram, a window-keyed
+    // join back. The planted near-dup documents in the fixture make the
+    // hit set non-trivial; the oracle replays the whole pass in SQL.
+    "q112_selfsub_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      Dedup.selfSubstringScrub(docs, "doc_id", "text", k = 5)
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4513,6 +4529,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
         |  px_sum, px_n, px_sum // px_n AS px_avg
         |FROM r ORDER BY doc_id, oy, ox""".stripMargin,
+
+    // q99's span-scrub oracle reshaped for the SELF variant: the
+    // duplicated-window set comes from the corpus's own window histogram
+    // (count distinct docs >= 2, min doc is the keeper), hits exclude
+    // each window's keeper, and the kept-token filter is identical.
+    "q112_selfsub_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text),' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 5 THEN
+        |    list_apply(range(len(toks) - 4), i -> struct_pack(pos := i,
+        |      sh := toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |            toks[i+4] || ' ' || toks[i+5]))
+        |  ELSE [] END) AS ps FROM t),
+        |d AS (SELECT ps.sh AS sh, MIN(doc_id) AS keeper
+        |  FROM g GROUP BY ps.sh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT DISTINCT g.doc_id, ps.pos + r.i AS pos
+        |  FROM g JOIN d ON ps.sh = d.sh CROSS JOIN range(5) AS r(i)
+        |  WHERE g.doc_id <> d.keeper),
+        |hl AS (SELECT doc_id, list(pos) AS rm FROM hits GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, len(toks) AS n_toks,
+        |  CASE WHEN hl.rm IS NULL THEN toks
+        |    ELSE list_apply(list_filter(range(len(toks)),
+        |      p -> NOT list_contains(hl.rm, p)), p -> toks[p+1]) END AS kept
+        |  FROM t LEFT JOIN hl USING (doc_id))
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |  CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

@@ -549,6 +549,61 @@ object Dedup {
         array_join(kept, " ").as("clean_text"))
   }
 
+  /** Cross-corpus EXACT-SUBSTRING dedup — the ExactSubstr pass of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed join-shaped instead of a monolithic suffix
+    * array: any k-token window whose text occurs in MORE THAN ONE
+    * distinct document is a duplicated span, and every occurrence is
+    * scrubbed from every document EXCEPT the minimum-id holder of that
+    * window ([[exactDupGroups]]'s keep rule at span granularity — one
+    * canonical copy of repeated content survives, the rest of the corpus
+    * loses it). Distinct from [[removeContaminatedSpans]] (corpus vs an
+    * external benchmark) and [[rollingDedupPairs]] (winnowed
+    * SAMPLED fingerprints -> candidate pairs): this is exhaustive at
+    * window granularity and emits cleaned text, not pairs.
+    *
+    * Shape: ONE tokenize; positional windows explode; the window
+    * histogram is a map-side-combined groupBy (distinct-doc count +
+    * min-doc keeper per window text); hits join back window-keyed, so
+    * work is Σ bucket² over duplicated windows, never doc-pairs². The
+    * one web-scale hazard is the boilerplate window that appears in
+    * half the corpus — `maxShingleDocFreq` drops windows above a
+    * document-frequency cap before the join-back (the
+    * [[removeContaminatedSpans]] guard; such windows are boilerplate for
+    * a boilerplate FILTER to handle, not span dedup). */
+  def selfSubstringScrub(docs: DataFrame, docId: String, docText: String,
+                         k: Int, maxShingleDocFreq: Option[Long] = None)
+      : DataFrame = {
+    def posShingles(tcol: Column): Column =
+      when(size(tcol) >= k,
+        transform(sequence(lit(0), size(tcol) - k),
+          i => struct(i.cast("int").as("pos"),
+            array_join(slice(tcol, i + 1, lit(k)), " ").as("sh"))))
+        .otherwise(array().cast("array<struct<pos:int,sh:string>>"))
+    val base = docs.select(col(docId).as("doc"),
+      TextStats.tokens(lower(col(docText))).as("__t"))
+      .repartition(col("doc"))
+    val allSh = base.select(col("doc"), explode(posShingles(col("__t"))).as("g"))
+      .select(col("doc"), col("g.pos").as("pos"), col("g.sh").as("sh"))
+    val dupAll = allSh.groupBy("sh")
+      .agg(count_distinct(col("doc")).as("df"), min(col("doc")).as("keeper"))
+      .filter(col("df") >= 2)
+    val dup = maxShingleDocFreq
+      .fold(dupAll)(cap => dupAll.filter(col("df") <= cap))
+      .select("sh", "keeper")
+    val hitsPerDoc = allSh.join(dup, Seq("sh"))
+      .filter(col("doc") =!= col("keeper"))
+      .groupBy("doc").agg(collect_set(col("pos")).as("__hits"))
+    val hits = coalesce(col("__hits"), array().cast("array<int>"))
+    val kept = filter(col("__t"),
+      (_, i) => !exists(hits, h => i >= h && i <= h + lit(k - 1)))
+    base.join(hitsPerDoc, Seq("doc"), "left")
+      .select(col("doc").as(docId),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
   /** 64-bit SimHash over per-token 64-bit hashes: sign-sum each bit
     * position. Near-dups have small Hamming distance. Native codegen'd
     * kernel (graft.parse.SimhashExpr) — the HOF formulation needed 64

@@ -205,6 +205,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) === ((0L, 0L, "")))
   }
 
+  test("selfSubstringScrub: min-id doc keeps each duplicated span, others lose it") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),   // keeper of "the quick brown"
+      (2L, "see the quick brown fox here"),     // loses the shared span
+      (3L, "the quick brown cat sits"),         // shares only a 2-gram prefix run
+      (4L, "totally unrelated words right now"),
+      (5L, "see the quick brown fox here")      // exact dup of 2 -> scrubbed too
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfSubstringScrub(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // windows in >=2 docs: "the quick brown" (docs 1,2,3,5; keeper 1),
+    // "quick brown fox" (1,2,5; keeper 1), "see the quick" (2,5; keeper
+    // 2), "the quick brown"... doc 2's full text is docs {2,5}'s shared
+    // windows plus doc 1's -> doc 2 keeps what it is keeper of
+    assert(out(1L) === ((6L, 0L, "the quick brown fox jumps high")))
+    // doc 2 is keeper of the windows it shares ONLY with doc 5
+    // ("see the quick", "brown fox here", ...), but loses the two
+    // windows doc 1 holds: positions 1..2 -> covered 1..4 -> "see here"
+    assert(out(2L) === ((6L, 4L, "see here")))
+    // doc 3: only "the quick brown"@0 is duplicated -> covered 0..2
+    assert(out(3L) === ((5L, 3L, "cat sits")))
+    assert(out(4L) === ((5L, 0L, "totally unrelated words right now")))
+    // doc 5: every window it holds is also in doc 1 or kept by doc 2 ->
+    // fully covered
+    assert(out(5L) === ((6L, 6L, "")))
+  }
+
+  test("selfSubstringScrub: the doc-frequency cap spares corpus-wide boilerplate") {
+    val docs = Seq(
+      (1L, "subscribe to our newsletter for weekly updates"),
+      (2L, "subscribe to our newsletter today friends"),
+      (3L, "subscribe to our newsletter please people"),
+      (4L, "subscribe to our newsletter for weekly updates")) // dup of 1
+      .toDF("doc_id", "text")
+    val out = Dedup.selfSubstringScrub(docs, "doc_id", "text", k = 4,
+        maxShingleDocFreq = Some(3L))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // "subscribe to our newsletter" rides all 4 docs -> above the cap,
+    // spared everywhere; doc 4's remaining windows (df 2) still cut
+    assert(out(1L) === 0L && out(2L) === 0L && out(3L) === 0L)
+    assert(out(4L) > 0L)
+  }
+
   test("removeContaminatedSpans: the hot-shingle cap spares boilerplate, still cuts rare leakage") {
     // "terms of service apply" rides every doc AND the benchmark; only
     // doc 1 additionally leaks the benchmark's rare "secret eval answer"
