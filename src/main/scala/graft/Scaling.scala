@@ -247,6 +247,17 @@ object Scaling {
         .select(col("doc_id"),
           graft.llm.TextStats.stripMarkup(col("text")).as("clean"))
 
+    def selfsubScrub(dir: String): DataFrame =
+      // q112's exact shape: the window histogram carries EVERY k-gram of
+      // the corpus through one groupBy (df >= 2 filter), then joins back
+      // — the row evidences that cost tracks window volume, with the
+      // join-back ~ Σ bucket² over genuinely duplicated windows (the 10×
+      // synthesis keeps per-replica planted dups, so duplicate density
+      // is constant and the hit volume scales linearly)
+      graft.llm.Dedup.selfSubstringScrub(
+        Tables(spark, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", k = 5, maxShingleDocFreq = Some(64L))
+
     def jpegDecode(dir: String): DataFrame = {
       // q108's shape: per-doc DC-only JPEG synthesize + REAL decode in
       // one mapPartitions pass, rasters reduced to stats in-partition —
@@ -286,7 +297,8 @@ object Scaling {
       "para_dedup" -> paraDedup, "ccnet_buckets" -> ccnetBuckets,
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
       "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
-      "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode)
+      "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode,
+      "selfsub_scrub" -> selfsubScrub)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
