@@ -233,6 +233,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) === ((6L, 6L, "")))
   }
 
+  test("selfSubstringScrub equals a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 0 until 3) {
+      val k = 2 + trial % 2
+      val docs = (1L to 12L).map { id =>
+        val n = rnd.nextInt(14)
+        id -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      // brute force: window -> (keeper, docs); covered positions per doc
+      val windows = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        (0 to toks.length - k).map(p => (toks.slice(p, p + k).mkString(" "), id, p))
+      }
+      val byText = windows.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      val keeperOf = byText.map { case (sh, occ) => sh -> occ.map(_._2).min }
+      val expected = docs.map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        val covered = (0 to toks.length - k).flatMap { p =>
+          val sh = toks.slice(p, p + k).mkString(" ")
+          if (keeperOf.get(sh).exists(_ != id)) p until p + k else Seq.empty
+        }.toSet
+        val kept = toks.zipWithIndex.collect {
+          case (tk, i) if !covered(i) => tk
+        }
+        id -> ((toks.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val out = Dedup.selfSubstringScrub(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      docs.foreach { case (id, t) =>
+        assert(out(id) === expected(id), s"trial $trial k=$k doc $id '$t'")
+      }
+    }
+  }
+
   test("selfSubstringScrub: the doc-frequency cap spares corpus-wide boilerplate") {
     val docs = Seq(
       (1L, "subscribe to our newsletter for weekly updates"),
