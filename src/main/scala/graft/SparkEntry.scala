@@ -2415,6 +2415,49 @@ object SparkEntry {
       Dedup.selfSubstringScrub(docs, "doc_id", "text", k = 5)
         .ordered(col("doc_id"))
     }),
+
+    // ---- Multimodal: REAL animated-GIF frame sampling -------------------
+    // q109's pipeline for the OTHER animation container a crawl serves:
+    // per doc, an animated GIF whose frames carry different closed-form
+    // palettes (per-frame LOCAL color tables + graphic-control
+    // extensions — the real animated layout), each frame REAL-LZW
+    // compressed, demuxed + decompressed by decodeFrames, every 2nd
+    // frame sampled to integer luma stats. The oracle replays the
+    // palette formulas per sampled frame; GIF is lossless, so any LZW,
+    // palette-select, or extension-walk error hash-diverges.
+    "q113_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 6 + (id % 9).toInt
+            val h = 5 + (id % 6).toInt
+            val nf = 2 + (id % 3).toInt
+            val n = 3 + (id % 7).toInt
+            val frames = Array.tabulate(nf) { f =>
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val j = (id + f.toLong * 11 + i.toLong * 3) % n
+                px(i * 3) = ((id * 7 + f * 29 + j * 13) % 256).toByte
+                px(i * 3 + 1) = ((id * 11 + f * 31 + j * 17) % 256).toByte
+                px(i * 3 + 2) = ((id * 13 + f * 37 + j * 19) % 256).toByte
+                i += 1
+              }
+              Png.Image(w, h, 3, px)
+            }
+            Binary.MediaRow(id, Gif.encodeAnimated(frames), "image", "gif")
+          }
+        }
+      Binary.gifFrames(media, stride = 2)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("luma_sum"), col("luma_min"), col("luma_max"))
+        .ordered(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -4558,6 +4601,26 @@ object SparkEntry {
         |  CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
         |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q109's sampling CTE over q111's palette-formula pixels with the
+    // frame term folded in — the animated-GIF round trip is lossless, so
+    // the decoded bytes ARE the formula per sampled frame.
+    "q113_gif_frames" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 6 AS h,
+        |  2 + doc_id % 3 AS nf, 3 + doc_id % 7 AS n FROM documents),
+        |f AS (SELECT doc_id, w, h, n, UNNEST(range(0, nf, 2)) AS fi FROM p),
+        |g AS (SELECT doc_id, w, h, fi,
+        |  list_transform(range(0, w * h), i ->
+        |    (((doc_id*7 + fi*29 + ((doc_id + fi*11 + i*3) % n)*13) % 256) * 299 +
+        |     ((doc_id*11 + fi*31 + ((doc_id + fi*11 + i*3) % n)*17) % 256) * 587 +
+        |     ((doc_id*13 + fi*37 + ((doc_id + fi*11 + i*3) % n)*19) % 256) * 114) // 1000) AS lum
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(lum) AS BIGINT) AS luma_sum,
+        |  CAST(list_min(lum) AS BIGINT) AS luma_min,
+        |  CAST(list_max(lum) AS BIGINT) AS luma_max
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

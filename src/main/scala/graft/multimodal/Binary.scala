@@ -395,6 +395,42 @@ object Binary {
     }
   }
 
+  /** REAL animated-GIF frame sampling — [[videoFrames]]'s shape for the
+    * other animation container a crawl actually serves: every
+    * `stride`-th full-canvas frame through [[Gif.decodeFrames]] (LZW +
+    * palette per frame), reduced to the same integer luma stats. One
+    * fixed-width row per (gif, sampled frame); rasters never ride a
+    * shuffle; poison payloads yield one ok=false row. */
+  def gifFrames(media: Dataset[MediaRow],
+                stride: Int): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive ($stride)")
+    media.flatMap { r =>
+      try {
+        val fs = Gif.decodeFrames(r.payload)
+        val w = fs(0).width; val h = fs(0).height
+        (0 until fs.length by stride).map { fi =>
+          val px = fs(fi).pixels
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var j = 0
+          while (j < w * h) {
+            val b = j * 3
+            val lum = ((px(b) & 0xff) * 299 + (px(b + 1) & 0xff) * 587 +
+              (px(b + 2) & 0xff) * 114) / 1000
+            sum += lum
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            j += 1
+          }
+          VideoFrameStats(r.media_id, ok = true, fi, w, h, sum, mn, mx)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(VideoFrameStats(r.media_id, ok = false, -1, -1, -1, 0L, 0L, 0L))
+      }
+    }
+  }
+
   /** STUB decode — NOT a media decoder (images have the REAL
     * [[decodeImage]] path; this remains only as the execution-shape
     * placeholder for audio/video feature extraction). Deterministic fake:

@@ -11,14 +11,17 @@ package graft.multimodal
   * checks decode∘encode identity and bit-exact agreement with the JDK
   * ImageIO reader/writer in both directions.
   *
-  * SCOPE: first image of the stream (animated GIFs decode frame 1 —
-  * the crawl-ingestion semantics; loops/disposal are presentation
-  * concerns), global or local color table, interlaced or sequential,
-  * any code size 2..8. Transparency (GCE) is ignored — the transparent
-  * index still maps to its palette RGB, matching a "flatten to RGB"
-  * ingest. Malformed input throws IllegalArgumentException; header-driven
-  * allocations are overflow-checked in Long and capped (the [[Png]]
-  * poison lesson).
+  * SCOPE: [[decode]] returns the first image (the crawl-ingestion
+  * semantics for a still); [[decodeFrames]] returns EVERY image of an
+  * animated stream as an independent full frame — full-canvas frames
+  * only (each descriptor must cover the whole logical screen at offset
+  * 0,0; partial-update frames with disposal compositing throw — that is
+  * presentation-layer state, not per-frame content). Global or local
+  * color table, interlaced or sequential, any code size 2..8.
+  * Transparency (GCE) is ignored — the transparent index still maps to
+  * its palette RGB, matching a "flatten to RGB" ingest. Malformed input
+  * throws IllegalArgumentException; header-driven allocations are
+  * overflow-checked in Long and capped (the [[Png]] poison lesson).
   *
   * Reference behavior modeled on the image-bytes columns of
   * /root/reference/data_processing (multimodal payload plumbing); the
@@ -33,7 +36,14 @@ object Gif {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
   /** Decode a GIF byte array to the first image's RGB raster. */
-  def decode(gif: Array[Byte]): Png.Image = {
+  def decode(gif: Array[Byte]): Png.Image = walk(gif, firstOnly = true).head
+
+  /** Decode EVERY image of a (possibly animated) GIF as independent
+    * full-canvas RGB frames — see SCOPE in the object doc. */
+  def decodeFrames(gif: Array[Byte]): Array[Png.Image] =
+    walk(gif, firstOnly = false)
+
+  private def walk(gif: Array[Byte], firstOnly: Boolean): Array[Png.Image] = {
     require(gif.length >= 13 &&
       gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8' &&
       (gif(4) == '7' || gif(4) == '9') && gif(5) == 'a',
@@ -48,25 +58,39 @@ object Gif {
       gct = java.util.Arrays.copyOfRange(gif, off, off + 3 * n)
       off += 3 * n
     }
-    while (off < gif.length) {
+    val screenW = u16(gif, 6)
+    val screenH = u16(gif, 8)
+    val frames = Array.newBuilder[Png.Image]
+    var nFrames = 0
+    var done = false
+    def skipSubBlocks(): Unit = {
+      var bs = if (off < gif.length) gif(off) & 0xff else -1
+      while (bs > 0) {
+        require(off + 1 + bs <= gif.length, "truncated sub-block")
+        off += 1 + bs
+        bs = if (off < gif.length) gif(off) & 0xff else -1
+      }
+      require(bs == 0, "truncated sub-block terminator")
+      off += 1
+    }
+    while (off < gif.length && !done) {
       (gif(off) & 0xff) match {
         case 0x21 => // extension: label + sub-block chain
           require(off + 2 <= gif.length, "truncated extension")
           off += 2
-          var bs = if (off < gif.length) gif(off) & 0xff else -1
-          while (bs > 0) {
-            require(off + 1 + bs <= gif.length, "truncated extension sub-block")
-            off += 1 + bs
-            bs = if (off < gif.length) gif(off) & 0xff else -1
-          }
-          require(bs == 0, "truncated extension terminator")
-          off += 1
+          skipSubBlocks()
         case 0x2c => // image descriptor
           require(off + 10 <= gif.length, "truncated image descriptor")
+          val left = u16(gif, off + 1)
+          val top = u16(gif, off + 3)
           val w = u16(gif, off + 5)
           val h = u16(gif, off + 7)
           val ipacked = gif(off + 9) & 0xff
           val interlaced = (ipacked & 0x40) != 0
+          if (!firstOnly)
+            require(left == 0 && top == 0 && w == screenW && h == screenH,
+              s"partial-update frame (${w}x$h at $left,$top on " +
+                s"${screenW}x$screenH) unsupported — full-canvas frames only")
           off += 10
           var ct = gct
           if ((ipacked & 0x80) != 0) {
@@ -77,14 +101,17 @@ object Gif {
           }
           require(ct != null, "no color table for image")
           require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-          require(Math.multiplyExact(
-            Math.multiplyExact(w.toLong, h.toLong), 4L) <= MaxRasterBytes,
-            s"raster ${w}x$h exceeds $MaxRasterBytes-byte cap")
+          require(Math.multiplyExact(Math.multiplyExact(
+            Math.multiplyExact(w.toLong, h.toLong), 4L),
+            (nFrames + 1).toLong) <= MaxRasterBytes,
+            s"raster ${w}x$h x ${nFrames + 1} frames exceeds " +
+              s"$MaxRasterBytes-byte cap")
           require(off + 1 <= gif.length, "truncated LZW header")
           val minCode = gif(off) & 0xff
           require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
           off += 1
-          val idx = lzwDecode(gif, off, minCode, w * h)
+          val lzwStart = off
+          val idx = lzwDecode(gif, lzwStart, minCode, w * h)
           val out = new Array[Byte](w * h * 3)
           val nColors = ct.length / 3
           val order = rowOrder(h, interlaced)
@@ -103,14 +130,19 @@ object Gif {
             }
             y += 1
           }
-          return Png.Image(w, h, 3, out)
-        case 0x3b => // trailer before any image
-          throw new IllegalArgumentException("GIF trailer before any image")
+          frames += Png.Image(w, h, 3, out)
+          nFrames += 1
+          if (firstOnly) done = true
+          else skipSubBlocks() // structurally skip the LZW chain
+        case 0x3b => // trailer
+          require(nFrames > 0, "GIF trailer before any image")
+          done = true
         case b =>
           throw new IllegalArgumentException(f"unexpected GIF block 0x$b%02X")
       }
     }
-    throw new IllegalArgumentException("no image descriptor in GIF")
+    require(nFrames > 0, "no image descriptor in GIF")
+    frames.result()
   }
 
   /** Interlace de-weave: source row i (decode order) -> display row.
@@ -223,14 +255,13 @@ object Gif {
     c.toByte
   }
 
-  /** Encode an RGB raster as a GIF87a/89a with a global color table built
-    * from the image's distinct colors (≤256 required — fixture scope),
-    * REAL LZW compression, and optional interlace. Channels must be 3. */
-  def encode(img: Png.Image, interlaced: Boolean = false): Array[Byte] = {
+  /** Palette + per-pixel indices for an RGB raster (≤256 distinct colors
+    * required — fixture scope). Returns (palette, indices, ctBits) with
+    * table size 2^ctBits. */
+  private def paletteIndex(img: Png.Image): (Array[Int], Array[Byte], Int) = {
     val Png.Image(w, h, c, px) = img
     require(c == 3, "GIF encode expects an RGB raster")
     require(px.length == w * h * 3, "pixel buffer size mismatch")
-    // build the palette
     val colorOf = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     val idx = new Array[Byte](w * h)
     var i = 0
@@ -242,34 +273,84 @@ object Gif {
     }
     require(colorOf.size <= 256, s"${colorOf.size} colors exceed a GIF palette")
     var ctBits = 1
-    while ((2 << (ctBits - 1)) < colorOf.size) ctBits += 1 // table size 2^ctBits
+    while ((2 << (ctBits - 1)) < colorOf.size) ctBits += 1
+    (colorOf.keys.toArray, idx, ctBits)
+  }
+
+  /** Descriptor + color table + REAL LZW for one full-canvas image.
+    * `lct` writes the palette as a LOCAL color table (the animated
+    * layout); otherwise the caller has already written it globally. */
+  private def writeImage(out: java.io.ByteArrayOutputStream, img: Png.Image,
+                         palette: Array[Int], idx: Array[Byte], ctBits: Int,
+                         interlaced: Boolean, lct: Boolean): Unit = {
+    def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     val nColors = 2 << (ctBits - 1)
     val minCode = math.max(2, ctBits)
+    out.write(0x2c)
+    put16(0); put16(0); put16(img.width); put16(img.height)
+    out.write((if (interlaced) 0x40 else 0x00) |
+      (if (lct) 0x80 | (ctBits - 1) else 0x00))
+    if (lct) for (j <- 0 until nColors) {
+      val rgb = if (j < palette.length) palette(j) else 0
+      out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+    }
+    out.write(minCode)
+    val order = rowOrder(img.height, interlaced)
+    val seq = new Array[Byte](img.width * img.height)
+    var y = 0
+    while (y < img.height) {
+      System.arraycopy(idx, order(y) * img.width, seq, y * img.width, img.width)
+      y += 1
+    }
+    lzwEncode(seq, minCode, out)
+  }
+
+  /** Encode an RGB raster as a GIF87a/89a with a global color table built
+    * from the image's distinct colors (≤256 required — fixture scope),
+    * REAL LZW compression, and optional interlace. Channels must be 3. */
+  def encode(img: Png.Image, interlaced: Boolean = false): Array[Byte] = {
+    val (palette, idx, ctBits) = paletteIndex(img)
+    val nColors = 2 << (ctBits - 1)
     val out = new java.io.ByteArrayOutputStream()
     def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
-    put16(w); put16(h)
+    put16(img.width); put16(img.height)
     out.write(0x80 | (ctBits - 1)) // GCT present, size
     out.write(0); out.write(0)     // background, aspect
-    val palette = colorOf.keys.toArray
     for (j <- 0 until nColors) {
       val rgb = if (j < palette.length) palette(j) else 0
       out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
     }
-    out.write(0x2c) // image descriptor
-    put16(0); put16(0); put16(w); put16(h)
-    out.write(if (interlaced) 0x40 else 0x00)
-    out.write(minCode)
-    // reorder rows for interlace, then REAL LZW compress
-    val order = rowOrder(h, interlaced)
-    val seq = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      System.arraycopy(idx, order(y) * w, seq, y * w, w)
-      y += 1
-    }
-    lzwEncode(seq, minCode, out)
+    writeImage(out, img, palette, idx, ctBits, interlaced, lct = false)
     out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Encode uniform full-canvas RGB frames as an animated GIF89a: a
+    * Netscape-free minimal layout — each frame carries its own LOCAL
+    * color table (palettes may differ per frame) and a graphic-control
+    * extension with a fixed delay, so external viewers animate it and
+    * [[decodeFrames]] gets the LCT + extension-skip paths exercised. */
+  def encodeAnimated(frames: Array[Png.Image],
+                     interlaced: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val w = frames(0).width; val h = frames(0).height
+    frames.foreach(f => require(f.width == w && f.height == h,
+      "animated frames must share dimensions"))
+    val out = new java.io.ByteArrayOutputStream()
+    def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    put16(w); put16(h)
+    out.write(0x00) // no global color table
+    out.write(0); out.write(0)
+    frames.foreach { img =>
+      // graphic control extension: 10 cs delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); put16(10); out.write(0); out.write(0)
+      val (palette, idx, ctBits) = paletteIndex(img)
+      writeImage(out, img, palette, idx, ctBits, interlaced, lct = true)
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 

@@ -90,6 +90,38 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("animated: decodeFrames round-trips per-frame palettes and GCEs") {
+    val rnd = new scala.util.Random(21)
+    val w = 17; val h = 11
+    val frames = Array.tabulate(4)(f =>
+      randomImage(rnd, w, h, 3 + f * 5)) // different palette per frame
+    val bytes = Gif.encodeAnimated(frames, interlaced = true)
+    val back = Gif.decodeFrames(bytes)
+    assert(back.length === 4)
+    for (f <- 0 until 4)
+      assert(java.util.Arrays.equals(back(f).pixels, frames(f).pixels),
+        s"frame $f")
+    // decode (first-frame semantics) agrees with frame 0
+    assert(java.util.Arrays.equals(Gif.decode(bytes).pixels, frames(0).pixels))
+    // ImageIO reads the same frames bit-exactly (independent LZW + LCT)
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) === 4)
+    for (f <- 0 until 4) {
+      val ref = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val d = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff) === (frames(f).pixels(d) & 0xff) &&
+          ((rgb >> 8) & 0xff) === (frames(f).pixels(d + 1) & 0xff) &&
+          (rgb & 0xff) === (frames(f).pixels(d + 2) & 0xff),
+          s"ImageIO frame $f pixel ($x,$y)")
+      }
+    }
+  }
+
   test("poison inputs throw, never hang or over-allocate") {
     def bad(b: Array[Byte]): Unit =
       assertThrows[IllegalArgumentException](Gif.decode(b))
