@@ -258,6 +258,37 @@ object Scaling {
         Tables(spark, dir, "documents").filter(col("text").isNotNull),
         "doc_id", "text", k = 5, maxShingleDocFreq = Some(64L))
 
+    def gifFrames(dir: String): DataFrame = {
+      // q113's shape: per-doc animated-GIF synthesize (real LZW per
+      // frame) + decodeFrames + strided luma stats — per-row codec,
+      // zero shuffle, like jpeg_decode
+      import graft.multimodal.{Binary, Gif, Png}
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents").select(col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = 6 + (id % 9).toInt
+            val h = 5 + (id % 6).toInt
+            val nf = 2 + (id % 3).toInt
+            val n = 3 + (id % 7).toInt
+            val frames = Array.tabulate(nf) { f =>
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val j = (id + f.toLong * 11 + i.toLong * 3) % n
+                px(i * 3) = ((id * 7 + f * 29 + j * 13) % 256).toByte
+                px(i * 3 + 1) = ((id * 11 + f * 31 + j * 17) % 256).toByte
+                px(i * 3 + 2) = ((id * 13 + f * 37 + j * 19) % 256).toByte
+                i += 1
+              }
+              Png.Image(w, h, 3, px)
+            }
+            Binary.MediaRow(id, Gif.encodeAnimated(frames), "image", "gif")
+          }
+        }
+      Binary.gifFrames(media, stride = 2).filter(col("ok")).toDF()
+    }
+
     def jpegDecode(dir: String): DataFrame = {
       // q108's shape: per-doc DC-only JPEG synthesize + REAL decode in
       // one mapPartitions pass, rasters reduced to stats in-partition —
@@ -298,7 +329,7 @@ object Scaling {
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
       "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
       "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode,
-      "selfsub_scrub" -> selfsubScrub)
+      "selfsub_scrub" -> selfsubScrub, "gif_frames" -> gifFrames)
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
