@@ -1866,8 +1866,20 @@ object SparkEntry {
     // final watermark clears every real window — a production stream
     // advances it naturally (see streamAsofEnrich scaladoc).
     "q77_stream_asof" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      def raw = s.readStream.schema(schema)
+      // State-partition sizing is per-stream-load tuning: this query runs
+      // TWO chained stateful operators whose per-batch cost is dominated
+      // by state-store commits (one per partition per operator per
+      // batch), and 32 partitions of state for a fixture-sized stream is
+      // pure commit overhead (measured: ~1/3 of wall at 32 vs 8).
+      // Partitioning does not affect results (hash-partitioned state,
+      // same keys either way — the oracle pins it). Passed as an explicit
+      // runToMemoryIsolated argument — the stream builds and runs on a
+      // cloned session, so no shared-conf mutation and no race with
+      // concurrent callers.
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q77_mem_${System.nanoTime()}", "append") { sc =>
+      val schema = Tables(sc, dir, "events").schema
+      def raw = sc.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_us", Tables.tsUsOf(schema))
       // sentinel shift must clear the WHOLE span plus the lookback: the
@@ -1901,24 +1913,11 @@ object SparkEntry {
           .select(lit(ftKey).as("feat_id"), lit(ftKey).as("user_id"),
             lit(0.0).as("feat_value"),
             timestamp_micros(col("ts_us") + dayUs).as("f_t")))
-      val enriched = Streams.streamAsofEnrich(events, feats, "user_id",
+      Streams.streamAsofEnrich(events, feats, "user_id",
         "e_t", "f_t", delay = "10 seconds", lookback = "6 hours",
         eventCols = Seq("event_id", "user_id", "ts_us"),
         featureCols = Seq("feat_id", "feat_value"), tieBreak = "feat_id")
-      // State-partition sizing is per-stream-load tuning: this query runs
-      // TWO chained stateful operators whose per-batch cost is dominated
-      // by state-store commits (one per partition per operator per
-      // batch), and 32 partitions of state for a fixture-sized stream is
-      // pure commit overhead (measured: ~1/3 of wall at 32 vs 8).
-      // Partitioning does not affect results (hash-partitioned state,
-      // same keys either way — the oracle pins it). Scoped + restored:
-      // queries run sequentially under Verify/Bench.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try Streams.runToMemory(enriched,
-          s"q77_mem_${System.nanoTime()}", "append")
-        .ordered(col("event_id"), col("user_id"), col("ts_us"))
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }.ordered(col("event_id"), col("user_id"), col("ts_us"))
     }),
 
     // ---- LLM ops: PII redaction (emails/URLs/IPs/phones) ----------------
@@ -2106,12 +2105,17 @@ object SparkEntry {
     // the agg into the union's sentinel branch, removing the watermark
     // driver before it acts — the q77 lesson).
     "q103_stream_session" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      def raw = s.readStream.schema(schema)
+      val sentKey = Long.MinValue + 1L
+      // state-partition sizing: one stateful operator on a fixture-sized
+      // stream — 8 partitions of state, commits dominate otherwise (q77);
+      // explicit runToMemoryIsolated argument, no shared-conf mutation
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q103_mem_${System.nanoTime()}", "append") { sc =>
+      val schema = Tables(sc, dir, "events").schema
+      def raw = sc.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_us", Tables.tsUsOf(schema))
       val dayUs = 32L * 86400000000L
-      val sentKey = Long.MinValue + 1L
       val withSent = raw.select(col("user_id"), col("ts_us"))
         .unionByName(raw.filter(col("event_id") % 1000 === 0)
           .select(lit(sentKey).as("user_id"),
@@ -2124,18 +2128,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
           unix_micros(col("w.end")).as("s_end"), col("n"))
-      // state-partition sizing: one stateful operator on a fixture-sized
-      // stream — 8 partitions of state, commits dominate otherwise (q77)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try Streams.runToMemory(sess, s"q103_mem_${System.nanoTime()}",
-          "append")
+      sess
+      }
         // null-SAFE exclusion: a plain =!= would silently drop NULL-key
         // sessions (adversarial fixtures carry NULL user_ids; the oracle
         // sessionizes them as a group like any other)
         .filter(!(col("user_id") <=> lit(sentKey)))
         .ordered(col("user_id"), col("s_start"))
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // ---- Corpus ops: snapshot diff (CDC between corpus versions) --------

@@ -275,4 +275,31 @@ object Streams {
     spark.catalog.dropTempView(name)
     local
   }
+
+  /** [[runToMemory]] with the stream's state-partition count as an
+    * EXPLICIT per-query argument. Structured Streaming sizes its state
+    * store from `spark.sql.shuffle.partitions` at first run, and
+    * state-partition sizing is per-stream-load tuning (a fixture-sized
+    * stream pays one state-store commit per partition per operator per
+    * batch — measured ~1/3 of q77's wall at 32 vs 8), so it must not be
+    * expressed by mutating the shared session conf around the run: two
+    * concurrent stream launches on one session would race on the
+    * set/restore. Instead the query is BUILT AND RUN on a cloned session
+    * (`newSession` — same SparkContext, independent SQLConf and temp-view
+    * catalog), so the partition override is invisible to the caller's
+    * session and to any concurrent stream. `build` receives the clone and
+    * must construct its sources from it; the result re-enters the PARENT
+    * session as a local relation, so downstream batch ops see the
+    * caller's own conf. */
+  def runToMemoryIsolated(spark: SparkSession, statePartitions: Int,
+                          name: String, outputMode: String)
+                         (build: SparkSession => DataFrame): DataFrame = {
+    val cloned = spark.newSession()
+    cloned.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.toString)
+    val local = runToMemory(build(cloned), name, outputMode)
+    // local was materialized via the clone; rebind to the parent session
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(local.collect().toSeq.asJava, local.schema)
+  }
 }
