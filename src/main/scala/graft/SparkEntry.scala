@@ -2457,6 +2457,31 @@ object SparkEntry {
           col("luma_sum"), col("luma_min"), col("luma_max"))
         .ordered(col("doc_id"), col("frame_idx"))
     }),
+
+    // ---- Multimodal: G.711 A-law audio decode (q95's European sibling) --
+    // Same closed-form synthesized clips as q95, companded through A-law
+    // (WAV format 6) instead of mu-law: 13-bit truncation, segment from
+    // the top magnitude bit, even-bit wire inversion, NO bias term. The
+    // decode is the real operator; the oracle replays compress∘expand
+    // per sample in SQL (all-integer until the two stat divides).
+    "q114_alaw_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 64 + (id % 129).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort)
+            Binary.MediaRow(id, Wav.encodeAlaw(Wav.Clip(8000, 1, samples)),
+              "audio", "wav")
+          }
+        }
+      Binary.decodeAudio(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("n_samples"), col("mean_amp"), col("rms"), col("peak"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
@@ -3910,6 +3935,43 @@ object SparkEntry {
         |  list_transform(range(n), i -> sg[CAST(i AS INT) + 1] *
         |    ((xs[CAST(i AS INT) + 1] // (1 << (es[CAST(i AS INT) + 1] + 3))
         |      * 8 + 4) * (1 << es[CAST(i AS INT) + 1]) - 132)) AS ds
+        |  FROM e)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  FLOOR(CAST(list_sum(ds) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_amp,
+        |  FLOOR(sqrt(CAST(list_sum(list_apply(ds, x -> x*x)) AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
+        |  CAST(list_max(list_apply(ds, x -> abs(x))) AS BIGINT) AS peak
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // A-law compress∘expand replayed per sample: magnitude = 13-bit
+    // truncation (negatives folded via -x-1 so // stays a non-negative
+    // floor), segment = top-bit position over {32,64,...,2048}, mantissa
+    // shift = max(seg,1), reconstruction (mant*16+8) for seg 0 else
+    // (mant*16+264)<<(seg-1) — all integers until the two stat divides
+    // (same floor(x*1e6+0.5)/1e6 discipline as q95).
+    "q114_alaw_decode" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |  list_apply(range(n), i -> (doc_id*131 + i*17) % 65536 - 32768) AS s
+        |  FROM p),
+        |m AS (SELECT doc_id, n,
+        |  list_transform(s, x -> CASE WHEN x >= 0 THEN x // 8
+        |    ELSE (-x - 1) // 8 END) AS ms,
+        |  list_transform(s, x -> CASE WHEN x < 0 THEN -1 ELSE 1 END) AS sg
+        |  FROM v),
+        |e AS (SELECT doc_id, n, ms, sg,
+        |  list_transform(ms, x -> CASE WHEN x >= 2048 THEN 7
+        |    WHEN x >= 1024 THEN 6 WHEN x >= 512 THEN 5 WHEN x >= 256 THEN 4
+        |    WHEN x >= 128 THEN 3 WHEN x >= 64 THEN 2 WHEN x >= 32 THEN 1
+        |    ELSE 0 END) AS es
+        |  FROM m),
+        |d AS (SELECT doc_id, n,
+        |  list_transform(range(n), i -> sg[CAST(i AS INT) + 1] * (CASE
+        |    WHEN es[CAST(i AS INT) + 1] = 0
+        |    THEN (ms[CAST(i AS INT) + 1] // 2) % 16 * 16 + 8
+        |    ELSE ((ms[CAST(i AS INT) + 1]
+        |           // (1 << GREATEST(es[CAST(i AS INT) + 1], 1))) % 16
+        |          * 16 + 264) * (1 << (es[CAST(i AS INT) + 1] - 1))
+        |    END)) AS ds
         |  FROM e)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
         |  FLOOR(CAST(list_sum(ds) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_amp,

@@ -5,6 +5,10 @@ package graft.multimodal
   * three spec'd encodings:
   *
   *  - format 1 — integer PCM, 16-bit little-endian (byte layout only);
+  *  - format 6 — G.711 A-law: companded 2:1 like mu-law but with the
+  *    even-bit wire inversion (XOR 0x55), 13-bit truncation, and no bias
+  *    term — the European-telephony sibling, same stateless per-byte
+  *    segment arithmetic;
   *  - format 7 — G.711 mu-law: genuinely COMPRESSED (companded 2:1)
   *    audio, expanded per sample with the public ITU G.711 segment
   *    arithmetic (sign / 3-bit exponent / 4-bit mantissa, bias 0x84) —
@@ -63,6 +67,42 @@ object Wav {
     while (exp > 0 && x < (1 << (exp + 7))) exp -= 1
     val mant = (x >> (exp + 3)) & 0x0f
     (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  // ---- G.711 A-law (format 6) -----------------------------------------
+
+  /** Expand one A-law codeword to its 16-bit sample (ITU G.711: even bits
+    * inverted on the wire — XOR 0x55 — then sign | 3-bit segment | 4-bit
+    * mantissa; segment 0 is linear, higher segments shift the biased
+    * mantissa). Unlike mu-law there is no bias subtraction: segment 0
+    * reconstructs (mant<<4)+8, segment s>=1 reconstructs
+    * ((mant<<4)+0x108)<<(s-1). Stateless per byte, so an external oracle
+    * can replay compress∘expand exactly. */
+  private[multimodal] def alawExpand(a0: Int): Short = {
+    val a = (a0 ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val mant = a & 0x0f
+    val mag =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** Compress one 16-bit sample to its A-law codeword: the 16-bit sample
+    * is truncated to 13 bits (>>3, negatives folded via -x-1 so the
+    * magnitude stays a floor division — no arithmetic-shift sign
+    * special-casing), the segment is the position of the top magnitude
+    * bit, and the wire byte XORs the 0x55 even-bit inversion (0xD5 for
+    * positive = 0x55 | sign bit). */
+  private[multimodal] def alawCompress(s: Int): Int = {
+    val mask = if (s >= 0) 0xd5 else 0x55
+    var m = if (s >= 0) s >> 3 else ((-s) - 1) >> 3
+    if (m > 0xfff) m = 0xfff
+    var seg = 0
+    while (seg < 7 && m >= (0x20 << seg)) seg += 1
+    val shift = if (seg < 2) 1 else seg
+    val mant = (m >> shift) & 0x0f
+    ((seg << 4) | mant) ^ mask
   }
 
   // ---- IMA/DVI ADPCM (format 17) --------------------------------------
@@ -144,6 +184,8 @@ object Wav {
           fmtTag match {
             case 1 =>
               require(bits == 16, s"PCM bit depth $bits unsupported (16 only)")
+            case 6 =>
+              require(bits == 8, s"A-law bit depth $bits unsupported (8 only)")
             case 7 =>
               require(bits == 8, s"mu-law bit depth $bits unsupported (8 only)")
             case 17 =>
@@ -152,7 +194,8 @@ object Wav {
               require(blockAlign > 4, s"ADPCM block align $blockAlign too small")
             case t =>
               throw new IllegalArgumentException(
-                s"WAV format tag $t unsupported (PCM=1, mu-law=7, IMA ADPCM=17)")
+                s"WAV format tag $t unsupported " +
+                  "(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)")
           }
           require(channels > 0, "zero channels")
         case "fact" =>
@@ -167,6 +210,12 @@ object Wav {
               val out = new Array[Short](n)
               var i = 0
               while (i < n) { out(i) = u16(wav, body + 2 * i).toShort; i += 1 }
+              data = out
+            case 6 =>
+              val n = len.toInt
+              val out = new Array[Short](n)
+              var i = 0
+              while (i < n) { out(i) = alawExpand(wav(body + i) & 0xff); i += 1 }
               data = out
             case 7 =>
               val n = len.toInt
@@ -259,6 +308,22 @@ object Wav {
     }
     riff(1, channels, sampleRate, sampleRate.toLong * channels * 2,
       channels * 2, 16, -1L, data)
+  }
+
+  /** Encode samples as a G.711 A-law WAV (format 6): each 16-bit sample
+    * compressed to one codeword. Lossy by design — decode yields the
+    * expanded (companded) samples, not the input. */
+  def encodeAlaw(clip: Clip): Array[Byte] = {
+    val Clip(sampleRate, channels, samples) = clip
+    require(channels > 0, "zero channels")
+    val data = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      data(i) = alawCompress(samples(i).toInt).toByte
+      i += 1
+    }
+    riff(6, channels, sampleRate, sampleRate.toLong * channels,
+      channels, 8, samples.length.toLong / channels, data)
   }
 
   /** Encode samples as a G.711 mu-law WAV (format 7): each 16-bit sample

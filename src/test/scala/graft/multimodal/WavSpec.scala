@@ -148,6 +148,60 @@ class WavSpec extends AnyFunSuite {
     assert(again.samples.toSeq === back.samples.toSeq)
   }
 
+  test("alaw: expand(compress(s)) matches hand-checked codewords") {
+    // ITU G.711 anchors: silence codeword is 0xD5 (sign|0 XOR 0x55);
+    // A-law has no true zero — inputs 0..7 decode to +8
+    assert(Wav.alawCompress(0) === 0xd5)
+    assert(Wav.alawExpand(Wav.alawCompress(0)) === 8)
+    // full scale companded to +/-32256 (segment 7, mantissa 15)
+    assert(Wav.alawExpand(Wav.alawCompress(32767)) === 32256)
+    assert(Wav.alawExpand(Wav.alawCompress(-32768)) === -32256)
+    // bottom segment quantizes in steps of 16: 0..15 -> 8, 16..31 -> 24
+    assert(Wav.alawExpand(Wav.alawCompress(15)) === 8)
+    assert(Wav.alawExpand(Wav.alawCompress(16)) === 24)
+    assert(Wav.alawExpand(Wav.alawCompress(31)) === 24)
+    // segment-1 boundary: 256..271 -> 264 (first seg-1 cell midpoint)
+    assert(Wav.alawExpand(Wav.alawCompress(256)) === 264)
+    assert(Wav.alawExpand(Wav.alawCompress(271)) === 264)
+  }
+
+  test("alaw: companding error bounded by the segment step, full sweep") {
+    var s = -32768
+    while (s <= 32767) {
+      val d = Wav.alawExpand(Wav.alawCompress(s)).toInt
+      val m = if (s >= 0) s >> 3 else ((-s) - 1) >> 3
+      var seg = 0
+      while (seg < 7 && m >= (0x20 << seg)) seg += 1
+      // cell width in the 16-bit domain is 16<<max(seg-1,0); the decoded
+      // value is its midpoint, so error <= half a cell
+      assert(math.abs(d - s) <= (8 << math.max(seg - 1, 0)),
+        s"sample $s decoded to $d (seg $seg)")
+      // sign is strictly preserved (negatives stay negative; 0..7 -> +8)
+      assert((d < 0) === (s < 0), s"sign flip at $s -> $d")
+      s += 1
+    }
+  }
+
+  test("alaw WAV: decode(encodeAlaw(clip)) = per-sample companded clip") {
+    val rnd = new scala.util.Random(6)
+    val samples = Array.fill(301)(rnd.nextInt(65536).toShort)
+    val clip = Wav.Clip(8000, 1, samples)
+    val back = Wav.decode(Wav.encodeAlaw(clip))
+    assert(back.sampleRate === 8000 && back.channels === 1)
+    assert(back.samples.toSeq ===
+      samples.toSeq.map(s => Wav.alawExpand(Wav.alawCompress(s.toInt))))
+    // idempotence: companded values are fixed points of the codec
+    val again = Wav.decode(Wav.encodeAlaw(Wav.Clip(8000, 1, back.samples)))
+    assert(again.samples.toSeq === back.samples.toSeq)
+  }
+
+  test("alaw: wrong bit depth in the fmt chunk throws") {
+    val alaw = Wav.encodeAlaw(Wav.Clip(8000, 1, Array[Short](1, 2, 3)))
+    val badBits = alaw.clone(); badBits(34) = 16 // bits field: 8 -> 16
+    val e = intercept[IllegalArgumentException](Wav.decode(badBits))
+    assert(e.getMessage.contains("A-law bit depth"))
+  }
+
   // ---- IMA/DVI ADPCM (format 17) ----------------------------------------
 
   test("adpcm: constant clip round-trips exactly (step stays minimal)") {
