@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
-import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats}
+import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Jpeg, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -2482,7 +2482,87 @@ object SparkEntry {
           col("n_samples"), col("mean_amp"), col("rms"), col("peak"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- LLM ops: URL canonicalization (pre-content-dedup crawl stage) --
+    // The fixture docs carry no URL column, so each doc gets a
+    // deterministic synthesized URL from a doc_id formula (the q78/q95
+    // pattern): mixed-case scheme/host, default and junk ports, trailing
+    // host dot, userinfo, %-escapes (decodable, uppercasable, malformed),
+    // tracking params, unsorted params, fragments, padding. The
+    // CANONICALIZATION is the real operator (Urls.canonicalize — pure
+    // codegen'd projection, zero shuffles); the oracle resolves each
+    // closed-form input to its expected canonical form independently.
+    "q115_url_canon" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Urls.canonicalize(synthUrl(col("doc_id"))).as("url_canon"))
+        .ordered(col("doc_id"))
+    }),
+
+    // URL-level dedup over the same synthesized space folded to 97
+    // collision classes (doc_id % 97): canonical twins collapse to the
+    // min-id keeper with a duplicate count — one hash shuffle on the
+    // canonical key, counting map-side combined.
+    "q116_url_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id") % 97).as("url"))
+      Urls.dedupByUrl(docs, "doc_id", "url")
+        .ordered(col("url_canon"))
+    }),
   )
+
+  /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
+    * expression — each branch's outcome stated directly (scheme
+    * lowercased, default ports resolved against the scheme branch,
+    * escapes pre-resolved, tracking dropped, survivors pre-sorted), so
+    * the oracle never runs the operator's own generic rules. */
+  private def urlCanonSqlExpr(k: String): String = {
+    val d = s"($k)"
+    s"""(CASE WHEN $d%3=0 THEN 'http' WHEN $d%3=1 THEN 'https'
+       |  ELSE 'ftp' END || '://' ||
+       |CASE WHEN $d%13=0 THEN 'u' || ($d%7) || '@' ELSE '' END ||
+       |'www' || ($d%50) || '.example.org' ||
+       |CASE WHEN $d%5=0 AND $d%3=0 THEN '' WHEN $d%5=0 THEN ':80'
+       |  WHEN $d%5=1 AND $d%3=1 THEN '' WHEN $d%5=1 THEN ':443'
+       |  WHEN $d%5=2 THEN ':8080' ELSE '' END ||
+       |CASE WHEN $d%4=0 THEN '/' WHEN $d%4=1 THEN '/a' || ($d%9) || '/Ab'
+       |  WHEN $d%4=2 THEN '/x~y' ELSE '/p%2Fq%zz%3A' END ||
+       |CASE WHEN $d%6=1 THEN '?a=2&b=' || ($d%7)
+       |  WHEN $d%6=3 THEN '?a=A&b=1'
+       |  WHEN $d%6=4 THEN '?y=7&y=8&z=9' ELSE '' END)""".stripMargin
+  }
+
+  /** q115/q116's closed-form synthesized URL — every canonicalization
+    * rule exercised from one doc_id formula; the oracle replays the same
+    * concatenation and independently states the expected canonical
+    * output per branch. */
+  private def synthUrl(d0: Column): Column = {
+    val d = d0.cast("long")
+    val str = (c: Column) => c.cast("string")
+    val scheme = when(d % 3 === 0, lit("http"))
+      .when(d % 3 === 1, lit("HTTPS")).otherwise(lit("Ftp"))
+    val user = when(d % 13 === 0, concat(lit("u"), str(d % 7), lit("@")))
+      .otherwise(lit(""))
+    val host = concat(lit("WWW"), str(d % 50), lit(".ExAmple.ORG"),
+      when(d % 11 === 0, lit(".")).otherwise(lit("")))
+    val port = when(d % 5 === 0, lit(":80")).when(d % 5 === 1, lit(":443"))
+      .when(d % 5 === 2, lit(":8080")).when(d % 5 === 3, lit(":"))
+      .otherwise(lit(""))
+    val path = when(d % 4 === 0, lit(""))
+      .when(d % 4 === 1, concat(lit("/a"), str(d % 9), lit("/%41b")))
+      .when(d % 4 === 2, lit("/x%7Ey"))
+      .otherwise(lit("/p%2fq%zz%3a"))
+    val query = when(d % 6 === 0, lit(""))
+      .when(d % 6 === 1, concat(lit("?utm_source=tw&b="), str(d % 7), lit("&a=2")))
+      .when(d % 6 === 2, lit("?gclid=abc"))
+      .when(d % 6 === 3, lit("?b=1&a=%41&utm_campaign=x"))
+      .when(d % 6 === 4, lit("?z=9&y=8&y=7"))
+      .otherwise(lit("?"))
+    val frag = when(d % 2 === 0, concat(lit("#sec"), str(d % 5)))
+      .otherwise(lit(""))
+    val pad = when(d % 17 === 0, lit("  ")).otherwise(lit(""))
+    concat(pad, scheme, lit("://"), user, host, port, path, query, frag, pad)
+  }
 
   /** Per-source sampling rates for q66 (default rate for the rest) —
     * shared by the query and its generated oracle CASE expression. */
@@ -3941,6 +4021,22 @@ object SparkEntry {
         |  FLOOR(sqrt(CAST(list_sum(list_apply(ds, x -> x*x)) AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
         |  CAST(list_max(list_apply(ds, x -> abs(x))) AS BIGINT) AS peak
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // The synthesized-URL canonical form resolved independently per
+    // branch: every (scheme × port) default-port interaction, the
+    // %-escape outcomes, the tracking strip, and the byte-sorted
+    // surviving params are stated closed-form — not re-derived through
+    // the operator's own rules (see urlCanonSqlExpr).
+    "q115_url_canon" ->
+      s"""SELECT doc_id, ${urlCanonSqlExpr("doc_id")} AS url_canon
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q116_url_dedup" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  ${urlCanonSqlExpr("doc_id % 97")} AS url_canon FROM documents)
+         |SELECT url_canon, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+         |FROM c WHERE url_canon IS NOT NULL
+         |GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative
