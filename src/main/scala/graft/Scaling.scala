@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Dedup, DedupIndex, Similarity, TextStats}
 import graft.ops.BronzeSilver
 import graft.sources.Tables
 
@@ -405,6 +405,40 @@ object Scaling {
       println("op,base_sec,base_pairs,scaled_sec,scaled_pairs,time_ratio")
       println(f"semantic_dup_fixed_planes,$t1%.2f,$n1,$tF%.2f,$nF,${tF / t1}%.1f")
       println(f"semantic_dup_scaled_planes,$t1%.2f,$n1,$tS%.2f,$nS,${tS / t1}%.1f")
+    }
+
+    // ---- dedup-index compaction: prune + small-file merge at scale ------
+    // Builds the q75-style identity index over documents, appends three
+    // batches (the small-file decay compaction exists to undo), then
+    // times compact() retiring every 7th doc. Healthy shape: wall grows
+    // ~linearly with index rows (scan + anti join + one AQE-sized
+    // shuffle per table), file count stays flat regardless of scale.
+    if (only.forall(_.contains("index_compact"))) {
+      def row(dir: String, tag: String): (Double, Long, Long, Int, Int) = {
+        val path = s"$out/idx_compact_$tag"
+        val docs = Tables(spark, dir, "documents")
+        DedupIndex.build(docs.filter(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", path)
+        Seq(3L, 7L, 11L).foreach { r =>
+          DedupIndex.append(docs.filter(col("doc_id") % 12 === r),
+            "doc_id", "text", path)
+        }
+        val retired = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("doc"))
+        val t0 = System.nanoTime()
+        val stats = DedupIndex.compact(spark, path, retired)
+        ((System.nanoTime() - t0) / 1e9, stats.map(_.rowsBefore).sum,
+          stats.map(_.rowsAfter).sum, stats.map(_.filesBefore).sum,
+          stats.map(_.filesAfter).sum)
+      }
+      val _ = row(src, "warm") // warm codegen/JIT
+      val (t1, rb1, ra1, fb1, fa1) = row(src, "base")
+      val (tN, rbN, raN, fbN, faN) = row(out, "scaled")
+      spark.catalog.clearCache()
+      println("op,base_sec,base_rows,base_rows_after,base_files,base_files_after," +
+        "scaled_sec,scaled_rows,scaled_rows_after,scaled_files,scaled_files_after,time_ratio")
+      println(f"index_compact,$t1%.2f,$rb1,$ra1,$fb1,$fa1," +
+        f"$tN%.2f,$rbN,$raN,$fbN,$faN,${tN / t1}%.1f")
     }
 
     // ---- ANN recall: measured, not collision-bound theory ---------------

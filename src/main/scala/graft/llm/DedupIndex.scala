@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus deduplication against a PERSISTED identity index —
@@ -181,5 +182,74 @@ object DedupIndex {
           .when(col("__nr_i") === 1, "near_index")
           .when(col("__nr_b") === 1, "near_batch")
           .otherwise("admitted").as("reason"))
+  }
+
+  /** Per-table compaction outcome: rows pruned and files merged. */
+  final case class CompactStats(table: String, rowsBefore: Long,
+                                rowsAfter: Long, filesBefore: Int,
+                                filesAfter: Int)
+
+  /** The doc ids a corpus diff retires from the index: docs `removed`
+    * from the corpus, plus `changed` docs — a changed doc's OLD identity
+    * must leave the index (its new version re-enters through the normal
+    * [[admissions]] → [[append]] path, like any batch doc). Input is
+    * [[Dedup.snapshotDiff]]'s (id, status) output. */
+  def retiredDocs(diff: DataFrame, id: String): DataFrame =
+    diff.filter(col("status").isin("removed", "changed"))
+      .select(col(id).as("doc"))
+
+  /** Compact the index: drop retired docs' identity from all three
+    * tables and merge the small files [[append]] accumulates (every
+    * appended batch adds its own part files; after N batches each probe
+    * join opens O(N·parts) files — the classic small-file decay of any
+    * append-grown table). Each table is rewritten through one shuffle on
+    * `doc` whose partition count AQE right-sizes to the advisory
+    * partition size, so file sizes stay healthy at ANY index scale
+    * without a driver-side row count.
+    *
+    * ADMISSION CONTRACT (spec-pinned): for any batch, [[admissions]]
+    * verdicts after compaction equal the verdicts before, except that
+    * duplicates of retired docs become admissible — exactly the point of
+    * retiring them.
+    *
+    * Crash posture matches [[append]]: the per-table write-temp +
+    * delete + rename swap is not transactional across the three tables
+    * (a crash can leave mixed generations; the failure mode is a dup
+    * admitted or a retired doc still rejected until the next compaction
+    * or rebuild — acceptable for a dedup gate). An ACID table format, or
+    * [[graft.store.OnlineTable]]'s versioned-pointer flip, closes even
+    * that window at the same layout. */
+  def compact(spark: SparkSession, path: String, retired: DataFrame):
+      Seq[CompactStats] = {
+    val r = retired.select(col(retired.columns.head).as("doc"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def parquetFiles(p: Path): Int = {
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    Seq("exact", "sigs", "bands").map { t =>
+      val tPath = new Path(s"$path/$t")
+      val fs = tPath.getFileSystem(hconf)
+      val filesBefore = parquetFiles(tPath)
+      val rowsBefore = spark.read.parquet(tPath.toString).count()
+      // tmp name must not start with '.' or '_': Spark's file index
+      // treats those as hidden and ignores them when reading the rewrite
+      // back for the stats count
+      val tmp = new Path(s"$path/$t-compact-tmp")
+      fs.delete(tmp, true)
+      // no forced broadcast on the anti join: the retired set is usually
+      // small (AQE will broadcast it), but a full corpus refresh can
+      // retire a large fraction — the shuffled anti join survives both
+      spark.read.parquet(tPath.toString)
+        .join(r, Seq("doc"), "left_anti")
+        .repartition(col("doc"))
+        .write.parquet(tmp.toString)
+      val rowsAfter = spark.read.parquet(tmp.toString).count()
+      fs.delete(tPath, true)
+      require(fs.rename(tmp, tPath), s"compaction swap failed for $t")
+      CompactStats(t, rowsBefore, rowsAfter, filesBefore,
+        parquetFiles(tPath))
+    }
   }
 }

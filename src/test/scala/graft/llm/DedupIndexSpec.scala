@@ -79,6 +79,72 @@ class DedupIndexSpec extends AnyFunSuite {
       .as[Double].head() === 0.75)
   }
 
+  test("compact: prunes retired identity, admissions otherwise identical") {
+    val path = indexPath()
+    val v1 = Seq((100L, tA), (101L, tB), (102L, tC))
+    DedupIndex.build(v1.toDF("doc_id", "text"), "doc_id", "text", path)
+    // several appends accumulate small files per table
+    DedupIndex.append(Seq((103L, tFresh)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    DedupIndex.append(Seq((104L, tFresh + " with one extra clause about " +
+      "plane change maneuvers at apoapsis")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val probe = Seq(
+      (1L, tA),            // dup of a doc that will be RETIRED
+      (2L, tB),            // dup of a KEPT doc
+      (3L, nearOf(tC)),    // near-dup of a doc that will be CHANGED
+      (4L, tFresh),        // dup of an appended KEPT doc
+      (5L, "entirely new material concerning the thermodynamics of " +
+        "closed cycle heat engines operating between two reservoirs"))
+    val before = reasons(path, probe)
+    assert(before === Map(1L -> "exact_index", 2L -> "exact_index",
+      3L -> "near_index", 4L -> "exact_index", 5L -> "admitted"))
+
+    // corpus v2: 100 removed, 102 changed, 101/103/104 unchanged
+    val v2 = Seq((101L, tB), (102L, tC + " amended"), (103L, tFresh),
+      (104L, tFresh + " with one extra clause about plane change " +
+        "maneuvers at apoapsis"))
+    val retired = DedupIndex.retiredDocs(
+      Dedup.snapshotDiff((v1 ++ Seq((103L, tFresh))).toDF("doc_id", "text")
+        .unionByName(Seq((104L, tFresh + " with one extra clause about " +
+          "plane change maneuvers at apoapsis")).toDF("doc_id", "text")),
+        v2.toDF("doc_id", "text"), "doc_id", "text"), "doc_id")
+    assert(retired.as[Long].collect().toSet === Set(100L, 102L))
+
+    val stats = DedupIndex.compact(spark, path, retired)
+    // every table pruned by exactly the retired docs' rows, never grown
+    stats.foreach { s =>
+      assert(s.rowsAfter < s.rowsBefore, s.toString)
+      assert(s.filesAfter > 0, s.toString)
+    }
+    val exact = spark.read.parquet(s"$path/exact")
+    assert(exact.select("doc").as[Long].collect().toSet ===
+      Set(101L, 103L, 104L))
+
+    // the contract: same verdicts, except retired docs' dups now admit
+    val after = reasons(path, probe)
+    assert(after === Map(1L -> "admitted", 2L -> "exact_index",
+      3L -> "admitted", 4L -> "exact_index", 5L -> "admitted"))
+  }
+
+  test("compact: merges append-accumulated small files") {
+    val path = indexPath()
+    DedupIndex.build(Seq((1L, tA)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val fills = Seq(tB, tC, tFresh, nearOf(tA) + " more", nearOf(tB) + " x")
+    fills.zipWithIndex.foreach { case (t, i) =>
+      DedupIndex.append(Seq((10L + i, t)).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    val stats = DedupIndex.compact(spark, path,
+      Seq.empty[Long].toDF("doc"))
+    stats.foreach { s =>
+      assert(s.rowsAfter === s.rowsBefore, s.toString) // nothing retired
+      assert(s.filesAfter < s.filesBefore,
+        s"files not merged: $s") // 6 writes' worth of parts -> few
+    }
+  }
+
   test("pessimistic one-hop: a chain rejects every later sibling") {
     // a ~ b and b ~ c with a !~ c is impossible to build from single-token
     // edits at J>=0.6 without a~c also holding, so use exact copies: the
