@@ -2509,6 +2509,22 @@ object SparkEntry {
       Urls.dedupByUrl(docs, "doc_id", "url")
         .ordered(col("url_canon"))
     }),
+
+    // ---- LLM ops: per-host audit behind a blocklist ---------------------
+    // Host extraction over the same synthesized URL space, three spam
+    // hosts banned via the anti join, per-host doc counts map-side
+    // combined — the host-budget/ban stage that runs before per-doc
+    // quality work. The oracle states each host closed-form and replays
+    // the NOT IN + group.
+    "q117_host_stats" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      val blocklist = Seq("www7.example.org", "www13.example.org",
+        "www21.example.org").toDF("host")
+      Urls.hostStats(docs, "doc_id", "url", blocklist)
+        .ordered(col("host"))
+    }),
   )
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
@@ -4037,6 +4053,18 @@ object SparkEntry {
          |SELECT url_canon, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
          |FROM c WHERE url_canon IS NOT NULL
          |GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    // The synthesized host closed-form (lowercased, port/userinfo/dot
+    // stripped by construction), three banned hosts excluded, counts
+    // grouped — NULL hosts (NULL doc_id rows) drop via the IS NOT NULL
+    // guard, mirroring hostStats' filter.
+    "q117_host_stats" ->
+      """WITH h AS (SELECT doc_id,
+        |  'www' || (doc_id%50) || '.example.org' AS host FROM documents)
+        |SELECT host, COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+        |FROM h WHERE host IS NOT NULL AND host NOT IN
+        |  ('www7.example.org', 'www13.example.org', 'www21.example.org')
+        |GROUP BY host ORDER BY host""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

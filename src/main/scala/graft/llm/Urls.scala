@@ -73,14 +73,20 @@ object Urls {
     concat(element_at(pieces, 1), array_join(fixed, ""))
   }
 
-  /** Canonicalize a URL column per the object doc; NULL for
-    * non-hierarchical or NULL input. */
-  def canonicalize(url: Column): Column = {
+  /** Parsed, individually-canonicalized URL components (all Columns);
+    * shared by [[canonicalize]] and [[host]]. */
+  private final case class Parsed(valid: Column, scheme: Column,
+                                  userinfo: Column, hostCanon: Column,
+                                  portCanon: Column, pathCanon: Column,
+                                  queryCanon: Column)
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  private def parse(url: Column): Parsed = {
     // percent-normalize FIRST (cannot create delimiters), then drop the
     // fragment, then parse scheme://authority/path?query
     val u = split(percentNormalize(trim(url)), "#", 2).getItem(0)
-    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
     val rest = substr(u, instr(u, "://") + 3, length(u))
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val pathQuery = substr(rest, length(authority) + 1, length(rest))
@@ -113,10 +119,42 @@ object Urls {
       }))
     val queryCanon = when(size(kept) > 0,
       concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
-    when(u.rlike(schemeRe),
-      concat(scheme, lit("://"), userinfo, hostCanon, portCanon,
-        pathCanon, queryCanon))
+    Parsed(u.rlike(SchemeRe), scheme, userinfo, hostCanon, portCanon,
+      pathCanon, queryCanon)
   }
+
+  /** Canonicalize a URL column per the object doc; NULL for
+    * non-hierarchical or NULL input. */
+  def canonicalize(url: Column): Column = {
+    val p = parse(url)
+    when(p.valid, concat(p.scheme, lit("://"), p.userinfo, p.hostCanon,
+      p.portCanon, p.pathCanon, p.queryCanon))
+  }
+
+  /** The canonical host of a URL (lowercased, DNS-root dot stripped,
+    * userinfo/port removed) — the crawl-pipeline grouping key for host
+    * budgets and blocklists. NULL for non-hierarchical input. */
+  def host(url: Column): Column = {
+    val p = parse(url)
+    when(p.valid, p.hostCanon)
+  }
+
+  /** Per-host corpus audit behind a blocklist — the crawl-hygiene stage
+    * that budgets and bans at host granularity (one spam host can
+    * contribute millions of pages; quality work is usually spent
+    * per-host before per-doc). Rows with a non-hierarchical URL are
+    * dropped; blocklisted hosts leave via an anti join (a real blocklist
+    * is tiny → AQE broadcasts it; a huge one still executes as a
+    * shuffled anti join); counts are map-side combined on the host key —
+    * one shuffle total. Output: (host, n_docs, first_id). */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String,
+                blocklist: DataFrame): DataFrame =
+    df.select(col(idCol).as("__id"), host(col(urlCol)).as("host"))
+      .filter(col("host").isNotNull)
+      .join(blocklist.select(col(blocklist.columns.head).as("host")),
+        Seq("host"), "left_anti")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), min("__id").as("first_id"))
 
   /** URL-level dedup: canonicalize `urlCol`, group, keep the minimum
     * `idCol` per canonical URL. Output: (url_canon, keeper_id, n_dups).

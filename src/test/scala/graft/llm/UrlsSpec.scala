@@ -163,6 +163,25 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("host: canonical host only — no userinfo, port, case, root dot") {
+    val df = Seq("HTTP://u:p@WWW.Example.COM.:8080/a?b=1#f",
+      "https://[::1]:443/x", "mailto:a@b.co").toDF("u")
+    assert(df.select(Urls.host(col("u"))).collect().toSeq.map(r =>
+      Option(r.getString(0))) ===
+      Seq(Some("www.example.com"), Some("[::1]"), None))
+  }
+
+  test("hostStats: blocklist anti join, counts, min id; invalid dropped") {
+    val docs = Seq((1L, "http://A.co/x"), (2L, "https://a.CO:443/y"),
+      (3L, "http://spam.co/z"), (4L, "junk"), (5L, "http://b.co/"))
+      .toDF("id", "url")
+    val out = Urls.hostStats(docs, "id", "url",
+        Seq("spam.co").toDF("host"))
+      .orderBy("host").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq(("a.co", 2L, 1L), ("b.co", 1L, 5L)))
+  }
+
   test("dedupByUrl collapses canonical twins and keeps the min id") {
     val df = Seq(
       (5L, "http://A.co:80/x?b=1&a=2"),
