@@ -2525,6 +2525,19 @@ object SparkEntry {
       Urls.hostStats(docs, "doc_id", "url", blocklist)
         .ordered(col("host"))
     }),
+
+    // ---- LLM ops: sparse TF-IDF cosine top-k (text-only similarity) -----
+    // Doc-doc similarity WITHOUT embeddings: inverted-index join on
+    // shared tokens (Σ posting² — never docs²), log-free idf, capped
+    // posting lists (df <= 150 — the hot-bucket guard), decimal-summed
+    // dot products and norms so every score is bit-identical in the
+    // oracle. Each unordered pair's dot is computed once and mirrored.
+    "q118_sparse_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      Similarity.sparseCosineTopK(docs, "doc_id", "text", k = 5,
+          maxDf = 150L)
+        .ordered(col("doc_id"), col("rank"))
+    }),
   )
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
@@ -4065,6 +4078,41 @@ object SparkEntry {
         |FROM h WHERE host IS NOT NULL AND host NOT IN
         |  ('www7.example.org', 'www13.example.org', 'www21.example.org')
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    // Replays the full sparse-cosine pipeline: tf, df cap via HAVING,
+    // log-free idf ratio, 6-decimal per-term rounding into exact
+    // DECIMAL(38,6) sums (sum ORDER is the only nondeterminism doubles
+    // admit), IEEE sqrt/divide, mirrored pairs, per-doc rank window.
+    "q118_sparse_topk" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+        |toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS tok
+        |  FROM base),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |  HAVING COUNT(*) <= 150),
+        |n AS (SELECT COUNT(*) AS n FROM base),
+        |w AS (SELECT doc_id, tok, CAST(tf * n.n AS DOUBLE) / df AS w
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |norms AS (SELECT doc_id,
+        |  sqrt(CAST(SUM(CAST(FLOOR(w*w*1e6+0.5)/1e6 AS DECIMAL(38,6))) AS DOUBLE)) AS norm
+        |  FROM w GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(SUM(CAST(FLOOR(a.w*b.w*1e6+0.5)/1e6 AS DECIMAL(38,6))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b USING (tok) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |m AS (SELECT id_a, id_b, dot FROM pairs
+        |  UNION ALL SELECT id_b, id_a, dot FROM pairs),
+        |sc AS (SELECT id_a, id_b,
+        |  FLOOR(dot / (na.norm * nb.norm) * 1e6 + 0.5)/1e6 AS cos
+        |  FROM m JOIN norms na ON m.id_a = na.doc_id
+        |         JOIN norms nb ON m.id_b = nb.doc_id),
+        |r AS (SELECT id_a, id_b, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT id_a AS doc_id, id_b AS nid, cos, rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

@@ -264,4 +264,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "nid", "cos", "rank")
   }
+
+  /** Sparse TF-IDF cosine top-k over raw TEXT — no embeddings: each doc
+    * is its (tok → tf·N/df) weight vector and similarity rides an
+    * INVERTED-INDEX equi-join on tokens (Σ posting² candidate mass, the
+    * q17/q34/q46 discipline — never docs² pairs), so only docs sharing a
+    * surviving token are ever compared. `maxDf` drops stopword-ish
+    * posting lists (df > cap) from the vector space BEFORE the join —
+    * the hot-bucket guard every inverted-index operator here carries;
+    * norms are computed over the same capped space, so cosine stays a
+    * true cosine in that space.
+    *
+    * Engine-exactness: the idf is q59's log-free ratio (tf·N/df — one
+    * IEEE division), per-term products round to 6 decimals and sum as
+    * exact decimals (the established cross-engine float discipline: sum
+    * ORDER is the only nondeterminism doubles admit, decimals are
+    * associative), and sqrt/divide are correctly-rounded IEEE ops — an
+    * external oracle reproduces every score bit-for-bit.
+    *
+    * Each unordered pair's dot product is computed ONCE (id_a < id_b)
+    * and mirrored by a cheap union before the per-doc ranking window, so
+    * the expensive posting join is never doubled. Output:
+    * (id, nid, cos, rank) with rank 1..k per id by (cos desc, nid asc). */
+  def sparseCosineTopK(docs: DataFrame, id: String, text: String, k: Int,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec6(c: Column): Column =
+      (floor(c * 1e6 + 0.5) / 1e6).cast("decimal(38,6)")
+    val base = docs.filter(col(text).isNotNull)
+    val tf = base
+      .select(col(id).as("__doc"),
+        explode(TextStats.tokens(lower(col(text)))).as("tok"))
+      .groupBy("__doc", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = base.agg(count(lit(1)).as("__n"))
+    val w = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .select(col("__doc"), col("tok"),
+        ((col("tf") * col("__n")).cast("double") / col("df")).as("w"))
+    val norms = w.groupBy("__doc")
+      .agg(sqrt(sum(dec6(col("w") * col("w"))).cast("double")).as("norm"))
+    val pairs = w.select(col("__doc").as("id_a"), col("tok"),
+        col("w").as("wa"))
+      .join(w.select(col("__doc").as("id_b"), col("tok"),
+        col("w").as("wb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(dec6(col("wa") * col("wb"))).cast("double").as("dot"))
+    val mirrored = pairs.unionByName(pairs.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("dot")))
+    val scored = mirrored
+      .join(norms.select(col("__doc").as("id_a"), col("norm").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col("__doc").as("id_b"), col("norm").as("__nb")),
+        Seq("id_b"))
+      .withColumn("cos", round6(col("dot") / (col("__na") * col("__nb"))))
+    val rw = Window.partitionBy("id_a").orderBy(desc("cos"), asc("id_b"))
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as(id), col("id_b").as("nid"),
+        col("cos"), col("rank"))
+  }
 }

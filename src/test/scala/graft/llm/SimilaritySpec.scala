@@ -149,4 +149,31 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = (0 until 30).count(i => gotSet.contains((2L * i, 2L * i + 1)))
     assert(hits >= 24, s"semantic dedup found only $hits/30 planted twin pairs")
   }
+
+  test("sparseCosineTopK: identical docs cos 1, disjoint absent, df cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),     // identical to 1 -> cos 1.0
+      (3L, "alpha delta epsilon"),  // shares only 'alpha' with 1/2
+      (4L, "zeta eta theta"),       // disjoint -> no pairs
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Similarity.sparseCosineTopK(docs, "doc_id", "text", k = 3)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // identical docs: every shared term weight equal -> cosine exactly 1
+    assert(byDoc(1L).head === ((1L, 2L, 1.0, 1L)))
+    assert(byDoc(2L).head === ((2L, 1L, 1.0, 1L)))
+    // 3 ranks its two alpha-sharers; 4 and the null doc never appear
+    assert(byDoc(3L).map(_._2).toSet === Set(1L, 2L))
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // ranks are 1..k dense per doc, tie on cos broken by ascending nid
+    assert(byDoc(3L).sortBy(_._4).map(_._2) === Seq(1L, 2L))
+    // df cap 2: 'alpha' (df 3) leaves the space; 1~2 still cos 1 on
+    // beta/gamma, 3 loses its only link to them
+    val capped = Similarity.sparseCosineTopK(docs, "doc_id", "text",
+        k = 3, maxDf = 2L).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet === Set((1L, 2L), (2L, 1L)))
+  }
 }
