@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Gif, Jpeg, Png, Wav}
+import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -2538,6 +2538,33 @@ object SparkEntry {
           maxDf = 150L)
         .ordered(col("doc_id"), col("rank"))
     }),
+
+    // ---- Multimodal: gzip text decode (crawl-shard decompression) -------
+    // The real fixture text is gzipped in-partition and decompressed by
+    // the REAL operator (JDK zlib via Gzip.decode — multi-member,
+    // zip-bomb-capped); digest/length of the round-tripped text must
+    // equal the oracle's direct computation over the original column, so
+    // the ENTIRE compress∘decompress path is the contract under test.
+    "q119_gunzip_text" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            Binary.MediaRow(id,
+              Gzip.encode(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              "text", "gzip")
+          }
+        }
+      Binary.gunzipText(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          md5(col("text").cast("binary")).as("digest"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
@@ -4113,6 +4140,16 @@ object SparkEntry {
         |  FROM sc)
         |SELECT id_a AS doc_id, id_b AS nid, cos, rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // The decompressed text must byte-equal the original column, so the
+    // oracle computes digest/lengths DIRECTLY on documents.text — the
+    // gzip round-trip on the Spark side has no independent re-derivation
+    // and must be the identity for the hashes to agree.
+    "q119_gunzip_text" ->
+      """SELECT doc_id, md5(text) AS digest,
+        |CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

@@ -56,6 +56,9 @@ object Binary {
   case class MediaFeatures(media_id: Long, n_bytes: Long,
                            width: Int, height: Int, feature: Array[Float])
 
+  /** Decompressed text payload (null text when ok=false). */
+  case class TextPayload(media_id: Long, ok: Boolean, text: String)
+
   /** Container-dispatching raster decode — the single entry every image
     * operator ([[decodeImage]], [[imageDhash]], [[imageResize]]) routes
     * through, so each operator is container-agnostic: PNG signature ->
@@ -92,7 +95,31 @@ object Binary {
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "audio/wav")
       .when(substring(h, 9, 8) === "66747970", "video/mp4")
       .when(h.startsWith("25504446"), "application/pdf")
+      .when(h.startsWith("1F8B"), "application/gzip")
       .otherwise("unknown")
+  }
+
+  /** REAL gunzip of compressed-text payloads ([[Gzip.decode]]: JDK zlib,
+    * multi-member streams, zip-bomb size cap) into a UTF-8 text column —
+    * the first stage of any crawl ingest (WET/WARC/.jsonl.gz shards
+    * arrive gzipped). Poison payloads (bad magic, truncation, bombs)
+    * yield `ok=false` rows with null text, never task failures. The
+    * decompressed text stays in the row for downstream text operators —
+    * this is a projection, zero shuffles at any scale. */
+  def gunzipText(media: Dataset[MediaRow]): Dataset[TextPayload] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val raw = Gzip.decode(r.payload)
+          TextPayload(r.media_id, ok = true,
+            new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            TextPayload(r.media_id, ok = false, null)
+        }
+      }
+    }
   }
 
   /** REAL header decode for PNG and WAV containers (no codec needed — only
