@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Wav}
+import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -2565,6 +2565,45 @@ object SparkEntry {
           octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- Multimodal: WARC crawl-shard extraction ------------------------
+    // The real fixture docs are packed into spec-conformant .warc.gz
+    // shards (one gzip member per record, a warcinfo header record per
+    // shard, response records with Target-URI/Date/Content-Type headers
+    // and the doc text as payload), then the REAL operator inflates and
+    // walks them. The oracle restates every response record's metadata
+    // and payload digest directly from the documents table — the whole
+    // pack∘inflate∘parse path must be lossless for the hashes to agree.
+    "q120_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val shards = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy((col("doc_id") % 50).as("g"))
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .mapPartitions { it =>
+          it.map { case (g, docs) =>
+            val info = Warc.Record("warcinfo", s"<urn:uuid:info-$g>", "",
+              "2026-01-01T00:00:00Z", "application/warc-fields",
+              "software: graft\r\n".getBytes("UTF-8"))
+            val recs = docs.sortBy(_._1).map { case (id, text) =>
+              Warc.Record("response", s"<urn:uuid:$id>",
+                s"http://w${id % 50}.example.org/doc/$id",
+                "2026-01-01T00:00:00Z", "text/plain",
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            Binary.MediaRow(g, Warc.encodeGz(info +: recs), "text", "warc")
+          }
+        }
+      Binary.warcRecords(shards)
+        .filter(col("ok") && col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(-?[0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("content_type"), col("n_payload"),
+          col("digest"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
@@ -4149,6 +4188,18 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS digest,
         |CAST(length(text) AS BIGINT) AS n_chars,
         |CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // Every response record restated closed-form from the source table:
+    // the URI formula, the fixed content type, the payload's byte length
+    // and md5 — no re-derivation through the container, so pack∘inflate∘
+    // parse must be lossless end to end.
+    "q120_warc_extract" ->
+      """SELECT doc_id,
+        |'http://w' || (doc_id%50) || '.example.org/doc/' || doc_id AS target_uri,
+        |'text/plain' AS content_type,
+        |CAST(strlen(text) AS BIGINT) AS n_payload,
+        |md5(text) AS digest
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit

@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   *    mix freely in one column. MJPEG AVI video rides the same decoder
   *    ([[Avi.decode]] with `biCompression='MJPG'` — intra-only, one
   *    baseline JPEG per frame; q109's oracle replays per-frame stats).
+  *  - REAL, the crawl-ingest spine: gzip decompression ([[gunzipText]]
+  *    via [[Gzip.decode]] — JDK zlib, multi-member shards, zip-bomb cap;
+  *    q119's oracle checks the round-tripped text's digest against the
+  *    source column) and the WARC container walk ([[warcRecords]] via
+  *    [[Warc.parse]] — Content-Length-driven record framing over
+  *    member-per-record `.warc.gz`; q120's oracle restates each record's
+  *    headers and payload digest closed-form).
   *  - STUBBED: inter-frame compressed video (H.264/VP9) and
   *    perceptual-codec audio (MP3/AAC/Opus). Those genuinely need codec
   *    libraries this container lacks, so [[decodeStub]] and
@@ -58,6 +65,12 @@ object Binary {
 
   /** Decompressed text payload (null text when ok=false). */
   case class TextPayload(media_id: Long, ok: Boolean, text: String)
+
+  /** One parsed WARC record's metadata: the payload itself never leaves
+    * the task — only its length and digest ride the shuffle. */
+  case class WarcRow(media_id: Long, ok: Boolean, warc_type: String,
+                     record_id: String, target_uri: String, date: String,
+                     content_type: String, n_payload: Long, digest: String)
 
   /** Container-dispatching raster decode — the single entry every image
     * operator ([[decodeImage]], [[imageDhash]], [[imageResize]]) routes
@@ -97,6 +110,38 @@ object Binary {
       .when(h.startsWith("25504446"), "application/pdf")
       .when(h.startsWith("1F8B"), "application/gzip")
       .otherwise("unknown")
+  }
+
+  /** REAL WARC shard walk ([[Warc.parse]] over [[Gzip.decode]] when
+    * `gzipped` — the `.warc.gz` member-per-record convention inflates in
+    * one multi-member pass): each input payload is one crawl shard, each
+    * output row one record's metadata + payload digest/length. Payload
+    * bytes are reduced IN-PARTITION (MessageDigest allocated once per
+    * partition at the init site) — at 100 TB the record bodies never
+    * ride a shuffle, only fixed-width metadata rows do. A malformed
+    * shard yields a single `ok=false` row. */
+  def warcRecords(media: Dataset[MediaRow],
+                  gzipped: Boolean = true): Dataset[WarcRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        try {
+          val raw = if (gzipped) Gzip.decode(r.payload) else r.payload
+          Warc.parse(raw).map { rec =>
+            md.reset()
+            val hex = md.digest(rec.payload).map(b => f"$b%02x").mkString
+            WarcRow(r.media_id, ok = true, rec.warcType, rec.recordId,
+              rec.targetUri, rec.date, rec.contentType,
+              rec.payload.length.toLong, hex)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(WarcRow(r.media_id, ok = false, null, null, null, null,
+              null, -1L, null))
+        }
+      }
+    }
   }
 
   /** REAL gunzip of compressed-text payloads ([[Gzip.decode]]: JDK zlib,
