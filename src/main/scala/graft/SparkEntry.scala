@@ -2493,9 +2493,14 @@ object SparkEntry {
     // codegen'd projection, zero shuffles); the oracle resolves each
     // closed-form input to its expected canonical form independently.
     "q115_url_canon" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          Urls.canonicalize(synthUrl(col("doc_id"))).as("url_canon"))
+      // synthUrl materializes FIRST, then the staged canonicalizer runs
+      // over the attribute — canonicalize(synthUrl(...)) as one Column
+      // copies the synthesized CASE tree at every internal reference and
+      // measured 137 s / 13 MiB task binaries (see Urls.staged)
+      val withUrl = Tables(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      Urls.withCanonical(withUrl, "url", "url_canon")
+        .select(col("doc_id"), col("url_canon"))
         .ordered(col("doc_id"))
     }),
 
