@@ -2609,6 +2609,37 @@ object SparkEntry {
           col("digest"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- LLM ops: robots.txt (RFC 9309) policy evaluation ---------------
+    // Synthesized (host, path) pairs against a fixed rule set covering
+    // the semantics corners: longest-match wins (Allow /admin/public
+    // beats Disallow /admin), tie -> Allow, wildcard + end anchor
+    // (/*.pdf$), blanket Disallow / with a carve-out, empty pattern
+    // ignored, rule-less host allowed. Both engines compile patterns to
+    // regexes and rank matches INDEPENDENTLY — the oracle replays the
+    // rules semantics, not the operator's output.
+    "q121_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val d = col("doc_id")
+      val str = (c: Column) => c.cast("string")
+      val urls = Tables(s, dir, "documents").select(d,
+        concat(lit("h"), str(d % 5)).as("host"),
+        when(d % 7 === 0, lit("/"))
+          .when(d % 7 === 1, concat(lit("/admin/x"), str(d % 3)))
+          .when(d % 7 === 2, lit("/admin/public/y"))
+          .when(d % 7 === 3, concat(lit("/files/doc"), str(d % 4), lit(".pdf")))
+          .when(d % 7 === 4, lit("/public/a"))
+          .when(d % 7 === 5, concat(lit("/tmp/x"), str(d % 5)))
+          .otherwise(lit("/a")).as("path"))
+      val rules = Seq(
+        ("h0", false, "/admin"), ("h0", true, "/admin/public"),
+        ("h0", false, "/*.pdf$"),
+        ("h1", false, "/"), ("h1", true, "/public"),
+        ("h2", false, "/tmp/*"), ("h2", false, ""),
+        ("h4", true, "/")).toDF("host", "allow", "pattern")
+      Urls.robotsAllowed(urls, "doc_id", "host", "path", rules)
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
@@ -4206,6 +4237,44 @@ object SparkEntry {
         |CAST(strlen(text) AS BIGINT) AS n_payload,
         |md5(text) AS digest
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // Independent replay of the RFC 9309 semantics: the same pattern ->
+    // regex compilation (strip trailing $, escape metachars except *,
+    // * -> .*, re-anchor), hits ranked by (pattern length DESC, allow
+    // DESC), rule-less and unmatched URLs defaulting to allowed, empty
+    // patterns excluded.
+    "q121_robots_gate" ->
+      """WITH urls AS (SELECT doc_id, 'h' || (doc_id%5) AS host,
+        |  CASE WHEN doc_id%7 = 0 THEN '/'
+        |    WHEN doc_id%7 = 1 THEN '/admin/x' || (doc_id%3)
+        |    WHEN doc_id%7 = 2 THEN '/admin/public/y'
+        |    WHEN doc_id%7 = 3 THEN '/files/doc' || (doc_id%4) || '.pdf'
+        |    WHEN doc_id%7 = 4 THEN '/public/a'
+        |    WHEN doc_id%7 = 5 THEN '/tmp/x' || (doc_id%5)
+        |    ELSE '/a' END AS path
+        |  FROM documents),
+        |rules(host, allow, pattern) AS (VALUES
+        |  ('h0', false, '/admin'), ('h0', true, '/admin/public'),
+        |  ('h0', false, '/*.pdf$'),
+        |  ('h1', false, '/'), ('h1', true, '/public'),
+        |  ('h2', false, '/tmp/*'), ('h2', false, ''),
+        |  ('h4', true, '/')),
+        |rx AS (SELECT host, allow, length(pattern) AS plen,
+        |  '^' || replace(regexp_replace(
+        |    CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern)-1)
+        |         ELSE pattern END,
+        |    '([.^+?(){}\[\]\\|$])', '\\\1', 'g'), '*', '.*') ||
+        |  CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+        |  FROM rules WHERE length(pattern) > 0),
+        |h AS (SELECT u.doc_id, r.allow,
+        |  ROW_NUMBER() OVER (PARTITION BY u.doc_id
+        |    ORDER BY r.plen DESC, r.allow DESC) AS rn
+        |  FROM urls u JOIN rx r
+        |    ON u.host = r.host AND regexp_matches(u.path, r.rx))
+        |SELECT u.doc_id, u.host, u.path,
+        |  COALESCE(h.allow, true) AS allowed
+        |FROM urls u LEFT JOIN h ON u.doc_id = h.doc_id AND h.rn = 1
+        |ORDER BY u.doc_id""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

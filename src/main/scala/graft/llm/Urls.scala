@@ -266,6 +266,52 @@ object Urls {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"), min("__id").as("first_id"))
 
+  /** RFC 9309 (Robots Exclusion Protocol) rule evaluation — the crawl
+    * POLICY gate: before a URL is fetched (or before a crawl dump is
+    * admitted into a training corpus), its path is checked against the
+    * host's parsed robots rules. `rules` rows are (host, allow: Boolean,
+    * pattern) where pattern is the RFC path pattern: literal prefix,
+    * `*` wildcard, optional trailing `$` end anchor. Decision per URL:
+    * among the host's rules whose pattern matches the path, the LONGEST
+    * pattern wins (the RFC's most-specific-match), a length tie goes to
+    * Allow; no matching rule (or no rules for the host) means allowed;
+    * empty patterns match nothing (an empty Disallow means no
+    * restriction, per the RFC).
+    *
+    * Shape: patterns compile to anchored regexes ON THE RULES SIDE (a
+    * robots corpus is tiny next to a URL corpus), rules broadcast into
+    * one equi-join on host, and the verdict is a max over
+    * struct(pattern_length, allow) — struct ordering gives longest-then-
+    * allow exactly, one shuffle on the URL id. Output: (id, host, path,
+    * allowed). */
+  def robotsAllowed(urls: DataFrame, idCol: String, hostCol: String,
+                    pathCol: String, rules: DataFrame): DataFrame = {
+    // pattern -> regex: strip a trailing $ (end anchor), escape regex
+    // metachars EXCEPT '*', turn '*' into '.*', re-anchor
+    val anchored = col("pattern").endsWith("$")
+    val base = when(anchored,
+      substr(col("pattern"), lit(1), length(col("pattern")) - 1))
+      .otherwise(col("pattern"))
+    val escaped = regexp_replace(base, "([.^+?(){}\\[\\]\\\\|$])", "\\\\$1")
+    val rx = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+    val rulesRx = rules
+      .filter(length(col("pattern")) > 0) // empty pattern matches nothing
+      .select(col("host"), col("allow"), rx.as("__rx"),
+        length(col("pattern")).as("__plen"))
+    urls.select(col(idCol).as("__id"), col(hostCol).as("__host"),
+        col(pathCol).as("__path"))
+      .join(broadcast(rulesRx), col("__host") === col("host"), "left")
+      .withColumn("__hit", col("__rx").isNotNull &&
+        regexp_like(col("__path"), col("__rx")))
+      .groupBy("__id", "__host", "__path")
+      .agg(max(when(col("__hit"),
+        struct(col("__plen"), col("allow")))).as("__best"))
+      .select(col("__id").as(idCol), col("__host").as(hostCol),
+        col("__path").as(pathCol),
+        coalesce(col("__best.allow"), lit(true)).as("allowed"))
+  }
+
   /** URL-level dedup: canonicalize `urlCol`, group, keep the minimum
     * `idCol` per canonical URL. Output: (url_canon, keeper_id, n_dups).
     * Rows whose URL canonicalizes to NULL (non-hierarchical) are dropped

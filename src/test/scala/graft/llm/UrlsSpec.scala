@@ -182,6 +182,37 @@ class UrlsSpec extends AnyFunSuite {
     assert(out === Seq(("a.co", 2L, 1L), ("b.co", 1L, 5L)))
   }
 
+  test("robotsAllowed: RFC 9309 longest-match, tie->allow, defaults") {
+    val rules = Seq(
+      ("h", false, "/admin"), ("h", true, "/admin/public"),
+      ("h", false, "/*.x$"), ("h", true, "/a"), ("h", false, "/a"),
+      ("h", false, "")).toDF("host", "allow", "pattern")
+    val urls = Seq(
+      (1L, "h", "/admin/secret"),     // Disallow /admin
+      (2L, "h", "/admin/public/ok"),  // Allow beats shorter Disallow
+      (3L, "h", "/deep/file.x"),      // wildcard + end anchor
+      (4L, "h", "/deep/file.xy"),     // anchor does NOT match
+      (5L, "h", "/a"),                // exact tie /a vs /a -> Allow wins
+      (6L, "h", "/elsewhere"),        // no matching rule -> allowed
+      (7L, "other", "/admin")         // rule-less host -> allowed
+    ).toDF("id", "host", "path")
+    val out = Urls.robotsAllowed(urls, "id", "host", "path", rules)
+      .orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out === Seq(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true))
+  }
+
+  test("robotsAllowed: regex metachars in patterns are literal") {
+    val rules = Seq(("h", false, "/a.b"), ("h", false, "/c(d)")).
+      toDF("host", "allow", "pattern")
+    val urls = Seq((1L, "h", "/a.b"), (2L, "h", "/aXb"),
+      (3L, "h", "/c(d)x")).toDF("id", "host", "path")
+    val out = Urls.robotsAllowed(urls, "id", "host", "path", rules)
+      .orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getBoolean(3)))
+    // '.' and parens must not act as regex: /aXb stays allowed
+    assert(out === Seq(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("dedupByUrl collapses canonical twins and keeps the min id") {
     val df = Seq(
       (5L, "http://A.co:80/x?b=1&a=2"),
