@@ -2640,7 +2640,48 @@ object SparkEntry {
       Urls.robotsAllowed(urls, "doc_id", "host", "path", rules)
         .ordered(col("doc_id"))
     }),
+
+    // ---- LLM ops: Count-Min sketch point estimates ----------------------
+    // The UDAF sketch (d x w integer counters, merge = elementwise add —
+    // order-insensitive, bit-identical under any partitioning) built
+    // over the corpus token stream, then probed for a fixed term set;
+    // exact counts ride alongside so the overestimate property is
+    // visible in the output. The oracle rebuilds counters and estimates
+    // from the same md5-31-bit + affine-bucket arithmetic.
+    "q122_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      val h31 = (c: Column) =>
+        shiftrightunsigned(call_function("md5_lower64", c), 33)
+      val sk = toks.agg(
+        Sketches.cms(h31(col("tok")), cmsParams, cmsW).as("sk"))
+      val probes = cmsProbes.toDF("term")
+        .withColumn("__h", h31(col("term")))
+      val est = probes.crossJoin(broadcast(sk)).select(col("term"),
+        least(cmsParams.zipWithIndex.map { case ((a, b), i) =>
+          element_at(col("sk"), (lit(i * cmsW) +
+            (col("__h") * a + b) % 2147483647L % cmsW + 1).cast("int"))
+        }: _*).as("est"))
+      val exact = toks.filter(col("tok").isin(cmsProbes: _*))
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .ordered(col("term"))
+    }),
   )
+
+  /** q122's Count-Min geometry + probe terms — shared between the query
+    * and its generated oracle so they can never drift (the q17/bm25Terms
+    * discipline). */
+  private val cmsW = 512
+  private val cmsParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(11L)
+    Seq.fill(4)((1L + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+  }
+  private val cmsProbes = Seq("the", "and", "of", "data", "table", "zzyzx")
 
   /** The expected canonical form of [[synthUrl]]`(k)` as a DuckDB SQL
     * expression — each branch's outcome stated directly (scheme
@@ -4275,6 +4316,35 @@ object SparkEntry {
         |  COALESCE(h.allow, true) AS allowed
         |FROM urls u LEFT JOIN h ON u.doc_id = h.doc_id AND h.rn = 1
         |ORDER BY u.doc_id""".stripMargin,
+
+    // Counters and estimates rebuilt from the same md5-31-bit hash and
+    // affine bucket family; an empty bucket COALESCEs to 0 before MIN.
+    "q122_cms_counts" -> {
+      val pvals = cmsParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      val probeVals = cmsProbes.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(lower(text),' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT (md5_number_lower(tok) >> 33)::BIGINT AS h FROM toks),
+         |p(i, a, b) AS (VALUES $pvals),
+         |c AS (SELECT p.i, ((h.h * p.a + p.b) % 2147483647) % $cmsW AS bkt,
+         |    COUNT(*) AS n
+         |  FROM h CROSS JOIN p GROUP BY 1, 2),
+         |probes(term) AS (VALUES $probeVals),
+         |ph AS (SELECT term,
+         |  (md5_number_lower(term) >> 33)::BIGINT AS h FROM probes),
+         |e AS (SELECT term, MIN(COALESCE(c.n, 0)) AS est
+         |  FROM ph CROSS JOIN p
+         |  LEFT JOIN c ON c.i = p.i
+         |    AND c.bkt = ((ph.h * p.a + p.b) % 2147483647) % $cmsW
+         |  GROUP BY term),
+         |ex AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+         |SELECT e.term, e.est, COALESCE(ex.n, 0) AS exact_n
+         |FROM e LEFT JOIN ex ON e.term = ex.tok
+         |ORDER BY e.term""".stripMargin
+    },
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

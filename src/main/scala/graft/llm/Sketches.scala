@@ -77,4 +77,49 @@ object Sketches {
       else xxhash64(c)
     udaf(new KmvDistinct(k)).apply(hashed)
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): d hash rows × w
+    * counters; every value increments one counter per row, a point query
+    * reads the MINIMUM of its d counters — an overestimate by at most
+    * εN with probability 1−δ for w = e/ε, d = ln(1/δ). The buffer is
+    * d·w longs REGARDLESS of input size and merge is elementwise
+    * addition — commutative and associative, so the result is
+    * bit-identical under any partitioning or merge order (unlike
+    * float sums, integer adds have no order sensitivity at all).
+    *
+    * Input is the value's PRE-HASHED 31-bit form (the `md5_lower64 >>>
+    * 33` convention every md5-mode sketch here uses); the d row buckets
+    * derive from it by the q17 affine family ((h·a+b) mod 2³¹−1) mod w —
+    * all non-negative integer arithmetic an external oracle replays
+    * exactly. Row i's counters live at buffer[i·w .. i·w+w). */
+  class CountMin(params: Seq[(Long, Long)], w: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val d = params.size
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < d) {
+        val (a, b) = params(i)
+        buf(i * w + (((h * a + b) % 2147483647L) % w).toInt) += 1L
+        i += 1
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: Count-Min counter array over a pre-hashed 31-bit
+    * column. Point estimates read `least` over `element_at(sketch,
+    * i*w + bucket_i + 1)` — see q122. */
+  def cms(preHashed: Column, params: Seq[(Long, Long)], w: Int): Column =
+    udaf(new CountMin(params, w)).apply(preHashed)
 }

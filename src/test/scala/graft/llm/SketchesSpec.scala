@@ -41,4 +41,40 @@ class SketchesSpec extends AnyFunSuite {
     val b = df.agg(Sketches.kmvDistinct(col("v"))).as[Long].head()
     assert(a === b)
   }
+
+  private val cmsParams = Seq(7919L -> 13L, 104729L -> 9973L,
+    15485863L -> 3L, 32452843L -> 271L)
+
+  private def cmsEstimate(sk: Seq[Long], h: Long, w: Int): Long =
+    cmsParams.zipWithIndex.map { case ((a, b), i) =>
+      sk(i * w + (((h * a + b) % 2147483647L) % w).toInt)
+    }.min
+
+  test("count-min: never underestimates, exact when collision-free") {
+    val w = 512
+    // 2000 hashed values: value v appears v%7+1 times
+    val rows = (0 until 200).flatMap(v => Seq.fill(v % 7 + 1)(v.toLong * 1315423911L % 2147483647L))
+    val df = rows.toDF("h").repartition(8)
+    val sk = df.agg(Sketches.cms(col("h"), cmsParams, w)).head()
+      .getSeq[Long](0)
+    assert(sk.length === 4 * w)
+    assert(sk.grouped(w).map(_.sum).toSeq === Seq.fill(4)(rows.size.toLong),
+      "each hash row must count every input exactly once")
+    (0 until 200).foreach { v =>
+      val h = v.toLong * 1315423911L % 2147483647L
+      val est = cmsEstimate(sk, h, w)
+      assert(est >= v % 7 + 1, s"CMS underestimated value $v")
+    }
+    // a value never inserted can only read collisions, never negative
+    assert(cmsEstimate(sk, 999999999L, w) >= 0)
+  }
+
+  test("count-min: bit-identical under different partitionings") {
+    val df = spark.range(3000).select((col("id") % 777).as("h"))
+    val a = df.repartition(2).agg(Sketches.cms(col("h"), cmsParams, 128))
+      .head().getSeq[Long](0)
+    val b = df.repartition(17).agg(Sketches.cms(col("h"), cmsParams, 128))
+      .head().getSeq[Long](0)
+    assert(a === b, "integer-add merge must be order-insensitive")
+  }
 }
