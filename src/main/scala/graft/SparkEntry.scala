@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, PointInTime, Skew}
+import graft.ops.{BronzeSilver, Categorify, PointInTime, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
@@ -2670,6 +2670,48 @@ object SparkEntry {
           coalesce(col("exact_n"), lit(0L)).as("exact_n"))
         .ordered(col("term"))
     }),
+
+    // ---- Streaming: stream-static dimension join ------------------------
+    // The enrichment every live feature pipeline runs: a streaming fact
+    // source inner-joined with a BROADCAST static dimension (stateless —
+    // each micro-batch joins against the table, no state store), then a
+    // complete-mode aggregation. The oracle is the equivalent batch
+    // join+group; value sums ride the exact-decimal discipline so the
+    // float result is order-insensitive.
+    "q123_stream_static" -> ((s, dir) => {
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q123_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        val raw = sc.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val cust = Tables(sc, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        raw.join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            sum((floor(col("value") * 1e6 + 0.5) / 1e6)
+              .cast("decimal(38,6)")).cast("double").as("sum_value"))
+      }.ordered(col("c_mktsegment"))
+    }),
+
+    // ---- Feature engineering: numeric scaler fit/transform --------------
+    // The StringIndexer's numeric sibling: one aggregate pass fits
+    // min/max/mean/std per column (exact-decimal sums; squares stay in
+    // decimal so they never round before summing), the statistics enter
+    // the transform as plan literals, and the projection is join-free.
+    // The oracle recomputes the statistics inline through the identical
+    // IEEE operation sequence and replays the projections.
+    "q124_scaler" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val m = Scaler.fit(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      li.filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          m.zscore("l_quantity").as("z_qty"),
+          m.zscore("l_extendedprice").as("z_price"),
+          m.minmax("l_discount").as("mm_disc"))
+        .ordered(col("l_orderkey"), col("l_linenumber"))
+    }),
   )
 
   /** q122's Count-Min geometry + probe terms — shared between the query
@@ -4344,6 +4386,42 @@ object SparkEntry {
          |SELECT e.term, e.est, COALESCE(ex.n, 0) AS exact_n
          |FROM e LEFT JOIN ex ON e.term = ex.tok
          |ORDER BY e.term""".stripMargin
+    },
+
+    // Batch twin of the stream-static enrichment: inner join drops
+    // NULL-key events in both engines; the decimal sum makes the double
+    // result order-insensitive.
+    "q123_stream_static" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(FLOOR(value*1e6+0.5)/1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Statistics recomputed inline through the identical IEEE sequence
+    // (decimal->double cast, s/n mean, (q - s*s/n)/n variance, sqrt),
+    // then the same 6-decimal projections. Assumes non-degenerate
+    // spread (std > 0, max > min — true of every fixture); the
+    // degenerate branches are spec-pinned instead.
+    "q124_scaler" -> {
+      def d6(c: String) = s"CAST(FLOOR($c*1e6+0.5)/1e6 AS DECIMAL(18,6))"
+      s"""WITH st AS (SELECT
+         |  CAST(SUM(${d6("l_quantity")}) AS DOUBLE) AS s_q,
+         |  CAST(SUM(${d6("l_quantity*l_quantity")}) AS DOUBLE) AS q_q,
+         |  COUNT(l_quantity) AS n_q,
+         |  CAST(SUM(${d6("l_extendedprice")}) AS DOUBLE) AS s_p,
+         |  CAST(SUM(${d6("l_extendedprice*l_extendedprice")}) AS DOUBLE) AS q_p,
+         |  COUNT(l_extendedprice) AS n_p,
+         |  MIN(l_discount) AS min_d, MAX(l_discount) AS max_d
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  FLOOR((l_quantity - s_q/n_q) /
+         |    sqrt(GREATEST((q_q - s_q*s_q/n_q)/n_q, 0)) * 1e6 + 0.5)/1e6 AS z_qty,
+         |  FLOOR((l_extendedprice - s_p/n_p) /
+         |    sqrt(GREATEST((q_p - s_p*s_p/n_p)/n_p, 0)) * 1e6 + 0.5)/1e6 AS z_price,
+         |  FLOOR((l_discount - min_d) / (max_d - min_d) * 1e6 + 0.5)/1e6 AS mm_disc
+         |FROM lineitem CROSS JOIN st
+         |WHERE l_orderkey % 100 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
