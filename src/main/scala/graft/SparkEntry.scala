@@ -2712,6 +2712,36 @@ object SparkEntry {
           m.minmax("l_discount").as("mm_disc"))
         .ordered(col("l_orderkey"), col("l_linenumber"))
     }),
+
+    // ---- Scale machinery: Bloom-prefiltered semi join -------------------
+    // The 100 TB join-pruning technique made explicit: a Bloom filter
+    // aggregated over the SELECTIVE side's keys (one-row broadcast)
+    // prefilters the big scan with might_contain BEFORE the exact semi
+    // join's shuffle — false positives pass the prefilter but die in the
+    // join, so the RESULT is exact and the oracle is the plain semi
+    // join. (Spark's own runtime row-level bloom works the same way;
+    // this is the explicit, always-on form.)
+    "q125_bloom_semi" -> ((s, dir) => {
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      // the sketch collects to ONE binary literal (~10 KB — the bm25/
+      // IvfIndex stats-literal discipline; BloomFilterMightContain
+      // requires a foldable blob, exactly as the runtime filter's
+      // scalar subquery provides it)
+      val bf = urgent.agg(call_function("bloom_agg", col("o_orderkey"),
+        lit(10000L), lit(80000L)).as("bf")).head().getAs[Array[Byte]]("bf")
+      Tables(s, dir, "lineitem")
+        .filter(call_function("bloom_might_contain", lit(bf),
+          col("l_orderkey")))
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(urgent.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((floor(col("l_quantity") * 1e6 + 0.5) / 1e6)
+            .cast("decimal(38,6)")).cast("double").as("sum_qty"))
+        .ordered(col("l_orderkey"))
+    }),
   )
 
   /** q122's Count-Min geometry + probe terms — shared between the query
@@ -4423,6 +4453,17 @@ object SparkEntry {
          |WHERE l_orderkey % 100 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    // The Bloom prefilter is exactness-neutral (false positives die in
+    // the semi join), so the oracle is the PLAIN semi join — no sketch
+    // replay needed.
+    "q125_bloom_semi" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(FLOOR(l_quantity*1e6+0.5)/1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

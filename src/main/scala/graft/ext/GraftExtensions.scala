@@ -100,6 +100,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_lower64"),
       new ExpressionInfo(classOf[Md5Lower64Expr].getName, "md5_lower64"),
       (children: Seq[Expression]) => Md5Lower64Expr(children.head)))
+    // Spark's Bloom-filter expressions are optimizer-internal (the
+    // runtime row-level filter injects them itself); registering them
+    // exposes the same machinery for EXPLICIT join pruning
+    // (bloom_agg(key, estItems, numBits) -> binary;
+    // bloom_might_contain(blob, key) -> boolean, blob must be foldable
+    // — pass the collected sketch as a literal, see q125).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items)
+        case Seq(c, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(key[, estimatedItems[, numBits]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMetaExpr].getName, "media_meta"),
