@@ -329,7 +329,13 @@ object Scaling {
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
       "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
       "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode,
-      "selfsub_scrub" -> selfsubScrub, "gif_frames" -> gifFrames)
+      "selfsub_scrub" -> selfsubScrub, "gif_frames" -> gifFrames,
+      // round-10 ops measured through their query bodies (same package;
+      // the scaled dir carries the same table layout)
+      "url_canon" -> (dir => SparkEntry.queries("q115_url_canon")(spark, dir)),
+      "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
+      "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
+      "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)))
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -110,8 +110,13 @@ object Warc {
   }
 
   /** Encode records as a `.warc.gz` shard: each record its own gzip
-    * member, members concatenated (the crawl convention). */
-  def encodeGz(records: Seq[Record]): Array[Byte] =
-    records.iterator.map(r => Gzip.encode(encodeRecord(r)))
-      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    * member, members concatenated (the crawl convention). Members stream
+    * into one buffer — a foldLeft over `++` re-copies the accumulated
+    * prefix per member, which is QUADRATIC in shard size (measured 21×
+    * wall at 10× docs before this was a stream). */
+  def encodeGz(records: Seq[Record]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(records.size * 256 + 64)
+    records.foreach(r => bos.write(Gzip.encode(encodeRecord(r))))
+    bos.toByteArray
+  }
 }
