@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Scaler, Skew}
-import graft.llm.{Bpe, Dedup, IvfIndex, Pack, Rank, Similarity, Sketches, TextStats, Urls}
+import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -2742,7 +2742,27 @@ object SparkEntry {
             .cast("decimal(38,6)")).cast("double").as("sum_qty"))
         .ordered(col("l_orderkey"))
     }),
+
+    // ---- LLM ops: link-graph authority (PageRank) -----------------------
+    // Crawl prioritization over a synthesized 97-node link graph (two
+    // edge formulas; sources >= 90 emit nothing, so nodes 90..96 are
+    // DANGLING and exercise the redistributed-mass term). Exactly
+    // prIterations rounds; decimal-summed contributions make every rank
+    // bit-identical to the oracle's unrolled replay.
+    "q126_pagerank" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 97).as("src"), ((d * 7 + 13) % 97).as("dst"))
+      val e2 = docs.filter(d % 3 === 0)
+        .select((d % 97).as("src"), ((d * 31 + 5) % 97).as("dst"))
+      val edges = e1.unionByName(e2).filter(col("src") < 90)
+      LinkGraph.pageRank(edges, "src", "dst", iterations = prIterations)
+        .ordered(col("node"))
+    }),
   )
+
+  /** q126's iteration count — shared with the generated oracle. */
+  private val prIterations = 6
 
   /** q122's Count-Min geometry + probe terms — shared between the query
     * and its generated oracle so they can never drift (the q17/bm25Terms
@@ -4464,6 +4484,45 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    // The K PageRank iterations UNROLLED as generated CTE layers, each
+    // replaying the identical IEEE sequence: rank/odeg divide, 12-decimal
+    // rounding into exact decimal sums, dangling-mass scalar, affine
+    // update. Same damping/iteration constants via prIterations.
+    "q126_pagerank" -> {
+      def dec(x: String) =
+        s"CAST(FLOOR(($x) * 1e12 + 0.5)/1e12 AS DECIMAL(28,12))"
+      val layers = (1 to prIterations).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node,
+           |  CAST(SUM(${dec("r.rank / e.odeg")}) AS DOUBLE) AS contrib
+           |  FROM wd e JOIN $p r ON e.src = r.node GROUP BY e.dst),
+           |d$i AS (SELECT CAST(COALESCE(SUM(${dec("r.rank")}),
+           |    CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS dmass
+           |  FROM $p r WHERE r.node NOT IN (SELECT src FROM ed)),
+           |r$i AS (SELECT n.node,
+           |  FLOOR(((1 - 0.85)/(SELECT n FROM nn) + 0.85 *
+           |    (COALESCE(c.contrib, 0.0) + d.dmass/(SELECT n FROM nn)))
+           |    * 1e12 + 0.5)/1e12 AS rank
+           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
+           |  CROSS JOIN d$i d)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT doc_id % 97 AS src, (doc_id*7 + 13) % 97 AS dst
+         |    FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 97 AS src, (doc_id*31 + 5) % 97 AS dst
+         |    FROM documents WHERE doc_id % 3 = 0),
+         |ed AS (SELECT DISTINCT src, dst FROM raw WHERE src < 90),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS odeg FROM ed GROUP BY src),
+         |wd AS (SELECT ed.src, ed.dst, od.odeg FROM ed JOIN od USING (src)),
+         |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+         |$layers
+         |SELECT node, rank FROM r$prIterations ORDER BY node""".stripMargin
+    },
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

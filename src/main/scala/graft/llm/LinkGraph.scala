@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — PageRank (Brin & Page 1998) over a
+  * (src, dst) edge table: the crawl-prioritization signal (which hosts/
+  * pages deserve crawl budget) and a classic fixed-point iteration the
+  * engine should express distributively, like
+  * [[Dedup.connectedComponents]]'s label propagation.
+  *
+  * Shape per iteration (driver loop, data distributed): contributions
+  * ride ONE equi-join of the edge table against the current ranks plus
+  * one aggregation on dst; the dangling mass (rank parked on nodes with
+  * no out-edges) is a one-row aggregate broadcast back into the affine
+  * update. `localCheckpoint` truncates lineage each round (the CC
+  * discipline — iterative self-joins otherwise nest every previous round
+  * into the plan). Edge/out-degree frames are cached across iterations.
+  *
+  * DETERMINISM: every per-node sum is an exact DECIMAL sum of
+  * 12-decimal-rounded terms (double sums are the only order-sensitive
+  * step in the algorithm; decimals are associative), and every other
+  * operation — rank/odeg divide, the affine update, the final rounding —
+  * is a fixed IEEE sequence, so an external oracle that unrolls the same
+  * K iterations reproduces every rank bit-for-bit. Fixed iteration
+  * count, no convergence epsilon: a float-threshold stop would be a
+  * knife-edge for an oracle to disagree on.
+  */
+object LinkGraph {
+
+  private def r12(c: Column): Column = floor(c * 1e12 + 0.5) / 1e12
+  private def dec(c: Column): Column = r12(c).cast("decimal(28,12)")
+
+  /** Ranks after exactly `iterations` rounds: (node, rank). NULL
+    * endpoints drop; duplicate edges collapse (PageRank is defined on
+    * the simple graph); isolated dst-only nodes participate (they
+    * receive and re-emit via the dangling term). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).cache()
+    val withDeg = e.join(outDeg, Seq("src")).cache()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contribs = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), dec(col("rank") / col("odeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast("double").as("contrib"))
+      val dang = ranks
+        .join(outDeg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(dec(col("rank"))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("dmass"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          r12(lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dmass") / lit(n.toDouble))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scalar reference PageRank with the SAME rounding discipline. */
+  private def refRanks(edges: Seq[(Long, Long)], k: Int,
+                       d: Double = 0.85): Map[Long, Double] = {
+    def r12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val simple = edges.distinct
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val odeg = simple.groupBy(_._1).view.mapValues(_.size).toMap
+    var ranks = nodes.map(_ -> 1.0 / n).toMap
+    (0 until k).foreach { _ =>
+      val contrib = simple
+        .map { case (s, t) => t -> r12(ranks(s) / odeg(s)) }
+        .groupBy(_._1).view
+        .mapValues(_.map(v => BigDecimal(v._2)).sum.toDouble).toMap
+      val dang = nodes.filterNot(odeg.contains)
+        .map(x => BigDecimal(r12(ranks(x)))).sum.toDouble
+      ranks = nodes.map(x => x -> r12((1 - d) / n +
+        d * (contrib.getOrElse(x, 0.0) + dang / n))).toMap
+    }
+    ranks
+  }
+
+  private def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Double] =
+    LinkGraph.pageRank(edges.toDF("s", "t"), "s", "t", k)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("matches the scalar reference bit-for-bit on a dangling graph") {
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 has no out-edges (dangling), 4 -> 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    (1 to 4).foreach { k =>
+      assert(run(edges, k) === refRanks(edges, k), s"diverged at k=$k")
+    }
+  }
+
+  test("rank mass stays ~1 and the hub outranks the spokes") {
+    // star: everyone links to 0, 0 links to 1
+    val edges = (1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)
+    val ranks = run(edges, 8)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks(0L) > ranks(2L) * 3, "hub must dominate")
+    // 1 receives the hub's whole rank, so it beats the other spokes
+    assert(ranks(1L) > ranks(2L))
+  }
+
+  test("duplicate edges collapse; null endpoints drop") {
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L))
+    assert(run(dup, 3) === run(dup.distinct, 3))
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(9L)),
+      (Some(2L), Some(1L))).toDF("s", "t")
+    val out = LinkGraph.pageRank(withNull, "s", "t", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L))
+  }
+}
