@@ -41,13 +41,16 @@ class PlanAuditSpec extends AnyFunSuite {
     *     tokenized the corpus twice).
     *   - q118: sparseCosineTopK's one-row broadcast corpus count (the
     *     q59 idf denominator as a lazy scalar — same shape as q79/q88).
+    *   - q122: the probe terms (6 literal rows) broadcast-crossed with
+    *     the ONE-ROW Count-Min sketch aggregate — both sides are
+    *     driver-scale by construction.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
-    "q88_vocab_coverage", "q118_sparse_topk")
+    "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
