@@ -47,6 +47,11 @@ object LinkGraph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).cache()
     val withDeg = e.join(outDeg, Seq("src")).cache()
     val n = nodes.count()
+    // the dangling-node SET never changes across iterations — only its
+    // rank mass does; computing it once spares one anti-join per round
+    val dangNodes = nodes
+      .join(outDeg, col("node") === col("src"), "left_anti")
+      .select("node").cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iterations) {
@@ -55,7 +60,7 @@ object LinkGraph {
         .select(col("dst"), dec(col("rank") / col("odeg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("contrib"))
       val dang = ranks
-        .join(outDeg, col("node") === col("src"), "left_anti")
+        .join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(dec(col("rank"))),
           lit(0).cast("decimal(28,12)")).cast("double").as("dmass"))
       ranks = nodes
