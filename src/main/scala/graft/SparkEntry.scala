@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, PointInTime, Scaler, Skew}
-import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Rank, Similarity, Sketches, TextStats, Urls}
+import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -2759,6 +2759,29 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = prIterations)
         .ordered(col("node"))
     }),
+
+    // ---- LLM ops: k-anonymity release gate ------------------------------
+    // Full-domain generalization over (lang, source, length) with a
+    // 4-level recoding ladder (raw length -> 100-bucket -> 1000-bucket
+    // -> fully generalized '*'); the first level whose every group
+    // reaches k=10 is chosen globally, residual small groups at the
+    // coarsest level are marked suppressed. The oracle recomputes the
+    // per-level minima and replays the same level selection
+    // declaratively.
+    "q127_k_anon" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def lvl(len: Column) = Seq(col("lang").as("q_lang"),
+        col("source").as("q_source"), len.as("q_len"))
+      val ladder = Seq(
+        lvl(col("n_chars").cast("string")),
+        lvl((floor(col("n_chars") / 100).cast("long") * 100).cast("string")),
+        lvl((floor(col("n_chars") / 1000).cast("long") * 1000).cast("string")),
+        lvl(lit("*")))
+      val (_, groups) = Privacy.kAnonymize(docs, ladder, k = 10)
+      groups.select(col("level"), col("q_lang"), col("q_source"),
+          col("q_len"), col("n"), col("suppressed"))
+        .ordered(col("q_lang"), col("q_source"), col("q_len"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4523,6 +4546,38 @@ object SparkEntry {
          |$layers
          |SELECT node, rank FROM r$prIterations ORDER BY node""".stripMargin
     },
+
+    // Per-level group counts + minima, the same first-satisfying-level
+    // selection as full-domain recoding, and the chosen level's groups
+    // with the suppression flag. NULL quasi values group normally in
+    // both engines.
+    "q127_k_anon" ->
+      """WITH l0 AS (SELECT lang AS q_lang, source AS q_source,
+        |    CAST(n_chars AS VARCHAR) AS q_len, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |l1 AS (SELECT lang, source,
+        |    CAST(CAST(FLOOR(n_chars/100) AS BIGINT)*100 AS VARCHAR) AS q_len,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |l2 AS (SELECT lang, source,
+        |    CAST(CAST(FLOOR(n_chars/1000) AS BIGINT)*1000 AS VARCHAR) AS q_len,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |l3 AS (SELECT lang, source, '*' AS q_len, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |sel AS (SELECT CASE
+        |  WHEN (SELECT MIN(n) FROM l0) >= 10 THEN 0
+        |  WHEN (SELECT MIN(n) FROM l1) >= 10 THEN 1
+        |  WHEN (SELECT MIN(n) FROM l2) >= 10 THEN 2
+        |  ELSE 3 END AS lv),
+        |u AS (
+        |  SELECT 0 AS level, q_lang, q_source, q_len, n FROM l0
+        |  UNION ALL SELECT 1, lang, source, q_len, n FROM l1
+        |  UNION ALL SELECT 2, lang, source, q_len, n FROM l2
+        |  UNION ALL SELECT 3, lang, source, q_len, n FROM l3)
+        |SELECT level, q_lang, q_source, q_len, n, n < 10 AS suppressed
+        |FROM u WHERE level = (SELECT lv FROM sel)
+        |ORDER BY q_lang, q_source, q_len""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative
