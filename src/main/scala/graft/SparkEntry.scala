@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, PointInTime, Scaler, Skew}
+import graft.ops.{BronzeSilver, Categorify, Layout, PointInTime, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
@@ -2782,6 +2782,22 @@ object SparkEntry {
           col("q_len"), col("n"), col("suppressed"))
         .ordered(col("q_lang"), col("q_source"), col("q_len"))
     }),
+
+    // ---- Scale machinery: Z-order (Morton) clustering key ---------------
+    // The Delta/Iceberg ZORDER BY technique as a first-class expression:
+    // bit-interleaved (orderkey, partkey) folded to 10 bits each. The
+    // oracle replays the interleave bit-for-bit; LayoutSpec proves the
+    // clustering guarantee (aligned power-of-two boxes are contiguous
+    // z-ranges) and the write path.
+    "q128_zorder_key" -> ((s, dir) => {
+      val a = pmod(col("l_orderkey"), lit(1024L))
+      val b = pmod(col("l_partkey"), lit(1024L))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zValue(a, b, 10).as("zval"))
+        .ordered(col("zval"), col("l_orderkey"), col("l_linenumber"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4578,6 +4594,21 @@ object SparkEntry {
         |SELECT level, q_lang, q_source, q_len, n, n < 10 AS suppressed
         |FROM u WHERE level = (SELECT lv FROM sel)
         |ORDER BY q_lang, q_source, q_len""".stripMargin,
+
+    // The Morton interleave replayed per bit position (generated terms —
+    // bit k of a at 2k, bit k of b at 2k+1), keys folded to 10 bits with
+    // the same non-negative pmod.
+    "q128_zorder_key" -> {
+      val terms = (0 until 10).map { k =>
+        s"((((a >> $k) & 1) << ${2 * k}) | (((b >> $k) & 1) << ${2 * k + 1}))"
+      }.mkString(" | ")
+      s"""WITH f AS (SELECT l_orderkey, l_linenumber,
+         |  ((l_orderkey % 1024) + 1024) % 1024 AS a,
+         |  ((l_partkey % 1024) + 1024) % 1024 AS b
+         |  FROM lineitem WHERE l_orderkey % 50 = 0)
+         |SELECT l_orderkey, l_linenumber, ($terms) AS zval
+         |FROM f ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+    },
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative
