@@ -2798,6 +2798,25 @@ object SparkEntry {
           Layout.zValue(a, b, 10).as("zval"))
         .ordered(col("zval"), col("l_orderkey"), col("l_linenumber"))
     }),
+
+    // ---- Scale machinery: hive-partitioned write + partition pruning ----
+    // The R6 sink surface driven end to end: the corpus is written
+    // partitionBy(lang), and the read-back filter prunes at the
+    // DIRECTORY level — PLANS.md shows PartitionFilters on the scan, so
+    // non-matching partitions are never opened (at 100 TB this is the
+    // difference between listing 5 directories and scanning all of
+    // them). The oracle filters the original table; the round-trip must
+    // be lossless for the hashes to agree.
+    "q129_partition_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/docs"
+      Tables(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4609,6 +4628,12 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, ($terms) AS zval
          |FROM f ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
     },
+
+    // The partitioned round-trip must be lossless; the oracle never sees
+    // the partitioned copy.
+    "q129_partition_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative
