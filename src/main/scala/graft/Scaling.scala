@@ -335,7 +335,20 @@ object Scaling {
       "url_canon" -> (dir => SparkEntry.queries("q115_url_canon")(spark, dir)),
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
-      "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)))
+      "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // q126's shape on a ~10k-node domain: edge volume scales with the
+      // corpus, iteration count fixed — per-round join cost must grow
+      // linearly in edges
+      "pagerank" -> (dir => {
+        val d = col("doc_id")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val e1 = docs.select((d % 9973).as("src"),
+          ((d * 7 + 13) % 9973).as("dst"))
+        val e2 = docs.filter(d % 3 === 0).select((d % 9973).as("src"),
+          ((d * 31 + 5) % 9973).as("dst"))
+        graft.llm.LinkGraph.pageRank(
+          e1.unionByName(e2).filter(col("src") < 9000), "src", "dst", 6)
+      }))
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
     val ops = all.filter { case (n, _) => only.forall(_.contains(n)) }
