@@ -2817,6 +2817,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- LLM ops: HyperLogLog cardinality registers ---------------------
+    // The third sketch beside KMV and Count-Min: 256 max-rank registers
+    // over md5-31-bit hashes, merge = elementwise max. The raw harmonic
+    // estimate is fully deterministic (every 2^-rank term is dyadic, so
+    // the float sum is exact in any order — see Sketches.Hll for why the
+    // ln-based small-range correction is deliberately omitted); exact
+    // distinct and the active-register count ride alongside.
+    "q130_hll_distinct" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull)
+      val h31 = shiftrightunsigned(
+        call_function("md5_lower64", col("l_orderkey").cast("string")), 33)
+      li.agg(Sketches.hllRegisters(h31, 8).as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_n"))
+        .select(
+          (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
+            .as("hll_est"),
+          size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
+          col("exact_n"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4634,6 +4655,25 @@ object SparkEntry {
     "q129_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    // Registers rebuilt from the same md5-31-bit arithmetic (top 8 bits
+    // -> register, max leading-zero rank of the low 23), empty registers
+    // contributing 2^0 via the (256 - active) term, the identical IEEE
+    // alpha/harmonic sequence.
+    "q130_hll_distinct" ->
+      """WITH h AS (SELECT
+        |  (md5_number_lower(CAST(l_orderkey AS VARCHAR)) >> 33)::BIGINT AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |r AS (SELECT (h >> 23) AS idx,
+        |  MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+        |      ELSE 23 - length(bin(h & 8388607)) + 1 END) AS rho
+        |  FROM h GROUP BY 1),
+        |s AS (SELECT SUM(CAST(1.0 AS DOUBLE)/(1 << rho)) + (256 - COUNT(*)) AS S,
+        |  COUNT(*) AS act FROM r)
+        |SELECT FLOOR(0.7213/(1 + 1.079/256)*256*256/S * 1e6 + 0.5)/1e6 AS hll_est,
+        |  CAST(act AS BIGINT) AS n_active,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_n
+        |FROM s""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

@@ -122,4 +122,63 @@ object Sketches {
     * i*w + bucket_i + 1)` — see q122. */
   def cms(preHashed: Column, params: Seq[(Long, Long)], w: Int): Column =
     udaf(new CountMin(params, w)).apply(preHashed)
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over a pre-hashed
+    * 31-bit column: the top `p` bits pick one of m = 2^p registers, the
+    * register keeps the MAX leading-zero rank of the remaining
+    * w = 31−p bits. Merge is elementwise max — order-insensitive, so
+    * the registers are bit-identical under any partitioning, and the
+    * whole register build is replayable by an external oracle (GROUP BY
+    * idx, MAX(rank) over the same integer arithmetic).
+    *
+    * The ESTIMATE ([[hllEstimate]]) deliberately omits the standard
+    * small-range linear-counting correction: it needs `ln`, which is
+    * not bit-identical across engines (the q74 lesson). The raw
+    * harmonic estimate is fully deterministic — every 2^-rank term is a
+    * dyadic rational with denominator 2^(w+1), so the float sum is
+    * EXACT in any order — and the active-register count rides along so
+    * a consumer can apply corrections downstream. */
+  class Hll(p: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(p >= 4 && p <= 16, s"hll precision $p out of range")
+    private val m = 1 << p
+    private val w = 31 - p
+    override def zero: Array[Long] = new Array[Long](m)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val idx = (h >>> w).toInt
+      val v = h & ((1L << w) - 1)
+      val rho =
+        if (v == 0) w + 1
+        else w - (64 - java.lang.Long.numberOfLeadingZeros(v)) + 1
+      if (rho > buf(idx)) buf(idx) = rho.toLong
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def hllRegisters(preHashed: Column, p: Int): Column =
+    udaf(new Hll(p)).apply(preHashed)
+
+  /** Raw harmonic HLL estimate from a register array (see [[Hll]] for
+    * why no small-range correction): α_m·m²/Σ 2^−M[j], exact-dyadic
+    * float sum in fixed array order. */
+  def hllEstimate(registers: Column, p: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val m = 1 << p
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    // dynamic shift: the Scala `shiftleft` helper takes a literal bit
+    // count, the SQL function takes a column
+    val s = aggregate(registers, lit(0.0),
+      (acc, r) => acc + lit(1.0) /
+        call_function("shiftleft", lit(1L), r.cast("int")))
+    lit(alphaM2) / s
+  }
 }

@@ -77,4 +77,32 @@ class SketchesSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(a === b, "integer-add merge must be order-insensitive")
   }
+
+  test("hll: estimate within 10% on 10k distinct; dup-insensitive") {
+    // a REAL hash, as production uses: a multiplicative-congruential
+    // sequence over sequential ids is low-discrepancy, not random, and
+    // biases HLL's leading-zero ranks ~25% (measured)
+    def h31(c: org.apache.spark.sql.Column) = shiftrightunsigned(
+      call_function("md5_lower64", c.cast("string")), 33)
+    val distinct = spark.range(10000).select(h31(col("id")).as("h"))
+    val est = distinct.agg(Sketches.hllRegisters(col("h"), 8).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"), 8)).head().getDouble(0)
+    assert(math.abs(est - 10000) / 10000.0 < 0.10, s"estimate $est")
+    // duplicates must not move the registers at all
+    val dup = spark.range(30000).select(h31(col("id") % 10000).as("h"))
+    val est2 = dup.agg(Sketches.hllRegisters(col("h"), 8).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"), 8)).head().getDouble(0)
+    assert(est2 === est)
+  }
+
+  test("hll: registers bit-identical under different partitionings") {
+    val df = spark.range(5000).select(
+      (col("id") * 48271L % 2147483647L).as("h"))
+    val a = df.repartition(2).agg(Sketches.hllRegisters(col("h"), 8))
+      .head().getSeq[Long](0)
+    val b = df.repartition(23).agg(Sketches.hllRegisters(col("h"), 8))
+      .head().getSeq[Long](0)
+    assert(a === b, "max merge must be order-insensitive")
+    assert(a.length === 256 && a.forall(r => r >= 0 && r <= 24))
+  }
 }
