@@ -2648,28 +2648,9 @@ object SparkEntry {
     // exact counts ride alongside so the overestimate property is
     // visible in the output. The oracle rebuilds counters and estimates
     // from the same md5-31-bit + affine-bucket arithmetic.
-    "q122_cms_counts" -> ((s, dir) => {
-      import s.implicits._
-      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
-      val h31 = (c: Column) =>
-        shiftrightunsigned(call_function("md5_lower64", c), 33)
-      val sk = toks.agg(
-        Sketches.cms(h31(col("tok")), cmsParams, cmsW).as("sk"))
-      val probes = cmsProbes.toDF("term")
-        .withColumn("__h", h31(col("term")))
-      val est = probes.crossJoin(broadcast(sk)).select(col("term"),
-        least(cmsParams.zipWithIndex.map { case ((a, b), i) =>
-          element_at(col("sk"), (lit(i * cmsW) +
-            (col("__h") * a + b) % 2147483647L % cmsW + 1).cast("int"))
-        }: _*).as("est"))
-      val exact = toks.filter(col("tok").isin(cmsProbes: _*))
-        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact_n"))
-      est.join(exact, Seq("term"), "left")
-        .select(col("term"), col("est"),
-          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
-        .ordered(col("term"))
-    }),
+    "q122_cms_counts" -> ((s, dir) =>
+      cmsQuery(s, dir,
+        c => shiftrightunsigned(call_function("md5_lower64", c), 33))),
 
     // ---- Streaming: stream-static dimension join ------------------------
     // The enrichment every live feature pipeline runs: a streaming fact
@@ -2843,6 +2824,32 @@ object SparkEntry {
   /** q126's iteration count — shared with the generated oracle. */
   private val prIterations = 6
 
+  /** q122's body, parameterized by the 31-bit pre-hash: md5 for the
+    * oracle-checked query, xxhash64 for the timed `__prod` twin (one MD5
+    * digest per token is several times the production hash cost; same
+    * plan shape, only the kernel differs — the q17/q18/q40 convention). */
+  private def cmsQuery(s: SparkSession, dir: String,
+                       h31: Column => Column): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+    val sk = toks.agg(
+      Sketches.cms(h31(col("tok")), cmsParams, cmsW).as("sk"))
+    val probes = cmsProbes.toDF("term")
+      .withColumn("__h", h31(col("term")))
+    val est = probes.crossJoin(broadcast(sk)).select(col("term"),
+      least(cmsParams.zipWithIndex.map { case ((a, b), i) =>
+        element_at(col("sk"), (lit(i * cmsW) +
+          (col("__h") * a + b) % 2147483647L % cmsW + 1).cast("int"))
+      }: _*).as("est"))
+    val exact = toks.filter(col("tok").isin(cmsProbes: _*))
+      .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+      .ordered(col("term"))
+  }
+
   /** q122's Count-Min geometry + probe terms — shared between the query
     * and its generated oracle so they can never drift (the q17/bm25Terms
     * discipline). */
@@ -2960,6 +2967,8 @@ object SparkEntry {
         Sketches.kmvDistinct(col("l_partkey"), 256, "xxh64").as("n_parts_est"),
         count(lit(1)).as("n_rows"))
     }),
+    "q122_cms_counts__prod" -> ((s, dir) =>
+      cmsQuery(s, dir, c => shiftrightunsigned(xxhash64(c), 33))),
   )
 
   def oracleSql: Map[String, String] =
