@@ -336,6 +336,17 @@ object Scaling {
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
       "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // Categorify on a ~row-cardinality vocabulary with the broadcast
+      // gate DISABLED (broadcastMaxRows=0): the r10 verdict's F3 path —
+      // a 100×-scale vocab must ride the shuffled lookup join, and this
+      // row is the evidence that fit (bucketed prefix-sum) + shuffled
+      // transform stay ~linear when the vocabulary grows with the data
+      "categorify_hc" -> (dir => {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id").cast("string").as("eid"), col("user_id"))
+        val m = graft.ops.Categorify.fit(ev, Seq("eid"))
+        m.transform(ev, broadcastMaxRows = 0L)
+      }),
       // q126's shape on a ~10k-node domain: edge volume scales with the
       // corpus, iteration count fixed — per-round join cost must grow
       // linearly in edges

@@ -41,6 +41,31 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(cols: _*)
   }
 
+  /** Stable per-(purpose, data-dir) scratch path under java.io.tmpdir —
+    * query bodies that must materialize on-disk state (online store,
+    * dedup index, partitioned sink) reuse ONE directory per purpose×dir
+    * and clear it on entry, so repeated Verify/Bench invocations leave
+    * no accumulating temp litter (each run's tree replaces the last).
+    * Concurrent same-dir JVMs could race on the shared path, but every
+    * writer derives identical bytes from the same input dir, so a race
+    * is either byte-identical or a loud read error — never a silent
+    * wrong answer (the IVF cache's atomic-rename discipline is overkill
+    * here because these trees are rebuilt per invocation by design). */
+  private def scratchDir(purpose: String, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val p = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${purpose}_$tag")
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally st.close()
+    }
+    p.toString
+  }
+
   /** Per-sfDir fitted IVF centroid index (q39): built + persisted +
     * loaded once per JVM, probed thereafter. */
   private val ivfCache =
@@ -632,8 +657,7 @@ object SparkEntry {
         "ts_us", ttlUs = 365L * 24 * 3600 * 1000000,
         features = Seq("event_id", "event_type", "value"))
       val e = Tables.events(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_online")
-        .toString + "/user_latest"
+      val path = scratchDir("online", dir) + "/user_latest"
       FeatureStore.materializeOnline(view, e, path, tieBreak = "event_id")
       val keys = e.select("user_id").distinct()
         .filter(col("user_id") % 5 === 0)
@@ -1576,8 +1600,7 @@ object SparkEntry {
       import graft.llm.DedupIndex
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val cfg = DedupIndex.Config(hashMode = "md5")
-      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
-        .toString + "/idx"
+      val path = scratchDir("dedupidx", dir) + "/idx"
       DedupIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", path, cfg)
       DedupIndex.admissions(docs.filter(col("doc_id") % 3 === 0),
@@ -2789,8 +2812,7 @@ object SparkEntry {
     // them). The oracle filters the original table; the round-trip must
     // be lossless for the hashes to agree.
     "q129_partition_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_part").toString + "/docs"
+      val tmp = scratchDir("part", dir) + "/docs"
       Tables(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp)

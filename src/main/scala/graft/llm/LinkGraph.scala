@@ -47,6 +47,7 @@ object LinkGraph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).cache()
     val withDeg = e.join(outDeg, Seq("src")).cache()
     val n = nodes.count()
+    require(n > 0, "pageRank on an empty (or all-NULL) edge set")
     // the dangling-node SET never changes across iterations — only its
     // rank mass does; computing it once spares one anti-join per round
     val dangNodes = nodes
@@ -73,6 +74,10 @@ object LinkGraph {
         .localCheckpoint()
       i += 1
     }
+    // ranks is localCheckpoint-materialized — the iteration caches are no
+    // longer reachable from it; drop them so repeated calls in one session
+    // don't accumulate cached blocks
+    Seq(e, nodes, outDeg, withDeg, dangNodes).foreach(_.unpersist())
     ranks
   }
 }

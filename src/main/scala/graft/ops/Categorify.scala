@@ -16,11 +16,24 @@ import org.apache.spark.sql.functions._
   * Scale design: the reference fits 16 indexers *serially* — 16 full scans
   * (SURVEY.md §4.2 pathology #5). Here one `fit` melts all requested columns
   * into (column, value) pairs and computes every vocabulary in a single
-  * scan + single shuffle. The fitted model is a small per-column lookup
-  * table; `transform` broadcast-joins it, so at 100 TB the transform adds no
-  * shuffle to the main table at all.
+  * scan + single shuffle. The fitted model is a per-column lookup table;
+  * `transform` broadcast-joins it when the fitted size is under
+  * [[BroadcastMaxRows]] (no shuffle on the main table), and falls back
+  * to a shuffled hash join for web-scale vocabularies that would blow
+  * the broadcast ceiling.
   */
 object Categorify {
+
+  /** Vocabularies at or under this row count get an explicit
+    * `broadcast()` hint at transform time; larger ones ride a shuffled
+    * join. ~4M rows of (string value, long idx) is comfortably inside
+    * Spark's broadcast ceiling (tens of MB); the reference's largest
+    * vocabulary (item_id, ~1.84 M) broadcasts, a 100×-scaled one
+    * (~184 M rows, multi-GB) must NOT — a forced broadcast there
+    * exceeds the 8 GB broadcast limit and OOMs executors. Above the
+    * gate we leave the join unhinted so AQE may still pick a broadcast
+    * if the runtime size turns out small. */
+  val BroadcastMaxRows: Long = 4L << 20
 
   /** One fitted vocabulary: column name -> lookup DataFrame
     * (`value: string, idx: long`) plus its size (the unseen index). */
@@ -28,12 +41,21 @@ object Categorify {
 
     /** Replace each fitted column with its index (original value columns are
       * overwritten, like the reference's rename dance at
-      * batch_process_Silver_to_Gold.py:126-130). Unseen -> vocab size. */
-    def transform(df: DataFrame): DataFrame =
+      * batch_process_Silver_to_Gold.py:126-130). Unseen -> vocab size.
+      *
+      * The lookup join is broadcast ONLY when the fitted vocabulary size
+      * is under [[BroadcastMaxRows]] — MLlib's StringIndexer
+      * unconditionally collects labels to the driver and would OOM on a
+      * web-scale vocabulary; here a large vocab rides a shuffled hash
+      * join instead. */
+    def transform(df: DataFrame,
+                  broadcastMaxRows: Long = BroadcastMaxRows): DataFrame =
       lookups.foldLeft(df) { case (acc, (c, lut)) =>
-        val l = broadcast(lut
+        val renamed = lut
           .withColumnRenamed("value", s"__${c}_val")
-          .withColumnRenamed("idx", s"__${c}_idx"))
+          .withColumnRenamed("idx", s"__${c}_idx")
+        val l = if (sizes(c) <= broadcastMaxRows) broadcast(renamed)
+                else renamed
         acc
           .join(l, acc(c).cast("string") === l(s"__${c}_val"), "left")
           .withColumn(c, coalesce(col(s"__${c}_idx"), lit(sizes(c))))
@@ -124,7 +146,11 @@ object Categorify {
       .withColumn(as,
         row_number().over(wb).cast("long") - 1 + col("__off"))
       .select("__v", as)
-    df.join(broadcast(lut), df(c).cast("string") === lut("__v"), "left")
+    // no broadcast hint on the vocabulary join: its size is unknown until
+    // runtime, and AQE broadcasts it when it IS small — a forced hint
+    // would OOM on a 100×-scale high-cardinality column (the only hinted
+    // broadcast above is the ≤64-row bucket-offset table)
+    df.join(lut, df(c).cast("string") === lut("__v"), "left")
       .drop("__v")
   }
 }

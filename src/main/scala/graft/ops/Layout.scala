@@ -24,12 +24,18 @@ object Layout {
   /** Morton interleave of two `bits`-bit non-negative keys: bit k of `a`
     * lands at position 2k, bit k of `b` at 2k+1. Inputs must already be
     * bounded to [0, 2^bits) — callers fold wider domains (e.g.
-    * `pmod(key, 1 << bits)`). NULL in either key yields NULL. */
+    * `pmod(key, 1 << bits)`). NULL in either key yields NULL.
+    *
+    * Inputs are widened to LongType before shifting: `shiftleft` on an
+    * IntegerType column uses Java int semantics (shift count masked to 5
+    * bits), so a 32-bit input with bits > 16 would silently wrap — the
+    * cast makes the interleave 64-bit regardless of caller column type. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits $bits out of range")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { k =>
-      shiftleft(shiftright(a, k).bitwiseAND(1), 2 * k)
-        .bitwiseOR(shiftleft(shiftright(b, k).bitwiseAND(1), 2 * k + 1))
+      shiftleft(shiftright(al, k).bitwiseAND(1), 2 * k)
+        .bitwiseOR(shiftleft(shiftright(bl, k).bitwiseAND(1), 2 * k + 1))
     }.reduce(_ bitwiseOR _)
   }
 

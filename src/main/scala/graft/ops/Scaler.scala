@@ -70,7 +70,11 @@ object Scaler {
     require(cols.nonEmpty, "scaler needs at least one column")
     val aggs = cols.flatMap { c =>
       val d = dec6(col(c))
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      // min/max cast to double IN the aggregate: min()/max() preserve the
+      // input type, so an integer/long/decimal column would otherwise make
+      // the driver-side getAs[Double] throw ClassCastException
+      Seq(min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"),
         sum(d).as(s"__sum_$c"),
         // square in DOUBLE (one IEEE multiply — identical in any
         // engine), then round to decimal so the SUM is exact and

@@ -176,4 +176,23 @@ class SimilaritySpec extends AnyFunSuite {
         k = 3, maxDf = 2L).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.toSet === Set((1L, 2L), (2L, 1L)))
   }
+
+  test("sparseCosineTopK tokenizes the corpus once (runtime exchange reuse)") {
+    // the weighted postings `w` feed three consumers (norms + both join
+    // sides); AQE must reuse the tokenize->tf exchange rather than
+    // re-scanning the corpus 3×. The pre-AQE plan alone can't show this
+    // (it prints 18 scans), so assert on the EXECUTED plan — the
+    // UnigramLmSpec coverageVocab discipline. A refactor that breaks the
+    // reuse (e.g. divergent projections before the join) fails here, not
+    // silently in the 100 TB bill.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val out = Similarity.sparseCosineTopK(docs, "doc_id", "text",
+      k = 2, maxDf = 150L)
+    out.collect()
+    val ex = out.queryExecution.executedPlan.toString
+    assert(ex.contains("ReusedQueryStage") || ex.contains("ReusedExchange"),
+      s"no runtime exchange reuse in:\n$ex")
+  }
 }

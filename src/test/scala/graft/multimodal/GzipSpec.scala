@@ -26,6 +26,25 @@ class GzipSpec extends AnyFunSuite {
     assert(new String(Gzip.decode(cat), "UTF-8") === "first shard second shard")
   }
 
+  test("trailing garbage / corrupt trailing member throws, never partial-ok") {
+    val a = Gzip.encode("good shard".getBytes("UTF-8"))
+    val b = Gzip.encode("second shard".getBytes("UTF-8"))
+    // raw trailing garbage after a valid member
+    intercept[IllegalArgumentException](
+      Gzip.decode(a ++ Array[Byte](0x42, 0x42, 0x42)))
+    // truncated second member (cut mid-body, past its header)
+    intercept[IllegalArgumentException](
+      Gzip.decode(a ++ java.util.Arrays.copyOf(b, b.length - 10)))
+    // second member with corrupted magic — GZIPInputStream would have
+    // silently returned only the first member's payload here
+    val badMagic = b.clone(); badMagic(0) = 0x00
+    intercept[IllegalArgumentException](Gzip.decode(a ++ badMagic))
+    // corrupted CRC in the trailer of the last member
+    val badCrc = (a ++ b).clone()
+    badCrc(badCrc.length - 6) = (badCrc(badCrc.length - 6) ^ 0x7f).toByte
+    intercept[IllegalArgumentException](Gzip.decode(badCrc))
+  }
+
   test("poison inputs throw, and the zip-bomb cap holds") {
     intercept[IllegalArgumentException](Gzip.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Gzip.decode(Array.emptyByteArray))

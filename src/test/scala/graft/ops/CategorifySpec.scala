@@ -65,6 +65,37 @@ class CategorifySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("transform broadcast is size-gated: above-gate vocab rides a shuffled join") {
+    // a 100×-scale vocabulary must NOT be force-broadcast (8 GB ceiling /
+    // executor OOM); with the gate at 0 and auto-broadcast disabled the
+    // executed plan must contain no BroadcastExchange, while the default
+    // gate on a small vocab still picks the broadcast path
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = s.createDataFrame(Seq("a", "b", "b", "c").map(Tuple1(_)))
+      .toDF("v")
+    val model = Categorify.fit(df, Seq("v"))
+    val gated = model.transform(df, broadcastMaxRows = 0L)
+    gated.collect()
+    // scope the assertion ABOVE the cached lookup's InMemoryRelation: the
+    // fit-time plan cached inside it legitimately holds the ≤64-row
+    // bucket-offset broadcast, which is not the join under test
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+      .split("InMemoryRelation").head
+    assert(!gatedPlan.contains("BroadcastExchange"),
+      s"above-gate vocab still broadcasts:\n$gatedPlan")
+    assert(gatedPlan.contains("SortMergeJoin")
+      || gatedPlan.contains("ShuffledHashJoin"), gatedPlan)
+    val hinted = model.transform(df) // default gate: 3-row vocab broadcasts
+    hinted.collect()
+    assert(hinted.queryExecution.executedPlan.toString
+      .split("InMemoryRelation").head.contains("BroadcastExchange"))
+    // both paths agree on the indexed values
+    assert(gated.collect().map(_.getLong(0)).sorted.toSeq
+      === hinted.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("save/load round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("catg").toString
     val df = Seq("a", "b", "b").toDF("v")
