@@ -336,6 +336,17 @@ object Scaling {
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
       "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // q131's sketch shape on the factor× event stream: one scan, one
+      // bounded-buffer partial agg per partition, a bins-long merge —
+      // wall must track the scan, the buffer never grows with the data
+      "hist_quantile" -> (dir => {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        ev.groupBy(col("event_type"))
+          .agg(graft.llm.Sketches.histogram(col("value"), 0.0, 1000.0, 512)
+            .as("sk"))
+          .select(col("event_type"), graft.llm.Sketches.histQuantile(
+            col("sk"), 0.0, 1000.0, 512, 0.9).as("p90"))
+      }),
       // Categorify on a ~row-cardinality vocabulary with the broadcast
       // gate DISABLED (broadcastMaxRows=0): the r10 verdict's F3 path —
       // a 100×-scale vocab must ride the shuffled lookup join, and this

@@ -2841,6 +2841,32 @@ object SparkEntry {
           size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
           col("exact_n"))
     }),
+
+    // ---- LLM ops: fixed-grid histogram quantile sketch ------------------
+    // The fourth sketch beside KMV/CMS/HLL and the scale-safe sibling of
+    // q57/q48's EXACT percentile/median (whose buffers hold every group
+    // value): bounded bin-count buffer, elementwise-add merge, rank-based
+    // selection — approx p50/p90 land within one bin width of the exact
+    // values riding alongside. Grids: l_quantity [0,51)x102 (width 0.5),
+    // l_extendedprice [900,105000)x512 (width 203.3203125, dyadic — the
+    // midpoint affine map is float-exact in both engines).
+    "q131_hist_quantile" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          Sketches.histogram(col("l_quantity"), 0.0, 51.0, 102).as("__sq"),
+          Sketches.histogram(col("l_extendedprice"), 900.0, 105000.0, 512)
+            .as("__sp"),
+          expr("percentile(l_quantity, 0.5)").as("exact_qty_p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("exact_price_p90"))
+        .select(col("l_returnflag"),
+          Sketches.histQuantile(col("__sq"), 0.0, 51.0, 102, 0.5)
+            .as("approx_qty_p50"),
+          Sketches.histQuantile(col("__sp"), 900.0, 105000.0, 512, 0.9)
+            .as("approx_price_p90"),
+          col("exact_qty_p50"), col("exact_price_p90"))
+        .ordered(col("l_returnflag"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4705,6 +4731,46 @@ object SparkEntry {
         |  CAST(act AS BIGINT) AS n_active,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_n
         |FROM s""".stripMargin,
+
+    // replay of the fixed-grid histogram sketch: same binning IEEE
+    // sequence ((x-lo)/(hi-lo)*bins, floor, clamp), integer cumulative
+    // counts, rank = CEIL(q*N) (exact on a <2^53 double), midpoint
+    // affine map with the same dyadic width literals (51/102 = 0.5,
+    // 104100/512 = 203.3203125)
+    "q131_hist_quantile" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  LEAST(101, GREATEST(0, CAST(FLOOR(
+        |    CAST(l_quantity AS DOUBLE) / 51.0 * 102) AS INT))) AS qb,
+        |  LEAST(511, GREATEST(0, CAST(FLOOR(
+        |    (CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 512
+        |  ) AS INT))) AS pb
+        |  FROM lineitem),
+        |qh AS (SELECT l_returnflag, qb, COUNT(*) AS c FROM b GROUP BY 1,2),
+        |ph AS (SELECT l_returnflag, pb, COUNT(*) AS c FROM b GROUP BY 1,2),
+        |qc AS (SELECT l_returnflag, qb,
+        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY qb) AS cum,
+        |  SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM qh),
+        |pc AS (SELECT l_returnflag, pb,
+        |  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY pb) AS cum,
+        |  SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM ph),
+        |qsel AS (SELECT l_returnflag, MIN(qb) AS b FROM qc
+        |  WHERE cum >= CEIL(0.5 * n) GROUP BY 1),
+        |psel AS (SELECT l_returnflag, MIN(pb) AS b FROM pc
+        |  WHERE cum >= CEIL(0.9 * n) GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_qty_p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS exact_price_p90
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag,
+        |  0.0 + (qsel.b + 0.5) * 0.5 AS approx_qty_p50,
+        |  900.0 + (psel.b + 0.5) * 203.3203125 AS approx_price_p90,
+        |  exact_qty_p50, exact_price_p90
+        |FROM ex
+        |JOIN qsel ON ex.l_returnflag IS NOT DISTINCT FROM qsel.l_returnflag
+        |JOIN psel ON ex.l_returnflag IS NOT DISTINCT FROM psel.l_returnflag
+        |ORDER BY ex.l_returnflag""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

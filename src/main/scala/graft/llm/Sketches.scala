@@ -181,4 +181,76 @@ object Sketches {
         call_function("shiftleft", lit(1L), r.cast("int")))
     lit(alphaM2) / s
   }
+
+  /** Fixed-grid histogram quantile sketch — the QUANTILE member of the
+    * sketch family (KMV=distinct, CMS=frequency, HLL=cardinality): the
+    * scale-safe sibling of exact `percentile`/`median` (q57/q48), whose
+    * aggregation buffer holds every group value and whose window sorts a
+    * whole group in one task. Here the buffer is `bins` longs REGARDLESS
+    * of input size and merge is elementwise addition — commutative,
+    * associative, bit-identical under any partitioning (the CMS
+    * discipline), so partial aggregation ships kilobytes per partition
+    * at 100 TB. Error is bounded by one bin width of the fixed
+    * [lo, hi) grid, the knob a caller sizes from domain knowledge
+    * (a KLL sketch would adapt the grid but its compaction path is
+    * RNG-driven — this engine's sketches are deterministic and
+    * oracle-replayable by contract, see [[Hll]]).
+    *
+    * Binning is ONE fixed IEEE sequence — floor((x − lo) / (hi − lo) ·
+    * bins), clamped to [0, bins) so out-of-range values land in the edge
+    * bins — that an external oracle replays exactly; counts and the
+    * rank-based quantile selection ([[histQuantile]]) are all-integer.
+    * Non-null numeric input required (the typed-Long aggregator rule). */
+  class FixedHistogram(lo: Double, hi: Double, bins: Int)
+      extends Aggregator[Double, Array[Long], Array[Long]] {
+    require(bins >= 1 && hi > lo, s"bad histogram grid [$lo,$hi)x$bins")
+    override def zero: Array[Long] = new Array[Long](bins)
+    override def reduce(buf: Array[Long], x: Double): Array[Long] = {
+      val b0 = math.floor((x - lo) / (hi - lo) * bins).toInt
+      val b = if (b0 < 0) 0 else if (b0 >= bins) bins - 1 else b0
+      buf(b) += 1L
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: per-group bin-count array over a non-null numeric
+    * column. Quantiles read via [[histQuantile]]. */
+  def histogram(c: Column, lo: Double, hi: Double, bins: Int): Column =
+    udaf(new FixedHistogram(lo, hi, bins)).apply(c.cast("double"))
+
+  /** Approximate quantile from a [[histogram]] sketch: the MIDPOINT of
+    * the first bin whose cumulative count reaches rank ceil(q·N) — the
+    * grid-resolution upper bound on the true quantile's bin. All-integer
+    * scan (counts, cumulative sums, rank compare against an exact ceil),
+    * then one fixed IEEE affine map to the bin midpoint — deterministic
+    * and replayable (rank-vs-cum integer compares cannot straddle float
+    * rounding). NULL on an empty sketch. */
+  def histQuantile(sk: Column, lo: Double, hi: Double, bins: Int,
+                   q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0,1]")
+    val n = aggregate(sk, lit(0L), (a, x) => a + x)
+    val target = ceil(lit(q) * n) // exact on doubles < 2^53
+    val zero = struct(lit(0L).as("cum"), lit(0).as("i"), lit(-1).as("ans"))
+    val scanned = aggregate(sk, zero, (acc, c) => {
+      val cum = acc("cum") + c
+      struct(cum.as("cum"), (acc("i") + 1).as("i"),
+        when(acc("ans") >= 0, acc("ans"))
+          .when(cum >= target, acc("i"))
+          .otherwise(lit(-1)).as("ans"))
+    })
+    when(n > 0,
+      lit(lo) + (scanned("ans").cast("double") + 0.5) *
+        lit((hi - lo) / bins))
+  }
 }

@@ -95,6 +95,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(est2 === est)
   }
 
+  test("histogram quantile: within one bin width of exact; clamps edges") {
+    // uniform 0..999 over [0,1000)x100: every bin holds 10 values, the
+    // p50 bin midpoint lands within one bin width (10) of the exact 499.5
+    val df = spark.range(1000).select(col("id").cast("double").as("x"))
+    val sk = df.agg(Sketches.histogram(col("x"), 0.0, 1000.0, 100).as("sk"))
+    val p50 = sk.select(
+      Sketches.histQuantile(col("sk"), 0.0, 1000.0, 100, 0.5)).head().getDouble(0)
+    assert(math.abs(p50 - 499.5) <= 10.0, s"p50 $p50")
+    val p90 = sk.select(
+      Sketches.histQuantile(col("sk"), 0.0, 1000.0, 100, 0.9)).head().getDouble(0)
+    assert(math.abs(p90 - 899.5) <= 10.0, s"p90 $p90")
+    // out-of-range values clamp to the edge bins, never throw or drop
+    val edge = spark.range(10)
+      .select((col("id").cast("double") * 1e6 - 5e6).as("x"))
+      .agg(Sketches.histogram(col("x"), 0.0, 1000.0, 100).as("sk"))
+      .head().getSeq[Long](0)
+    assert(edge.head + edge.last === 10L && edge.sum === 10L)
+  }
+
+  test("histogram: counts bit-identical under different partitionings") {
+    val df = spark.range(5000).select(((col("id") * 7) % 997).cast("double").as("x"))
+    val a = df.repartition(2).agg(Sketches.histogram(col("x"), 0.0, 997.0, 64))
+      .head().getSeq[Long](0)
+    val b = df.repartition(23).agg(Sketches.histogram(col("x"), 0.0, 997.0, 64))
+      .head().getSeq[Long](0)
+    assert(a === b, "integer-add merge must be order-insensitive")
+    assert(a.sum === 5000L)
+  }
+
   test("hll: registers bit-identical under different partitionings") {
     val df = spark.range(5000).select(
       (col("id") * 48271L % 2147483647L).as("h"))
