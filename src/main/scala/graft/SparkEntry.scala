@@ -2867,6 +2867,70 @@ object SparkEntry {
           col("exact_qty_p50"), col("exact_price_p90"))
         .ordered(col("l_returnflag"))
     }),
+
+    // ---- Multimodal: PROGRESSIVE JPEG (SOF2) decode ---------------------
+    // q108's fixtures re-encoded progressive: the same DC values now ride
+    // a real multi-scan T.81 §G stream — successive-approximation DC
+    // (first Al=2, refine 2→1→0 for gray; interleaved Al=1 chain for
+    // color), spectral AC band scans that are pure EOB runs over the
+    // zero AC field, restart intervals inside progressive scans on every
+    // third doc — decoded by the same operator. The pixel oracle is
+    // q108's closed form VERBATIM: progressive decoding of the same
+    // coefficients must land on identical pixels, and a regression in
+    // any scan-accumulation path (band geometry, SA shift/OR
+    // reconstruction, EOB-run bookkeeping, per-scan predictor reset)
+    // hash-fails against arithmetic DuckDB replays.
+    "q132_progressive_decode" -> ((s, dir) => {
+      import s.implicits._
+      val grayScript = Seq(
+        Jpeg.ProgScan(Seq(0), 0, 0, 0, 2),
+        Jpeg.ProgScan(Seq(0), 1, 5, 0, 1),
+        Jpeg.ProgScan(Seq(0), 6, 63, 0, 1),
+        Jpeg.ProgScan(Seq(0), 0, 0, 2, 1),
+        Jpeg.ProgScan(Seq(0), 0, 0, 1, 0),
+        Jpeg.ProgScan(Seq(0), 1, 63, 1, 0))
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val rst = if (id % 3 == 0) 2 else 0
+            def dcBlock(dc: (Int, Int) => Int): (Int, Int) => Array[Int] =
+              (bR, bC) => { val b = new Array[Int](64); b(0) = dc(bR, bC); b }
+            val lumaDc = (bR: Int, bC: Int) =>
+              ((id + 3 * bR + 5 * bC) % 24).toInt
+            val payload =
+              if (id % 2 == 0)
+                Jpeg.encodeProgressive(w, h,
+                  Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, dcBlock(lumaDc))),
+                  Map(0 -> Array.fill(64)(16)), grayScript, rst)
+              else {
+                val (ch, cv) = (id % 6) match {
+                  case 1 => (2, 2) // 4:2:0
+                  case 3 => (2, 1) // 4:2:2
+                  case _ => (1, 1) // 4:4:4
+                }
+                Jpeg.encodeProgressive(w, h,
+                  Seq(Jpeg.CoefComp(ch, cv, 0, 0, 0, dcBlock(lumaDc)),
+                    Jpeg.CoefComp(1, 1, 1, 1, 1,
+                      dcBlock((_, _) => (id % 5).toInt)),
+                    Jpeg.CoefComp(1, 1, 1, 1, 1,
+                      dcBlock((_, _) => (id % 7).toInt))),
+                  Map(0 -> Array.fill(64)(16), 1 -> Array.fill(64)(17)),
+                  Jpeg.standardScript(3), rst)
+              }
+            Binary.MediaRow(id, payload, "image", "jpeg")
+          }
+        }
+      Binary.decodeImage(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4771,6 +4835,40 @@ object SparkEntry {
         |JOIN qsel ON ex.l_returnflag IS NOT DISTINCT FROM qsel.l_returnflag
         |JOIN psel ON ex.l_returnflag IS NOT DISTINCT FROM psel.l_returnflag
         |ORDER BY ex.l_returnflag""".stripMargin,
+
+    // q108's closed-form pixel oracle VERBATIM: the progressive wire
+    // format carries the same quantized DCs, so the decoded stats are
+    // identical — what changes (and is under test) is the multi-scan
+    // decode path that produced them
+    "q132_progressive_decode" ->
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+        |  FROM documents),
+        |co AS (SELECT doc_id, w, h, c,
+        |  (2896*((2896*(doc_id % 5 * 17) + 1024)//2048) + 16384)//32768 AS cb_off,
+        |  (2896*((2896*(doc_id % 7 * 17) + 1024)//2048) + 16384)//32768 AS cr_off
+        |  FROM p),
+        |b AS (SELECT doc_id, w, h, c, cb_off, cr_off,
+        |  UNNEST(range(((h+7)//8) * ((w+7)//8))) AS blk FROM co),
+        |v AS (SELECT doc_id, w, h, c, cb_off, cr_off,
+        |  128 + (2896*((2896*(((doc_id + 3*(blk // ((w+7)//8)) + 5*(blk % ((w+7)//8))) % 24) * 16) + 1024)//2048) + 16384)//32768 AS yv,
+        |  LEAST(8, h - 8*(blk // ((w+7)//8))) * LEAST(8, w - 8*(blk % ((w+7)//8))) AS cnt
+        |  FROM b),
+        |ch AS (SELECT doc_id, w, h, c, cnt,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv + (91881*cr_off + 32768)//65536)) END AS v1,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv - (22554*cb_off + 46802*cr_off + 32768)//65536)) END AS v2,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE LEAST(255, GREATEST(0, yv + (116130*cb_off + 32768)//65536)) END AS v3
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST(w*h*c AS BIGINT) AS n_px,
+        |  FLOOR(CAST(SUM(CASE WHEN c = 1 THEN v1*cnt ELSE (v1+v2+v3)*cnt END) AS DOUBLE)
+        |    / (w*h*c) * 1e6 + 0.5) / 1e6 AS mean_px,
+        |  CAST(MIN(LEAST(v1, v2, v3)) AS BIGINT) AS min_px,
+        |  CAST(MAX(GREATEST(v1, v2, v3)) AS BIGINT) AS max_px
+        |FROM ch GROUP BY doc_id, w, h, c ORDER BY doc_id""".stripMargin,
 
     // A-law compress∘expand replayed per sample: magnitude = 13-bit
     // truncation (negatives folded via -x-1 so // stays a non-negative

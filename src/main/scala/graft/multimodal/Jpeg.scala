@@ -10,13 +10,19 @@ package graft.multimodal
   * web-crawl image ingestion (overwhelmingly JPEG) belongs on the real
   * path next to [[Png]].
   *
-  * SCOPE: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit
-  * precision, 1 component (grayscale) or 3 components (YCbCr), sampling
-  * factors 1..4 with replication upsampling, restart intervals, one
-  * interleaved scan (or a single-component scan). Progressive (SOF2),
-  * arithmetic coding, 12-bit precision, and CMYK throw with a clear
-  * message — the decode operator maps that to an `ok=false` row, never a
-  * task failure.
+  * SCOPE: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+  * progressive Huffman (SOF2 — spectral selection + successive
+  * approximation per T.81 §G: multi-scan coefficient accumulation, DC
+  * first/refinement scans, AC band scans with EOB-run coding, AC
+  * refinement with interleaved correction bits), 8-bit precision, 1
+  * component (grayscale) or 3 components (YCbCr), sampling factors 1..4
+  * with replication upsampling, restart intervals in both sequential and
+  * progressive scans. Arithmetic coding, hierarchical (SOF5..7/13..15),
+  * 12-bit precision, and CMYK throw with a clear message — the decode
+  * operator maps that to an `ok=false` row, never a task failure.
+  * Progressive matters at crawl scale: a large share of web JPEGs are
+  * progressive, and "needs a codec library" never excused SOF2 — it is
+  * the same public T.81 chapter as baseline.
   *
   * DETERMINISM CONTRACT (what an external oracle can replay exactly):
   *  - IDCT: a two-pass separable integer transform over a 13-bit scaled
@@ -152,6 +158,9 @@ object Jpeg {
     var width = -1; var height = -1
     var comps: Array[Comp] = null
     var restartInterval = 0
+    var progressive = false
+    var pstate: ProgState = null // allocated at the first progressive SOS
+    var nScans = 0
     var off = 2
     while (true) {
       require(off + 2 <= jpeg.length, "truncated JPEG: no SOS before EOF")
@@ -164,7 +173,9 @@ object Jpeg {
       }
       off += 2
       m match {
-        case 0xd9 => // EOI before SOS
+        case 0xd9 => // EOI: ends a progressive frame; invalid before any scan
+          if (pstate != null && nScans > 0)
+            return finishProgressive(pstate, comps, qt, width, height)
           throw new IllegalArgumentException("EOI before any scan")
         case 0xd8 =>
           throw new IllegalArgumentException("unexpected second SOI")
@@ -211,9 +222,10 @@ object Jpeg {
                 if (tc == 0) dcTab(th) = h else acTab(th) = h
                 p += 17 + n
               }
-            case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
               require(comps == null, "multiple SOF segments")
               require(len >= 8, "SOF too short")
+              progressive = m == 0xc2
               val prec = jpeg(body) & 0xff
               require(prec == 8, s"precision $prec unsupported (8-bit only)")
               height = u16(jpeg, body + 1)
@@ -234,21 +246,19 @@ object Jpeg {
                 require(tq <= 3, s"bad quant table id $tq")
                 Comp(id, hh, vv, tq)
               }
-            case 0xc2 =>
-              throw new IllegalArgumentException(
-                "progressive JPEG (SOF2) unsupported — baseline only")
             case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 && sof != 0xcc =>
               throw new IllegalArgumentException(
-                f"SOF 0xFF$sof%02X unsupported — baseline only")
+                f"SOF 0xFF$sof%02X unsupported — sequential/progressive " +
+                  "Huffman only")
             case 0xdd =>
               require(len == 4, "bad DRI length")
               restartInterval = u16(jpeg, body)
-            case 0xda => // SOS — decode the scan and return
+            case 0xda if !progressive => // sequential SOS — decode and return
               require(comps != null, "SOS before SOF")
               val ns = jpeg(body) & 0xff
               require(ns == comps.length,
                 s"scan has $ns components, frame has ${comps.length} " +
-                  "(multi-scan files unsupported)")
+                  "(multi-scan sequential files unsupported)")
               require(len == 6 + 2 * ns, "SOS length mismatch")
               val scanDc = new Array[Huff](ns)
               val scanAc = new Array[Huff](ns)
@@ -269,9 +279,42 @@ object Jpeg {
                 s"missing quant table ${c.tq}"))
               return decodeScan(jpeg, end, width, height, comps,
                 scanDc, scanAc, qt, restartInterval)
+            case 0xda => // progressive SOS — accumulate coefficients
+              require(comps != null, "SOS before SOF")
+              if (pstate == null)
+                pstate = ProgState.init(width, height, comps)
+              nScans += 1
+              require(nScans <= 256, "more than 256 scans (crafted input?)")
+              val ns = jpeg(body) & 0xff
+              require(ns >= 1 && ns <= comps.length, s"bad scan count $ns")
+              require(len == 6 + 2 * ns, "SOS length mismatch")
+              val scanCi = new Array[Int](ns)
+              val scanDc = new Array[Huff](ns)
+              val scanAc = new Array[Huff](ns)
+              var i = 0
+              while (i < ns) {
+                val cs = jpeg(body + 1 + 2 * i) & 0xff
+                val td = (jpeg(body + 2 + 2 * i) & 0xff) >> 4
+                val ta = jpeg(body + 2 + 2 * i) & 0x0f
+                val ci = comps.indexWhere(_.id == cs)
+                require(ci >= 0, s"scan references unknown component id $cs")
+                require(i == 0 || ci > scanCi(i - 1),
+                  "scan components out of frame order")
+                require(td <= 3 && ta <= 3, "bad Huffman table id")
+                scanCi(i) = ci
+                scanDc(i) = dcTab(td)
+                scanAc(i) = acTab(ta)
+                i += 1
+              }
+              val ss = jpeg(body + 1 + 2 * ns) & 0xff
+              val se = jpeg(body + 2 + 2 * ns) & 0xff
+              val ah = (jpeg(body + 3 + 2 * ns) & 0xff) >> 4
+              val al = jpeg(body + 3 + 2 * ns) & 0x0f
+              off = decodeProgressiveScan(jpeg, end, pstate, scanCi,
+                scanDc, scanAc, ss, se, ah, al, restartInterval)
             case _ => () // APPn, COM, ancillary — skipped
           }
-          off = end
+          if (m != 0xda) off = end
       }
     }
     throw new IllegalStateException("unreachable")
@@ -411,8 +454,16 @@ object Jpeg {
       }
       mcu += 1
     }
-    // assemble: crop planes, upsample by replication, convert color
-    if (nc == 1) {
+    assemble(planes, planeW, comps, width, height, hMax, vMax)
+  }
+
+  /** Crop component planes, upsample chroma by replication, convert
+    * color — shared by the sequential and progressive paths (the two
+    * differ only in how the planes are filled). */
+  private def assemble(planes: Array[Array[Byte]], planeW: Array[Int],
+                       comps: Array[Comp], width: Int, height: Int,
+                       hMax: Int, vMax: Int): Png.Image = {
+    if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val stride = planeW(0)
       var y = 0
@@ -448,6 +499,296 @@ object Jpeg {
       }
       Png.Image(width, height, 3, out)
     }
+  }
+
+  // =========================================================================
+  // Progressive (SOF2) decoding — T.81 §G.2
+  // =========================================================================
+
+  /** Frame-lifetime progressive state: per-component quantized-coefficient
+    * arrays (natural order within each 64-slot block), MCU geometry for
+    * interleaved DC scans, and the per-component block grids for
+    * non-interleaved scans (T.81 A.2.2: ceil(compSamples/8), NOT the
+    * MCU-padded count — padding blocks are coded only in interleaved
+    * scans). */
+  private final class ProgState(
+      val mcusX: Int, val mcusY: Int,
+      val effH: Array[Int], val effV: Array[Int],
+      val blocksW: Array[Int], val blocksH: Array[Int],
+      val compBW: Array[Int], val compBH: Array[Int],
+      val coef: Array[Array[Int]])
+
+  private object ProgState {
+    def init(width: Int, height: Int, comps: Array[Comp]): ProgState = {
+      val nc = comps.length
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val (mcusX, mcusY, effH, effV) =
+        if (nc == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+        else (
+          (width + 8 * hMax - 1) / (8 * hMax),
+          (height + 8 * vMax - 1) / (8 * vMax),
+          comps.map(_.h), comps.map(_.v))
+      val blocksW = Array.tabulate(nc)(i => mcusX * effH(i))
+      val blocksH = Array.tabulate(nc)(i => mcusY * effV(i))
+      val compBW = Array.tabulate(nc) { i =>
+        if (nc == 1) blocksW(0)
+        else ((width * comps(i).h + hMax - 1) / hMax + 7) / 8
+      }
+      val compBH = Array.tabulate(nc) { i =>
+        if (nc == 1) blocksH(0)
+        else ((height * comps(i).v + vMax - 1) / vMax + 7) / 8
+      }
+      // header-driven allocation cap (the Png poison lesson): planes +
+      // 4-byte-per-sample coefficient arrays + output raster
+      var planeBytes = 0L
+      var i = 0
+      while (i < nc) {
+        planeBytes += Math.multiplyExact(
+          Math.multiplyExact(blocksW(i).toLong, blocksH(i).toLong), 64L)
+        i += 1
+      }
+      val outBytes = Math.multiplyExact(
+        Math.multiplyExact(width.toLong, height.toLong),
+        (if (nc == 1) 1 else 3).toLong)
+      require(planeBytes * 5 + outBytes <= MaxRasterBytes,
+        s"progressive raster ${width}x$height (${planeBytes * 5} + " +
+          s"$outBytes bytes) exceeds $MaxRasterBytes-byte cap")
+      val coef = Array.tabulate(nc)(i =>
+        new Array[Int](blocksW(i) * blocksH(i) * 64))
+      new ProgState(mcusX, mcusY, effH, effV, blocksW, blocksH,
+        compBW, compBH, coef)
+    }
+  }
+
+  /** Decode one progressive scan's entropy data, accumulating into
+    * `st.coef`; returns the byte offset just past the scan's data (the
+    * next marker). Implements T.81 G.2: DC first/refinement bands, AC
+    * first bands with EOB-run coding, AC refinement with correction bits
+    * interleaved into symbol runs and EOB sweeps. */
+  private def decodeProgressiveScan(b: Array[Byte], dataOff: Int,
+      st: ProgState, scanCi: Array[Int], scanDc: Array[Huff],
+      scanAc: Array[Huff], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    val ns = scanCi.length
+    require(ss >= 0 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+    if (ns > 1) require(ss == 0,
+      "interleaved progressive scans must be DC scans")
+    val dcScan = ss == 0
+    if (dcScan) require(se == 0, "DC scan must have Se=0")
+    else require(ns == 1, "AC scans are single-component")
+    require(ah == 0 || al == ah - 1,
+      s"bad successive approximation Ah=$ah Al=$al")
+    require(al <= 13, s"point transform $al out of range")
+    if (dcScan && ah == 0)
+      scanDc.foreach(t => require(t != null,
+        "scan references missing DC Huffman table"))
+    if (!dcScan && ah == 0)
+      require(scanAc(0) != null, "scan references missing AC Huffman table")
+    // AC refinement also Huffman-decodes symbols
+    if (!dcScan && ah > 0)
+      require(scanAc(0) != null, "scan references missing AC Huffman table")
+    val reader = new BitReader(b, dataOff)
+    val pred = new Array[Int](ns)
+    var eobrun = 0L
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def dcFirst(si: Int, coefA: Array[Int], base: Int): Unit = {
+      val t = huffDecode(reader, scanDc(si))
+      require(t <= 15, s"bad DC category $t")
+      pred(si) += extend(reader.receive(t), t)
+      coefA(base) = pred(si) << al
+    }
+    def dcRefine(coefA: Array[Int], base: Int): Unit =
+      if (reader.bit() == 1) coefA(base) |= p1
+
+    def acFirst(coefA: Array[Int], base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(reader, scanAc(0))
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1L << r) - 1
+            if (r > 0) eobrun += reader.receive(r)
+            k = 64 // block ends here
+          }
+        } else {
+          k += r
+          require(k <= se, "AC index overflow in progressive band")
+          coefA(base + NaturalOrder(k)) = extend(reader.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    /** One refinement correction bit at band position k (history
+      * nonzero): a 1-bit moves the coefficient one step away from zero
+      * at this precision if that bit isn't set yet. */
+    def correct(coefA: Array[Int], idx: Int): Unit =
+      if (reader.bit() == 1 && (coefA(idx) & p1) == 0)
+        coefA(idx) += (if (coefA(idx) >= 0) p1 else m1)
+
+    def acRefine(coefA: Array[Int], base: Int): Unit = {
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = huffDecode(reader, scanAc(0))
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1L << r
+              if (r > 0) eobrun += reader.receive(r)
+              ended = true // remainder of band handled by the EOB sweep
+            } // else ZRL: skip 16 zero-history coefficients
+          } else {
+            require(s == 1, s"refinement magnitude category $s != 1")
+            newVal = if (reader.bit() == 1) p1 else m1
+          }
+          if (!ended) {
+            // advance over r zero-history coefficients, correcting
+            // nonzero-history ones passed along the way
+            var advancing = true
+            while (advancing && k <= se) {
+              val idx = base + NaturalOrder(k)
+              if (coefA(idx) != 0) correct(coefA, idx)
+              else {
+                if (r == 0) advancing = false
+                else { r -= 1 }
+              }
+              if (advancing) k += 1
+            }
+            if (newVal != 0) {
+              require(k <= se, "refinement placement past band end")
+              coefA(base + NaturalOrder(k)) = newVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB sweep: correction bits for the nonzero-history remainder
+        while (k <= se) {
+          val idx = base + NaturalOrder(k)
+          if (coefA(idx) != 0) correct(coefA, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def codeBlock(si: Int, ci: Int, bR: Int, bC: Int): Unit = {
+      val base = (bR * st.blocksW(ci) + bC) * 64
+      val coefA = st.coef(ci)
+      if (dcScan) {
+        if (ah == 0) dcFirst(si, coefA, base) else dcRefine(coefA, base)
+      } else {
+        if (ah == 0) acFirst(coefA, base) else acRefine(coefA, base)
+      }
+    }
+
+    var rstIdx = 0
+    var unit = 0L
+    val nUnits: Long =
+      if (ns > 1) st.mcusX.toLong * st.mcusY
+      else st.compBW(scanCi(0)).toLong * st.compBH(scanCi(0))
+    while (unit < nUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        reader.expectRst(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      if (ns > 1) { // interleaved DC scan: MCU geometry
+        val mx = (unit % st.mcusX).toInt
+        val my = (unit / st.mcusX).toInt
+        var si = 0
+        while (si < ns) {
+          val ci = scanCi(si)
+          var v0 = 0
+          while (v0 < st.effV(ci)) {
+            var h0 = 0
+            while (h0 < st.effH(ci)) {
+              codeBlock(si, ci, my * st.effV(ci) + v0, mx * st.effH(ci) + h0)
+              h0 += 1
+            }
+            v0 += 1
+          }
+          si += 1
+        }
+      } else { // non-interleaved: the component's own block grid
+        val ci = scanCi(0)
+        val bW = st.compBW(ci)
+        codeBlock(0, ci, (unit / bW).toInt, (unit % bW).toInt)
+      }
+      unit += 1
+    }
+    // tolerate a trailing stuffed FF 00 the bit consumer didn't need —
+    // the marker walk must resume at a real marker
+    var p = reader.pos
+    while (p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+      (b(p + 1) & 0xff) == 0x00) p += 2
+    p
+  }
+
+  /** After EOI: dequantize every accumulated block, IDCT into component
+    * planes, and run the shared assembly. */
+  private def finishProgressive(st: ProgState, comps: Array[Comp],
+      qt: Array[Array[Int]], width: Int, height: Int): Png.Image = {
+    val nc = comps.length
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    comps.foreach(c => require(qt(c.tq) != null,
+      s"missing quant table ${c.tq}"))
+    val planeW = Array.tabulate(nc)(i => st.blocksW(i) * 8)
+    val planeH = Array.tabulate(nc)(i => st.blocksH(i) * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Byte](planeW(i) * planeH(i)))
+    val deq = new Array[Int](64)
+    val tmp = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val q = qt(comps(ci).tq)
+      val coefA = st.coef(ci)
+      val bW = st.blocksW(ci)
+      val bH = st.blocksH(ci)
+      val stride = planeW(ci)
+      val plane = planes(ci)
+      var bR = 0
+      while (bR < bH) {
+        var bC = 0
+        while (bC < bW) {
+          val base = (bR * bW + bC) * 64
+          var k = 0
+          while (k < 64) {
+            deq(NaturalOrder(k)) = coefA(base + NaturalOrder(k)) * q(k)
+            k += 1
+          }
+          idct(deq, tmp, px)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowBase = (bR * 8 + yy) * stride + bC * 8
+            while (xx < 8) {
+              plane(rowBase + xx) = px(yy * 8 + xx).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bC += 1
+        }
+        bR += 1
+      }
+      ci += 1
+    }
+    assemble(planes, planeW, comps, width, height, hMax, vMax)
   }
 
   private def huffDecode(r: BitReader, h: Huff): Int = {
@@ -757,6 +1098,267 @@ object Jpeg {
       mcu += 1
     }
     w.pad()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** One progressive scan of an [[encodeProgressive]] script: the frame
+    * component indices it codes (must be in frame order; >1 only for DC
+    * scans), the spectral band [ss, se], and the successive-approximation
+    * pair (ah, al). A well-formed script codes each (component, band)
+    * first with ah=0 at some al, then refines al-1 … 0 one bit per scan
+    * with ah = previous al — the caller owns that discipline (the decoder
+    * accumulates whatever the script says; an inconsistent script yields
+    * wrong coefficients, not a crash). */
+  final case class ProgScan(compIdx: Seq[Int], ss: Int, se: Int,
+                            ah: Int, al: Int)
+
+  /** The standard 10-scan script libjpeg-style encoders emit for a
+    * 3-component frame: DC first at Al=1 + refinement, then per-component
+    * AC bands [1,5]/[6,63] at Al=2→1→0. */
+  def standardScript(nc: Int): Seq[ProgScan] =
+    if (nc == 1) Seq(
+      ProgScan(Seq(0), 0, 0, 0, 1), ProgScan(Seq(0), 1, 5, 0, 2),
+      ProgScan(Seq(0), 6, 63, 0, 2), ProgScan(Seq(0), 1, 63, 2, 1),
+      ProgScan(Seq(0), 0, 0, 1, 0), ProgScan(Seq(0), 1, 63, 1, 0))
+    else Seq(
+      ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+      ProgScan(Seq(0), 1, 5, 0, 2), ProgScan(Seq(2), 1, 63, 0, 1),
+      ProgScan(Seq(1), 1, 63, 0, 1), ProgScan(Seq(0), 6, 63, 0, 2),
+      ProgScan(Seq(0), 1, 63, 2, 1), ProgScan(Seq(0, 1, 2), 0, 0, 1, 0),
+      ProgScan(Seq(2), 1, 63, 1, 0), ProgScan(Seq(1), 1, 63, 1, 0),
+      ProgScan(Seq(0), 1, 63, 1, 0))
+
+  /** Progressive (SOF2) coefficient-domain encoder — [[encodeCoeffs]]'s
+    * multi-scan sibling: the same chosen quantized coefficients, emitted
+    * through an arbitrary spectral-selection / successive-approximation
+    * scan script with real EOB-run coding and refinement correction
+    * bits. `JpegSpec` decodes the progressive and baseline encodings of
+    * the SAME coefficient field and requires bit-identical pixels — the
+    * zero-tolerance cross-check no forward-DCT encoder could provide. */
+  def encodeProgressive(width: Int, height: Int, comps: Seq[CoefComp],
+                        quant: Map[Int, Array[Int]], scans: Seq[ProgScan],
+                        restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "bad dimensions")
+    require(comps.size == 1 || comps.size == 3, "1 or 3 components")
+    require(scans.nonEmpty, "progressive needs at least one scan")
+    comps.foreach { c =>
+      require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4, "bad sampling")
+      require(quant.contains(c.tq), s"missing quant table ${c.tq}")
+    }
+    quant.values.foreach(q => require(q.length == 64 &&
+      q.forall(v => v >= 1 && v <= 255), "quant entries must be 1..255"))
+    val nc = comps.size
+    scans.foreach { sc =>
+      require(sc.compIdx.nonEmpty && sc.compIdx.forall(i => i >= 0 && i < nc)
+        && sc.compIdx == sc.compIdx.sorted && sc.compIdx.distinct == sc.compIdx,
+        s"bad scan components ${sc.compIdx}")
+      require(sc.ss >= 0 && sc.se <= 63 && sc.ss <= sc.se, "bad band")
+      if (sc.compIdx.size > 1) require(sc.ss == 0 && sc.se == 0,
+        "interleaved scans must be DC-only")
+      if (sc.ss == 0) require(sc.se == 0, "DC scan must have Se=0")
+      require(sc.ah == 0 || sc.al == sc.ah - 1, "bad Ah/Al chain")
+      require(sc.al <= 13, "point transform out of range")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    quant.toSeq.sortBy(_._1).foreach { case (tq, q) => seg(0xdb, Array(tq) ++ q) }
+    seg(0xc2, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, nc) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Seq(i + 1, (c.h << 4) | c.v, c.tq)
+      })
+    val dcEnc = new HuffEnc(FixtureDcBits, FixtureDcVals)
+    val acEnc = new HuffEnc(FlatAcBits, FlatAcVals)
+    comps.map(_.td).distinct.sorted.foreach { td =>
+      seg(0xc4, Array(td) ++ FixtureDcBits ++ FixtureDcVals)
+    }
+    comps.map(_.ta).distinct.sorted.foreach { ta =>
+      seg(0xc4, Array(0x10 | ta) ++ FlatAcBits ++ FlatAcVals)
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    // geometry — identical formulas to the decoder's ProgState
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val (mcusX, mcusY, effH, effV) =
+      if (nc == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+      else (
+        (width + 8 * hMax - 1) / (8 * hMax),
+        (height + 8 * vMax - 1) / (8 * vMax),
+        comps.map(_.h).toArray, comps.map(_.v).toArray)
+    val compBW = Array.tabulate(nc) { i =>
+      if (nc == 1) mcusX
+      else ((width * comps(i).h + hMax - 1) / hMax + 7) / 8
+    }
+    val compBH = Array.tabulate(nc) { i =>
+      if (nc == 1) mcusY
+      else ((height * comps(i).v + vMax - 1) / vMax + 7) / 8
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v.abs)
+
+    scans.foreach { sc =>
+      seg(0xda, Array(sc.compIdx.size) ++
+        sc.compIdx.flatMap(i =>
+          Seq(i + 1, (comps(i).td << 4) | comps(i).ta)) ++
+        Seq(sc.ss, sc.se, (sc.ah << 4) | sc.al))
+      val w = new BitWriter(out)
+      val ns = sc.compIdx.size
+      val dcScan = sc.ss == 0
+      val pred = new Array[Int](ns)
+      // EOB-run state: the run count plus correction bits owed to it
+      // (refinement scans buffer a correction bit per nonzero-history
+      // coefficient and emit them after the next symbol — cjphuff's
+      // BE/BR split, one buffer each here)
+      var eobrun = 0
+      val eobPending = new scala.collection.mutable.ArrayBuffer[Int]()
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+        w.put(acEnc.codeOf(nbits << 4), acEnc.lenOf(nbits << 4))
+        if (nbits > 0) w.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+        eobPending.foreach(bit => w.put(bit, 1))
+        eobPending.clear()
+      }
+
+      def dcFirstBlock(si: Int, dc: Int): Unit = {
+        require(dc >= -1023 && dc <= 1023, s"DC $dc out of fixture range")
+        val dcv = dc >> sc.al // arithmetic shift = T.81 DC point transform
+        val diff = dcv - pred(si)
+        pred(si) = dcv
+        val s = cat(diff)
+        w.put(dcEnc.codeOf(s), dcEnc.lenOf(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      def dcRefineBlock(dc: Int): Unit = w.put((dc >> sc.al) & 1, 1)
+
+      def acFirstBlock(blk: Array[Int]): Unit = {
+        var run = 0
+        var k = sc.ss
+        while (k <= sc.se) {
+          val v = blk(k)
+          require(v >= -1023 && v <= 1023, s"AC $v out of range")
+          val m = v.abs >> sc.al // magnitude truncation toward zero
+          if (m == 0) run += 1
+          else {
+            flushEob()
+            while (run > 15) {
+              w.put(acEnc.codeOf(0xf0), acEnc.lenOf(0xf0)); run -= 16
+            }
+            val s = cat(m)
+            w.put(acEnc.codeOf((run << 4) | s), acEnc.lenOf((run << 4) | s))
+            w.put({ val sv = if (v < 0) -m else m
+                    if (sv < 0) sv + (1 << s) - 1 else sv }, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) {
+          eobrun += 1
+          if (eobrun == 32767) flushEob()
+        }
+      }
+
+      def acRefineBlock(blk: Array[Int]): Unit = {
+        val runPending = new scala.collection.mutable.ArrayBuffer[Int]()
+        var eobIdx = sc.ss - 1 // last newly-significant position
+        var k = sc.ss
+        while (k <= sc.se) {
+          if ((blk(k).abs >> sc.al) == 1) eobIdx = k
+          k += 1
+        }
+        var run = 0
+        k = sc.ss
+        while (k <= sc.se) {
+          val v = blk(k)
+          val m = v.abs >> sc.al
+          if (m == 0) run += 1
+          else {
+            // ZRLs only before the last newly-significant coefficient;
+            // beyond it, runs fold into the EOB
+            while (run > 15 && k <= eobIdx) {
+              flushEob()
+              w.put(acEnc.codeOf(0xf0), acEnc.lenOf(0xf0))
+              run -= 16
+              runPending.foreach(bit => w.put(bit, 1))
+              runPending.clear()
+            }
+            if (m > 1) runPending += (m & 1) // history nonzero: correction
+            else { // newly significant at this precision: magnitude 1
+              flushEob()
+              w.put(acEnc.codeOf((run << 4) | 1), acEnc.lenOf((run << 4) | 1))
+              w.put(if (v < 0) 0 else 1, 1)
+              runPending.foreach(bit => w.put(bit, 1))
+              runPending.clear()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || runPending.nonEmpty) {
+          eobrun += 1
+          eobPending ++= runPending
+          if (eobrun == 32767 || eobPending.size > 900) flushEob()
+        }
+      }
+
+      def codeBlock(si: Int, ci: Int, bR: Int, bC: Int): Unit = {
+        val blk = comps(ci).coef(bR, bC)
+        require(blk.length == 64, "coefficient block must have 64 entries")
+        if (dcScan) {
+          if (sc.ah == 0) dcFirstBlock(si, blk(0)) else dcRefineBlock(blk(0))
+        } else {
+          if (sc.ah == 0) acFirstBlock(blk) else acRefineBlock(blk)
+        }
+      }
+
+      var rstIdx = 0
+      var unit = 0L
+      val nUnits: Long =
+        if (ns > 1) mcusX.toLong * mcusY
+        else compBW(sc.compIdx.head).toLong * compBH(sc.compIdx.head)
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          flushEob()
+          w.pad()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        if (ns > 1) {
+          val mx = (unit % mcusX).toInt
+          val my = (unit / mcusX).toInt
+          var si = 0
+          while (si < ns) {
+            val ci = sc.compIdx(si)
+            var v0 = 0
+            while (v0 < effV(ci)) {
+              var h0 = 0
+              while (h0 < effH(ci)) {
+                codeBlock(si, ci, my * effV(ci) + v0, mx * effH(ci) + h0)
+                h0 += 1
+              }
+              v0 += 1
+            }
+            si += 1
+          }
+        } else {
+          val ci = sc.compIdx.head
+          val bW = compBW(ci)
+          codeBlock(0, ci, (unit / bW).toInt, (unit % bW).toInt)
+        }
+        unit += 1
+      }
+      flushEob()
+      w.pad()
+    }
     marker(0xd9)
     out.toByteArray
   }

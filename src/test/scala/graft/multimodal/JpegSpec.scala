@@ -259,10 +259,151 @@ class JpegSpec extends AnyFunSuite {
     huge(sof + 5) = 0xff.toByte; huge(sof + 6) = 0xff.toByte // height
     huge(sof + 7) = 0xff.toByte; huge(sof + 8) = 0xff.toByte // width
     bad(huge)
-    // progressive rejected with a clear message
+    // flipping SOF0 -> SOF2 on a BASELINE stream is corrupt progressive
+    // (its SOS declares band 0..63 in one scan): must throw, not decode
     val prog = ok.clone()
     prog(sof + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
-    assert(e.getMessage.contains("progressive"))
+    bad(prog)
+    // arithmetic-coded SOF still rejected with a clear message
+    val arith = ok.clone()
+    arith(sof + 1) = 0xc9.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(arith))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  // ======================= progressive (SOF2) ==========================
+
+  test("progressive DC-only matches the closed-form contract (q132 arithmetic)") {
+    // DC across three successive-approximation scans (first Al=2, refine
+    // 2->1->0) + AC band scans that are pure EOB runs over zero AC — the
+    // final DC must reassemble bit-exactly, so pixels follow dcOnlyPixel
+    val q = 16
+    val dc = (bR: Int, bC: Int) => ((3 * bR + 5 * bC) % 48) - 24
+    val script = Seq(
+      Jpeg.ProgScan(Seq(0), 0, 0, 0, 2),
+      Jpeg.ProgScan(Seq(0), 1, 5, 0, 1),
+      Jpeg.ProgScan(Seq(0), 6, 63, 0, 1),
+      Jpeg.ProgScan(Seq(0), 0, 0, 2, 1),
+      Jpeg.ProgScan(Seq(0), 0, 0, 1, 0),
+      Jpeg.ProgScan(Seq(0), 1, 63, 1, 0))
+    for ((w, h) <- Seq((8, 8), (16, 8), (25, 17), (41, 33))) {
+      val bytes = Jpeg.encodeProgressive(w, h,
+        Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (bR, bC) => {
+          val b = new Array[Int](64); b(0) = dc(bR, bC); b
+        })),
+        Map(0 -> Array.fill(64)(q)), script)
+      val img = Jpeg.decode(bytes)
+      assert(img.width === w && img.height === h && img.channels === 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = Jpeg.dcOnlyPixel(dc(y / 8, x / 8) * q)
+        assert((img.pixels(y * w + x) & 0xff) === want,
+          s"(${w}x$h) pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("progressive == baseline bit-exactly on the same coefficients (gray)") {
+    // the two encodings carry the SAME quantized coefficient field; the
+    // post-scan pipeline (dequant+IDCT) is shared, so pixels must agree
+    // EXACTLY — every progressive path (DC SA chain, AC bands, EOB runs,
+    // ZRL, refinement corrections) is covered with zero tolerance
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 6) {
+      val w = 8 + rnd.nextInt(48)
+      val h = 8 + rnd.nextInt(48)
+      val q = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 24 else 40))
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+      def coef(bR: Int, bC: Int) =
+        blocks.getOrElseUpdate((bR, bC), randomBlock(rnd, q, 60))
+      val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, coef))
+      val base = Jpeg.decode(Jpeg.encodeCoeffs(w, h, comps, Map(0 -> q)))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, comps,
+        Map(0 -> q), Jpeg.standardScript(1)))
+      assert(prog.width === base.width && prog.height === base.height)
+      assert(prog.pixels.toSeq === base.pixels.toSeq, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("progressive == baseline bit-exactly — color, subsampling, restarts") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 4) {
+      val w = 8 + rnd.nextInt(32)
+      val h = 8 + rnd.nextInt(32)
+      val qY = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 20 else 32))
+      val qC = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 20 else 32))
+      val (ch, cv) = Seq((1, 1), (2, 1), (2, 2), (2, 2))(trial)
+      val rst = if (trial % 2 == 1) 2 else 0
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int, Int), Array[Int]]
+      def comp(ci: Int, hh: Int, vv: Int, tq: Int): Jpeg.CoefComp =
+        Jpeg.CoefComp(hh, vv, tq, 0, 0, (bR, bC) =>
+          blocks.getOrElseUpdate((ci, bR, bC),
+            randomBlock(rnd, if (tq == 0) qY else qC, 40)))
+      val comps = Seq(comp(0, ch, cv, 0), comp(1, 1, 1, 1), comp(2, 1, 1, 1))
+      val base = Jpeg.decode(
+        Jpeg.encodeCoeffs(w, h, comps, Map(0 -> qY, 1 -> qC), rst))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, comps,
+        Map(0 -> qY, 1 -> qC), Jpeg.standardScript(3), rst))
+      assert(prog.pixels.toSeq === base.pixels.toSeq,
+        s"trial $trial ${w}x$h ${ch}x$cv rst=$rst")
+    }
+  }
+
+  test("progressive EOB-run path: runs span blocks; lone high-k coefs force ZRL") {
+    // sparse field: most blocks all-zero AC (EOB runs accumulate across
+    // blocks and flush as EOBn symbols with extension bits), every 7th
+    // block a lone k=63 coefficient (15-zero ZRL runs in first scans and
+    // zero-history skips in refinement)
+    val rnd = new scala.util.Random(23)
+    val q = Array.fill(64)(8)
+    val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+    def coef(bR: Int, bC: Int) = blocks.getOrElseUpdate((bR, bC), {
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(41) - 20
+      val n = bR * 13 + bC
+      if (n % 7 == 0) b(63) = 5 - (n % 3)   // magnitudes 3..5: refinement bits
+      if (n % 11 == 0) b(1) = rnd.nextInt(7) - 3
+      b
+    })
+    val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, coef))
+    val (w, h) = (104, 88) // 13x11 blocks
+    val base = Jpeg.decode(Jpeg.encodeCoeffs(w, h, comps, Map(0 -> q)))
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, comps,
+      Map(0 -> q), Jpeg.standardScript(1)))
+    assert(prog.pixels.toSeq === base.pixels.toSeq)
+  }
+
+  test("progressive decode agrees with the JDK ImageIO reader") {
+    // ImageIO reads progressive JPEG: an independent decoder over OUR
+    // progressive encoding of random coefficients (the baseline
+    // random-coefficient test's discipline, now through the SOF2 path)
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val w = 16 + rnd.nextInt(32)
+      val h = 16 + rnd.nextInt(32)
+      val q = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 24 else 40))
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+      val bytes = Jpeg.encodeProgressive(w, h,
+        Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (bR, bC) =>
+          blocks.getOrElseUpdate((bR, bC), randomBlock(rnd, q, 60)))),
+        Map(0 -> q), Jpeg.standardScript(1))
+      val d = maxChannelDiff(Jpeg.decode(bytes), refDecode(bytes))
+      assert(d <= 2, s"trial $trial (${w}x$h): max diff $d vs ImageIO")
+    }
+  }
+
+  test("progressive poison: truncated scans and bad scripts throw") {
+    val q = Map(0 -> Array.fill[Int](64)(16))
+    val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (_, _) => {
+      val b = new Array[Int](64); b(0) = 9; b
+    }))
+    val ok = Jpeg.encodeProgressive(24, 24, comps, q, Jpeg.standardScript(1))
+    assert(Jpeg.decode(ok).width === 24)
+    assertThrows[IllegalArgumentException](
+      Jpeg.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length * 2 / 3)))
+    // encoder rejects malformed scripts outright
+    assertThrows[IllegalArgumentException](Jpeg.encodeProgressive(8, 8,
+      comps, q, Seq(Jpeg.ProgScan(Seq(0), 1, 63, 0, 15)))) // Al too big
+    assertThrows[IllegalArgumentException](Jpeg.encodeProgressive(8, 8,
+      comps, q, Seq(Jpeg.ProgScan(Seq(0), 0, 63, 0, 0))))  // DC band Se!=0
   }
 }
