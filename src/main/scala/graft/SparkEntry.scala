@@ -2318,11 +2318,32 @@ object SparkEntry {
             val w = 16 + (id % 9).toInt
             val h = 8 + (id % 13).toInt
             val nf = 2 + (id % 3).toInt
+            // widened fixture mix (r10 verdict item 6): even docs gray,
+            // odd docs COLOR with 4:2:0 / 4:2:2 / 4:4:4 chroma (flat
+            // chroma planes so replication upsampling stays closed-form),
+            // and a restart interval on every 4th doc — the upsampling
+            // and DRI reset paths are now oracle-checked INSIDE video,
+            // not just in JpegSpec
+            val rst = if (id % 4 == 0) 2 else 0
+            val lumaDcAt = (f: Int) => (bR: Int, bC: Int) =>
+              ((id + 7 * f + 3 * bR + 5 * bC) % 20).toInt
             val jpegs = Array.tabulate(nf) { f =>
-              Jpeg.encodeDcOnly(w, h,
-                Seq(Jpeg.DcComp(1, 1, 0, 0, 0, (bR, bC) =>
-                  ((id + 7 * f + 3 * bR + 5 * bC) % 20).toInt)),
-                Map(0 -> Array.fill(64)(16)))
+              if (id % 2 == 0)
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(1, 1, 0, 0, 0, lumaDcAt(f))),
+                  Map(0 -> Array.fill(64)(16)), rst)
+              else {
+                val (ch, cv) = (id % 6) match {
+                  case 1 => (2, 2) // 4:2:0
+                  case 3 => (2, 1) // 4:2:2
+                  case _ => (1, 1) // 4:4:4
+                }
+                Jpeg.encodeDcOnly(w, h,
+                  Seq(Jpeg.DcComp(ch, cv, 0, 0, 0, lumaDcAt(f)),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 5).toInt),
+                    Jpeg.DcComp(1, 1, 1, 1, 1, (_, _) => (id % 7).toInt)),
+                  Map(0 -> Array.fill(64)(16), 1 -> Array.fill(64)(17)), rst)
+              }
             }
             Binary.MediaRow(id, Avi.encodeMjpeg(w, h, jpegs),
               "video", "mjpeg")
@@ -5482,22 +5503,38 @@ object SparkEntry {
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
     // = (299v+587v+114v)//1000 = v exactly), block-weighted sum and
     // block-level min/max.
+    // gray docs: luma = yv exactly ((299+587+114)v/1000). Color docs:
+    // flat chroma -> per-doc cb/cr offsets, per-channel clamp, then the
+    // integer luma formula — all replayed arithmetically
     "q109_mjpeg_frames" ->
       """WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 8 + doc_id % 13 AS h,
-        |  2 + doc_id % 3 AS nf FROM documents),
-        |f AS (SELECT doc_id, w, h, UNNEST(range(0, nf, 2)) AS fi FROM p),
-        |b AS (SELECT doc_id, w, h, fi,
+        |  2 + doc_id % 3 AS nf,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c FROM documents),
+        |co AS (SELECT doc_id, w, h, nf, c,
+        |  (2896*((2896*(doc_id % 5 * 17) + 1024)//2048) + 16384)//32768 AS cb_off,
+        |  (2896*((2896*(doc_id % 7 * 17) + 1024)//2048) + 16384)//32768 AS cr_off
+        |  FROM p),
+        |f AS (SELECT doc_id, w, h, c, cb_off, cr_off,
+        |  UNNEST(range(0, nf, 2)) AS fi FROM co),
+        |b AS (SELECT doc_id, w, h, c, cb_off, cr_off, fi,
         |  UNNEST(range(((h+7)//8) * ((w+7)//8))) AS blk FROM f),
-        |v AS (SELECT doc_id, w, h, fi,
-        |  128 + (2896*((2896*(((doc_id + 7*fi + 3*(blk // ((w+7)//8)) + 5*(blk % ((w+7)//8))) % 20) * 16) + 1024)//2048) + 16384)//32768 AS lv,
+        |v AS (SELECT doc_id, w, h, c, cb_off, cr_off, fi,
+        |  128 + (2896*((2896*(((doc_id + 7*fi + 3*(blk // ((w+7)//8)) + 5*(blk % ((w+7)//8))) % 20) * 16) + 1024)//2048) + 16384)//32768 AS yv,
         |  LEAST(8, h - 8*(blk // ((w+7)//8))) * LEAST(8, w - 8*(blk % ((w+7)//8))) AS cnt
-        |  FROM b)
+        |  FROM b),
+        |l AS (SELECT doc_id, w, h, fi, cnt,
+        |  CASE WHEN c = 1 THEN yv
+        |    ELSE (299 * LEAST(255, GREATEST(0, yv + (91881*cr_off + 32768)//65536))
+        |        + 587 * LEAST(255, GREATEST(0, yv - (22554*cb_off + 46802*cr_off + 32768)//65536))
+        |        + 114 * LEAST(255, GREATEST(0, yv + (116130*cb_off + 32768)//65536))) // 1000
+        |  END AS lv
+        |  FROM v)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(SUM(lv*cnt) AS BIGINT) AS luma_sum,
         |  CAST(MIN(lv) AS BIGINT) AS luma_min,
         |  CAST(MAX(lv) AS BIGINT) AS luma_max
-        |FROM v GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+        |FROM l GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q91's luma+hash CTEs with a per-container pixel formula: PNG docs
     // replay the byte formula (gray raw / RGB integer luma), JPEG docs

@@ -42,12 +42,17 @@ object Layout {
   /** Write `df` z-clustered on (aCol, bCol): range-partition then sort
     * by the z-value so every output file covers one tight z-range (and
     * therefore a tight min/max on BOTH key columns). The helper column
-    * is dropped before the write — ordering survives projection. */
+    * is dropped before the write — ordering survives projection.
+    * `options` pass through to the parquet writer (e.g. a small
+    * `parquet.block.size` to get several row groups per file, so
+    * row-group stats pruning — not just file pruning — has grain to
+    * work with; see LayoutSpec's pruning proof). */
   def writeZOrdered(df: DataFrame, aCol: String, bCol: String, bits: Int,
-                    path: String): Unit =
+                    path: String,
+                    options: Map[String, String] = Map.empty): Unit =
     df.withColumn("__z", zValue(col(aCol), col(bCol), bits))
       .repartitionByRange(col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.options(options).mode("overwrite").parquet(path)
 }
