@@ -318,6 +318,39 @@ object Scaling {
       Binary.decodeImage(media).filter(col("ok")).toDF()
     }
 
+    def jpegProgDecode(dir: String): DataFrame = {
+      // q132's shape: the same synthesis through the PROGRESSIVE encoder
+      // and the multi-scan decoder — per-row cost is a constant factor
+      // over baseline (each scan revisits the block grid), never
+      // super-linear in docs
+      import graft.multimodal.{Binary, Jpeg}
+      import spark.implicits._
+      val media = Tables(spark, dir, "documents").select(col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            def blk(dc: (Int, Int) => Int): (Int, Int) => Array[Int] =
+              (bR, bC) => { val b = new Array[Int](64); b(0) = dc(bR, bC); b }
+            val lumaDc = (bR: Int, bC: Int) => ((id + 3 * bR + 5 * bC) % 24).toInt
+            val payload =
+              if (id % 2 == 0)
+                Jpeg.encodeProgressive(w, h,
+                  Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, blk(lumaDc))),
+                  Map(0 -> Array.fill(64)(16)), Jpeg.standardScript(1))
+              else
+                Jpeg.encodeProgressive(w, h,
+                  Seq(Jpeg.CoefComp(2, 2, 0, 0, 0, blk(lumaDc)),
+                    Jpeg.CoefComp(1, 1, 1, 1, 1, blk((_, _) => (id % 5).toInt)),
+                    Jpeg.CoefComp(1, 1, 1, 1, 1, blk((_, _) => (id % 7).toInt))),
+                  Map(0 -> Array.fill(64)(16), 1 -> Array.fill(64)(17)),
+                  Jpeg.standardScript(3))
+            Binary.MediaRow(id, payload, "image", "jpeg")
+          }
+        }
+      Binary.decodeImage(media).filter(col("ok")).toDF()
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -329,6 +362,7 @@ object Scaling {
       "span_scrub" -> spanScrub, "class_route" -> classRoute,
       "source_overlap" -> sourceOverlap, "snapshot_diff" -> snapshotDiff,
       "html_strip" -> htmlStrip, "jpeg_decode" -> jpegDecode,
+      "jpeg_prog" -> jpegProgDecode,
       "selfsub_scrub" -> selfsubScrub, "gif_frames" -> gifFrames,
       // round-10 ops measured through their query bodies (same package;
       // the scaled dir carries the same table layout)
