@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Layout, PointInTime, Scaler, Skew}
+import graft.ops.{BronzeSilver, Categorify, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
@@ -2952,6 +2952,58 @@ object SparkEntry {
           col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- KEYLESS range join: bucketized point-in-interval ---------------
+    // The join family Spark has no scale-safe strategy for: `pt BETWEEN
+    // lo AND hi` with no equi key compiles to BroadcastNestedLoopJoin
+    // (O(n·m), one side fully broadcast). RangeJoin.pointInInterval
+    // rides a plain shuffled equi-join on fixed-width value buckets with
+    // the exact predicate as a post-filter — candidate mass is
+    // Σ per-bucket products, and PlanAuditSpec (which outlaws
+    // undocumented NLJs in every query plan) passes WITHOUT an allowlist
+    // entry, which is the point. Lineitems priced within ±25 of each
+    // part's retail price; zero-match parts kept via the join-back.
+    "q133_range_band" -> ((s, dir) => {
+      val pts = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ivs = Tables(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") - 25).as("lo"),
+        (col("p_retailprice") + 25).as("hi"))
+      val matched = RangeJoin
+        .pointInInterval(pts, "l_extendedprice", ivs, "lo", "hi",
+          bucketWidth = 50.0)
+        .groupBy("p_partkey").agg(count(lit(1)).as("n_in_band"))
+      Tables(s, dir, "part").select("p_partkey")
+        .join(matched, Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("n_in_band"), lit(0L)).as("n_in_band"))
+        .ordered(col("p_partkey"))
+    }),
+
+    // ---- KEYLESS interval-overlap join, first-shared-bucket dedup -------
+    // Same bucket discipline for interval×interval overlap; each
+    // qualifying pair is pinned to the bucket of max(aLo, bLo) — inside
+    // both intervals by construction — so pairs surface exactly once
+    // with no distinct. Orders whose ±250 total-price band overlaps each
+    // part's ±25 retail-price band (the adversarial orders row makes the
+    // lo bound NEGATIVE, exercising floor bucketing below zero).
+    "q134_interval_overlap" -> ((s, dir) => {
+      val a = Tables(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") - 25).as("alo"),
+        (col("p_retailprice") + 25).as("ahi"))
+      val b = Tables(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice") - 250).as("blo"),
+        (col("o_totalprice") + 250).as("bhi"))
+      val m = RangeJoin
+        .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+          bucketWidth = 500.0)
+        .groupBy("p_partkey").agg(count(lit(1)).as("n_overlap"))
+      Tables(s, dir, "part").select("p_partkey")
+        .join(m, Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .ordered(col("p_partkey"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5498,6 +5550,24 @@ object SparkEntry {
         |  CAST(MIN(LEAST(v1, v2, v3)) AS BIGINT) AS min_px,
         |  CAST(MAX(GREATEST(v1, v2, v3)) AS BIGINT) AS max_px
         |FROM ch GROUP BY doc_id, w, h, c ORDER BY doc_id""".stripMargin,
+
+    // the bucketing is candidate generation only — the oracle replays
+    // the exact BETWEEN semantics the equi-bucket join must equal
+    "q133_range_band" ->
+      """SELECT p.p_partkey,
+        |  CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_in_band
+        |FROM part p LEFT JOIN lineitem l
+        |  ON l.l_extendedprice >= p.p_retailprice - 25
+        | AND l.l_extendedprice <= p.p_retailprice + 25
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+
+    "q134_interval_overlap" ->
+      """SELECT p.p_partkey,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_overlap
+        |FROM part p LEFT JOIN orders o
+        |  ON p.p_retailprice - 25 <= o.o_totalprice + 250
+        | AND o.o_totalprice - 250 <= p.p_retailprice + 25
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
