@@ -370,6 +370,21 @@ object Scaling {
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
       "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // q133's shape with a FIXED band table and a growing point stream
+      // (the price-band-lookup use): output and candidate mass must grow
+      // linearly in events — quadratic growth would mean the bucket join
+      // degenerated toward the nested loop it replaces
+      "range_join" -> (dir => {
+        val pts = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id").as("pid"),
+            col("value").cast("double").as("x"))
+        val ivs = spark.range(256).select(col("id").as("iid"),
+          (col("id").cast("double") * 7.0 - 100.0).as("lo"),
+          (col("id").cast("double") * 7.0 - 79.0).as("hi"))
+        graft.ops.RangeJoin
+          .pointInInterval(pts, "x", ivs, "lo", "hi", bucketWidth = 7.0)
+          .groupBy("iid").agg(count(lit(1)).as("n"))
+      }),
       // q131's sketch shape on the factor× event stream: one scan, one
       // bounded-buffer partial agg per partition, a bins-long merge —
       // wall must track the scan, the buffer never grows with the data

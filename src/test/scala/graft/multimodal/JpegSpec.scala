@@ -372,6 +372,32 @@ class JpegSpec extends AnyFunSuite {
     assert(prog.pixels.toSeq === base.pixels.toSeq)
   }
 
+  test("deep successive-approximation chain (Al 3 -> 0) is bit-exact") {
+    // four precision levels on both DC and AC: coefficients become
+    // newly-significant at DIFFERENT refinement levels (|v|>>3 == 1 vs
+    // later), so multi-level history correction paths all run
+    val script = Seq(
+      Jpeg.ProgScan(Seq(0), 0, 0, 0, 3),
+      Jpeg.ProgScan(Seq(0), 1, 63, 0, 3),
+      Jpeg.ProgScan(Seq(0), 0, 0, 3, 2),
+      Jpeg.ProgScan(Seq(0), 1, 63, 3, 2),
+      Jpeg.ProgScan(Seq(0), 0, 0, 2, 1),
+      Jpeg.ProgScan(Seq(0), 1, 63, 2, 1),
+      Jpeg.ProgScan(Seq(0), 0, 0, 1, 0),
+      Jpeg.ProgScan(Seq(0), 1, 63, 1, 0))
+    val rnd = new scala.util.Random(37)
+    val q = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 24 else 40))
+    val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+    def coef(bR: Int, bC: Int) =
+      blocks.getOrElseUpdate((bR, bC), randomBlock(rnd, q, 60))
+    val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, coef))
+    val (w, h) = (40, 32)
+    val base = Jpeg.decode(Jpeg.encodeCoeffs(w, h, comps, Map(0 -> q)))
+    val prog = Jpeg.decode(
+      Jpeg.encodeProgressive(w, h, comps, Map(0 -> q), script))
+    assert(prog.pixels.toSeq === base.pixels.toSeq)
+  }
+
   test("progressive decode agrees with the JDK ImageIO reader") {
     // ImageIO reads progressive JPEG: an independent decoder over OUR
     // progressive encoding of random coefficients (the baseline
