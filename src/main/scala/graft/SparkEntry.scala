@@ -3004,6 +3004,51 @@ object SparkEntry {
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
         .ordered(col("p_partkey"))
     }),
+
+    // ---- KMV as a SET-OPERATION sketch: corpus overlap from bottom-k ----
+    // q102 computes cross-source overlap EXACTLY (a shuffle of the full
+    // key sets); at 100 TB the first question is answered from sketches:
+    // bottom-k(md5) per corpus, union sketch = bottom-k of the merged
+    // mins, Jaccard ≈ fraction of the union sketch present in BOTH
+    // inputs, intersection ≈ ρ·|union| (Bar-Yossef 2002 / Beyer 2007).
+    // Corpora = even/odd doc halves over the token vocabulary; the exact
+    // union/intersection ride alongside, and every step — bottom-k sets,
+    // k-th minimum, ρ, the estimates — is deterministic integer/IEEE
+    // arithmetic the oracle replays from the same md5 hashes.
+    "q135_kmv_overlap" -> ((s, dir) => {
+      val k = 256
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select((col("doc_id") % 2).as("grp"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      val sk = toks.groupBy("grp")
+        .agg(Sketches.kmvMins(col("tok"), k, "md5").as("mins"))
+      val a = sk.filter(col("grp") === 0).select(col("mins").as("ma"))
+      val b = sk.filter(col("grp") === 1).select(col("mins").as("mb"))
+      val ex = toks.distinct()
+        .groupBy("tok").agg(min("grp").as("mn"), max("grp").as("mx"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("mn") === 0 && col("mx") === 1, 1L).otherwise(0L))
+            .as("exact_inter"))
+      val union = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+      val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      a.crossJoin(b).crossJoin(broadcast(ex))
+        .withColumn("__x", union)
+        .withColumn("__u",
+          element_at(col("__x"), size(col("__x"))).cast("double") /
+            1.8446744073709552e19 + 0.5)
+        .withColumn("est_union",
+          when(size(col("__x")) < k, size(col("__x")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) / col("__u") + 0.5)
+              .cast("long")))
+        .withColumn("__ni", size(filter(col("__x"),
+          x => array_contains(col("ma"), x) && array_contains(col("mb"), x))))
+        .withColumn("rho",
+          r6(col("__ni").cast("double") / size(col("__x"))))
+        .select(col("est_union"),
+          r6(col("rho") * col("est_union")).as("est_inter"),
+          col("rho").as("est_jaccard"),
+          col("exact_union"), col("exact_inter"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5568,6 +5613,45 @@ object SparkEntry {
         |  ON p.p_retailprice - 25 <= o.o_totalprice + 250
         | AND o.o_totalprice - 250 <= p.p_retailprice + 25
         |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+
+    // q40's signed-hash mapping, extended to set operations: bottom-k
+    // per corpus, union = bottom-k of the merged mins, rho = fraction of
+    // the union sketch in both inputs — every estimate replayed from the
+    // same md5 hashes with the same rounding order (rho rounds first)
+    "q135_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS grp,
+        |    unnest(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT DISTINCT grp, tok FROM toks),
+        |h AS (SELECT grp,
+        |  (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+        |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |    ELSE CAST(h0 AS BIGINT) END) AS sh
+        |  FROM (SELECT grp, md5_number_lower(tok) AS h0 FROM d)),
+        |ma AS (SELECT DISTINCT sh FROM h WHERE grp = 0 ORDER BY sh LIMIT 256),
+        |mb AS (SELECT DISTINCT sh FROM h WHERE grp = 1 ORDER BY sh LIMIT 256),
+        |x AS (SELECT sh FROM (SELECT sh FROM ma UNION SELECT sh FROM mb)
+        |  ORDER BY sh LIMIT 256),
+        |st AS (SELECT COUNT(*) AS nx, MAX(sh) AS kth,
+        |  SUM(CASE WHEN sh IN (SELECT sh FROM ma)
+        |       AND sh IN (SELECT sh FROM mb) THEN 1 ELSE 0 END) AS ni
+        |  FROM x),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |  CAST(SUM(CASE WHEN has0 AND has1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_inter
+        |  FROM (SELECT tok, BOOL_OR(grp = 0) AS has0,
+        |          BOOL_OR(grp = 1) AS has1 FROM d GROUP BY tok)),
+        |e1 AS (SELECT
+        |  CASE WHEN nx < 256 THEN CAST(nx AS BIGINT)
+        |    ELSE CAST(FLOOR(255.0/((CAST(kth AS DOUBLE)/1.8446744073709552e19)+0.5)+0.5) AS BIGINT) END AS est_union,
+        |  FLOOR(CAST(ni AS DOUBLE)/nx*1e6+0.5)/1e6 AS rho
+        |  FROM st)
+        |SELECT est_union,
+        |  FLOOR(rho*est_union*1e6+0.5)/1e6 AS est_inter,
+        |  rho AS est_jaccard,
+        |  exact_union, exact_inter
+        |FROM e1 CROSS JOIN ex""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma

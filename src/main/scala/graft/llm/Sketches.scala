@@ -15,34 +15,41 @@ import org.apache.spark.sql.functions.{call_function, udaf, xxhash64}
   * RNG. */
 object Sketches {
 
-  class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
-    override def zero: Seq[Long] = Vector.empty
-
-    private def bound(s: Seq[Long]): Seq[Long] =
-      if (s.size <= k) s else s.take(k)
-
-    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
-      // buf is sorted ascending. Common case after warmup: h >= max -> no-op
-      // in O(1); otherwise O(log k) binary-search insert. Never a full sort
-      // per row (that made the sketch 10x slower than exact countDistinct).
-      val v = buf.asInstanceOf[Seq[Long]]
-      if (v.size >= k && h >= v.last) v
-      else {
-        val idx = {
-          var lo = 0; var hi = v.size
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (v(mid) < h) lo = mid + 1 else hi = mid
-          }
-          lo
+  /** Shared bottom-k kernel: `buf` stays sorted-ascending distinct.
+    * Common case after warmup: h >= max -> O(1) no-op; otherwise
+    * O(log k) binary-search insert. Never a full sort per row (that made
+    * the sketch 10x slower than exact countDistinct). */
+  private def kmvInsert(buf: Seq[Long], h: Long, k: Int): Seq[Long] =
+    if (buf.size >= k && h >= buf.last) buf
+    else {
+      val idx = {
+        var lo = 0; var hi = buf.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid) < h) lo = mid + 1 else hi = mid
         }
-        if (idx < v.size && v(idx) == h) v // dedup
-        else bound((v.take(idx) :+ h) ++ v.drop(idx))
+        lo
+      }
+      if (idx < buf.size && buf(idx) == h) buf // dedup
+      else {
+        val s = (buf.take(idx) :+ h) ++ buf.drop(idx)
+        if (s.size <= k) s else s.take(k)
       }
     }
 
+  private def kmvMergeBufs(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] = {
+    val s = (a ++ b).distinct.sorted
+    if (s.size <= k) s else s.take(k)
+  }
+
+  class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      kmvInsert(buf, h, k)
+
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-      bound((a ++ b).distinct.sorted)
+      kmvMergeBufs(a, b, k)
 
     override def finish(buf: Seq[Long]): Long =
       if (buf.size < k) buf.size.toLong
@@ -55,6 +62,35 @@ object Sketches {
     override def bufferEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** [[KmvDistinct]]'s sibling that returns the bottom-k hash SET itself
+    * (sorted ascending) instead of the count estimate — the mergeable
+    * form that makes KMV a SET-OPERATION sketch: bottom-k of the union
+    * of two sketches is the union sketch, and the fraction of the union
+    * sketch present in both inputs estimates Jaccard (Bar-Yossef et al.
+    * 2002; Beyer et al. 2007) — so distinct-union / intersection /
+    * similarity between corpora come from kilobyte sketches instead of
+    * a shuffle of the full key sets (see q135). */
+  class KmvMins(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      kmvInsert(buf, h, k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      kmvMergeBufs(a, b, k)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form of [[KmvMins]] (same hash modes as [[kmvDistinct]]). */
+  def kmvMins(c: Column, k: Int = 256, hashMode: String = "xxh64"): Column = {
+    val hashed =
+      if (hashMode == "md5") call_function("md5_lower64", c.cast("string"))
+      else xxhash64(c)
+    udaf(new KmvMins(k)).apply(hashed)
   }
 
   /** Column form: approximate distinct count of `col` with a k-value

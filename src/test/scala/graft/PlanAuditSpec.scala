@@ -44,13 +44,19 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q122: the probe terms (6 literal rows) broadcast-crossed with
     *     the ONE-ROW Count-Min sketch aggregate — both sides are
     *     driver-scale by construction.
+    *   - q135: three ONE-ROW frames crossed (corpus-A sketch × corpus-B
+    *     sketch × the exact-counts aggregate) — each side a single-row
+    *     aggregate of bounded width (two 256-long bottom-k arrays and
+    *     two counters); the set-operation arithmetic runs on that one
+    *     joined row.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
-    "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts")
+    "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
+    "q135_kmv_overlap")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

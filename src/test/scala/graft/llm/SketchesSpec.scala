@@ -95,6 +95,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(est2 === est)
   }
 
+  test("kmvMins: set-operation estimates track known overlap; merge-stable") {
+    // corpus A = 0..5999, corpus B = 4000..9999 -> union 10000,
+    // intersection 2000, jaccard 0.2; md5 mode so estimates are
+    // deterministic functions of the hash values
+    def mins(df: org.apache.spark.sql.DataFrame) = df
+      .agg(Sketches.kmvMins(col("v"), 256, "md5")).head().getSeq[Long](0)
+    val a = mins(spark.range(0, 6000).select(col("id").as("v")))
+    val b = mins(spark.range(4000, 10000).select(col("id").as("v")))
+    assert(a.length === 256 && a === a.sorted && a.distinct.length === 256)
+    val k = 256
+    val x = (a ++ b).distinct.sorted.take(k)
+    val u = x.last.toDouble / 1.8446744073709552e19 + 0.5
+    val estUnion = math.floor((k - 1) / u + 0.5)
+    assert(math.abs(estUnion - 10000) / 10000.0 < 0.15, s"union $estUnion")
+    val rho = x.count(h => a.contains(h) && b.contains(h)).toDouble / x.length
+    assert(math.abs(rho - 0.2) < 0.08, s"jaccard $rho")
+    // bottom-k is partition-order insensitive
+    val a2 = mins(spark.range(0, 6000).select(col("id").as("v"))
+      .repartition(17))
+    assert(a === a2)
+  }
+
   test("histogram quantile: within one bin width of exact; clamps edges") {
     // uniform 0..999 over [0,1000)x100: every bin holds 10 values, the
     // p50 bin midpoint lands within one bin width (10) of the exact 499.5

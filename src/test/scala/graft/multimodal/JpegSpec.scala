@@ -417,6 +417,33 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive fuzz: truncations and byte flips never hang or escape IAE") {
+    val rnd = new scala.util.Random(41)
+    val q = Array.tabulate(64)(i => 1 + rnd.nextInt(if (i == 0) 24 else 40))
+    val blocks = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+    val ok = Jpeg.encodeProgressive(33, 25,
+      Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (bR, bC) =>
+        blocks.getOrElseUpdate((bR, bC), randomBlock(rnd, q, 60)))),
+      Map(0 -> q), Jpeg.standardScript(1), restartInterval = 3)
+    // every truncation point: decode must either succeed (truncation
+    // landed after the last needed byte) or throw IllegalArgumentException
+    var t = 4
+    while (t < ok.length) {
+      try Jpeg.decode(java.util.Arrays.copyOfRange(ok, 0, t))
+      catch { case _: IllegalArgumentException => () }
+      t += 17
+    }
+    // random single-byte corruptions: same contract (IAE or a decode of
+    // the corrupt-but-wellformed stream; never a hang/other throwable)
+    for (_ <- 0 until 60) {
+      val bad = ok.clone()
+      val at = 2 + rnd.nextInt(bad.length - 2)
+      bad(at) = (bad(at) ^ (1 + rnd.nextInt(255))).toByte
+      try Jpeg.decode(bad)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("progressive poison: truncated scans and bad scripts throw") {
     val q = Map(0 -> Array.fill[Int](64)(16))
     val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (_, _) => {
