@@ -3049,6 +3049,35 @@ object SparkEntry {
           col("rho").as("est_jaccard"),
           col("exact_union"), col("exact_inter"))
     }),
+
+    // ---- Streaming windowed quantile sketch (T7 × the sketch family) ----
+    // q131's histogram inside a REAL streaming aggregation: per event-time
+    // hour window, the bounded bin-count state merges incrementally in
+    // the state store (elementwise add — the property that makes the
+    // sketch a legal streaming aggregate), and p50/p90 read off the
+    // final registers. The exact-percentile alternative would buffer
+    // every window's full value multiset in state — unbounded per key;
+    // this state is a constant 2 KB per window whatever the rate. Grid
+    // [0,512)x256 — width 2.0, dyadic midpoints. Oracle replays the
+    // batch-equivalent windows (streaming must equal batch semantics).
+    "q136_stream_quantile" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+      val agg = stream
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+        .agg(Sketches.histogram(col("value"), 0.0, 512.0, 256).as("sk"),
+          count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.5)
+            .as("approx_p50"),
+          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.9)
+            .as("approx_p90"),
+          col("n"))
+      Streams.runToMemory(agg, s"q136_mem_${System.nanoTime()}")
+        .ordered(col("w_start"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -4946,8 +4975,9 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.9) AS exact_price_p90
         |  FROM lineitem GROUP BY 1)
         |SELECT ex.l_returnflag,
-        |  0.0 + (qsel.b + 0.5) * 0.5 AS approx_qty_p50,
-        |  900.0 + (psel.b + 0.5) * 203.3203125 AS approx_price_p90,
+        |  CAST((qsel.b + 0.5) * 0.5 AS DOUBLE) AS approx_qty_p50,
+        |  CAST(900.0 + (psel.b + 0.5) * 203.3203125 AS DOUBLE)
+        |    AS approx_price_p90,
         |  exact_qty_p50, exact_price_p90
         |FROM ex
         |JOIN qsel ON ex.l_returnflag IS NOT DISTINCT FROM qsel.l_returnflag
@@ -5652,6 +5682,31 @@ object SparkEntry {
         |  rho AS est_jaccard,
         |  exact_union, exact_inter
         |FROM e1 CROSS JOIN ex""".stripMargin,
+
+    // batch-equivalent replay of the streaming windowed histogram:
+    // epoch-hour windows, q131's binning/rank/midpoint arithmetic
+    "q136_stream_quantile" ->
+      """WITH e AS (SELECT
+        |  (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+        |  CAST(value AS DOUBLE) AS v FROM events),
+        |b AS (SELECT w_start,
+        |  LEAST(255, GREATEST(0, CAST(FLOOR(v / 512.0 * 256) AS INT))) AS bin
+        |  FROM e),
+        |h AS (SELECT w_start, bin, COUNT(*) AS c FROM b GROUP BY 1,2),
+        |cw AS (SELECT w_start, bin,
+        |  SUM(c) OVER (PARTITION BY w_start ORDER BY bin) AS cum,
+        |  SUM(c) OVER (PARTITION BY w_start) AS n FROM h),
+        |s50 AS (SELECT w_start, MIN(bin) AS b FROM cw
+        |  WHERE cum >= CEIL(0.5 * n) GROUP BY 1),
+        |s90 AS (SELECT w_start, MIN(bin) AS b FROM cw
+        |  WHERE cum >= CEIL(0.9 * n) GROUP BY 1),
+        |n AS (SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1)
+        |SELECT n.w_start,
+        |  CAST((s50.b + 0.5) * 2.0 AS DOUBLE) AS approx_p50,
+        |  CAST((s90.b + 0.5) * 2.0 AS DOUBLE) AS approx_p90,
+        |  n
+        |FROM n JOIN s50 USING (w_start) JOIN s90 USING (w_start)
+        |ORDER BY n.w_start""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
