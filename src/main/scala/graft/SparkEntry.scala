@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Layout, PointInTime, RangeJoin, Scaler, Skew}
+import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
 import graft.sources.{Sources, Tables}
@@ -3078,6 +3078,28 @@ object SparkEntry {
       Streams.runToMemory(agg, s"q136_mem_${System.nanoTime()}")
         .ordered(col("w_start"))
     }),
+
+    // ---- Data-quality publish gate (Deequ-style constraint run) ---------
+    // The check battery a pipeline runs before a table goes live: all
+    // row-level constraints share ONE aggregate pass, uniqueness is one
+    // groupBy, referential integrity one left join + aggregate — each a
+    // one-row result, no driver loops. The reference publishes silver/
+    // gold unchecked (batch_process_Bronze_to_Silver.py:317); at 100 TB
+    // an unchecked malformed ingest IS training data. The adversarial
+    // fixture's NULL-returnflag row moves the not_null rate (and the
+    // oracle with it).
+    "q137_dq_checks" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      Checks.run(li, Seq(
+          Checks.NotNull("l_returnflag", maxNullRate = 0.001),
+          Checks.NotNull("l_orderkey"),
+          Checks.InRange("l_discount", 0.0, 0.1),
+          Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          Checks.RefIntegrity("l_orderkey", Tables(s, dir, "orders"),
+            "o_orderkey")))
+        .withColumnRenamed("check", "check_name") // CHECK is reserved SQL
+        .ordered(col("check_name"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5707,6 +5729,49 @@ object SparkEntry {
         |  n
         |FROM n JOIN s50 USING (w_start) JOIN s90 USING (w_start)
         |ORDER BY n.w_start""".stripMargin,
+
+    // each check's exact counts + the engine's floor-rounded rate and
+    // threshold comparison, replayed constraint by constraint
+    "q137_dq_checks" ->
+      """WITH rows_checks AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ok,
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v_d,
+        |    CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+        |uq AS (SELECT
+        |  CAST(COUNT(*) - (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT) AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+        |rf AS (SELECT
+        |  CAST(SUM(CASE WHEN o.__rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS total
+        |  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS __rk FROM orders) o
+        |    ON l.l_orderkey = o.__rk),
+        |u AS (
+        |  -- by_rate=true: pass compares the ROUNDED rate to the declared
+        |  -- threshold (NotNull semantics); false: pass is violations = 0
+        |  -- exactly (InRange/Unique/Ref), matching the engine per check
+        |  SELECT 'not_null:l_returnflag' AS check_name, v_rf AS violations,
+        |    total, 0.001 AS thresh, true AS by_rate FROM rows_checks
+        |  UNION ALL SELECT 'not_null:l_orderkey', v_ok, total, 0.0, true
+        |    FROM rows_checks
+        |  UNION ALL SELECT 'in_range:l_discount', v_d, total, 0.0, true
+        |    FROM rows_checks
+        |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v, total,
+        |    0.0, false FROM uq
+        |  UNION ALL SELECT 'ref:l_orderkey', v, total, 0.0, false FROM rf)
+        |SELECT check_name, violations, total,
+        |  CASE WHEN total = 0 THEN 0.0
+        |    ELSE FLOOR(CAST(violations AS DOUBLE)/total*1e6+0.5)/1e6 END AS rate,
+        |  CASE WHEN by_rate THEN
+        |    (CASE WHEN total = 0 THEN 0.0
+        |      ELSE FLOOR(CAST(violations AS DOUBLE)/total*1e6+0.5)/1e6 END)
+        |      <= thresh
+        |  ELSE violations = 0 END AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
