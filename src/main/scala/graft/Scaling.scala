@@ -370,6 +370,18 @@ object Scaling {
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
       "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // q137's shape on the factor× event stream: row-level constraints
+      // in ONE aggregate pass + a uniqueness groupBy — the publish gate
+      // must stay scan-bound or nobody runs it per batch
+      "dq_checks" -> (dir => {
+        import graft.ops.Checks
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        Checks.run(ev, Seq(
+          Checks.NotNull("user_id", maxNullRate = 0.01),
+          Checks.NotNull("event_type", maxNullRate = 0.01),
+          Checks.InRange("value", 0.0, 1000.0),
+          Checks.Unique(Seq("event_id"))))
+      }),
       // q133's shape with a FIXED band table and a growing point stream
       // (the price-band-lookup use): output and candidate mass must grow
       // linearly in events — quadratic growth would mean the bucket join
