@@ -3100,6 +3100,57 @@ object SparkEntry {
         .withColumnRenamed("check", "check_name") // CHECK is reserved SQL
         .ordered(col("check_name"))
     }),
+
+    // ---- Funnel analysis: windowed ordered stage progression ------------
+    // view -> click -> purchase per user, each stage the FIRST occurrence
+    // STRICTLY after the previous stage and within 24 hours of it (the
+    // standard conversion-window funnel — a click before any view, or a
+    // week later, does not convert). The three dependent per-user minima
+    // ride windows over ONE partitioning: a single shuffle on user_id
+    // computes t1, then t2 over t1, then t3 over t2 (window-over-window
+    // stays in the same Exchange — no per-stage join chain). Users then
+    // collapse to their furthest stage.
+    "q138_funnel" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id")
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val staged = e
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + dayUs, col("ts_us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t2") + dayUs, col("ts_us"))).over(w))
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .distinct() // stage is a per-user constant
+      staged.groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .ordered(col("stage"))
+    }),
+
+    // ---- Retention cohorts: first-activity week × active-week matrix ----
+    // The other classic product-analytics shape: cohort = the user's
+    // first active epoch-week, one row per (cohort, week offset) with
+    // the count of cohort users active that week. One user-keyed
+    // aggregate for cohorts + one distinct on (user, week) — both
+    // map-side combined; the join is user-keyed and co-partitioned.
+    "q139_retention" -> ((s, dir) => {
+      val weekUs = 604800000000L
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          (col("ts_us") / weekUs).cast("long").as("wk"))
+      val cohorts = e.groupBy("user_id").agg(min("wk").as("cohort"))
+      e.distinct()
+        .join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users")) // input distinct per (user, wk)
+        .ordered(col("cohort"), col("week_offset"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5772,6 +5823,39 @@ object SparkEntry {
         |      <= thresh
         |  ELSE violations = 0 END AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    // chained conditional minima replay the window-over-window funnel:
+    // t2 counts only clicks STRICTLY after t1, t3 only purchases after
+    // t2; NULL comparisons drop stages exactly like the engine's when()
+    "q138_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |u1 AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+        |  FROM e GROUP BY 1),
+        |u2 AS (SELECT e.user_id, u1.t1,
+        |  MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        |      AND ts_us <= t1 + 86400000000 THEN ts_us END) AS t2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY 1, 2),
+        |u3 AS (SELECT e.user_id, u2.t1, u2.t2,
+        |  MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |      AND ts_us <= t2 + 86400000000 THEN ts_us END) AS t3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |  WHEN t2 IS NOT NULL THEN 2
+        |  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q139_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT cohort, wk - cohort AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma
