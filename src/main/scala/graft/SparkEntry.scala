@@ -3151,6 +3151,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users")) // input distinct per (user, wk)
         .ordered(col("cohort"), col("week_offset"))
     }),
+
+    // ---- Multimodal: EXIF orientation (APP1/TIFF tag 274) ---------------
+    // The rotate-before-training metadata every crawl image pipeline
+    // needs: a real TIFF IFD0 walk in BOTH byte orders (odd docs II,
+    // even docs MM), spliced into q108-style DC-only JPEGs; every third
+    // doc carries no EXIF -> 0 (advisory metadata: absent == malformed
+    // == unknown, never a failure). The decode runs on the SAME spliced
+    // bytes, proving APP1 skipping leaves pixels/dims untouched.
+    "q140_exif_orientation" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val base = Jpeg.encodeDcOnly(w, h,
+              Seq(Jpeg.DcComp(1, 1, 0, 0, 0,
+                (bR, bC) => ((id + 3 * bR + 5 * bC) % 24).toInt)),
+              Map(0 -> Array.fill(64)(16)))
+            val bytes =
+              if (id % 3 == 0) base
+              else base.take(2) ++
+                Jpeg.exifApp1((id % 8).toInt + 1, id % 2 == 1) ++ base.drop(2)
+            val img = Jpeg.decode(bytes)
+            (id, Jpeg.exifOrientation(bytes).toLong,
+              img.width.toLong, img.height.toLong)
+          }
+        }.toDF("doc_id", "orientation", "width", "height")
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5856,6 +5886,16 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the spliced orientation and the q108 dimension derivations, both
+    // arithmetic; no-EXIF docs are 0 by the advisory-metadata contract
+    "q140_exif_orientation" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |    ELSE doc_id % 8 + 1 END AS BIGINT) AS orientation,
+        |  CAST(10 + doc_id % 23 AS BIGINT) AS width,
+        |  CAST(9 + doc_id % 17 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q94's sampling CTE over q108's closed form: stride-2 frame sample,
     // per-frame flat-per-block gray pixels (gray expands to RGB, so luma

@@ -1363,6 +1363,95 @@ object Jpeg {
     out.toByteArray
   }
 
+  // =========================================================================
+  // EXIF orientation (APP1 / TIFF tag 274)
+  // =========================================================================
+
+  /** EXIF orientation from the first APP1 `Exif\0\0` segment: the TIFF
+    * 6.0 IFD0 walk to tag 0x0112 (both `II` little- and `MM` big-endian
+    * byte orders), values 1..8 per the spec. Returns 0 when the tag is
+    * absent or ANY part of the metadata is malformed — orientation is
+    * advisory metadata and must never fail a decode pipeline (a crawl
+    * pipeline rotates by it at training time; a corrupt EXIF blob just
+    * means "unknown", exactly like a missing one). Bounded walk: marker
+    * segments are length-delimited and the IFD entry count is capped. */
+  def exifOrientation(jpeg: Array[Byte]): Int = {
+    if (jpeg.length < 4 ||
+      (jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return 0
+    var off = 2
+    while (off + 4 <= jpeg.length && (jpeg(off) & 0xff) == 0xff) {
+      val m = jpeg(off + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return 0 // EOI/SOS: no EXIF before image
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+      else {
+        val len = u16(jpeg, off + 2)
+        if (len < 2 || off + 2 + len > jpeg.length) return 0
+        if (m == 0xe1 && len >= 16 &&
+          jpeg(off + 4) == 'E' && jpeg(off + 5) == 'x' &&
+          jpeg(off + 6) == 'i' && jpeg(off + 7) == 'f' &&
+          jpeg(off + 8) == 0 && jpeg(off + 9) == 0)
+          return tiffOrientation(jpeg, off + 10, off + 2 + len)
+        off += 2 + len
+      }
+    }
+    0
+  }
+
+  private def tiffOrientation(b: Array[Byte], t0: Int, end: Int): Int = {
+    if (t0 + 8 > end) return 0
+    val le = (b(t0) & 0xff) == 0x49 && (b(t0 + 1) & 0xff) == 0x49
+    val be = (b(t0) & 0xff) == 0x4d && (b(t0 + 1) & 0xff) == 0x4d
+    if (!le && !be) return 0
+    def u16e(i: Int): Int =
+      if (i < t0 || i + 2 > end) -1
+      else if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32e(i: Int): Long =
+      if (i < t0 || i + 4 > end) -1L
+      else if (le) u16e(i).toLong | (u16e(i + 2).toLong << 16)
+      else (u16e(i).toLong << 16) | u16e(i + 2).toLong
+    if (u16e(t0 + 2) != 42) return 0
+    val ifd = u32e(t0 + 4)
+    if (ifd < 8 || t0 + ifd + 2 > end) return 0
+    val p = t0 + ifd.toInt
+    val n = u16e(p)
+    if (n < 0 || n > 512) return 0
+    var i = 0
+    while (i < n) {
+      val e = p + 2 + 12 * i
+      if (u16e(e) == 0x0112) { // orientation; type SHORT, count 1
+        if (u16e(e + 2) != 3 || u32e(e + 4) != 1L) return 0
+        val v = u16e(e + 8) // value inlined in the 4-byte field
+        return if (v >= 1 && v <= 8) v else 0
+      }
+      i += 1
+    }
+    0
+  }
+
+  /** Fixture APP1 `Exif\0\0` segment carrying ONLY the orientation tag —
+    * spliced right after SOI by specs/queries ([[exifOrientation]]'s
+    * ground truth; the image decoder skips APPn, so decode output is
+    * unchanged by the splice). */
+  def exifApp1(orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad $orientation")
+    def u16b(v: Int): Seq[Int] =
+      if (littleEndian) Seq(v & 0xff, (v >> 8) & 0xff)
+      else Seq((v >> 8) & 0xff, v & 0xff)
+    def u32b(v: Int): Seq[Int] =
+      if (littleEndian) Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+      else Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    val order = if (littleEndian) Seq(0x49, 0x49) else Seq(0x4d, 0x4d)
+    val tiff = order ++ u16b(42) ++ u32b(8) ++ // header + IFD0 at offset 8
+      u16b(1) ++ // one entry
+      (u16b(0x0112) ++ u16b(3) ++ u32b(1) ++ u16b(orientation) ++ Seq(0, 0)) ++
+      u32b(0) // no next IFD
+    val body = Seq('E'.toInt, 'x'.toInt, 'i'.toInt, 'f'.toInt, 0, 0) ++ tiff
+    val len = body.length + 2
+    (Seq(0xff, 0xe1, (len >> 8) & 0xff, len & 0xff) ++ body)
+      .map(_.toByte).toArray
+  }
+
   /** The DC-only closed-form pixel value (determinism contract) — shared
     * by fixtures, specs, and oracles: `d` is the DEQUANTIZED DC. */
   def dcOnlyPixel(d: Int): Int = {

@@ -444,6 +444,39 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("exif orientation: both byte orders parse; malformed yields 0, not a throw") {
+    val base = gray(16, 16, (_, _) => 5)
+    def splice(app1: Array[Byte]) = base.take(2) ++ app1 ++ base.drop(2)
+    for (o <- 1 to 8; le <- Seq(true, false)) {
+      val j = splice(Jpeg.exifApp1(o, le))
+      assert(Jpeg.exifOrientation(j) === o, s"o=$o le=$le")
+      // the decoder skips APPn: pixels unchanged by the splice
+      assert(Jpeg.decode(j).pixels.toSeq === Jpeg.decode(base).pixels.toSeq)
+    }
+    assert(Jpeg.exifOrientation(base) === 0) // no EXIF at all
+    // corrupt blobs: wrong magic, bad byte order, truncated segment,
+    // wild IFD offset — all advisory-metadata failures -> 0
+    val good = Jpeg.exifApp1(6, littleEndian = true)
+    val wrongMagic = good.clone(); wrongMagic(4) = 'X'.toByte
+    assert(Jpeg.exifOrientation(splice(wrongMagic)) === 0)
+    val badOrder = good.clone(); badOrder(10) = 0x00
+    assert(Jpeg.exifOrientation(splice(badOrder)) === 0)
+    val shortSeg = good.clone(); shortSeg(3) = 8 // lies about length
+    assert(Jpeg.exifOrientation(splice(shortSeg)) === 0)
+    val wildIfd = good.clone(); wildIfd(17) = 0x7f // IFD offset far past end
+    assert(Jpeg.exifOrientation(splice(wildIfd)) === 0)
+    // fuzz: single-byte corruptions never throw
+    val rnd = new scala.util.Random(43)
+    val spliced = splice(good)
+    for (_ <- 0 until 80) {
+      val bad = spliced.clone()
+      val at = rnd.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 + rnd.nextInt(255))).toByte
+      val o = Jpeg.exifOrientation(bad)
+      assert(o >= 0 && o <= 8)
+    }
+  }
+
   test("progressive poison: truncated scans and bad scripts throw") {
     val q = Map(0 -> Array.fill[Int](64)(16))
     val comps = Seq(Jpeg.CoefComp(1, 1, 0, 0, 0, (_, _) => {
