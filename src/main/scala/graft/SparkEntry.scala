@@ -3181,6 +3181,60 @@ object SparkEntry {
         }.toDF("doc_id", "orientation", "width", "height")
         .ordered(col("doc_id"))
     }),
+
+    // ---- KMV overlap MATRIX: all source pairs from per-source sketches --
+    // q135's set-operation estimators over the full q102-style matrix:
+    // one groupBy builds a bottom-k sketch per source, the G×G pair grid
+    // (G = #sources — the q102 allowlisted G-row cross) runs the
+    // union/ρ/intersection arithmetic per pair on kilobyte arrays, and
+    // the exact sizes/intersections ride alongside from one token-keyed
+    // join. At 100 TB the sketch matrix is the affordable first answer
+    // (G·k longs total state); the exact side is the verification this
+    // fixture can still afford.
+    "q141_kmv_matrix" -> ((s, dir) => {
+      val k = 128
+      val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      val sk = d.groupBy("source")
+        .agg(Sketches.kmvMins(col("tok"), k, "md5").as("mins"))
+      val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+      val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+      val est = a.join(b, col("src_a") < col("src_b"))
+        .withColumn("__x",
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+        .withColumn("__u",
+          element_at(col("__x"), size(col("__x"))).cast("double") /
+            1.8446744073709552e19 + 0.5)
+        .withColumn("est_union",
+          when(size(col("__x")) < k, size(col("__x")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) / col("__u") + 0.5)
+              .cast("long")))
+        .withColumn("__ni", size(filter(col("__x"), t =>
+          array_contains(col("ma"), t) && array_contains(col("mb"), t))))
+        .withColumn("rho", r6(col("__ni").cast("double") / size(col("__x"))))
+      val sizes = d.groupBy("source").agg(count(lit(1)).as("nd"))
+      val inter = d.select(col("source").as("ia"), col("tok"))
+        .join(d.select(col("source").as("ib"), col("tok")), Seq("tok"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("__xi"))
+      est
+        .join(sizes.select(col("source").as("src_a"), col("nd").as("__na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("nd").as("__nb")),
+          Seq("src_b"))
+        .join(inter,
+          col("src_a") === col("ia") && col("src_b") === col("ib"), "left")
+        .select(col("src_a"), col("src_b"), col("est_union"),
+          r6(col("rho") * col("est_union")).as("est_inter"),
+          col("rho").as("est_jaccard"),
+          (col("__na") + col("__nb") - coalesce(col("__xi"), lit(0L)))
+            .as("exact_union"),
+          coalesce(col("__xi"), lit(0L)).as("exact_inter"))
+        .ordered(col("src_a"), col("src_b"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -5886,6 +5940,67 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q135's estimator replay lifted to the pair grid: per-source
+    // bottom-k via ROW_NUMBER over the signed md5 hashes, per-pair union
+    // bottom-k the same way, membership via left joins back to the
+    // per-source mins, exact sizes/intersections from the distinct
+    // (source, tok) set — identical rounding order (rho first)
+    "q141_kmv_matrix" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text),' '), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT DISTINCT source, tok FROM toks),
+        |h AS (SELECT source,
+        |  (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+        |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |    ELSE CAST(h0 AS BIGINT) END) AS sh
+        |  FROM (SELECT source, md5_number_lower(tok) AS h0 FROM d)),
+        |hd AS (SELECT DISTINCT source, sh FROM h),
+        |m AS (SELECT source, sh FROM (
+        |  SELECT source, sh,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY sh) AS rn
+        |  FROM hd) WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT source FROM d),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |xu AS (
+        |  SELECT p.src_a, p.src_b, m.sh FROM p JOIN m ON m.source = p.src_a
+        |  UNION
+        |  SELECT p.src_a, p.src_b, m.sh FROM p JOIN m ON m.source = p.src_b),
+        |xk AS (SELECT src_a, src_b, sh FROM (
+        |  SELECT src_a, src_b, sh,
+        |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY sh) AS rn
+        |  FROM xu) WHERE rn <= 128),
+        |st AS (SELECT x.src_a, x.src_b, COUNT(*) AS nx, MAX(x.sh) AS kth,
+        |  SUM(CASE WHEN ma.sh IS NOT NULL AND mb.sh IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS ni
+        |  FROM xk x
+        |  LEFT JOIN m ma ON ma.source = x.src_a AND ma.sh = x.sh
+        |  LEFT JOIN m mb ON mb.source = x.src_b AND mb.sh = x.sh
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+        |ex AS (SELECT da.source AS src_a, db.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS xi
+        |  FROM d da JOIN d db ON da.tok = db.tok AND da.source < db.source
+        |  GROUP BY 1, 2),
+        |e1 AS (SELECT src_a, src_b,
+        |  CASE WHEN nx < 128 THEN CAST(nx AS BIGINT)
+        |    ELSE CAST(FLOOR(127.0/((CAST(kth AS DOUBLE)/1.8446744073709552e19)+0.5)+0.5) AS BIGINT) END AS est_union,
+        |  FLOOR(CAST(ni AS DOUBLE)/nx*1e6+0.5)/1e6 AS rho
+        |  FROM st)
+        |SELECT p.src_a, p.src_b, e1.est_union,
+        |  FLOOR(rho*est_union*1e6+0.5)/1e6 AS est_inter,
+        |  rho AS est_jaccard,
+        |  sza.nd + szb.nd - COALESCE(ex.xi, 0) AS exact_union,
+        |  COALESCE(ex.xi, 0) AS exact_inter
+        |FROM p
+        |JOIN e1 ON e1.src_a = p.src_a AND e1.src_b = p.src_b
+        |JOIN sz sza ON sza.source = p.src_a
+        |JOIN sz szb ON szb.source = p.src_b
+        |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
 
     // the spliced orientation and the q108 dimension derivations, both
     // arithmetic; no-EXIF docs are 0 by the advisory-metadata contract

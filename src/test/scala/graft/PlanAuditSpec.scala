@@ -49,6 +49,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *     aggregate of bounded width (two 256-long bottom-k arrays and
     *     two counters); the set-operation arithmetic runs on that one
     *     joined row.
+    *   - q141: the G-row per-source sketch table inequality-joined with
+    *     itself to form the pair grid (G = #sources — q102's exact
+    *     overlap matrix has the same allowlisted G×G shape; here each
+    *     row additionally carries a k-long bottom-k array).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -56,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
-    "q135_kmv_overlap")
+    "q135_kmv_overlap", "q141_kmv_matrix")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
