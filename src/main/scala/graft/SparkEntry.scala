@@ -41,28 +41,42 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(cols: _*)
   }
 
-  /** Stable per-(purpose, data-dir) scratch path under java.io.tmpdir —
-    * query bodies that must materialize on-disk state (online store,
-    * dedup index, partitioned sink) reuse ONE directory per purpose×dir
-    * and clear it on entry, so repeated Verify/Bench invocations leave
-    * no accumulating temp litter (each run's tree replaces the last).
-    * Concurrent same-dir JVMs could race on the shared path, but every
-    * writer derives identical bytes from the same input dir, so a race
-    * is either byte-identical or a loud read error — never a silent
-    * wrong answer (the IVF cache's atomic-rename discipline is overkill
-    * here because these trees are rebuilt per invocation by design). */
+  /** Per-process scratch path under java.io.tmpdir for query bodies that
+    * must materialize on-disk state (online store, dedup index,
+    * partitioned sink). The path is keyed by (purpose, data-dir hash,
+    * JVM pid): within one JVM repeated invocations reuse and clear ONE
+    * directory per purpose×dir (no accumulating temp litter — each
+    * run's tree replaces the last), while concurrent JVMs running the
+    * same query against the same data dir get DISJOINT trees — a
+    * same-path peer could otherwise delete files mid-read of the other
+    * (a spurious, if loud, bench/verify failure). Siblings left by dead
+    * processes (same purpose×dir prefix, different pid) are swept here
+    * by age: untouched for [[ScratchStaleMs]] means the owning run is
+    * long gone — the age guard keeps a live concurrent run's tree safe. */
+  private val ScratchStaleMs = 6L * 3600 * 1000
   private def scratchDir(purpose: String, dir: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val p = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_scratch_${purpose}_$tag")
-    if (Files.exists(p)) {
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
       val st = Files.walk(p)
       try st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally st.close()
     }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val prefix = s"graft_scratch_${purpose}_$tag"
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val now = System.currentTimeMillis()
+    val st = Files.list(tmp)
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"${prefix}_"))
+      .filter(p => !p.getFileName.toString.endsWith(s"_$pid"))
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis > ScratchStaleMs)
+      .foreach(rmTree)
+    finally st.close()
+    val p = tmp.resolve(s"${prefix}_$pid")
+    rmTree(p)
     p.toString
   }
 
@@ -3017,9 +3031,17 @@ object SparkEntry {
     // arithmetic the oracle replays from the same md5 hashes.
     "q135_kmv_overlap" -> ((s, dir) => {
       val k = 256
+      // persist: the tokenized frame feeds the sketch groupBy AND the
+      // exact union/intersection aggregate, whose exchanges hash
+      // different keys (grp vs tok) — AQE exchange reuse can't fire
+      // across them, so without the pin the corpus tokenizes twice.
+      // TokenizeOnceSpec asserts the single scan. (Bench clearCache()s
+      // between queries; within a run the cache is dropped with the
+      // frame.)
       val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .select((col("doc_id") % 2).as("grp"),
           explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .persist()
       val sk = toks.groupBy("grp")
         .agg(Sketches.kmvMins(col("tok"), k, "md5").as("mins"))
       val a = sk.filter(col("grp") === 0).select(col("mins").as("ma"))
@@ -3138,7 +3160,11 @@ object SparkEntry {
     // first active epoch-week, one row per (cohort, week offset) with
     // the count of cohort users active that week. One user-keyed
     // aggregate for cohorts + one distinct on (user, week) — both
-    // map-side combined; the join is user-keyed and co-partitioned.
+    // map-side combined. The distinct's exchange hashes (user_id, wk),
+    // not user_id alone, so the join is NOT co-partitioned; the cohort
+    // side (one narrow row per user) arrives by AQE-chosen broadcast at
+    // this scale and degrades naturally to a shuffled hash join at 100×
+    // (unhinted on purpose — see PLANS.md q139).
     "q139_retention" -> ((s, dir) => {
       val weekUs = 604800000000L
       val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
@@ -3194,10 +3220,16 @@ object SparkEntry {
     "q141_kmv_matrix" -> ((s, dir) => {
       val k = 128
       val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      // persist: `d` feeds the sketch groupBy, the sizes groupBy, and
+      // BOTH sides of the exact-intersection join — four consumers whose
+      // exchanges hash different keys (source vs tok), so AQE reuse
+      // can't cover them all; without the pin the corpus tokenizes ~4×.
+      // TokenizeOnceSpec asserts the single scan.
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("source"),
           explode(TextStats.tokens(lower(col("text")))).as("tok"))
         .distinct()
+        .persist()
       val sk = d.groupBy("source")
         .agg(Sketches.kmvMins(col("tok"), k, "md5").as("mins"))
       val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
@@ -5886,9 +5918,11 @@ object SparkEntry {
         |  LEFT JOIN (SELECT DISTINCT o_orderkey AS __rk FROM orders) o
         |    ON l.l_orderkey = o.__rk),
         |u AS (
-        |  -- by_rate=true: pass compares the ROUNDED rate to the declared
-        |  -- threshold (NotNull semantics); false: pass is violations = 0
-        |  -- exactly (InRange/Unique/Ref), matching the engine per check
+        |  -- by_rate=true: pass compares the UNROUNDED rate to the declared
+        |  -- threshold (NotNull/InRange semantics — the reported rate column
+        |  -- is rounded, the gate is not, so one bad row in >2M rows cannot
+        |  -- round to a pass); false: pass is violations = 0
+        |  -- exactly (Unique/Ref), matching the engine per check
         |  SELECT 'not_null:l_returnflag' AS check_name, v_rf AS violations,
         |    total, 0.001 AS thresh, true AS by_rate FROM rows_checks
         |  UNION ALL SELECT 'not_null:l_orderkey', v_ok, total, 0.0, true
@@ -5903,7 +5937,7 @@ object SparkEntry {
         |    ELSE FLOOR(CAST(violations AS DOUBLE)/total*1e6+0.5)/1e6 END AS rate,
         |  CASE WHEN by_rate THEN
         |    (CASE WHEN total = 0 THEN 0.0
-        |      ELSE FLOOR(CAST(violations AS DOUBLE)/total*1e6+0.5)/1e6 END)
+        |      ELSE CAST(violations AS DOUBLE)/total END)
         |      <= thresh
         |  ELSE violations = 0 END AS pass
         |FROM u ORDER BY check_name""".stripMargin,

@@ -236,12 +236,19 @@ object Sketches {
     * bins), clamped to [0, bins) so out-of-range values land in the edge
     * bins — that an external oracle replays exactly; counts and the
     * rank-based quantile selection ([[histQuantile]]) are all-integer.
-    * Non-null numeric input required (the typed-Long aggregator rule). */
+    * Non-null, non-NaN numeric input required (the typed-Long aggregator
+    * rule): NaN would otherwise bin at `floor(NaN).toInt == 0` — a
+    * silent low-edge inflation that shifts every quantile, and one an
+    * external oracle's FLOOR/LEAST/GREATEST replay can bin differently.
+    * reduce fails fast instead; callers filter or impute NaN upstream
+    * (`isnan`), the same explicit-contract posture as NULLs. */
   class FixedHistogram(lo: Double, hi: Double, bins: Int)
       extends Aggregator[Double, Array[Long], Array[Long]] {
     require(bins >= 1 && hi > lo, s"bad histogram grid [$lo,$hi)x$bins")
     override def zero: Array[Long] = new Array[Long](bins)
     override def reduce(buf: Array[Long], x: Double): Array[Long] = {
+      require(!x.isNaN,
+        s"histogram[$lo,$hi)x$bins: NaN input — filter or impute upstream")
       val b0 = math.floor((x - lo) / (hi - lo) * bins).toInt
       val b = if (b0 < 0) 0 else if (b0 >= bins) bins - 1 else b0
       buf(b) += 1L

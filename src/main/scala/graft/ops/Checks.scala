@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * one left-anti join (AQE broadcasts the dimension when small). No
   * driver materialization beyond the per-check one-row results.
   *
-  * Determinism: violations/totals are exact integer counts; `rate` is
-  * one IEEE divide rounded by the engine-standard floor(x·1e6+0.5)/1e6;
-  * `pass` compares against the declared threshold — all replayable by
-  * an external oracle (q137).
+  * Determinism: violations/totals are exact integer counts; the
+  * REPORTED `rate` is one IEEE divide rounded by the engine-standard
+  * floor(x·1e6+0.5)/1e6; `pass` compares the UNROUNDED rate against the
+  * declared threshold — rounding the gate itself would let a nonzero
+  * violation count under ~5e-7 (one bad row in a >2M-row table — i.e.
+  * exactly the 100 TB regime) round to 0.0 and silently pass a
+  * zero-tolerance check. All replayable by an external oracle (q137).
   */
 object Checks {
 
@@ -53,13 +56,20 @@ object Checks {
 
   private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
-  /** violations/total as a 6-decimal rate; an EMPTY table has rate 0
-    * (vacuously clean), not NaN. */
+  /** violations/total, unrounded — the gate input; an EMPTY table has
+    * rate 0 (vacuously clean), not NaN. The reported column is the
+    * rounded [[rate]]. */
+  private def rawRate(v: Column, total: Column): Column =
+    when(total === 0L, lit(0.0)).otherwise(v.cast("double") / total)
+
+  /** violations/total as a 6-decimal reporting rate. */
   private def rate(v: Column, total: Column): Column =
     when(total === 0L, lit(0.0)).otherwise(r6(v.cast("double") / total))
 
-  /** Evaluate `checks` against `df`; one result row per check, ordered
-    * by check name. */
+  /** Evaluate `checks` against `df`; one result row per check. Row ORDER
+    * is unspecified (frames are unioned, and union order is not a Spark
+    * contract anyway) — callers wanting a stable presentation sort on
+    * `check` themselves, as q137 does. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
     val rowLevel = checks.collect {
@@ -80,7 +90,7 @@ object Checks {
         frames += one.select(lit(n).as("check"),
           v.as("violations"), col("__total").as("total"),
           rate(v, col("__total")).as("rate"),
-          (rate(v, col("__total")) <= thresh).as("pass"))
+          (rawRate(v, col("__total")) <= thresh).as("pass"))
       }
     }
     checks.foreach {

@@ -136,6 +136,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(edge.head + edge.last === 10L && edge.sum === 10L)
   }
 
+  test("histogram: NaN input fails fast, never inflates bin 0") {
+    // floor(NaN).toInt == 0 would silently bin NaN at the low edge and
+    // shift every quantile; the contract is fail-fast so callers filter
+    // or impute upstream (isnan), like NULLs
+    val df = Seq(1.0, 2.0, Double.NaN).toDF("x")
+    val e = intercept[Exception](
+      df.agg(Sketches.histogram(col("x"), 0.0, 10.0, 4)).head())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NaN")), msgs(e).mkString("; "))
+    // infinities are ordinary out-of-range values: clamp to edge bins
+    val inf = Seq(Double.NegativeInfinity, Double.PositiveInfinity, 5.0)
+      .toDF("x").agg(Sketches.histogram(col("x"), 0.0, 10.0, 4))
+      .head().getSeq[Long](0)
+    assert(inf === Seq(1L, 0L, 1L, 1L))
+  }
+
   test("histogram: counts bit-identical under different partitionings") {
     val df = spark.range(5000).select(((col("id") * 7) % 997).cast("double").as("x"))
     val a = df.repartition(2).agg(Sketches.histogram(col("x"), 0.0, 997.0, 64))

@@ -52,6 +52,28 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("pass gates on the UNROUNDED rate; only the report rounds") {
+    // 1 null in 3 rows: true rate 1/3 = 0.3333333..., reported rate
+    // rounds DOWN to 0.333333. A gate on the rounded rate would pass a
+    // 0.333333 threshold; the unrounded gate must fail it — the small-N
+    // twin of the 100 TB trap (1 bad row in >2M rows rounds to 0.0 and
+    // would sail through a zero-tolerance check).
+    val df = Seq(Some(1.0), Some(2.0), None).toDF("x")
+    val under = byName(Checks.run(df,
+      Seq(Checks.NotNull("x", maxNullRate = 0.333333))))
+    assert(under("not_null:x") === ((1L, 3L, 0.333333, false)))
+    // at exactly the true rate the gate passes (<= is inclusive)
+    val at = byName(Checks.run(df,
+      Seq(Checks.NotNull("x", maxNullRate = 1.0 / 3))))
+    assert(at("not_null:x")._4 === true)
+    // zero-tolerance InRange: any nonzero violation count fails, however
+    // small the rate would round
+    val wide = Seq.tabulate(4000)(i => i.toDouble) :+ 99999.0
+    val ir = byName(Checks.run(wide.toDF("x"),
+      Seq(Checks.InRange("x", 0.0, 5000.0))))
+    assert(ir("in_range:x")._1 === 1L && ir("in_range:x")._4 === false)
+  }
+
   test("duplicate reference keys do not multiply the ref-check total") {
     val df = Seq(1L, 2L, 3L).toDF("k")
     val ref = Seq(1L, 1L, 1L, 2L).toDF("rk") // dup keys in the dimension

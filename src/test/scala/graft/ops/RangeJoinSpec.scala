@@ -78,6 +78,63 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(t === Seq(2L))
   }
 
+  test("salted join == unsalted under a planted hot bucket") {
+    // 2000 points piled into ONE bucket (width 100, values 0..99) plus a
+    // scattered tail; salting must spread the hot bucket's candidates
+    // without changing the result set or duplicating pairs.
+    val pts = ((1 to 2000).map(i => (i.toLong, rnd.nextInt(100))) ++
+      (2001 to 2200).map(i => (i.toLong, rnd.nextInt(5000))))
+      .toDF("pid", "x")
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(5000) - 100
+      (i.toLong, lo, lo + rnd.nextInt(250))
+    }.toDF("iid", "lo", "hi")
+    val plain = RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi", 100.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    for (s <- Seq(4, 7)) {
+      val salted = RangeJoin
+        .pointInInterval(pts, "x", ivs, "lo", "hi", 100.0, saltBuckets = s)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      assert(salted.sorted === plain, s"saltBuckets=$s")
+      assert(salted.size === salted.distinct.size, s"dups at saltBuckets=$s")
+    }
+    // overlap flavor: salted == unsalted, exactly once
+    val as = (1 to 150).map { i =>
+      val lo = rnd.nextInt(300) // all of side a crowds a few buckets
+      (i.toLong, lo, lo + rnd.nextInt(80))
+    }.toDF("aid", "alo", "ahi")
+    val bs = (1 to 70).map { i =>
+      val lo = rnd.nextInt(2000) - 200
+      (i.toLong, lo, lo + rnd.nextInt(300))
+    }.toDF("bid", "blo", "bhi")
+    val oPlain = RangeJoin.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi",
+      128.0).select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    val oSalted = RangeJoin.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi",
+      128.0, saltBuckets = 5)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(oSalted.sorted === oPlain)
+    assert(oSalted.size === oSalted.distinct.size)
+  }
+
+  test("reserved internal column names in inputs are rejected loudly") {
+    val pts = Seq((1L, 5)).toDF("pid", "x")
+    val ivs = Seq((1L, 0, 10)).toDF("iid", "lo", "hi")
+    val clash = pts.withColumn("__rj_b", lit(1))
+    val e1 = intercept[IllegalArgumentException](
+      RangeJoin.pointInInterval(clash, "x", ivs, "lo", "hi", 4.0))
+    assert(e1.getMessage.contains("__rj_b"))
+    val e2 = intercept[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, "x",
+        ivs.withColumn("__rj_s", lit(1)), "lo", "hi", 4.0))
+    assert(e2.getMessage.contains("__rj_s"))
+    val e3 = intercept[IllegalArgumentException](
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0, 10)).toDF("aid", "alo", "ahi").withColumn("__rj_b", lit(2)),
+        "alo", "ahi", Seq((2L, 5, 15)).toDF("bid", "blo", "bhi"),
+        "blo", "bhi", 4.0))
+    assert(e3.getMessage.contains("__rj_b"))
+  }
+
   test("pathologically wide interval fails fast instead of exploding") {
     val pts = Seq((1L, 5)).toDF("pid", "x")
     val ivs = Seq((1L, 0, 2000000000)).toDF("iid", "lo", "hi")
