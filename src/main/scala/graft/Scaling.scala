@@ -351,6 +351,26 @@ object Scaling {
       Binary.decodeImage(media).filter(col("ok")).toDF()
     }
 
+    def rjHot(dir: String, saltBuckets: Int): DataFrame = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val pts = ev.select(col("event_id").as("pid"),
+        when(col("event_id") % 10 === 0, pmod(col("event_id"), lit(100)))
+          .otherwise(pmod(col("event_id") * 37, lit(1000000)))
+          .cast("double").as("x"))
+      // replica 0 only (synthesized replicas offset event_id by i*1e8):
+      // the interval cohort stays FIXED as the factor grows
+      val ivs = ev.filter(col("event_id") < 100000000L &&
+          col("event_id") % 23 === 0)
+        .select(col("event_id").as("iid"),
+          when(col("event_id") % 115 === 0, lit(0.0))
+            .otherwise(pmod(col("event_id") * 91, lit(1000000)).cast("double"))
+            .as("lo"))
+        .withColumn("hi", col("lo") + 120.0)
+      graft.ops.RangeJoin
+        .pointInInterval(pts, "x", ivs, "lo", "hi", 100.0, saltBuckets)
+        .groupBy(col("iid")).agg(count(lit(1)).as("n_pts"))
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -419,9 +439,29 @@ object Scaling {
         val m = graft.ops.Categorify.fit(ev, Seq("eid"))
         m.transform(ev, broadcastMaxRows = 0L)
       }),
+      // q142's shape: corpus-wide top-K through the Misra-Gries
+      // aggregator (k-entry state, no vocabulary-sized shuffle) — wall
+      // must track the token scan, the summary never grows with the data
+      "heavy_hitters" -> (dir => {
+        val toks = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(explode(graft.llm.TextStats.tokens(lower(col("text"))))
+            .as("tok"))
+        toks.agg(graft.llm.Sketches.heavyHitters(col("tok"), 64).as("sk"))
+      }),
       // q126's shape on a ~10k-node domain: edge volume scales with the
       // corpus, iteration count fixed — per-round join cost must grow
       // linearly in edges
+      // Bucketized range join under a PLANTED hot bucket: ~10% of points
+      // pile into bucket [0,100) and a fixed ~900-interval cohort covers
+      // it (intervals stay replica-0-only so candidate mass grows
+      // LINEARLY with points, not quadratically). Unsalted, every hot
+      // candidate pair meets in ONE reduce task — wall tracks the hot
+      // partition; salted (16), the same pairs fan out over 16 tasks —
+      // wall must track total candidates. Same result set by
+      // construction (RangeJoinSpec pins equality).
+      "rangejoin_hot" -> (dir => rjHot(dir, saltBuckets = 1)),
+      "rangejoin_hot_salted" -> (dir => rjHot(dir, saltBuckets = 16)),
       "pagerank" -> (dir => {
         val d = col("doc_id")
         val docs = spark.read.parquet(s"$dir/documents.parquet")

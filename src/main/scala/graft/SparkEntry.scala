@@ -112,6 +112,17 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Bpe.Merges]()
   private val Q76Merges = 64
 
+  /** q142's per-dir heavy-hitters record — same record/emission contract
+    * as [[bpeByDir]]: the oracle inlines the EXACT top-K (token,
+    * lower-bound count) entries and decrement offset this run computed
+    * (all integers — no float-literal round-trip concerns), and DuckDB
+    * independently recomputes the exact counts those bounds must
+    * bracket. */
+  private val hhByDir = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.llm.Sketches.HeavyHitter], Long)]()
+  private val Q142K = 64
+  private val Q142Top = 20
+
   /** q80's per-dir waterfilled mix rates — same record/emission contract
     * as [[bpeByDir]]: the oracle inlines the exact rates this run
     * computed (shortest-repr double literals round-trip DuckDB's parser
@@ -3267,6 +3278,40 @@ object SparkEntry {
           coalesce(col("__xi"), lit(0L)).as("exact_inter"))
         .ordered(col("src_a"), col("src_b"))
     }),
+
+    // ---- Heavy hitters: corpus-wide top-K from a bounded sketch --------
+    // The sketch family's "WHAT are the top keys" member (KMV: how many
+    // distinct; CMS: how often is THIS key, probes needed a priori; MG:
+    // the keys themselves). One Misra-Gries pass — k-entry state, no
+    // shuffle over the full vocabulary — surfaces the top tokens with
+    // per-key bounds (count <= true <= count + off, off <= N/(k+1));
+    // the exact counts of just those K tokens ride alongside from one
+    // pushed-filter scan, and the oracle recomputes them independently
+    // in DuckDB to verify every bracket. At 100 TB this replaces the
+    // full token groupBy (a vocabulary-sized shuffle) for "what's
+    // trending / which keys deserve salting" questions — Skew.hotKeys
+    // is this sketch pointed at a join key. Deterministic via the
+    // pid-ordered fold (heavyHittersOrdered): counter values are
+    // replayable run-to-run, not just bound-correct.
+    "q142_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      val (entries, off, _) = Sketches.heavyHittersOrdered(toks, "tok", Q142K)
+      val top = entries.take(Q142Top)
+      hhByDir.put(dir, (top, off))
+      val topDf = top.zipWithIndex
+        .map { case (h, i) => (i + 1L, h.key, h.count) }
+        .toDF("rank", "token", "est_low")
+      val exact = toks.filter(col("tok").isin(top.map(_.key): _*))
+        .groupBy(col("tok").as("token")).agg(count(lit(1)).as("exact_cnt"))
+      topDf.join(exact, Seq("token"))
+        .select(col("rank"), col("token"), col("est_low"), col("exact_cnt"),
+          lit(off).as("err"),
+          (col("est_low") <= col("exact_cnt") &&
+            col("exact_cnt") <= col("est_low") + lit(off)).as("bound_ok"))
+        .ordered(col("rank"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -3421,7 +3466,40 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
-      q89OracleSql
+      q89OracleSql ++ q142OracleSql
+
+  /** q142's run-state oracle ([[q76OracleSql]] contract): inline the
+    * recorded top-K (rank, token, lower-bound, offset) — all integers,
+    * no float round-trip — and let DuckDB recompute the exact counts
+    * independently, re-deriving every bound_ok bracket itself. A
+    * degenerate corpus (no tokens) or a multi-dir JVM omits → the
+    * driver's rows-only check. */
+  private def q142OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val entries = hhByDir.asScala
+    soleDigest(entries.keys).map(entries(_))
+      .filter(_._1.nonEmpty).map { case (top, off) =>
+        def esc(s: String) = s.replace("'", "''")
+        val vals = top.zipWithIndex.map { case (h, i) =>
+          s"(${i + 1}, '${esc(h.key)}', ${h.count})"
+        }.mkString(",\n    ")
+        "q142_heavy_hitters" ->
+          s"""WITH top(rank, token, est_low) AS (VALUES
+             |    $vals),
+             |toks AS (SELECT
+             |    unnest(list_filter(string_split(lower(text),' '),
+             |      t -> len(t) > 0)) AS tok
+             |  FROM documents WHERE text IS NOT NULL),
+             |exact AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT)
+             |    AS exact_cnt FROM toks GROUP BY 1)
+             |SELECT CAST(rank AS BIGINT) AS rank, token,
+             |  CAST(est_low AS BIGINT) AS est_low, exact_cnt,
+             |  CAST($off AS BIGINT) AS err,
+             |  (est_low <= exact_cnt AND exact_cnt <= est_low + $off)
+             |    AS bound_ok
+             |FROM top JOIN exact USING (token) ORDER BY rank""".stripMargin
+      }.toMap
+  }
 
   /** The hand-written oracle twins, split from [[oracleSql]] so the
     * checksum manifest (ORACLE_MANIFEST.json, `graft.OracleManifest`)

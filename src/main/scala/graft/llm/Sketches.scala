@@ -296,4 +296,134 @@ object Sketches {
       lit(lo) + (scanned("ans").cast("double") + 0.5) *
         lit((hi - lo) / bins))
   }
+
+  // ---------------------------------------------------------------------
+  // Misra-Gries heavy hitters — the sketch family's "WHAT are the top-K
+  // keys" member. KMV answers how-many-distinct, CMS how-often-is-THIS-
+  // key (probe terms needed a priori), HLL cardinality, the histogram
+  // quantiles; nothing answered corpus-wide top-K without a full groupBy
+  // shuffle over every distinct key. An MG summary holds at most k
+  // (key, count) entries plus one decrement offset: count is a LOWER
+  // bound on the key's true frequency, true ≤ count + off, and
+  // off ≤ N/(k+1) — so every key with frequency above N/(k+1) is
+  // GUARANTEED present (Misra & Gries 1982; merge rule and bound
+  // carryover from Agarwal et al., "Mergeable Summaries", PODS 2012).
+  // ---------------------------------------------------------------------
+
+  /** MG summary buffer: keys sorted ASCENDING (the canonical form that
+    * makes equal summaries byte-equal), parallel counts, and `off` —
+    * the cumulative decrement offset that bounds the undercount. */
+  type MgBuf = (Seq[String], Seq[Long], Long)
+
+  private def mgIndexOf(ks: Seq[String], key: String): Int = {
+    var lo = 0; var hi = ks.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ks(mid) < key) lo = mid + 1 else hi = mid
+    }
+    if (lo < ks.size && ks(lo) == key) lo else -(lo + 1)
+  }
+
+  /** Deterministic two-summary merge: counter union (sum shared keys,
+    * off adds), then if over k entries subtract the (k+1)-th largest
+    * count from ALL and drop the non-positive — a uniform subtraction
+    * with no tie CHOICE (ties at the pivot all drop together), so the
+    * merged summary is a pure function of its two inputs. */
+  private[llm] def mgMerge(a: MgBuf, b: MgBuf, k: Int): MgBuf = {
+    val m = scala.collection.mutable.TreeMap.empty[String, Long]
+    a._1.indices.foreach(i => m.update(a._1(i), a._2(i)))
+    b._1.indices.foreach(i => m.update(b._1(i), m.getOrElse(b._1(i), 0L) + b._2(i)))
+    var off = a._3 + b._3
+    if (m.size > k) {
+      val s = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      off += s
+      m.filterInPlace((_, c) => c > s)
+    }
+    val ks = m.keys.toVector
+    (ks, ks.map(m), off)
+  }
+
+  /** Typed MG aggregator over string keys (NULLs rejected — filter
+    * upstream, the engine's typed-aggregator rule). reduce is the
+    * classic streaming update (hit +1; miss inserts below k, else
+    * decrement-all and drop zeros), O(log k) per hit and O(k) per
+    * full-buffer miss; merge is [[mgMerge]]. The per-key bound
+    * (count ≤ true ≤ count + off, off ≤ N/(k+1)) holds under ANY
+    * reduce/merge interleaving; the exact counter VALUES depend on
+    * arrival/merge order like every MG implementation — callers needing
+    * run-replayable values pin the order with [[heavyHittersOrdered]]. */
+  class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgBuf] {
+    require(k >= 1, s"heavy-hitters k $k must be >= 1")
+    override def zero: MgBuf = (Vector.empty, Vector.empty, 0L)
+    override def reduce(buf: MgBuf, key: String): MgBuf = {
+      require(key != null, "heavyHitters: NULL key — filter upstream")
+      val (ks, cs, off) = buf
+      val i = mgIndexOf(ks, key)
+      if (i >= 0) (ks, cs.updated(i, cs(i) + 1), off)
+      else if (ks.size < k) {
+        val ins = -(i + 1)
+        ((ks.take(ins) :+ key) ++ ks.drop(ins),
+          (cs.take(ins) :+ 1L) ++ cs.drop(ins), off)
+      } else {
+        val dec = cs.map(_ - 1L)
+        val keep = dec.indices.filter(dec(_) > 0L)
+        (keep.map(ks).toVector, keep.map(dec).toVector, off + 1L)
+      }
+    }
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = mgMerge(a, b, k)
+    override def finish(buf: MgBuf): MgBuf = buf
+    override def bufferEncoder: Encoder[MgBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgBuf]()
+    override def outputEncoder: Encoder[MgBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgBuf]()
+  }
+
+  /** Column form: per-group MG summary of a string key column — struct
+    * (_1 keys asc, _2 counts, _3 off). The unordered scale path (plain
+    * partial aggregation; values vary within the MG bound under merge
+    * reordering, the bound itself never does). */
+  def heavyHitters(c: Column, k: Int): Column =
+    udaf(new MisraGries(k)).apply(c.cast("string"))
+
+  /** One heavy-hitters entry: `count ≤ true frequency ≤ count + off` of
+    * the summary it came from. */
+  final case class HeavyHitter(key: String, count: Long)
+
+  /** Deterministic whole-input summary: entries sorted (count desc, key
+    * asc), the decrement offset, and the exact row count N.
+    *
+    * Determinism: one MG partial per INPUT partition, each built in
+    * scan order (deterministic for a parquet scan — one group per
+    * partition, so the partial IS the group's final buffer), then folded
+    * in partition-id order on the driver. The fold is P bounded buffers
+    * of ≤ k entries — kilobytes collected, the same bounded-collect
+    * discipline as the Categorify vocab; at extreme partition counts a
+    * fixed-shape tree merge (pair pids, merge, repeat) bounds any one
+    * fold step, and the error bound needs no order at all — this
+    * ordered fold exists so repeated runs and an inlining oracle see
+    * byte-identical counter values. */
+  def heavyHittersOrdered(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                          k: Int): (Seq[HeavyHitter], Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val parts = df
+      .select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), spark_partition_id().as("__pid"))
+      .groupBy("__pid")
+      .agg(heavyHitters(col("__k"), k).as("sk"), count(lit(1)).as("n"))
+      .collect()
+      .sortBy(_.getInt(0))
+    var acc: MgBuf = (Vector.empty, Vector.empty, 0L)
+    var n = 0L
+    parts.foreach { r =>
+      val sk = r.getStruct(1)
+      acc = mgMerge(acc,
+        (sk.getSeq[String](0), sk.getSeq[Long](1), sk.getLong(2)), k)
+      n += r.getLong(2)
+    }
+    val entries = acc._1.indices
+      .map(i => HeavyHitter(acc._1(i), acc._2(i)))
+      .sortBy(h => (-h.count, h.key))
+    (entries, acc._3, n)
+  }
 }

@@ -29,6 +29,27 @@ object Skew {
     l.join(r, key :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Measured hot-key detector — the a-priori salting decision becomes a
+    * measurement. One Misra-Gries pass ([[graft.llm.Sketches]], bounded
+    * k-entry state, no groupBy over the full key space) surfaces every
+    * key whose share of `df` MIGHT reach `minShare`: a key is returned
+    * when its frequency UPPER bound (count + off) clears minShare·N —
+    * the safe over-approximation for deciding [[saltedJoin]]/
+    * [[saltedAgg]] buckets (a false positive salts a warm key
+    * harmlessly; a false negative would leave a hot key serialized,
+    * so the guarantee direction matters: every truly-hot key IS
+    * returned, because MG's undercount is at most off). Requires
+    * minShare > 1/(k+1) — below that the sketch cannot promise
+    * membership. Entries come back hottest-first with their lower-bound
+    * counts; `n` is the exact row count for share arithmetic. */
+  def hotKeys(df: DataFrame, keyCol: String, minShare: Double,
+              k: Int = 256): (Seq[graft.llm.Sketches.HeavyHitter], Long) = {
+    require(minShare > 1.0 / (k + 1),
+      f"minShare $minShare%.4f below the MG guarantee 1/(k+1)=${1.0 / (k + 1)}%.4f — raise k")
+    val (entries, off, n) = graft.llm.Sketches.heavyHittersOrdered(df, keyCol, k)
+    (entries.filter(h => h.count + off >= (minShare * n).toLong), n)
+  }
+
   /** Two-phase (salted) aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key. Spark's hash aggregate already does
     * map-side partial aggregation; the explicit salt phase additionally

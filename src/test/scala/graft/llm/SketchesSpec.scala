@@ -163,6 +163,91 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.sum === 5000L)
   }
 
+  test("misra-gries: exact when distinct keys fit; off stays 0") {
+    // 30 distinct keys, k=64: no decrement can ever fire — the summary
+    // IS the exact frequency table, under any partitioning
+    val df = spark.range(3000)
+      .select(concat(lit("k"), col("id") % 30).as("v"))
+    for (p <- Seq(2, 17)) {
+      val sk = df.repartition(p).agg(Sketches.heavyHitters(col("v"), 64))
+        .head().getStruct(0)
+      val keys = sk.getSeq[String](0)
+      val counts = sk.getSeq[Long](1)
+      assert(sk.getLong(2) === 0L, "no decrements below capacity")
+      assert(keys.size === 30 && keys === keys.sorted)
+      assert(counts.forall(_ === 100L))
+    }
+  }
+
+  test("misra-gries: per-key bounds and membership guarantee on skew") {
+    // Zipf-ish: key h0 half the stream, h1 a quarter, tail uniform over
+    // 2000 cold keys; k=32 -> off <= N/(k+1), hot keys guaranteed in
+    val n = 40000
+    val rows = (0 until n).map { i =>
+      if (i % 2 == 0) "h0" else if (i % 4 == 1) "h1" else s"c${i % 2000}"
+    }
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = rows.toDF("v").repartition(8)
+    val sk = df.agg(Sketches.heavyHitters(col("v"), 32)).head().getStruct(0)
+    val keys = sk.getSeq[String](0)
+    val counts = sk.getSeq[Long](1)
+    val off = sk.getLong(2)
+    assert(off <= n / 33 + 1, s"off $off beyond N/(k+1)")
+    assert(keys.contains("h0") && keys.contains("h1"),
+      "keys above N/(k+1) must be present")
+    keys.indices.foreach { i =>
+      val t = truth(keys(i))
+      assert(counts(i) <= t && t <= counts(i) + off,
+        s"${keys(i)}: count ${counts(i)} truth $t off $off")
+    }
+  }
+
+  test("misra-gries merge: commutative, bounds survive any fold shape") {
+    // property-style: random sub-streams sketched independently, merged
+    // in several tree shapes; every shape must keep the MG bracket for
+    // every surviving key, and commutativity must be exact
+    val rnd = new scala.util.Random(7)
+    val k = 16
+    val streams = Seq.fill(6)(Seq.fill(800)(
+      if (rnd.nextInt(3) == 0) "hot" else s"c${rnd.nextInt(300)}"))
+    val truth = streams.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = streams.flatten.size
+    def sketch(s: Seq[String]) =
+      s.foldLeft((Vector.empty[String], Vector.empty[Long], 0L): Sketches.MgBuf)(
+        new Sketches.MisraGries(k).reduce)
+    val parts = streams.map(sketch)
+    def check(buf: Sketches.MgBuf, label: String): Unit = {
+      val (ks, cs, off) = buf
+      assert(off <= n / (k + 1), s"$label: off $off")
+      assert(ks.contains("hot"), s"$label: hot key lost")
+      ks.indices.foreach { i =>
+        val t = truth(ks(i))
+        assert(cs(i) <= t && t <= cs(i) + off, s"$label ${ks(i)}")
+      }
+    }
+    // left fold, right fold, pairwise tree
+    check(parts.reduceLeft(Sketches.mgMerge(_, _, k)), "left")
+    check(parts.reduceRight(Sketches.mgMerge(_, _, k)), "right")
+    check(parts.grouped(2).map(g => g.reduce(Sketches.mgMerge(_, _, k)))
+      .reduce(Sketches.mgMerge(_, _, k)), "tree")
+    // exact commutativity of one merge
+    val ab = Sketches.mgMerge(parts(0), parts(1), k)
+    val ba = Sketches.mgMerge(parts(1), parts(0), k)
+    assert(ab === ba, "merge must be commutative")
+  }
+
+  test("heavyHittersOrdered: deterministic, sorted, exact N") {
+    val df = spark.range(5000)
+      .select(concat(lit("t"), col("id") % 97).as("v")).repartition(8)
+    val a = Sketches.heavyHittersOrdered(df, "v", 32)
+    val b = Sketches.heavyHittersOrdered(df, "v", 32)
+    assert(a === b, "pid-ordered fold must replay byte-identically")
+    assert(a._3 === 5000L)
+    val e = a._1
+    assert(e === e.sortBy(h => (-h.count, h.key)), "hottest-first order")
+  }
+
   test("hll: registers bit-identical under different partitionings") {
     val df = spark.range(5000).select(
       (col("id") * 48271L % 2147483647L).as("h"))

@@ -32,6 +32,27 @@ class SkewSpec extends AnyFunSuite {
     assert(out === Seq((1L, Some("only")), (2L, None)))
   }
 
+  test("hotKeys surfaces every truly-hot key, never misses one") {
+    // 40% of rows on one key, 15% on another, tail uniform over 500 —
+    // the measured replacement for a-priori salting decisions
+    val rows = (0 until 10000).map { i =>
+      if (i % 10 < 4) "hot" else if (i % 20 >= 17) "warm" else s"c${i % 500}"
+    }
+    val df = rows.toDF("k").repartition(8)
+    val (hits, n) = Skew.hotKeys(df, "k", minShare = 0.10, k = 128)
+    assert(n === 10000L)
+    val keys = hits.map(_.key)
+    assert(keys.contains("hot") && keys.contains("warm"),
+      s"missed a truly-hot key in $keys")
+    // over-approximation is allowed but bounded: nothing in the cold
+    // tail can have upper bound >= 10% with k=128 (off <= N/129 < 1%)
+    assert(keys.forall(Set("hot", "warm")), s"cold keys flagged: $keys")
+    // guarantee precondition enforced loudly
+    val e = intercept[IllegalArgumentException](
+      Skew.hotKeys(df, "k", minShare = 0.001, k = 16))
+    assert(e.getMessage.contains("raise k"))
+  }
+
   test("saltedAgg count equals plain groupBy count") {
     val df = spark.range(10000)
       .select((col("id") % 3).as("k"), col("id").as("v"))
