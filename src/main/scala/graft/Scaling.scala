@@ -354,7 +354,7 @@ object Scaling {
     def rjHot(dir: String, saltBuckets: Int): DataFrame = {
       val ev = spark.read.parquet(s"$dir/events.parquet")
       val pts = ev.select(col("event_id").as("pid"),
-        when(col("event_id") % 10 === 0, pmod(col("event_id"), lit(100)))
+        when(col("event_id") % 5 === 0, pmod(col("event_id"), lit(100)))
           .otherwise(pmod(col("event_id") * 37, lit(1000000)))
           .cast("double").as("x"))
       // replica 0 only (synthesized replicas offset event_id by i*1e8):
@@ -366,8 +366,18 @@ object Scaling {
             .otherwise(pmod(col("event_id") * 91, lit(1000000)).cast("double"))
             .as("lo"))
         .withColumn("hi", col("lo") + 120.0)
+      // shuffle_hash hint: at fixture scale AQE would BROADCAST the small
+      // interval cohort, which already neutralizes bucket skew (points
+      // never shuffle). The 100 TB case this row measures is the
+      // interval side too big to broadcast — a shuffled join, where the
+      // hot bucket's candidates all meet in ONE reduce task. AQE's skew
+      // split does NOT rescue it there: its trigger is partition INPUT
+      // bytes (256MB and 5x median), and the hot bucket's input is a few
+      // MB — the explosion is in join OUTPUT rows, which only the salt
+      // spreads. The hint reproduces that physical shape honestly.
       graft.ops.RangeJoin
-        .pointInInterval(pts, "x", ivs, "lo", "hi", 100.0, saltBuckets)
+        .pointInInterval(pts, "x", ivs.hint("shuffle_hash"), "lo", "hi",
+          100.0, saltBuckets)
         .groupBy(col("iid")).agg(count(lit(1)).as("n_pts"))
     }
 
@@ -452,14 +462,14 @@ object Scaling {
       // q126's shape on a ~10k-node domain: edge volume scales with the
       // corpus, iteration count fixed — per-round join cost must grow
       // linearly in edges
-      // Bucketized range join under a PLANTED hot bucket: ~10% of points
-      // pile into bucket [0,100) and a fixed ~900-interval cohort covers
-      // it (intervals stay replica-0-only so candidate mass grows
-      // LINEARLY with points, not quadratically). Unsalted, every hot
-      // candidate pair meets in ONE reduce task — wall tracks the hot
-      // partition; salted (16), the same pairs fan out over 16 tasks —
-      // wall must track total candidates. Same result set by
-      // construction (RangeJoinSpec pins equality).
+      // Bucketized range join under a PLANTED hot bucket: 20% of points
+      // pile into bucket [0,100) and a fixed ~2.2k-interval cohort covers
+      // it (intervals stay replica-0-only so hot candidate mass grows
+      // LINEARLY with points: ~43M pairs at 1x, ~435M at 10x). Unsalted,
+      // every hot candidate pair meets in ONE reduce task — wall tracks
+      // the hot partition, serialized; salted (16), the same pairs fan
+      // out over 16 tasks — wall must track total candidates / cores.
+      // Same result set by construction (RangeJoinSpec pins equality).
       "rangejoin_hot" -> (dir => rjHot(dir, saltBuckets = 1)),
       "rangejoin_hot_salted" -> (dir => rjHot(dir, saltBuckets = 16)),
       "pagerank" -> (dir => {

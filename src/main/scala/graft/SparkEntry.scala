@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Warc, Wav}
+import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3312,6 +3312,52 @@ object SparkEntry {
             col("exact_cnt") <= col("est_low") + lit(off)).as("bound_ok"))
         .ordered(col("rank"))
     }),
+
+    // ---- Multimodal: REAL baseline TIFF raster decode -------------------
+    // The scanned-document/satellite staple the engine's EXIF IFD walk
+    // (q140) could READ but not decode: per doc, synthesize a baseline
+    // TIFF cycling pixel mode (gray8 / RGB888 / 1-bit bilevel), byte
+    // order (odd docs MM big-endian), coding (none vs PackBits) and
+    // strip layout (RowsPerStrip 1..4 — ragged last strips included),
+    // with WhiteIsZero on every 5th gray/bilevel doc (stored inverted,
+    // decode normalizes back — the round-trip TiffSpec pins byte-level).
+    // The REAL decoder runs everything: endian-tagged IFD walk, strip
+    // assembly, PackBits expansion, bit unpacking, photometric
+    // normalization. The oracle replays the closed-form pixels (q108
+    // discipline); same 100 TB posture — generation + decode in one
+    // mapPartitions pass, only fixed-width stats ride a shuffle.
+    "q143_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val wiz = id % 5 == 0
+            val mode: Tiff.Mode = (id % 3) match {
+              case 0 => Tiff.Gray8(wiz)
+              case 1 => Tiff.Rgb888
+              case _ => Tiff.Bilevel(wiz)
+            }
+            val pxl: (Int, Int, Int) => Int =
+              if (id % 3 == 2) (r, c, _) =>
+                if ((id + r + c) % 2 == 0) 255 else 0
+              else (r, c, k) => ((id + 3 * r + 5 * c + 11 * k) % 256).toInt
+            val payload = Tiff.encode(w, h, mode,
+              bigEndian = id % 2 == 1, packBits = id % 4 < 2,
+              rowsPerStrip = 1 + (id % 4).toInt, pxl)
+            Binary.MediaRow(id, payload, "image", "tiff")
+          }
+        }
+      Binary.decodeImage(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -6113,6 +6159,32 @@ object SparkEntry {
         |JOIN sz szb ON szb.source = p.src_b
         |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    // the closed-form TIFF pixels by flat index i over w*h*c: gray
+    // (mode 0) (id+3r+5c)%256, RGB (mode 1) adds 11k, bilevel (mode 2)
+    // is the (id+r+c) parity checkerboard at 0/255. WhiteIsZero docs
+    // store inverted bytes but decode normalizes back, so the oracle is
+    // photometric-free — the inversion is pinned byte-level in TiffSpec
+    "q143_tiff_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h,
+        |  doc_id % 3 AS mode,
+        |  CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END AS c
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h, c, mode, w*h*c AS n,
+        |  list_apply(range(w*h*c), i ->
+        |    CASE WHEN mode = 0 THEN (doc_id + 3*(i//w) + 5*(i%w)) % 256
+        |         WHEN mode = 1 THEN
+        |           (doc_id + 3*(i//(w*3)) + 5*((i%(w*3))//3) + 11*(i%3)) % 256
+        |         ELSE CASE WHEN (doc_id + i//w + i%w) % 2 = 0
+        |           THEN 255 ELSE 0 END END) AS px
+        |  FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_px,
+        |  FLOOR(CAST(list_sum(px) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
+        |  CAST(list_min(px) AS BIGINT) AS min_px,
+        |  CAST(list_max(px) AS BIGINT) AS max_px
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // the spliced orientation and the q108 dimension derivations, both
     // arithmetic; no-EXIF docs are 0 by the advisory-metadata contract

@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   *    chroma upsampling, YCbCr→RGB; q108's oracle replays the DC-only
   *    closed form). Every image operator routes through the
   *    container-dispatching [[decodeRaster]], so PNG and JPEG payloads
-  *    mix freely in one column. MJPEG AVI video rides the same decoder
+  *    mix freely in one column — joined by GIF ([[Gif.decode]]) and
+  *    baseline TIFF ([[Tiff.decode]] — both byte orders, strips,
+  *    bilevel/gray/RGB, none/PackBits; q143's oracle replays the
+  *    closed-form pixels). MJPEG AVI video rides the same decoder
   *    ([[Avi.decode]] with `biCompression='MJPG'` — intra-only, one
   *    baseline JPEG per frame; q109's oracle replays per-frame stats).
   *  - REAL, the crawl-ingest spine: gzip decompression ([[gunzipText]]
@@ -75,18 +78,19 @@ object Binary {
   /** Container-dispatching raster decode — the single entry every image
     * operator ([[decodeImage]], [[imageDhash]], [[imageResize]]) routes
     * through, so each operator is container-agnostic: PNG signature ->
-    * [[Png.decode]], JPEG SOI -> [[Jpeg.decode]], GIF -> [[Gif.decode]]
-    * (all REAL pixel decoders), anything else throws into the caller's
-    * poison contract. */
+    * [[Png.decode]], JPEG SOI -> [[Jpeg.decode]], GIF -> [[Gif.decode]],
+    * TIFF byte-order mark -> [[Tiff.decode]] (all REAL pixel decoders),
+    * anything else throws into the caller's poison contract. */
   private[multimodal] def decodeRaster(payload: Array[Byte]): Png.Image = {
-    require(payload != null && payload.length >= 3, "empty image payload")
+    require(payload != null && payload.length >= 4, "empty image payload")
     if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') Png.decode(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
       Jpeg.decode(payload)
     else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
       Gif.decode(payload)
+    else if (Tiff.isTiff(payload)) Tiff.decode(payload)
     else throw new IllegalArgumentException(
-      "unrecognized image container (PNG, baseline JPEG, GIF supported)")
+      "unrecognized image container (PNG, baseline JPEG, GIF, TIFF supported)")
   }
 
   /** Cheap columnar metadata — no decode needed, stays in codegen:
@@ -105,6 +109,7 @@ object Binary {
     when(h.startsWith("89504E47"), "image/png")
       .when(h.startsWith("FFD8FF"), "image/jpeg")
       .when(h.startsWith("47494638"), "image/gif")
+      .when(h.startsWith("49492A00") || h.startsWith("4D4D002A"), "image/tiff")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "audio/wav")
       .when(substring(h, 9, 8) === "66747970", "video/mp4")
       .when(h.startsWith("25504446"), "application/pdf")

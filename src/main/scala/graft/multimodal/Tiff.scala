@@ -1,0 +1,380 @@
+package graft.multimodal
+
+/** Pure-JVM baseline TIFF 6.0 codec — a REAL raster decoder (not a
+  * stub), plus the matching encoder used to synthesize fixtures. The
+  * engine already walked TIFF IFDs for EXIF metadata (Jpeg's APP1
+  * parser, q140); this module decodes the TIFF RASTERS crawl corpora
+  * actually contain. Baseline TIFF is public-spec and dependency-free:
+  * the container is an endian-tagged header + one IFD of (tag, type,
+  * count, value) entries, and the two baseline codings are raw bytes
+  * and PackBits run-length — both pure arithmetic, so this path carries
+  * no fake anywhere.
+  *
+  * SCOPE (TIFF 6.0 Part 1, the "Baseline TIFF" requirements): both byte
+  * orders (II little / MM big), strip organization with RowsPerStrip,
+  * bilevel (1-bit, §3), grayscale 8-bit (§4) and full-color RGB 8/8/8
+  * (§6); Compression 1 (none) and 32773 (PackBits, §9); Photometric 0
+  * (WhiteIsZero), 1 (BlackIsZero), 2 (RGB). Chunky planar config only
+  * (PlanarConfiguration 2, tiles, LZW, palette and 16-bit depths throw
+  * with a clear message — the q108/PNG scope discipline). WhiteIsZero
+  * data is normalized at decode (inverted) so downstream pixel stats
+  * read photometric-true intensities.
+  *
+  * Reference behavior modeled on the image-bytes columns of
+  * /root/reference/data_processing (multimodal payload plumbing); the
+  * codec itself follows the public TIFF 6.0 spec only.
+  *
+  * Poison posture (shared with Png/Jpeg/Gif): every read is
+  * bounds-checked, strip/IFD counts are capped, the raster allocation
+  * is capped by [[Png.MaxRasterBytes]] BEFORE allocation — a crafted
+  * header throws IllegalArgumentException into the caller's ok=false
+  * contract, never OOMs or hangs.
+  */
+object Tiff {
+
+  /** Cap on IFD entries and strips a payload may declare — far above any
+    * real baseline file, low enough that a crafted count cannot drive a
+    * large allocation or scan. */
+  val MaxIfdEntries = 512
+  val MaxStrips = 65536
+
+  def isTiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  // ---- bounds-checked endian reader -----------------------------------
+  private final class Rd(b: Array[Byte], le: Boolean) {
+    val len: Int = b.length
+    def u8(o: Long): Int = {
+      require(o >= 0 && o < len, s"TIFF: read past end at $o/$len")
+      b(o.toInt) & 0xff
+    }
+    def u16(o: Long): Int = {
+      require(o >= 0 && o + 2 <= len, s"TIFF: read past end at $o/$len")
+      val x = b(o.toInt) & 0xff; val y = b(o.toInt + 1) & 0xff
+      if (le) x | (y << 8) else (x << 8) | y
+    }
+    def u32(o: Long): Long = {
+      require(o >= 0 && o + 4 <= len, s"TIFF: read past end at $o/$len")
+      val p = o.toInt
+      val (a, c, d, e) = (b(p) & 0xffL, b(p + 1) & 0xffL,
+        b(p + 2) & 0xffL, b(p + 3) & 0xffL)
+      if (le) a | (c << 8) | (d << 16) | (e << 24)
+      else (a << 24) | (c << 16) | (d << 8) | e
+    }
+    def slice(o: Long, n: Long): Array[Byte] = {
+      require(o >= 0 && n >= 0 && o + n <= len,
+        s"TIFF: strip [$o,+$n) past end of $len-byte payload")
+      java.util.Arrays.copyOfRange(b, o.toInt, (o + n).toInt)
+    }
+  }
+
+  /** One parsed IFD entry's values, widened to Long. */
+  private def entryValues(rd: Rd, entryOff: Long): (Int, Seq[Long]) = {
+    val tag = rd.u16(entryOff)
+    val typ = rd.u16(entryOff + 2)
+    val count = rd.u32(entryOff + 4)
+    require(count <= MaxStrips, s"TIFF: tag $tag count $count over cap")
+    val elemSize = typ match {
+      case 1 => 1 // BYTE
+      case 3 => 2 // SHORT
+      case 4 => 4 // LONG
+      case _ => return (tag, Nil) // RATIONAL etc.: skip (not needed)
+    }
+    val total = elemSize * count
+    val base = if (total <= 4) entryOff + 8 else rd.u32(entryOff + 8)
+    val vals = (0L until count).map { i =>
+      typ match {
+        case 1 => rd.u8(base + i).toLong
+        case 3 => rd.u16(base + i * 2).toLong
+        case 4 => rd.u32(base + i * 4)
+      }
+    }
+    (tag, vals)
+  }
+
+  /** PackBits (TIFF §9): n in [0,127] copies n+1 literals; n in
+    * [-127,-1] repeats the next byte 1-n times; -128 is a no-op. Output
+    * is exactly `expected` bytes or the payload is malformed. */
+  private[multimodal] def packBitsDecode(src: Array[Byte],
+                                         expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0; var o = 0
+    while (o < expected) {
+      require(i < src.length, "TIFF PackBits: truncated stream")
+      val n = src(i); i += 1
+      if (n >= 0) {
+        val run = n + 1
+        require(i + run <= src.length && o + run <= expected,
+          "TIFF PackBits: literal run past end")
+        System.arraycopy(src, i, out, o, run)
+        i += run; o += run
+      } else if (n != -128) {
+        val run = 1 - n
+        require(i < src.length && o + run <= expected,
+          "TIFF PackBits: repeat run past end")
+        java.util.Arrays.fill(out, o, o + run, src(i))
+        i += 1; o += run
+      }
+    }
+    out
+  }
+
+  /** Decode a baseline TIFF payload to the engine's raster form
+    * (row-major interleaved, WhiteIsZero normalized to intensity). */
+  def decode(payload: Array[Byte]): Png.Image = {
+    require(payload != null && payload.length >= 8, "TIFF: payload too short")
+    val le =
+      if (payload(0) == 'I' && payload(1) == 'I') true
+      else if (payload(0) == 'M' && payload(1) == 'M') false
+      else throw new IllegalArgumentException("TIFF: bad byte-order mark")
+    val rd = new Rd(payload, le)
+    require(rd.u16(2) == 42, "TIFF: bad magic (expected 42)")
+    val ifdOff = rd.u32(4)
+    val n = rd.u16(ifdOff)
+    require(n >= 1 && n <= MaxIfdEntries, s"TIFF: IFD entry count $n")
+    val tags: Map[Int, Seq[Long]] =
+      (0 until n).map(i => entryValues(rd, ifdOff + 2 + 12L * i)).toMap
+    def one(tag: Int, default: => Long): Long =
+      tags.get(tag).flatMap(_.headOption).getOrElse(default)
+    def req(tag: Int, name: String): Seq[Long] =
+      tags.getOrElse(tag,
+        throw new IllegalArgumentException(s"TIFF: missing $name tag $tag"))
+
+    val width = req(256, "ImageWidth").head
+    val height = req(257, "ImageLength").head
+    require(width >= 1 && height >= 1 && width <= (1 << 20) &&
+      height <= (1 << 20), s"TIFF: bad dimensions ${width}x$height")
+    val samples = one(277, 1L).toInt
+    val bits = tags.getOrElse(258, Seq(1L))
+    val photometric = one(262, -1L).toInt
+    val compression = one(259, 1L).toInt
+    val planar = one(284, 1L).toInt
+    require(planar == 1,
+      "TIFF: PlanarConfiguration 2 (planar) not supported — baseline is chunky")
+    require(compression == 1 || compression == 32773,
+      s"TIFF: compression $compression not supported (none/PackBits only)")
+    val channels = photometric match {
+      case 0 | 1 =>
+        require(samples == 1, s"TIFF: $samples samples for gray/bilevel")
+        require(bits == Seq(1L) || bits == Seq(8L),
+          s"TIFF: bits ${bits.mkString(",")} unsupported (1 or 8)")
+        1
+      case 2 =>
+        require(samples == 3, s"TIFF: RGB needs 3 samples, got $samples")
+        require(bits == Seq(8L, 8L, 8L),
+          s"TIFF: RGB bits ${bits.mkString(",")} unsupported (8,8,8)")
+        3
+      case p => throw new IllegalArgumentException(
+        s"TIFF: photometric $p unsupported (WhiteIsZero/BlackIsZero/RGB)")
+    }
+    val bitDepth = bits.head.toInt
+    require(width * height * channels <= Png.MaxRasterBytes,
+      s"TIFF: raster ${width}x$height x$channels over cap")
+
+    val rowsPerStrip = one(278, 0xffffffffL) min height
+    val stripOffsets = req(273, "StripOffsets")
+    val stripCounts = req(279, "StripByteCounts")
+    val nStrips = ((height + rowsPerStrip - 1) / rowsPerStrip).toInt
+    require(stripOffsets.size == nStrips && stripCounts.size == nStrips,
+      s"TIFF: $nStrips strips expected, " +
+        s"${stripOffsets.size} offsets / ${stripCounts.size} counts")
+
+    val rowBytes = ((width * samples * bitDepth + 7) / 8).toInt
+    val w = width.toInt; val h = height.toInt
+    val pixels = new Array[Byte](w * h * channels)
+    var row = 0
+    (0 until nStrips).foreach { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip).toInt
+      val expected = rows * rowBytes
+      val raw = rd.slice(stripOffsets(s), stripCounts(s))
+      val data =
+        if (compression == 32773) packBitsDecode(raw, expected)
+        else {
+          require(raw.length >= expected,
+            s"TIFF: strip $s has ${raw.length} bytes, needs $expected")
+          raw
+        }
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        if (bitDepth == 8) {
+          val src = r * rowBytes
+          val dst = row * w * channels
+          System.arraycopy(data, src, pixels, dst, w * channels)
+          if (photometric == 0) { // WhiteIsZero: normalize to intensity
+            var i = dst
+            while (i < dst + w * channels) {
+              pixels(i) = (255 - (pixels(i) & 0xff)).toByte; i += 1
+            }
+          }
+        } else { // bilevel, MSB-first (FillOrder 1)
+          while (c < w) {
+            val bit = (data(r * rowBytes + (c >> 3)) >> (7 - (c & 7))) & 1
+            val v = if (photometric == 0) (if (bit == 0) 255 else 0)
+                    else (if (bit == 1) 255 else 0)
+            pixels(row * w + c) = v.toByte
+            c += 1
+          }
+        }
+        row += 1; r += 1
+      }
+    }
+    Png.Image(w, h, channels, pixels)
+  }
+
+  // ---- fixture encoder -------------------------------------------------
+
+  /** Pixel layouts the fixture encoder writes. */
+  sealed trait Mode { def samples: Int; def bits: Seq[Int]; def photometric: Int }
+  /** 8-bit grayscale; `whiteIsZero` stores inverted values (the decoder
+    * normalizes back, so pixel(r,c) round-trips as written). */
+  final case class Gray8(whiteIsZero: Boolean = false) extends Mode {
+    val samples = 1; val bits = Seq(8)
+    val photometric = if (whiteIsZero) 0 else 1
+  }
+  final case object Rgb888 extends Mode {
+    val samples = 3; val bits = Seq(8, 8, 8); val photometric = 2
+  }
+  /** 1-bit bilevel; `pixel` values are intensities 0/255 and are mapped
+    * to bits per the photometric. */
+  final case class Bilevel(whiteIsZero: Boolean = false) extends Mode {
+    val samples = 1; val bits = Seq(1)
+    val photometric = if (whiteIsZero) 0 else 1
+  }
+
+  /** PackBits encoder: runs of >= 2 equal bytes become repeat packets,
+    * everything else literal packets (both capped at 128). */
+  private[multimodal] def packBitsEncode(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < row.length) {
+      var run = 1
+      while (i + run < row.length && row(i + run) == row(i) && run < 128)
+        run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(row(i)); i += run
+      } else {
+        var lit = 1
+        while (i + lit < row.length && lit < 128 &&
+          !(i + lit + 1 < row.length && row(i + lit + 1) == row(i + lit)))
+          lit += 1
+        out.write(lit - 1)
+        out.write(row, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Synthesize a baseline TIFF: `pixel(r, c, k)` returns the intensity
+    * (0..255) of sample k. Strips respect `rowsPerStrip`; PackBits
+    * compresses each row separately (the spec's row-boundary rule). */
+  def encode(width: Int, height: Int, mode: Mode, bigEndian: Boolean,
+             packBits: Boolean, rowsPerStrip: Int,
+             pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && rowsPerStrip >= 1)
+    val rowBytes = (width * mode.samples * mode.bits.head + 7) / 8
+    def rowData(r: Int): Array[Byte] = {
+      val row = new Array[Byte](rowBytes)
+      if (mode.bits.head == 8) {
+        var c = 0
+        while (c < width) {
+          var k = 0
+          while (k < mode.samples) {
+            val v = pixel(r, c, k) & 0xff
+            row(c * mode.samples + k) =
+              (if (mode.photometric == 0) 255 - v else v).toByte
+            k += 1
+          }
+          c += 1
+        }
+      } else {
+        var c = 0
+        while (c < width) {
+          val intensity = pixel(r, c, 0) & 0xff
+          val bit = mode.photometric match {
+            case 0 => if (intensity >= 128) 0 else 1 // WhiteIsZero
+            case _ => if (intensity >= 128) 1 else 0 // BlackIsZero
+          }
+          if (bit == 1) row(c >> 3) = (row(c >> 3) | (1 << (7 - (c & 7)))).toByte
+          c += 1
+        }
+      }
+      row
+    }
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = (0 until rows).map(r => rowData(s * rowsPerStrip + r))
+      if (packBits) raw.map(packBitsEncode).reduce(_ ++ _)
+      else raw.reduce(_ ++ _)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write(v >> 8); out.write(v) }
+      else { out.write(v); out.write(v >> 8) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { out.write((v >> 24).toInt); out.write((v >> 16).toInt)
+        out.write((v >> 8).toInt); out.write(v.toInt) }
+      else { out.write(v.toInt); out.write((v >> 8).toInt)
+        out.write((v >> 16).toInt); out.write((v >> 24).toInt) }
+
+    // layout: header(8) | IFD | [bits array >2 shorts] [strip arrays] | data
+    val entries = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Int, Long, Either[Long, Int])] // tag, type, count, inline | arrayId
+    // arrayId: 0 = bitsPerSample shorts, 1 = stripOffsets, 2 = stripCounts
+    entries += ((256, 4, 1L, Left(width.toLong)))
+    entries += ((257, 4, 1L, Left(height.toLong)))
+    if (mode.samples == 1)
+      entries += ((258, 3, 1L, Left(mode.bits.head.toLong)))
+    else entries += ((258, 3, 3L, Right(0)))
+    entries += ((259, 3, 1L, Left(if (packBits) 32773L else 1L)))
+    entries += ((262, 3, 1L, Left(mode.photometric.toLong)))
+    if (nStrips == 1) entries += ((273, 4, 1L, Left(-1L))) // patched below
+    else entries += ((273, 4, nStrips.toLong, Right(1)))
+    entries += ((277, 3, 1L, Left(mode.samples.toLong)))
+    entries += ((278, 4, 1L, Left(rowsPerStrip.toLong)))
+    if (nStrips == 1)
+      entries += ((279, 4, 1L, Left(strips.head.length.toLong)))
+    else entries += ((279, 4, nStrips.toLong, Right(2)))
+
+    val ifdSize = 2 + entries.size * 12 + 4
+    var cursor = 8L + ifdSize
+    val bitsArrOff = cursor
+    if (mode.samples == 3) cursor += 6
+    val stripOffArr = cursor
+    if (nStrips > 1) cursor += 4L * nStrips
+    val stripCntArr = cursor
+    if (nStrips > 1) cursor += 4L * nStrips
+    val dataStart = cursor
+    val stripStarts = strips.scanLeft(dataStart)(_ + _.length).init
+
+    val mark = if (bigEndian) 'M' else 'I'
+    out.write(mark); out.write(mark)
+    w16(42)
+    w32(8L)
+    w16(entries.size)
+    entries.sortBy(_._1).foreach { case (tag, typ, count, v) =>
+      w16(tag); w16(typ); w32(count)
+      v match {
+        case Left(inline) =>
+          val patched = if (tag == 273 && inline == -1L) dataStart else inline
+          if (typ == 3) { w16(patched.toInt); w16(0) } else w32(patched)
+        case Right(0) => w32(bitsArrOff)
+        case Right(1) => w32(stripOffArr)
+        case Right(_) => w32(stripCntArr)
+      }
+    }
+    w32(0L) // no next IFD
+    if (mode.samples == 3) { w16(8); w16(8); w16(8) }
+    if (nStrips > 1) {
+      stripStarts.foreach(w32)
+      strips.foreach(s => w32(s.length.toLong))
+    }
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+}

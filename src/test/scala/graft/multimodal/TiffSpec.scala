@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline TIFF codec: encode∘decode round-trips across both byte
+  * orders, all three baseline pixel modes, both codings and strip
+  * layouts; WhiteIsZero normalizes; poison payloads throw fast. */
+class TiffSpec extends AnyFunSuite {
+
+  private def px(id: Int)(r: Int, c: Int, k: Int): Int =
+    (id + 3 * r + 5 * c + 11 * k) % 256
+
+  test("gray8 round-trips: byte orders x compression x strip layouts") {
+    for {
+      be <- Seq(false, true)
+      pb <- Seq(false, true)
+      rps <- Seq(1, 3, 100) // multi-strip, ragged last strip, single strip
+    } {
+      val bytes = Tiff.encode(13, 7, Tiff.Gray8(), be, pb, rps, px(5))
+      assert(Tiff.isTiff(bytes))
+      val img = Tiff.decode(bytes)
+      assert(img.width === 13 && img.height === 7 && img.channels === 1)
+      for (r <- 0 until 7; c <- 0 until 13)
+        assert((img.pixels(r * 13 + c) & 0xff) === px(5)(r, c, 0),
+          s"($r,$c) be=$be pb=$pb rps=$rps")
+    }
+  }
+
+  test("rgb888 round-trips interleaved") {
+    for (be <- Seq(false, true); pb <- Seq(false, true)) {
+      val img = Tiff.decode(Tiff.encode(9, 5, Tiff.Rgb888, be, pb, 2, px(17)))
+      assert(img.channels === 3)
+      for (r <- 0 until 5; c <- 0 until 9; k <- 0 until 3)
+        assert((img.pixels((r * 9 + c) * 3 + k) & 0xff) === px(17)(r, c, k))
+    }
+  }
+
+  test("whiteIsZero stores inverted, decodes back to true intensity") {
+    val bytes = Tiff.encode(6, 4, Tiff.Gray8(whiteIsZero = true),
+      bigEndian = false, packBits = false, rowsPerStrip = 4, px(9))
+    val img = Tiff.decode(bytes)
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert((img.pixels(r * 6 + c) & 0xff) === px(9)(r, c, 0))
+    // the stored strip bytes really are inverted (not a no-op pair)
+    val stored = bytes.takeRight(24)
+    assert(stored.exists(b => (b & 0xff) != px(9)(0, 0, 0)))
+  }
+
+  test("bilevel packs MSB-first bits, honors both photometrics") {
+    def bit(r: Int, c: Int, k: Int): Int = if ((r + c) % 2 == 0) 255 else 0
+    for (wiz <- Seq(false, true); pb <- Seq(false, true)) {
+      val img = Tiff.decode(Tiff.encode(11, 6, Tiff.Bilevel(wiz),
+        bigEndian = wiz, packBits = pb, rowsPerStrip = 2, bit))
+      assert(img.channels === 1)
+      for (r <- 0 until 6; c <- 0 until 11)
+        assert((img.pixels(r * 11 + c) & 0xff) === bit(r, c, 0),
+          s"($r,$c) wiz=$wiz pb=$pb")
+    }
+  }
+
+  test("packBits: spec vectors and row round-trips") {
+    // repeat packet: -3 means 4 copies
+    assert(Tiff.packBitsDecode(Array[Byte](-3, 42), 4).toSeq
+      === Seq[Byte](42, 42, 42, 42))
+    // literal packet: 2 means copy 3
+    assert(Tiff.packBitsDecode(Array[Byte](2, 1, 2, 3), 3).toSeq
+      === Seq[Byte](1, 2, 3))
+    // -128 is a no-op
+    assert(Tiff.packBitsDecode(Array[Byte](-128, 0, 7), 1).toSeq
+      === Seq[Byte](7))
+    val rnd = new scala.util.Random(3)
+    (0 until 50).foreach { i =>
+      val row = Array.fill(1 + rnd.nextInt(400))(
+        (rnd.nextInt(if (i % 2 == 0) 3 else 256)).toByte) // runs + noise
+      val rt = Tiff.packBitsDecode(Tiff.packBitsEncode(row), row.length)
+      assert(rt.toSeq === row.toSeq, s"case $i")
+    }
+    // truncated stream fails loudly, never loops
+    intercept[IllegalArgumentException](
+      Tiff.packBitsDecode(Array[Byte](5, 1), 6))
+  }
+
+  test("poison payloads throw fast: truncation, bad fields, crafted dims") {
+    val good = Tiff.encode(8, 8, Tiff.Gray8(), bigEndian = false,
+      packBits = false, rowsPerStrip = 8, px(1))
+    // every truncation of a valid file must throw, not hang or OOM
+    Seq(0, 3, 7, 9, 20, good.length - 1).foreach { n =>
+      intercept[IllegalArgumentException](Tiff.decode(good.take(n)))
+    }
+    intercept[IllegalArgumentException](
+      Tiff.decode("NOPE".getBytes ++ good.drop(4)))
+    // dimension bomb: width*height over the raster cap must throw BEFORE
+    // allocating — flip the width field (offset of tag 256's value)
+    val bomb = good.clone()
+    val rd = (o: Int) => bomb(o) & 0xff
+    // find tag 256 entry: IFD at 8, entries from 10
+    val nEnt = rd(8) | (rd(9) << 8)
+    val e = (0 until nEnt).map(i => 10 + 12 * i)
+      .find(o => (rd(o) | (rd(o + 1) << 8)) == 256).get
+    bomb(e + 8) = 0xff.toByte; bomb(e + 9) = 0xff.toByte
+    bomb(e + 10) = 0xff.toByte; bomb(e + 11) = 0x7f.toByte
+    graft.TestSpark.timed(5000)(
+      intercept[IllegalArgumentException](Tiff.decode(bomb)))
+  }
+
+  test("byte-flip fuzz: decode() always terminates with decode-or-throw") {
+    val base = Tiff.encode(10, 9, Tiff.Rgb888, bigEndian = true,
+      packBits = true, rowsPerStrip = 4, px(23))
+    val rnd = new scala.util.Random(11)
+    graft.TestSpark.timed(30000) {
+      (0 until 300).foreach { _ =>
+        val b = base.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        try { val _ = Tiff.decode(b) }
+        catch { case _: IllegalArgumentException | _: RuntimeException => () }
+      }
+    }
+  }
+}
