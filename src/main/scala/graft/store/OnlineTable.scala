@@ -1,132 +1,279 @@
 package graft.store
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Versioned online-table layout with an atomic current-version pointer —
-  * the object-store-safe replacement for directory-rename swaps (which are
-  * neither atomic nor portable off a local filesystem: `java.io.File`
-  * cannot address HDFS/S3, and S3 has no atomic directory rename at all).
+/** Versioned online-table layout with an optimistic-concurrency commit
+  * log — the object-store-safe replacement for directory-rename swaps
+  * (which are neither atomic nor portable off a local filesystem:
+  * `java.io.File` cannot address HDFS/S3, and S3 has no atomic
+  * directory rename at all).
   *
   * Layout under `root`:
   * {{{
-  *   root/_CURRENT          <- text file naming the live version dir
-  *   root/v-<version>/      <- immutable, fully-written parquet snapshots
+  *   root/_commits/c-<seq>   <- the POINTER LOG: one file per commit,
+  *                              created EXCLUSIVELY, naming the version
+  *   root/_CURRENT           <- cache of the log head (legacy readers)
+  *   root/v-<version>/       <- immutable, fully-written parquet snapshots
   * }}}
   *
-  * A publish writes a NEW version directory to completion, then flips
-  * `_CURRENT` via `FileContext.rename(..., Options.Rename.OVERWRITE)` — a
-  * single-FILE rename, atomic on posix and HDFS; on S3 the equivalent
-  * single-object PUT is atomic per object. Readers resolve `_CURRENT` then
-  * scan an immutable directory, so they can never observe a half-written
-  * table; a reader holding the previous version keeps working because the
-  * previous snapshot is retained for one publish cycle (older ones are
-  * garbage-collected). A writer crash before the flip leaves only an
-  * unreferenced version dir, collected by the next successful publish.
+  * A publish writes a NEW version directory to completion, then commits
+  * by creating `_commits/c-<head+1>` with `overwrite=false` — an
+  * EXCLUSIVE create (atomic on posix and HDFS; on an object store the
+  * equivalent is a conditional PUT, e.g. S3 If-None-Match). Two
+  * concurrent publishers that both read head N both target `c-<N+1>`;
+  * the filesystem admits exactly ONE — the loser observes the collision
+  * and either retries against the new head ([[publish]]) or surfaces
+  * [[ConcurrentPublishException]] ([[publishIf]], the compare-and-set
+  * form: commit only if the live version still equals what the caller
+  * read). This is the multi-writer optimistic-concurrency core of the
+  * transactional table formats (Delta's `_delta_log/<n>.json` exclusive
+  * create is the same protocol).
   *
-  * This is the manifest-pointer core of the transactional table formats
-  * (Delta/Iceberg keep a log of such pointers); single-writer,
-  * multi-reader — the online-store materialization topology.
+  * Readers resolve the log head then scan an immutable directory, so
+  * they can never observe a half-written table; a reader holding the
+  * previous version keeps working because the previous snapshot is
+  * retained for one publish cycle (older ones are garbage-collected).
+  * A writer crash before the commit leaves only an unreferenced version
+  * dir, collected by the first successful publish after it ages past
+  * [[OrphanGraceMs]]; a crash AFTER the
+  * commit but before the `_CURRENT` cache flip is healed because the
+  * log, not the cache, is authoritative.
   */
 object OnlineTable {
 
   private val CurrentFile = "_CURRENT"
+  private val CommitDir = "_commits"
+  private val PublishRetries = 100
 
-  /** Publish `df` as the new live snapshot of the table at `root`,
-    * retaining the newest `keepVersions` referenced snapshots (>= 2: the
-    * new one plus at least the previous for in-flight readers). Larger
-    * values give time-travel depth — [[readVersion]] can read any retained
-    * snapshot, the same pointer-log idea Delta/Iceberg build their history
-    * on. */
-  def publish(df: DataFrame, root: String, keepVersions: Int = 2): Unit = {
-    require(keepVersions >= 2, "keepVersions must be >= 2")
-    val spark = df.sparkSession
-    val hconf = spark.sessionState.newHadoopConf()
+  /** Grace window before an UNCOMMITTED version dir is collected: a
+    * concurrent publisher that has fully written its snapshot but not
+    * yet won its commit must not have the dir swept from under its
+    * commit (the torn-snapshot race). Committed-but-superseded
+    * snapshots need no grace — the log proves no commit can ever
+    * reference them again. Crashed/lost-race orphans are collected by
+    * the first successful publish after they age past this window. */
+  val OrphanGraceMs: Long = 3600L * 1000
+
+  /** The optimistic check failed: another publisher committed between
+    * the caller's read of the live version and its commit attempt. */
+  final case class ConcurrentPublishException(
+      expected: Option[String], actual: Option[String])
+    extends RuntimeException(
+      s"concurrent publish: expected live version $expected, log head is $actual")
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val rootPath = new Path(root)
-    val fc = FileContext.getFileContext(rootPath.toUri, hconf)
-    val fs = rootPath.getFileSystem(hconf)
-    val referenced = listVersions(spark, root).toSet ++ currentVersion(spark, root)
+    (rootPath.getFileSystem(spark.sessionState.newHadoopConf()), rootPath)
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, buf)
+      buf.toString("UTF-8").trim
+    } finally in.close()
+  }
+
+  /** Retained commit-log entries, seq-ascending. */
+  private def logEntries(fs: FileSystem, rootPath: Path): Seq[(Long, String)] = {
+    val dir = new Path(rootPath, CommitDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("c-"))
+      .map(st => (st.getPath.getName.stripPrefix("c-").toLong,
+        readSmall(fs, st.getPath)))
+      .sortBy(_._1)
+  }
+
+  /** Log head (seq, version): the commit log if present, else the
+    * legacy pointer file at synthetic seq 0. */
+  private def head(fs: FileSystem, rootPath: Path): Option[(Long, String)] =
+    logEntries(fs, rootPath).lastOption.orElse {
+      val ptr = new Path(rootPath, CurrentFile)
+      if (fs.exists(ptr)) Some((0L, readSmall(fs, ptr))) else None
+    }
+
+  /** One exclusive-create commit attempt at `seq`; false on collision. */
+  private def tryCommit(fs: FileSystem, rootPath: Path, seq: Long,
+                        version: String): Boolean = {
+    val dir = new Path(rootPath, CommitDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val p = new Path(dir, f"c-$seq%012d")
+    try {
+      val out = fs.create(p, false) // overwrite=false: EXCLUSIVE
+      try out.write(version.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.FileNotFoundException => false
+      case e: java.io.IOException
+        if e.getMessage != null && e.getMessage.contains("exist") => false
+    }
+  }
+
+  /** Write `df` as a fresh immutable version dir; returns its name. */
+  private def writeVersion(df: DataFrame, rootPath: Path,
+                           fs: FileSystem): String = {
     // strictly-increasing timestamps so version names always sort in
-    // publish order even for sub-millisecond back-to-back publishes
-    val prevTs = referenced.toSeq.sorted.lastOption
-      .map(_.stripPrefix("v-").take(13).toLong).getOrElse(0L)
+    // creation order even for sub-millisecond back-to-back publishes
+    // (ORDER is defined by the log; the names are for debuggability)
+    val prevTs =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq else Nil)
+        .map(_.getPath.getName).filter(_.startsWith("v-"))
+        .sorted.lastOption
+        .flatMap(n => scala.util.Try(n.stripPrefix("v-").take(13).toLong).toOption)
+        .getOrElse(0L)
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val version = f"v-$ts%013d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists")
       .parquet(new Path(rootPath, version).toString)
-    // flip the pointer: write-temp + atomic overwrite-rename of one file
+    version
+  }
+
+  /** Post-commit bookkeeping: flip the `_CURRENT` cache, retain the
+    * newest `keepVersions` committed snapshots, drop orphans and stale
+    * commit files, collect superseded legacy part-files. */
+  private def finalizeCommit(spark: SparkSession, fs: FileSystem,
+                             rootPath: Path, version: String,
+                             keepVersions: Int,
+                             hadLogBefore: Boolean): Unit = {
+    val fc = FileContext.getFileContext(rootPath.toUri,
+      spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, s".$CurrentFile.$version.tmp")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
-    // GC: version names sort by publish time; keep the newest keepVersions
-    // REFERENCED snapshots (a crashed publish's orphan was never
-    // referenced, so it is dropped regardless of age)
-    val keep = (referenced + version).toSeq.sorted.takeRight(keepVersions).toSet
+    // GC: the log defines commit order; keep the newest keepVersions
+    // committed snapshots (a crashed publish's orphan was never
+    // committed, so it is dropped regardless of age)
+    val entries = logEntries(fs, rootPath)
+    val keepEntries = entries.takeRight(keepVersions)
+    val keep = keepEntries.map(_._2).toSet
+    val committed = entries.map(_._2).toSet
+    val now = System.currentTimeMillis()
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v-") && !keep.contains(name))
-        fs.delete(st.getPath, true)
+      if (st.isDirectory && name.startsWith("v-") && !keep.contains(name)) {
+        // superseded committed snapshots go immediately (the log proves
+        // no future commit can reference them); an UNCOMMITTED dir may
+        // be a concurrent publisher mid-commit — only collect it once
+        // it ages past the in-flight grace window
+        if (committed.contains(name) ||
+            now - st.getModificationTime > OrphanGraceMs)
+          fs.delete(st.getPath, true)
+      }
+    }
+    entries.dropRight(keepVersions).foreach { case (seq, _) =>
+      fs.delete(new Path(new Path(rootPath, CommitDir), f"c-$seq%012d"), false)
     }
     // legacy migration tail: plain part-files written by a pre-versioning
-    // writer served as the live snapshot until the FIRST versioned publish
-    // (whose merge read them via read()); like any superseded snapshot
-    // they are retained one publish cycle for in-flight readers, then
-    // collected here on the next publish
-    if (referenced.nonEmpty)
+    // writer served as the live snapshot until the FIRST commit (whose
+    // merge read them via read()); like any superseded snapshot they are
+    // retained one publish cycle for in-flight readers, then collected
+    if (hadLogBefore)
       legacyFiles(fs, rootPath).foreach(p => fs.delete(p, false))
   }
 
+  /** If the table predates the commit log (pointer file only), backfill
+    * its pointer as seq 0 so the log is complete before CAS commits
+    * race above it. Collision-safe: concurrent backfills write identical
+    * content, and the exclusive create admits one. */
+  private def backfillLegacyPointer(fs: FileSystem, rootPath: Path): Unit = {
+    val ptr = new Path(rootPath, CurrentFile)
+    if (logEntries(fs, rootPath).isEmpty && fs.exists(ptr))
+      tryCommit(fs, rootPath, 0L, readSmall(fs, ptr))
+  }
+
+  /** Publish `df` as the new live snapshot of the table at `root`,
+    * retaining the newest `keepVersions` committed snapshots (>= 2: the
+    * new one plus at least the previous for in-flight readers). Larger
+    * values give time-travel depth — [[readVersion]] can read any
+    * retained snapshot. Concurrent publishers are safe: commit
+    * collisions retry against the new head, so every publisher lands in
+    * the log exactly once, in commit order. */
+  def publish(df: DataFrame, root: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    backfillLegacyPointer(fs, rootPath)
+    val hadLog = head(fs, rootPath).isDefined
+    val version = writeVersion(df, rootPath, fs)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      require(attempt <= PublishRetries,
+        s"publish: $PublishRetries commit collisions at $root — " +
+          "pathological contention or a filesystem without exclusive create")
+      val seq = head(fs, rootPath).map(_._1).getOrElse(0L) + 1L
+      committed = tryCommit(fs, rootPath, seq, version)
+    }
+    finalizeCommit(spark, fs, rootPath, version, keepVersions, hadLog)
+  }
+
+  /** Compare-and-set publish: commit ONLY if the live version is still
+    * `expected` (None = the table has never been published) at commit
+    * time — the optimistic-concurrency form for read-modify-write
+    * publishers (read snapshot + expected version, derive, publishIf).
+    * On a lost race the fully-written version dir is left UNCOMMITTED
+    * (invisible to every reader, collected by the next successful
+    * publish) and [[ConcurrentPublishException]] carries the new head
+    * so the caller can re-derive and retry. */
+  def publishIf(df: DataFrame, root: String, expected: Option[String],
+                keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    backfillLegacyPointer(fs, rootPath)
+    val h0 = head(fs, rootPath)
+    if (h0.map(_._2) != expected)
+      throw ConcurrentPublishException(expected, h0.map(_._2))
+    val version = writeVersion(df, rootPath, fs)
+    val seq = h0.map(_._1).getOrElse(0L) + 1L
+    if (!tryCommit(fs, rootPath, seq, version)) {
+      // someone took our seq: the expectation is stale by definition
+      throw ConcurrentPublishException(expected,
+        head(fs, rootPath).map(_._2))
+    }
+    finalizeCommit(spark, fs, rootPath, version, keepVersions,
+      hadLogBefore = h0.isDefined)
+  }
+
   /** Data files of a pre-versioning (plain parquet dir) online table. */
-  private def legacyFiles(fs: org.apache.hadoop.fs.FileSystem,
-                          rootPath: Path): Seq[Path] =
+  private def legacyFiles(fs: FileSystem, rootPath: Path): Seq[Path] =
     if (!fs.exists(rootPath)) Nil
     else fs.listStatus(rootPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath)
 
-  /** Retained snapshot versions, oldest first (current is last). A version
-    * dir counts only if the pointer references or once referenced it —
-    * orphans from crashed publishes are excluded by GC at publish time, so
-    * listing the retained dirs is authoritative between publishes. */
+  /** Retained snapshot versions in COMMIT order, oldest first (current
+    * is last) — read straight off the log, so orphans from crashed or
+    * lost-race publishes never appear. */
   def listVersions(spark: SparkSession, root: String): Seq[String] = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(hconf)
-    currentVersion(spark, root) match {
-      case None => Nil
-      case Some(cur) =>
-        fs.listStatus(rootPath).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
-          .map(_.getPath.getName)
-          .filter(_ <= cur) // never expose a not-yet-referenced in-flight dir
-          .sorted
-    }
+    val (fs, rootPath) = fsOf(spark, root)
+    val logged = logEntries(fs, rootPath).map(_._2)
+    val all =
+      if (logged.nonEmpty) logged
+      else head(fs, rootPath).map(_._2).toSeq // legacy pointer table
+    all.filter(v => fs.exists(new Path(rootPath, v)))
   }
 
   /** Time-travel read of a retained snapshot (see [[listVersions]]). */
   def readVersion(spark: SparkSession, root: String, version: String): DataFrame =
     spark.read.parquet(new Path(new Path(root), version).toString)
 
-  /** The live version dir name, if the table has ever been published. */
+  /** The live version name, if the table has ever been published. The
+    * COMMIT LOG is authoritative; the `_CURRENT` pointer only serves
+    * tables that predate the log (and debugging eyes). */
   def currentVersion(spark: SparkSession, root: String): Option[String] = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(hconf)
-    val ptr = new Path(rootPath, CurrentFile)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.commons.io.IOUtils.copy(in, buf)
-        Some(buf.toString("UTF-8").trim)
-      } finally in.close()
-    }
+    val (fs, rootPath) = fsOf(spark, root)
+    head(fs, rootPath).map(_._2)
   }
 
   /** Read the live snapshot. A plain-parquet dir written by a
-    * pre-versioning writer (no `_CURRENT` pointer) is served as the live
+    * pre-versioning writer (no pointer, no log) is served as the live
     * snapshot so an upgrade never silently drops previously materialized
     * entities; the first publish merges and supersedes it. Empty option
     * only if nothing was ever written. */
@@ -135,8 +282,7 @@ object OnlineTable {
       case Some(v) =>
         Some(spark.read.parquet(new Path(new Path(root), v).toString))
       case None =>
-        val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val (fs, rootPath) = fsOf(spark, root)
         val legacy = legacyFiles(fs, rootPath)
         if (legacy.isEmpty) None
         // explicit file list: the root may also hold v- dirs from a

@@ -34,19 +34,118 @@ class OnlineTableSpec extends AnyFunSuite {
     assert(versions(root) === Set(v2, v3))
   }
 
-  test("a crashed publish (orphan version dir, pointer untouched) is invisible and collected") {
+  test("a crashed publish (orphan version dir, log untouched) is invisible and collected") {
     val root = java.nio.file.Files.createTempDirectory("ot2").toString + "/t"
     OnlineTable.publish(Seq((1L, "live")).toDF("k", "v"), root)
     val live = OnlineTable.currentVersion(spark, root).get
-    // simulate a writer that died after writing data but before the flip
+    // simulate a writer that died after writing data but before the commit
     Seq((1L, "orphan")).toDF("k", "v")
       .write.parquet(s"$root/v-9999999999999-deadbeef")
     assert(OnlineTable.read(spark, root).get
       .select("v").as[String].head() === "live", "orphan must be invisible")
+    // fresh (within the in-flight grace window): a concurrent publisher
+    // mid-commit looks exactly like this, so GC must NOT touch it yet
     OnlineTable.publish(Seq((1L, "next")).toDF("k", "v"), root)
+    assert(versions(root).contains("v-9999999999999-deadbeef"),
+      "an in-grace uncommitted dir must survive GC (it may be mid-commit)")
+    // age it past the grace window -> the writer is provably dead
+    age(s"$root/v-9999999999999-deadbeef")
+    OnlineTable.publish(Seq((1L, "after")).toDF("k", "v"), root)
     assert(!versions(root).contains("v-9999999999999-deadbeef"),
-      "orphan must be garbage-collected by the next publish")
-    assert(versions(root).contains(live))
+      "aged orphan must be garbage-collected by the next publish")
+    assert(!versions(root).contains(live), "superseded snapshots still GC")
+  }
+
+  private def age(dir: String): Unit = {
+    val f = new java.io.File(dir)
+    val old = System.currentTimeMillis() - OnlineTable.OrphanGraceMs - 60000
+    assert(f.setLastModified(old))
+  }
+
+  test("publishIf: stale expectation loses cleanly; nothing torn") {
+    val root = java.nio.file.Files.createTempDirectory("ot6").toString + "/t"
+    // CAS from empty: expected None wins
+    OnlineTable.publishIf(Seq((1L, "base")).toDF("k", "v"), root, None)
+    val v1 = OnlineTable.currentVersion(spark, root).get
+    // two read-modify-write publishers both read v1; A commits first
+    OnlineTable.publishIf(Seq((1L, "A")).toDF("k", "v"), root, Some(v1))
+    val vA = OnlineTable.currentVersion(spark, root).get
+    // B's expectation is now stale: it must LOSE, loudly, changing nothing
+    val e = intercept[OnlineTable.ConcurrentPublishException](
+      OnlineTable.publishIf(Seq((1L, "B")).toDF("k", "v"), root, Some(v1)))
+    assert(e.expected === Some(v1) && e.actual === Some(vA))
+    assert(OnlineTable.read(spark, root).get
+      .select("v").as[String].head() === "A", "loser must not alter the table")
+    assert(OnlineTable.currentVersion(spark, root) === Some(vA))
+    // a second None-expectation publish on a non-empty table also loses
+    intercept[OnlineTable.ConcurrentPublishException](
+      OnlineTable.publishIf(Seq((1L, "C")).toDF("k", "v"), root, None))
+    // retry with the fresh head succeeds
+    OnlineTable.publishIf(Seq((1L, "B2")).toDF("k", "v"), root, Some(vA))
+    assert(OnlineTable.read(spark, root).get
+      .select("v").as[String].head() === "B2")
+  }
+
+  test("interleaved publishers: exclusive create admits exactly one per seq") {
+    val root = java.nio.file.Files.createTempDirectory("ot7").toString + "/t"
+    OnlineTable.publish(Seq((1L, "v0")).toDF("k", "v"), root)
+    // force the low-level race: both writers observed head seq, both
+    // target seq+1 — the filesystem admits ONE c-file; the loser's
+    // publishIf surfaces the conflict even though its data is written
+    val v0 = OnlineTable.currentVersion(spark, root).get
+    val t = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          OnlineTable.publishIf(Seq((1L, s"w$i")).toDF("k", "v"),
+            root, Some(v0))
+          t.incrementAndGet()
+        } catch {
+          case _: OnlineTable.ConcurrentPublishException => ()
+          case other: Throwable => errs.add(other)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"unexpected failures: $errs")
+    assert(t.get() === 1, "exactly one CAS publisher must win")
+    val live = OnlineTable.read(spark, root).get.select("v").as[String].head()
+    assert(live === "w0" || live === "w1")
+    // no torn snapshot: every retained version reads completely
+    OnlineTable.listVersions(spark, root).foreach { v =>
+      assert(OnlineTable.readVersion(spark, root, v).count() === 1L)
+    }
+    // retrying unconditional publishers both land (in some order)
+    val threads2 = (0 until 2).map { i =>
+      new Thread(() =>
+        try OnlineTable.publish(Seq((1L, s"r$i")).toDF("k", "v"), root,
+          keepVersions = 5)
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads2.foreach(_.start()); threads2.foreach(_.join(120000))
+    assert(errs.isEmpty, s"retrying publish must absorb collisions: $errs")
+    val vs = OnlineTable.listVersions(spark, root)
+    val tail = vs.takeRight(2).map(v =>
+      OnlineTable.readVersion(spark, root, v).select("v").as[String].head())
+    assert(tail.toSet === Set("r0", "r1"),
+      s"both retrying publishers must be in the log, got $tail")
+  }
+
+  test("commit log is authoritative over a stale _CURRENT cache") {
+    val root = java.nio.file.Files.createTempDirectory("ot8").toString + "/t"
+    OnlineTable.publish(Seq((1L, "one")).toDF("k", "v"), root)
+    OnlineTable.publish(Seq((1L, "two")).toDF("k", "v"), root)
+    val headV = OnlineTable.currentVersion(spark, root).get
+    // simulate a crash between commit and cache flip: point the cache
+    // at the PREVIOUS version; resolution must heal from the log
+    val stale = OnlineTable.listVersions(spark, root).head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_CURRENT"), stale.getBytes)
+    assert(OnlineTable.currentVersion(spark, root) === Some(headV),
+      "the log, not the pointer cache, must resolve the live version")
+    assert(OnlineTable.read(spark, root).get
+      .select("v").as[String].head() === "two")
   }
 
   test("time travel: deeper retention keeps history readable by version") {
