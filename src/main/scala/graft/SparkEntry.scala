@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav}
+import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav, Webp}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3358,6 +3358,54 @@ object SparkEntry {
           col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
         .ordered(col("doc_id"))
     }),
+
+    // ---- Multimodal: WebP container metadata probe ----------------------
+    // The crawl-staple format the engine deliberately does NOT pixel-
+    // decode (VP8 bitstreams are codec-library territory — the stub
+    // boundary), probed for the fields routing/filtering actually need:
+    // format variant, dims, alpha, animation — all public-spec header
+    // layout, read by the codegen'd `webp_meta` kernel (a native
+    // Expression, q140's advisory-metadata posture: malformed == ok=false
+    // rows, never failures). Fixtures cycle the three container forms
+    // (simple lossy VP8, simple lossless VP8L, extended VP8X) and every
+    // 7th doc is corrupted four different ways (truncation, magic flip,
+    // RIFF size mismatch, unknown leading chunk).
+    "q144_webp_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = (id % 3) match {
+              case 0 => Webp.encodeLossy(
+                (16 + id % 300).toInt, (9 + id % 200).toInt)
+              case 1 => Webp.encodeLossless(
+                (1 + id % 1000).toInt, (1 + id % 800).toInt, id % 2 == 1)
+              case _ => Webp.encodeExtended(
+                (10 + id % 4000).toInt, (20 + id % 2000).toInt,
+                id % 4 >= 2, id % 8 >= 4)
+            }
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(15)
+                case 1 => { val b = base.clone(); b(8) = 'X'.toByte; b }
+                case 2 => { val b = base.clone(); b(4) = (b(4) + 1).toByte; b }
+                case _ => { val b = base.clone()
+                  b(12) = 'J'; b(13) = 'U'; b(14) = 'N'; b(15) = 'K'; b }
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"), call_function("webp_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.format").as("format"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.has_alpha").as("has_alpha"),
+          col("m.has_anim").as("has_anim"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -6185,6 +6233,32 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the synthesis formulas restated per container form; corrupted
+    // docs (every 7th) are ok=false with null fields in both engines
+    "q144_webp_probe" ->
+      """SELECT doc_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'lossy'
+        |       WHEN doc_id % 3 = 1 THEN 'lossless'
+        |       ELSE 'extended' END AS format,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 16 + doc_id % 300
+        |       WHEN doc_id % 3 = 1 THEN 1 + doc_id % 1000
+        |       ELSE 10 + doc_id % 4000 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 9 + doc_id % 200
+        |       WHEN doc_id % 3 = 1 THEN 1 + doc_id % 800
+        |       ELSE 20 + doc_id % 2000 END AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN FALSE
+        |       WHEN doc_id % 3 = 1 THEN doc_id % 2 = 1
+        |       ELSE doc_id % 4 >= 2 END AS has_alpha,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 2 THEN doc_id % 8 >= 4
+        |       ELSE FALSE END AS has_anim
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the spliced orientation and the q108 dimension derivations, both
     // arithmetic; no-EXIF docs are 0 by the advisory-metadata contract

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -133,6 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMetaExpr].getName, "media_meta"),
       (children: Seq[Expression]) => MediaMetaExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("webp_meta"),
+      new ExpressionInfo(classOf[WebpMetaExpr].getName, "webp_meta"),
+      (children: Seq[Expression]) => WebpMetaExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("minhash32"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "minhash32"),
