@@ -3317,7 +3317,8 @@ object SparkEntry {
     // The scanned-document/satellite staple the engine's EXIF IFD walk
     // (q140) could READ but not decode: per doc, synthesize a baseline
     // TIFF cycling pixel mode (gray8 / RGB888 / 1-bit bilevel), byte
-    // order (odd docs MM big-endian), coding (none vs PackBits) and
+    // order (odd docs MM big-endian), coding (PackBits / none / LZW,
+    // with the horizontal-differencing predictor on 8-bit LZW docs) and
     // strip layout (RowsPerStrip 1..4 — ragged last strips included),
     // with WhiteIsZero on every 5th gray/bilevel doc (stored inverted,
     // decode normalizes back — the round-trip TiffSpec pins byte-level).
@@ -3343,9 +3344,17 @@ object SparkEntry {
               if (id % 3 == 2) (r, c, _) =>
                 if ((id + r + c) % 2 == 0) 255 else 0
               else (r, c, k) => ((id + 3 * r + 5 * c + 11 * k) % 256).toInt
+            // coding mix: PackBits / uncompressed / LZW (§13 MSB-first
+            // early-change streams; 8-bit modes additionally exercise
+            // the §14 horizontal-differencing predictor) — the coded
+            // bytes differ, the decoded pixels (and so the oracle's
+            // closed form) do not
+            val coding = (id % 4).toInt
             val payload = Tiff.encode(w, h, mode,
-              bigEndian = id % 2 == 1, packBits = id % 4 < 2,
-              rowsPerStrip = 1 + (id % 4).toInt, pxl)
+              bigEndian = id % 2 == 1, packBits = coding < 2,
+              rowsPerStrip = 1 + (id % 4).toInt, pxl,
+              lzw = coding == 3,
+              predictor = if (coding == 3 && id % 3 != 2) 2 else 1)
             Binary.MediaRow(id, payload, "image", "tiff")
           }
         }
@@ -3405,6 +3414,39 @@ object SparkEntry {
           col("m.has_alpha").as("has_alpha"),
           col("m.has_anim").as("has_anim"))
         .ordered(col("doc_id"))
+    }),
+
+    // ---- Streaming per-window top-K (T7 × the heavy-hitters sketch) -----
+    // q136's discipline applied to the MG summary: per event-time hour
+    // window, the bounded (key, count) buffer merges incrementally in
+    // the state store (Aggregator merge — counter union + trim), and
+    // the window's key counts read off the final buffer. State is ≤ k
+    // entries per window whatever the rate — the unbounded alternative
+    // keeps every distinct key per window. HONEST exactness scope: the
+    // event-type domain is far below k, so the summary IS the exact
+    // frequency table (off = 0, Misra & Gries' below-capacity case) and
+    // the oracle replays plain per-window counts; above k the engine
+    // contract degrades to the q142 bracket, pinned by SketchesSpec,
+    // not claimed by this oracle.
+    "q145_stream_topk" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("event_type").isNotNull)
+      val agg = stream
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+        .agg(Sketches.heavyHitters(col("event_type"), 64).as("sk"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          col("sk._1").as("ks"), col("sk._2").as("cs"),
+          col("sk._3").as("off"))
+      Streams.runToMemory(agg, s"q145_mem_${System.nanoTime()}")
+        .select(col("w_start"), col("off"),
+          posexplode(col("ks")).as(Seq("__i", "event_type")),
+          col("cs"))
+        .select(col("w_start"), col("event_type"),
+          element_at(col("cs"), col("__i") + 1).as("cnt"), col("off"))
+        .ordered(col("w_start"), col("event_type"))
     }),
   )
 
@@ -6233,6 +6275,16 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // plain per-window exact counts: below capacity the MG summary IS
+    // the frequency table and its offset is 0 — the oracle asserts BOTH
+    // (a nonzero engine offset or a dropped key would hash-diverge)
+    "q145_stream_topk" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS off
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the synthesis formulas restated per container form; corrupted
     // docs (every 7th) are ok=false with null fields in both engines

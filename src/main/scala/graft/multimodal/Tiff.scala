@@ -6,9 +6,9 @@ package graft.multimodal
   * parser, q140); this module decodes the TIFF RASTERS crawl corpora
   * actually contain. Baseline TIFF is public-spec and dependency-free:
   * the container is an endian-tagged header + one IFD of (tag, type,
-  * count, value) entries, and the two baseline codings are raw bytes
-  * and PackBits run-length — both pure arithmetic, so this path carries
-  * no fake anywhere.
+  * count, value) entries, and the codings — raw bytes, PackBits
+  * run-length and §13 LZW (MSB-first early-change codes) — are pure
+  * arithmetic, so this path carries no fake anywhere.
   *
   * SCOPE (TIFF 6.0 Part 1, the "Baseline TIFF" requirements): both byte
   * orders (II little / MM big), strip organization with RowsPerStrip,
@@ -94,6 +94,128 @@ object Tiff {
     (tag, vals)
   }
 
+  /** TIFF LZW (TIFF 6.0 §13): 9→12-bit codes MSB-first (the opposite
+    * bit order of GIF's LZW), ClearCode 256 / EOI 257, table entries
+    * from 258, and the "early change" — the code width grows one code
+    * EARLIER than GIF: the decoder widens when its next table index
+    * reaches 2^w − 1 (511/1023/2047), the encoder (one entry ahead at
+    * emit time) when its next index reaches 2^w. Every strip is an
+    * independent stream. Output is exactly `expected` bytes or the
+    * payload is malformed (bad codes, missing growth, overruns all
+    * throw — never loop or over-allocate). */
+  private[multimodal] def lzwDecode(src: Array[Byte],
+                                    expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var o = 0
+    var bitPos = 0
+    val nBits = src.length * 8
+    var width = 9
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var prev: Array[Byte] = null
+    def read(): Int = {
+      require(bitPos + width <= nBits, "TIFF LZW: truncated stream")
+      var v = 0; var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        v = (v << 1) | ((src(b >> 3) >> (7 - (b & 7))) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(e: Array[Byte]): Unit = {
+      require(o + e.length <= expected, "TIFF LZW: output overrun")
+      System.arraycopy(e, 0, out, o, e.length)
+      o += e.length
+    }
+    var done = false
+    while (!done && o < expected) {
+      val code = read()
+      if (code == 256) { // Clear
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        next = 258; width = 9; prev = null
+      } else if (code == 257) done = true // EOI
+      else {
+        val entry: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < next && table(code) != null) table(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+          else throw new IllegalArgumentException(
+            s"TIFF LZW: code $code outside table (next=$next)")
+        emit(entry)
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    require(o == expected, s"TIFF LZW: decoded $o of $expected bytes")
+    out
+  }
+
+  /** Greedy LZW encoder (longest dictionary match), the §13 writer side
+    * of [[lzwDecode]]'s early-change contract; clears at 4094 entries. */
+  private[multimodal] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nAcc += width
+      while (nAcc >= 8) {
+        bits.write(((acc >> (nAcc - 8)) & 0xff).toInt); nAcc -= 8
+      }
+    }
+    def flush(): Unit =
+      if (nAcc > 0) { bits.write(((acc << (8 - nAcc)) & 0xff).toInt); nAcc = 0 }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    put(256) // spec: every strip starts with a Clear
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur.toLong << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1 // early change
+          if (next == 4094) { put(256); reset() }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    put(257) // EOI
+    flush()
+    bits.toByteArray
+  }
+
+  /** Horizontal-differencing predictor (tag 317 = 2, TIFF §14): each
+    * 8-bit sample is stored as the delta from the previous sample of
+    * the SAME channel in the row; decode integrates per row. */
+  private def undiffRows(data: Array[Byte], rows: Int, rowBytes: Int,
+                         samples: Int): Unit = {
+    var r = 0
+    while (r < rows) {
+      var i = r * rowBytes + samples
+      val end = (r + 1) * rowBytes
+      while (i < end) {
+        data(i) = (data(i) + data(i - samples)).toByte
+        i += 1
+      }
+      r += 1
+    }
+  }
+
   /** PackBits (TIFF §9): n in [0,127] copies n+1 literals; n in
     * [-127,-1] repeats the next byte 1-n times; -128 is a no-op. Output
     * is exactly `expected` bytes or the payload is malformed. */
@@ -153,8 +275,9 @@ object Tiff {
     val planar = one(284, 1L).toInt
     require(planar == 1,
       "TIFF: PlanarConfiguration 2 (planar) not supported — baseline is chunky")
-    require(compression == 1 || compression == 32773,
-      s"TIFF: compression $compression not supported (none/PackBits only)")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"TIFF: compression $compression not supported (none/LZW/PackBits)")
+    val predictor = one(317, 1L).toInt
     val channels = photometric match {
       case 0 | 1 =>
         require(samples == 1, s"TIFF: $samples samples for gray/bilevel")
@@ -170,6 +293,8 @@ object Tiff {
         s"TIFF: photometric $p unsupported (WhiteIsZero/BlackIsZero/RGB)")
     }
     val bitDepth = bits.head.toInt
+    require(predictor == 1 || (predictor == 2 && bitDepth == 8),
+      s"TIFF: predictor $predictor unsupported (1, or 2 on 8-bit samples)")
     require(width * height * channels <= Png.MaxRasterBytes,
       s"TIFF: raster ${width}x$height x$channels over cap")
 
@@ -189,13 +314,15 @@ object Tiff {
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip).toInt
       val expected = rows * rowBytes
       val raw = rd.slice(stripOffsets(s), stripCounts(s))
-      val data =
-        if (compression == 32773) packBitsDecode(raw, expected)
-        else {
+      val data = compression match {
+        case 32773 => packBitsDecode(raw, expected)
+        case 5 => lzwDecode(raw, expected)
+        case _ =>
           require(raw.length >= expected,
             s"TIFF: strip $s has ${raw.length} bytes, needs $expected")
           raw
-        }
+      }
+      if (predictor == 2) undiffRows(data, rows, rowBytes, samples)
       var r = 0
       while (r < rows) {
         var c = 0
@@ -270,11 +397,17 @@ object Tiff {
 
   /** Synthesize a baseline TIFF: `pixel(r, c, k)` returns the intensity
     * (0..255) of sample k. Strips respect `rowsPerStrip`; PackBits
-    * compresses each row separately (the spec's row-boundary rule). */
+    * compresses each row separately (the spec's row-boundary rule), LZW
+    * compresses each strip as one stream; `predictor = 2` stores 8-bit
+    * samples horizontally differenced (tag 317). */
   def encode(width: Int, height: Int, mode: Mode, bigEndian: Boolean,
              packBits: Boolean, rowsPerStrip: Int,
-             pixel: (Int, Int, Int) => Int): Array[Byte] = {
+             pixel: (Int, Int, Int) => Int,
+             lzw: Boolean = false, predictor: Int = 1): Array[Byte] = {
     require(width >= 1 && height >= 1 && rowsPerStrip >= 1)
+    require(!(packBits && lzw), "pick ONE compression")
+    require(predictor == 1 || (predictor == 2 && mode.bits.head == 8),
+      "predictor 2 needs 8-bit samples")
     val rowBytes = (width * mode.samples * mode.bits.head + 7) / 8
     def rowData(r: Int): Array[Byte] = {
       val row = new Array[Byte](rowBytes)
@@ -304,11 +437,22 @@ object Tiff {
       }
       row
     }
+    def diffRow(row: Array[Byte]): Array[Byte] = {
+      val out = row.clone()
+      var i = row.length - 1
+      while (i >= mode.samples) {
+        out(i) = (row(i) - row(i - mode.samples)).toByte
+        i -= 1
+      }
+      out
+    }
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
     val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-      val raw = (0 until rows).map(r => rowData(s * rowsPerStrip + r))
-      if (packBits) raw.map(packBitsEncode).reduce(_ ++ _)
+      val raw0 = (0 until rows).map(r => rowData(s * rowsPerStrip + r))
+      val raw = if (predictor == 2) raw0.map(diffRow) else raw0
+      if (lzw) lzwEncode(raw.reduce(_ ++ _))
+      else if (packBits) raw.map(packBitsEncode).reduce(_ ++ _)
       else raw.reduce(_ ++ _)
     }
 
@@ -331,11 +475,13 @@ object Tiff {
     if (mode.samples == 1)
       entries += ((258, 3, 1L, Left(mode.bits.head.toLong)))
     else entries += ((258, 3, 3L, Right(0)))
-    entries += ((259, 3, 1L, Left(if (packBits) 32773L else 1L)))
+    entries += ((259, 3, 1L,
+      Left(if (lzw) 5L else if (packBits) 32773L else 1L)))
     entries += ((262, 3, 1L, Left(mode.photometric.toLong)))
     if (nStrips == 1) entries += ((273, 4, 1L, Left(-1L))) // patched below
     else entries += ((273, 4, nStrips.toLong, Right(1)))
     entries += ((277, 3, 1L, Left(mode.samples.toLong)))
+    if (predictor == 2) entries += ((317, 3, 1L, Left(2L)))
     entries += ((278, 4, 1L, Left(rowsPerStrip.toLong)))
     if (nStrips == 1)
       entries += ((279, 4, 1L, Left(strips.head.length.toLong)))

@@ -58,6 +58,69 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("lzw round-trips: all modes x byte orders x strips x predictor") {
+    for {
+      be <- Seq(false, true)
+      (mode, pred) <- Seq((Tiff.Gray8(): Tiff.Mode, 2), (Tiff.Rgb888, 2),
+        (Tiff.Gray8(whiteIsZero = true), 1), (Tiff.Bilevel(), 1))
+      rps <- Seq(2, 100)
+    } {
+      def pxl(r: Int, c: Int, k: Int): Int =
+        if (mode.bits.head == 1) { if ((r + c) % 2 == 0) 255 else 0 }
+        else px(31)(r, c, k)
+      val img = Tiff.decode(Tiff.encode(21, 11, mode, be,
+        packBits = false, rowsPerStrip = rps, pxl,
+        lzw = true, predictor = pred))
+      for (r <- 0 until 11; c <- 0 until 21; k <- 0 until mode.samples)
+        assert((img.pixels((r * 21 + c) * mode.samples + k) & 0xff)
+          === pxl(r, c, k), s"($r,$c,$k) be=$be mode=$mode rps=$rps")
+    }
+  }
+
+  test("lzw codec: random data round-trips across width growth and clears") {
+    val rnd = new scala.util.Random(41)
+    // random bytes add ~1 table entry each: 8k bytes crosses the 511/
+    // 1023/2047 early-change boundaries AND the 4094 clear-reset
+    for (n <- Seq(0, 1, 3, 600, 1200, 8192)) {
+      val data = Array.fill(n)(rnd.nextInt(256).toByte)
+      assert(Tiff.lzwDecode(Tiff.lzwEncode(data), n).toSeq === data.toSeq,
+        s"n=$n random")
+    }
+    // run-heavy data exercises multi-char dictionary hits + KwKwK
+    val runs = Array.tabulate(5000)(i => ((i / 37) % 5).toByte)
+    assert(Tiff.lzwDecode(Tiff.lzwEncode(runs), runs.length).toSeq
+      === runs.toSeq)
+    val kwkwk = Array[Byte](1, 1, 1, 1, 1, 1, 1)
+    assert(Tiff.lzwDecode(Tiff.lzwEncode(kwkwk), 7).toSeq === kwkwk.toSeq)
+    // truncation fails loudly
+    val enc = Tiff.lzwEncode(Array.fill(100)(rnd.nextInt(256).toByte))
+    intercept[IllegalArgumentException](Tiff.lzwDecode(enc.take(5), 100))
+  }
+
+  test("lzw: the JDK ImageIO TIFF reader decodes our encodings identically") {
+    // independent-implementation cross-check (the GifSpec discipline):
+    // JDK 9+ ships a TIFF plugin; our §13 early-change LZW and §14
+    // predictor must interoperate byte-for-byte on decoded pixels
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+    assume(readers.hasNext, "no ImageIO TIFF plugin in this JDK")
+    for ((lzw, pb, pred) <- Seq((true, false, 1), (true, false, 2),
+           (false, true, 1), (false, false, 1))) {
+      val bytes = Tiff.encode(19, 13, Tiff.Rgb888, bigEndian = false,
+        packBits = pb, rowsPerStrip = 4, px(47), lzw = lzw,
+        predictor = pred)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected lzw=$lzw pb=$pb pred=$pred")
+      assert(img.getWidth === 19 && img.getHeight === 13)
+      for (r <- 0 until 13; c <- 0 until 19) {
+        val rgb = img.getRGB(c, r)
+        assert(((rgb >> 16) & 0xff) === px(47)(r, c, 0), s"R ($r,$c)")
+        assert(((rgb >> 8) & 0xff) === px(47)(r, c, 1), s"G ($r,$c)")
+        assert((rgb & 0xff) === px(47)(r, c, 2), s"B ($r,$c)")
+      }
+    }
+  }
+
   test("packBits: spec vectors and row round-trips") {
     // repeat packet: -3 means 4 copies
     assert(Tiff.packBitsDecode(Array[Byte](-3, 42), 4).toSeq
