@@ -76,14 +76,37 @@ object OnlineTable {
     } finally in.close()
   }
 
+  /** Read a commit file's version, tolerating the create→write window
+    * of a NON-local winner mid-commit (local commits are hard-linked
+    * into place content-complete, see [[tryCommit]]): brief bounded
+    * retries while empty, then fail loudly — an empty commit file past
+    * the window means a writer died inside the two-step create, which
+    * the single-step local path exists to prevent. */
+  private def readCommit(fs: FileSystem, p: Path): String = {
+    var waited = 0L
+    var v = readSmall(fs, p)
+    while (v.isEmpty && waited < 2000L) {
+      Thread.sleep(20L); waited += 20L
+      v = readSmall(fs, p)
+    }
+    require(v.nonEmpty, s"commit file $p is empty — writer died mid-commit")
+    v
+  }
+
   /** Retained commit-log entries, seq-ascending. */
   private def logEntries(fs: FileSystem, rootPath: Path): Seq[(Long, String)] = {
     val dir = new Path(rootPath, CommitDir)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("c-"))
-      .map(st => (st.getPath.getName.stripPrefix("c-").toLong,
-        readSmall(fs, st.getPath)))
+      .flatMap { st =>
+        // a concurrent publisher's GC may collect a stale commit file
+        // between our listing and the read — a vanished entry is simply
+        // no longer part of the retained log
+        try Some((st.getPath.getName.stripPrefix("c-").toLong,
+          readCommit(fs, st.getPath)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .sortBy(_._1)
   }
 
@@ -95,13 +118,32 @@ object OnlineTable {
       if (fs.exists(ptr)) Some((0L, readSmall(fs, ptr))) else None
     }
 
-  /** One exclusive-create commit attempt at `seq`; false on collision. */
+  /** One exclusive commit attempt at `seq`; false on collision.
+    *
+    * Local filesystems get the strongest form: the content is written
+    * to a temp file, then HARD-LINKED to the commit name — link(2) is
+    * atomic AND exclusive (EEXIST), and the destination appears with
+    * its content COMPLETE, so no reader can ever observe an empty
+    * commit file. Non-local filesystems fall back to Hadoop's
+    * exclusive create + write (HDFS's atomic-create lease protocol;
+    * on an object store substitute the conditional PUT), whose brief
+    * create→write window [[readCommit]] tolerates. */
   private def tryCommit(fs: FileSystem, rootPath: Path, seq: Long,
                         version: String): Boolean = {
     val dir = new Path(rootPath, CommitDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val p = new Path(dir, f"c-$seq%012d")
-    try {
+    if ("file" == fs.getScheme) {
+      import java.nio.file.{Files, Paths}
+      val target = Paths.get(p.toUri.getPath)
+      val tmp = Files.createTempFile(Paths.get(dir.toUri.getPath),
+        s".c-$seq-", ".tmp")
+      try {
+        Files.write(tmp, version.getBytes("UTF-8"))
+        try { Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally Files.deleteIfExists(tmp)
+    } else try {
       val out = fs.create(p, false) // overwrite=false: EXCLUSIVE
       try out.write(version.getBytes("UTF-8")) finally out.close()
       true
@@ -139,12 +181,29 @@ object OnlineTable {
                              rootPath: Path, version: String,
                              keepVersions: Int,
                              hadLogBefore: Boolean): Unit = {
+    // _CURRENT cache flip — BEST-EFFORT by design: the commit log is
+    // authoritative (currentVersion consults it first), so a lost flip
+    // race can never misdirect a reader. Concurrent flips on a local
+    // filesystem can collide inside rename-OVERWRITE's delete+rename
+    // window (FileAlreadyExists) — retry a few times, then give up and
+    // leave the cache stale; the next publish heals it.
     val fc = FileContext.getFileContext(rootPath.toUri,
       spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath, s".$CurrentFile.$version.tmp")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+    var flips = 0
+    var flipped = false
+    while (!flipped && flips < 3) {
+      flips += 1
+      try {
+        fc.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+        flipped = true
+      } catch {
+        case _: java.io.IOException if flips < 3 => Thread.sleep(10L * flips)
+        case _: java.io.IOException => fs.delete(tmp, false) // stay stale
+      }
+    }
     // GC: the log defines commit order; keep the newest keepVersions
     // committed snapshots (a crashed publish's orphan was never
     // committed, so it is dropped regardless of age)
@@ -239,6 +298,42 @@ object OnlineTable {
     }
     finalizeCommit(spark, fs, rootPath, version, keepVersions,
       hadLogBefore = h0.isDefined)
+  }
+
+  /** Read-modify-write publish loop — the production shape over
+    * [[publishIf]]: read the live snapshot (None if never published),
+    * derive the next one with `derive`, CAS-commit; on a lost race
+    * RE-DERIVE from the winner's snapshot and try again, so no
+    * publisher's contribution is silently dropped (the lost-update
+    * anomaly the unconditional [[publish]] permits by design). Bounded
+    * by `maxRetries` — each retry means another writer committed, so
+    * the loop starves only under pathological contention, and then it
+    * fails loudly with the final conflict. */
+  def publishMerge(spark: SparkSession, root: String,
+                   derive: Option[DataFrame] => DataFrame,
+                   keepVersions: Int = 2, maxRetries: Int = 10): Unit = {
+    var attempt = 0
+    var last: ConcurrentPublishException = null
+    while (attempt < maxRetries) {
+      attempt += 1
+      val expected = currentVersion(spark, root)
+      // pin the snapshot to the EXPECTED version (read() could see a
+      // newer commit landing between the two calls — harmless, but the
+      // derive would then be working ahead of its own expectation);
+      // an expected=None table may still carry a legacy plain-parquet
+      // snapshot, which read() serves
+      val snapshot = expected match {
+        case Some(v) => Some(readVersion(spark, root, v))
+        case None => read(spark, root)
+      }
+      try {
+        publishIf(derive(snapshot), root, expected, keepVersions)
+        return
+      } catch {
+        case e: ConcurrentPublishException => last = e // re-derive, retry
+      }
+    }
+    throw last
   }
 
   /** Data files of a pre-versioning (plain parquet dir) online table. */

@@ -132,6 +132,33 @@ class OnlineTableSpec extends AnyFunSuite {
       s"both retrying publishers must be in the log, got $tail")
   }
 
+  test("publishMerge: no publisher's contribution is lost under contention") {
+    val root = java.nio.file.Files.createTempDirectory("ot9").toString + "/t"
+    OnlineTable.publish(Seq((0L, 0L)).toDF("k", "n"), root, keepVersions = 3)
+    // two read-modify-write publishers each add their own row; the loser
+    // re-derives from the winner's snapshot, so BOTH rows must land
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() =>
+        try OnlineTable.publishMerge(spark, root, snap =>
+          snap.get.unionByName(Seq((i.toLong, i.toLong)).toDF("k", "n")),
+          keepVersions = 3)
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"publishMerge must absorb the race: $errs")
+    val live = OnlineTable.read(spark, root).get
+      .as[(Long, Long)].collect().toSet
+    assert(live === Set((0L, 0L), (1L, 1L), (2L, 2L)),
+      s"a lost update dropped a contribution: $live")
+    // single-writer derive-from-empty works too
+    val root2 = java.nio.file.Files.createTempDirectory("ot9b").toString + "/t"
+    OnlineTable.publishMerge(spark, root2, snap => {
+      assert(snap.isEmpty); Seq((9L, 9L)).toDF("k", "n")
+    })
+    assert(OnlineTable.read(spark, root2).get.count() === 1L)
+  }
+
   test("commit log is authoritative over a stale _CURRENT cache") {
     val root = java.nio.file.Files.createTempDirectory("ot8").toString + "/t"
     OnlineTable.publish(Seq((1L, "one")).toDF("k", "v"), root)
