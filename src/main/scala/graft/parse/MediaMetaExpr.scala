@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Container-format metadata decode for multimodal binary columns: parses
-  * PNG (IHDR), WAV (RIFF/fmt), GIF (logical screen descriptor), and JPEG
-  * (marker walk to the first SOFn) headers straight from the byte
+  * PNG (IHDR), WAV (RIFF/fmt), GIF (logical screen descriptor), JPEG
+  * (marker walk to the first SOFn), WebP (RIFF/VP8* chunk headers, via
+  * [[WebpMetaExpr]]) and TIFF (endian-tagged IFD walk for
+  * width/height/samples) headers straight from the byte
   * stream — real format parsing, not a stub; no codec library required
   * because only the header layout is read, never the sample data. Unknown/truncated payloads yield
   * kind='unknown' with null fields (never an exception — a 100 TB crawl
@@ -98,6 +100,55 @@ object MediaMetaExpr {
         ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt ")) {
       return row("wav", channels = le16(bytes, 22),
         sampleRate = le32(bytes, 24))
+    }
+    // WebP: RIFF container typed WEBP — dims/alpha live in the chunk
+    // headers; delegate to the dedicated webp_meta parser and surface
+    // the dims here (format/alpha/animation detail stays webp_meta's)
+    if (bytes.length >= 20 && ascii(bytes, 0, "RIFF") &&
+        ascii(bytes, 8, "WEBP")) {
+      val m = WebpMetaExpr.meta(bytes)
+      return if (m.getBoolean(0)) row("webp", m.getInt(2), m.getInt(3))
+      else row("webp")
+    }
+    // TIFF: endian-tagged header + first IFD's ImageWidth/ImageLength/
+    // SamplesPerPixel (best-effort: a valid mark with a damaged IFD
+    // reports kind='tiff' with null dims, the JPEG degradation rule)
+    if (bytes.length >= 8 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+          (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))) {
+      val le = bytes(0) == 'I'
+      def u16(o: Int): Int =
+        if (le) le16(bytes, o)
+        else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) le32(bytes, o) & 0xffffffffL
+        else be32(bytes, o) & 0xffffffffL
+      try {
+        val ifd = u32(4)
+        require(ifd >= 8 && ifd + 2 <= bytes.length)
+        val n = u16(ifd.toInt)
+        require(n >= 1 && n <= 512 && ifd + 2 + 12L * n <= bytes.length)
+        var w = -1L; var h = -1L; var spp = 1L
+        var i = 0
+        while (i < n) {
+          val e = ifd.toInt + 2 + 12 * i
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          if (tag == 256 || tag == 257 || tag == 277) {
+            val v = typ match {
+              case 3 => u16(e + 8).toLong
+              case 4 => u32(e + 8)
+              case _ => -1L
+            }
+            if (tag == 256) w = v else if (tag == 257) h = v else spp = v
+          }
+          i += 1
+        }
+        require(w >= 1 && h >= 1 && w <= (1 << 20) && h <= (1 << 20))
+        return row("tiff", w.toInt, h.toInt, spp.toInt)
+      } catch {
+        case _: IllegalArgumentException => return row("tiff")
+      }
     }
     // GIF: signature + logical screen descriptor (LE dims; palette
     // always expands to RGB on the decode path, so channels = 3)

@@ -121,6 +121,26 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("media_meta reports kind=tiff with dims from either byte order") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Tiff.encode(33, 22, Tiff.Rgb888, bigEndian = false,
+        packBits = false, rowsPerStrip = 22, px(3))),
+      (2L, Tiff.encode(5, 6, Tiff.Gray8(), bigEndian = true,
+        packBits = true, rowsPerStrip = 2, px(4))),
+      (3L, Array[Byte]('I', 'I', 42, 0, 9, 9, 9, 9))) // valid mark, junk IFD
+      .toDF("id", "payload")
+      .select(col("id"), call_function("media_meta", col("payload")).as("m"))
+      .select(col("id"), col("m.kind"), col("m.width"), col("m.channels"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(rows === Set((1L, "tiff", 33, 3), (2L, "tiff", 5, 1),
+      (3L, "tiff", -1, -1)))
+  }
+
   test("packBits: spec vectors and row round-trips") {
     // repeat packet: -3 means 4 copies
     assert(Tiff.packBitsDecode(Array[Byte](-3, 42), 4).toSeq

@@ -85,6 +85,20 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("media_meta reports kind=webp with dims (and keeps WAV distinct)") {
+    val rows = Seq(
+      (1L, Webp.encodeLossy(64, 48)),
+      (2L, { val b = Webp.encodeLossy(64, 48).clone(); b(23) = 0; b }))
+      .toDF("id", "payload")
+      .select(col("id"), call_function("media_meta", col("payload")).as("m"))
+      .select(col("id"), col("m.kind"), col("m.width"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    // damaged chunk headers still sniff as webp (kind from the RIFF type,
+    // dims null) — the JPEG best-effort degradation rule
+    assert(rows === Set((1L, "webp", 64), (2L, "webp", -1)))
+  }
+
   test("webp_meta runs as a registered codegen'd kernel") {
     val rows = Seq(
       (1L, Webp.encodeLossy(32, 16)),
