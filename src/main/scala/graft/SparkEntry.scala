@@ -3416,6 +3416,25 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- ORC columnar round-trip (S1/S3 × the format-agnostic scan) -----
+    // The engine's scan/sink surface is format-agnostic by design (the
+    // Delta closure's argument); prove it end-to-end on the OTHER
+    // columnar format Spark ships natively: lineitem -> ORC sink ->
+    // ORC scan (with a pushed filter) -> aggregate. The oracle computes
+    // the same aggregate from the original parquet — any loss or
+    // corruption in the ORC hop (types, nulls, decimals) hash-diverges.
+    "q146_orc_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("orc", dir)
+      Sources.writeOrc(Tables(s, dir, "lineitem"), out)
+      Sources.orc(s, out)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        // decimal sum: exact and order-independent (the q01 discipline)
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n_rows"))
+        .ordered(col("l_returnflag"))
+    }),
+
     // ---- Streaming per-window top-K (T7 × the heavy-hitters sketch) -----
     // q136's discipline applied to the MG summary: per event-time hour
     // window, the bounded (key, count) buffer merges incrementally in
@@ -6275,6 +6294,15 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the same aggregate from the ORIGINAL parquet — a lossy or
+    // corrupting ORC hop (types, nulls, filter semantics) hash-diverges
+    "q146_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // plain per-window exact counts: below capacity the MG summary IS
     // the frequency table and its offset is 0 — the oracle asserts BOTH

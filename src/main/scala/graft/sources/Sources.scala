@@ -65,6 +65,28 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** ORC scan — the other columnar format Spark ships natively (no
+    * extra jar). Same posture as [[csv]]: pass the schema when known
+    * and skip the inference scan; ORC predicate pushdown and column
+    * pruning work exactly like parquet's (SourcesSpec asserts the
+    * pushed filters reach the scan). */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
+  /** ORC sink with bounded file sizes — [[writeParquet]]'s twin for
+    * pipelines whose downstream consumers (Hive/Trino/legacy warehouses)
+    * are ORC-first; one pass, no count()+repartition re-execution. */
+  def writeOrc(df: DataFrame, path: String, rowsPerFile: Long = 100000,
+               mode: String = "overwrite",
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).option("maxRecordsPerFile", rowsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   /** Single-file CSV sample sink (S5/R3/R4) — the reference's 10k-row
     * fixture dump (generate_example_data.py:71-72). */
   def writeCsvSample(df: DataFrame, path: String, n: Int): Unit =

@@ -32,6 +32,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() === 100L)
   }
 
+  test("orc round-trips typed columns and pushes filters to the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val in = Seq((1L, Some(5.5), "a"), (2L, None, "b"), (3L, Some(-1.0), null))
+      .toDF("id", "v", "tag")
+    Sources.writeOrc(in, s"$dir/out", rowsPerFile = 2)
+    val back = Sources.orc(spark, s"$dir/out")
+    assert(back.as[(Long, Option[Double], Option[String])].collect().toSet
+      === Set((1L, Some(5.5), Some("a")), (2L, None, Some("b")),
+        (3L, Some(-1.0), None)), "nulls and types must survive the hop")
+    // predicate pushdown reaches the ORC scan like parquet's
+    val filtered = back.filter(col("id") > 1L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"),
+      s"no pushed filter in ORC scan:\n$plan")
+    assert(filtered.count() === 2L)
+  }
+
   test("bucketed tables join without any shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     Seq("bkt_left", "bkt_right").foreach { t =>
