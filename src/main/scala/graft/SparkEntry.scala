@@ -3435,6 +3435,28 @@ object SparkEntry {
         .ordered(col("l_returnflag"))
     }),
 
+    // ---- JSON-lines round-trip (the crawl-interchange staple) -----------
+    // Web-scale corpora arrive as .jsonl shards; prove the engine's text
+    // hop is byte-faithful end-to-end: documents -> JSONL sink -> schema'd
+    // JSONL scan (no inference pass) -> per-source stats INCLUDING a
+    // 64-bit XOR of every round-tripped text's md5 — one flipped byte,
+    // lost escape, or mangled codepoint anywhere in the corpus flips the
+    // signature. The oracle computes the same signature from the ORIGINAL
+    // parquet text, so the two sides agree only if the JSON encode/decode
+    // hop preserved every document exactly (nulls included: both engines'
+    // aggregates skip them).
+    "q147_jsonl_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("jsonl", dir)
+      val schema = Tables(s, dir, "documents").schema
+      Tables(s, dir, "documents").write.mode("overwrite").json(out)
+      s.read.schema(schema).json(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("bit_xor(md5_lower64(text))").as("text_sig"))
+        .ordered(col("source"))
+    }),
+
     // ---- Streaming per-window top-K (T7 × the heavy-hitters sketch) -----
     // q136's discipline applied to the MG summary: per event-time hour
     // window, the bounded (key, count) buffer merges incrementally in
@@ -6294,6 +6316,21 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the signature from the ORIGINAL text (q135's signed-md5 mapping);
+    // agreement proves the engine's JSONL hop was byte-faithful
+    "q147_jsonl_roundtrip" ->
+      """WITH h AS (SELECT source, n_chars,
+        |  (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+        |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |    ELSE CAST(h0 AS BIGINT) END) AS sh
+        |  FROM (SELECT source, n_chars,
+        |    CASE WHEN text IS NULL THEN NULL
+        |      ELSE md5_number_lower(text) END AS h0 FROM documents))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  BIT_XOR(sh) AS text_sig
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same aggregate from the ORIGINAL parquet — a lossy or
     // corrupting ORC hop (types, nulls, filter semantics) hash-diverges
