@@ -3350,11 +3350,15 @@ object SparkEntry {
             // bytes differ, the decoded pixels (and so the oracle's
             // closed form) do not
             val coding = (id % 4).toInt
+            // every 7th doc uses the §15 TILED layout (16x8 grid with
+            // ragged zero-padded edges) instead of strips — same pixels,
+            // same oracle, different segment walk
             val payload = Tiff.encode(w, h, mode,
               bigEndian = id % 2 == 1, packBits = coding < 2,
               rowsPerStrip = 1 + (id % 4).toInt, pxl,
               lzw = coding == 3,
-              predictor = if (coding == 3 && id % 3 != 2) 2 else 1)
+              predictor = if (coding == 3 && id % 3 != 2) 2 else 1,
+              tile = if (id % 7 == 5) Some((16, 8)) else None)
             Binary.MediaRow(id, payload, "image", "tiff")
           }
         }

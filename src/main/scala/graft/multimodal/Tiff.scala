@@ -10,13 +10,17 @@ package graft.multimodal
   * run-length and §13 LZW (MSB-first early-change codes) — are pure
   * arithmetic, so this path carries no fake anywhere.
   *
-  * SCOPE (TIFF 6.0 Part 1, the "Baseline TIFF" requirements): both byte
-  * orders (II little / MM big), strip organization with RowsPerStrip,
-  * bilevel (1-bit, §3), grayscale 8-bit (§4) and full-color RGB 8/8/8
-  * (§6); Compression 1 (none) and 32773 (PackBits, §9); Photometric 0
-  * (WhiteIsZero), 1 (BlackIsZero), 2 (RGB). Chunky planar config only
-  * (PlanarConfiguration 2, tiles, LZW, palette and 16-bit depths throw
-  * with a clear message — the q108/PNG scope discipline). WhiteIsZero
+  * SCOPE (TIFF 6.0 Part 1 "Baseline TIFF" + the §13/§14/§15
+  * extensions): both byte orders (II little / MM big), BOTH segment
+  * layouts — strips with RowsPerStrip and §15 tiles (zero-padded edge
+  * tiles); bilevel (1-bit, §3), grayscale 8-bit (§4) and full-color
+  * RGB 8/8/8 (§6); Compression 1 (none), 5 (LZW, §13 — MSB-first bit
+  * order, early-change width growth, per-segment streams) and 32773
+  * (PackBits, §9); the §14 horizontal-differencing predictor
+  * (tag 317 = 2) on 8-bit samples; Photometric 0 (WhiteIsZero), 1
+  * (BlackIsZero), 2 (RGB). Chunky planar config only
+  * (PlanarConfiguration 2, palette and 16-bit depths throw with a
+  * clear message — the q108/PNG scope discipline). WhiteIsZero
   * data is normalized at decode (inverted) so downstream pixel stats
   * read photometric-true intensities.
   *
@@ -298,6 +302,87 @@ object Tiff {
     require(width * height * channels <= Png.MaxRasterBytes,
       s"TIFF: raster ${width}x$height x$channels over cap")
 
+    val w = width.toInt; val h = height.toInt
+    val pixels = new Array[Byte](w * h * channels)
+
+    /** Decompress one segment (strip or tile) and blit its
+      * `rows`×`cols` pixel region into the raster at (y0, x0). A
+      * segment row is `segRowBytes` wide (tiles pad edges to the full
+      * tile width; the blit copies only the in-image columns). */
+    def blit(raw: Array[Byte], segRowBytes: Int, segRows: Int,
+             y0: Int, x0: Int, rows: Int, cols: Int, label: String): Unit = {
+      val expected = segRows * segRowBytes
+      val data = compression match {
+        case 32773 => packBitsDecode(raw, expected)
+        case 5 => lzwDecode(raw, expected)
+        case _ =>
+          require(raw.length >= expected,
+            s"TIFF: $label has ${raw.length} bytes, needs $expected")
+          raw
+      }
+      if (predictor == 2) undiffRows(data, segRows, segRowBytes, samples)
+      var r = 0
+      while (r < rows) {
+        if (bitDepth == 8) {
+          val src = r * segRowBytes
+          val dst = ((y0 + r) * w + x0) * channels
+          System.arraycopy(data, src, pixels, dst, cols * channels)
+          if (photometric == 0) { // WhiteIsZero: normalize to intensity
+            var i = dst
+            while (i < dst + cols * channels) {
+              pixels(i) = (255 - (pixels(i) & 0xff)).toByte; i += 1
+            }
+          }
+        } else { // bilevel, MSB-first (FillOrder 1)
+          var c = 0
+          while (c < cols) {
+            val bit = (data(r * segRowBytes + (c >> 3)) >> (7 - (c & 7))) & 1
+            val v = if (photometric == 0) (if (bit == 0) 255 else 0)
+                    else (if (bit == 1) 255 else 0)
+            pixels((y0 + r) * w + x0 + c) = v.toByte
+            c += 1
+          }
+        }
+        r += 1
+      }
+    }
+
+    val tiled = tags.contains(322) || tags.contains(324)
+    if (tiled) {
+      // §15 tiles: the image is a grid of FULL tw×th tiles (edges
+      // padded), row-major, each compressed independently
+      val tw = req(322, "TileWidth").head
+      val th = req(323, "TileLength").head
+      require(tw >= 1 && th >= 1 && tw <= 65536 && th <= 65536,
+        s"TIFF: bad tile size ${tw}x$th")
+      val across = ((width + tw - 1) / tw).toInt
+      val down = ((height + th - 1) / th).toInt
+      require(across.toLong * down <= MaxStrips,
+        s"TIFF: ${across.toLong * down} tiles over cap")
+      val tileRowBytes = ((tw * samples * bitDepth + 7) / 8).toInt
+      require(th * tileRowBytes <= Png.MaxRasterBytes,
+        "TIFF: tile buffer over cap")
+      val offsets = req(324, "TileOffsets")
+      val counts = req(325, "TileByteCounts")
+      require(offsets.size == across * down && counts.size == across * down,
+        s"TIFF: ${across * down} tiles expected, " +
+          s"${offsets.size} offsets / ${counts.size} counts")
+      var ty = 0
+      while (ty < down) {
+        var tx = 0
+        while (tx < across) {
+          val idx = ty * across + tx
+          val y0 = ty * th.toInt; val x0 = tx * tw.toInt
+          blit(rd.slice(offsets(idx), counts(idx)), tileRowBytes, th.toInt,
+            y0, x0, math.min(th.toInt, h - y0), math.min(tw.toInt, w - x0),
+            s"tile $idx")
+          tx += 1
+        }
+        ty += 1
+      }
+      return Png.Image(w, h, channels, pixels)
+    }
+
     val rowsPerStrip = one(278, 0xffffffffL) min height
     val stripOffsets = req(273, "StripOffsets")
     val stripCounts = req(279, "StripByteCounts")
@@ -307,46 +392,12 @@ object Tiff {
         s"${stripOffsets.size} offsets / ${stripCounts.size} counts")
 
     val rowBytes = ((width * samples * bitDepth + 7) / 8).toInt
-    val w = width.toInt; val h = height.toInt
-    val pixels = new Array[Byte](w * h * channels)
     var row = 0
     (0 until nStrips).foreach { s =>
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip).toInt
-      val expected = rows * rowBytes
-      val raw = rd.slice(stripOffsets(s), stripCounts(s))
-      val data = compression match {
-        case 32773 => packBitsDecode(raw, expected)
-        case 5 => lzwDecode(raw, expected)
-        case _ =>
-          require(raw.length >= expected,
-            s"TIFF: strip $s has ${raw.length} bytes, needs $expected")
-          raw
-      }
-      if (predictor == 2) undiffRows(data, rows, rowBytes, samples)
-      var r = 0
-      while (r < rows) {
-        var c = 0
-        if (bitDepth == 8) {
-          val src = r * rowBytes
-          val dst = row * w * channels
-          System.arraycopy(data, src, pixels, dst, w * channels)
-          if (photometric == 0) { // WhiteIsZero: normalize to intensity
-            var i = dst
-            while (i < dst + w * channels) {
-              pixels(i) = (255 - (pixels(i) & 0xff)).toByte; i += 1
-            }
-          }
-        } else { // bilevel, MSB-first (FillOrder 1)
-          while (c < w) {
-            val bit = (data(r * rowBytes + (c >> 3)) >> (7 - (c & 7))) & 1
-            val v = if (photometric == 0) (if (bit == 0) 255 else 0)
-                    else (if (bit == 1) 255 else 0)
-            pixels(row * w + c) = v.toByte
-            c += 1
-          }
-        }
-        row += 1; r += 1
-      }
+      blit(rd.slice(stripOffsets(s), stripCounts(s)), rowBytes, rows,
+        row, 0, rows, w, s"strip $s")
+      row += rows
     }
     Png.Image(w, h, channels, pixels)
   }
@@ -398,12 +449,15 @@ object Tiff {
   /** Synthesize a baseline TIFF: `pixel(r, c, k)` returns the intensity
     * (0..255) of sample k. Strips respect `rowsPerStrip`; PackBits
     * compresses each row separately (the spec's row-boundary rule), LZW
-    * compresses each strip as one stream; `predictor = 2` stores 8-bit
-    * samples horizontally differenced (tag 317). */
+    * compresses each segment as one stream; `predictor = 2` stores
+    * 8-bit samples horizontally differenced (tag 317). `tile` switches
+    * to the §15 tiled layout (tags 322-325; pass multiples of 16 for
+    * conformance) — edge tiles are zero-padded to full size. */
   def encode(width: Int, height: Int, mode: Mode, bigEndian: Boolean,
              packBits: Boolean, rowsPerStrip: Int,
              pixel: (Int, Int, Int) => Int,
-             lzw: Boolean = false, predictor: Int = 1): Array[Byte] = {
+             lzw: Boolean = false, predictor: Int = 1,
+             tile: Option[(Int, Int)] = None): Array[Byte] = {
     require(width >= 1 && height >= 1 && rowsPerStrip >= 1)
     require(!(packBits && lzw), "pick ONE compression")
     require(predictor == 1 || (predictor == 2 && mode.bits.head == 8),
@@ -446,14 +500,59 @@ object Tiff {
       }
       out
     }
-    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
-      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-      val raw0 = (0 until rows).map(r => rowData(s * rowsPerStrip + r))
+    def codeSegment(raw0: Seq[Array[Byte]]): Array[Byte] = {
       val raw = if (predictor == 2) raw0.map(diffRow) else raw0
       if (lzw) lzwEncode(raw.reduce(_ ++ _))
       else if (packBits) raw.map(packBitsEncode).reduce(_ ++ _)
       else raw.reduce(_ ++ _)
+    }
+    // a tile row reads pixel() inside the image and zero-pads outside
+    def tileRow(tw0: Int, y: Int, x0: Int): Array[Byte] = {
+      val trb = (tw0 * mode.samples * mode.bits.head + 7) / 8
+      val row = new Array[Byte](trb)
+      if (y < height) {
+        var c = 0
+        while (c < tw0 && x0 + c < width) {
+          if (mode.bits.head == 8) {
+            var k = 0
+            while (k < mode.samples) {
+              val v = pixel(y, x0 + c, k) & 0xff
+              row(c * mode.samples + k) =
+                (if (mode.photometric == 0) 255 - v else v).toByte
+              k += 1
+            }
+          } else {
+            val intensity = pixel(y, x0 + c, 0) & 0xff
+            val bit = mode.photometric match {
+              case 0 => if (intensity >= 128) 0 else 1
+              case _ => if (intensity >= 128) 1 else 0
+            }
+            if (bit == 1)
+              row(c >> 3) = (row(c >> 3) | (1 << (7 - (c & 7)))).toByte
+          }
+          c += 1
+        }
+      }
+      row
+    }
+    val nStrips = tile match {
+      case Some((tw0, th0)) =>
+        ((width + tw0 - 1) / tw0) * ((height + th0 - 1) / th0)
+      case None => (height + rowsPerStrip - 1) / rowsPerStrip
+    }
+    val strips: Seq[Array[Byte]] = tile match {
+      case Some((tw0, th0)) =>
+        val across = (width + tw0 - 1) / tw0
+        (0 until nStrips).map { idx =>
+          val ty = idx / across; val tx = idx % across
+          codeSegment((0 until th0).map(r =>
+            tileRow(tw0, ty * th0 + r, tx * tw0)))
+        }
+      case None =>
+        (0 until nStrips).map { s =>
+          val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+          codeSegment((0 until rows).map(r => rowData(s * rowsPerStrip + r)))
+        }
     }
 
     val out = new java.io.ByteArrayOutputStream()
@@ -478,14 +577,21 @@ object Tiff {
     entries += ((259, 3, 1L,
       Left(if (lzw) 5L else if (packBits) 32773L else 1L)))
     entries += ((262, 3, 1L, Left(mode.photometric.toLong)))
-    if (nStrips == 1) entries += ((273, 4, 1L, Left(-1L))) // patched below
-    else entries += ((273, 4, nStrips.toLong, Right(1)))
+    val (offTag, cntTag) = if (tile.isDefined) (324, 325) else (273, 279)
+    if (nStrips == 1) entries += ((offTag, 4, 1L, Left(-1L))) // patched below
+    else entries += ((offTag, 4, nStrips.toLong, Right(1)))
     entries += ((277, 3, 1L, Left(mode.samples.toLong)))
     if (predictor == 2) entries += ((317, 3, 1L, Left(2L)))
-    entries += ((278, 4, 1L, Left(rowsPerStrip.toLong)))
+    tile match {
+      case Some((tw0, th0)) =>
+        entries += ((322, 4, 1L, Left(tw0.toLong)))
+        entries += ((323, 4, 1L, Left(th0.toLong)))
+      case None =>
+        entries += ((278, 4, 1L, Left(rowsPerStrip.toLong)))
+    }
     if (nStrips == 1)
-      entries += ((279, 4, 1L, Left(strips.head.length.toLong)))
-    else entries += ((279, 4, nStrips.toLong, Right(2)))
+      entries += ((cntTag, 4, 1L, Left(strips.head.length.toLong)))
+    else entries += ((cntTag, 4, nStrips.toLong, Right(2)))
 
     val ifdSize = 2 + entries.size * 12 + 4
     var cursor = 8L + ifdSize
@@ -507,7 +613,9 @@ object Tiff {
       w16(tag); w16(typ); w32(count)
       v match {
         case Left(inline) =>
-          val patched = if (tag == 273 && inline == -1L) dataStart else inline
+          val patched =
+            if ((tag == 273 || tag == 324) && inline == -1L) dataStart
+            else inline
           if (typ == 3) { w16(patched.toInt); w16(0) } else w32(patched)
         case Right(0) => w32(bitsArrOff)
         case Right(1) => w32(stripOffArr)

@@ -121,6 +121,52 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("tiled layout round-trips: ragged edges, all codings, predictor") {
+    // 21x11 with 8x4 tiles -> 3x3 grid, right/bottom tiles zero-padded;
+    // the blit must copy only in-image columns/rows
+    for {
+      be <- Seq(false, true)
+      (lzw, pb) <- Seq((false, false), (false, true), (true, false))
+      (mode, pred) <- Seq((Tiff.Gray8(): Tiff.Mode, 2), (Tiff.Rgb888, 1),
+        (Tiff.Bilevel(), 1))
+    } {
+      def pxl(r: Int, c: Int, k: Int): Int =
+        if (mode.bits.head == 1) { if ((r + c) % 2 == 0) 255 else 0 }
+        else px(13)(r, c, k)
+      val img = Tiff.decode(Tiff.encode(21, 11, mode, be,
+        packBits = pb, rowsPerStrip = 999, pxl, lzw = lzw,
+        predictor = if (mode.bits.head == 8) pred else 1,
+        tile = Some((8, 4))))
+      assert(img.width === 21 && img.height === 11)
+      for (r <- 0 until 11; c <- 0 until 21; k <- 0 until mode.samples)
+        assert((img.pixels((r * 21 + c) * mode.samples + k) & 0xff)
+          === pxl(r, c, k), s"($r,$c,$k) be=$be lzw=$lzw pb=$pb mode=$mode")
+    }
+    // single-tile image (inline offsets/counts path)
+    val one = Tiff.decode(Tiff.encode(6, 5, Tiff.Gray8(), bigEndian = false,
+      packBits = false, rowsPerStrip = 999, px(2), tile = Some((8, 8))))
+    for (r <- 0 until 5; c <- 0 until 6)
+      assert((one.pixels(r * 6 + c) & 0xff) === px(2)(r, c, 0))
+  }
+
+  test("tiled lzw: the JDK ImageIO TIFF reader agrees") {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+    assume(readers.hasNext, "no ImageIO TIFF plugin in this JDK")
+    // conformant tile sizes are multiples of 16
+    val bytes = Tiff.encode(40, 21, Tiff.Rgb888, bigEndian = true,
+      packBits = false, rowsPerStrip = 999, px(8), lzw = true,
+      predictor = 2, tile = Some((16, 16)))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth === 40 && img.getHeight === 21)
+    for (r <- 0 until 21; c <- 0 until 40) {
+      val rgb = img.getRGB(c, r)
+      assert(((rgb >> 16) & 0xff) === px(8)(r, c, 0), s"R ($r,$c)")
+      assert(((rgb >> 8) & 0xff) === px(8)(r, c, 1), s"G ($r,$c)")
+      assert((rgb & 0xff) === px(8)(r, c, 2), s"B ($r,$c)")
+    }
+  }
+
   test("media_meta reports kind=tiff with dims from either byte order") {
     import org.apache.spark.sql.functions._
     val spark = graft.TestSpark.spark
