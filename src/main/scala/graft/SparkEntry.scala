@@ -3380,9 +3380,11 @@ object SparkEntry {
     // layout, read by the codegen'd `webp_meta` kernel (a native
     // Expression, q140's advisory-metadata posture: malformed == ok=false
     // rows, never failures). Fixtures cycle the three container forms
-    // (simple lossy VP8, simple lossless VP8L, extended VP8X) and every
-    // 7th doc is corrupted four different ways (truncation, magic flip,
-    // RIFF size mismatch, unknown leading chunk).
+    // (simple lossy VP8, simple lossless VP8L, extended VP8X — animated
+    // extended docs carry real ANMF frame chains whose counts and
+    // summed 24-bit durations the probe walks) and every 7th doc is
+    // corrupted four different ways (truncation, magic flip, RIFF size
+    // mismatch, unknown leading chunk).
     "q144_webp_probe" -> ((s, dir) => {
       import s.implicits._
       val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -3393,9 +3395,14 @@ object SparkEntry {
                 (16 + id % 300).toInt, (9 + id % 200).toInt)
               case 1 => Webp.encodeLossless(
                 (1 + id % 1000).toInt, (1 + id % 800).toInt, id % 2 == 1)
-              case _ => Webp.encodeExtended(
-                (10 + id % 4000).toInt, (20 + id % 2000).toInt,
-                id % 4 >= 2, id % 8 >= 4)
+              case _ =>
+                val anim = id % 8 >= 4
+                Webp.encodeExtended(
+                  (10 + id % 4000).toInt, (20 + id % 2000).toInt,
+                  id % 4 >= 2, anim,
+                  frames = if (anim)
+                    Seq.fill((1 + id % 3).toInt)((40 + id % 25).toInt)
+                  else Nil)
             }
             val payload =
               if (id % 7 != 3) base
@@ -3416,7 +3423,9 @@ object SparkEntry {
           col("m.width").cast("long").as("width"),
           col("m.height").cast("long").as("height"),
           col("m.has_alpha").as("has_alpha"),
-          col("m.has_anim").as("has_anim"))
+          col("m.has_anim").as("has_anim"),
+          col("m.n_frames").cast("long").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
         .ordered(col("doc_id"))
     }),
 
@@ -6378,7 +6387,14 @@ object SparkEntry {
         |       ELSE doc_id % 4 >= 2 END AS has_alpha,
         |  CASE WHEN doc_id % 7 = 3 THEN NULL
         |       WHEN doc_id % 3 = 2 THEN doc_id % 8 >= 4
-        |       ELSE FALSE END AS has_anim
+        |       ELSE FALSE END AS has_anim,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 2 AND doc_id % 8 >= 4 THEN 1 + doc_id % 3
+        |       ELSE NULL END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 3 = 2 AND doc_id % 8 >= 4
+        |         THEN (1 + doc_id % 3) * (40 + doc_id % 25)
+        |       ELSE NULL END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the spliced orientation and the q108 dimension derivations, both

@@ -53,18 +53,27 @@ object Webp {
   }
 
   /** Extended file: VP8X (flags + le24 canvas dims) followed by either
-    * an ANIM chunk (animations) or an inner VP8 frame chunk. */
-  def encodeExtended(w: Int, h: Int, alpha: Boolean,
-                     anim: Boolean): Array[Byte] = {
+    * the animation chunks (ANIM parameters + one ANMF per frame
+    * duration in `frames`, ms) or an inner VP8 frame chunk. */
+  def encodeExtended(w: Int, h: Int, alpha: Boolean, anim: Boolean,
+                     frames: Seq[Int] = Nil): Array[Byte] = {
     require(w >= 1 && w <= (1 << 24) && h >= 1 && h <= (1 << 24))
+    require(frames.isEmpty || anim, "frame durations need anim=true")
     val flags = (if (alpha) 0x10 else 0) | (if (anim) 0x02 else 0)
     val vp8x = chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
       le24(w - 1) ++ le24(h - 1))
-    val inner =
-      if (anim) chunk("ANIM", le32(0xffffffffL) ++ le16(0)) // bg + loops
-      else chunk("VP8 ", Array[Byte](0x30.toByte, 0, 0, 0x9d.toByte,
+    val inner: Seq[Array[Byte]] =
+      if (anim)
+        chunk("ANIM", le32(0xffffffffL) ++ le16(0)) +: // bg + loop count
+          frames.map { d =>
+            // 16-byte ANMF header (x, y, w-1, h-1, duration, flags) +
+            // filler standing in for the nested frame bitstream
+            chunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++
+              le24(d) ++ Array[Byte](0) ++ Array.fill(8)(0.toByte))
+          }
+      else Seq(chunk("VP8 ", Array[Byte](0x30.toByte, 0, 0, 0x9d.toByte,
         0x01.toByte, 0x2a.toByte) ++ le16(w min 16383) ++ le16(h min 16383) ++
-        Array.fill(14)(0.toByte))
-    container(vp8x, inner)
+        Array.fill(14)(0.toByte)))
+    container(vp8x +: inner: _*)
   }
 }

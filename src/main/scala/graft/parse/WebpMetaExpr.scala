@@ -64,7 +64,9 @@ object WebpMetaExpr {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("has_alpha", BooleanType),
-    StructField("has_anim", BooleanType)))
+    StructField("has_anim", BooleanType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -80,13 +82,15 @@ object WebpMetaExpr {
     b(o) == s.charAt(0).toByte && b(o + 1) == s.charAt(1).toByte &&
       b(o + 2) == s.charAt(2).toByte && b(o + 3) == s.charAt(3).toByte
 
-  private val Bad: InternalRow =
-    new GenericInternalRow(Array[Any](false, null, null, null, null, null))
+  private val Bad: InternalRow = new GenericInternalRow(
+    Array[Any](false, null, null, null, null, null, null, null))
 
   private def good(format: String, w: Int, h: Int, alpha: Boolean,
-                   anim: Boolean): InternalRow =
+                   anim: Boolean, nFrames: Any = null,
+                   durationMs: Any = null): InternalRow =
     new GenericInternalRow(Array[Any](
-      true, UTF8String.fromString(format), w, h, alpha, anim))
+      true, UTF8String.fromString(format), w, h, alpha, anim,
+      nFrames, durationMs))
 
   def meta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 20) return Bad
@@ -121,8 +125,30 @@ object WebpMetaExpr {
       if ((flags & 0xc1) != 0) return Bad // reserved bits must be 0
       val w = le24(b, 24) + 1
       val h = le24(b, 27) + 1
-      good("extended", w, h,
-        alpha = (flags & 0x10) != 0, anim = (flags & 0x02) != 0)
+      val anim = (flags & 0x02) != 0
+      if (!anim)
+        return good("extended", w, h, alpha = (flags & 0x10) != 0,
+          anim = false)
+      // animation: walk the remaining chunks counting ANMF frames and
+      // summing their 24-bit millisecond durations (the fields an
+      // animation filter needs — frame PIXELS stay codec territory).
+      // Chunk sizes are validated as we go; a lying size is malformed.
+      var off = 20L + size + (size & 1)
+      var nFrames = 0
+      var durationMs = 0L
+      while (off + 8 <= b.length) {
+        val csize = le32(b, (off + 4).toInt)
+        if (off + 8 + csize > b.length) return Bad
+        if (fourcc(b, off.toInt, "ANMF")) {
+          if (csize < 16) return Bad // frame header is 16 bytes
+          nFrames += 1
+          durationMs += le24(b, (off + 8 + 12).toInt)
+        }
+        off += 8 + csize + (csize & 1)
+      }
+      if (off != b.length) return Bad // trailing garbage / lying size
+      good("extended", w, h, alpha = (flags & 0x10) != 0, anim = true,
+        nFrames = nFrames, durationMs = durationMs)
     } else Bad
   }
 }

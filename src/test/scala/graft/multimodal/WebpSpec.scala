@@ -41,6 +41,26 @@ class WebpSpec extends AnyFunSuite {
         Some(true))))
   }
 
+  test("animated extended files report frame count and summed duration") {
+    val b = Webp.encodeExtended(100, 50, alpha = false, anim = true,
+      frames = Seq(40, 60, 80))
+    val r = WebpMetaExpr.meta(b)
+    assert(r.getBoolean(0) && r.getBoolean(5), "ok animated")
+    assert(r.getInt(6) === 3 && r.getLong(7) === 180L)
+    // zero-frame animation (ANIM parameters only): 0 frames, 0 ms
+    val z = WebpMetaExpr.meta(Webp.encodeExtended(9, 9, alpha = false,
+      anim = true))
+    assert(z.getBoolean(0) && z.getInt(6) === 0 && z.getLong(7) === 0L)
+    // non-animated extended: frame fields are null, not zero
+    val n = WebpMetaExpr.meta(Webp.encodeExtended(9, 9, alpha = false,
+      anim = false))
+    assert(n.getBoolean(0) && n.isNullAt(6) && n.isNullAt(7))
+    // a lying ANMF chunk size desynchronizes the walk -> malformed
+    val bad = b.clone()
+    bad(48) = (bad(48) + 1).toByte // first ANMF's size field
+    assert(!WebpMetaExpr.meta(bad).getBoolean(0))
+  }
+
   test("odd-sized chunks are padded and the RIFF size stays consistent") {
     val b = Webp.encodeLossless(5, 5, alpha = false, filler = 8) // 13-byte payload
     assert(b.length % 2 === 0, "odd chunk must carry a pad byte")
