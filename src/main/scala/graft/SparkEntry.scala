@@ -3448,6 +3448,37 @@ object SparkEntry {
         .ordered(col("l_returnflag"))
     }),
 
+    // ---- Sketch merge as a materialized-view primitive ------------------
+    // The property that makes the histogram family a rollup substrate:
+    // per-event-type sketches are built ONCE from the data, then the
+    // GLOBAL quantile is answered by MERGING the per-type arrays
+    // (elementwise integer add — Sketches.histMerge) with no second
+    // scan. At 100 TB this is the difference between "per-partition
+    // sketches in the metastore answer any coarser grouping" and
+    // rescanning the table per rollup level. The persist pins
+    // sketch-once (two consumers: the per-type rows and the merge);
+    // the oracle replays both levels' binning from the raw data.
+    "q148_hist_merge" -> ((s, dir) => {
+      val perType = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(Sketches.histogram(col("value"), 0.0, 512.0, 256).as("sk"),
+          count(lit(1)).as("n"))
+        .persist()
+      val global = perType
+        .agg(Sketches.histMerge(col("sk"), 256).as("sk"),
+          sum(col("n")).as("n"))
+        .select(lit("__all__").as("event_type"),
+          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.9)
+            .as("approx_p90"), col("n"))
+      perType
+        .select(col("event_type"),
+          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.9)
+            .as("approx_p90"), col("n"))
+        .unionByName(global)
+        .ordered(col("event_type"))
+    }),
+
     // ---- JSON-lines round-trip (the crawl-interchange staple) -----------
     // Web-scale corpora arrive as .jsonl shards; prove the engine's text
     // hop is byte-faithful end-to-end: documents -> JSONL sink -> schema'd
@@ -6329,6 +6360,30 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // both grouping levels replayed from the RAW values (q136's binning
+    // CTE): the engine's global row came from MERGED per-type sketches,
+    // and merging bin counts must equal binning the union — any
+    // divergence in the merge arithmetic hash-diverges here
+    "q148_hist_merge" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type IS NOT NULL),
+        |b AS (SELECT event_type,
+        |  LEAST(255, GREATEST(0, CAST(FLOOR(v / 512.0 * 256) AS INT))) AS bin
+        |  FROM e),
+        |h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |u AS (SELECT event_type, bin, c FROM h
+        |  UNION ALL SELECT '__all__', bin, SUM(c) FROM h GROUP BY 2),
+        |cw AS (SELECT event_type, bin,
+        |  SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |  SUM(c) OVER (PARTITION BY event_type) AS n FROM u),
+        |s90 AS (SELECT event_type, MIN(bin) AS b FROM cw
+        |  WHERE cum >= CEIL(0.9 * n) GROUP BY 1),
+        |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM u GROUP BY 1)
+        |SELECT n.event_type,
+        |  CAST((s90.b + 0.5) * 2.0 AS DOUBLE) AS approx_p90, n
+        |FROM n JOIN s90 USING (event_type) ORDER BY 1""".stripMargin,
 
     // the signature from the ORIGINAL text (q135's signed-md5 mapping);
     // agreement proves the engine's JSONL hop was byte-faithful

@@ -271,6 +271,39 @@ object Sketches {
   def histogram(c: Column, lo: Double, hi: Double, bins: Int): Column =
     udaf(new FixedHistogram(lo, hi, bins)).apply(c.cast("double"))
 
+  /** Merge ALREADY-BUILT histogram sketches (elementwise integer add) —
+    * the property that makes the sketch family a materialized-view
+    * primitive: compute per-group sketches ONCE, then answer any
+    * coarser grouping's quantiles by merging arrays instead of
+    * rescanning the data (q148's shape). Same grid required, enforced
+    * per row. */
+  class HistMergeAgg(bins: Int)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    require(bins >= 1)
+    override def zero: Array[Long] = new Array[Long](bins)
+    override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] = {
+      require(sk != null && sk.size == bins,
+        s"histMerge: sketch has ${Option(sk).map(_.size)} bins, grid is $bins")
+      var i = 0
+      while (i < bins) { buf(i) += sk(i); i += 1 }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bins) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form of [[HistMergeAgg]] over a sketch (array) column. */
+  def histMerge(sk: Column, bins: Int): Column =
+    udaf(new HistMergeAgg(bins)).apply(sk)
+
   /** Approximate quantile from a [[histogram]] sketch: the MIDPOINT of
     * the first bin whose cumulative count reaches rank ceil(q·N) — the
     * grid-resolution upper bound on the true quantile's bin. All-integer

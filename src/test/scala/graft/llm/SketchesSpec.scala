@@ -163,6 +163,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.sum === 5000L)
   }
 
+  test("histMerge: merging per-group sketches == sketching the union") {
+    val df = spark.range(6000).select((col("id") % 7).as("g"),
+      ((col("id") * 13) % 997).cast("double").as("x"))
+    val perGroup = df.groupBy("g")
+      .agg(Sketches.histogram(col("x"), 0.0, 1000.0, 64).as("sk"))
+    val merged = perGroup.agg(Sketches.histMerge(col("sk"), 64))
+      .head().getSeq[Long](0)
+    val direct = df.agg(Sketches.histogram(col("x"), 0.0, 1000.0, 64))
+      .head().getSeq[Long](0)
+    assert(merged === direct,
+      "rollup by array-merge must equal a full rescan, bin for bin")
+    assert(merged.sum === 6000L)
+    // a mismatched grid is a loud error, never a silent mis-merge
+    val e = intercept[Exception](perGroup
+      .agg(Sketches.histMerge(col("sk"), 32)).head())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bins")), msgs(e).mkString("; "))
+  }
+
   test("misra-gries: exact when distinct keys fit; off stays 0") {
     // 30 distinct keys, k=64: no decrement can ever fire — the summary
     // IS the exact frequency table, under any partitioning
