@@ -3479,6 +3479,37 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- KMV rollup merge: per-source sketches -> global distinct ------
+    // q148's materialized-view argument for the DISTINCT-COUNT family:
+    // bottom-k of the union of per-source bottom-k sets IS the union's
+    // bottom-k, so per-source vocabulary sketches roll up to the global
+    // distinct-token estimate with no rescan (Sketches.kmvMerge). The
+    // exact global distinct rides alongside; the oracle recomputes the
+    // global bottom-256 DIRECTLY from the md5 hashes — merge-equals-
+    // direct is the checked identity, plus the estimate arithmetic.
+    "q149_kmv_merge" -> ((s, dir) => {
+      val k = 256
+      // persist: sketch groupBy hashes source, the exact distinct
+      // hashes tok — reuse can't cover both (the q141 pin discipline)
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .persist()
+      val perSrc = toks.groupBy(col("source"))
+        .agg(Sketches.kmvMins(col("tok"), k, "md5").as("mins"))
+      val merged = perSrc.agg(Sketches.kmvMerge(col("mins"), k).as("mins"))
+      val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+      merged.crossJoin(broadcast(exact))
+        .withColumn("__u",
+          element_at(col("mins"), size(col("mins"))).cast("double") /
+            1.8446744073709552e19 + 0.5)
+        .select(
+          when(size(col("mins")) < k, size(col("mins")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) / col("__u") + 0.5)
+              .cast("long")).as("est_distinct"),
+          col("exact_distinct"))
+    }),
+
     // ---- JSON-lines round-trip (the crawl-interchange staple) -----------
     // Web-scale corpora arrive as .jsonl shards; prove the engine's text
     // hop is byte-faithful end-to-end: documents -> JSONL sink -> schema'd
@@ -6360,6 +6391,31 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the global bottom-256 recomputed DIRECTLY from the md5 hashes
+    // (q40's signed mapping): the engine's sketch came from MERGING
+    // per-source sketches, so agreement proves bottom-k-of-union ==
+    // union-of-bottom-ks, plus the estimate arithmetic
+    "q149_kmv_merge" ->
+      """WITH toks AS (SELECT
+        |    unnest(list_filter(string_split(lower(text),' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT DISTINCT tok FROM toks),
+        |h AS (SELECT
+        |  (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+        |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |    ELSE CAST(h0 AS BIGINT) END) AS sh
+        |  FROM (SELECT md5_number_lower(tok) AS h0 FROM d)),
+        |m AS (SELECT DISTINCT sh FROM h ORDER BY sh LIMIT 256),
+        |st AS (SELECT COUNT(*) AS nx, MAX(sh) AS kth FROM m),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM d)
+        |SELECT
+        |  CASE WHEN nx < 256 THEN CAST(nx AS BIGINT)
+        |    ELSE CAST(FLOOR(255.0/((CAST(kth AS DOUBLE)/1.8446744073709552e19)+0.5)+0.5) AS BIGINT) END
+        |    AS est_distinct,
+        |  exact_distinct
+        |FROM st, ex""".stripMargin,
 
     // both grouping levels replayed from the RAW values (q136's binning
     // CTE): the engine's global row came from MERGED per-type sketches,

@@ -304,6 +304,30 @@ object Sketches {
   def histMerge(sk: Column, bins: Int): Column =
     udaf(new HistMergeAgg(bins)).apply(sk)
 
+  /** Merge ALREADY-BUILT bottom-k (KMV) sketches — bottom-k of the
+    * union of bottom-k sets IS the union's bottom-k, so per-group
+    * distinct-count sketches roll up to any coarser grouping without a
+    * rescan ([[HistMergeAgg]]'s argument for the distinct-count family;
+    * q149's shape). */
+  class KmvMergeAgg(k: Int)
+      extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+    require(k >= 1)
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] =
+      kmvMergeBufs(buf, sk, k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      kmvMergeBufs(a, b, k)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form of [[KmvMergeAgg]] over a mins (array) column. */
+  def kmvMerge(mins: Column, k: Int): Column =
+    udaf(new KmvMergeAgg(k)).apply(mins)
+
   /** Approximate quantile from a [[histogram]] sketch: the MIDPOINT of
     * the first bin whose cumulative count reaches rank ceil(q·N) — the
     * grid-resolution upper bound on the true quantile's bin. All-integer

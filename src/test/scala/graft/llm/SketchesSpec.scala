@@ -183,6 +183,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("bins")), msgs(e).mkString("; "))
   }
 
+  test("kmvMerge: merging per-group sketches == sketching the union") {
+    val df = spark.range(9000).select((col("id") % 5).as("g"),
+      (col("id") % 3000).as("v"))
+    val perGroup = df.groupBy("g")
+      .agg(Sketches.kmvMins(col("v"), 256, "md5").as("mins"))
+    val merged = perGroup.agg(Sketches.kmvMerge(col("mins"), 256))
+      .head().getSeq[Long](0)
+    val direct = df.agg(Sketches.kmvMins(col("v"), 256, "md5"))
+      .head().getSeq[Long](0)
+    assert(merged === direct,
+      "bottom-k of the union of bottom-ks must equal the union's bottom-k")
+    assert(merged.size === 256 && merged === merged.sorted)
+  }
+
   test("misra-gries: exact when distinct keys fit; off stays 0") {
     // 30 distinct keys, k=64: no decrement can ever fire — the summary
     // IS the exact frequency table, under any partitioning
