@@ -50,6 +50,23 @@ object Skew {
     (entries.filter(h => h.count + off >= (minShare * n).toLong), n)
   }
 
+  /** Measure-THEN-salt equi-join — [[hotKeys]] wired to [[saltedJoin]]:
+    * one bounded-state MG pass over the left side's key decides whether
+    * the replication cost of salting is warranted at all. No hot key →
+    * a plain join (zero overhead); any key whose share upper bound
+    * clears `minShare` → the salted join (hot keys spread over
+    * `buckets` reducers). Returns whether salting fired so callers can
+    * log/audit the decision. The guarantee direction is inherited from
+    * hotKeys: a truly-hot key can never slip through unsalted. */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                     buckets: Int, minShare: Double = 0.05, k: Int = 256,
+                     joinType: String = "inner"): (DataFrame, Boolean) = {
+    val (hot, _) = hotKeys(left, key, minShare, k)
+    if (hot.nonEmpty)
+      (saltedJoin(left, right, Seq(key), buckets, joinType), true)
+    else (left.join(right, Seq(key), joinType), false)
+  }
+
   /** Two-phase (salted) aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key. Spark's hash aggregate already does
     * map-side partial aggregation; the explicit salt phase additionally

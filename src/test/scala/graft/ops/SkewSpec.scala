@@ -53,6 +53,30 @@ class SkewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise k"))
   }
 
+  test("autoSaltedJoin: salts only when a measured hot key warrants it") {
+    val hotLeft = spark.range(2000)
+      .select(when(col("id") < 1200, lit("hot")).otherwise(
+        concat(lit("c"), col("id"))).as("k"), col("id").as("payload"))
+    val right = (Seq("hot") ++ (0 until 50).map(i => s"c${1200 + i}"))
+      .map(k => (k, s"attr_$k")).toDF("k", "attr")
+    val plain = hotLeft.join(right, Seq("k"))
+      .select("k", "payload", "attr").as[(String, Long, String)]
+      .collect().toSet
+    val (salted, fired) = Skew.autoSaltedJoin(hotLeft, right, "k",
+      buckets = 8, minShare = 0.10)
+    assert(fired, "a 60% key must trigger salting")
+    assert(salted.select("k", "payload", "attr")
+      .as[(String, Long, String)].collect().toSet === plain)
+    // uniform keys: the measurement says no — plain join, no replication
+    val uniform = spark.range(2000)
+      .select(concat(lit("u"), col("id") % 500).as("k"),
+        col("id").as("payload"))
+    val (out, fired2) = Skew.autoSaltedJoin(uniform, right, "k",
+      buckets = 8, minShare = 0.10)
+    assert(!fired2, "no key near 10% share — salting must not fire")
+    assert(out.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("saltedAgg count equals plain groupBy count") {
     val df = spark.range(10000)
       .select((col("id") % 3).as("k"), col("id").as("v"))
