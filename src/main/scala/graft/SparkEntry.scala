@@ -3510,6 +3510,78 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // ---- HLL rollup merge: per-group registers -> global estimate -------
+    // Completes the rollup-merge family for the CARDINALITY member
+    // (q148 = histogram/add, q149 = KMV/bottom-k, here = HLL/max):
+    // per-returnflag register sketches roll up to the global distinct-
+    // order estimate by elementwise MAX with no rescan. Keys OVERLAP
+    // across groups (an order's lines carry several returnflags), which
+    // is exactly the case where summing per-group distincts is wrong
+    // and register max is right. The oracle builds every level's
+    // registers DIRECTLY from the raw hashes — merge-equals-direct is
+    // the checked identity; exact distinct rides alongside per level.
+    "q150_hll_merge" -> ((s, dir) => {
+      val p = 8
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull)
+      val h31 = shiftrightunsigned(
+        call_function("md5_lower64", col("l_orderkey").cast("string")), 33)
+      // persist: two consumers of the per-flag sketches (the per-flag
+      // rows and the global merge) — the q148 pin discipline
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(Sketches.hllRegisters(h31, p).as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_n"))
+        .persist()
+      val globalExact = li.agg(countDistinct(col("l_orderkey")).as("exact_n"))
+      val global = perFlag.agg(Sketches.hllMerge(col("sk"), p).as("sk"))
+        .crossJoin(broadcast(globalExact))
+        .select(lit("__all__").as("l_returnflag"), col("sk"), col("exact_n"))
+      perFlag.select(col("l_returnflag"), col("sk"), col("exact_n"))
+        .unionByName(global)
+        .select(col("l_returnflag"),
+          (floor(Sketches.hllEstimate(col("sk"), p) * 1e6 + 0.5) / 1e6)
+            .as("hll_est"),
+          size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
+          col("exact_n"))
+        .ordered(col("l_returnflag"))
+    }),
+
+    // ---- CMS rollup merge: per-source counters -> global estimates ------
+    // The FREQUENCY member needs no new merge operator at all — Count-Min
+    // counters add elementwise, so the rollup IS Sketches.histMerge with
+    // bins = d·w (the q148 aggregator on a different array length). Per-
+    // source token sketches merge to the global counter array, probed
+    // for q122's fixed terms; the oracle builds the global counters
+    // directly from all tokens (add is associative — merging per-source
+    // counts equals counting the union), so merge-equals-direct is the
+    // checked identity here too. Exact counts ride alongside.
+    "q151_cms_merge" -> ((s, dir) => {
+      import s.implicits._
+      val h31 = (c: Column) =>
+        shiftrightunsigned(call_function("md5_lower64", c), 33)
+      val toks = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .persist()
+      val perSrc = toks.groupBy(col("source"))
+        .agg(Sketches.cms(h31(col("tok")), cmsParams, cmsW).as("sk"))
+      val sk = perSrc.agg(
+        Sketches.histMerge(col("sk"), cmsParams.size * cmsW).as("sk"))
+      val probes = cmsProbes.toDF("term")
+        .withColumn("__h", h31(col("term")))
+      val est = probes.crossJoin(broadcast(sk)).select(col("term"),
+        least(cmsParams.zipWithIndex.map { case ((a, b), i) =>
+          element_at(col("sk"), (lit(i * cmsW) +
+            (col("__h") * a + b) % 2147483647L % cmsW + 1).cast("int"))
+        }: _*).as("est"))
+      val exact = toks.filter(col("tok").isin(cmsProbes: _*))
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .ordered(col("term"))
+    }),
+
     // ---- JSON-lines round-trip (the crawl-interchange staple) -----------
     // Web-scale corpora arrive as .jsonl shards; prove the engine's text
     // hop is byte-faithful end-to-end: documents -> JSONL sink -> schema'd
@@ -6416,6 +6488,65 @@ object SparkEntry {
         |    AS est_distinct,
         |  exact_distinct
         |FROM st, ex""".stripMargin,
+
+    // every level's registers built DIRECTLY from the raw hashes
+    // (q130's register SQL with a per-level UNION): the engine's
+    // __all__ row came from MERGED per-flag registers, and elementwise
+    // max must equal grouping the union — any divergence in the merge
+    // hash-diverges here
+    "q150_hll_merge" ->
+      """WITH h AS (SELECT l_returnflag,
+        |  (md5_number_lower(CAST(l_orderkey AS VARCHAR)) >> 33)::BIGINT AS h,
+        |  l_orderkey
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g AS (SELECT l_returnflag, h, l_orderkey FROM h
+        |  UNION ALL SELECT '__all__', h, l_orderkey FROM h),
+        |r AS (SELECT l_returnflag, (h >> 23) AS idx,
+        |  MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+        |      ELSE 23 - length(bin(h & 8388607)) + 1 END) AS rho
+        |  FROM g GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag,
+        |  SUM(CAST(1.0 AS DOUBLE)/(1 << rho)) + (256 - COUNT(*)) AS S,
+        |  COUNT(*) AS act FROM r GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_n FROM g GROUP BY 1)
+        |SELECT s.l_returnflag,
+        |  FLOOR(0.7213/(1 + 1.079/256)*256*256/S * 1e6 + 0.5)/1e6 AS hll_est,
+        |  CAST(act AS BIGINT) AS n_active, exact_n
+        |FROM s JOIN ex USING (l_returnflag)
+        |ORDER BY 1""".stripMargin,
+
+    // q122's oracle verbatim — the global counters built directly from
+    // ALL tokens; the engine side arrived at the same array by merging
+    // per-source sketches (elementwise add is associative), so the est
+    // column hash-diverges on any merge defect
+    "q151_cms_merge" -> {
+      val pvals = cmsParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      val probeVals = cmsProbes.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(lower(text),' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT (md5_number_lower(tok) >> 33)::BIGINT AS h FROM toks),
+         |p(i, a, b) AS (VALUES $pvals),
+         |c AS (SELECT p.i, ((h.h * p.a + p.b) % 2147483647) % $cmsW AS bkt,
+         |    COUNT(*) AS n
+         |  FROM h CROSS JOIN p GROUP BY 1, 2),
+         |probes(term) AS (VALUES $probeVals),
+         |ph AS (SELECT term,
+         |  (md5_number_lower(term) >> 33)::BIGINT AS h FROM probes),
+         |e AS (SELECT term, MIN(COALESCE(c.n, 0)) AS est
+         |  FROM ph CROSS JOIN p
+         |  LEFT JOIN c ON c.i = p.i
+         |    AND c.bkt = ((ph.h * p.a + p.b) % 2147483647) % $cmsW
+         |  GROUP BY term),
+         |ex AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+         |SELECT e.term, e.est, COALESCE(ex.n, 0) AS exact_n
+         |FROM e LEFT JOIN ex ON e.term = ex.tok
+         |ORDER BY e.term""".stripMargin
+    },
 
     // both grouping levels replayed from the RAW values (q136's binning
     // CTE): the engine's global row came from MERGED per-type sketches,

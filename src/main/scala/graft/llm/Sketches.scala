@@ -328,6 +328,44 @@ object Sketches {
   def kmvMerge(mins: Column, k: Int): Column =
     udaf(new KmvMergeAgg(k)).apply(mins)
 
+  /** Merge ALREADY-BUILT HLL register arrays (elementwise MAX — exactly
+    * [[Hll.merge]] lifted to a sketch column), completing the rollup
+    * family for the CARDINALITY member: per-group register sketches
+    * answer any coarser grouping's distinct estimate with no rescan
+    * (q150's shape; [[HistMergeAgg]] is the add twin for histograms AND
+    * Count-Min counters — CMS rollup is `histMerge(sk, d·w)`, no
+    * separate operator needed). Same precision required, enforced per
+    * row; max is idempotent/commutative/associative, so the merged
+    * registers are bit-identical to registers built directly over the
+    * union under ANY partitioning or merge order. */
+  class HllMergeAgg(m: Int)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    require(m >= 1)
+    override def zero: Array[Long] = new Array[Long](m)
+    override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] = {
+      require(sk != null && sk.size == m,
+        s"hllMerge: sketch has ${Option(sk).map(_.size)} registers, m is $m")
+      var i = 0
+      while (i < m) { if (sk(i) > buf(i)) buf(i) = sk(i); i += 1 }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form of [[HllMergeAgg]] over a register (array) column;
+    * `p` is the precision the sketches were built with. */
+  def hllMerge(sk: Column, p: Int): Column =
+    udaf(new HllMergeAgg(1 << p)).apply(sk)
+
   /** Approximate quantile from a [[histogram]] sketch: the MIDPOINT of
     * the first bin whose cumulative count reaches rank ceil(q·N) — the
     * grid-resolution upper bound on the true quantile's bin. All-integer

@@ -197,6 +197,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.size === 256 && merged === merged.sorted)
   }
 
+  test("hllMerge: merging per-group registers == registers of the union") {
+    // groups OVERLAP in keys (id % 3000 spans every g) — the case where
+    // summing per-group distincts is wrong and register max is right
+    val df = spark.range(9000).select((col("id") % 5).as("g"),
+      shiftrightunsigned(
+        call_function("md5_lower64", (col("id") % 3000).cast("string")), 33)
+        .as("h"))
+    val perGroup = df.groupBy("g")
+      .agg(Sketches.hllRegisters(col("h"), 8).as("sk"))
+    val merged = perGroup.agg(Sketches.hllMerge(col("sk"), 8))
+      .head().getSeq[Long](0)
+    val direct = df.agg(Sketches.hllRegisters(col("h"), 8))
+      .head().getSeq[Long](0)
+    assert(merged === direct,
+      "elementwise-max rollup must equal registers built over the union")
+    // a mismatched precision is a loud error, never a silent mis-merge
+    val e = intercept[Exception](perGroup
+      .agg(Sketches.hllMerge(col("sk"), 7)).head())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("registers")), msgs(e).mkString("; "))
+  }
+
   test("misra-gries: exact when distinct keys fit; off stays 0") {
     // 30 distinct keys, k=64: no decrement can ever fire — the summary
     // IS the exact frequency table, under any partitioning
