@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav, Webp}
+import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav, Webp}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3372,6 +3372,54 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: REAL BMP raster decode -----------------------------
+    // The last header-simple raster crawl corpora carry (PNG/JPEG/GIF/
+    // TIFF are q108/q109/q110/q143): per doc, synthesize a DIB-v3 BMP
+    // cycling pixel form (24-bit BGR / 32-bit BGRX with a dropped pad
+    // byte / 8-bit palette / 1-bit bilevel / 8-bit BI_RLE8 with mixed
+    // run+absolute escapes and constant rows to pack), row order
+    // (odd non-RLE docs are top-down via negative height), and the
+    // 4-byte row alignment every width exercises. Palette images
+    // expand through the synthetic (7j,5j,3j) color table to RGB —
+    // palette order is arbitrary, so no "gray-looking" collapse. The
+    // oracle replays the closed-form decoded pixels (q143 discipline);
+    // same 100 TB posture — generation + decode in one mapPartitions
+    // pass, only fixed-width stats ride a shuffle.
+    "q152_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 10 + (id % 23).toInt
+            val h = 9 + (id % 17).toInt
+            val mode: Bmp.Mode = (id % 4) match {
+              case 0 => if (id % 5 == 0) Bmp.Rgb32 else Bmp.Rgb24
+              case 1 => Bmp.Indexed8(rle = false)
+              case 2 => Bmp.Bilevel1
+              case _ => Bmp.Indexed8(rle = true)
+            }
+            val pxl: (Int, Int) => Int = (id % 4) match {
+              case 2 => (r, c) => if ((id + r + c) % 2 == 0) 1 else 0
+              case 3 => (r, c) =>
+                if (r % 3 == 0) (id % 256).toInt
+                else ((id + 3 * r + 5 * c) % 256).toInt
+              case _ => (r, c) => ((id + 3 * r + 5 * c) % 256).toInt
+            }
+            val payload = Bmp.encode(w, h, mode,
+              topDown = id % 2 == 1 && id % 4 != 3, pxl)
+            Binary.MediaRow(id, payload, "image", "bmp")
+          }
+        }
+      Binary.decodeImage(media)
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_px"), col("mean_px"), col("min_px"), col("max_px"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: WebP container metadata probe ----------------------
     // The crawl-staple format the engine deliberately does NOT pixel-
     // decode (VP8 bitstreams are codec-library territory — the stub
@@ -6459,6 +6507,38 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(c AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_px,
+        |  FLOOR(CAST(list_sum(px) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
+        |  CAST(list_min(px) AS BIGINT) AS min_px,
+        |  CAST(list_max(px) AS BIGINT) AS max_px
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the closed-form BMP pixels by flat index i over w*h*3 (q143's
+    // shape, always 3 channels — palette docs expand through the
+    // synthetic (7j,5j,3j) table): truecolor (mode 0) v+11k, indexed
+    // (modes 1/3) weight[k]*j with mode 3's constant every-3rd rows,
+    // bilevel (mode 2) the (id+r+c) parity checkerboard. Row order,
+    // RLE coding, pad bytes and alignment all vanish at decode — the
+    // pixels are the contract
+    "q152_bmp_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h,
+        |  doc_id % 4 AS mode FROM documents),
+        |v AS (SELECT doc_id, w, h, w*h*3 AS n,
+        |  list_apply(range(w*h*3), i ->
+        |    CASE WHEN mode = 0 THEN
+        |      (doc_id + 3*(i//(w*3)) + 5*((i%(w*3))//3) + 11*(i%3)) % 256
+        |    WHEN mode = 2 THEN
+        |      CASE WHEN (doc_id + i//(w*3) + (i%(w*3))//3) % 2 = 0
+        |        THEN 255 ELSE 0 END
+        |    ELSE
+        |      ((CASE i%3 WHEN 0 THEN 7 WHEN 1 THEN 5 ELSE 3 END) *
+        |       (CASE WHEN mode = 3 AND (i//(w*3)) % 3 = 0 THEN doc_id % 256
+        |        ELSE (doc_id + 3*(i//(w*3)) + 5*((i%(w*3))//3)) % 256 END)
+        |      ) % 256
+        |    END) AS px
+        |  FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_px,
         |  FLOOR(CAST(list_sum(px) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px

@@ -89,8 +89,9 @@ object Binary {
     else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
       Gif.decode(payload)
     else if (Tiff.isTiff(payload)) Tiff.decode(payload)
+    else if (Bmp.isBmp(payload)) Bmp.decode(payload)
     else throw new IllegalArgumentException(
-      "unrecognized image container (PNG, baseline JPEG, GIF, TIFF supported)")
+      "unrecognized image container (PNG, baseline JPEG, GIF, TIFF, BMP supported)")
   }
 
   /** Cheap columnar metadata — no decode needed, stays in codegen:
@@ -110,6 +111,7 @@ object Binary {
       .when(h.startsWith("FFD8FF"), "image/jpeg")
       .when(h.startsWith("47494638"), "image/gif")
       .when(h.startsWith("49492A00") || h.startsWith("4D4D002A"), "image/tiff")
+      .when(h.startsWith("424D"), "image/bmp")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "audio/wav")
       .when(substring(h, 9, 8) === "66747970", "video/mp4")
       .when(h.startsWith("25504446"), "application/pdf")
