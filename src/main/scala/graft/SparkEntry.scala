@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Png, Tiff, Warc, Wav, Webp}
+import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3420,6 +3420,83 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: MPEG-audio frame-header probe ----------------------
+    // The audio sibling of q144's WebP probe: per doc, synthesize an
+    // MP3-family stream (real ISO frame headers at spec-exact lengths;
+    // junk payloads — audio synthesis is the stub boundary) cycling
+    // MPEG version (1/2/2.5), layer (I/II/III), bitrate index, sample
+    // rate, mono/stereo, CBR vs VBR (per-frame bitrate walk), leading
+    // ID3v2 (syncsafe size, every-9th footer) and trailing ID3v1 tags,
+    // alternating padding bits; every 7th doc corrupted (truncation /
+    // sync flip / free bitrate / lying or missing tag). The codegen'd
+    // `mpeg_audio_meta` kernel walks headers wall-to-wall; the oracle
+    // recomputes every field closed-form from the public bitrate/
+    // samplerate tables (q144 discipline, ok=false -> null fields).
+    "q153_mpeg_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val verId = (id % 3) match {
+              case 0 => 3; case 1 => 2; case _ => 0
+            }
+            val layer = 1 + ((id % 7) % 3).toInt
+            val srIdx = ((id % 5) % 3).toInt
+            val nf = 3 + (id % 6).toInt
+            val brIdxs =
+              if (id % 4 == 1) (0 until nf).map(f => 1 + ((id + 3 * f) % 14).toInt)
+              else Seq.fill(nf)(1 + (id % 14).toInt)
+            val base = Mp3.encode(verId, layer, brIdxs, srIdx,
+              mono = id % 2 == 0, pad = f => ((id + f) % 2).toInt,
+              id3v2 = if (id % 3 == 0) Some(40 + (id % 100).toInt) else None,
+              id3v2Footer = id % 9 == 0, id3v1 = id % 5 == 0)
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(base.length - 3)
+                case 1 => { val b = base.clone()
+                  // flip the first frame's sync byte (frames start after
+                  // the optional ID3v2 region)
+                  val off = if (id % 3 == 0)
+                    10 + 40 + (id % 100).toInt +
+                      (if (id % 9 == 0) 10 else 0)
+                  else 0
+                  b(off) = 0x7f.toByte; b }
+                case 2 => { val b = base.clone()
+                  val off = if (id % 3 == 0)
+                    10 + 40 + (id % 100).toInt +
+                      (if (id % 9 == 0) 10 else 0)
+                  else 0
+                  b(off + 2) = (b(off + 2) & 0x0f).toByte; b } // free bitrate
+                case _ =>
+                  // lying ID3v2 size (bit-6 flip, ±64) shifts the walk
+                  // into tag junk or mid-payload — both non-sync by the
+                  // junk byte patterns, never a re-aligned frame
+                  if (id % 3 == 0) { val b = base.clone()
+                    b(9) = ((b(9) & 0x7f) ^ 0x40).toByte
+                    b }
+                  else base.take(2) // no tag to lie about: truncate
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"),
+          call_function("mpeg_audio_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.version").as("version"),
+          col("m.layer").cast("long").as("layer"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.n_frames").cast("long").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("m.vbr").as("vbr"),
+          col("m.has_id3v2").as("has_id3v2"),
+          col("m.has_id3v1").as("has_id3v1"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: WebP container metadata probe ----------------------
     // The crawl-staple format the engine deliberately does NOT pixel-
     // decode (VP8 bitstreams are codec-library territory — the stub
@@ -6511,6 +6588,56 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // every field recomputed closed-form from the doc_id formulas and
+    // the PUBLIC ISO bitrate/samplerate tables (stated here as list
+    // literals — an independent transcription of the same spec the
+    // kernel's arrays transcribe): duration is the all-integer
+    // n_frames*samples_per_frame*1000 // sample_rate; VBR docs
+    // (doc_id%4=1) report NULL bitrate; corrupt docs ok=false/null
+    "q153_mpeg_probe" ->
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS ver,
+        |  1 + (doc_id % 7) % 3 AS lyr,
+        |  (doc_id % 5) % 3 AS sri,
+        |  3 + doc_id % 6 AS nf,
+        |  1 + doc_id % 14 AS bri,
+        |  doc_id % 4 = 1 AS vbr
+        |  FROM documents),
+        |e AS (SELECT doc_id, ok, ver, lyr, nf, vbr,
+        |  CASE ver WHEN '1' THEN [44100, 48000, 32000]
+        |    WHEN '2' THEN [22050, 24000, 16000]
+        |    ELSE [11025, 12000, 8000] END[sri + 1] AS sr,
+        |  CASE WHEN lyr = 1 THEN 384 WHEN lyr = 2 THEN 1152
+        |    WHEN ver = '1' THEN 1152 ELSE 576 END AS spf,
+        |  CASE WHEN vbr THEN NULL
+        |    WHEN ver = '1' AND lyr = 1 THEN
+        |      [32,64,96,128,160,192,224,256,288,320,352,384,416,448][bri]
+        |    WHEN ver = '1' AND lyr = 2 THEN
+        |      [32,48,56,64,80,96,112,128,160,192,224,256,320,384][bri]
+        |    WHEN ver = '1' THEN
+        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bri]
+        |    WHEN lyr = 1 THEN
+        |      [32,48,56,64,80,96,112,128,144,160,176,192,224,256][bri]
+        |    ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][bri]
+        |  END AS kbps
+        |  FROM p)
+        |SELECT doc_id, ok,
+        |  CASE WHEN ok THEN ver END AS version,
+        |  CAST(CASE WHEN ok THEN lyr END AS BIGINT) AS layer,
+        |  CAST(CASE WHEN ok THEN sr END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN ok THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END END AS BIGINT)
+        |    AS channels,
+        |  CAST(CASE WHEN ok THEN nf END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN ok THEN (nf * spf * 1000) // sr END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN ok THEN kbps END AS BIGINT) AS bitrate_kbps,
+        |  CASE WHEN ok THEN vbr END AS vbr,
+        |  CASE WHEN ok THEN doc_id % 3 = 0 END AS has_id3v2,
+        |  CASE WHEN ok THEN doc_id % 5 = 0 END AS has_id3v1
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // the closed-form BMP pixels by flat index i over w*h*3 (q143's
     // shape, always 3 channels — palette docs expand through the

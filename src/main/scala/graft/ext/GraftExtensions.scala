@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, MpegAudioMetaExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -137,6 +137,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("webp_meta"),
       new ExpressionInfo(classOf[WebpMetaExpr].getName, "webp_meta"),
       (children: Seq[Expression]) => WebpMetaExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("mpeg_audio_meta"),
+      new ExpressionInfo(classOf[MpegAudioMetaExpr].getName, "mpeg_audio_meta"),
+      (children: Seq[Expression]) => MpegAudioMetaExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("minhash32"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "minhash32"),
