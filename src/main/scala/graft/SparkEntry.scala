@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp}
+import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3420,6 +3420,56 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: REAL ZIP archive walk ------------------------------
+    // The multi-file sibling of q119/q120's WARC+gzip ingest: data
+    // drops arrive as .zip bundles, and the engine explodes them into
+    // member rows via its own central-directory parser (not the JDK
+    // stream API, which trusts local headers and tolerates exactly the
+    // truncations the directory exists to catch) + raw-deflate inflate
+    // with CRC32/size verification per member. Per doc: 1-3 members
+    // alternating stored/deflate (repeated-token text so deflate
+    // actually compresses); every 7th doc corrupted four ways (EOCD
+    // truncation, first-payload-byte flip -> CRC/deflate failure, EOCD
+    // signature flip, comment-length flip) -> single ok=false row. The
+    // oracle regenerates each member's closed-form text and digests it
+    // with its own md5 — names, sizes and content hashes must all
+    // survive the compress->archive->walk->inflate round trip.
+    "q154_zip_walk" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val members = (0 until (1 + id % 3).toInt).map { j =>
+              val content = ("w" + (id + j) + " ") * (5 + ((id + j) % 20)).toInt
+              (s"doc$id/part$j.txt",
+                content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                (id + j) % 2 == 0)
+            }
+            val base = Zip.encode(members)
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(base.length - 5)
+                case 1 => { val b = base.clone()
+                  b(30 + s"doc$id/part0.txt".length) =
+                    (b(30 + s"doc$id/part0.txt".length) ^ 0x55).toByte
+                  b } // first payload byte -> CRC/deflate failure
+                case 2 => { val b = base.clone()
+                  b(b.length - 21) = 'X'.toByte; b } // EOCD signature
+                case _ => { val b = base.clone()
+                  b(b.length - 1) = 0x40.toByte; b } // comment-length lie
+              }
+            Binary.MediaRow(id, payload, "archive", "zip")
+          }
+        }
+      Binary.zipEntries(media)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("ok"), col("name"),
+          col("method").cast("long").as("method"), col("n_bytes"),
+          col("digest"))
+        .ordered(col("doc_id"), col("name"))
+    }),
+
     // ---- Multimodal: MPEG-audio frame-header probe ----------------------
     // The audio sibling of q144's WebP probe: per doc, synthesize an
     // MP3-family stream (real ISO frame headers at spec-exact lengths;
@@ -6588,6 +6638,29 @@ object SparkEntry {
         |  CAST(list_min(px) AS BIGINT) AS min_px,
         |  CAST(list_max(px) AS BIGINT) AS max_px
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // members regenerated closed-form (same repeat-text formula) and
+    // digested with DuckDB's own md5 — agreement proves the
+    // compress->archive->walk->inflate round trip preserved every
+    // member byte; corrupt docs are single ok=false rows
+    "q154_zip_walk" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |m AS (SELECT doc_id, j FROM d CROSS JOIN range(3) t(j)
+        |  WHERE j < 1 + doc_id % 3 AND doc_id % 7 <> 3),
+        |c AS (SELECT doc_id, j,
+        |  'doc' || doc_id || '/part' || j || '.txt' AS name,
+        |  CASE WHEN (doc_id + j) % 2 = 0 THEN 8 ELSE 0 END AS method,
+        |  repeat('w' || (doc_id + j) || ' ',
+        |    CAST(5 + (doc_id + j) % 20 AS INT)) AS content
+        |  FROM m)
+        |SELECT doc_id, TRUE AS ok, name, CAST(method AS BIGINT) AS method,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS digest
+        |FROM c
+        |UNION ALL
+        |SELECT doc_id, FALSE AS ok, NULL AS name, CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), NULL
+        |FROM d WHERE doc_id % 7 = 3
+        |ORDER BY doc_id, name""".stripMargin,
 
     // every field recomputed closed-form from the doc_id formulas and
     // the PUBLIC ISO bitrate/samplerate tables (stated here as list

@@ -152,6 +152,37 @@ object Binary {
     }
   }
 
+  case class ZipRow(media_id: Long, ok: Boolean, name: String,
+                    method: Int, n_bytes: Long, digest: String)
+
+  /** REAL ZIP archive walk ([[Zip.decode]]: central-directory parse +
+    * raw-deflate inflate, CRC32/size verified per member) — each input
+    * payload is one .zip bundle, each output row one member's metadata
+    * + payload digest/length. Member bytes are reduced IN-PARTITION
+    * (the [[warcRecords]] discipline) so archive contents never ride a
+    * shuffle, only fixed-width rows do. A malformed archive — bad
+    * directory, CRC mismatch, truncation, bomb — yields a single
+    * `ok=false` row. */
+  def zipEntries(media: Dataset[MediaRow]): Dataset[ZipRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        try {
+          Zip.decode(r.payload).map { e =>
+            md.reset()
+            val hex = md.digest(e.data).map(b => f"$b%02x").mkString
+            ZipRow(r.media_id, ok = true, e.name, e.method,
+              e.data.length.toLong, hex)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(ZipRow(r.media_id, ok = false, null, -1, -1L, null))
+        }
+      }
+    }
+  }
+
   /** REAL gunzip of compressed-text payloads ([[Gzip.decode]]: JDK zlib,
     * multi-member streams, zip-bomb size cap) into a UTF-8 text column —
     * the first stage of any crawl ingest (WET/WARC/.jsonl.gz shards
