@@ -2810,6 +2810,24 @@ object SparkEntry {
         .ordered(col("node"))
     }),
 
+    // ---- LLM ops: link-graph hub/authority (HITS) -----------------------
+    // The other classic link signal on q126's 97-node graph: Kleinberg
+    // hub/authority after exactly hitsIterations rounds, L1-normalized
+    // (same fixed point as the L2 form up to the per-round scalar the
+    // normalization cancels; no sqrt keeps every step in the decimal-
+    // sum determinism contract). auth from hubs, then hub from NEW
+    // auths; the oracle unrolls the identical half-steps.
+    "q155_hits" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 97).as("src"), ((d * 7 + 13) % 97).as("dst"))
+      val e2 = docs.filter(d % 3 === 0)
+        .select((d % 97).as("src"), ((d * 31 + 5) % 97).as("dst"))
+      val edges = e1.unionByName(e2).filter(col("src") < 90)
+      LinkGraph.hits(edges, "src", "dst", iterations = hitsIterations)
+        .ordered(col("node"))
+    }),
+
     // ---- LLM ops: k-anonymity release gate ------------------------------
     // Full-domain generalization over (lang, source, length) with a
     // 4-level recoding ladder (raw length -> 100-bucket -> 1000-bucket
@@ -3815,6 +3833,10 @@ object SparkEntry {
 
   /** q126's iteration count — shared with the generated oracle. */
   private val prIterations = 6
+
+  /** q155's HITS round count — fewer than q126's (each round is two
+    * join+agg half-steps and six oracle CTE layers). */
+  private val hitsIterations = 4
 
   /** q122's body, parameterized by the 31-bit pre-hash: md5 for the
     * oracle-checked query, xxhash64 for the timed `__prod` twin (one MD5
@@ -5635,6 +5657,56 @@ object SparkEntry {
          |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
          |$layers
          |SELECT node, rank FROM r$prIterations ORDER BY node""".stripMargin
+    },
+
+    // q126's unrolled-iteration discipline applied to the two HITS
+    // half-steps: per round, auth contributions (join on src, sum on
+    // dst), L1 normalization, then hub contributions from the NEW
+    // auths — every decimal sum and IEEE divide/round in the engine's
+    // exact sequence
+    "q155_hits" -> {
+      def dec(x: String) =
+        s"CAST(FLOOR(($x) * 1e12 + 0.5)/1e12 AS DECIMAL(28,12))"
+      // AS MATERIALIZED throughout: multi-referenced CTEs otherwise
+      // inline per reference (DuckDB default), and the two half-steps
+      // reference each frame twice — 4^K copies of the whole chain
+      val layers = (1 to hitsIterations).map { i =>
+        val p = s"h${i - 1}"
+        s"""a$i AS MATERIALIZED (SELECT e.dst AS node,
+           |  CAST(SUM(${dec("h.hub")}) AS DOUBLE) AS a
+           |  FROM ed e JOIN $p h ON e.src = h.node GROUP BY e.dst),
+           |sa$i AS MATERIALIZED (
+           |  SELECT CAST(SUM(${dec("a")}) AS DOUBLE) AS s FROM a$i),
+           |au$i AS MATERIALIZED (SELECT n.node,
+           |  FLOOR(COALESCE(a.a, 0.0)/(SELECT s FROM sa$i)*1e12 + 0.5)/1e12
+           |    AS auth
+           |  FROM nodes n LEFT JOIN a$i a USING (node)),
+           |hr$i AS MATERIALIZED (SELECT e.src AS node,
+           |  CAST(SUM(${dec("au.auth")}) AS DOUBLE) AS h
+           |  FROM ed e JOIN au$i au ON e.dst = au.node GROUP BY e.src),
+           |sh$i AS MATERIALIZED (
+           |  SELECT CAST(SUM(${dec("h")}) AS DOUBLE) AS s FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT n.node,
+           |  FLOOR(COALESCE(r.h, 0.0)/(SELECT s FROM sh$i)*1e12 + 0.5)/1e12
+           |    AS hub
+           |  FROM nodes n LEFT JOIN hr$i r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT doc_id % 97 AS src, (doc_id*7 + 13) % 97 AS dst
+         |    FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 97 AS src, (doc_id*31 + 5) % 97 AS dst
+         |    FROM documents WHERE doc_id % 3 = 0),
+         |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src < 90),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |h0 AS MATERIALIZED (
+         |  SELECT node, 1.0/(SELECT n FROM nn) AS hub FROM nodes),
+         |$layers
+         |SELECT h.node, h.hub, a.auth
+         |FROM h$hitsIterations h JOIN au$hitsIterations a USING (node)
+         |ORDER BY h.node""".stripMargin
     },
 
     // Per-level group counts + minima, the same first-satisfying-level

@@ -80,4 +80,66 @@ object LinkGraph {
     Seq(e, nodes, outDeg, withDeg, dangNodes).foreach(_.unpersist())
     ranks
   }
+
+  /** HITS hub/authority scores (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") after exactly `iterations` rounds:
+    * (node, hub, auth). The OTHER classic link signal beside
+    * [[pageRank]] — authority separates "pointed at by good hubs" from
+    * "points at good authorities", the pair a crawl scheduler actually
+    * wants (fetch authorities, mine hubs for frontier links).
+    *
+    * Same distributed shape as pageRank: each half-step is ONE
+    * equi-join of the edge table against the current scores plus one
+    * aggregation on the receiving endpoint; normalization is a one-row
+    * aggregate broadcast back into the divide. Standard HITS normalizes
+    * by the L2 norm; this implementation normalizes by the L1 norm
+    * (scores sum to 1) — the fixed-point direction is identical (the
+    * norms differ by a per-iteration scalar, which normalization
+    * cancels), and dropping the sqrt keeps every step inside the
+    * engine's decimal-sum determinism contract (see the class doc): an
+    * external oracle unrolling the same K iterations reproduces every
+    * score bit-for-bit. auth updates from current hubs, then hub from
+    * the NEW auths (the standard sequencing); nodes with no in-edges
+    * hold auth 0, no out-edges hub 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    require(n > 0, "hits on an empty (or all-NULL) edge set")
+    var hubs = nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint()
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val aRaw = e.join(hubs, col("src") === col("node"))
+        .select(col("dst"), dec(col("hub")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast("double").as("a"))
+      val aSum = aRaw.agg(sum(dec(col("a"))).cast("double").as("asum"))
+      auths = nodes
+        .join(aRaw, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(aSum))
+        .select(col("node"),
+          r12(coalesce(col("a"), lit(0.0)) / col("asum")).as("auth"))
+        .localCheckpoint()
+      val hRaw = e.join(auths, col("dst") === col("node"))
+        .select(col("src"), dec(col("auth")).as("c"))
+        .groupBy("src").agg(sum(col("c")).cast("double").as("h"))
+      val hSum = hRaw.agg(sum(dec(col("h"))).cast("double").as("hsum"))
+      hubs = nodes
+        .join(hRaw, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hSum))
+        .select(col("node"),
+          r12(coalesce(col("h"), lit(0.0)) / col("hsum")).as("hub"))
+        .localCheckpoint()
+      i += 1
+    }
+    val out = hubs.join(auths, Seq("node"))
+    Seq(e, nodes).foreach(_.unpersist())
+    out
+  }
 }

@@ -61,4 +61,50 @@ class LinkGraphSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(1L, 2L))
   }
+
+  /** Scalar reference HITS with the SAME L1/rounding discipline. */
+  private def refHits(edges: Seq[(Long, Long)],
+                      k: Int): Map[Long, (Double, Double)] = {
+    def r12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val simple = edges.distinct
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = Map.empty[Long, Double]
+    (0 until k).foreach { _ =>
+      val aRaw = simple.map { case (s, t) => t -> BigDecimal(r12(hub(s))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+      // decimal sums are exact, hence order-insensitive — no sort needed
+      val aSum = aRaw.values.map(v => BigDecimal(r12(v))).sum.toDouble
+      auth = nodes.map(x => x -> r12(aRaw.getOrElse(x, 0.0) / aSum)).toMap
+      val hRaw = simple.map { case (s, t) => s -> BigDecimal(r12(auth(t))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+      val hSum = hRaw.values.map(v => BigDecimal(r12(v))).sum.toDouble
+      hub = nodes.map(x => x -> r12(hRaw.getOrElse(x, 0.0) / hSum)).toMap
+    }
+    nodes.map(x => x -> (hub(x), auth(x))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)],
+                      k: Int): Map[Long, (Double, Double)] =
+    LinkGraph.hits(edges.toDF("s", "t"), "s", "t", k)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("hits matches the scalar reference bit-for-bit") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L), (4L, 3L))
+    (1 to 3).foreach { k =>
+      assert(runHits(edges, k) === refHits(edges, k), s"diverged at k=$k")
+    }
+  }
+
+  test("hits: pure hub gets auth 0, pure authority gets hub 0; L1 mass 1") {
+    // 1,2,4 all point at 3; 3 points nowhere; nothing points at 1
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 3L), (2L, 4L))
+    val out = runHits(edges, 4)
+    assert(out(1L)._2 === 0.0, "no in-edges -> auth 0")
+    assert(out(3L)._1 === 0.0, "no out-edges -> hub 0")
+    assert(out(3L)._2 > out(4L)._2, "3 is the dominant authority")
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
