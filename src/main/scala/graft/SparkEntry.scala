@@ -2828,6 +2828,60 @@ object SparkEntry {
         .ordered(col("node"))
     }),
 
+    // ---- Analytic window battery: the rank family in one pass -----------
+    // rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead over one
+    // window spec — every function shares ONE sort within the
+    // o_orderpriority partitions (one Exchange, one Window op), the
+    // plan shape an analytics surface must produce (per-function sorts
+    // would be N shuffles). The (price, key) order is a total order
+    // (orderkey unique), so the rank family and the k/n ratio doubles
+    // (exact small-int divides) are deterministic cross-engine. The
+    // output filter applies AFTER the windows — ranks are computed over
+    // the full partitions, then sampled.
+    "q156_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .filter(col("o_orderkey") % 50 === 0)
+        .ordered(col("o_orderkey"))
+    }),
+
+    // ---- Full-outer reconciliation join ---------------------------------
+    // The audit query every warehouse runs: per-customer order rollup
+    // FULL OUTER joined against a (deliberately thinned) customer dim —
+    // left-only rows are orders whose customer record is missing,
+    // right-only rows are customers with no orders; both survive with
+    // presence flags. Decimal-quantized sums keep the value column
+    // order-insensitive (q123 discipline).
+    "q157_full_outer" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((floor(col("o_totalprice") * 1e6 + 0.5) / 1e6)
+            .cast("decimal(38,6)")).cast("double").as("sum_price"))
+      agg.join(cust, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_customer"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("sum_price"), col("c_mktsegment"))
+        .ordered(col("custkey"))
+    }),
+
     // ---- LLM ops: k-anonymity release gate ------------------------------
     // Full-domain generalization over (lang, source, length) with a
     // 4-level recoding ladder (raw length -> 100-bucket -> 1000-bucket
@@ -5708,6 +5762,41 @@ object SparkEntry {
          |FROM h$hitsIterations h JOIN au$hitsIterations a USING (node)
          |ORDER BY h.node""".stripMargin
     },
+
+    // one WINDOW clause shared by every function, the same total order;
+    // the rank family is integer, the ratio doubles are single IEEE
+    // divides of small ints, lag/lead move stored values untouched
+    "q156_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(rank() OVER win AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |  percent_rank() OVER win AS prnk,
+        |  cume_dist() OVER win AS cdist,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS tile,
+        |  lag(o_totalprice, 1) OVER win AS prev_price,
+        |  lead(o_totalprice, 1) OVER win AS next_price
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // FULL OUTER with both-side survivors: DuckDB's own full join over
+    // the identically thinned dim and quantized rollup
+    "q157_full_outer" ->
+      """WITH agg AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice*1e6+0.5)/1e6
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY o_custkey),
+        |cust AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 <> 0)
+        |SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS has_customer,
+        |  o_custkey IS NOT NULL AS has_orders,
+        |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |  sum_price, c_mktsegment
+        |FROM agg FULL OUTER JOIN cust ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
 
     // Per-level group counts + minima, the same first-satisfying-level
     // selection as full-domain recoding, and the chosen level's groups
