@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Skew}
+import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
@@ -2880,6 +2880,25 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           col("sum_price"), col("c_mktsegment"))
         .ordered(col("custkey"))
+    }),
+
+    // ---- SCD2 dimension build from the event change log -----------------
+    // The append-only event stream becomes a versioned type-2 dimension:
+    // per user, consecutive same-type runs collapse (NULL-safe change
+    // detection), each surviving change opens a [valid_from, valid_to)
+    // interval with a version counter and an is_current open row — the
+    // time-travelable shape PointInTime joins consume. One hash
+    // partitioning carries the detection lag, the interval lead and the
+    // version number (single Exchange, asserted in ScdSpec); epoch-
+    // micros keep validity bounds integer cross-engine.
+    "q158_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      Scd.scd2(ev, "user_id", "ts_us", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .ordered(col("user_id"), col("version"))
     }),
 
     // ---- LLM ops: k-anonymity release gate ------------------------------
@@ -5797,6 +5816,26 @@ object SparkEntry {
         |  sum_price, c_mktsegment
         |FROM agg FULL OUTER JOIN cust ON o_custkey = c_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // the same two window passes over the same total order: NULL-safe
+    // change detection (IS DISTINCT FROM == Spark's <=> negation, with
+    // the first row always kept), then lead() validity intervals and
+    // row_number versions over the survivors
+    "q158_scd2" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, ts_us, event_id, event_type,
+        |  row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |k AS (SELECT user_id, ts_us, event_id, event_type FROM f
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  event_type, ts_us AS valid_from, lead(ts_us) OVER w2 AS valid_to,
+        |  (lead(ts_us) OVER w2) IS NULL AS is_current
+        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     // Per-level group counts + minima, the same first-satisfying-level
     // selection as full-domain recoding, and the chosen level's groups
