@@ -2828,6 +2828,23 @@ object SparkEntry {
         .ordered(col("node"))
     }),
 
+    // ---- LLM ops: degree-oriented triangle count ------------------------
+    // The clustering signal on q126's graph made undirected: triangles
+    // counted at each one's minimum-(degree,id) vertex via degree
+    // orientation — out-degrees bounded by O(sqrt(m)), so the wedge
+    // self-join never explodes on hubs (the "last reducer" fix). The
+    // oracle counts the same simple graph's a<b<c triples directly;
+    // orientation must not change the count, only the join geometry.
+    "q159_triangles" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 97).as("src"), ((d * 7 + 13) % 97).as("dst"))
+      val e2 = docs.filter(d % 3 === 0)
+        .select((d % 97).as("src"), ((d * 31 + 5) % 97).as("dst"))
+      val edges = e1.unionByName(e2).filter(col("src") < 90)
+      LinkGraph.triangles(edges, "src", "dst")
+    }),
+
     // ---- Analytic window battery: the rank family in one pass -----------
     // rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead over one
     // window spec — every function shares ONE sort within the
@@ -5781,6 +5798,25 @@ object SparkEntry {
          |FROM h$hitsIterations h JOIN au$hitsIterations a USING (node)
          |ORDER BY h.node""".stripMargin
     },
+
+    // the simple undirected graph's triangles enumerated directly as
+    // a<b<c edge triples — the engine's degree-oriented wedge join must
+    // land on the same count
+    "q159_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 97 AS src, (doc_id*7 + 13) % 97 AS dst
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97 AS src, (doc_id*31 + 5) % 97 AS dst
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |p AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        |    GREATEST(src, dst) AS b
+        |  FROM raw WHERE src < 90 AND src <> dst),
+        |t AS (SELECT COUNT(*) AS n FROM p e1
+        |  JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT n FROM t) AS n_triangles,
+        |  (SELECT COUNT(*) FROM p) AS n_edges""".stripMargin,
 
     // one WINDOW clause shared by every function, the same total order;
     // the rank family is integer, the ratio doubles are single IEEE

@@ -97,6 +97,41 @@ class LinkGraphSpec extends AnyFunSuite {
     }
   }
 
+  private def runTri(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val r = LinkGraph.triangles(edges.toDF("s", "t"), "s", "t").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("triangles: known graphs, duplicate/reverse/self edges collapse") {
+    // K4 has C(4,3) = 4 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(runTri(k4) === ((4L, 6L)))
+    // star has none
+    assert(runTri((1L to 6L).map(i => (0L, i))) === ((0L, 6L)))
+    // triangle + pendant; reverse duplicates and self-loops don't count
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (3L, 4L), (1L, 2L))
+    assert(runTri(messy) === ((1L, 4L)))
+  }
+
+  test("triangles: orientation agrees with brute force on a random graph") {
+    val rnd = new scala.util.Random(159L)
+    val edges = Seq.fill(160)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter { case (a, b) => a != b }
+    val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = simple.toSet
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if adj((a, b)) && adj((b, c)) && adj((a, c))
+    } brute += 1
+    assert(runTri(edges) === ((brute, simple.size.toLong)))
+  }
+
   test("hits: pure hub gets auth 0, pure authority gets hub 0; L1 mass 1") {
     // 1,2,4 all point at 3; 3 points nowhere; nothing points at 1
     val edges = Seq((1L, 3L), (2L, 3L), (4L, 3L), (2L, 4L))
