@@ -400,6 +400,12 @@ object Scaling {
       "url_dedup" -> (dir => SparkEntry.queries("q116_url_dedup")(spark, dir)),
       "sparse_topk" -> (dir => SparkEntry.queries("q118_sparse_topk")(spark, dir)),
       "warc_extract" -> (dir => SparkEntry.queries("q120_warc_extract")(spark, dir)),
+      // round-12 per-row codecs + the windowed SCD2 build: all must
+      // stay scan-bound (zip: synthesize->walk->inflate per doc; mpeg:
+      // header walk per doc; scd2: one hash partitioning of events)
+      "zip_walk" -> (dir => SparkEntry.queries("q154_zip_walk")(spark, dir)),
+      "mpeg_probe" -> (dir => SparkEntry.queries("q153_mpeg_probe")(spark, dir)),
+      "scd2" -> (dir => SparkEntry.queries("q158_scd2")(spark, dir)),
       // q137's shape on the factor× event stream: row-level constraints
       // in ONE aggregate pass + a uniqueness groupBy — the publish gate
       // must stay scan-bound or nobody runs it per batch

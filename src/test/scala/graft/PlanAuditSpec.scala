@@ -53,6 +53,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *     itself to form the pair grid (G = #sources — q102's exact
     *     overlap matrix has the same allowlisted G×G shape; here each
     *     row additionally carries a k-long bottom-k array).
+    *   - q149/q150/q151: the merged-sketch rollup queries each cross a
+    *     ONE-ROW aggregate into the result (q149: the exact-distinct
+    *     rider onto the one-row merged-mins frame; q150: the global
+    *     exact-distinct rider onto the merged-register row; q151: the
+    *     6 literal probe terms against the ONE-ROW merged counter
+    *     array — q122's exact shape).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -60,7 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
-    "q135_kmv_overlap", "q141_kmv_matrix")
+    "q135_kmv_overlap", "q141_kmv_matrix",
+    "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
