@@ -1275,6 +1275,25 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: PPS systematic weighted sample ------------------------
+    // q66's uniform thinning answers "sample 10% of DOCS"; a mixture
+    // builder needs "sample ~k docs proportional to TOKEN mass" so the
+    // sampled token budget is near-uniform. Deterministic systematic
+    // PPS: hash-ordered rows, integer cumulative weights, a row selected
+    // iff its [cum-w, cum) interval contains a stride boundary — pure
+    // long arithmetic (div floors), zero floats, replayed exactly by
+    // the oracle. The cumsum rides the two-pass per-partition-offsets
+    // shape, never a single-task global window.
+    "q160_pps_sample" -> ((s, dir) => {
+      import graft.llm.Mix
+      Mix.ppsSample(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", 500)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- LLM ops: intra-document repetition ratio (quality signal) ------
     // The Gopher/RefinedWeb-style repetition rule: fraction of duplicate
     // token 3-grams within each document (1 - distinct/total). Reuses the
@@ -5134,6 +5153,26 @@ object SparkEntry {
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the identical systematic-PPS selection replayed in one global
+    // cumsum over the SIGNED md5 order (q149's unsigned->signed
+    // mapping); // is DuckDB's integer floor division = Spark's div
+    "q160_pps_sample" ->
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |  (CASE WHEN h0 >= 9223372036854775808::UBIGINT
+        |    THEN CAST(h0::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+        |    ELSE CAST(h0 AS BIGINT) END) AS h
+        |  FROM (SELECT doc_id, source, n_chars,
+        |    md5_number_lower(CAST(doc_id AS VARCHAR)) AS h0
+        |    FROM documents
+        |    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |      AND n_chars > 0)),
+        |c AS (SELECT doc_id, source, w,
+        |  SUM(w) OVER (ORDER BY h, doc_id) AS cum,
+        |  (SELECT SUM(w) FROM b) AS total FROM b)
+        |SELECT doc_id, source, w AS n_chars FROM c
+        |WHERE (cum - w) * 500 // total < cum * 500 // total
+        |ORDER BY doc_id""".stripMargin,
 
     // 3-grams rebuilt positionally (1-based list indexing); NULL text
     // falls to the ELSE-0 branch in both engines. Same lower+whitespace

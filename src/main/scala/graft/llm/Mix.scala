@@ -74,4 +74,58 @@ object Mix {
     }
     docs.filter(uniform(col(id)) < rate)
   }
+
+  /** Probability-proportional-to-size SYSTEMATIC sample of ~k rows,
+    * weighted by an integer column (token/char counts — the weight a
+    * training-data mixer actually balances on: a 10k-token doc is 10×
+    * likelier than a 1k-token one, so the sampled TOKEN mass is
+    * near-uniform across strata). Deterministic by construction: rows
+    * order by (content-hash, id) — the q66 hash as the shuffle, never
+    * `rand()` — a cumulative weight sum assigns each row the integer
+    * interval [cum−w, cum), and a row is selected iff its interval
+    * contains a stride boundary, tested EXACTLY as
+    * floor((cum−w)·k/total) < floor(cum·k/total) in pure LONG
+    * arithmetic (long division IS floor on non-negatives; requires
+    * total·k < 2⁶³ — at 10¹⁴ total tokens and k = 10³ there is
+    * headroom ×90). No floats anywhere, so an external oracle replays
+    * the selection bit-for-bit. Rows heavier than total/k are selected
+    * once, never duplicated, so the sample is ≤ k rows (= k when no
+    * row straddles two boundaries). NULL ids and NULL/non-positive
+    * weights drop (no meaningful inclusion probability).
+    *
+    * Scale shape: a partition-less running-sum window would serialize
+    * the corpus through one task, so the cumsum rides the two-pass
+    * shape instead (the Categorify ranking discipline): range-
+    * repartition by the order key, per-partition running sums, then a
+    * broadcast ≤#partitions-row offset table added back. */
+  def ppsSample(docs: DataFrame, id: String, weightCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1)
+    val w = col(weightCol).cast("long")
+    val base = docs.filter(col(id).isNotNull && w.isNotNull && w > 0)
+      .withColumn("__h",
+        call_function("md5_lower64", col(id).cast("string")))
+    val sorted = base.repartitionByRange(col("__h"), col(id))
+      .sortWithinPartitions(col("__h"), col(id))
+    val withPart = sorted.withColumn("__p", spark_partition_id())
+    val wp = withPart.withColumn("__local",
+      sum(w).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__p")).orderBy(col("__h"), col(id))))
+    // per-partition totals: ≤ #partitions rows — the benign
+    // partition-less window of the Categorify offset table
+    val offs = wp.groupBy(col("__p")).agg(max(col("__local")).as("__pt"))
+      .withColumn("__off",
+        coalesce(sum(col("__pt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__p"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__p"), col("__off"))
+    val total = base.agg(sum(w).as("__total"))
+    wp.join(broadcast(offs), Seq("__p"))
+      .withColumn("__w", w)
+      .withColumn("__cum", col("__local") + col("__off"))
+      .crossJoin(broadcast(total))
+      // `div` (not `/`): SQL long division floors; `/` would be double
+      .filter(expr(s"(__cum - __w) * $k div __total < __cum * $k div __total"))
+      .drop("__h", "__p", "__w", "__local", "__off", "__cum", "__total")
+  }
 }

@@ -51,6 +51,55 @@ class MixSpec extends AnyFunSuite {
     assert(kept === Set(2L))
   }
 
+  test("ppsSample: ~k rows, weight-proportional, deterministic, exact") {
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      (col("id") % 97 + 1).as("w"))
+    val k = 100
+    val out = Mix.ppsSample(docs, "doc_id", "w", k)
+      .select("doc_id").as[Long].collect().sorted
+    // ≤ k, and within straddle slack of k
+    assert(out.length <= k && out.length >= k - 10, s"got ${out.length}")
+    // deterministic under a different partitioning
+    val out2 = Mix.ppsSample(docs.repartition(17), "doc_id", "w", k)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === out2.toSeq)
+    // weight-proportionality: the selected mass per weight bucket tracks
+    // the bucket's share of total mass (heavy bucket picked ~3x a light
+    // bucket a third its weight)
+    val w = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val heavy = out.count(id => w(id) > 64).toDouble
+    val light = out.count(id => w(id) <= 32).toDouble
+    assert(heavy > light, "heavier rows must be likelier")
+    // a scalar replay of the same integer selection agrees exactly
+    def md5signed(s: String): Long = {
+      // Md5Hash.lower64's byte order: bytes 15 down to 8
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var out = 0L
+      var i = 15
+      while (i >= 8) { out = (out << 8) | (d(i) & 0xffL); i -= 1 }
+      out
+    }
+    val ordered = w.keys.toSeq.sortBy(id => (md5signed(id.toString), id))
+    val total = w.values.sum
+    var cum = 0L
+    val expect = ordered.flatMap { id =>
+      val before = cum; cum += w(id)
+      if (before * k / total < cum * k / total) Some(id) else None
+    }.sorted
+    assert(out.toSeq === expect)
+  }
+
+  test("ppsSample: null/non-positive weights and null ids drop") {
+    val docs = Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(0L)), (Some(3L), None),
+      (None, Some(5L)), (Some(4L), Some(-3L)), (Some(5L), Some(20L)))
+      .toDF("doc_id", "w")
+    val out = Mix.ppsSample(docs, "doc_id", "w", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 5L)) // k >= rows: every eligible row selected
+  }
+
   test("sampling is deterministic and lands near the expected mass") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
