@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp, Zip}
+import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3597,6 +3597,54 @@ object SparkEntry {
         .ordered(col("doc_id"), col("name"))
     }),
 
+    // ---- Multimodal: FLAC container metadata probe ----------------------
+    // The lossless-audio sibling of q153: per doc, synthesize a FLAC
+    // container (spec-exact STREAMINFO bit packing — 20-bit rate,
+    // packed channels/bits, 36-bit total samples — plus optional
+    // VORBIS_COMMENT/SEEKTABLE/PADDING blocks and junk audio the probe
+    // never reads) and walk it with the codegen'd `flac_meta` kernel;
+    // every 7th doc corrupted four ways (truncation, magic flip,
+    // non-STREAMINFO first block, lying block length). The oracle
+    // recomputes every field closed-form (q144/q153 discipline).
+    "q161_flac_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val srs = Array(8000, 16000, 22050, 44100, 48000, 96000)
+            val bits = Array(8, 12, 16, 24, 32)
+            val base = Flac.encode(
+              srs((id % 6).toInt), 1 + (id % 4).toInt, bits((id % 5).toInt),
+              (id * 977 + 11) % (1L << 20),
+              tags = id % 3 == 0, seektable = id % 4 == 0,
+              padding = if (id % 5 == 0) 10 + (id % 50).toInt else 0)
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(20)
+                case 1 => { val b = base.clone(); b(0) = 'X'.toByte; b }
+                case 2 => { val b = base.clone()
+                  b(4) = ((b(4) & 0x80) | 4).toByte; b } // tags lead: illegal
+                case _ => { val b = base.clone()
+                  b(5) = 0x7f.toByte; b } // block length past payload end
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"),
+          call_function("flac_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.bits_per_sample").cast("long").as("bits_per_sample"),
+          col("m.total_samples").as("total_samples"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_blocks").cast("long").as("n_blocks"),
+          col("m.has_tags").as("has_tags"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: MPEG-audio frame-header probe ----------------------
     // The audio sibling of q144's WebP probe: per doc, synthesize an
     // MP3-family stream (real ISO frame headers at spec-exact lengths;
@@ -6936,6 +6984,32 @@ object SparkEntry {
         |  CAST(-1 AS BIGINT), NULL
         |FROM d WHERE doc_id % 7 = 3
         |ORDER BY doc_id, name""".stripMargin,
+
+    // every field closed-form from the doc_id formulas; duration is the
+    // all-integer total*1000//rate; n_blocks counts STREAMINFO plus the
+    // optional blocks the same modulus formulas added
+    "q161_flac_probe" ->
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  [8000, 16000, 22050, 44100, 48000, 96000][CAST(doc_id % 6 AS INT) + 1] AS sr,
+        |  1 + doc_id % 4 AS ch,
+        |  [8, 12, 16, 24, 32][CAST(doc_id % 5 AS INT) + 1] AS bits,
+        |  (doc_id * 977 + 11) % 1048576 AS total,
+        |  doc_id % 3 = 0 AS tags,
+        |  CAST(1 AS BIGINT) + CAST(doc_id % 3 = 0 AS BIGINT)
+        |    + CAST(doc_id % 4 = 0 AS BIGINT)
+        |    + CAST(doc_id % 5 = 0 AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT doc_id, ok,
+        |  CAST(CASE WHEN ok THEN sr END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN ok THEN ch END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN ok THEN bits END AS BIGINT) AS bits_per_sample,
+        |  CAST(CASE WHEN ok THEN total END AS BIGINT) AS total_samples,
+        |  CAST(CASE WHEN ok THEN (total * 1000) // sr END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN ok THEN nb END AS BIGINT) AS n_blocks,
+        |  CASE WHEN ok THEN tags END AS has_tags
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // every field recomputed closed-form from the doc_id formulas and
     // the PUBLIC ISO bitrate/samplerate tables (stated here as list

@@ -113,6 +113,7 @@ object Binary {
       .when(h.startsWith("49492A00") || h.startsWith("4D4D002A"), "image/tiff")
       .when(h.startsWith("424D"), "image/bmp")
       .when(h.startsWith("494433"), "audio/mpeg")
+      .when(h.startsWith("664C6143"), "audio/flac")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "audio/wav")
       .when(substring(h, 9, 8) === "66747970", "video/mp4")
       .when(h.startsWith("25504446"), "application/pdf")
