@@ -1275,6 +1275,41 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- LLM ops: blocked fuzzy-match join (entity resolution) ----------
+    // Dirty mentions (per doc: a canonical 8-hex-char entity name with
+    // a deterministic typo — identity / delete / duplicate / replace at
+    // position 2..7, never the head) matched against the 300-entry
+    // canonical dictionary at edit distance <= 2 WITHOUT an all-pairs
+    // cross: the mention side explodes its +-2 plausible lengths and
+    // equi-joins (length, first char); exact levenshtein filters the
+    // block's candidates. The oracle replays the same mutations and
+    // the same distance predicate declaratively.
+    "q162_fuzzy_join" -> ((s, dir) => {
+      import graft.llm.Fuzzy
+      val canon = s.range(300).select(col("id").as("entity"),
+        substring(md5(col("id").cast("string")), 1, 8).as("name"))
+      val mentions = Tables(s, dir, "documents").select(col("doc_id"))
+        .withColumn("__e", col("doc_id") % 300)
+        .withColumn("__b", substring(md5(col("__e").cast("string")), 1, 8))
+        .withColumn("__p", (lit(2) + col("doc_id") % 6).cast("int"))
+        .withColumn("mention",
+          when(col("doc_id") % 4 === 0, col("__b"))
+            .when(col("doc_id") % 4 === 1,
+              concat(col("__b").substr(lit(1), col("__p") - 1),
+                col("__b").substr(col("__p") + 1, lit(99))))
+            .when(col("doc_id") % 4 === 2,
+              concat(col("__b").substr(lit(1), col("__p")),
+                col("__b").substr(col("__p"), lit(99))))
+            .otherwise(
+              concat(col("__b").substr(lit(1), col("__p") - 1), lit("z"),
+                col("__b").substr(col("__p") + 1, lit(99)))))
+        .select(col("doc_id"), col("mention"))
+      Fuzzy.blockedJoin(mentions, canon, "mention", "name", maxDist = 2)
+        .select(col("doc_id"), col("mention"), col("entity"), col("name"),
+          col("lev").cast("long").as("lev"))
+        .ordered(col("doc_id"), col("entity"))
+    }),
+
     // ---- LLM ops: PPS systematic weighted sample ------------------------
     // q66's uniform thinning answers "sample 10% of DOCS"; a mixture
     // builder needs "sample ~k docs proportional to TOKEN mass" so the
@@ -5201,6 +5236,32 @@ object SparkEntry {
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // same mutations rebuilt by substring surgery, then the DISTANCE
+    // PREDICATE stated declaratively (head-char + length-window +
+    // levenshtein <= 2) — the engine's exploded blocking must be pure
+    // geometry, changing no pair's membership
+    "q162_fuzzy_join" ->
+      """WITH canon AS (SELECT e AS entity,
+        |    substr(md5(CAST(e AS VARCHAR)), 1, 8) AS name
+        |  FROM range(300) t(e)),
+        |m AS (SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS p,
+        |  substr(md5(CAST(doc_id % 300 AS VARCHAR)), 1, 8) AS base
+        |  FROM documents),
+        |mm AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN base
+        |    WHEN 1 THEN substr(base, 1, p - 1) || substr(base, p + 1)
+        |    WHEN 2 THEN substr(base, 1, p) || substr(base, p)
+        |    ELSE substr(base, 1, p - 1) || 'z' || substr(base, p + 1)
+        |  END AS mention FROM m)
+        |SELECT doc_id, mention, entity, name,
+        |  CAST(levenshtein(mention, name) AS BIGINT) AS lev
+        |FROM mm JOIN canon
+        |  ON substr(mention, 1, 1) = substr(name, 1, 1)
+        |  AND abs(length(mention) - length(name)) <= 2
+        |  AND levenshtein(mention, name) <= 2
+        |ORDER BY doc_id, entity""".stripMargin,
 
     // the identical systematic-PPS selection replayed in one global
     // cumsum over the SIGNED md5 order (q149's unsigned->signed
