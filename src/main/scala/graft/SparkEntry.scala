@@ -1275,6 +1275,46 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Statistics battery: exact-moment covariance/correlation --------
+    // Spark's corr/covar_pop aggregate in FLOAT order (partition-
+    // dependent bits); here the five moment sums ride exact decimals
+    // (quantized inputs, decimal products — the q01/q124 discipline) so
+    // the aggregation is order-insensitive, and only the FINAL formula
+    // — covar = (sxy - sx*sy/n)/n, corr = covar/(sdx*sdy) — runs in
+    // IEEE doubles, one fixed expression tree the oracle replays
+    // exactly. This is how a distributed engine should do statistics:
+    // mergeable integer/decimal partials, float only at the end.
+    "q163_corr_moments" -> ((s, dir) => {
+      // integer micro-units: values quantized to 1e-6 as LONGs, linear
+      // sums as longs, second moments as decimal(38,0) products of
+      // decimal(19,0) casts — all exact and order-insensitive; the
+      // micro scales divide back out inside the double finale
+      def u6(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag").isNotNull)
+      val x = u6(col("l_quantity")); val y = u6(col("l_extendedprice"))
+      def wide(c: Column) = c.cast("decimal(19,0)")
+      val m = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(wide(x) * wide(y)).as("sxy"),
+        sum(wide(x) * wide(x)).as("sxx"),
+        sum(wide(y) * wide(y)).as("syy"))
+      def dbl(c: String, scale: Double) = col(c).cast("double") / scale
+      val nD = col("n").cast("double")
+      val sxd = dbl("sx", 1e6); val syd = dbl("sy", 1e6)
+      val sxyd = dbl("sxy", 1e12)
+      val sxxd = dbl("sxx", 1e12); val syyd = dbl("syy", 1e12)
+      val cov = (sxyd - sxd * syd / nD) / nD
+      val vx = (sxxd - sxd * sxd / nD) / nD
+      val vy = (syyd - syd * syd / nD) / nD
+      def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+      m.select(col("l_returnflag"), col("n"),
+          r6(sxd / nD).as("mean_x"), r6(syd / nD).as("mean_y"),
+          r6(cov).as("covar"),
+          r6(cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+        .ordered(col("l_returnflag"))
+    }),
+
     // ---- LLM ops: blocked fuzzy-match join (entity resolution) ----------
     // Dirty mentions (per doc: a canonical 8-hex-char entity name with
     // a deterministic typo — identity / delete / duplicate / replace at
@@ -5235,6 +5275,36 @@ object SparkEntry {
          |SELECT doc_id, source, u FROM h
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the five integer-micro moment sums (HUGEINT products — exact)
+    // and the identical IEEE finale — each CAST AS DOUBLE and
+    // de-scaled first, then the one fixed expression tree
+    "q163_corr_moments" -> {
+      def u6(c: String) = s"CAST(FLOOR(($c)*1e6+0.5) AS BIGINT)"
+      s"""WITH q AS (SELECT l_returnflag,
+         |  ${u6("l_quantity")} AS x6, ${u6("l_extendedprice")} AS y6
+         |  FROM lineitem WHERE l_returnflag IS NOT NULL),
+         |m AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  SUM(x6) AS sx, SUM(y6) AS sy,
+         |  SUM(CAST(x6 AS HUGEINT) * y6) AS sxy,
+         |  SUM(CAST(x6 AS HUGEINT) * x6) AS sxx,
+         |  SUM(CAST(y6 AS HUGEINT) * y6) AS syy
+         |  FROM q GROUP BY 1),
+         |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(sx AS DOUBLE)/1e6 AS sxd, CAST(sy AS DOUBLE)/1e6 AS syd,
+         |  CAST(sxy AS DOUBLE)/1e12 AS sxyd,
+         |  CAST(sxx AS DOUBLE)/1e12 AS sxxd,
+         |  CAST(syy AS DOUBLE)/1e12 AS syyd
+         |  FROM m)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  FLOOR(sxd/nd*1e6+0.5)/1e6 AS mean_x,
+         |  FLOOR(syd/nd*1e6+0.5)/1e6 AS mean_y,
+         |  FLOOR((sxyd - sxd*syd/nd)/nd*1e6+0.5)/1e6 AS covar,
+         |  FLOOR(((sxyd - sxd*syd/nd)/nd) /
+         |    (SQRT((sxxd - sxd*sxd/nd)/nd) * SQRT((syyd - syd*syd/nd)/nd))
+         |    *1e6+0.5)/1e6 AS corr
+         |FROM d ORDER BY l_returnflag""".stripMargin
     },
 
     // same mutations rebuilt by substring surgery, then the DISTANCE
