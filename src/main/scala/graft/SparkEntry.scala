@@ -1275,6 +1275,43 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Sketch materialized view: persist -> reload -> rollup ----------
+    // The end-to-end shape the rollup-merge family (q148/q149/q150)
+    // exists for: per-(source, lang) histogram sketches are WRITTEN TO
+    // PARQUET once (the materialized view — kilobytes per group), then
+    // a later "query time" reads the sketch table back and answers
+    // BOTH coarser groupings (per source and global) by array merge —
+    // the raw corpus is never rescanned. The persistence hop is the
+    // new contract under test: sketch arrays must survive the parquet
+    // round trip bit-for-bit. Oracle replays all levels' binning from
+    // the raw rows (q148 discipline).
+    "q164_sketch_mv" -> ((s, dir) => {
+      val bins = 512
+      val out = scratchDir("sketchmv", dir)
+      Tables(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("source").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(Sketches.histogram(col("n_chars"), 0.0, 16384.0, bins).as("sk"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      val mv = s.read.parquet(out)
+      val perSource = mv.groupBy(col("source"))
+        .agg(Sketches.histMerge(col("sk"), bins).as("sk"),
+          sum(col("n")).as("n"))
+      val global = mv
+        .agg(Sketches.histMerge(col("sk"), bins).as("sk"),
+          sum(col("n")).as("n"))
+        .select(lit("__all__").as("source"), col("sk"), col("n"))
+      perSource.unionByName(global)
+        .select(col("source"),
+          Sketches.histQuantile(col("sk"), 0.0, 16384.0, bins, 0.5)
+            .as("approx_p50"),
+          Sketches.histQuantile(col("sk"), 0.0, 16384.0, bins, 0.9)
+            .as("approx_p90"),
+          col("n"))
+        .ordered(col("source"))
+    }),
+
     // ---- Statistics battery: exact-moment covariance/correlation --------
     // Spark's corr/covar_pop aggregate in FLOAT order (partition-
     // dependent bits); here the five moment sums ride exact decimals
@@ -5276,6 +5313,36 @@ object SparkEntry {
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // all three grouping levels replayed from the RAW rows (q148's
+    // binning CTE on n_chars, dyadic width 32): the engine's rows came
+    // from a parquet-persisted sketch table merged at read time, so
+    // agreement proves both the merge arithmetic AND the array
+    // round trip through the sink
+    "q164_sketch_mv" ->
+      """WITH e AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |b AS (SELECT source,
+        |  LEAST(511, GREATEST(0, CAST(FLOOR(v / 16384.0 * 512) AS INT)))
+        |    AS bin FROM e),
+        |h AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |u AS (SELECT source, bin, c FROM h
+        |  UNION ALL SELECT '__all__', bin, SUM(c) FROM h GROUP BY 2),
+        |cw AS (SELECT source, bin,
+        |  SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+        |  SUM(c) OVER (PARTITION BY source) AS n FROM u),
+        |s50 AS (SELECT source, MIN(bin) AS b FROM cw
+        |  WHERE cum >= CEIL(0.5 * n) GROUP BY 1),
+        |s90 AS (SELECT source, MIN(bin) AS b FROM cw
+        |  WHERE cum >= CEIL(0.9 * n) GROUP BY 1),
+        |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM u GROUP BY 1)
+        |SELECT n.source,
+        |  CAST((s50.b + 0.5) * 32.0 AS DOUBLE) AS approx_p50,
+        |  CAST((s90.b + 0.5) * 32.0 AS DOUBLE) AS approx_p90, n
+        |FROM n JOIN s50 USING (source) JOIN s90 USING (source)
+        |ORDER BY 1""".stripMargin,
 
     // the five integer-micro moment sums (HUGEINT products — exact)
     // and the identical IEEE finale — each CAST AS DOUBLE and
