@@ -1275,6 +1275,27 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Feature engineering: sketch-driven quantile binning ------------
+    // The bucketize-by-quantiles transform (Categorify's numeric
+    // cousin): one histogram-sketch pass fits 9 decile cut points on
+    // l_extendedprice (q131's [900,105000)x512 dyadic grid), the cuts
+    // enter the projection as plan literals (join-free, Scaler
+    // discipline), and each sampled row maps to bucket = #cuts <= value.
+    // The oracle re-derives the identical midpoint cuts from the same
+    // binning and replays the bucket count declaratively.
+    "q166_quantile_bin" -> ((s, dir) => {
+      import graft.ops.Binning
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull)
+      val cuts = Binning.fitCuts(li, "l_extendedprice",
+        900.0, 105000.0, 512, nBuckets = 10)
+      li.filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          Binning.bucketize(col("l_extendedprice"), cuts).as("bucket"))
+        .ordered(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- Sketch materialized view: persist -> reload -> rollup ----------
     // The end-to-end shape the rollup-merge family (q148/q149/q150)
     // exists for: per-(source, lang) histogram sketches are WRITTEN TO
@@ -3351,6 +3372,37 @@ object SparkEntry {
         .ordered(col("w_start"))
     }),
 
+    // ---- Streaming windowed HLL distinct (T7 × the sketch family) -------
+    // The cardinality member as a streaming aggregate, completing the
+    // streaming-sketch trio (q136 quantile, q145 top-K): per event-time
+    // hour window, 256 max-rank registers merge incrementally in the
+    // state store (elementwise max — idempotent, so state is a constant
+    // 2 KB per window and re-processing cannot inflate it). Streaming
+    // COUNT(DISTINCT) is unsupported by Spark — and at scale would
+    // buffer every key per window anyway; the sketch IS the production
+    // answer. The oracle builds each window's registers directly from
+    // the raw hashes (q130's SQL per window).
+    "q165_stream_hll" -> ((s, dir) => {
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("user_id").isNotNull)
+      val h31 = shiftrightunsigned(
+        call_function("md5_lower64", col("user_id").cast("string")), 33)
+      val agg = stream
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+        .agg(Sketches.hllRegisters(h31, 8).as("sk"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
+            .as("hll_est"),
+          size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
+          col("n_events"))
+      Streams.runToMemory(agg, s"q165_mem_${System.nanoTime()}")
+        .ordered(col("w_start"))
+    }),
+
     // ---- Data-quality publish gate (Deequ-style constraint run) ---------
     // The check battery a pipeline runs before a table goes live: all
     // row-level constraints share ONE aggregate pass, uniqueness is one
@@ -5314,6 +5366,32 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // the nine decile cuts re-derived from the same binning (rank =
+    // CEIL(q*N), midpoint 900 + (b+0.5)*203.3203125 — the dyadic q131
+    // grid), then bucket = #cuts <= value per sampled row
+    "q166_quantile_bin" ->
+      """WITH b AS (SELECT
+        |  LEAST(511, GREATEST(0, CAST(FLOOR(
+        |    (CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 512
+        |  ) AS INT))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+        |cw AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+        |  SUM(c) OVER () AS n FROM h),
+        |qs(q) AS (VALUES (0.1::DOUBLE),(0.2::DOUBLE),(0.3::DOUBLE),
+        |  (0.4::DOUBLE),(0.5::DOUBLE),(0.6::DOUBLE),(0.7::DOUBLE),
+        |  (0.8::DOUBLE),(0.9::DOUBLE)),
+        |cuts AS (SELECT q, MIN(bin) AS cb FROM qs, cw
+        |  WHERE cum >= CEIL(q * n) GROUP BY q),
+        |cv AS (SELECT 900.0 + (cb + 0.5) * 203.3203125 AS cut FROM cuts),
+        |sel AS (SELECT l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cv
+        |   WHERE sel.l_extendedprice >= cv.cut) AS bucket
+        |FROM sel ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // all three grouping levels replayed from the RAW rows (q148's
     // binning CTE on n_chars, dyadic width 32): the engine's rows came
     // from a parquet-persisted sketch table merged at read time, so
@@ -6994,6 +7072,28 @@ object SparkEntry {
         |  n
         |FROM n JOIN s50 USING (w_start) JOIN s90 USING (w_start)
         |ORDER BY n.w_start""".stripMargin,
+
+    // q130's register SQL partitioned by the hour window — streaming
+    // must equal batch semantics, and register max per window is
+    // arrival-order-free
+    "q165_stream_hll" ->
+      """WITH e AS (SELECT
+        |  (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+        |  (md5_number_lower(CAST(user_id AS VARCHAR)) >> 33)::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT w_start, (h >> 23) AS idx,
+        |  MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+        |      ELSE 23 - length(bin(h & 8388607)) + 1 END) AS rho
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT w_start,
+        |  SUM(CAST(1.0 AS DOUBLE)/(1 << rho)) + (256 - COUNT(*)) AS S,
+        |  COUNT(*) AS act FROM r GROUP BY 1),
+        |n AS (SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1)
+        |SELECT s.w_start,
+        |  FLOOR(0.7213/(1 + 1.079/256)*256*256/S * 1e6 + 0.5)/1e6 AS hll_est,
+        |  CAST(act AS BIGINT) AS n_active, n_events
+        |FROM s JOIN n USING (w_start) ORDER BY 1""".stripMargin,
 
     // each check's exact counts + the engine's floor-rounded rate and
     // threshold comparison, replayed constraint by constraint
