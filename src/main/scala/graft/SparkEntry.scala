@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Png, Tiff, Warc, Wav, Webp, Zip}
+import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Png, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3761,6 +3761,68 @@ object SparkEntry {
         .ordered(col("doc_id"), col("name"))
     }),
 
+    // ---- Multimodal: MP4 container metadata probe -----------------------
+    // THE crawl video container, probed by a real ISO BMFF box walk
+    // (ftyp brand, mvhd timescale/duration in both versions, per-trak
+    // tkhd 16.16 dims + mdia/hdlr handler types, 64-bit box sizes on
+    // every 11th doc's mdat) — sample payloads stay behind the stub
+    // boundary. Fixtures cycle track mixes (video+audio / video-only /
+    // audio-only / none), v0/v1 headers and dims; every 7th doc is
+    // corrupted four ways (truncation, magic flip, lying box size,
+    // zero timescale). The oracle recomputes every field closed-form;
+    // duration is the all-integer duration*1000//timescale.
+    "q167_mp4_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val tracks = (id % 4) match {
+              case 0 => Seq(Mp4.Track(video = true,
+                (320 + id % 1600).toInt, (240 + id % 900).toInt),
+                Mp4.Track(video = false, 0, 0))
+              case 1 => Seq(Mp4.Track(video = true,
+                (320 + id % 1600).toInt, (240 + id % 900).toInt))
+              case 2 => Seq(Mp4.Track(video = false, 0, 0))
+              case _ => Seq.empty
+            }
+            val base = Mp4.encode(
+              brand = if (id % 2 == 0) "isom" else "mp42",
+              timescale = 1000 + (id % 9) * 100,
+              duration = (id * 731 + 17) % 10000000,
+              tracks = tracks, v1 = id % 5 == 0,
+              largeMdat = id % 11 == 0)
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(base.length - 5)
+                case 1 => { val b = base.clone(); b(4) = 'X'.toByte; b }
+                case 2 => { val b = base.clone(); b(3) = 3; b } // ftyp size lie
+                case _ => { val b = base.clone()
+                  // zero the mvhd timescale: ftyp box is 20 bytes,
+                  // moov header 8, mvhd header 8, then the version-
+                  // correct payload offset (v0: +12, v1: +20)
+                  val off = 20 + 8 + 8 + (if (id % 5 == 0) 20 else 12)
+                  var j = 0
+                  while (j < 4) { b(off + j) = 0; j += 1 }
+                  b }
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"),
+          call_function("mp4_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.brand").as("brand"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").cast("long").as("n_tracks"),
+          col("m.has_video").as("has_video"),
+          col("m.has_audio").as("has_audio"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: FLAC container metadata probe ----------------------
     // The lossless-audio sibling of q153: per doc, synthesize a FLAC
     // container (spec-exact STREAMINFO bit packing — 20-bit rate,
@@ -7282,6 +7344,32 @@ object SparkEntry {
         |  CAST(-1 AS BIGINT), NULL
         |FROM d WHERE doc_id % 7 = 3
         |ORDER BY doc_id, name""".stripMargin,
+
+    // every field closed-form from the doc_id formulas; duration is the
+    // all-integer duration*1000//timescale; the first VIDEO track's
+    // dims surface, audio-only and trackless files carry nulls
+    "q167_mp4_probe" ->
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  1000 + (doc_id % 9) * 100 AS tsc,
+        |  (doc_id * 731 + 17) % 10000000 AS dur,
+        |  CASE doc_id % 4 WHEN 0 THEN 2 WHEN 3 THEN 0 ELSE 1 END AS nt,
+        |  doc_id % 4 IN (0, 1) AS hv,
+        |  doc_id % 4 IN (0, 2) AS ha
+        |  FROM documents)
+        |SELECT doc_id, ok,
+        |  CASE WHEN ok THEN brand END AS brand,
+        |  CAST(CASE WHEN ok THEN (dur * 1000) // tsc END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN ok THEN nt END AS BIGINT) AS n_tracks,
+        |  CASE WHEN ok THEN hv END AS has_video,
+        |  CASE WHEN ok THEN ha END AS has_audio,
+        |  CAST(CASE WHEN ok AND hv THEN 320 + doc_id % 1600 END AS BIGINT)
+        |    AS width,
+        |  CAST(CASE WHEN ok AND hv THEN 240 + doc_id % 900 END AS BIGINT)
+        |    AS height
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // every field closed-form from the doc_id formulas; duration is the
     // all-integer total*1000//rate; n_blocks counts STREAMINFO plus the
