@@ -1275,6 +1275,42 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- One-pass ANALYZE: per-column statistics battery ----------------
+    // The CBO-stats collection every engine runs before planning: ONE
+    // scan computes every numeric column's count/nulls/min/max, an HLL
+    // cardinality sketch (the 100 TB distinct answer) and the exact
+    // distinct (the fixture-scale verification rider; its Expand is
+    // the one per-column cost a production ANALYZE would drop). The
+    // one-row aggregate then melts to per-column rows via a literal
+    // struct array — no second scan. Hash inputs are micro-unit
+    // integer strings (one fixed convention for ints and doubles
+    // alike) so the oracle replays the registers exactly.
+    "q168_analyze" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+      def h31(c: String) = shiftrightunsigned(call_function("md5_lower64",
+        floor(col(c) * 1e6 + 0.5).cast("long").cast("string")), 33)
+      val li = Tables(s, dir, "lineitem")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"),
+          Sketches.hllRegisters(h31(c), 8).as(s"sk_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val allAggs = count(lit(1)).as("n") +: aggs
+      val one = li.agg(allAggs.head, allAggs.tail: _*)
+      val melted = one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("n"),
+          (col("n") - col(s"cnt_$c")).as("n_null"),
+          col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+          (floor(Sketches.hllEstimate(col(s"sk_$c"), 8) * 1e6 + 0.5) / 1e6)
+            .as("hll_est"),
+          col(s"nd_$c").as("exact_distinct"))
+      }: _*)).as("s")).select(col("s.*"))
+      melted.ordered(col("column"))
+    }),
+
     // ---- Feature engineering: sketch-driven quantile binning ------------
     // The bucketize-by-quantiles transform (Categorify's numeric
     // cousin): one histogram-sketch pass fits 9 decile cut points on
@@ -5426,6 +5462,39 @@ object SparkEntry {
          |SELECT doc_id, source, u FROM h
          |WHERE u < CASE source $cases ELSE $stratifiedDefaultRate END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // per column: the aggregate battery + q130's register SQL over the
+    // micro-unit-string hashes, one CTE chain per column, unioned
+    "q168_analyze" -> {
+      def one(c: String) =
+        s"""h_$c AS (SELECT (md5_number_lower(CAST(CAST(FLOOR($c*1e6+0.5)
+           |    AS BIGINT) AS VARCHAR)) >> 33)::BIGINT AS h
+           |  FROM lineitem WHERE $c IS NOT NULL),
+           |r_$c AS (SELECT (h >> 23) AS idx,
+           |  MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+           |      ELSE 23 - length(bin(h & 8388607)) + 1 END) AS rho
+           |  FROM h_$c GROUP BY 1),
+           |s_$c AS (SELECT
+           |  SUM(CAST(1.0 AS DOUBLE)/(1 << rho)) + (256 - COUNT(*)) AS S
+           |  FROM r_$c),
+           |st_$c AS (SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  COUNT(DISTINCT $c) AS exact_distinct FROM lineitem)""".stripMargin
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+      val ctes = cols.map(one).mkString(",\n")
+      val sels = cols.map { c =>
+        s"""SELECT col_name AS "column", CAST(n AS BIGINT) AS n, n_null,
+           |  min_v, max_v,
+           |  FLOOR(0.7213/(1 + 1.079/256)*256*256/S * 1e6 + 0.5)/1e6
+           |    AS hll_est,
+           |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+           |FROM st_$c, s_$c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sels\nORDER BY 1"
     },
 
     // the nine decile cuts re-derived from the same binning (rank =
