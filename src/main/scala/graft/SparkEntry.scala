@@ -1286,29 +1286,148 @@ object SparkEntry {
     // integer strings (one fixed convention for ints and doubles
     // alike) so the oracle replays the registers exactly.
     "q168_analyze" -> ((s, dir) => {
+      // MELT FIRST, aggregate per column-name group: the original
+      // single-agg battery (4 countDistinct + 4 object-typed HLL
+      // buffers in ONE Aggregate) planned as a 5-projection Expand
+      // feeding ObjectHashAggregate — 3M expanded rows each carrying
+      // every sketch buffer, 20.9 s at sf0.1. Exploding to
+      // (column, value) rows keeps everything in codegen: the
+      // non-distinct battery is one ObjectHashAggregate over 4 groups
+      // (each row updates ONE sketch, not four), and the exact-
+      // distinct rider is a plain two-level hash count — no Expand
+      // anywhere. Values are bit-identical (the double cast is exact
+      // for every column's domain; the hash-input string is unchanged).
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_discount")
-      def h31(c: String) = shiftrightunsigned(call_function("md5_lower64",
-        floor(col(c) * 1e6 + 0.5).cast("long").cast("string")), 33)
       val li = Tables(s, dir, "lineitem")
-      val aggs = cols.flatMap { c =>
-        Seq(count(col(c)).as(s"cnt_$c"),
-          min(col(c)).cast("double").as(s"min_$c"),
-          max(col(c)).cast("double").as(s"max_$c"),
-          Sketches.hllRegisters(h31(c), 8).as(s"sk_$c"),
-          countDistinct(col(c)).as(s"nd_$c"))
-      }
-      val allAggs = count(lit(1)).as("n") +: aggs
-      val one = li.agg(allAggs.head, allAggs.tail: _*)
-      val melted = one.select(explode(array(cols.map { c =>
-        struct(lit(c).as("column"), col("n"),
-          (col("n") - col(s"cnt_$c")).as("n_null"),
-          col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
-          (floor(Sketches.hllEstimate(col(s"sk_$c"), 8) * 1e6 + 0.5) / 1e6)
+      val melted = li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*))
+          .as("s"))
+        .select(col("s.column").as("column"), col("s.v").as("v"))
+      val h31v = shiftrightunsigned(call_function("md5_lower64",
+        floor(col("v") * 1e6 + 0.5).cast("long").cast("string")), 33)
+      val base = melted.groupBy(col("column")).agg(
+        count(lit(1)).as("n"), count(col("v")).as("cnt"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        Sketches.hllRegisters(h31v, 8).as("sk"))
+      val nd = melted.filter(col("v").isNotNull)
+        .groupBy(col("column"), col("v")).agg(count(lit(1)).as("__one"))
+        .groupBy(col("column")).agg(count(lit(1)).as("exact_distinct"))
+      base.join(nd, Seq("column"), "left")
+        .select(col("column"), col("n"),
+          (col("n") - col("cnt")).as("n_null"),
+          col("min_v"), col("max_v"),
+          (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
             .as("hll_est"),
-          col(s"nd_$c").as("exact_distinct"))
-      }: _*)).as("s")).select(col("s.*"))
-      melted.ordered(col("column"))
+          coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"))
+        .ordered(col("column"))
+    }),
+
+    // ---- Feature engineering: time-grid gap fill + interpolation --------
+    // The resampling dual of PointInTime's as-of lookup: irregular
+    // per-user events regularized to a 4-hour grid (one row per
+    // (user, bucket) across the user's observed span), cell means in
+    // integer micro-units, interior holes LINEARLY INTERPOLATED from
+    // the bracketing observations via two window passes over one
+    // user-keyed partitioning. The oracle replays the grid
+    // (generate_series), both ignore-nulls windows, and the identical
+    // interpolation expression tree.
+    "q169_gap_fill" -> ((s, dir) => {
+      import graft.ops.Resample
+      Resample.gapFill(
+          Tables(s, dir, "events").select(col("user_id"), col("ts"),
+            col("value")),
+          "user_id", "ts", "value", bucketSec = 14400L)
+        .select(col("user_id"), col("bucket"),
+          (floor(col("value") * 1e6 + 0.5) / 1e6).as("value"),
+          col("observed"))
+        .ordered(col("user_id"), col("bucket"))
+    }),
+
+    // ---- Feature engineering: rolling time-RANGE window -----------------
+    // The trailing-30-day spend feature (rolling sum/count/mean per
+    // customer AS OF each order): a RANGE-frame window over the order's
+    // epoch-day — every order within [day-29, day] of the same customer
+    // contributes, ties on the same day all land in each other's frame
+    // (value-range semantics, deterministic under same-day reorders,
+    // where a ROWS frame would not be). Sums ride integer micro-units;
+    // ONE user-keyed Exchange carries all three aggregates. The q44/
+    // q156 row-frame family cannot express this — the frame is a TIME
+    // span, not a row count.
+    "q170_rolling_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("p6"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("p6")).over(w).as("rs6"),
+          count(lit(1)).over(w).as("roll_n"))
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          (floor(col("rs6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("roll_sum"),
+          col("roll_n"),
+          (floor(col("rs6").cast("double") /
+            (col("roll_n") * lit(1e6)) * 1e2 + 0.5) / 1e2).as("roll_avg"))
+        .ordered(col("o_orderkey"))
+    }),
+
+    // ---- Statistics battery: grouped OLS by normal equations ------------
+    // The distributed linear-model fit done the way a 100 TB engine
+    // must: y = b0 + b1*x1 + b2*x2 per group from NINE mergeable
+    // moment sums (the sufficient statistics — integer micro-unit
+    // quantization, decimal products, order-insensitive, the q163
+    // discipline), then the 3x3 normal equations solved in closed form
+    // by Cramer's rule in ONE fixed double expression tree the oracle
+    // replays verbatim. No gradient loop, no driver-side solver — the
+    // whole fit is one aggregation pass plus a per-group O(1) finale.
+    "q171_ols_normal" -> ((s, dir) => {
+      def u6(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+      def wide(c: Column) = c.cast("decimal(19,0)")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull)
+      val x1 = u6(col("l_quantity")); val x2 = u6(col("l_discount"))
+      val y = u6(col("l_extendedprice"))
+      val m = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum(wide(x1) * wide(x1)).as("s11"),
+        sum(wide(x1) * wide(x2)).as("s12"),
+        sum(wide(x2) * wide(x2)).as("s22"),
+        sum(wide(x1) * wide(y)).as("s1y"),
+        sum(wide(x2) * wide(y)).as("s2y"),
+        sum(wide(y) * wide(y)).as("syy"))
+      // real-unit doubles (micro scales divide out), then Cramer on
+      //   [ n   a12 a13 ] [b0]   [c1]
+      //   [ a12 a22 a23 ] [b1] = [c2]
+      //   [ a13 a23 a33 ] [b2]   [c3]
+      val nD = col("n").cast("double")
+      def d6(c: String) = col(c).cast("double") / 1e6
+      def d12(c: String) = col(c).cast("double") / 1e12
+      val a12 = d6("s1"); val a13 = d6("s2")
+      val a22 = d12("s11"); val a23 = d12("s12"); val a33 = d12("s22")
+      val c1 = d6("sy"); val c2 = d12("s1y"); val c3 = d12("s2y")
+      val det = nD * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val b0 = (c1 * (a22 * a33 - a23 * a23) -
+        a12 * (c2 * a33 - a23 * c3) + a13 * (c2 * a23 - a22 * c3)) / det
+      val b1 = (nD * (c2 * a33 - a23 * c3) -
+        c1 * (a12 * a33 - a23 * a13) + a13 * (a12 * c3 - c2 * a13)) / det
+      val b2 = (nD * (a22 * c3 - c2 * a23) -
+        a12 * (a12 * c3 - c2 * a13) + c1 * (a12 * a23 - a22 * a13)) / det
+      // SSE = y'y - b'X'y (normal-equation identity); R2 = 1 - SSE/SST
+      val syyD = d12("syy")
+      val sse = syyD - b0 * c1 - b1 * c2 - b2 * c3
+      val sst = syyD - c1 * c1 / nD
+      def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+      m.select(col("l_returnflag"), col("n"),
+          r6(b0).as("b0"), r6(b1).as("b1"), r6(b2).as("b2"),
+          r6(lit(1.0) - sse / sst).as("r2"))
+        .ordered(col("l_returnflag"))
     }),
 
     // ---- Feature engineering: sketch-driven quantile binning ------------
@@ -5556,6 +5675,105 @@ object SparkEntry {
     // the five integer-micro moment sums (HUGEINT products — exact)
     // and the identical IEEE finale — each CAST AS DOUBLE and
     // de-scaled first, then the one fixed expression tree
+    // the identical grid (generate_series inclusive, like Spark's
+    // sequence), both IGNORE NULLS window passes, and the same
+    // interpolation expression tree over integer-derived doubles
+    "q169_gap_fill" ->
+      """WITH obs AS (SELECT user_id,
+        |    (epoch_us(ts)//1000000)//14400 AS bucket,
+        |    CAST(SUM(CAST(FLOOR(value*1e6+0.5) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1e6) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+        |j AS (SELECT g.user_id, g.bucket, o.v FROM grid g
+        |  LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket),
+        |w AS (SELECT user_id, bucket, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER pre AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER pre AS pb,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER post AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER post AS nb
+        |  FROM j
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  post AS (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |  FLOOR((CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * CAST(bucket - pb AS DOUBLE)
+        |      / CAST(nb - pb AS DOUBLE) END)*1e6+0.5)/1e6 AS value,
+        |  v IS NOT NULL AS observed
+        |FROM w ORDER BY user_id, bucket""".stripMargin,
+
+    // RANGE frame over the integer epoch-day (DuckDB and Spark agree
+    // on value-range semantics: same-day ties all share the frame)
+    "q170_rolling_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day,
+        |  CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) AS p6 FROM orders),
+        |w AS (SELECT o_orderkey, o_custkey, day,
+        |  SUM(p6) OVER r AS rs6, COUNT(*) OVER r AS roll_n
+        |  FROM o
+        |  WINDOW r AS (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_custkey, day,
+        |  FLOOR(CAST(rs6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS roll_sum,
+        |  roll_n,
+        |  FLOOR(CAST(rs6 AS DOUBLE)/(roll_n*1e6)*1e2+0.5)/1e2 AS roll_avg
+        |FROM w WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the nine HUGEINT moment sums, then the IDENTICAL Cramer +
+    // normal-equation-SSE double expression tree (q163 discipline:
+    // decimal/HUGEINT -> double is correctly rounded in both engines,
+    // and a fixed tree over identical doubles is bit-stable)
+    "q171_ols_normal" ->
+      """WITH q AS (SELECT l_returnflag,
+        |  CAST(FLOOR(l_quantity*1e6+0.5) AS BIGINT) AS x1,
+        |  CAST(FLOOR(l_discount*1e6+0.5) AS BIGINT) AS x2,
+        |  CAST(FLOOR(l_extendedprice*1e6+0.5) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |  SUM(CAST(x1 AS HUGEINT)*x1) AS s11,
+        |  SUM(CAST(x1 AS HUGEINT)*x2) AS s12,
+        |  SUM(CAST(x2 AS HUGEINT)*x2) AS s22,
+        |  SUM(CAST(x1 AS HUGEINT)*y) AS s1y,
+        |  SUM(CAST(x2 AS HUGEINT)*y) AS s2y,
+        |  SUM(CAST(y AS HUGEINT)*y) AS syy
+        |  FROM q GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE)/1e6 AS a12, CAST(s2 AS DOUBLE)/1e6 AS a13,
+        |  CAST(s11 AS DOUBLE)/1e12 AS a22,
+        |  CAST(s12 AS DOUBLE)/1e12 AS a23,
+        |  CAST(s22 AS DOUBLE)/1e12 AS a33,
+        |  CAST(sy AS DOUBLE)/1e6 AS c1, CAST(s1y AS DOUBLE)/1e12 AS c2,
+        |  CAST(s2y AS DOUBLE)/1e12 AS c3,
+        |  CAST(syy AS DOUBLE)/1e12 AS syyd FROM m),
+        |e AS (SELECT *, nd*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |    + a13*(a12*a23 - a22*a13) AS det FROM d),
+        |f AS (SELECT l_returnflag, n, syyd, nd, c1, c2, c3,
+        |  (c1*(a22*a33 - a23*a23) - a12*(c2*a33 - a23*c3)
+        |    + a13*(c2*a23 - a22*c3))/det AS b0,
+        |  (nd*(c2*a33 - a23*c3) - c1*(a12*a33 - a23*a13)
+        |    + a13*(a12*c3 - c2*a13))/det AS b1,
+        |  (nd*(a22*c3 - c2*a23) - a12*(a12*c3 - c2*a13)
+        |    + c1*(a12*a23 - a22*a13))/det AS b2 FROM e)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  FLOOR(b0*1e6+0.5)/1e6 AS b0, FLOOR(b1*1e6+0.5)/1e6 AS b1,
+        |  FLOOR(b2*1e6+0.5)/1e6 AS b2,
+        |  FLOOR((1.0 - (syyd - b0*c1 - b1*c2 - b2*c3)
+        |    /(syyd - c1*c1/nd))*1e6+0.5)/1e6 AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
     "q163_corr_moments" -> {
       def u6(c: String) = s"CAST(FLOOR(($c)*1e6+0.5) AS BIGINT)"
       s"""WITH q AS (SELECT l_returnflag,

@@ -53,6 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *     itself to form the pair grid (G = #sources — q102's exact
     *     overlap matrix has the same allowlisted G×G shape; here each
     *     row additionally carries a k-long bottom-k array).
+    *   - q160: ppsSample's ONE-ROW broadcast total-weight frame crossed
+    *     into the cumsum (the q79/q88/q118 lazy-denominator shape — the
+    *     stride arithmetic needs the global total on every row).
     *   - q149/q150/q151: the merged-sketch rollup queries each cross a
     *     ONE-ROW aggregate into the result (q149: the exact-distinct
     *     rider onto the one-row merged-mins frame; q150: the global
@@ -66,7 +69,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
-    "q135_kmv_overlap", "q141_kmv_matrix",
+    "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
