@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Png, Tiff, Warc, Wav, Webp, Zip}
+import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -3916,6 +3916,69 @@ object SparkEntry {
         .ordered(col("doc_id"), col("name"))
     }),
 
+    // ---- Multimodal: tar / tar.gz archive walk --------------------------
+    // THE dataset-drop format (WebDataset shards, research corpora ship
+    // as tar/tar.gz): per doc, synthesize a ustar archive (optional
+    // directory entry + 1-3 text members, closed-form contents), wrap
+    // every even doc in a REAL gzip member (the .tar.gz composition:
+    // gunzipBinary's CRC-verified decode feeds the tar walk — tar
+    // itself has no payload CRC, the outer gzip is its integrity
+    // layer), and walk it with Tar.decode's checksum-verified header
+    // chain. Every 7th doc corrupted four ways (torn terminator,
+    // checksum flip, magic flip, re-sealed size-field lie) -> one
+    // ok=false row. The oracle regenerates members and digests
+    // closed-form (q154 discipline).
+    "q172_tar_walk" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val dirs: Seq[(String, Char, Array[Byte])] =
+              if (id % 5 == 0) Seq((s"doc$id/", '5', Array.emptyByteArray))
+              else Seq.empty
+            val files = (0 until (1 + id % 3).toInt).map { j =>
+              val content =
+                ("t" + (id + j) + " ") * (5 + ((id + j) % 20)).toInt
+              (s"doc$id/part$j.txt", '0',
+                content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            val base = Tar.encode(dirs ++ files)
+            val tarred =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(base.length - 100) // torn terminator
+                case 1 => { val b = base.clone()
+                  b(148) = (b(148) ^ 0x01).toByte; b } // checksum flip
+                case 2 => { val b = base.clone(); b(257) = 'X'.toByte; b }
+                case _ => { val b = base.clone()
+                  var i = 0
+                  while (i < 11) { b(124 + i) = '7'.toByte; i += 1 }
+                  b(135) = 0
+                  // re-seal the checksum so the SIZE guard, not the
+                  // checksum, is what trips
+                  var sum = 0L; i = 0
+                  while (i < 512) {
+                    sum += (if (i >= 148 && i < 156) 0x20 else b(i) & 0xff)
+                    i += 1
+                  }
+                  val cs = "%06o".format(sum)
+                    .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+                  System.arraycopy(cs, 0, b, 148, 6)
+                  b(154) = 0; b(155) = ' '.toByte
+                  b }
+              }
+            val payload = if (id % 2 == 0) Gzip.encode(tarred) else tarred
+            Binary.MediaRow(id, payload, "archive",
+              if (id % 2 == 0) "tar.gz" else "tar")
+          }
+        }
+      Binary.tarEntries(Binary.gunzipBinary(media))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("ok"), col("name"),
+          col("typeflag"), col("n_bytes"), col("digest"))
+        .ordered(col("doc_id"), col("name"))
+    }),
+
     // ---- Multimodal: MP4 container metadata probe -----------------------
     // THE crawl video container, probed by a real ISO BMFF box walk
     // (ftyp brand, mvhd timescale/duration in both versions, per-trak
@@ -7628,6 +7691,32 @@ object SparkEntry {
         |FROM c
         |UNION ALL
         |SELECT doc_id, FALSE AS ok, NULL AS name, CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), NULL
+        |FROM d WHERE doc_id % 7 = 3
+        |ORDER BY doc_id, name""".stripMargin,
+
+    // members regenerated closed-form (file rows + the every-5th
+    // directory row), digests by md5 of the same repeated unit; corrupt
+    // docs collapse to one ok=false row — the gzip wrapping is
+    // transparent to the result (same members either way)
+    "q172_tar_walk" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |m AS (SELECT doc_id, j FROM d CROSS JOIN range(3) t(j)
+        |  WHERE j < 1 + doc_id % 3 AND doc_id % 7 <> 3),
+        |c AS (SELECT doc_id, j,
+        |  'doc' || doc_id || '/part' || j || '.txt' AS name,
+        |  repeat('t' || (doc_id + j) || ' ',
+        |    CAST(5 + (doc_id + j) % 20 AS INT)) AS content
+        |  FROM m)
+        |SELECT doc_id, TRUE AS ok, name, '0' AS typeflag,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS digest
+        |FROM c
+        |UNION ALL
+        |SELECT doc_id, TRUE AS ok, 'doc' || doc_id || '/' AS name,
+        |  '5' AS typeflag, CAST(0 AS BIGINT) AS n_bytes, md5('') AS digest
+        |FROM d WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT doc_id, FALSE AS ok, NULL AS name, NULL AS typeflag,
         |  CAST(-1 AS BIGINT), NULL
         |FROM d WHERE doc_id % 7 = 3
         |ORDER BY doc_id, name""".stripMargin,

@@ -184,6 +184,58 @@ object Binary {
     }
   }
 
+  /** Transparent ingest decompression: payloads with the gzip magic are
+    * gunzipped ([[Gzip.decode]] — CRC-verified, multi-member, bomb
+    * cap), everything else passes through untouched. This is the stage
+    * that turns `.tar.gz` into the plain tar [[tarEntries]] walks — a
+    * pure projection, zero shuffles. A payload that CLAIMS gzip but
+    * fails to decode maps to a null payload (the downstream walker's
+    * loud ok=false, never silent partial output). */
+  def gunzipBinary(media: Dataset[MediaRow],
+                   maxOut: Int = 1 << 26): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val p = r.payload
+      if (p != null && p.length >= 2 &&
+          (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+        try r.copy(payload = Gzip.decode(p, maxOut))
+        catch { case scala.util.control.NonFatal(_) =>
+          r.copy(payload = null) }
+      else r
+    }
+  }
+
+  case class TarRow(media_id: Long, ok: Boolean, name: String,
+                    typeflag: String, n_bytes: Long, digest: String)
+
+  /** REAL tar archive walk ([[Tar.decode]]: ustar header chain with
+    * checksum verification, strict two-zero-block terminator, bomb
+    * cap) — each payload one .tar (or, upstream of this, a gunzipped
+    * .tar.gz), each output row one member. Same in-partition reduction
+    * discipline as [[zipEntries]]: member bytes never ride a shuffle.
+    * A malformed archive — bad magic/checksum/octal, size past end,
+    * truncated terminator, unsupported typeflag — yields one
+    * `ok=false` row. */
+  def tarEntries(media: Dataset[MediaRow]): Dataset[TarRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        try {
+          Tar.decode(r.payload).map { e =>
+            md.reset()
+            val hex = md.digest(e.data).map(b => f"$b%02x").mkString
+            TarRow(r.media_id, ok = true, e.name, e.typeflag.toString,
+              e.data.length.toLong, hex)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(TarRow(r.media_id, ok = false, null, null, -1L, null))
+        }
+      }
+    }
+  }
+
   /** REAL gunzip of compressed-text payloads ([[Gzip.decode]]: JDK zlib,
     * multi-member streams, zip-bomb size cap) into a UTF-8 text column —
     * the first stage of any crawl ingest (WET/WARC/.jsonl.gz shards
