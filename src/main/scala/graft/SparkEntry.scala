@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
+import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -4041,6 +4041,60 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Multimodal: Ogg container metadata probe -----------------------
+    // The page-level sibling of q161/q167: per doc, synthesize a
+    // single-stream Ogg file (real page headers with correct forward
+    // CRC-32s, proper 255-run lacing, BOS/EOS flags; body payloads are
+    // junk — codec bitstreams stay behind the stub boundary) carrying
+    // a Vorbis ident (even docs) or OpusHead (odd docs), every 9th doc
+    // an unrecognized codec (ok=true, codec='unknown' — count, don't
+    // misparse), every 7th corrupted four ways (torn page, CRC-breaking
+    // payload flip, magic flip, bad version). duration is all-integer
+    // from the EOS granule (Opus at its fixed 48 kHz clock less
+    // pre-skip). The oracle recomputes every field closed-form.
+    "q173_ogg_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rates = Array(8000, 16000, 22050, 44100, 48000)
+            val ch = (1 + id % 4).toInt
+            val preSkip = (312 + id % 500).toInt
+            val granule = id * 977 + 48000
+            val ident =
+              if (id % 9 == 4)
+                ("Xcodec00" + "ident junk").getBytes("US-ASCII")
+              else if (id % 2 == 1)
+                Ogg.opusHead(ch, preSkip,
+                  if (id % 3 == 0) 44100 else 48000)
+              else Ogg.vorbisIdent(ch, rates((id % 5).toInt))
+            val nBody = if (id % 4 == 0) -1 else (id % 4).toInt - 1
+            val base = Ogg.encode(ident, nBody, granule,
+              serial = (id % 100000).toInt, seed = id)
+            val payload =
+              if (id % 7 != 3) base
+              else (id % 4) match {
+                case 0 => base.take(base.length - 30) // torn final page
+                case 1 => { val b = base.clone()      // CRC now lies
+                  b(b.length - 1) = (b(b.length - 1) ^ 0x55).toByte; b }
+                case 2 => { val b = base.clone(); b(0) = 'X'.toByte; b }
+                case _ => { val b = base.clone(); b(4) = 1; b } // version
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"),
+          call_function("ogg_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.codec").as("codec"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.n_pages").cast("long").as("n_pages"),
+          col("m.duration_ms").as("duration_ms"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Multimodal: FLAC container metadata probe ----------------------
     // The lossless-audio sibling of q153: per doc, synthesize a FLAC
     // container (spec-exact STREAMINFO bit packing — 20-bit rate,
@@ -7750,6 +7804,35 @@ object SparkEntry {
     // every field closed-form from the doc_id formulas; duration is the
     // all-integer total*1000//rate; n_blocks counts STREAMINFO plus the
     // optional blocks the same modulus formulas added
+    // every field closed-form from the doc_id formulas; corrupt beats
+    // unknown-codec; duration all-integer (opus on its fixed 48 kHz
+    // clock less pre-skip, vorbis on the ident rate)
+    "q173_ogg_probe" ->
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 7 <> 3 AS okf,
+        |  doc_id % 9 = 4 AS unk,
+        |  doc_id % 2 = 1 AS isopus,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS ch,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS vrate,
+        |  312 + doc_id % 500 AS preskip,
+        |  CASE WHEN doc_id % 3 = 0 THEN 44100 ELSE 48000 END AS orate,
+        |  doc_id * 977 + 48000 AS g,
+        |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE doc_id % 4 + 1 END AS np
+        |  FROM documents)
+        |SELECT doc_id, okf AS ok,
+        |  CASE WHEN NOT okf THEN NULL WHEN unk THEN 'unknown'
+        |    WHEN isopus THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(CASE WHEN okf AND NOT unk THEN ch END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN okf AND NOT unk THEN
+        |    (CASE WHEN isopus THEN orate ELSE vrate END) END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN okf THEN np END AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN okf AND NOT unk THEN
+        |    (CASE WHEN isopus THEN (g - preskip) * 1000 // 48000
+        |     ELSE g * 1000 // vrate END) END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q161_flac_probe" ->
       """WITH p AS (SELECT doc_id,
         |  doc_id % 7 <> 3 AS ok,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, OggMetaExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -149,6 +149,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("mp4_meta"),
       new ExpressionInfo(classOf[Mp4MetaExpr].getName, "mp4_meta"),
       (children: Seq[Expression]) => Mp4MetaExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("ogg_meta"),
+      new ExpressionInfo(classOf[OggMetaExpr].getName, "ogg_meta"),
+      (children: Seq[Expression]) => OggMetaExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("minhash32"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "minhash32"),
