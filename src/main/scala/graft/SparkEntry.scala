@@ -3152,6 +3152,25 @@ object SparkEntry {
       LinkGraph.triangles(edges, "src", "dst")
     }),
 
+    // ---- Graph: k-core decomposition ------------------------------------
+    // Iterative peeling to the degree>=3 fixpoint over a doc-derived
+    // link graph (the link-farm / dense-cluster prefilter beside
+    // q126's PageRank and q155's HITS): each round deletes ALL
+    // current degree<3 nodes at once — one degree aggregation + two
+    // anti-joins, localCheckpoint lineage truncation. The oracle
+    // unrolls MORE peel rounds than the fixpoint needs as chained
+    // CTEs — extra rounds are no-ops by idempotence, so the unrolled
+    // depth only has to be an upper bound (the q155 discipline).
+    "q174_kcore" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 311).as("src"), ((d * 11 + 7) % 311).as("dst"))
+      val e2 = docs.filter(d % 2 === 0)
+        .select((d % 311).as("src"), ((d * 23 + 3) % 311).as("dst"))
+      LinkGraph.kCore(e1.unionByName(e2), "src", "dst", k = 3)
+        .ordered(col("node"))
+    }),
+
     // ---- Analytic window battery: the rank family in one pass -----------
     // rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead over one
     // window spec — every function shares ONE sort within the
@@ -6646,6 +6665,41 @@ object SparkEntry {
         |  JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT (SELECT n FROM t) AS n_triangles,
         |  (SELECT COUNT(*) FROM p) AS n_edges""".stripMargin,
+
+    // peel rounds unrolled as chained CTEs to an UPPER BOUND depth —
+    // rounds past the fixpoint filter nothing (idempotent), so the
+    // unrolled result IS the fixpoint the engine iterates to
+    "q174_kcore" -> {
+      val rounds = 12
+      val sb = new StringBuilder
+      sb.append(
+        """WITH raw AS (
+          |  SELECT doc_id % 311 AS src, (doc_id*11 + 7) % 311 AS dst
+          |    FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 311 AS src, (doc_id*23 + 3) % 311 AS dst
+          |    FROM documents WHERE doc_id % 2 = 0),
+          |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+          |    GREATEST(src, dst) AS b
+          |  FROM raw WHERE src <> dst)""".stripMargin)
+      for (i <- 1 to rounds) {
+        val p = i - 1
+        sb.append(
+          s""",
+             |b$i AS MATERIALIZED (SELECT node FROM (
+             |    SELECT a AS node FROM e$p UNION ALL SELECT b FROM e$p)
+             |  GROUP BY node HAVING COUNT(*) < 3),
+             |e$i AS MATERIALIZED (SELECT a, b FROM e$p
+             |  WHERE a NOT IN (SELECT node FROM b$i)
+             |    AND b NOT IN (SELECT node FROM b$i))""".stripMargin)
+      }
+      sb.append(
+        s"""
+           |SELECT node, COUNT(*) AS deg FROM (
+           |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+           |GROUP BY node ORDER BY node""".stripMargin)
+      sb.toString
+    },
 
     // one WINDOW clause shared by every function, the same total order;
     // the rank family is integer, the ratio doubles are single IEEE

@@ -160,6 +160,54 @@ object LinkGraph {
     * set — three shuffles total, each on plain integer keys. Returns
     * one row: (n_triangles, n_edges). Self-loops drop; duplicate and
     * reverse-duplicate edges collapse. */
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node of degree < k (simultaneously — one round is ONE degree
+    * aggregation + two anti-joins, all keyed shuffles) until the
+    * degree->=k fixpoint. Returns the surviving nodes with their CORE
+    * degrees (degree within the k-core subgraph) — the standard
+    * spam-farm / boilerplate-cluster prefilter on a link graph (dense
+    * cores are link farms; the 1-core..2-core shell is the long tail a
+    * crawl can deprioritize).
+    *
+    * Scale posture: the peel converges in at most the graph's
+    * degeneracy-ordering depth — usually a handful of rounds on web
+    * graphs (each round removes ALL current low-degree nodes at once);
+    * `localCheckpoint` truncates lineage per round (the
+    * connectedComponents discipline) and the per-round driver action is
+    * one `isEmpty` probe of the bad set. A pathological path/chain
+    * graph peels in O(n/2) rounds — `maxIter` fail-fasts rather than
+    * looping unbounded (the RangeJoin discipline). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 60): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val bad = degrees(und).filter(col("deg") < k).select("node")
+      if (bad.isEmpty) converged = true
+      else {
+        und = und
+          .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    require(converged, s"kCore: no fixpoint within $maxIter peel rounds " +
+      "(pathological chain graph? raise maxIter)")
+    degrees(und)
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&

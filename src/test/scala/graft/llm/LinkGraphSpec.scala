@@ -132,6 +132,37 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(runTri(edges) === ((brute, simple.size.toLong)))
   }
 
+  test("kCore: known graphs peel to the right core, brute force agrees") {
+    def runCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      LinkGraph.kCore(edges.toDF("s", "t"), "s", "t", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 with a pendant chain: 3-core is exactly the K4, each deg 3;
+    // the chain must peel in CASCADE (5 then 4 become degree-deficient)
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val g = k4 ++ Seq((3L, 4L), (4L, 5L))
+    assert(runCore(g, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a pure cycle survives k=2 untouched and vanishes at k=3
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(runCore(cycle, 2).values.toSet === Set(2L))
+    assert(runCore(cycle, 3) === Map.empty)
+    // brute-force fixpoint agreement on a random graph; dup/self drop
+    val rnd = new scala.util.Random(174L)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    var simple = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = simple.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bad = deg.filter(_._2 < 3).keySet
+      changed = bad.nonEmpty
+      simple = simple.filter { case (a, b) => !bad(a) && !bad(b) }
+    }
+    val brute = simple.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(runCore(edges, 3) === brute)
+  }
+
   test("hits: pure hub gets auth 0, pure authority gets hub 0; L1 mass 1") {
     // 1,2,4 all point at 3; 3 points nowhere; nothing points at 1
     val edges = Seq((1L, 3L), (2L, 3L), (4L, 3L), (2L, 4L))
