@@ -4315,6 +4315,34 @@ object SparkEntry {
         .ordered(col("l_returnflag"))
     }),
 
+    // ---- Sources: native XML scan/sink round trip -----------------------
+    // Spark 4's built-in XML data source (q146's ORC sibling; no
+    // external jar): a typed orders slice — longs, strings, a NESTED
+    // element — is WRITTEN as XML files, read back with an explicit
+    // schema + rowTag, and must surface value-identical (the q147 JSONL
+    // byte-fidelity discipline: the oracle states the identity result
+    // over parquet; any serializer text-mangling — entity escaping,
+    // whitespace, numeric formatting — breaks the hash). Price rides
+    // micro-unit longs: float-as-text has no place in an exchange
+    // format when an integer encoding exists.
+    "q175_xml_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("xml", dir)
+      Tables(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("price6"),
+          struct(col("o_orderpriority").as("prio")).as("ship"))
+        .write.format("xml").option("rowTag", "order").mode("overwrite")
+        .save(out)
+      s.read.format("xml").option("rowTag", "order")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, status STRING, price6 BIGINT, ship STRUCT<prio: STRING>"))
+        .load(out)
+        .select(col("k"), col("status"), col("price6"),
+          col("ship.prio").as("prio"))
+        .ordered(col("k"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -5811,6 +5839,14 @@ object SparkEntry {
     // the five integer-micro moment sums (HUGEINT products — exact)
     // and the identical IEEE finale — each CAST AS DOUBLE and
     // de-scaled first, then the one fixed expression tree
+    // identity over parquet: the XML hop must be lossless
+    "q175_xml_roundtrip" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) AS price6,
+        |  o_orderpriority AS prio
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY k""".stripMargin,
+
     // the identical grid (generate_series inclusive, like Spark's
     // sequence), both IGNORE NULLS window passes, and the same
     // interpolation expression tree over integer-derived doubles
