@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew}
+import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
@@ -4343,6 +4343,366 @@ object SparkEntry {
         .ordered(col("k"))
     }),
 
+    // ---- Product analytics: ordered funnel conversion --------------------
+    // The classic event funnel (view -> click within 48h -> purchase
+    // within 72h, each step strictly AFTER the previous one for the
+    // same user) computed the distributed way: three chained
+    // min-over-user-partition windows — t1 = first view, t2 = first
+    // qualifying click after t1, t3 = first qualifying purchase after
+    // t2 — share ONE user-keyed Exchange (no orderBy frames, so no
+    // sort either), then one tiny global aggregate melts to a
+    // step/users/conversion table. Step deadlines are integer
+    // epoch-micros (exact). No per-user collect, no driver loop: at
+    // 100 TB the funnel is one shuffle wide. The oracle replays the
+    // identical window cascade in DuckDB.
+    "q176_funnel" -> ((s, dir) => {
+      val clickWinUs = 48L * 3600 * 1000000L
+      val buyWinUs = 72L * 3600 * 1000000L
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+      val staged = e
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts_us") > col("t1") &&
+            col("ts_us") <= col("t1") + clickWinUs, col("ts_us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts_us") > col("t2") &&
+            col("ts_us") <= col("t2") + buyWinUs, col("ts_us"))).over(w))
+      val perUser = staged.groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+          min(col("t3")).as("t3"))
+      val tot = perUser.agg(
+        count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      def rate(n: Column, d: Column) = when(d > 0,
+        floor(n.cast("double") / d.cast("double") * 1e6 + 0.5) / 1e6)
+      tot.select(explode(array(
+          struct(lit(1).as("step"), lit("view").as("event_type"),
+            col("u1").as("users"), lit(1.0).as("conv_from_prev"),
+            lit(1.0).as("conv_from_first")),
+          struct(lit(2).as("step"), lit("click").as("event_type"),
+            col("u2").as("users"),
+            rate(col("u2"), col("u1")).as("conv_from_prev"),
+            rate(col("u2"), col("u1")).as("conv_from_first")),
+          struct(lit(3).as("step"), lit("purchase").as("event_type"),
+            col("u3").as("users"),
+            rate(col("u3"), col("u2")).as("conv_from_prev"),
+            rate(col("u3"), col("u1")).as("conv_from_first")))).as("r"))
+        .select(col("r.step").as("step"), col("r.event_type"),
+          col("r.users"), col("r.conv_from_prev"),
+          col("r.conv_from_first"))
+        .ordered(col("step"))
+    }),
+
+    // ---- Product analytics: cohort retention matrix ----------------------
+    // Users cohorted by the epoch-day of their FIRST event; cell (c, k)
+    // counts distinct cohort-c users active on day c+k. first_ts is a
+    // min-over-user window (no orderBy — one Exchange, no sort), cohort
+    // sizes come from the k=0 diagonal of the same aggregate (no second
+    // scan), and the percentage is a fixed rounded tree. This is the
+    // warehouse query that motivates day-grain partition layout at
+    // 100 TB: both the window and the groupBy key off user_id, so AQE
+    // coalesces one user-hashed Exchange end to end.
+    "q177_retention" -> ((s, dir) => {
+      // floor-division in exact-double range (ts_us/1e6 < 2^53): matches
+      // DuckDB's BIGINT // chain for positive epochs
+      val day = (c: Column) =>
+        floor(floor(c / 1e6) / 86400.0).cast("long")
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("user_id"), day(col("ts_us")).as("day"))
+      val w = Window.partitionBy(col("user_id"))
+      val cells = e.withColumn("cohort_day", min(col("day")).over(w))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day"))
+          .as("day_k"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = cells.filter(col("day_k") === 0)
+        .select(col("cohort_day"), col("active_users").as("cohort_size"))
+      cells.join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_k"), col("active_users"),
+          col("cohort_size"),
+          (floor(col("active_users").cast("double") /
+            col("cohort_size").cast("double") * 1e4 + 0.5) / 1e2)
+            .as("retention_pct"))
+        .ordered(col("cohort_day"), col("day_k"))
+    }),
+
+    // ---- Sequence analytics: Markov transition matrix ---------------------
+    // First-order event-type transition counts and probabilities: lag
+    // over (user, ts, event_id) pairs consecutive events per user (one
+    // sorted user-keyed Exchange), then a 25-cell aggregate. The
+    // probability denominator is a window over the tiny grouped result
+    // (zero extra shuffle at any scale — the matrix is |types|²). The
+    // deterministic-order contract rides (ts_us, event_id), not
+    // arrival order; NULL event types are dropped (the NULL posture —
+    // a NULL state would otherwise absorb two transitions).
+    "q178_markov" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val m = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      m.select(col("prev_type"), col("next_type"), col("n"),
+          (floor(col("n").cast("double") /
+            sum(col("n")).over(wp).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("p"))
+        .ordered(col("prev_type"), col("next_type"))
+    }),
+
+    // ---- Sampling: deterministic stratified k-per-stratum -----------------
+    // Exact-quota stratified sampling done scale-safe: rank rows inside
+    // each (lang, source) stratum by the content-uniform md5 coin
+    // (ties broken by doc_id) and keep rank <= k. One window Exchange
+    // keyed by the strata, no per-stratum count pass, no driver-side
+    // quota table — every stratum yields min(k, |stratum|) rows,
+    // reproducibly, on any cluster size. Complements q66's global
+    // hash-rate sampling and q160's PPS weights with the "equal
+    // representation per cell" contract an eval-set builder needs.
+    "q179_stratified" -> ((s, dir) => {
+      val k = 20
+      val u = shiftrightunsigned(call_function("md5_lower64",
+        col("doc_id").cast("string")), 33)
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(u.asc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .ordered(col("lang"), col("source"), col("rn"))
+    }),
+
+    // ---- Data quality: Benford first-digit audit ---------------------------
+    // The fraud/anomaly screen over a monetary column: first significant
+    // digit via integer micro-units -> decimal string -> first char (NO
+    // float log10 on the data path — the digit of 999999.9999 must not
+    // ride an engine's log rounding), observed shares vs the Benford
+    // expectation, chi-square contributions in one fixed double tree.
+    // The nine expected shares are pinned 6-dp literals in BOTH engines
+    // (log10 bit-parity across libm implementations is not a contract).
+    // One scan, one 9-row aggregate, a broadcast-free finale.
+    "q180_benford" -> ((s, dir) => {
+      val benford = Map(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.09691, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val p6 = floor(col("o_totalprice") * 1e6 + 0.5).cast("long")
+      val d = substring(p6.cast("string"), 1, 1).cast("int")
+      val obs = Tables(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && (p6 > 0))
+        .select(d.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val expCol = benford.foldLeft(lit(null).cast("double")) {
+        case (acc, (dig, e)) => when(col("digit") === dig, lit(e))
+          .otherwise(acc)
+      }
+      obs.withColumn("total", sum(col("n")).over(wAll))
+        .select(col("digit"), col("n"),
+          (floor(col("n").cast("double") / col("total").cast("double")
+            * 1e6 + 0.5) / 1e6).as("obs_pct"),
+          expCol.as("exp_pct"),
+          (floor((col("n").cast("double") / col("total").cast("double")
+              - expCol) * (col("n").cast("double") /
+              col("total").cast("double") - expCol) / expCol *
+            col("total").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("chi2_part"))
+        .ordered(col("digit"))
+    }),
+
+    // ---- Spatial: grid-bucketed epsilon-neighbor self-join -----------------
+    // The spatial join shape without an all-pairs cross product: points
+    // (deterministic 2-D-uniform coords from two independent md5 coins
+    // per event_id — integer mod then one double divide, bit-identical
+    // in both engines; a LINEAR id->coord map would put all points on
+    // a wrapping 1-D lattice line with no close pairs) land in
+    // eps-sized grid cells; the LEFT side replicates each point to its
+    // 3x3 neighbor cells, the RIGHT keeps the home cell, and the
+    // equi-join on cell + exact d² <= eps² + id < id yields each
+    // qualifying pair EXACTLY once (one home cell per point — no
+    // post-join distinct). Candidates scale with local density, not
+    // n²: the 100 TB plan is a plain hash join on cell keys. The
+    // oracle brute-forces with an |Δlat|,|Δlon| band prefilter (DuckDB
+    // IEJoin) — an independent plan validating the grid algebra.
+    "q181_grid_join" -> ((s, dir) => {
+      val eps = 0.5
+      val coin = (c: Column) => shiftrightunsigned(
+        call_function("md5_lower64", c), 33)
+      val pts = Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id").as("id"),
+          ((coin(col("event_id").cast("string")) % 180000L) / lit(1000.0)
+            - 90.0).as("lat"),
+          ((coin(concat(col("event_id").cast("string"), lit("#lon")))
+            % 360000L) / lit(1000.0) - 180.0).as("lon"))
+      Spatial.epsNeighborJoin(pts, "id", "lat", "lon", eps)
+        .select(col("a_id"), col("b_id"),
+          (floor(col("d2") * 1e6 + 0.5) / 1e6).as("d2"))
+        .ordered(col("a_id"), col("b_id"))
+    }),
+
+    // ---- Sequence analytics: session path mining ---------------------------
+    // Top navigation paths: events sessionize on a 2h inactivity gap
+    // (integer epoch-micros lag — exact), the running flag-sum numbers
+    // sessions inside the SAME sorted user window (one Exchange carries
+    // lag + the numbering), then each session's ordered event-type
+    // string groups to path frequencies. Path assembly is
+    // sort_array(collect_list(struct)) — deterministic under the
+    // (ts_us, event_id) total order, never arrival order. The oracle
+    // replays sessionization and paths via string_agg(ORDER BY).
+    "q182_session_paths" -> ((s, dir) => {
+      val gapUs = 7200L * 1000000L
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sess = e
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs,
+            lit(0L)).otherwise(lit(1L)))
+        .withColumn("sess_no", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sess_no"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))), x => x.getField("event_type")), ">")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 3)
+        .ordered(col("n_sessions").desc, col("path"))
+    }),
+
+    // ---- Interval analytics: peak concurrency sweep ------------------------
+    // Max simultaneous open intervals (sessions/connections/jobs) per
+    // (event_type, day): each interval [ts, ts + value minutes) melts
+    // to +1/-1 endpoint deltas CLIPPED to each day it covers (clipping
+    // makes days independent — no cross-partition carry, unlike a
+    // global sweep), the running sum rides one (type, day)-keyed
+    // sorted window, peak = max prefix. Half-open tie rule: at equal
+    // t the -1 sorts first (an interval ending at t has released
+    // before one starting at t), and ties WITHIN a delta class are
+    // prefix-sum-invariant (equal deltas commute), so the peak is
+    // deterministic under any row order. Day math is integer `div`
+    // on epoch-micros — never a float division whose rounding could
+    // disagree with the oracle's BIGINT `//`.
+    "q183_peak_concurrency" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val iv = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("value") > 0)
+        .select(col("event_type"), col("ts_us").as("s"),
+          (col("ts_us") + floor(col("value") * 60 * 1e6 + 0.5)
+            .cast("long")).as("e"))
+      val days = iv.select(col("event_type"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $dayUs"), expr(s"(e-1) div $dayUs")))
+          .as("day"))
+      val pts = days.select(col("event_type"), col("day"),
+          greatest(col("s"), col("day") * dayUs).as("t"),
+          lit(1).as("d"))
+        .unionByName(days.select(col("event_type"), col("day"),
+          least(col("e"), (col("day") + 1) * dayUs).as("t"),
+          lit(-1).as("d")))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("conc", sum(col("d")).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("conc")).as("peak"))
+        .ordered(col("event_type"), col("day"))
+    }),
+
+    // ---- Experimentation: two-proportion A/B z-test -------------------------
+    // The experiment-analysis finale: users split by the md5 coin
+    // (assignment is content-addressed — stable across engines, runs,
+    // partitionings, the q60 discipline), conversion = purchase within
+    // 72h of the user's first event (min-over-user window, one
+    // Exchange), then the pooled two-proportion z statistic in one
+    // fixed double tree — sqrt is IEEE-correctly-rounded in every
+    // engine, so z is bit-stable where erf/p-values would not be
+    // (report z, judge against the 1.96 threshold downstream).
+    "q184_ab_test" -> ((s, dir) => {
+      val buyWinUs = 72L * 3600 * 1000000L
+      val coin = shiftrightunsigned(call_function("md5_lower64",
+        col("user_id").cast("string")), 33)
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+      val perUser = e.withColumn("t0", min(col("ts_us")).over(w))
+        .groupBy(col("user_id"),
+          when(coin % 2 === 0, "A").otherwise("B").as("variant"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("ts_us") <= col("t0") + buyWinUs, 1).otherwise(0))
+          .as("conv"))
+      val byVar = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val one = byVar.agg(
+        max(when(col("variant") === "A", col("n"))).as("n_a"),
+        max(when(col("variant") === "A", col("c"))).as("c_a"),
+        max(when(col("variant") === "B", col("n"))).as("n_b"),
+        max(when(col("variant") === "B", col("c"))).as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a").cast("double")
+      val pb = col("c_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (floor(pa * 1e6 + 0.5) / 1e6).as("rate_a"),
+        (floor(pb * 1e6 + 0.5) / 1e6).as("rate_b"),
+        (floor(z * 1e6 + 0.5) / 1e6).as("z"))
+    }),
+
+    // ---- Time series: lag-k autocorrelation ---------------------------------
+    // ACF of the per-type daily event-count series at lags 1..3: daily
+    // counts (one groupBy), pairs (x_t, x_{t+k}) via an equi-join on
+    // (type, day+k) — no window over a global order, no gap
+    // sensitivity (missing days simply contribute no pair), lags ride
+    // one exploded literal array. Pearson r from exact LONG moment
+    // sums (counts are integers — nothing rounds until the finale),
+    // sqrt IEEE-exact, one fixed tree the oracle replays. The shape a
+    // seasonality monitor runs over 100 TB of event history: two
+    // shuffles (daily rollup, pair join) regardless of scale.
+    "q185_autocorr" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val lags = daily.select(col("event_type"), col("day"),
+        col("n").as("x"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      val pairs = lags.join(daily
+          .select(col("event_type").as("et2"), col("day").as("day2"),
+            col("n").as("y")),
+        col("et2") === col("event_type") &&
+          col("day2") === col("day") + col("k"))
+      val m = pairs.groupBy(col("event_type"), col("k")).agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val mD = col("m").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val num = mD * d("sxy") - d("sx") * d("sy")
+      val den = sqrt(mD * d("sxx") - d("sx") * d("sx")) *
+        sqrt(mD * d("syy") - d("sy") * d("sy"))
+      m.select(col("event_type"), col("k"), col("m"),
+          when(den > 0, floor(num / den * 1e6 + 0.5) / 1e6).as("r"))
+        .ordered(col("event_type"), col("k"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -5846,6 +6206,242 @@ object SparkEntry {
         |  o_orderpriority AS prio
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY k""".stripMargin,
+
+    // identical chained window cascade: each step's first-hit is a
+    // min-over-user window conditioned on the PREVIOUS step's column
+    "q176_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type='view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type='click' AND us > t1
+        |    AND us <= t1 + 172800000000 THEN us END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type='purchase' AND us > t2
+        |    AND us <= t2 + 259200000000 THEN us END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |pu AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2,
+        |    MIN(t3) AS t3 FROM s3 GROUP BY 1),
+        |tot AS (SELECT COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3
+        |  FROM pu)
+        |SELECT step, event_type, users, conv_from_prev, conv_from_first
+        |FROM tot, LATERAL (VALUES
+        |  (1, 'view', u1, 1.0, 1.0),
+        |  (2, 'click', u2,
+        |   CASE WHEN u1>0 THEN FLOOR(CAST(u2 AS DOUBLE)/CAST(u1 AS DOUBLE)
+        |     *1e6+0.5)/1e6 END,
+        |   CASE WHEN u1>0 THEN FLOOR(CAST(u2 AS DOUBLE)/CAST(u1 AS DOUBLE)
+        |     *1e6+0.5)/1e6 END),
+        |  (3, 'purchase', u3,
+        |   CASE WHEN u2>0 THEN FLOOR(CAST(u3 AS DOUBLE)/CAST(u2 AS DOUBLE)
+        |     *1e6+0.5)/1e6 END,
+        |   CASE WHEN u1>0 THEN FLOOR(CAST(u3 AS DOUBLE)/CAST(u1 AS DOUBLE)
+        |     *1e6+0.5)/1e6 END))
+        |  v(step, event_type, users, conv_from_prev, conv_from_first)
+        |ORDER BY step""".stripMargin,
+
+    // same min-over-user first-day window; cohort sizes read off the
+    // k=0 diagonal, never a second scan
+    "q177_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts)//1000000)//86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id)
+        |    AS cohort_day FROM e),
+        |cells AS (SELECT cohort_day, day - cohort_day AS day_k,
+        |    COUNT(DISTINCT user_id) AS active_users
+        |  FROM c GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_day, active_users AS cohort_size
+        |  FROM cells WHERE day_k = 0)
+        |SELECT cells.cohort_day, day_k, active_users, cohort_size,
+        |  FLOOR(CAST(active_users AS DOUBLE)/CAST(cohort_size AS DOUBLE)
+        |    *1e4+0.5)/1e2 AS retention_pct
+        |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
+        |ORDER BY cells.cohort_day, day_k""".stripMargin,
+
+    // lag over the identical (ts, event_id) total order; probability
+    // denominator is a window over the grouped matrix
+    "q178_markov" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |t AS (SELECT event_type AS next_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type FROM e),
+        |m AS (SELECT prev_type, next_type, COUNT(*) AS n FROM t
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  FLOOR(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS p
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
+
+    // md5_number_lower >> 33 IS the engine's md5_lower64 >>> 33 coin;
+    // same (coin, doc_id) rank order inside each stratum
+    "q179_stratified" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |  ROW_NUMBER() OVER (PARTITION BY lang, source
+        |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 33,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rn FROM r WHERE rn <= 20
+        |ORDER BY lang, source, rn""".stripMargin,
+
+    // digit from the micro-unit BIGINT's decimal string (no float
+    // log10 on the data path); the nine Benford shares are the same
+    // 6-dp literals pinned in the engine
+    "q180_benford" ->
+      """WITH q AS (SELECT CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT)
+        |    AS p6 FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) > 0),
+        |obs AS (SELECT CAST(substr(CAST(p6 AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, COUNT(*) AS n FROM q GROUP BY 1),
+        |b(digit, exp_pct) AS (VALUES (1, 0.30103), (2, 0.176091),
+        |  (3, 0.124939), (4, 0.09691), (5, 0.079181), (6, 0.066947),
+        |  (7, 0.057992), (8, 0.051153), (9, 0.045757)),
+        |t AS (SELECT obs.digit, n, SUM(n) OVER () AS total,
+        |    CAST(exp_pct AS DOUBLE) AS exp_pct
+        |  FROM obs JOIN b ON obs.digit = b.digit)
+        |SELECT digit, n,
+        |  FLOOR(CAST(n AS DOUBLE)/CAST(total AS DOUBLE)*1e6+0.5)/1e6
+        |    AS obs_pct,
+        |  exp_pct,
+        |  FLOOR((CAST(n AS DOUBLE)/CAST(total AS DOUBLE) - exp_pct)
+        |    * (CAST(n AS DOUBLE)/CAST(total AS DOUBLE) - exp_pct)
+        |    / exp_pct * CAST(total AS DOUBLE) * 1e6 + 0.5)/1e6
+        |    AS chi2_part
+        |FROM t ORDER BY digit""".stripMargin,
+
+    // INDEPENDENT plan: brute-force pairs under an |dlat|,|dlon|
+    // band prefilter (DuckDB IEJoin) — validates the grid algebra,
+    // not just replays it; identical lattice-coord expression tree
+    "q181_grid_join" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR)) >> 33)
+        |      % 180000) / 1000.0 - 90.0 AS lat,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR) || '#lon')
+        |      >> 33) % 360000) / 1000.0 - 180.0 AS lon
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  FLOOR(((a.lat-b.lat)*(a.lat-b.lat)
+        |    + (a.lon-b.lon)*(a.lon-b.lon))*1e6+0.5)/1e6 AS d2
+        |FROM p a JOIN p b
+        |  ON a.id < b.id
+        |  AND a.lat - b.lat BETWEEN -0.5 AND 0.5
+        |  AND a.lon - b.lon BETWEEN -0.5 AND 0.5
+        |WHERE (a.lat-b.lat)*(a.lat-b.lat)
+        |    + (a.lon-b.lon)*(a.lon-b.lon) <= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // same integer-micros gap sessionization; paths assembled by
+    // string_agg under the identical (us, event_id) ORDER BY
+    "q182_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN us - LAG(us) OVER w <= 7200000000
+        |    THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |n AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sess_no FROM f),
+        |paths AS (SELECT user_id, sess_no,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM n GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+        |HAVING COUNT(*) >= 3
+        |ORDER BY n_sessions DESC, path""".stripMargin,
+
+    // identical clip-to-day melt and (-1 before +1) tie rule; BIGINT
+    // // replays Spark's integer `div` exactly
+    "q183_peak_concurrency" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(FLOOR(value*60*1e6+0.5) AS BIGINT) AS e
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND value > 0),
+        |days AS (SELECT event_type, s, e,
+        |    UNNEST(generate_series(s//86400000000,
+        |      (e-1)//86400000000)) AS day FROM iv),
+        |pts AS (
+        |  SELECT event_type, day, GREATEST(s, day*86400000000) AS t,
+        |    1 AS d FROM days
+        |  UNION ALL
+        |  SELECT event_type, day, LEAST(e, (day+1)*86400000000) AS t,
+        |    -1 AS d FROM days),
+        |sweep AS (SELECT event_type, day,
+        |    SUM(d) OVER (PARTITION BY event_type, day ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        |SELECT event_type, day, CAST(MAX(conc) AS BIGINT) AS peak
+        |FROM sweep GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
+
+    // same md5 coin assignment, 72h conversion window, and pooled-z
+    // fixed tree (sqrt is correctly rounded in both engines)
+    "q184_ab_test" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT *, MIN(us) OVER (PARTITION BY user_id) AS t0
+        |  FROM e),
+        |pu AS (SELECT user_id,
+        |    CASE WHEN (md5_number_lower(CAST(user_id AS VARCHAR)) >> 33)
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    MAX(CASE WHEN event_type='purchase'
+        |      AND us <= t0 + 259200000000 THEN 1 ELSE 0 END) AS conv
+        |  FROM f GROUP BY 1, 2),
+        |bv AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c FROM pu
+        |  GROUP BY 1),
+        |one AS (SELECT
+        |    MAX(CASE WHEN variant='A' THEN n END) AS n_a,
+        |    CAST(MAX(CASE WHEN variant='A' THEN c END) AS BIGINT) AS c_a,
+        |    MAX(CASE WHEN variant='B' THEN n END) AS n_b,
+        |    CAST(MAX(CASE WHEN variant='B' THEN c END) AS BIGINT) AS c_b
+        |  FROM bv),
+        |d AS (SELECT *,
+        |    CAST(c_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(c_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(c_a + c_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM one)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  FLOOR(pa*1e6+0.5)/1e6 AS rate_a,
+        |  FLOOR(pb*1e6+0.5)/1e6 AS rate_b,
+        |  FLOOR((pa - pb) / sqrt(pp * (1.0 - pp)
+        |    * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)))
+        |    *1e6+0.5)/1e6 AS z
+        |FROM d""".stripMargin,
+
+    // daily rollup -> (type, day+k) equi-join pairs -> exact BIGINT
+    // moment sums -> the identical Pearson finale
+    "q185_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts)//86400000000 AS day, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, k.k, a.n AS x, b.n AS y
+        |  FROM daily a
+        |  CROSS JOIN (VALUES (1), (2), (3)) k(k)
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day = a.day + k.k),
+        |m AS (SELECT event_type, k, COUNT(*) AS m,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+        |    SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |  FROM pairs GROUP BY 1, 2),
+        |d AS (SELECT event_type, k, m,
+        |    CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m)
+        |SELECT event_type, k, m,
+        |  CASE WHEN sqrt(md*sxxd - sxd*sxd) * sqrt(md*syyd - syd*syd) > 0
+        |    THEN FLOOR((md*sxyd - sxd*syd)
+        |      / (sqrt(md*sxxd - sxd*sxd) * sqrt(md*syyd - syd*syd))
+        |      *1e6+0.5)/1e6 END AS r
+        |FROM d ORDER BY event_type, k""".stripMargin,
 
     // the identical grid (generate_series inclusive, like Spark's
     // sequence), both IGNORE NULLS window passes, and the same
