@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
-import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
+import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Pdf, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
 import graft.streaming.Streams
@@ -4703,6 +4703,57 @@ object SparkEntry {
         .ordered(col("event_type"), col("k"))
     }),
 
+    // ---- Multimodal: PDF document-structure probe ---------------------------
+    // The document sibling of the q144/q153/q161/q167/q173 container
+    // probes: per doc, synthesize a classic ISO 32000 PDF (real file
+    // structure — numbered objects, byte-offset-correct xref table,
+    // trailer, startxref; content streams are the stub boundary)
+    // cycling page counts, versions 1.2-1.7, and /Info presence;
+    // every 7th doc corrupted four ways (truncation, header flip,
+    // lying startxref pointer, lying page-tree /Count). The codegen'd
+    // `pdf_meta` kernel validates STRUCTURALLY — every xref offset
+    // must land on its own object, /Size must match the entry count,
+    // declared /Count must equal the real page objects — and the
+    // oracle recomputes every field closed-form from doc_id.
+    "q186_pdf_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val corrupt = id % 7 == 3
+            val base = Pdf.encode(
+              nPages = 1 + (id % 5).toInt, minor = 2 + (id % 6).toInt,
+              withInfo = id % 3 == 0,
+              countLie = if (corrupt && id % 4 == 3) 1 else 0)
+            val payload =
+              if (!corrupt) base
+              else (id % 4) match {
+                case 0 => base.take(40)
+                case 1 => { val b = base.clone(); b(2) = 'X'.toByte; b }
+                case 2 => { // lying startxref: bump its leading digit
+                  val b = base.clone()
+                  val sAscii = new String(b,
+                    java.nio.charset.StandardCharsets.US_ASCII)
+                  var i = sAscii.lastIndexOf("startxref") + 9
+                  while (!Character.isDigit(sAscii.charAt(i))) i += 1
+                  b(i) = ('0' + ((b(i) - '0' + 1) % 10)).toByte; b
+                }
+                case _ => base // countLie already applied
+              }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      media
+        .select(col("doc_id"),
+          call_function("pdf_meta", col("payload")).as("m"))
+        .select(col("doc_id"), col("m.ok").as("ok"),
+          col("m.version").as("version"),
+          col("m.n_objects").cast("long").as("n_objects"),
+          col("m.n_pages").cast("long").as("n_pages"),
+          col("m.has_info").as("has_info"))
+        .ordered(col("doc_id"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -6442,6 +6493,23 @@ object SparkEntry {
         |      / (sqrt(md*sxxd - sxd*sxd) * sqrt(md*syyd - syd*syd))
         |      *1e6+0.5)/1e6 END AS r
         |FROM d ORDER BY event_type, k""".stripMargin,
+
+    // closed-form fields from the doc_id fixture arithmetic (the
+    // q144/q153/q161 discipline): every 7th doc corrupted -> ok=false,
+    // null fields; honest docs' object/page/version/info fields are
+    // pure functions of doc_id
+    "q186_pdf_probe" ->
+      """SELECT doc_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN '1.' || CAST(2 + doc_id % 6 AS VARCHAR) END AS version,
+        |  CASE WHEN doc_id % 7 <> 3
+        |    THEN 2 + (1 + doc_id % 5)
+        |      + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |    END AS n_objects,
+        |  CASE WHEN doc_id % 7 <> 3 THEN 1 + doc_id % 5 END AS n_pages,
+        |  CASE WHEN doc_id % 7 <> 3 THEN doc_id % 3 = 0 END AS has_info
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the identical grid (generate_series inclusive, like Spark's
     // sequence), both IGNORE NULLS window passes, and the same

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, OggMetaExpr, ParseKvExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, OggMetaExpr, ParseKvExpr, PdfMetaExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -145,6 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("flac_meta"),
       new ExpressionInfo(classOf[FlacMetaExpr].getName, "flac_meta"),
       (children: Seq[Expression]) => FlacMetaExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("pdf_meta"),
+      new ExpressionInfo(classOf[PdfMetaExpr].getName, "pdf_meta"),
+      (children: Seq[Expression]) => PdfMetaExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("mp4_meta"),
       new ExpressionInfo(classOf[Mp4MetaExpr].getName, "mp4_meta"),
