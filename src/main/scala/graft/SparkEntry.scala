@@ -4754,6 +4754,110 @@ object SparkEntry {
         .ordered(col("doc_id"))
     }),
 
+    // ---- Data profiling: functional-dependency audit -------------------------
+    // Does det -> dep hold? The schema-discovery pass a 100 TB
+    // profiler runs: per candidate FD, violations = Σ over det groups
+    // of (distinct dep values - 1) — zero iff the dependency holds.
+    // All four candidates melt into ONE row stream per scanned table
+    // (a literal struct-array explode — no per-candidate rescans),
+    // then two aggregations: (fd, det) -> distinct deps, fd -> totals.
+    // Values ride as strings (the melt is heterogeneous); NULL dep
+    // contributes no distinct value (countDistinct skips NULLs in both
+    // engines) and an all-NULL group clamps at zero via GREATEST.
+    "q187_fd_audit" -> ((s, dir) => {
+      def melt(df: DataFrame, fds: Seq[(String, String, String)]) =
+        df.select(explode(array(fds.map { case (name, det, dep) =>
+            struct(lit(name).as("fd"),
+              col(det).cast("string").as("det"),
+              col(dep).cast("string").as("dep"))
+          }: _*)).as("r"))
+          .select(col("r.fd").as("fd"), col("r.det").as("det"),
+            col("r.dep").as("dep"))
+      val rows = melt(Tables(s, dir, "lineitem"), Seq(
+          ("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+          ("l_partkey->l_suppkey", "l_partkey", "l_suppkey")))
+        .unionByName(melt(Tables(s, dir, "orders"), Seq(
+          ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+          ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))))
+      rows.groupBy(col("fd"), col("det"))
+        .agg(countDistinct(col("dep")).as("nd"))
+        .groupBy(col("fd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(greatest(col("nd") - 1, lit(0L))).as("n_violations"))
+        .withColumn("holds", col("n_violations") === 0)
+        .ordered(col("fd"))
+    }),
+
+    // ---- Query optimization: sketch-based join-size estimation ---------------
+    // The CBO primitive: |A ⋈ B| on a non-FK key estimated WITHOUT
+    // running the join, from the same Count-Min counters q122/q151
+    // maintain — est = min over depth rows d of Σ_w A[d][w]·B[d][w]
+    // (the AGMS/CMS inner-product bound; every cell over-counts by
+    // hash collisions, so est >= truth always, and min-over-depths
+    // tightens it). Two one-row sketch aggregates cross-joined, the
+    // dot product a pure array fold in exact LONG arithmetic; the
+    // EXACT join size rides alongside as the checked identity. At
+    // 100 TB the sketches come from the metastore — the estimate
+    // never touches the fact tables.
+    "q188_cms_join_est" -> ((s, dir) => {
+      val h31 = (c: Column) =>
+        shiftrightunsigned(call_function("md5_lower64", c), 33)
+      val a = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .agg(Sketches.cms(h31(col("user_id").cast("string")),
+          cmsParams, cmsW).as("ska"))
+      val b = Tables(s, dir, "orders").filter(col("o_custkey").isNotNull)
+        .agg(Sketches.cms(h31(col("o_custkey").cast("string")),
+          cmsParams, cmsW).as("skb"))
+      val exact = Tables.events(s, dir)
+        .select(col("user_id")).filter(col("user_id").isNotNull)
+        .join(Tables(s, dir, "orders").select(col("o_custkey")),
+          col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      val prod = zip_with(col("ska"), col("skb"), (x, y) => x * y)
+      val dots = cmsParams.indices.map(d =>
+        aggregate(slice(prod, d * cmsW + 1, cmsW), lit(0L),
+          (acc, x) => acc + x))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
+        .select(least(dots: _*).as("est"), col("exact_n"),
+          (floor(least(dots: _*).cast("double") /
+            col("exact_n").cast("double") * 1e4 + 0.5) / 1e4)
+            .as("over_ratio"))
+    }),
+
+    // ---- Feature engineering: exact dyadic EWMA -------------------------------
+    // Exponentially-weighted trailing daily activity per type with
+    // decay 1/2 per day over a 30-day horizon — and EXACT: weights are
+    // 2^(29-k) LONG integers (shiftleft, no float pow), the weighted
+    // sum is pure integer arithmetic until one final division, and the
+    // horizon cut is part of the contract (beyond 30 days a halving
+    // weight is < 1e-9 of the head — and a truncated window is what
+    // makes the feature incrementally maintainable at scale). Anchors
+    // explode 30 lag offsets and equi-join the daily series on
+    // (type, day-k) — gap-tolerant: missing days contribute neither
+    // numerator nor denominator mass.
+    "q189_ewma" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val anchors = daily.select(col("event_type"), col("day"),
+        col("n"), explode(sequence(lit(0), lit(29))).as("k"))
+      val joined = anchors.join(daily
+          .select(col("event_type").as("et2"), col("day").as("day2"),
+            col("n").as("x")),
+        col("et2") === col("event_type") &&
+          col("day2") === col("day") - col("k"))
+      val wgt = expr("shiftleft(CAST(1 AS BIGINT), 29 - CAST(k AS INT))")
+      joined.groupBy(col("event_type"), col("day"), col("n"))
+        .agg(sum(col("x") * wgt).as("num"), sum(wgt).as("den"))
+        .select(col("event_type"), col("day"), col("n"),
+          (floor(col("num").cast("double") / col("den").cast("double")
+            * 1e6 + 0.5) / 1e6).as("ewma"))
+        .ordered(col("event_type"), col("day"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -6510,6 +6614,81 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 <> 3 THEN 1 + doc_id % 5 END AS n_pages,
         |  CASE WHEN doc_id % 7 <> 3 THEN doc_id % 3 = 0 END AS has_info
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical melt -> (fd, det) distinct-dep counts -> clamped
+    // violation totals; NULL det groups and NULL deps behave alike
+    // in both engines
+    "q187_fd_audit" ->
+      """WITH m AS (
+        |  SELECT 'l_orderkey->l_returnflag' AS fd,
+        |    CAST(l_orderkey AS VARCHAR) AS det,
+        |    CAST(l_returnflag AS VARCHAR) AS dep FROM lineitem
+        |  UNION ALL SELECT 'l_partkey->l_suppkey',
+        |    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'o_orderkey->o_custkey',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey->o_orderpriority',
+        |    CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders),
+        |g AS (SELECT fd, det, COUNT(DISTINCT dep) AS nd FROM m
+        |  GROUP BY 1, 2)
+        |SELECT fd, COUNT(*) AS n_groups,
+        |  CAST(SUM(GREATEST(nd - 1, 0)) AS BIGINT) AS n_violations,
+        |  SUM(GREATEST(nd - 1, 0)) = 0 AS holds
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
+
+    // same daily rollup, 30 exploded lag offsets, LONG shift weights,
+    // one final double division
+    "q189_ewma" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts)//86400000000 AS day, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (SELECT d.event_type, d.day, d.n, k.k FROM daily d
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 29)) AS k) k),
+        |j AS (SELECT a.event_type, a.day, a.n,
+        |    b.n * (CAST(1 AS BIGINT) << (29 - a.k)) AS term,
+        |    CAST(1 AS BIGINT) << (29 - a.k) AS w
+        |  FROM a JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day = a.day - a.k)
+        |SELECT event_type, day, n,
+        |  FLOOR(CAST(SUM(term) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS ewma
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY event_type, day""".stripMargin,
+
+    // both counter grids rebuilt from raw keys (the q122 discipline),
+    // per-depth dot products joined on (i, bkt), min over depths; the
+    // exact join count rides as the checked identity
+    "q188_cms_join_est" -> {
+      val pvals = cmsParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH ha AS (SELECT
+         |  (md5_number_lower(CAST(user_id AS VARCHAR)) >> 33)::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hb AS (SELECT
+         |  (md5_number_lower(CAST(o_custkey AS VARCHAR)) >> 33)::BIGINT AS h
+         |  FROM orders WHERE o_custkey IS NOT NULL),
+         |p(i, a, b) AS (VALUES $pvals),
+         |ca AS (SELECT p.i,
+         |    ((h.h * p.a + p.b) % 2147483647) % $cmsW AS bkt, COUNT(*) AS n
+         |  FROM ha h CROSS JOIN p GROUP BY 1, 2),
+         |cb AS (SELECT p.i,
+         |    ((h.h * p.a + p.b) % 2147483647) % $cmsW AS bkt, COUNT(*) AS n
+         |  FROM hb h CROSS JOIN p GROUP BY 1, 2),
+         |dots AS (SELECT ca.i, SUM(ca.n * cb.n) AS dot
+         |  FROM ca JOIN cb ON cb.i = ca.i AND cb.bkt = ca.bkt GROUP BY 1),
+         |est AS (SELECT MIN(dot) AS est FROM dots),
+         |ex AS (SELECT COUNT(*) AS exact_n FROM events e JOIN orders o
+         |  ON e.user_id = o.o_custkey)
+         |SELECT CAST(est AS BIGINT) AS est, exact_n,
+         |  FLOOR(CAST(est AS DOUBLE)/CAST(exact_n AS DOUBLE)*1e4+0.5)/1e4
+         |    AS over_ratio
+         |FROM est, ex""".stripMargin
+    },
 
     // the identical grid (generate_series inclusive, like Spark's
     // sequence), both IGNORE NULLS window passes, and the same
