@@ -406,6 +406,38 @@ object Scaling {
       "zip_walk" -> (dir => SparkEntry.queries("q154_zip_walk")(spark, dir)),
       "mpeg_probe" -> (dir => SparkEntry.queries("q153_mpeg_probe")(spark, dir)),
       "scd2" -> (dir => SparkEntry.queries("q158_scd2")(spark, dir)),
+      // round-12 analytics family: all single-Exchange window shapes —
+      // wall must track the event volume, not blow up on the sort
+      "funnel" -> (dir => SparkEntry.queries("q176_funnel")(spark, dir)),
+      "peak_concurrency" ->
+        (dir => SparkEntry.queries("q183_peak_concurrency")(spark, dir)),
+      "session_paths" ->
+        (dir => SparkEntry.queries("q182_session_paths")(spark, dir)),
+      // q179's shape: the per-stratum rank window has parallelism
+      // bounded by #strata (fixed here while rows grow 10×) — this row
+      // EXISTS to measure that single-reducer-per-stratum tail
+      "stratified" ->
+        (dir => SparkEntry.queries("q179_stratified")(spark, dir)),
+      // q181's grid join with DENSITY-NORMALIZED eps (eps ∝ 1/sqrt(n)
+      // holds expected output ~linear in points — fixed eps on a fixed
+      // plane would grow pairs quadratically BY DEFINITION, measuring
+      // output size, not join machinery): candidate mass per output
+      // pair must stay flat
+      "spatial_join" -> (dir => {
+        import graft.ops.Spatial
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id").isNotNull)
+        val n = ev.count()
+        val eps = 0.5 * math.sqrt(10000.0 / n)
+        val coin = (c: org.apache.spark.sql.Column) => shiftrightunsigned(
+          call_function("md5_lower64", c), 33)
+        val pts = ev.select(col("event_id").as("id"),
+          ((coin(col("event_id").cast("string")) % 180000L) / lit(1000.0)
+            - 90.0).as("lat"),
+          ((coin(concat(col("event_id").cast("string"), lit("#lon")))
+            % 360000L) / lit(1000.0) - 180.0).as("lon"))
+        Spatial.epsNeighborJoin(pts, "id", "lat", "lon", eps)
+      }),
       // q137's shape on the factor× event stream: row-level constraints
       // in ONE aggregate pass + a uniqueness groupBy — the publish gate
       // must stay scan-bound or nobody runs it per batch

@@ -4858,6 +4858,106 @@ object SparkEntry {
         .ordered(col("event_type"), col("day"))
     }),
 
+    // ---- Market basket: association rules over co-ordered categories ----------
+    // support/confidence/lift for category pairs co-occurring in one
+    // order (parts bucketed to 100 categories — the catalog-hierarchy
+    // rollup a basket analysis actually runs at): distinct
+    // (order, category) first (a category twice in one basket counts
+    // once), pairs via an orderkey self-join with a < b — candidate
+    // mass is Σ per-order C(items,2), bounded by basket width, never
+    // catalog². Per-item counts broadcast back onto the pair table;
+    // every ratio is one fixed double tree over exact LONG counts.
+    "q190_assoc_rules" -> ((s, dir) => {
+      val items = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("oid"),
+          (col("l_partkey") % 100L).as("item"))
+        .distinct()
+        .persist()
+      val nOrders = items.agg(countDistinct(col("oid")).as("n_orders"))
+      val nPer = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val pairs = items.join(items.select(col("oid"),
+            col("item").as("item_b")), Seq("oid"))
+        .filter(col("item") < col("item_b"))
+        .groupBy(col("item").as("a"), col("item_b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val out = pairs
+        .join(broadcast(nPer.select(col("item").as("a"),
+          col("n_item").as("n_a"))), Seq("a"))
+        .join(broadcast(nPer.select(col("item").as("b"),
+          col("n_item").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(nOrders))
+      def d(c: String) = col(c).cast("double")
+      out.select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          (floor(d("n_ab") / d("n_orders") * 1e6 + 0.5) / 1e6)
+            .as("support"),
+          (floor(d("n_ab") / d("n_a") * 1e6 + 0.5) / 1e6)
+            .as("confidence"),
+          (floor(d("n_ab") * d("n_orders") / (d("n_a") * d("n_b"))
+            * 1e6 + 0.5) / 1e6).as("lift"))
+        .ordered(col("a"), col("b"))
+    }),
+
+    // ---- Marketing analytics: last-touch attribution ---------------------------
+    // Each purchase attributes its value to the LAST preceding
+    // non-purchase event of the same user (the last-touch model): one
+    // ignore-nulls last_value window over the (ts_us, event_id) total
+    // order — the same user-keyed Exchange the funnel rides — then a
+    // |channels|-row rollup of attributed purchases and micro-unit
+    // revenue. Purchases with no preceding touch attribute to the NULL
+    // channel (kept — unattributed revenue is a number marketing asks
+    // for, not a row to drop).
+    "q191_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("rev6"))
+        .select(col("channel"), col("n_purchases"),
+          (floor(col("rev6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("revenue"))
+        .ordered(col("channel"))
+    }),
+
+    // ---- Data profiling: Gini impurity battery ----------------------------------
+    // The log-free diversity measure (Shannon entropy needs ln — not
+    // bit-identical across engines; Gini 1 − Σ pᵢ² is pure squares):
+    // per categorical column, impurity from exact LONG value counts via
+    // (N² − Σ nᵢ²)/N² in decimal, one small aggregate per scanned
+    // table, NULL values excluded as a documented posture. The q168
+    // ANALYZE battery's categorical sibling.
+    "q192_gini" -> ((s, dir) => {
+      def gini(df: DataFrame, table: String, c: String) = {
+        val counts = df.filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        counts.agg(sum(col("n")).as("nn"),
+            sum(col("n").cast("decimal(19,0)") * col("n")).as("s2"),
+            count(lit(1)).as("k"))
+          .select(lit(s"$table.$c").as("column"), col("k").as("n_values"),
+            col("nn").cast("long").as("n_rows"),
+            (floor((lit(1.0) -
+              col("s2").cast("double") /
+                (col("nn").cast("decimal(19,0)") * col("nn"))
+                  .cast("double")) * 1e6 + 0.5) / 1e6).as("gini"))
+      }
+      gini(Tables(s, dir, "lineitem"), "lineitem", "l_returnflag")
+        .unionByName(gini(Tables(s, dir, "orders"), "orders",
+          "o_orderpriority"))
+        .unionByName(gini(Tables.events(s, dir), "events", "event_type"))
+        .unionByName(gini(Tables(s, dir, "documents"), "documents",
+          "lang"))
+        .ordered(col("column"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -6658,6 +6758,67 @@ object SparkEntry {
         |    *1e6+0.5)/1e6 AS ewma
         |FROM j GROUP BY 1, 2, 3
         |ORDER BY event_type, day""".stripMargin,
+
+    // identical distinct-(order, category) basket, a<b self-join,
+    // HAVING support floor, and ratio trees over exact counts
+    "q190_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+        |    l_partkey % 100 AS item
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |no AS (SELECT COUNT(DISTINCT oid) AS n_orders FROM items),
+        |np AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1),
+        |p AS (SELECT a.item AS a, b.item AS b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT a, b, n_ab, na.n_item AS n_a, nb.n_item AS n_b,
+        |  FLOOR(CAST(n_ab AS DOUBLE)/CAST(n_orders AS DOUBLE)*1e6+0.5)/1e6
+        |    AS support,
+        |  FLOOR(CAST(n_ab AS DOUBLE)/CAST(na.n_item AS DOUBLE)*1e6+0.5)
+        |    /1e6 AS confidence,
+        |  FLOOR(CAST(n_ab AS DOUBLE)*CAST(n_orders AS DOUBLE)
+        |    /(CAST(na.n_item AS DOUBLE)*CAST(nb.n_item AS DOUBLE))
+        |    *1e6+0.5)/1e6 AS lift
+        |FROM p JOIN np na ON na.item = p.a
+        |  JOIN np nb ON nb.item = p.b, no
+        |ORDER BY a, b""".stripMargin,
+
+    // same ignore-nulls last_value over the (us, event_id) total order;
+    // the NULL channel row survives GROUP BY in both engines
+    "q191_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type, value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |c AS (SELECT *, LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS channel
+        |  FROM e)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  FLOOR(CAST(SUM(CAST(FLOOR(value*1e6+0.5) AS BIGINT)) AS DOUBLE)
+        |    /1e6*1e2+0.5)/1e2 AS revenue
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // per-column exact value counts -> (N² − Σ n²)/N² in HUGEINT,
+    // one fixed tree; NULLs excluded as the documented posture
+    "q192_gini" -> {
+      def one(table: String, c: String) =
+        s"""SELECT '$table.$c' AS "column", COUNT(*) AS n_values,
+           |  CAST(SUM(n) AS BIGINT) AS n_rows,
+           |  FLOOR((1.0 - CAST(SUM(CAST(n AS HUGEINT)*n) AS DOUBLE)
+           |    /CAST(CAST(SUM(n) AS HUGEINT)*SUM(n) AS DOUBLE))*1e6+0.5)
+           |    /1e6 AS gini
+           |FROM (SELECT $c AS v, COUNT(*) AS n FROM $table
+           |  WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(one("lineitem", "l_returnflag"),
+        one("orders", "o_orderpriority"),
+        one("events", "event_type"),
+        one("documents", "lang"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // both counter grids rebuilt from raw keys (the q122 discipline),
     // per-depth dot products joined on (i, bkt), min over depths; the
