@@ -4958,6 +4958,100 @@ object SparkEntry {
         .ordered(col("column"))
     }),
 
+    // ---- Multi-objective: Pareto skyline (min price, max recency) -------------
+    // The skyline operator, grid-pruned for scale: a naive skyline is
+    // an all-pairs domination test (the BNLJ PlanAudit outlaws). Cure:
+    // fixed-width price bands; per-band best recency; the running best
+    // over STRICTLY lower bands (a window over the tiny band table)
+    // prunes every point a lower-band point dominates — provably
+    // complete: a dominator has x' <= x, so it lives in a lower-or-
+    // equal band; lower-band dominators imply y <= prefix_best (the
+    // pruned set), same-band dominators survive pruning themselves
+    // (y' >= y > prefix_best) and are caught by the EXACT pass — a
+    // strict-x RANGE window + equal-x group max over the (small)
+    // candidate set only. The oracle is an INDEPENDENT plan: a
+    // declarative NOT EXISTS domination test.
+    "q193_skyline" -> ((s, dir) => {
+      val bandW = 1L << 30 // ~1073 price units per band on the micro scale
+      val q = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0 &&
+          col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("x"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("y"))
+        .withColumn("band", expr(s"x div $bandW"))
+        .persist()
+      val bands = q.groupBy(col("band")).agg(max(col("y")).as("band_best"))
+      val wb = Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bands.withColumn("prefix_best",
+        max(col("band_best")).over(wb))
+      val cand = q.join(broadcast(prefix.select(col("band"),
+          col("prefix_best"))), Seq("band"))
+        .filter(col("prefix_best").isNull || col("y") > col("prefix_best"))
+      val wx = Window.orderBy(col("x"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(col("x"))
+      cand.withColumn("max_y_smaller", max(col("y")).over(wx))
+        .withColumn("max_y_eq", max(col("y")).over(wEq))
+        .filter((col("max_y_smaller").isNull ||
+          col("y") > col("max_y_smaller")) && col("y") === col("max_y_eq"))
+        .select(col("o_orderkey"),
+          (floor(col("x").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("price"),
+          col("y").as("day"))
+        .ordered(col("o_orderkey"))
+    }),
+
+    // ---- Metrics diagnostics: dimension contribution analysis ------------------
+    // "Why did the metric move?": revenue delta between two fixed
+    // periods decomposed per (dimension, value) — the Adtributor shape.
+    // Both periods' micro-unit sums ride ONE scan (conditional
+    // aggregation — never two scans diffed), dimensions melt through
+    // the q187 literal struct-array explode, and each slice's share of
+    // the total delta is a fixed tree over exact LONGs. At 100 TB this
+    // is one map-side-combined aggregate over (dimension, value) —
+    // the diagnosis never re-reads the fact table per dimension.
+    "q194_metric_diff" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L // first 15 days vs the rest
+      val e = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("value").isNotNull)
+        .select(expr(s"ts_us div $dayUs").as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+          col("event_type"), (col("user_id") % 10L).as("user_mod"))
+      val melted = e.select(col("day"), col("v6"),
+          explode(array(
+            struct(lit("event_type").as("dim"),
+              col("event_type").cast("string").as("val")),
+            struct(lit("user_mod").as("dim"),
+              col("user_mod").cast("string").as("val")))).as("r"))
+        .select(col("day"), col("v6"), col("r.dim").as("dim"),
+          col("r.val").as("val"))
+      val cells = melted.groupBy(col("dim"), col("val")).agg(
+        sum(when(col("day") < splitDay, col("v6")).otherwise(0L))
+          .as("a6"),
+        sum(when(col("day") >= splitDay, col("v6")).otherwise(0L))
+          .as("b6"))
+      val wd = Window.partitionBy(col("dim"))
+      cells
+        .withColumn("delta6", col("b6") - col("a6"))
+        .withColumn("tot_delta6", sum(col("delta6")).over(wd))
+        .select(col("dim"), col("val"),
+          (floor(col("a6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("period_a"),
+          (floor(col("b6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("period_b"),
+          (floor(col("delta6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("delta"),
+          when(col("tot_delta6") =!= 0,
+            floor(col("delta6").cast("double") /
+              col("tot_delta6").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("delta_share"))
+        .ordered(col("dim"), col("val"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -6801,6 +6895,48 @@ object SparkEntry {
         |    /1e6*1e2+0.5)/1e2 AS revenue
         |FROM c WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // INDEPENDENT plan: declarative NOT EXISTS domination test — the
+    // oracle never replays the band pruning, it states the skyline
+    // definition directly
+    "q193_skyline" ->
+      """WITH q AS (SELECT o_orderkey,
+        |  CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) AS x,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS y
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+        |SELECT o_orderkey,
+        |  FLOOR(CAST(x AS DOUBLE)/1e6*1e2+0.5)/1e2 AS price, y AS day
+        |FROM q a
+        |WHERE NOT EXISTS (SELECT 1 FROM q b
+        |  WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // one conditional-aggregation scan, the same melt, window share
+    "q194_metric_diff" ->
+      """WITH e AS (SELECT epoch_us(ts)//86400000000 AS day,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6,
+        |    event_type, user_id % 10 AS user_mod
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT day, v6, 'event_type' AS dim,
+        |    CAST(event_type AS VARCHAR) AS val FROM e
+        |  UNION ALL SELECT day, v6, 'user_mod',
+        |    CAST(user_mod AS VARCHAR) FROM e),
+        |c AS (SELECT dim, val,
+        |    SUM(CASE WHEN day < 19738 THEN v6 ELSE 0 END) AS a6,
+        |    SUM(CASE WHEN day >= 19738 THEN v6 ELSE 0 END) AS b6
+        |  FROM m GROUP BY 1, 2),
+        |d AS (SELECT *, b6 - a6 AS delta6,
+        |    SUM(b6 - a6) OVER (PARTITION BY dim) AS tot FROM c)
+        |SELECT dim, val,
+        |  FLOOR(CAST(a6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS period_a,
+        |  FLOOR(CAST(b6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS period_b,
+        |  FLOOR(CAST(delta6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS delta,
+        |  CASE WHEN tot <> 0 THEN
+        |    FLOOR(CAST(delta6 AS DOUBLE)/CAST(tot AS DOUBLE)*1e6+0.5)/1e6
+        |    END AS delta_share
+        |FROM d ORDER BY dim, val""".stripMargin,
 
     // per-column exact value counts -> (N² − Σ n²)/N² in HUGEINT,
     // one fixed tree; NULLs excluded as the documented posture
