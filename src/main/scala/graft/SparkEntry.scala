@@ -5052,6 +5052,111 @@ object SparkEntry {
         .ordered(col("dim"), col("val"))
     }),
 
+    // ---- Incremental aggregate maintenance (delta merge) ------------------------
+    // The materialized-aggregate refresh a daily pipeline runs: the
+    // stored per-type aggregate (days < split, persisted to parquet —
+    // a real storage hop, the q164 discipline) absorbs the new day's
+    // delta by a full-outer merge with coalesced integer sums — no
+    // rescan of history. merge(stored, delta) == direct full recompute
+    // is the checked identity the oracle states directly. Counts and
+    // micro-unit sums are the mergeable form; averages derive at read
+    // time (never stored — they don't merge).
+    "q195_incr_agg" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val out = scratchDir("incragg", dir)
+      val e = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"),
+          floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
+            .cast("long").as("v6"))
+      def rollup(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum6"))
+      rollup(e.filter(col("day") < splitDay))
+        .write.mode("overwrite").parquet(s"$out/agg_v1")
+      val stored = s.read.parquet(s"$out/agg_v1")
+        .select(col("event_type"), col("n").as("n_a"),
+          col("sum6").as("sum6_a"))
+      val delta = rollup(e.filter(col("day") >= splitDay))
+        .select(col("event_type"), col("n").as("n_b"),
+          col("sum6").as("sum6_b"))
+      stored.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+            .as("n"),
+          (floor((coalesce(col("sum6_a"), lit(0L)) +
+            coalesce(col("sum6_b"), lit(0L))).cast("double") / 1e6 * 1e2
+            + 0.5) / 1e2).as("value_sum"))
+        .ordered(col("event_type"))
+    }),
+
+    // ---- Data quality: robust anomaly flags (median/MAD) -------------------------
+    // Which days are anomalous per event type? Robust statistics — a
+    // z-score's mean/stddev are dragged by the very outliers being
+    // hunted; median and MAD are not. Exact percentile aggregates
+    // (q57's quantile_cont parity) over the DOMAIN-BOUNDED daily
+    // rollup: median per type, MAD = median(|x − med|) in a second
+    // tiny aggregate, flag = |x − med| > 3·MAD in exact integer-
+    // derived doubles (counts are LONGs; medians are at worst .5s —
+    // exact in both engines). The full day table rides out with its
+    // flags; no log, no stddev, no float accumulation anywhere.
+    "q196_robust_anomaly" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val med = daily.groupBy(col("event_type"))
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val withMed = daily.join(broadcast(med), Seq("event_type"))
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(percentile(abs(col("n").cast("double") - col("med")),
+          lit(0.5)).as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          (floor(col("med") * 1e2 + 0.5) / 1e2).as("med"),
+          (floor(col("mad") * 1e2 + 0.5) / 1e2).as("mad"),
+          (abs(col("n").cast("double") - col("med")) >
+            col("mad") * 3.0).as("is_anomaly"))
+        .ordered(col("event_type"), col("day"))
+    }),
+
+    // ---- Data profiling: referential-integrity audit ------------------------------
+    // Orphan counts per declared FK edge: child keys with no parent
+    // (LEFT ANTI join — the single-shuffle plan; NULL keys are NOT
+    // orphans, they're a separate posture and ride their own count).
+    // The audit a 100 TB warehouse runs before trusting a join graph;
+    // each edge is one anti join + one aggregate, unioned into the
+    // verdict table.
+    "q197_ref_integrity" -> ((s, dir) => {
+      def audit(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String) = {
+        val total = child.agg(count(lit(1)).as("n_child"),
+          sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_null"))
+        val orphans = child.filter(col(key).isNotNull)
+          .join(parent.select(col(pkey).as(key)).distinct(),
+            Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        total.crossJoin(broadcast(orphans))
+          .select(lit(name).as("fk"), col("n_child"), col("n_null"),
+            col("n_orphans"),
+            (floor(col("n_orphans").cast("double") /
+              col("n_child").cast("double") * 1e6 + 0.5) / 1e6)
+              .as("orphan_rate"))
+      }
+      audit("lineitem.l_orderkey->orders",
+          Tables(s, dir, "lineitem"), "l_orderkey",
+          Tables(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer",
+          Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"))
+        .unionByName(audit("events.user_id->customer",
+          Tables(s, dir, "events"), "user_id",
+          Tables(s, dir, "customer"), "c_custkey"))
+        .ordered(col("fk"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -6937,6 +7042,63 @@ object SparkEntry {
         |    FLOOR(CAST(delta6 AS DOUBLE)/CAST(tot AS DOUBLE)*1e6+0.5)/1e6
         |    END AS delta_share
         |FROM d ORDER BY dim, val""".stripMargin,
+
+    // merge-equals-direct is the checked identity: the oracle computes
+    // the full aggregate in one pass, never replaying the storage hop
+    "q195_incr_agg" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(FLOOR(COALESCE(value, 0)*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n,
+        |  FLOOR(CAST(SUM(v6) AS DOUBLE)/1e6*1e2+0.5)/1e2 AS value_sum
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // quantile_cont parity (q57) for both the median and the MAD pass;
+    // the flag compares the same integer-derived doubles
+    "q196_robust_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts)//86400000000 AS day, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |wm AS (SELECT d.*, m.med FROM daily d JOIN med m
+        |  USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    quantile_cont(abs(CAST(n AS DOUBLE) - med), 0.5) AS mad
+        |  FROM wm GROUP BY 1)
+        |SELECT wm.event_type, day, n,
+        |  FLOOR(med*1e2+0.5)/1e2 AS med,
+        |  FLOOR(mad*1e2+0.5)/1e2 AS mad,
+        |  abs(CAST(n AS DOUBLE) - med) > mad*3.0 AS is_anomaly
+        |FROM wm JOIN mad USING (event_type)
+        |ORDER BY wm.event_type, day""".stripMargin,
+
+    // NOT EXISTS replays each anti join; NULL keys ride their own
+    // count, never the orphan count
+    "q197_ref_integrity" -> {
+      def one(name: String, child: String, key: String,
+              parent: String, pkey: String) =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  (SELECT COUNT(*) FROM $child WHERE $key IS NULL) AS n_null,
+           |  (SELECT COUNT(*) FROM $child c WHERE c.$key IS NOT NULL
+           |    AND NOT EXISTS (SELECT 1 FROM $parent p
+           |      WHERE p.$pkey = c.$key)) AS n_orphans,
+           |  FLOOR(CAST((SELECT COUNT(*) FROM $child c
+           |      WHERE c.$key IS NOT NULL
+           |      AND NOT EXISTS (SELECT 1 FROM $parent p
+           |        WHERE p.$pkey = c.$key)) AS DOUBLE)
+           |    / CAST((SELECT COUNT(*) FROM $child) AS DOUBLE)
+           |    *1e6+0.5)/1e6 AS orphan_rate""".stripMargin
+      Seq(one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        one("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        one("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
 
     // per-column exact value counts -> (N² − Σ n²)/N² in HUGEINT,
     // one fixed tree; NULLs excluded as the documented posture
