@@ -5157,6 +5157,58 @@ object SparkEntry {
         .ordered(col("fk"))
     }),
 
+    // ---- Graph: label-propagation communities ----------------------------------
+    // LinkGraph.lpa on the q174 synthetic link graph: 4 fixed
+    // synchronous rounds, most-frequent-neighbor label with min-label
+    // ties — a pure function of the edge set (asynchronous LPA is
+    // run-dependent by construction; fixed K + deterministic ties is
+    // what makes a community assignment auditable). The oracle unrolls
+    // the same 4 layers as MATERIALIZED CTEs (the q155 HITS pattern —
+    // DuckDB's per-reference CTE inlining would otherwise re-evaluate
+    // exponentially many layer copies).
+    "q198_lpa" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 311).as("src"), ((d * 11 + 7) % 311).as("dst"))
+      val e2 = docs.filter(d % 2 === 0)
+        .select((d % 311).as("src"), ((d * 23 + 3) % 311).as("dst"))
+      LinkGraph.lpa(e1.unionByName(e2), "src", "dst", iters = 4)
+        .ordered(col("node"))
+    }),
+
+    // ---- Time series: time-weighted average (TWAP) -------------------------------
+    // The mean of a STEP function, not of its samples: each observation
+    // holds until the user's next valued event (lead over the
+    // (ts_us, event_id) total order — one user-keyed Exchange), the
+    // last observation contributes no duration (the open interval has
+    // no defined width — documented, not silently extended), and the
+    // weighted sum rides decimal(value-micros × duration-micros)
+    // products — a LONG would overflow at value·duration ≈ 4e19.
+    // Sparse-sampled users (< 2 valued events) yield no row.
+    "q199_twap" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("value").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val stepped = e
+        .select(col("user_id"), col("ts_us"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+          col("event_id"))
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur", col("next_ts") - col("ts_us"))
+      stepped.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(col("v6").cast("decimal(19,0)") * col("dur")).as("num"),
+          sum(col("dur")).as("den"))
+        .select(col("user_id"), col("n_steps"),
+          (floor(col("num").cast("double") /
+            col("den").cast("double") / 1e6 * 1e4 + 0.5) / 1e4)
+            .as("twap"))
+        .ordered(col("user_id"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -7099,6 +7151,52 @@ object SparkEntry {
           "customer", "c_custkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     },
+
+    // 4 unrolled synchronous layers as MATERIALIZED CTEs (the q155
+    // HITS pattern); per-layer argmax = min label among max-count
+    "q198_lpa" -> {
+      val edges =
+        """SELECT doc_id % 311 AS src, (doc_id*11+7) % 311 AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 311, (doc_id*23+3) % 311 FROM documents
+          |  WHERE doc_id % 2 = 0""".stripMargin
+      val layers = (1 to 4).map { i =>
+        s"""v$i AS (SELECT n.node, l.label, COUNT(*) AS cnt
+           |  FROM nbrs n JOIN l${i - 1} l ON l.node = n.nbr
+           |  GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, MIN(label) AS label FROM
+           |  (SELECT node, label, cnt,
+           |     MAX(cnt) OVER (PARTITION BY node) AS mx FROM v$i)
+           |  WHERE cnt = mx GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH und AS MATERIALIZED (SELECT DISTINCT
+         |    LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM ($edges)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |nbrs AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label
+         |  FROM nbrs),
+         |$layers
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // same lead window and step durations; HUGEINT products replay the
+    // decimal sums, one final double tree
+    "q199_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND event_id IS NOT NULL),
+        |s AS (SELECT *, LEAD(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS next_ts FROM e),
+        |d AS (SELECT user_id, v6, next_ts - us AS dur FROM s
+        |  WHERE next_ts IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_steps,
+        |  FLOOR(CAST(SUM(CAST(v6 AS HUGEINT)*dur) AS DOUBLE)
+        |    /CAST(SUM(dur) AS DOUBLE)/1e6*1e4+0.5)/1e4 AS twap
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // per-column exact value counts -> (N² − Σ n²)/N² in HUGEINT,
     // one fixed tree; NULLs excluded as the documented posture

@@ -160,6 +160,51 @@ object LinkGraph {
     * set — three shuffles total, each on plain integer keys. Returns
     * one row: (n_triangles, n_edges). Self-loops drop; duplicate and
     * reverse-duplicate edges collapse. */
+  /** Synchronous label propagation (Raghavan et al. 2007), K FIXED
+    * rounds: every node starts as its own label; each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the MINIMUM label. Both choices are determinism engineering:
+    * asynchronous/random-order LPA (the paper's default) is
+    * run-dependent by construction, and a float-threshold stop would
+    * hand the oracle a convergence disagreement — K fixed synchronous
+    * rounds make the result a pure function of the edge set, so an
+    * external engine can replay it layer by layer (the
+    * pageRank/HITS/kCore oracle contract).
+    *
+    * One round = one edge-vs-labels equi-join + one (node, label)
+    * count + one per-node argmax (max over struct(cnt, -label) — no
+    * window, no sort); `localCheckpoint` truncates lineage per round.
+    * Every node in the edge set has >= 1 neighbor, so each round
+    * relabels ALL nodes (no outer-join seam). The standard community/
+    * boilerplate-cluster detector beside [[kCore]]'s density filter. */
+  def lpa(edges: DataFrame, srcCol: String, dstCol: String,
+          iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { _ =>
+      labels = nbrs
+        .join(labels.select(col("node").as("nbr"), col("label")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"),
+          (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete every
     * node of degree < k (simultaneously — one round is ONE degree
     * aggregation + two anti-joins, all keyed shuffles) until the

@@ -173,4 +173,68 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  /** Scalar reference LPA: synchronous rounds, most-frequent neighbor
+    * label, min-label ties — the exact contract lpa() documents. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = nbrs.map { case (n, ns) =>
+        val votes = ns.map(labels).groupBy(identity).view
+          .mapValues(_.size).toMap
+        val best = votes.values.max
+        n -> votes.filter(_._2 == best).keys.min
+      }
+    }
+    labels
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkGraph.lpa(edges.toDF("s", "t"), "s", "t", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lpa matches the scalar reference on two bridged cliques") {
+    // cliques {1,2,3,4} and {10,11,12,13}, one bridge 4-10
+    val k1 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val k2 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val edges = (k1 ++ k2 :+ (4L, 10L)).toSeq
+    (1 to 4).foreach { k =>
+      assert(runLpa(edges, k) === refLpa(edges, k), s"iters=$k")
+    }
+    // after enough rounds each clique agrees on its min label
+    val fin = runLpa(edges, 4)
+    assert(Set(1L, 2L, 3L).map(fin) === Set(1L))
+    assert(Set(11L, 12L, 13L).map(fin) === Set(10L))
+  }
+
+  test("lpa: duplicate/reverse/self edges collapse; nulls drop") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (null, 3L), (3L, null))
+      .toDF("s", "t")
+    // a single undirected edge is bipartite: synchronous LPA swaps the
+    // two labels every round (the documented K-fixed-rounds contract —
+    // deterministic, oracle-replayable; NOT a convergence promise)
+    val r1 = LinkGraph.lpa(df, "s", "t", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L)) // node 3 has no real edge
+    val r2 = LinkGraph.lpa(df, "s", "t", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("lpa: star oscillates synchronously, matching the reference") {
+    // hub+spokes is bipartite too: hub and spoke labels alternate
+    // (1->spoke-min, spokes->1, then back) — assert the exact sequence
+    // agrees with the scalar reference at every depth
+    val edges = (2L to 6L).map(i => (1L, i))
+    (1 to 4).foreach { k =>
+      assert(runLpa(edges, k) === refLpa(edges, k), s"iters=$k")
+    }
+    val r2 = runLpa(edges, 2)
+    assert(r2(1L) === 1L && (2L to 6L).forall(r2(_) === 2L))
+  }
 }
