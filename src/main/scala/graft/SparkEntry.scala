@@ -5209,6 +5209,94 @@ object SparkEntry {
         .ordered(col("user_id"))
     }),
 
+    // ---- Data profiling: categorical association (Cramér's V) -------------------
+    // Which categorical columns move together? χ² over the contingency
+    // cells (expected = rowTot·colTot/N from exact LONG counts), each
+    // cell's term QUANTIZED to 1e-6 before the sum (a raw float sum
+    // over cells would be association-order-dependent — the q118
+    // decimal-sum discipline), V = sqrt(χ²/(N·(min(r,c)−1))) with
+    // IEEE-exact sqrt. The contingency table is r×c rows — the window
+    // totals ride the tiny grouped set, never the fact table.
+    "q200_cramers_v" -> ((s, dir) => {
+      def assoc(df: DataFrame, pair: String, a: String, b: String) = {
+        val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+          .groupBy(col(a).cast("string").as("av"),
+            col(b).cast("string").as("bv"))
+          .agg(count(lit(1)).as("o"))
+        val wa = Window.partitionBy(col("av"))
+        val wb = Window.partitionBy(col("bv"))
+        val wAll = Window.partitionBy()
+        val e = col("row_t").cast("double") * col("col_t").cast("double") /
+          col("n").cast("double")
+        val term = (col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e
+        val terms = cells
+          .withColumn("row_t", sum(col("o")).over(wa))
+          .withColumn("col_t", sum(col("o")).over(wb))
+          .withColumn("n", sum(col("o")).over(wAll))
+          .withColumn("r", size(collect_set(col("av")).over(wAll)))
+          .withColumn("c", size(collect_set(col("bv")).over(wAll)))
+          .withColumn("term6", floor(term * 1e6 + 0.5).cast("long"))
+        terms.groupBy(col("n"), col("r"), col("c"))
+          .agg(sum(col("term6")).as("chi2_6"))
+          .select(lit(pair).as("pair"), col("n"),
+            col("r").cast("long").as("r"), col("c").cast("long").as("c"),
+            (col("chi2_6").cast("double") / 1e6).as("chi2"),
+            (floor(sqrt(col("chi2_6").cast("double") / 1e6 /
+              (col("n").cast("double") *
+                (least(col("r"), col("c")).cast("double") - 1.0)))
+              * 1e6 + 0.5) / 1e6).as("v"))
+      }
+      assoc(Tables(s, dir, "lineitem"), "l_returnflag~l_linestatus",
+          "l_returnflag", "l_linestatus")
+        .unionByName(assoc(Tables(s, dir, "orders"),
+          "o_orderpriority~o_orderstatus", "o_orderpriority",
+          "o_orderstatus"))
+        .unionByName(assoc(Tables.events(s, dir)
+            .withColumn("user_mod", col("user_id") % 10L),
+          "event_type~user_mod", "event_type", "user_mod"))
+        .ordered(col("pair"))
+    }),
+
+    // ---- Warehouse: calendar dimension build + seasonality -----------------------
+    // The date dimension every warehouse joins: one row per day across
+    // the fact span (sequence — no driver loop), calendar fields from
+    // the shared-Gregorian functions both engines implement identically
+    // (year/month/dayofmonth), day-of-week in PURE INTEGER arithmetic
+    // ((epoch_day+4) % 7, 1970-01-01 being a Thursday — locale- and
+    // WEEK-DEFINITION-free where engines' week-number functions
+    // disagree), and the per-day order rollup left-joined with zero
+    // fill. Empty days survive — a calendar with holes isn't a
+    // dimension.
+    "q201_date_dim" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("p6"))
+        .persist()
+      val span = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val days = span.select(explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+      val perDay = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("p6")).as("rev6"))
+      val dt = date_add(to_date(lit("1970-01-01")), col("day").cast("int"))
+      days.join(perDay, Seq("day"), "left")
+        .select(col("day"), dt.as("date"),
+          year(dt).cast("long").as("yr"),
+          month(dt).cast("long").as("mo"),
+          dayofmonth(dt).cast("long").as("dom"),
+          ((col("day") + 4) % 7).as("dow"),
+          (((col("day") + 4) % 7 === 0) || ((col("day") + 4) % 7 === 6))
+            .as("is_weekend"),
+          (floor((month(dt).cast("double") - 1.0) / 3.0).cast("long")
+            + 1L).as("quarter"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          (floor(coalesce(col("rev6"), lit(0L)).cast("double") / 1e6
+            * 1e2 + 0.5) / 1e2).as("revenue"))
+        .ordered(col("day"))
+    }),
+
     // ---- Sketch merge as a materialized-view primitive ------------------
     // The property that makes the histogram family a rollup substrate:
     // per-event-type sketches are built ONCE from the data, then the
@@ -7197,6 +7285,80 @@ object SparkEntry {
         |  FLOOR(CAST(SUM(CAST(v6 AS HUGEINT)*dur) AS DOUBLE)
         |    /CAST(SUM(dur) AS DOUBLE)/1e6*1e4+0.5)/1e4 AS twap
         |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // identical contingency cells, per-cell 1e-6 quantization BEFORE
+    // the sum (float order independence), IEEE-exact sqrt finale
+    "q200_cramers_v" -> {
+      def one(pair: String, table: String, a: String, b: String,
+              where: String = "") =
+        s"""SELECT '$pair' AS pair, n, r, c,
+           |  CAST(chi2_6 AS DOUBLE)/1e6 AS chi2,
+           |  FLOOR(sqrt(CAST(chi2_6 AS DOUBLE)/1e6
+           |    /(CAST(n AS DOUBLE)
+           |      *(CAST(LEAST(r, c) AS DOUBLE)-1.0)))*1e6+0.5)/1e6 AS v
+           |FROM (SELECT MAX(n) AS n, MAX(r) AS r, MAX(c) AS c,
+           |    CAST(SUM(term6) AS BIGINT) AS chi2_6
+           |  FROM (SELECT o,
+           |      SUM(o) OVER (PARTITION BY av) AS row_t,
+           |      SUM(o) OVER (PARTITION BY bv) AS col_t,
+           |      SUM(o) OVER () AS n,
+           |      COUNT(DISTINCT av) OVER () AS r,
+           |      COUNT(DISTINCT bv) OVER () AS c,
+           |      CAST(FLOOR((CAST(o AS DOUBLE)
+           |          - CAST(SUM(o) OVER (PARTITION BY av) AS DOUBLE)
+           |            *CAST(SUM(o) OVER (PARTITION BY bv) AS DOUBLE)
+           |            /CAST(SUM(o) OVER () AS DOUBLE))
+           |        *(CAST(o AS DOUBLE)
+           |          - CAST(SUM(o) OVER (PARTITION BY av) AS DOUBLE)
+           |            *CAST(SUM(o) OVER (PARTITION BY bv) AS DOUBLE)
+           |            /CAST(SUM(o) OVER () AS DOUBLE))
+           |        /(CAST(SUM(o) OVER (PARTITION BY av) AS DOUBLE)
+           |          *CAST(SUM(o) OVER (PARTITION BY bv) AS DOUBLE)
+           |          /CAST(SUM(o) OVER () AS DOUBLE))*1e6+0.5) AS BIGINT)
+           |        AS term6
+           |    FROM (SELECT CAST($a AS VARCHAR) AS av,
+           |        CAST($b AS VARCHAR) AS bv, COUNT(*) AS o
+           |      FROM $table
+           |      WHERE $a IS NOT NULL AND $b IS NOT NULL $where
+           |      GROUP BY 1, 2)))""".stripMargin
+      Seq(one("l_returnflag~l_linestatus", "lineitem", "l_returnflag",
+          "l_linestatus"),
+        one("o_orderpriority~o_orderstatus", "orders", "o_orderpriority",
+          "o_orderstatus"),
+        one("event_type~user_mod",
+          "(SELECT event_type, user_id % 10 AS user_mod FROM events)",
+          "event_type", "user_mod"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+    },
+
+    // pure-integer dow ((day+4)%7), shared-Gregorian year/month/dom,
+    // generate_series replays the gap-free span, zero-filled rollup
+    "q201_date_dim" ->
+      """WITH o AS (SELECT
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) AS p6
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+        |days AS (SELECT UNNEST(generate_series(d0, d1)) AS day FROM span),
+        |pd AS (SELECT day, COUNT(*) AS n_orders, SUM(p6) AS rev6
+        |  FROM o GROUP BY 1),
+        |d AS (SELECT days.day,
+        |    DATE '1970-01-01' + CAST(days.day AS INT) AS dt,
+        |    COALESCE(pd.n_orders, 0) AS n_orders,
+        |    COALESCE(pd.rev6, 0) AS rev6
+        |  FROM days LEFT JOIN pd ON pd.day = days.day)
+        |SELECT day, dt AS date,
+        |  CAST(year(dt) AS BIGINT) AS yr,
+        |  CAST(month(dt) AS BIGINT) AS mo,
+        |  CAST(dayofmonth(dt) AS BIGINT) AS dom,
+        |  (day + 4) % 7 AS dow,
+        |  (day + 4) % 7 IN (0, 6) AS is_weekend,
+        |  CAST(FLOOR((CAST(month(dt) AS DOUBLE)-1.0)/3.0) AS BIGINT) + 1
+        |    AS quarter,
+        |  n_orders,
+        |  FLOOR(CAST(rev6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS revenue
+        |FROM d ORDER BY day""".stripMargin,
 
     // per-column exact value counts -> (N² − Σ n²)/N² in HUGEINT,
     // one fixed tree; NULLs excluded as the documented posture

@@ -62,6 +62,13 @@ class PlanAuditSpec extends AnyFunSuite {
     *     exact-distinct rider onto the merged-register row; q151: the
     *     6 literal probe terms against the ONE-ROW merged counter
     *     array — q122's exact shape).
+    *   - q188: two ONE-ROW sketch aggregates crossed with the ONE-ROW
+    *     exact-count frame (the q135 three-one-row-frames shape — the
+    *     CMS dot product runs on that single joined row).
+    *   - q190/q197: a ONE-ROW denominator aggregate crossed into the
+    *     result (q190: the distinct-order count onto the pair table;
+    *     q197: each FK edge's one-row totals × one-row orphan count —
+    *     the q79/q88/q118 lazy-denominator shape).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -70,7 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
     "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
-    "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge")
+    "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
+    "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
