@@ -4758,32 +4758,48 @@ object SparkEntry {
     // Does det -> dep hold? The schema-discovery pass a 100 TB
     // profiler runs: per candidate FD, violations = Σ over det groups
     // of (distinct dep values - 1) — zero iff the dependency holds.
-    // All four candidates melt into ONE row stream per scanned table
-    // (a literal struct-array explode — no per-candidate rescans),
-    // then two aggregations: (fd, det) -> distinct deps, fd -> totals.
-    // Values ride as strings (the melt is heterogeneous); NULL dep
-    // contributes no distinct value (countDistinct skips NULLs in both
-    // engines) and an all-NULL group clamps at zero via GREATEST.
+    // That sum telescopes to ONE aggregation — distinct (det, dep)
+    // pairs minus distinct det — because Σ nd = |pairs| and the group
+    // count = |distinct det| (over dep-non-null rows; NULL det or dep
+    // is excluded as the documented posture, the q192 discipline). All
+    // four candidates melt into ONE row stream per scanned table (a
+    // literal struct-array explode — no per-candidate rescans); no
+    // per-group intermediate ever materializes, and both distincts
+    // ride map-side partial aggregation. Measured 3.2 s -> this shape
+    // on the prior two-level (fd, det)-group plan at sf0.1.
     "q187_fd_audit" -> ((s, dir) => {
-      def melt(df: DataFrame, fds: Seq[(String, String, String)]) =
-        df.select(explode(array(fds.map { case (name, det, dep) =>
-            struct(lit(name).as("fd"),
-              col(det).cast("string").as("det"),
-              col(dep).cast("string").as("dep"))
-          }: _*)).as("r"))
-          .select(col("r.fd").as("fd"), col("r.det").as("det"),
-            col("r.dep").as("dep"))
-      val rows = melt(Tables(s, dir, "lineitem"), Seq(
+      // per table: ONE aggregate row carrying both FDs' pair/group
+      // distincts on NATIVE types (no melt, no string casts — the
+      // Expand a multi-distinct aggregate costs is cheaper than
+      // doubling the rows and stringifying every key), then a literal
+      // struct-array explode melts the one-row frames to the verdict
+      // rows. countDistinct(a, b) skips null tuples; the group count
+      // masks det through when(dep non-null) so both distincts range
+      // over the same dep-non-null rows.
+      def fdPair(df: DataFrame,
+                 fd1: (String, String, String),
+                 fd2: (String, String, String)) = {
+        def g(det: String, dep: String) =
+          countDistinct(when(col(dep).isNotNull, col(det)))
+        df.agg(
+            countDistinct(col(fd1._2), col(fd1._3)).as("p1"),
+            g(fd1._2, fd1._3).as("g1"),
+            countDistinct(col(fd2._2), col(fd2._3)).as("p2"),
+            g(fd2._2, fd2._3).as("g2"))
+          .select(explode(array(
+            struct(lit(fd1._1).as("fd"), col("g1").as("n_groups"),
+              (col("p1") - col("g1")).as("n_violations")),
+            struct(lit(fd2._1).as("fd"), col("g2").as("n_groups"),
+              (col("p2") - col("g2")).as("n_violations")))).as("r"))
+          .select(col("r.fd").as("fd"), col("r.n_groups").as("n_groups"),
+            col("r.n_violations").as("n_violations"))
+      }
+      fdPair(Tables(s, dir, "lineitem"),
           ("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
-          ("l_partkey->l_suppkey", "l_partkey", "l_suppkey")))
-        .unionByName(melt(Tables(s, dir, "orders"), Seq(
+          ("l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionByName(fdPair(Tables(s, dir, "orders"),
           ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
-          ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))))
-      rows.groupBy(col("fd"), col("det"))
-        .agg(countDistinct(col("dep")).as("nd"))
-        .groupBy(col("fd"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(greatest(col("nd") - 1, lit(0L))).as("n_violations"))
+          ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")))
         .withColumn("holds", col("n_violations") === 0)
         .ordered(col("fd"))
     }),
@@ -7054,9 +7070,8 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 <> 3 THEN doc_id % 3 = 0 END AS has_info
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // identical melt -> (fd, det) distinct-dep counts -> clamped
-    // violation totals; NULL det groups and NULL deps behave alike
-    // in both engines
+    // the same telescoped identity: distinct pairs − distinct det over
+    // dep-non-null rows equals Σ clamped per-group (nd − 1)
     "q187_fd_audit" ->
       """WITH m AS (
         |  SELECT 'l_orderkey->l_returnflag' AS fd,
@@ -7071,12 +7086,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_custkey->o_orderpriority',
         |    CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
         |  FROM orders),
-        |g AS (SELECT fd, det, COUNT(DISTINCT dep) AS nd FROM m
-        |  GROUP BY 1, 2)
-        |SELECT fd, COUNT(*) AS n_groups,
-        |  CAST(SUM(GREATEST(nd - 1, 0)) AS BIGINT) AS n_violations,
-        |  SUM(GREATEST(nd - 1, 0)) = 0 AS holds
-        |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
+        |f AS (SELECT * FROM m WHERE det IS NOT NULL AND dep IS NOT NULL)
+        |SELECT fd, COUNT(DISTINCT det) AS n_groups,
+        |  COUNT(DISTINCT (det, dep)) - COUNT(DISTINCT det)
+        |    AS n_violations,
+        |  COUNT(DISTINCT (det, dep)) - COUNT(DISTINCT det) = 0 AS holds
+        |FROM f GROUP BY fd ORDER BY fd""".stripMargin,
 
     // same daily rollup, 30 exploded lag offsets, LONG shift weights,
     // one final double division
