@@ -5225,6 +5225,149 @@ object SparkEntry {
         .ordered(col("user_id"))
     }),
 
+    // ---- Experimentation: CUPED variance reduction --------------------------------
+    // The industry-standard experiment readout: the pre-period metric
+    // absorbs between-user variance (θ = cov(pre, post)/var(pre),
+    // adjusted mean = mean(post|v) − θ·(mean(pre|v) − mean(pre))).
+    // Everything derives from ONE aggregate row — per-user integer
+    // micro-unit sums roll into decimal moment products (the q163
+    // discipline) AND per-variant conditional sums in the same pass —
+    // then a fixed double tree melts to the two variant rows. No join,
+    // no second scan, no float accumulation: θ and both adjusted means
+    // are pure functions of exact integer sums.
+    "q202_cuped" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val coin = shiftrightunsigned(call_function("md5_lower64",
+        col("user_id").cast("string")), 33)
+      val perUser = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("user_id"),
+          when(coin % 2 === 0, "A").otherwise("B").as("variant"))
+        .agg(
+          sum(when(expr(s"ts_us div $dayUs") < splitDay,
+            floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L))
+            .as("pre6"),
+          sum(when(expr(s"ts_us div $dayUs") >= splitDay,
+            floor(col("value") * 1e6 + 0.5).cast("long")).otherwise(0L))
+            .as("post6"))
+      def wide(c: Column) = c.cast("decimal(25,0)")
+      val m = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("pre6")).as("sx"), sum(col("post6")).as("sy"),
+        sum(wide(col("pre6")) * wide(col("pre6"))).as("sxx"),
+        sum(wide(col("pre6")) * wide(col("post6"))).as("sxy"),
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("pre6")).otherwise(0L))
+          .as("sx_a"),
+        sum(when(col("variant") === "A", col("post6")).otherwise(0L))
+          .as("sy_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("pre6")).otherwise(0L))
+          .as("sx_b"),
+        sum(when(col("variant") === "B", col("post6")).otherwise(0L))
+          .as("sy_b"))
+      val nD = col("n").cast("double")
+      def d6(c: String) = col(c).cast("double") / 1e6
+      def d12(c: String) = col(c).cast("double") / 1e12
+      val theta = (d12("sxy") - d6("sx") * d6("sy") / nD) /
+        (d12("sxx") - d6("sx") * d6("sx") / nD)
+      val gxm = d6("sx") / nD
+      def adj(nv: String, sxv: String, syv: String) =
+        d6(syv) / col(nv).cast("double") -
+          theta * (d6(sxv) / col(nv).cast("double") - gxm)
+      def r4(c: Column) = floor(c * 1e4 + 0.5) / 1e4
+      m.select(explode(array(
+          struct(lit("A").as("variant"), col("n_a").as("n_users"),
+            r4(d6("sy_a") / col("n_a").cast("double")).as("mean_post"),
+            r4(d6("sx_a") / col("n_a").cast("double")).as("mean_pre"),
+            r4(theta).as("theta"),
+            r4(adj("n_a", "sx_a", "sy_a")).as("adj_mean")),
+          struct(lit("B").as("variant"), col("n_b").as("n_users"),
+            r4(d6("sy_b") / col("n_b").cast("double")).as("mean_post"),
+            r4(d6("sx_b") / col("n_b").cast("double")).as("mean_pre"),
+            r4(theta).as("theta"),
+            r4(adj("n_b", "sx_b", "sy_b")).as("adj_mean")))).as("r"))
+        .select(col("r.variant").as("variant"), col("r.n_users")
+          .as("n_users"), col("r.mean_post").as("mean_post"),
+          col("r.mean_pre").as("mean_pre"), col("r.theta").as("theta"),
+          col("r.adj_mean").as("adj_mean"))
+        .ordered(col("variant"))
+    }),
+
+    // ---- Spatial clustering: eps-components (DBSCAN minPts=1) ---------------------
+    // The composition the spatial join exists for: eps-neighbor pairs
+    // (q181's grid join) feed connected components — clusters are the
+    // transitive closure of "within eps", i.e. DBSCAN with minPts=1 on
+    // the clustered subset (singleton points have no pair and no row,
+    // the q34 contract). Output is the cluster size distribution;
+    // labels are min-reachable-id (deterministic). The oracle
+    // brute-forces pairs under the band prefilter and closes them with
+    // a recursive CTE — both stages independently replayed.
+    "q203_spatial_clusters" -> ((s, dir) => {
+      val coin = (c: Column) => shiftrightunsigned(
+        call_function("md5_lower64", c), 33)
+      val pts = Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id").as("id"),
+          ((coin(col("event_id").cast("string")) % 180000L) / lit(1000.0)
+            - 90.0).as("lat"),
+          ((coin(concat(col("event_id").cast("string"), lit("#lon")))
+            % 360000L) / lit(1000.0) - 180.0).as("lon"))
+      val pairs = Spatial.epsNeighborJoin(pts, "id", "lat", "lon", 0.5)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .ordered(col("cluster_id"))
+    }),
+
+    // ---- Warehouse: CDC batch merge (SCD1 upsert/delete) ---------------------------
+    // MERGE INTO semantics without a Delta log: a CDC batch (key,
+    // op, value, ts) collapses to the LAST op per key over the
+    // (ts_us, event_id) total order (the latest-per-key shape), then
+    // one full-outer join applies it to the base snapshot — upsert
+    // overwrites or inserts, delete removes, untouched base rows
+    // survive. Deletes of absent keys are no-ops (MERGE's contract).
+    // The op mapping here: 'error' events are deletes, every other
+    // type upserts its value.
+    "q204_cdc_merge" -> ((s, dir) => {
+      // explicit base marker: a NULL segment is legal base data
+      // (adversarial fixture), so "row absent from base" must not be
+      // inferred from a nullable payload column
+      val base = Tables(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("key"), col("c_mktsegment")
+          .as("segment"),
+          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal6"),
+          lit(true).as("in_base"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val lastOp = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").as("key"), col("ts_us"), col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
+            .cast("long").as("v6"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("op"), col("v6"))
+      base.join(lastOp, Seq("key"), "full_outer")
+        .filter(coalesce(col("op"), lit("none")) =!= "delete")
+        .select(col("key"),
+          col("segment"),
+          (floor(when(col("op") === "upsert", col("v6"))
+            .otherwise(col("bal6")).cast("double") / 1e6 * 1e2 + 0.5)
+            / 1e2).as("bal"),
+          when(col("op").isNull, "base")
+            .when(col("in_base").isNull, "inserted")
+            .otherwise("updated").as("src"))
+        .ordered(col("key"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7300,6 +7443,117 @@ object SparkEntry {
         |  FLOOR(CAST(SUM(CAST(v6 AS HUGEINT)*dur) AS DOUBLE)
         |    /CAST(SUM(dur) AS DOUBLE)/1e6*1e4+0.5)/1e4 AS twap
         |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // the identical one-aggregate moment/conditional-sum row, HUGEINT
+    // products, and the same θ / adjusted-mean expression trees
+    "q202_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN (md5_number_lower(CAST(user_id AS VARCHAR)) >> 33)
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    SUM(CASE WHEN epoch_us(ts)//86400000000 < 19738
+        |      THEN CAST(FLOOR(value*1e6+0.5) AS BIGINT) ELSE 0 END)
+        |      AS pre6,
+        |    SUM(CASE WHEN epoch_us(ts)//86400000000 >= 19738
+        |      THEN CAST(FLOOR(value*1e6+0.5) AS BIGINT) ELSE 0 END)
+        |      AS post6
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT COUNT(*) AS n, SUM(pre6) AS sx, SUM(post6) AS sy,
+        |    SUM(CAST(pre6 AS HUGEINT)*pre6) AS sxx,
+        |    SUM(CAST(pre6 AS HUGEINT)*post6) AS sxy,
+        |    SUM(CASE WHEN variant='A' THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN variant='A' THEN pre6 ELSE 0 END) AS sx_a,
+        |    SUM(CASE WHEN variant='A' THEN post6 ELSE 0 END) AS sy_a,
+        |    SUM(CASE WHEN variant='B' THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN variant='B' THEN pre6 ELSE 0 END) AS sx_b,
+        |    SUM(CASE WHEN variant='B' THEN post6 ELSE 0 END) AS sy_b
+        |  FROM pu),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE)/1e6 AS sxd, CAST(sy AS DOUBLE)/1e6 AS syd,
+        |    CAST(sxx AS DOUBLE)/1e12 AS sxxd,
+        |    CAST(sxy AS DOUBLE)/1e12 AS sxyd
+        |  FROM m),
+        |t AS (SELECT *,
+        |    (sxyd - sxd*syd/nd)/(sxxd - sxd*sxd/nd) AS theta,
+        |    sxd/nd AS gxm FROM d)
+        |SELECT v.variant, v.n_users, v.mean_post, v.mean_pre,
+        |  v.theta, v.adj_mean
+        |FROM t, LATERAL (VALUES
+        |  ('A', n_a,
+        |   FLOOR(CAST(sy_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)*1e4+0.5)
+        |     /1e4,
+        |   FLOOR(CAST(sx_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)*1e4+0.5)
+        |     /1e4,
+        |   FLOOR(theta*1e4+0.5)/1e4,
+        |   FLOOR((CAST(sy_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)
+        |     - theta*(CAST(sx_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)
+        |       - gxm))*1e4+0.5)/1e4),
+        |  ('B', n_b,
+        |   FLOOR(CAST(sy_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)*1e4+0.5)
+        |     /1e4,
+        |   FLOOR(CAST(sx_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)*1e4+0.5)
+        |     /1e4,
+        |   FLOOR(theta*1e4+0.5)/1e4,
+        |   FLOOR((CAST(sy_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)
+        |     - theta*(CAST(sx_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)
+        |       - gxm))*1e4+0.5)/1e4))
+        |  v(variant, n_users, mean_post, mean_pre, theta, adj_mean)
+        |ORDER BY variant""".stripMargin,
+
+    // brute-force pairs under the band prefilter, then the q34
+    // recursive-CTE closure — both stages independently replayed
+    "q203_spatial_clusters" ->
+      """WITH RECURSIVE p AS (SELECT event_id AS id,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR)) >> 33)
+        |      % 180000) / 1000.0 - 90.0 AS lat,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR) || '#lon')
+        |      >> 33) % 360000) / 1000.0 - 180.0 AS lon
+        |  FROM events WHERE event_id IS NOT NULL),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id
+        |    AND a.lat - b.lat BETWEEN -0.5 AND 0.5
+        |    AND a.lon - b.lon BETWEEN -0.5 AND 0.5
+        |  WHERE (a.lat-b.lat)*(a.lat-b.lat)
+        |      + (a.lon-b.lon)*(a.lon-b.lon) <= 0.25),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT c.n, e.d FROM closure c JOIN edges e ON c.m = e.s),
+        |labels AS (SELECT n AS node, LEAST(n, MIN(m)) AS label
+        |  FROM closure GROUP BY n)
+        |SELECT label AS cluster_id, COUNT(*) AS n_points
+        |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
+    // the same last-op-wins collapse and full-outer MERGE application
+    "q204_cdc_merge" ->
+      """WITH base AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+        |    CAST(FLOOR(c_acctbal*1e6+0.5) AS BIGINT) AS bal6,
+        |    true AS in_base
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |ops AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op,
+        |    CAST(FLOOR(COALESCE(value, 0)*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |lastop AS (SELECT key, op, v6 FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM ops)
+        |  WHERE rn = 1),
+        |j AS (SELECT COALESCE(b.key, l.key) AS key, b.segment, b.bal6,
+        |    b.in_base, l.op, l.v6
+        |  FROM base b FULL OUTER JOIN lastop l ON l.key = b.key)
+        |SELECT key, segment,
+        |  FLOOR(CAST(CASE WHEN op = 'upsert' THEN v6 ELSE bal6 END
+        |    AS DOUBLE)/1e6*1e2+0.5)/1e2 AS bal,
+        |  CASE WHEN op IS NULL THEN 'base'
+        |    WHEN in_base IS NULL THEN 'inserted'
+        |    ELSE 'updated' END AS src
+        |FROM j WHERE COALESCE(op, 'none') <> 'delete'
+        |ORDER BY key""".stripMargin,
 
     // identical contingency cells, per-cell 1e-6 quantization BEFORE
     // the sum (float order independence), IEEE-exact sqrt finale
