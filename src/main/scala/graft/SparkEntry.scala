@@ -5368,6 +5368,77 @@ object SparkEntry {
         .ordered(col("key"))
     }),
 
+    // ---- Growth metrics: trailing-7-day distinct actives (sliding HLL) ----------
+    // THE retention dashboard number — rolling 7-day active users per
+    // day — as the sketch family's sliding-window member: per-day HLL
+    // registers (one scan), then each day's trailing window merges 7
+    // register arrays by elementwise max inside a RANGE frame
+    // (gap-safe: value-range, not row count). Register merge is
+    // order-insensitive, so the unordered window collect is
+    // deterministic. The EXACT trailing distinct rides alongside via
+    // the bounded 7× day-explode (each (day, user) pair contributes to
+    // ≤ 7 anchors — never a window-sized shuffle of raw events).
+    "q205_sliding_hll" -> ((s, dir) => {
+      val p = 8
+      val m = 1 << p
+      val dayUs = 86400000000L
+      val h = shiftrightunsigned(call_function("md5_lower64",
+        col("user_id").cast("string")), 33)
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(expr(s"ts_us div $dayUs").as("day"), col("user_id"), h.as("h"))
+        .persist()
+      val daily = e.groupBy(col("day"))
+        .agg(Sketches.hllRegisters(col("h"), p).as("sk"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val slid = daily
+        .withColumn("msk", aggregate(collect_list(col("sk")).over(w),
+          array_repeat(lit(0L), m),
+          (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))))
+        .select(col("day"),
+          (floor(Sketches.hllEstimate(col("msk"), p) * 1e6 + 0.5) / 1e6)
+            .as("hll_est"))
+      val exact = e.select(col("day"), col("user_id")).distinct()
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_u"))
+      slid.join(exact, Seq("day"))
+        .select(col("day"), col("exact_u"), col("hll_est"))
+        .ordered(col("day"))
+    }),
+
+    // ---- Warehouse: hierarchy flattening (ancestor closure) ----------------------
+    // The category-tree explode every dimensional model needs: a
+    // parent-child edge list (synthetic 7-ary tree over part ids,
+    // root 1) flattened to (node, ancestor, depth) by a FIXED-K
+    // driver loop — one equi-join per level, localCheckpoint per
+    // round (the pageRank discipline), K = 6 covers the tree's depth
+    // with room (deeper rows simply don't exist — the loop is a
+    // closure, not a sample). The oracle replays the closure with a
+    // depth-bounded recursive CTE.
+    "q206_hierarchy" -> ((s, dir) => {
+      val edges = Tables(s, dir, "part")
+        .filter(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("child"),
+          greatest(expr("p_partkey div 7"), lit(1L)).as("parent"))
+        .localCheckpoint()
+      var anc = edges.select(col("child"), col("parent").as("ancestor"),
+        lit(1L).as("depth"))
+      var frontier = anc
+      (2 to 6).foreach { k =>
+        frontier = frontier
+          .join(edges.select(col("child").as("ancestor"),
+            col("parent").as("up")), Seq("ancestor"))
+          .select(col("child"), col("up").as("ancestor"),
+            lit(k.toLong).as("depth"))
+          .localCheckpoint()
+        anc = anc.unionByName(frontier)
+      }
+      anc.filter(col("child") % 10 === 0)
+        .ordered(col("child"), col("depth"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7443,6 +7514,45 @@ object SparkEntry {
         |  FLOOR(CAST(SUM(CAST(v6 AS HUGEINT)*dur) AS DOUBLE)
         |    /CAST(SUM(dur) AS DOUBLE)/1e6*1e4+0.5)/1e4 AS twap
         |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // registers rebuilt from raw hashes per trailing window (merge of
+    // per-day maxes == max over the union); q150's estimate SQL
+    "q205_sliding_hll" ->
+      """WITH pd AS (SELECT DISTINCT
+        |    epoch_us(ts)//86400000000 AS day, user_id,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR)) >> 33)::BIGINT
+        |      AS h
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM pd),
+        |win AS (SELECT d.day AS anchor, p.user_id, p.h FROM days d
+        |  JOIN pd p ON p.day BETWEEN d.day - 6 AND d.day),
+        |r AS (SELECT anchor, (h >> 23) AS idx,
+        |  MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+        |      ELSE 23 - length(bin(h & 8388607)) + 1 END) AS rho
+        |  FROM win GROUP BY 1, 2),
+        |s AS (SELECT anchor,
+        |  SUM(CAST(1.0 AS DOUBLE)/(1 << rho)) + (256 - COUNT(*)) AS S
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT anchor, COUNT(DISTINCT user_id) AS exact_u
+        |  FROM win GROUP BY 1)
+        |SELECT s.anchor AS day, exact_u,
+        |  FLOOR(0.7213/(1 + 1.079/256)*256*256/S * 1e6 + 0.5)/1e6
+        |    AS hll_est
+        |FROM s JOIN ex USING (anchor) ORDER BY day""".stripMargin,
+
+    // depth-bounded recursive CTE replays the fixed-K closure
+    "q206_hierarchy" ->
+      """WITH RECURSIVE e AS (SELECT p_partkey AS child,
+        |    GREATEST(p_partkey // 7, 1) AS parent FROM part
+        |  WHERE p_partkey >= 2),
+        |anc(child, ancestor, depth) AS (
+        |  SELECT child, parent, CAST(1 AS BIGINT) FROM e
+        |  UNION ALL
+        |  SELECT a.child, e.parent, a.depth + 1 FROM anc a
+        |  JOIN e ON e.child = a.ancestor
+        |  WHERE a.depth < 6)
+        |SELECT child, ancestor, depth FROM anc WHERE child % 10 = 0
+        |ORDER BY child, depth""".stripMargin,
 
     // the identical one-aggregate moment/conditional-sum row, HUGEINT
     // products, and the same θ / adjusted-mean expression trees
