@@ -5439,6 +5439,78 @@ object SparkEntry {
         .ordered(col("child"), col("depth"))
     }),
 
+    // ---- Inventory analytics: ABC / Pareto classification -------------------------
+    // The 80/20 analysis: parts ranked by revenue, classes cut at the
+    // 80% / 95% CUMULATIVE share boundaries. The cumulative sum runs
+    // over the per-part AGGREGATE (catalog-sized, one window pass —
+    // never the fact table), in integer micro-units with a (revenue
+    // desc, key) total order so ties can't reorder across engines;
+    // the class comparison is exact-integer (share6 vs 80/95 of the
+    // total — no float thresholds).
+    "q207_abc_pareto" -> ((s, dir) => {
+      val perPart = Tables(s, dir, "lineitem")
+        .filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 1e6 + 0.5).cast("long"))
+          .as("rev6"))
+      val w = Window.orderBy(col("rev6").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      perPart
+        .withColumn("cum6", sum(col("rev6")).over(w))
+        .withColumn("tot6", sum(col("rev6")).over(wAll))
+        .select(col("l_partkey"),
+          (floor(col("rev6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("revenue"),
+          (floor(col("cum6").cast("double") /
+            col("tot6").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("cum_share"),
+          when(col("cum6") * 100 <= col("tot6") * 80, "A")
+            .when(col("cum6") * 100 <= col("tot6") * 95, "B")
+            .otherwise("C").as("abc_class"))
+        .filter(col("l_partkey") % 10 === 0)
+        .ordered(col("l_partkey"))
+    }),
+
+    // ---- Graph: BFS hop distance from a seed set -----------------------------------
+    // Min-hop distance from seed nodes (crawl frontier depth, blast-
+    // radius analysis): K fixed BFS rounds — each round ONE equi-join
+    // of the frontier against the edge list + an anti join against
+    // the visited set (never a full-graph relabel), localCheckpoint
+    // per round. Unreached nodes have no row (absence IS the verdict
+    // — a sentinel depth would be an invented value). The oracle
+    // replays with a depth-bounded recursive CTE + min.
+    "q208_bfs_hops" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val e1 = docs.select((d % 311).as("src"), ((d * 11 + 7) % 311).as("dst"))
+      val e2 = docs.filter(d % 2 === 0)
+        .select((d % 311).as("src"), ((d * 23 + 3) % 311).as("dst"))
+      val und0 = e1.unionByName(e2)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val edges = und0.select(col("a").as("from"), col("b").as("to"))
+        .unionByName(und0.select(col("b").as("from"), col("a").as("to")))
+        .localCheckpoint()
+      var visited = Tables(s, dir, "documents")
+        .filter(d % 311 < 3).select((d % 311).as("node")).distinct()
+        .select(col("node"), lit(0L).as("hops"))
+        .localCheckpoint()
+      var frontier = visited
+      (1 to 5).foreach { k =>
+        frontier = frontier
+          .join(edges.select(col("from").as("node"), col("to")),
+            Seq("node"))
+          .select(col("to").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(k.toLong).as("hops"))
+          .localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+      }
+      visited.ordered(col("node"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7553,6 +7625,48 @@ object SparkEntry {
         |  WHERE a.depth < 6)
         |SELECT child, ancestor, depth FROM anc WHERE child % 10 = 0
         |ORDER BY child, depth""".stripMargin,
+
+    // identical catalog-sized cumulative window under the same total
+    // order; class cuts are exact-integer comparisons
+    "q207_abc_pareto" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(CAST(FLOOR(l_extendedprice*1e6+0.5) AS BIGINT)) AS rev6
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |c AS (SELECT *, SUM(rev6) OVER (ORDER BY rev6 DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum6,
+        |  SUM(rev6) OVER () AS tot6 FROM pp)
+        |SELECT l_partkey,
+        |  FLOOR(CAST(rev6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS revenue,
+        |  FLOOR(CAST(cum6 AS DOUBLE)/CAST(tot6 AS DOUBLE)*1e6+0.5)/1e6
+        |    AS cum_share,
+        |  CASE WHEN cum6*100 <= tot6*80 THEN 'A'
+        |       WHEN cum6*100 <= tot6*95 THEN 'B' ELSE 'C' END
+        |    AS abc_class
+        |FROM c WHERE l_partkey % 10 = 0
+        |ORDER BY l_partkey""".stripMargin,
+
+    // depth-bounded recursive walk with UNION dedupe (bounded by
+    // nodes × depths), min over arrival depths
+    "q208_bfs_hops" ->
+      """WITH RECURSIVE und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+        |    GREATEST(src, dst) AS b FROM
+        |  (SELECT doc_id % 311 AS src, (doc_id*11+7) % 311 AS dst
+        |    FROM documents
+        |   UNION ALL
+        |   SELECT doc_id % 311, (doc_id*23+3) % 311 FROM documents
+        |   WHERE doc_id % 2 = 0)
+        |  WHERE src <> dst),
+        |edges AS (SELECT a AS f, b AS t FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |seeds AS (SELECT DISTINCT doc_id % 311 AS node FROM documents
+        |  WHERE doc_id % 311 < 3),
+        |walk(node, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT e.t, w.hops + 1 FROM walk w JOIN edges e ON e.f = w.node
+        |  WHERE w.hops < 5)
+        |SELECT node, MIN(hops) AS hops FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     // the identical one-aggregate moment/conditional-sum row, HUGEINT
     // products, and the same θ / adjusted-mean expression trees
