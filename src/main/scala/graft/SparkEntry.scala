@@ -5333,39 +5333,63 @@ object SparkEntry {
     // The op mapping here: 'error' events are deletes, every other
     // type upserts its value.
     "q204_cdc_merge" -> ((s, dir) => {
-      // explicit base marker: a NULL segment is legal base data
-      // (adversarial fixture), so "row absent from base" must not be
-      // inferred from a nullable payload column
-      val base = Tables(s, dir, "customer")
-        .filter(col("c_custkey").isNotNull)
-        .select(col("c_custkey").as("key"), col("c_mktsegment")
-          .as("segment"),
-          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal6"),
-          lit(true).as("in_base"))
       val w = Window.partitionBy(col("key"))
         .orderBy(col("ts_us").desc, col("event_id").desc)
-      val lastOp = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+      val lastOp = cdcOps(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("op"), col("v6"))
+      cdcApply(cdcBase(s, dir), lastOp).ordered(col("key"))
+    }),
+
+    // ---- Streaming CDC: foreachBatch MERGE into the online store -------------------
+    // q204's MERGE run through the REAL streaming machinery: the op
+    // stream lands batch by batch in foreachBatch, each batch
+    // compacts to last-op-per-key and merges into a versioned
+    // OnlineTable op log (latest-per-key of a union — idempotent
+    // under batch retries, correct under ANY batch split because the
+    // stored row keeps its (ts, tie) order key), and the final
+    // snapshot applies the SAME full-outer merge as q204. The oracle
+    // IS q204's oracle — stream-batch consistency for the MERGE
+    // contract, hash-checked end to end (the q71/q123 posture, with
+    // deletes that latest-per-key alone cannot express).
+    "q209_stream_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.ops.PointInTime
+      import graft.store.OnlineTable
+      val root = scratchDir("cdconline", dir)
+      val opsPath = s"$root/ops"
+      val schema = Tables(s, dir, "events").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ops = raw
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_type").isNotNull && col("event_id").isNotNull)
-        .select(col("user_id").as("key"), col("ts_us"), col("event_id"),
+        .select(col("user_id").as("key"),
+          Tables.tsUsOf(schema).as("ts_us"), col("event_id"),
           when(col("event_type") === "error", "delete")
             .otherwise("upsert").as("op"),
           floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
             .cast("long").as("v6"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val q = ops.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val latestBatch = PointInTime.latestPerKey(batch, Seq("key"),
+            "ts_us", "event_id")
+          val merged = OnlineTable.read(sp, opsPath) match {
+            case Some(ex) => PointInTime.latestPerKey(
+              ex.unionByName(latestBatch), Seq("key"), "ts_us",
+              "event_id")
+            case None => latestBatch
+          }
+          OnlineTable.publish(merged, opsPath)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val lastOp = OnlineTable.read(s, opsPath).get
         .select(col("key"), col("op"), col("v6"))
-      base.join(lastOp, Seq("key"), "full_outer")
-        .filter(coalesce(col("op"), lit("none")) =!= "delete")
-        .select(col("key"),
-          col("segment"),
-          (floor(when(col("op") === "upsert", col("v6"))
-            .otherwise(col("bal6")).cast("double") / 1e6 * 1e2 + 0.5)
-            / 1e2).as("bal"),
-          when(col("op").isNull, "base")
-            .when(col("in_base").isNull, "inserted")
-            .otherwise("updated").as("src"))
-        .ordered(col("key"))
+      cdcApply(cdcBase(s, dir), lastOp).ordered(col("key"))
     }),
 
     // ---- Growth metrics: trailing-7-day distinct actives (sliding HLL) ----------
@@ -5821,6 +5845,75 @@ object SparkEntry {
         coalesce(col("exact_n"), lit(0L)).as("exact_n"))
       .ordered(col("term"))
   }
+
+  /** The CDC MERGE oracle, shared verbatim by q204 (batch) and q209
+    * (streaming) — the strongest stream-batch consistency statement the
+    * gate can make: one SQL, two execution routes, one hash. */
+  private val cdcOracleSql: String =
+    """WITH base AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+      |    CAST(FLOOR(c_acctbal*1e6+0.5) AS BIGINT) AS bal6,
+      |    true AS in_base
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |ops AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'delete'
+      |      ELSE 'upsert' END AS op,
+      |    CAST(FLOOR(COALESCE(value, 0)*1e6+0.5) AS BIGINT) AS v6
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      |lastop AS (SELECT key, op, v6 FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY key
+      |      ORDER BY us DESC, event_id DESC) AS rn FROM ops)
+      |  WHERE rn = 1),
+      |j AS (SELECT COALESCE(b.key, l.key) AS key, b.segment, b.bal6,
+      |    b.in_base, l.op, l.v6
+      |  FROM base b FULL OUTER JOIN lastop l ON l.key = b.key)
+      |SELECT key, segment,
+      |  FLOOR(CAST(CASE WHEN op = 'upsert' THEN v6 ELSE bal6 END
+      |    AS DOUBLE)/1e6*1e2+0.5)/1e2 AS bal,
+      |  CASE WHEN op IS NULL THEN 'base'
+      |    WHEN in_base IS NULL THEN 'inserted'
+      |    ELSE 'updated' END AS src
+      |FROM j WHERE COALESCE(op, 'none') <> 'delete'
+      |ORDER BY key""".stripMargin
+
+  /** CDC MERGE building blocks shared by the batch (q204) and streaming
+    * (q209) paths — one semantics, two execution routes, one oracle.
+    * Explicit base marker: a NULL segment is legal base data
+    * (adversarial fixture), so "row absent from base" must never be
+    * inferred from a nullable payload column. */
+  private def cdcBase(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .filter(col("c_custkey").isNotNull)
+      .select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal6"),
+        lit(true).as("in_base"))
+
+  /** The op feed: 'error' events delete their key, every other type
+    * upserts its value; order key = (ts_us, event_id). */
+  private def cdcOps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").as("key"), col("ts_us"), col("event_id"),
+        when(col("event_type") === "error", "delete")
+          .otherwise("upsert").as("op"),
+        floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
+          .cast("long").as("v6"))
+
+  /** Apply the collapsed last-op set to the base snapshot: upsert
+    * overwrites or inserts, delete removes, untouched rows survive,
+    * absent-key deletes are no-ops. */
+  private def cdcApply(base: DataFrame, lastOp: DataFrame): DataFrame =
+    base.join(lastOp, Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("none")) =!= "delete")
+      .select(col("key"), col("segment"),
+        (floor(when(col("op") === "upsert", col("v6"))
+          .otherwise(col("bal6")).cast("double") / 1e6 * 1e2 + 0.5)
+          / 1e2).as("bal"),
+        when(col("op").isNull, "base")
+          .when(col("in_base").isNull, "inserted")
+          .otherwise("updated").as("src"))
 
   /** q122's Count-Min geometry + probe terms — shared between the query
     * and its generated oracle so they can never drift (the q17/bm25Terms
@@ -7751,33 +7844,11 @@ object SparkEntry {
         |SELECT label AS cluster_id, COUNT(*) AS n_points
         |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
-    // the same last-op-wins collapse and full-outer MERGE application
-    "q204_cdc_merge" ->
-      """WITH base AS (SELECT c_custkey AS key, c_mktsegment AS segment,
-        |    CAST(FLOOR(c_acctbal*1e6+0.5) AS BIGINT) AS bal6,
-        |    true AS in_base
-        |  FROM customer WHERE c_custkey IS NOT NULL),
-        |ops AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
-        |    CASE WHEN event_type = 'error' THEN 'delete'
-        |      ELSE 'upsert' END AS op,
-        |    CAST(FLOOR(COALESCE(value, 0)*1e6+0.5) AS BIGINT) AS v6
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
-        |lastop AS (SELECT key, op, v6 FROM (SELECT *,
-        |    ROW_NUMBER() OVER (PARTITION BY key
-        |      ORDER BY us DESC, event_id DESC) AS rn FROM ops)
-        |  WHERE rn = 1),
-        |j AS (SELECT COALESCE(b.key, l.key) AS key, b.segment, b.bal6,
-        |    b.in_base, l.op, l.v6
-        |  FROM base b FULL OUTER JOIN lastop l ON l.key = b.key)
-        |SELECT key, segment,
-        |  FLOOR(CAST(CASE WHEN op = 'upsert' THEN v6 ELSE bal6 END
-        |    AS DOUBLE)/1e6*1e2+0.5)/1e2 AS bal,
-        |  CASE WHEN op IS NULL THEN 'base'
-        |    WHEN in_base IS NULL THEN 'inserted'
-        |    ELSE 'updated' END AS src
-        |FROM j WHERE COALESCE(op, 'none') <> 'delete'
-        |ORDER BY key""".stripMargin,
+    // the same last-op-wins collapse and full-outer MERGE application;
+    // q209 runs the IDENTICAL semantics through foreachBatch + the
+    // versioned op log, so it shares this oracle verbatim
+    "q204_cdc_merge" -> cdcOracleSql,
+    "q209_stream_cdc" -> cdcOracleSql,
 
     // identical contingency cells, per-cell 1e-6 quantization BEFORE
     // the sum (float order independence), IEEE-exact sqrt finale
