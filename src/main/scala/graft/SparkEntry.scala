@@ -5535,6 +5535,80 @@ object SparkEntry {
       visited.ordered(col("node"))
     }),
 
+    // ---- Network enrichment: longest-prefix CIDR match ----------------------------
+    // The geo-IP/allocation join: IPs (deterministic md5-synthesized
+    // 32-bit ints) match a CIDR table on the LONGEST covering prefix.
+    // A naive "ip BETWEEN net_lo AND net_hi" is a keyless range join;
+    // the routing-table cure: group networks by prefix LENGTH, explode
+    // each IP once per DISTINCT length present (≤ 17 here, ≤ 32 ever —
+    // a constant), mask to that width in pure integer shifts, and ride
+    // a plain equi-join on (len, masked); argmax over (len, net_id)
+    // picks the most-specific match deterministically. Unmatched IPs
+    // keep a NULL network (left join — absence is data).
+    "q210_cidr_match" -> ((s, dir) => {
+      val coin = (c: Column) => shiftrightunsigned(
+        call_function("md5_lower64", c), 33)
+      // 64 deterministic networks, prefix lengths 8..24 (all 17
+      // lengths present by construction: i % 17 covers every residue)
+      val nets = s.range(64)
+        .select(col("id").as("net_id"),
+          (lit(8L) + col("id") % 17L).as("plen"),
+          coin(concat(lit("net#"), col("id").cast("string"))).as("h"))
+        .select(col("net_id"), col("plen"),
+          expr("shiftleft(shiftrightunsigned(h, CAST(32 - plen AS INT))," +
+            " CAST(32 - plen AS INT))").as("network"))
+      val ips = Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("event_id") % 7 === 0)
+        .select(col("event_id").as("id"),
+          coin(col("event_id").cast("string")).as("ip"))
+      val cand = ips
+        .select(col("id"), col("ip"),
+          explode(sequence(lit(8L), lit(24L))).as("plen"))
+        .withColumn("masked",
+          expr("shiftleft(shiftrightunsigned(ip, CAST(32 - plen AS INT))," +
+            " CAST(32 - plen AS INT))"))
+        .join(broadcast(nets.withColumnRenamed("network", "masked")),
+          Seq("plen", "masked"))
+      val best = cand.groupBy(col("id"))
+        .agg(max(struct(col("plen"), col("net_id"))).as("m"))
+        .select(col("id"), col("m.plen").as("plen"),
+          col("m.net_id").as("net_id"))
+      ips.join(best, Seq("id"), "left")
+        .select(col("id"), col("ip"), col("plen"), col("net_id"))
+        .ordered(col("id"))
+    }),
+
+    // ---- Privacy: right-to-be-forgotten scrub audit --------------------------------
+    // The deletion-request sweep: a key set (users with >= 3 'error'
+    // events — the deterministic stand-in for a request queue) is
+    // scrubbed from every table that references it, and the audit
+    // row each table must produce (before / deleted / after) comes
+    // from ONE scan with a broadcast key-marker left join — never a
+    // count-then-anti-join double pass. NULL keys are not deletable
+    // and survive (the documented posture); the key set is
+    // deduplicated before the join so markers can't fan out rows.
+    "q211_forget_scrub" -> ((s, dir) => {
+      val keys = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("user_id").as("__k"), lit(1L).as("__del"))
+      def audit(name: String, df: DataFrame, key: String) =
+        df.join(broadcast(keys), col(key) === col("__k"), "left")
+          .agg(count(lit(1)).as("rows_before"),
+            sum(coalesce(col("__del"), lit(0L))).as("rows_deleted"))
+          .select(lit(name).as("table_name"), col("rows_before"),
+            col("rows_deleted"),
+            (col("rows_before") - col("rows_deleted")).as("rows_after"))
+      audit("customer", Tables(s, dir, "customer"), "c_custkey")
+        .unionByName(audit("events", Tables(s, dir, "events"),
+          "user_id"))
+        .unionByName(audit("orders", Tables(s, dir, "orders"),
+          "o_custkey"))
+        .ordered(col("table_name"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7849,6 +7923,47 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // INDEPENDENT plan: the oracle joins networks on the mask
+    // EXPRESSION directly (no per-length explode) and picks the
+    // longest match by window rank — validating the explode+equi-join
+    // algebra, not replaying it
+    "q210_cidr_match" ->
+      """WITH nets AS (SELECT i AS net_id, 8 + i % 17 AS plen,
+        |    ((md5_number_lower('net#' || CAST(i AS VARCHAR)) >> 33)
+        |      >> (32 - (8 + i % 17))) << (32 - (8 + i % 17)) AS network
+        |  FROM range(64) t(i)),
+        |ips AS (SELECT event_id AS id,
+        |    (md5_number_lower(CAST(event_id AS VARCHAR)) >> 33)::BIGINT
+        |      AS ip
+        |  FROM events WHERE event_id IS NOT NULL AND event_id % 7 = 0),
+        |m AS (SELECT ips.id, n.plen, n.net_id,
+        |    ROW_NUMBER() OVER (PARTITION BY ips.id
+        |      ORDER BY n.plen DESC, n.net_id DESC) AS rn
+        |  FROM ips JOIN nets n
+        |    ON ((ips.ip >> (32 - n.plen)) << (32 - n.plen)) = n.network),
+        |best AS (SELECT id, plen, net_id FROM m WHERE rn = 1)
+        |SELECT ips.id, ips.ip, best.plen, best.net_id
+        |FROM ips LEFT JOIN best ON best.id = ips.id
+        |ORDER BY ips.id""".stripMargin,
+
+    // same key set, one conditional-count pass per table
+    "q211_forget_scrub" -> {
+      val keys = """SELECT user_id FROM events
+                   |    WHERE user_id IS NOT NULL AND event_type = 'error'
+                   |    GROUP BY user_id HAVING COUNT(*) >= 3""".stripMargin
+      def one(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS table_name, COUNT(*) AS rows_before,
+           |  CAST(SUM(CASE WHEN $key IN ($keys) THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS rows_deleted,
+           |  COUNT(*) - CAST(SUM(CASE WHEN $key IN ($keys)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_after
+           |FROM $table""".stripMargin
+      Seq(one("customer", "customer", "c_custkey"),
+        one("events", "events", "user_id"),
+        one("orders", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     // identical contingency cells, per-cell 1e-6 quantization BEFORE
     // the sum (float order independence), IEEE-exact sqrt finale
