@@ -5609,6 +5609,91 @@ object SparkEntry {
         .ordered(col("table_name"))
     }),
 
+    // ---- Corpus comparison: chi-square keyness ------------------------------------
+    // Which tokens distinguish the English slice from the rest? The
+    // log-free keyness statistic (chi-square over each token's 2×2
+    // contingency vs the corpus split — log-likelihood keyness needs
+    // ln, the q74 lesson): one tokenize scan, per-token side counts,
+    // totals ride a ONE-ROW broadcast (the q79 lazy-denominator
+    // shape), χ² in a fixed quantized tree, enrichment direction by
+    // exact integer cross-multiplication (a·N_b vs b·N_a — no float
+    // ratios), deterministic top-50 via (χ², token) TakeOrdered.
+    "q212_keyness" -> ((s, dir) => {
+      // persist: counts and totals both consume the tokenize (the
+      // q149 pin discipline — one scan, two aggregations)
+      val toks = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(when(col("lang") === "en", lit("A")).otherwise(lit("B"))
+          .as("side"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .persist()
+      val counts = toks.groupBy(col("tok")).agg(
+        sum(when(col("side") === "A", 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === "B", 1L).otherwise(0L)).as("b"))
+        .filter(col("a") + col("b") >= 5)
+      val totals = toks.agg(
+        sum(when(col("side") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === "B", 1L).otherwise(0L)).as("nb"))
+      def d(c: Column) = c.cast("double")
+      val c0 = col("na") - col("a") // side-A non-occurrences
+      val d0 = col("nb") - col("b")
+      val nTot = col("na") + col("nb")
+      val num = d(nTot) *
+        (d(col("a")) * d(d0) - d(col("b")) * d(c0)) *
+        (d(col("a")) * d(d0) - d(col("b")) * d(c0))
+      val den = d(col("a") + col("b")) * d(c0 + d0) * d(col("na")) *
+        d(col("nb"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"), col("a").as("n_en"), col("b").as("n_other"),
+          (floor(num / den * 1e4 + 0.5) / 1e4).as("chi2"),
+          when(col("a") * col("nb") > col("b") * col("na"), "en")
+            .otherwise("other").as("enriched_in"))
+        .orderBy(col("chi2").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // ---- Lakehouse design: layout clustering-depth advisor -------------------------
+    // WHY range layout beats hash layout for pruning, measured: rows
+    // land in 16 simulated files under (a) md5-hash layout and (b)
+    // range layout (ntile over the deterministic (day, key) total
+    // order); each file's [min_day, max_day] interval melts into the
+    // q183 +1/-1 sweep, whose max prefix = CLUSTERING DEPTH — how many
+    // files a point query on the sort column must read. Hash layout's
+    // depth ≈ all files (every file spans the whole domain); range
+    // layout's ≈ 1-2. The advisor row pair IS the Z-order/sort-key
+    // recommendation evidence, computed without writing a single file.
+    "q213_layout_depth" -> ((s, dir) => {
+      val nFiles = 16
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+      val hashFile = o.select(lit("hash").as("layout"),
+        (shiftrightunsigned(call_function("md5_lower64",
+          col("o_orderkey").cast("string")), 33) % nFiles).as("file"),
+        col("day"))
+      val w = Window.orderBy(col("day"), col("o_orderkey"))
+      val rangeFile = o.select(lit("range").as("layout"),
+        (ntile(nFiles).over(w).cast("long") - 1).as("file"), col("day"))
+      val files = hashFile.unionByName(rangeFile)
+        .groupBy(col("layout"), col("file"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      // closed intervals -> half-open [lo, hi+1) for the sweep
+      val pts = files.select(col("layout"), col("lo").as("t"),
+          lit(1).as("d"))
+        .unionByName(files.select(col("layout"),
+          (col("hi") + 1).as("t"), lit(-1).as("d")))
+      val ws = Window.partitionBy(col("layout")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("depth", sum(col("d")).over(ws))
+        .groupBy(col("layout"))
+        .agg(max(col("depth")).as("max_depth"),
+          count(lit(1)).as("n_endpoints"))
+        .withColumn("n_files", lit(nFiles.toLong))
+        .ordered(col("layout"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7923,6 +8008,64 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // same split counts + the identical left-associated χ² tree;
+    // enrichment by exact integer cross-multiplication
+    "q212_keyness" ->
+      """WITH toks AS (SELECT
+        |    CASE WHEN lang='en' THEN 'A' ELSE 'B' END AS side,
+        |    unnest(list_filter(string_split(lower(text),' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT tok,
+        |    SUM(CASE WHEN side='A' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN side='B' THEN 1 ELSE 0 END) AS b
+        |  FROM toks GROUP BY 1
+        |  HAVING SUM(CASE WHEN side='A' THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN side='B' THEN 1 ELSE 0 END) >= 5),
+        |t AS (SELECT SUM(CASE WHEN side='A' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN side='B' THEN 1 ELSE 0 END) AS nb FROM toks)
+        |SELECT tok, a AS n_en, b AS n_other,
+        |  FLOOR(CAST(na+nb AS DOUBLE)
+        |    * (CAST(a AS DOUBLE)*CAST(nb-b AS DOUBLE)
+        |       - CAST(b AS DOUBLE)*CAST(na-a AS DOUBLE))
+        |    * (CAST(a AS DOUBLE)*CAST(nb-b AS DOUBLE)
+        |       - CAST(b AS DOUBLE)*CAST(na-a AS DOUBLE))
+        |    / (CAST(a+b AS DOUBLE)*CAST((na-a)+(nb-b) AS DOUBLE)
+        |       *CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    *1e4+0.5)/1e4 AS chi2,
+        |  CASE WHEN a*nb > b*na THEN 'en' ELSE 'other' END
+        |    AS enriched_in
+        |FROM c, t
+        |ORDER BY chi2 DESC, tok LIMIT 50""".stripMargin,
+
+    // identical simulated layouts (md5 hash files; NTILE under the
+    // same total order — both engines put remainder rows in the first
+    // buckets) and the q183 sweep
+    "q213_layout_depth" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL),
+        |hf AS (SELECT 'hash' AS layout,
+        |    CAST((md5_number_lower(CAST(o_orderkey AS VARCHAR)) >> 33)
+        |      % 16 AS BIGINT) AS file, day FROM o),
+        |rf AS (SELECT 'range' AS layout,
+        |    CAST(NTILE(16) OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT)
+        |      AS file, day FROM o),
+        |files AS (SELECT layout, file, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM (SELECT * FROM hf UNION ALL SELECT * FROM rf)
+        |  GROUP BY 1, 2),
+        |pts AS (SELECT layout, lo AS t, 1 AS d FROM files
+        |  UNION ALL SELECT layout, hi+1, -1 FROM files),
+        |sweep AS (SELECT layout,
+        |    SUM(d) OVER (PARTITION BY layout ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |  FROM pts)
+        |SELECT layout, CAST(MAX(depth) AS BIGINT) AS max_depth,
+        |  COUNT(*) AS n_endpoints, CAST(16 AS BIGINT) AS n_files
+        |FROM sweep GROUP BY layout ORDER BY layout""".stripMargin,
 
     // INDEPENDENT plan: the oracle joins networks on the mask
     // EXPRESSION directly (no per-length explode) and picks the

@@ -69,6 +69,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *     result (q190: the distinct-order count onto the pair table;
     *     q197: each FK edge's one-row totals × one-row orphan count —
     *     the q79/q88/q118 lazy-denominator shape).
+    *   - q212: the ONE-ROW corpus-split totals crossed onto the
+    *     per-token count table (χ² needs N_a/N_b on every row — the
+    *     q79 lazy-denominator shape again).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -78,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
     "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
-    "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity")
+    "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
+    "q212_keyness")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
