@@ -5694,6 +5694,77 @@ object SparkEntry {
         .ordered(col("layout"))
     }),
 
+    // ---- Source family: schema-evolution merged scan --------------------------------
+    // The lakehouse reality: yesterday's files lack today's column.
+    // Two parquet generations (v1: key+status; v2 adds a priority
+    // column) land in one directory tree; `mergeSchema` unifies the
+    // scan and v1 rows surface the new column as NULL — the documented
+    // evolution posture, proven by the hash (a reader that dropped or
+    // defaulted the column would diverge). The oracle replays the
+    // union with explicit NULL padding.
+    "q214_schema_merge" -> ((s, dir) => {
+      val out = scratchDir("schemaevo", dir)
+      val o = Tables(s, dir, "orders").filter(col("o_orderkey").isNotNull)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .filter(col("k") % 10 === 0)
+        .select(col("k"), col("status"), col("prio"), col("gen"))
+        .ordered(col("k"))
+    }),
+
+    // ---- Columnar nested types: deep struct/array/map round trip --------------------
+    // The nested-type surface end to end: per user, an array of
+    // per-type structs each carrying a map payload and an ordered
+    // event-id array, written to parquet, read back, and FLATTENED
+    // back to scalars — the hash proves parquet's nested encodings
+    // (repetition/definition levels, map key-value groups) and
+    // Spark's nested readers round-trip losslessly. Assembly uses
+    // sort_array under the (type) total order; the map carries
+    // min/max micro-values keyed by literal strings.
+    "q215_nested_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("nested", dir)
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+      val perType = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
+            .cast("long")).as("vmin6"),
+          max(floor(coalesce(col("value"), lit(0.0)) * 1e6 + 0.5)
+            .cast("long")).as("vmax6"),
+          sort_array(collect_list(col("event_id"))).as("ids"))
+      // maps are not orderable: sort the scalar struct first, inject
+      // the map AFTER via transform (order-preserving)
+      val nested = perType.groupBy(col("user_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("event_type"), col("n"),
+            col("vmin6"), col("vmax6"),
+            slice(col("ids"), 1, 5).as("head_ids")))),
+          x => struct(x.getField("event_type").as("event_type"),
+            x.getField("n").as("n"),
+            map(lit("vmin"), x.getField("vmin6"),
+              lit("vmax"), x.getField("vmax6")).as("stats"),
+            x.getField("head_ids").as("head_ids"))).as("types"))
+      nested.write.mode("overwrite").parquet(s"$out/t")
+      s.read.parquet(s"$out/t")
+        .select(col("user_id"), explode(col("types")).as("t"))
+        .select(col("user_id"), col("t.event_type").as("event_type"),
+          col("t.n").as("n"),
+          element_at(col("t.stats"), "vmin").as("vmin6"),
+          element_at(col("t.stats"), "vmax").as("vmax6"),
+          array_join(transform(col("t.head_ids"),
+            x => x.cast("string")), ",").as("head_ids"))
+        .ordered(col("user_id"), col("event_type"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8008,6 +8079,31 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // the union with explicit NULL padding: v1 rows must surface the
+    // evolved column as NULL, and the partition column by parity
+    "q214_schema_merge" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio,
+        |  CAST(1 + o_orderkey % 2 AS INT) AS gen
+        |FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 10 = 0
+        |ORDER BY k""".stripMargin,
+
+    // the flattened scalars recomputed directly — the nested encode/
+    // decode hop must be lossless for the hash to agree
+    "q215_nested_roundtrip" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(COALESCE(value, 0)*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |pt AS (SELECT user_id, event_type, COUNT(*) AS n,
+        |    MIN(v6) AS vmin6, MAX(v6) AS vmax6,
+        |    list_sort(list(event_id)) AS ids
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, event_type, n, vmin6, vmax6,
+        |  array_to_string(list_transform(ids[1:5],
+        |    x -> CAST(x AS VARCHAR)), ',') AS head_ids
+        |FROM pt ORDER BY user_id, event_type""".stripMargin,
 
     // same split counts + the identical left-associated χ² tree;
     // enrichment by exact integer cross-multiplication
