@@ -5765,6 +5765,61 @@ object SparkEntry {
         .ordered(col("user_id"), col("event_type"))
     }),
 
+    // ---- Lakehouse design: Z-order vs single-dim layouts, per-dim depth ----------
+    // q213's advisor extended to TWO query dimensions (day, customer):
+    // three simulated 16-file layouts — range-by-day, range-by-
+    // customer, and Morton Z-ORDER over both (the shared 28-bit
+    // interleave expression) — each measured by per-dimension
+    // clustering depth (the q183 sweep over per-file [min, max] of
+    // EACH dim). The table IS the Z-order argument: a single-dim sort
+    // prunes its own dimension to depth ~1 and abandons the other to
+    // depth ~nFiles; Z-order lands in the middle on BOTH — the
+    // evidence a table-layout advisor shows before recommending a
+    // sort key, computed without writing a file.
+    "q216_zorder_depth" -> ((s, dir) => {
+      val nFiles = 16
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          col("o_custkey").as("cust"))
+        // 14-bit domains for the interleave: day is offset to its
+        // span's origin, cust is already < 2^14 at every fixture SF
+        .withColumn("day14", col("day") - lit(9131L))
+        .withColumn("z", expr(mortonSqlExpr("day14", "cust")))
+        .persist()
+      def layout(name: String, orderCol: Column) = {
+        val w = Window.orderBy(orderCol, col("o_orderkey"))
+        o.select(lit(name).as("layout"),
+          (ntile(nFiles).over(w).cast("long") - 1).as("file"),
+          col("day"), col("cust"))
+      }
+      val files = layout("range_day", col("day"))
+        .unionByName(layout("range_cust", col("cust")))
+        .unionByName(layout("zorder", col("z")))
+        .groupBy(col("layout"), col("file"))
+        .agg(min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),
+          min(col("cust")).as("cust_lo"), max(col("cust")).as("cust_hi"))
+      def depth(dim: String, lo: String, hi: String) = {
+        val pts = files.select(col("layout"), col(lo).as("t"),
+            lit(1).as("d"))
+          .unionByName(files.select(col("layout"),
+            (col(hi) + 1).as("t"), lit(-1).as("d")))
+        val ws = Window.partitionBy(col("layout"))
+          .orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("depth", sum(col("d")).over(ws))
+          .groupBy(col("layout"))
+          .agg(max(col("depth")).cast("long").as("max_depth"))
+          .select(col("layout"), lit(dim).as("dim"), col("max_depth"))
+      }
+      depth("day", "day_lo", "day_hi")
+        .unionByName(depth("cust", "cust_lo", "cust_hi"))
+        .ordered(col("layout"), col("dim"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -6075,6 +6130,17 @@ object SparkEntry {
         coalesce(col("exact_n"), lit(0L)).as("exact_n"))
       .ordered(col("term"))
   }
+
+  /** 28-bit Morton (Z-order) interleave of two 14-bit values as ONE SQL
+    * expression string — shared verbatim by q216's Spark side (via
+    * `expr`) and its DuckDB oracle, so the bit algebra can never drift
+    * (the q142/cmsParams discipline). Plain >>, &, | and + only —
+    * identical semantics in both engines for non-negative BIGINTs. */
+  private def mortonSqlExpr(a: String, b: String): String =
+    (0 until 14).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
 
   /** The CDC MERGE oracle, shared verbatim by q204 (batch) and q209
     * (streaming) — the strongest stream-batch consistency statement the
@@ -8079,6 +8145,50 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // identical layouts (NTILE under the same total orders, the SHARED
+    // Morton expression string) and the q183 sweep per dimension
+    "q216_zorder_depth" -> {
+      val morton = mortonSqlExpr("day14", "cust")
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS day,
+         |    o_custkey AS cust
+         |  FROM orders WHERE o_orderkey IS NOT NULL
+         |    AND o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+         |zz AS (SELECT *, $morton AS z
+         |  FROM (SELECT *, day - 9131 AS day14 FROM o)),
+         |lay AS (
+         |  SELECT 'range_day' AS layout,
+         |    CAST(NTILE(16) OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT)
+         |      AS file, day, cust FROM zz
+         |  UNION ALL SELECT 'range_cust',
+         |    CAST(NTILE(16) OVER (ORDER BY cust, o_orderkey) - 1 AS BIGINT),
+         |    day, cust FROM zz
+         |  UNION ALL SELECT 'zorder',
+         |    CAST(NTILE(16) OVER (ORDER BY z, o_orderkey) - 1 AS BIGINT),
+         |    day, cust FROM zz),
+         |files AS (SELECT layout, file, MIN(day) AS day_lo,
+         |    MAX(day) AS day_hi, MIN(cust) AS cust_lo,
+         |    MAX(cust) AS cust_hi
+         |  FROM lay GROUP BY 1, 2),
+         |ptsd AS (SELECT layout, day_lo AS t, 1 AS d FROM files
+         |  UNION ALL SELECT layout, day_hi + 1, -1 FROM files),
+         |ptsc AS (SELECT layout, cust_lo AS t, 1 AS d FROM files
+         |  UNION ALL SELECT layout, cust_hi + 1, -1 FROM files),
+         |dd AS (SELECT layout, 'day' AS dim,
+         |    CAST(MAX(depth) AS BIGINT) AS max_depth FROM
+         |  (SELECT layout, SUM(d) OVER (PARTITION BY layout
+         |     ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |     CURRENT ROW) AS depth FROM ptsd) GROUP BY 1),
+         |dc AS (SELECT layout, 'cust' AS dim,
+         |    CAST(MAX(depth) AS BIGINT) AS max_depth FROM
+         |  (SELECT layout, SUM(d) OVER (PARTITION BY layout
+         |     ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |     CURRENT ROW) AS depth FROM ptsc) GROUP BY 1)
+         |SELECT * FROM dd UNION ALL SELECT * FROM dc
+         |ORDER BY layout, dim""".stripMargin
+    },
 
     // the union with explicit NULL padding: v1 rows must surface the
     // evolved column as NULL, and the partition column by parity
