@@ -5662,6 +5662,11 @@ object SparkEntry {
     // depth ≈ all files (every file spans the whole domain); range
     // layout's ≈ 1-2. The advisor row pair IS the Z-order/sort-key
     // recommendation evidence, computed without writing a single file.
+    // Scale contract: the global-order NTILE is the SIMULATED file
+    // assignment, not a production shuffle — a layout advisor runs on
+    // a bounded deterministic sample at 100 TB (q66's hash-rate
+    // sampling composes in front), so the one-task sort is bounded by
+    // the advisor's own sample budget, never the table.
     "q213_layout_depth" -> ((s, dir) => {
       val nFiles = 16
       val o = Tables(s, dir, "orders")
@@ -5775,7 +5780,9 @@ object SparkEntry {
     // prunes its own dimension to depth ~1 and abandons the other to
     // depth ~nFiles; Z-order lands in the middle on BOTH — the
     // evidence a table-layout advisor shows before recommending a
-    // sort key, computed without writing a file.
+    // sort key, computed without writing a file. Same scale contract
+    // as q213: the NTILE is the simulated assignment over the
+    // advisor's bounded sample, not a production shuffle.
     "q216_zorder_depth" -> ((s, dir) => {
       val nFiles = 16
       val o = Tables(s, dir, "orders")
