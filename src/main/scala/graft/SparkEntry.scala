@@ -5827,6 +5827,53 @@ object SparkEntry {
         .ordered(col("layout"), col("dim"))
     }),
 
+    // ---- Temporal consistency: SCD2 interval lookup == as-of join ------------------
+    // The identity every bitemporal warehouse depends on, stated as a
+    // query: for sampled (user, t) probes, the SCD2 dimension's
+    // half-open interval lookup (valid_from <= t < valid_to, NULL =
+    // open) and the raw change log's as-of join (latest change <= t)
+    // must produce the SAME attribute. Both paths run IN the engine —
+    // the oracle states the ideal once (argmax change per probe) and
+    // emits it for BOTH columns plus consistent=true, so a divergence
+    // in EITHER path breaks the hash. Interval lookup rides the
+    // user-keyed equi join with the range as a post-filter (the q52
+    // shape); the as-of path is PointInTime.asofJoin with <= t.
+    "q217_scd2_pit" -> ((s, dir) => {
+      val ch = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .persist()
+      val dim = Scd.scd2(ch, "user_id", "ts_us", "event_id",
+        Seq("event_type"))
+      val probes = ch.filter(col("event_id") % 17 === 0)
+        .select(col("user_id"), col("event_id").as("probe_id"),
+          col("ts_us").as("t"))
+      val interval = probes.join(dim.select(col("user_id"),
+            col("event_type").as("attr_interval"), col("valid_from"),
+            col("valid_to")),
+          Seq("user_id"))
+        .filter(col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")))
+        .select(col("user_id"), col("probe_id"), col("t"),
+          col("attr_interval"))
+      val asof = PointInTime.asofJoin(probes,
+          ch.select(col("user_id"), col("ts_us"),
+            col("event_id").as("tie"), col("event_type")
+              .as("attr_asof")),
+          Seq("user_id"), "t", "ts_us",
+          ttlUs = 10L * 365 * 24 * 3600 * 1000000L, strict = false,
+          rightTieBreak = "tie")
+        .select(col("user_id"), col("probe_id"), col("t"),
+          col("attr_asof"))
+      interval.join(asof, Seq("user_id", "probe_id", "t"))
+        .select(col("user_id"), col("probe_id"), col("t"),
+          col("attr_interval"), col("attr_asof"),
+          (col("attr_interval") <=> col("attr_asof")).as("consistent"))
+        .ordered(col("user_id"), col("probe_id"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8152,6 +8199,23 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // the ideal stated ONCE (argmax change per probe) and emitted for
+    // both columns — a divergence in either engine path breaks the hash
+    "q217_scd2_pit" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |p AS (SELECT user_id, event_id AS probe_id, us AS t FROM ch
+        |  WHERE event_id % 17 = 0),
+        |sel AS (SELECT p.user_id, p.probe_id, p.t, e.event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.probe_id
+        |      ORDER BY e.us DESC, e.event_id DESC) AS rn
+        |  FROM p JOIN ch e ON e.user_id = p.user_id AND e.us <= p.t)
+        |SELECT user_id, probe_id, t, event_type AS attr_interval,
+        |  event_type AS attr_asof, true AS consistent
+        |FROM sel WHERE rn = 1 ORDER BY user_id, probe_id""".stripMargin,
 
     // identical layouts (NTILE under the same total orders, the SHARED
     // Morton expression string) and the q183 sweep per dimension
