@@ -418,6 +418,13 @@ object Scaling {
       // EXISTS to measure that single-reducer-per-stratum tail
       "stratified" ->
         (dir => SparkEntry.queries("q179_stratified")(spark, dir)),
+      // round-12 second wave (events-backed — the synthesized dir
+      // carries only events/documents/embeddings): the constant-factor
+      // explode join and the sliding sketch must track event volume
+      "cidr_match" ->
+        (dir => SparkEntry.queries("q210_cidr_match")(spark, dir)),
+      "sliding_hll" ->
+        (dir => SparkEntry.queries("q205_sliding_hll")(spark, dir)),
       // q181's grid join with DENSITY-NORMALIZED eps (eps ∝ 1/sqrt(n)
       // holds expected output ~linear in points — fixed eps on a fixed
       // plane would grow pairs quadratically BY DEFINITION, measuring
