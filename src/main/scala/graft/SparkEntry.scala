@@ -5874,6 +5874,43 @@ object SparkEntry {
         .ordered(col("user_id"), col("probe_id"))
     }),
 
+    // ---- Master data: golden-record survivorship ------------------------------------
+    // The MDM consolidation step after entity resolution: duplicate
+    // groups (synthetic: custkey div 5) collapse to one golden record
+    // under FIELD-LEVEL survivorship rules, each rule a pure
+    // aggregate (no window, no per-group sort): segment from the
+    // highest-(balance, id) member that HAS one (max over a
+    // null-guarded struct — a group with no non-null segment yields
+    // NULL, never a guess), name by longest-then-lexicographically-
+    // last, nation from the lowest member id, balance as the max.
+    // One group-keyed aggregation carries every rule at once.
+    "q218_golden_record" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("id"),
+          expr("c_custkey div 5").as("grp"),
+          col("c_mktsegment").as("seg"), col("c_name").as("name"),
+          col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal6"))
+      c.groupBy(col("grp")).agg(
+          min(col("id")).as("golden_id"),
+          count(lit(1)).as("n_members"),
+          max(when(col("seg").isNotNull,
+            struct(col("bal6"), col("id"), col("seg")))).as("segPick"),
+          max(when(col("name").isNotNull,
+            struct(length(col("name")).as("len"), col("name"))))
+            .as("namePick"),
+          min(struct(col("id"), col("nation"))).as("nationPick"),
+          max(col("bal6")).as("maxBal6"))
+        .select(col("grp"), col("golden_id"), col("n_members"),
+          col("segPick.seg").as("segment"),
+          col("namePick.name").as("name"),
+          col("nationPick.nation").as("nation"),
+          (floor(col("maxBal6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
+            .as("balance"))
+        .ordered(col("grp"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8199,6 +8236,35 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // each survivorship rule replayed as an ordered ignore-ahead
+    // FIRST_VALUE window (non-null first, then the rule's order) —
+    // equivalent row picks to the engine's null-guarded struct maxes
+    "q218_golden_record" ->
+      """WITH c AS (SELECT c_custkey AS id, c_custkey // 5 AS grp,
+        |    c_mktsegment AS seg, c_name AS name, c_nationkey AS nation,
+        |    CAST(FLOOR(c_acctbal*1e6+0.5) AS BIGINT) AS bal6
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |w AS (SELECT grp, id, bal6,
+        |    FIRST_VALUE(seg) OVER (PARTITION BY grp
+        |      ORDER BY CASE WHEN seg IS NULL THEN 0 ELSE 1 END DESC,
+        |        bal6 DESC, id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS segment,
+        |    FIRST_VALUE(name) OVER (PARTITION BY grp
+        |      ORDER BY CASE WHEN name IS NULL THEN 0 ELSE 1 END DESC,
+        |        LENGTH(name) DESC, name DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS name_pick,
+        |    FIRST_VALUE(nation) OVER (PARTITION BY grp ORDER BY id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS nation_pick
+        |  FROM c)
+        |SELECT grp, MIN(id) AS golden_id, COUNT(*) AS n_members,
+        |  MAX(segment) AS segment, MAX(name_pick) AS name,
+        |  MAX(nation_pick) AS nation,
+        |  FLOOR(CAST(MAX(bal6) AS DOUBLE)/1e6*1e2+0.5)/1e2 AS balance
+        |FROM w GROUP BY grp ORDER BY grp""".stripMargin,
 
     // the ideal stated ONCE (argmax change per probe) and emitted for
     // both columns — a divergence in either engine path breaks the hash
