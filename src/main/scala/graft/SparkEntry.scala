@@ -5911,6 +5911,56 @@ object SparkEntry {
         .ordered(col("grp"))
     }),
 
+    // ---- Text: keyword-in-context (KWIC) extraction ----------------------------------
+    // The concordance view an annotation pipeline serves: for docs
+    // containing the term, the FIRST occurrence's ±20-char window,
+    // clamped at the document edges — pure locate/substring projection
+    // (codegen'd, zero shuffle; the scan IS the operator). 1-based
+    // locate and length-clamped substring behave identically in both
+    // engines; no regex, no locale-sensitive casing (the term is
+    // matched as-is on the lowercased text).
+    "q219_kwic" -> ((s, dir) => {
+      val term = "data"
+      val pos = locate(term, lower(col("text")))
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && pos > 0)
+        .select(col("doc_id"), pos.cast("long").as("pos"),
+          substring(col("text"), greatest(pos - 20, lit(1)),
+            lit(40 + term.length)).as("snippet"))
+        .ordered(col("doc_id"))
+    }),
+
+    // ---- Data mixing: largest-remainder quota apportionment ---------------------------
+    // Allocating a fixed sample budget across sources proportionally
+    // and EXACTLY (quotas must sum to the budget — naive rounding
+    // doesn't): Hamilton's method in pure integers — floor shares
+    // from BIGINT products, remainders ranked (remainder desc, source
+    // asc — deterministic), the leftover units distributed one each
+    // to the top remainders. The allocation table is |sources| rows;
+    // both windows ride that tiny frame, never the corpus. The budget
+    // invariant (Σ quota = K exactly) is part of the hash.
+    "q220_apportionment" -> ((s, dir) => {
+      val budget = 1000L
+      val counts = Tables(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val withTot = counts.withColumn("tot", sum(col("n")).over(wAll))
+      val base = withTot
+        .withColumn("floor_q", expr(s"(n * $budget) div tot"))
+        .withColumn("rem", col("n") * budget - col("floor_q") * col("tot"))
+      val wRank = Window.orderBy(col("rem").desc, col("source"))
+      val wSum = Window.partitionBy()
+      base
+        .withColumn("leftover", lit(budget) - sum(col("floor_q")).over(wSum))
+        .withColumn("rk", row_number().over(wRank))
+        .select(col("source"), col("n"),
+          (col("floor_q") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .ordered(col("source"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8236,6 +8286,33 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // same 1-based locate and edge-clamped character substring
+    "q219_kwic" ->
+      """SELECT doc_id,
+        |  CAST(strpos(lower(text), 'data') AS BIGINT) AS pos,
+        |  substr(text,
+        |    GREATEST(strpos(lower(text), 'data') - 20, 1), 44)
+        |    AS snippet
+        |FROM documents WHERE text IS NOT NULL
+        |  AND strpos(lower(text), 'data') > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical Hamilton arithmetic in BIGINT; the budget invariant
+    // rides the hash
+    "q220_apportionment" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT *, SUM(n) OVER () AS tot FROM c),
+        |b AS (SELECT *, (n * 1000) // tot AS floor_q,
+        |    n*1000 - ((n*1000)//tot)*tot AS rem FROM t),
+        |r AS (SELECT *,
+        |    CAST(1000 - SUM(floor_q) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT source, n,
+        |  CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r ORDER BY source""".stripMargin,
 
     // each survivorship rule replayed as an ordered ignore-ahead
     // FIRST_VALUE window (non-null first, then the rule's order) —
