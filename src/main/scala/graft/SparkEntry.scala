@@ -5961,6 +5961,84 @@ object SparkEntry {
         .ordered(col("source"))
     }),
 
+    // ---- Product analytics: within-session event baskets ------------------------------
+    // q182's sessions as q190's baskets: which event types co-occur in
+    // ONE session? Sessionize (2h gap, the q182 machinery), distinct
+    // (session, type), pair via the session-keyed self-join with
+    // a < b (candidate mass Σ per-session C(types,2) — bounded by the
+    // type alphabet, never sessions²), support over the session count.
+    // The composition a product team actually asks for — "do viewers
+    // click in the same visit?" — and the pair-join discipline reused
+    // at a different grain.
+    "q221_session_basket" -> ((s, dir) => {
+      val gapUs = 7200L * 1000000L
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val items = e
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs,
+            lit(0L)).otherwise(lit(1L)))
+        .withColumn("sess_no", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("user_id"), col("sess_no"), col("event_type"))
+        .distinct()
+        .persist()
+      val nSess = items.select(col("user_id"), col("sess_no")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val pairs = items.join(items
+            .select(col("user_id"), col("sess_no"),
+              col("event_type").as("type_b")),
+          Seq("user_id", "sess_no"))
+        .filter(col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("a"), col("type_b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs.crossJoin(broadcast(nSess))
+        .select(col("a"), col("b"), col("n_ab"),
+          (floor(col("n_ab").cast("double") /
+            col("n_sessions").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("support"))
+        .ordered(col("a"), col("b"))
+    }),
+
+    // ---- Data quality: cross-table value reconciliation -----------------------------
+    // Does the order header's total agree with its lines? Per order,
+    // the micro-unit line sum Σ price·(1−disc)·(1+tax) (per-row IEEE
+    // product — a FIXED tree, quantized once at the end of each line,
+    // so the integer sum is order-insensitive) compares against
+    // o_totalprice in EXACT integers:
+    // tolerance bands by cross-multiplication (|Δ|·10000 vs tot·k),
+    // never a float ratio. Synthetic fixtures don't maintain the
+    // invariant — which is the point: the audit CLASSIFIES the
+    // discrepancy distribution instead of asserting zero.
+    "q222_value_reconcile" -> ((s, dir) => {
+      val line6 = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
+        * 1e6 + 0.5).cast("long")
+      val lines = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(line6).as("lines6"), count(lit(1)).as("n_lines"))
+      val diff = abs(col("lines6") - col("tot6"))
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("tot6"))
+        .join(lines, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          when(col("lines6").isNull, "no_lines")
+            .when(diff === 0, "exact")
+            .when(diff * 100 <= col("tot6"), "within_1pct")
+            .when(diff * 10 <= col("tot6"), "within_10pct")
+            .otherwise("off").as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+        .ordered(col("band"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8286,6 +8364,54 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // the same sessionization, distinct (session, type) baskets, and
+    // a<b pair join; support over the distinct-session count
+    "q221_session_basket" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN us - LAG(us) OVER w <= 7200000000
+        |    THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |n AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sess_no FROM f),
+        |items AS (SELECT DISTINCT user_id, sess_no, event_type FROM n),
+        |ns AS (SELECT COUNT(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, sess_no FROM items)),
+        |p AS (SELECT a.event_type AS a, b.event_type AS b,
+        |    COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.user_id = b.user_id
+        |    AND a.sess_no = b.sess_no AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab,
+        |  FLOOR(CAST(n_ab AS DOUBLE)/CAST(n_sessions AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS support
+        |FROM p, ns ORDER BY a, b""".stripMargin,
+
+    // the identical per-line fixed product tree and integer bands
+    "q222_value_reconcile" ->
+      """WITH l AS (SELECT l_orderkey AS o_orderkey,
+        |    SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS lines6,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice*1e6+0.5) AS BIGINT) AS tot6
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |j AS (SELECT o.o_orderkey, o.tot6, l.lines6 FROM o
+        |  LEFT JOIN l USING (o_orderkey))
+        |SELECT CASE WHEN lines6 IS NULL THEN 'no_lines'
+        |  WHEN abs(lines6 - tot6) = 0 THEN 'exact'
+        |  WHEN abs(lines6 - tot6) * 100 <= tot6 THEN 'within_1pct'
+        |  WHEN abs(lines6 - tot6) * 10 <= tot6 THEN 'within_10pct'
+        |  ELSE 'off' END AS band, COUNT(*) AS n_orders
+        |FROM j GROUP BY 1 ORDER BY band""".stripMargin,
 
     // same 1-based locate and edge-clamped character substring
     "q219_kwic" ->

@@ -72,6 +72,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q212: the ONE-ROW corpus-split totals crossed onto the
     *     per-token count table (χ² needs N_a/N_b on every row — the
     *     q79 lazy-denominator shape again).
+    *   - q221: the ONE-ROW session count crossed onto the pair table
+    *     (the q190 support denominator at session grain).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -82,7 +84,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
-    "q212_keyness")
+    "q212_keyness", "q221_session_basket")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
