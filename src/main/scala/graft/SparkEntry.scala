@@ -6039,6 +6039,73 @@ object SparkEntry {
         .ordered(col("band"))
     }),
 
+    // ---- Growth metrics: new vs returning users per day --------------------------------
+    // The daily acquisition split: a user is NEW on their first-ever
+    // active day, RETURNING on every later one. First day is a
+    // min-over-user window over the distinct (user, day) table (one
+    // user-keyed Exchange over entity-×-day rows, never raw events),
+    // then one day rollup with a fixed-tree returning share.
+    "q223_new_returning" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ud = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id"))
+      ud.withColumn("first_day", min(col("day")).over(w))
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .select(col("day"), col("n_new"), col("n_returning"),
+          (floor(col("n_returning").cast("double") /
+            (col("n_new") + col("n_returning")).cast("double")
+            * 1e6 + 0.5) / 1e6).as("returning_share"))
+        .ordered(col("day"))
+    }),
+
+    // ---- ML monitoring: exact two-sample KS drift statistic -----------------------------
+    // Did the value distribution drift between two periods? The
+    // Kolmogorov-Smirnov statistic EXACTLY: per distinct quantized
+    // value, side counts; cumulative counts over the value order; the
+    // sup gap as max |cumA·nB − cumB·nA| in pure LONG
+    // cross-multiplication (a float CDF difference would tie-break
+    // differently per engine), divided ONCE at the end; the argmax
+    // value rides along (min value among maxima — deterministic).
+    // The windows run over the DISTINCT-VALUE table — bounded by the
+    // quantized domain, not the row count (the CCNet argument).
+    "q224_ks_drift" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val grouped = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("value").isNotNull)
+        .select(floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+          when(expr(s"ts_us div $dayUs") < splitDay, 1L).otherwise(0L)
+            .as("ia"))
+        .groupBy(col("v6"))
+        .agg(sum(col("ia")).as("a"), sum(lit(1L) - col("ia")).as("b"))
+      val wOrd = Window.orderBy(col("v6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val gapped = grouped
+        .withColumn("ca", sum(col("a")).over(wOrd))
+        .withColumn("cb", sum(col("b")).over(wOrd))
+        .withColumn("na", sum(col("a")).over(wAll))
+        .withColumn("nb", sum(col("b")).over(wAll))
+        .withColumn("gap", abs(col("ca") * col("nb") -
+          col("cb") * col("na")))
+      gapped.withColumn("max_gap", max(col("gap")).over(wAll))
+        .groupBy(col("na"), col("nb"), col("max_gap"))
+        .agg(min(when(col("gap") === col("max_gap"), col("v6")))
+          .as("at_v6"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          (floor(col("max_gap").cast("double") /
+            (col("na") * col("nb")).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("ks"),
+          (col("at_v6").cast("double") / 1e6).as("at_value"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8364,6 +8431,50 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // same distinct (user, day) table, first-day window, day rollup
+    "q223_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT *, MIN(day) OVER (PARTITION BY user_id)
+        |    AS first_day FROM ud)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning,
+        |  FLOOR(CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5)/1e6
+        |    AS returning_share
+        |FROM f GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // same distinct-value cumulative counts and LONG cross-multiplied
+    // sup gap; min value among maxima, one final division
+    "q224_ks_drift" ->
+      """WITH g AS (SELECT CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6,
+        |    SUM(CASE WHEN epoch_us(ts)//86400000000 < 19738
+        |      THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN epoch_us(ts)//86400000000 >= 19738
+        |      THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT v6,
+        |    SUM(a) OVER (ORDER BY v6 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY v6 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb,
+        |    SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+        |  FROM g),
+        |d AS (SELECT *, abs(ca*nb - cb*na) AS gap FROM c),
+        |m AS (SELECT *, MAX(gap) OVER () AS max_gap FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  FLOOR(CAST(max_gap AS DOUBLE)/CAST(na*nb AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS ks,
+        |  CAST(MIN(CASE WHEN gap = max_gap THEN v6 END) AS DOUBLE)/1e6
+        |    AS at_value
+        |FROM m GROUP BY na, nb, max_gap""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
