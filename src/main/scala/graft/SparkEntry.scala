@@ -6106,6 +6106,32 @@ object SparkEntry {
           (col("at_v6").cast("double") / 1e6).as("at_value"))
     }),
 
+    // ---- Spatial enrichment: event × POI eps-join ---------------------------------------
+    // The production form of q181's self-join — enrich events with
+    // every point of interest within eps (Spatial.epsJoin: the bigger
+    // side replicates to its 3×3 cells, the POI side keeps home cells,
+    // no id< dedup because the relations are distinct). Coordinates
+    // are the q181 md5 lattice; POIs get an independent '#poi' salt.
+    "q225_poi_join" -> ((s, dir) => {
+      val coin = (c: Column) => shiftrightunsigned(
+        call_function("md5_lower64", c), 33)
+      def latLon(idc: Column, salt: String) = Seq(
+        ((coin(concat(idc.cast("string"), lit(salt))) % 180000L)
+          / lit(1000.0) - 90.0).as("lat"),
+        ((coin(concat(idc.cast("string"), lit(salt + "#lon")))
+          % 360000L) / lit(1000.0) - 180.0).as("lon"))
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("event_id") % 3 === 0)
+        .select(col("event_id") +: latLon(col("event_id"), ""): _*)
+      val pois = s.range(512)
+        .select(col("id").as("poi_id") +: latLon(col("id"), "#poi"): _*)
+      Spatial.epsJoin(ev, "event_id", pois, "poi_id", "lat", "lon",
+          eps = 2.0)
+        .select(col("event_id"), col("poi_id"),
+          (floor(col("d2") * 1e6 + 0.5) / 1e6).as("d2"))
+        .ordered(col("event_id"), col("poi_id"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8431,6 +8457,31 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // INDEPENDENT plan: brute-force event × POI pairs under the band
+    // prefilter (no grid replay); identical salted-lattice coordinates
+    "q225_poi_join" ->
+      """WITH ev AS (SELECT event_id,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR)) >> 33)
+        |      % 180000) / 1000.0 - 90.0 AS lat,
+        |    ((md5_number_lower(CAST(event_id AS VARCHAR) || '#lon')
+        |      >> 33) % 360000) / 1000.0 - 180.0 AS lon
+        |  FROM events WHERE event_id IS NOT NULL AND event_id % 3 = 0),
+        |pois AS (SELECT i AS poi_id,
+        |    ((md5_number_lower(CAST(i AS VARCHAR) || '#poi') >> 33)
+        |      % 180000) / 1000.0 - 90.0 AS lat,
+        |    ((md5_number_lower(CAST(i AS VARCHAR) || '#poi#lon') >> 33)
+        |      % 360000) / 1000.0 - 180.0 AS lon
+        |  FROM range(512) t(i))
+        |SELECT e.event_id, p.poi_id,
+        |  FLOOR(((e.lat-p.lat)*(e.lat-p.lat)
+        |    + (e.lon-p.lon)*(e.lon-p.lon))*1e6+0.5)/1e6 AS d2
+        |FROM ev e JOIN pois p
+        |  ON e.lat - p.lat BETWEEN -2.0 AND 2.0
+        |  AND e.lon - p.lon BETWEEN -2.0 AND 2.0
+        |WHERE (e.lat-p.lat)*(e.lat-p.lat)
+        |    + (e.lon-p.lon)*(e.lon-p.lon) <= 4.0
+        |ORDER BY event_id, poi_id""".stripMargin,
 
     // same distinct (user, day) table, first-day window, day rollup
     "q223_new_returning" ->

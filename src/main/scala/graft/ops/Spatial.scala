@@ -35,34 +35,66 @@ import org.apache.spark.sql.functions._
   */
 object Spatial {
 
-  /** All distinct point pairs (idA < idB) within Euclidean distance
-    * `eps` in the (lat, lon) plane. */
-  def epsNeighborJoin(points: DataFrame, idCol: String, latCol: String,
-                      lonCol: String, eps: Double): DataFrame = {
-    require(eps > 0, s"eps must be positive, got $eps")
-    val pts = points
-      .filter(col(idCol).isNotNull && col(latCol).isNotNull &&
+  private def cells(df: DataFrame, idCol: String, latCol: String,
+                    lonCol: String, eps: Double): DataFrame =
+    df.filter(col(idCol).isNotNull && col(latCol).isNotNull &&
         col(lonCol).isNotNull)
       .select(col(idCol).as("__sp_id"),
         col(latCol).cast("double").as("__sp_lat"),
         col(lonCol).cast("double").as("__sp_lon"),
         floor(col(latCol).cast("double") / eps).cast("long").as("__sp_cy"),
         floor(col(lonCol).cast("double") / eps).cast("long").as("__sp_cx"))
-    val nbrs = pts.select(col("__sp_id").as(s"a_$idCol"),
+
+  private def replicated(pts: DataFrame, idAs: String): DataFrame =
+    pts.select(col("__sp_id").as(idAs),
         col("__sp_lat").as("__a_lat"), col("__sp_lon").as("__a_lon"),
         explode(array((for (dy <- -1 to 1; dx <- -1 to 1) yield
           struct((col("__sp_cy") + dy).as("cy"),
             (col("__sp_cx") + dx).as("cx"))): _*)).as("__c"))
-      .select(col(s"a_$idCol"), col("__a_lat"), col("__a_lon"),
+      .select(col(idAs), col("__a_lat"), col("__a_lon"),
         col("__c.cy").as("__sp_cy"), col("__c.cx").as("__sp_cx"))
+
+  private val d2Expr =
+    (col("__a_lat") - col("__b_lat")) * (col("__a_lat") - col("__b_lat")) +
+      (col("__a_lon") - col("__b_lon")) * (col("__a_lon") - col("__b_lon"))
+
+  /** All distinct point pairs (idA < idB) within Euclidean distance
+    * `eps` in the (lat, lon) plane. */
+  def epsNeighborJoin(points: DataFrame, idCol: String, latCol: String,
+                      lonCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val pts = cells(points, idCol, latCol, lonCol, eps)
+    val nbrs = replicated(pts, s"a_$idCol")
     val right = pts.select(col("__sp_id").as(s"b_$idCol"),
       col("__sp_lat").as("__b_lat"), col("__sp_lon").as("__b_lon"),
       col("__sp_cy"), col("__sp_cx"))
-    val d2 = (col("__a_lat") - col("__b_lat")) *
-      (col("__a_lat") - col("__b_lat")) +
-      (col("__a_lon") - col("__b_lon")) * (col("__a_lon") - col("__b_lon"))
     nbrs.join(right, Seq("__sp_cy", "__sp_cx"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol") && d2 <= lit(eps * eps))
-      .select(col(s"a_$idCol"), col(s"b_$idCol"), d2.as("d2"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol") && d2Expr <= lit(eps * eps))
+      .select(col(s"a_$idCol"), col(s"b_$idCol"), d2Expr.as("d2"))
+  }
+
+  /** Two-dataset eps-join — the production enrichment form (events ×
+    * POIs): every (left, right) pair within `eps`, each surfacing
+    * exactly once (left replicates to its 3×3 neighbor cells, right
+    * keeps its one home cell — same completeness argument as
+    * [[epsNeighborJoin]], without the id< dedup because the sides are
+    * distinct relations). Replicate the LEFT side; at scale put the
+    * BIGGER side on the left so the 9× constant rides the scan-heavy
+    * side of a broadcast/shuffled equi-join rather than inflating a
+    * broadcast dimension. */
+  def epsJoin(left: DataFrame, leftId: String, right: DataFrame,
+              rightId: String, latCol: String, lonCol: String,
+              eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(leftId != rightId,
+      s"leftId and rightId must differ, both were '$leftId'")
+    val l = replicated(cells(left, leftId, latCol, lonCol, eps), leftId)
+    val r = cells(right, rightId, latCol, lonCol, eps)
+      .select(col("__sp_id").as(rightId),
+        col("__sp_lat").as("__b_lat"), col("__sp_lon").as("__b_lon"),
+        col("__sp_cy"), col("__sp_cx"))
+    l.join(r, Seq("__sp_cy", "__sp_cx"))
+      .filter(d2Expr <= lit(eps * eps))
+      .select(col(leftId), col(rightId), d2Expr.as("d2"))
   }
 }

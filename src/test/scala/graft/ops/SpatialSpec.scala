@@ -62,4 +62,30 @@ class SpatialSpec extends AnyFunSuite {
       Spatial.epsNeighborJoin(df, "id", "lat", "lon", -1.0)
     }
   }
+
+  test("epsJoin: two-dataset pairs match brute force, each once") {
+    val left = pts.toDF("eid", "lat", "lon")
+    val rightPts = Seq((100L, 0.2, 0.2), (101L, 10.1, 10.0),
+      (102L, 0.0, 0.0), (103L, -5.0, 5.0))
+    val right = rightPts.toDF("pid", "lat", "lon")
+    val got = Spatial.epsJoin(left, "eid", right, "pid", "lat", "lon", 0.5)
+      .select($"eid", $"pid").as[(Long, Long)].collect().sorted.toSeq
+    val brute = for {
+      (a, alat, alon) <- pts; (b, blat, blon) <- rightPts
+      d2 = (alat - blat) * (alat - blat) + (alon - blon) * (alon - blon)
+      if d2 <= 0.25
+    } yield (a, b)
+    assert(got === brute.sorted)
+    assert(got.distinct === got)
+    // coincident cross-relation points pair (no id< suppression here)
+    assert(got.contains((1L, 102L)) && got.contains((6L, 102L)))
+    assert(got.contains((5L, 101L))) // cross-cell neighbor on the POI side
+  }
+
+  test("epsJoin: identical id names are rejected loudly") {
+    val df = pts.toDF("id", "lat", "lon")
+    intercept[IllegalArgumentException] {
+      Spatial.epsJoin(df, "id", df, "id", "lat", "lon", 0.5)
+    }
+  }
 }
