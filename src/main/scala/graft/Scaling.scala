@@ -425,6 +425,13 @@ object Scaling {
         (dir => SparkEntry.queries("q210_cidr_match")(spark, dir)),
       "sliding_hll" ->
         (dir => SparkEntry.queries("q205_sliding_hll")(spark, dir)),
+      // monitoring family: KS rides the DISTINCT-VALUE table (domain-
+      // bounded), the acquisition split rides entity×day rows — both
+      // must stay sublinear in raw events
+      "ks_drift" ->
+        (dir => SparkEntry.queries("q224_ks_drift")(spark, dir)),
+      "new_returning" ->
+        (dir => SparkEntry.queries("q223_new_returning")(spark, dir)),
       // q181's grid join with DENSITY-NORMALIZED eps (eps ∝ 1/sqrt(n)
       // holds expected output ~linear in points — fixed eps on a fixed
       // plane would grow pairs quadratically BY DEFINITION, measuring
