@@ -6132,6 +6132,52 @@ object SparkEntry {
         .ordered(col("event_id"), col("poi_id"))
     }),
 
+    // ---- FP&A: price-volume revenue bridge ------------------------------------------
+    // WHY did category revenue move between periods? The controller's
+    // decomposition: volume effect = Δqty · priceA, price effect =
+    // qtyB · Δprice, residual = whatever quantization leaves (each
+    // effect quantized to cents INDEPENDENTLY, so the bridge ties out
+    // EXACTLY by construction — delta == volume + price + residual is
+    // part of the hash, and the residual column keeps the rounding
+    // honest instead of smearing it into an effect). Period sums ride
+    // one conditional-aggregation scan (the q194 discipline); unit
+    // prices are fixed double trees over exact integer sums. A
+    // category missing from either period reports NULL effects and
+    // carries its whole delta in the residual (no invented price).
+    "q226_pv_bridge" -> ((s, dir) => {
+      val split = "1998-01-01"
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_partkey").isNotNull && col("l_shipdate").isNotNull)
+        .select((col("l_partkey") % 100L).as("cat"),
+          (to_date(col("l_shipdate")) < lit(split)).as("ia"),
+          floor(col("l_quantity") * 1e6 + 0.5).cast("long").as("q6"),
+          floor(col("l_extendedprice") * 1e6 + 0.5).cast("long")
+            .as("r6"))
+      val agg = li.groupBy(col("cat")).agg(
+        sum(when(col("ia"), col("q6")).otherwise(0L)).as("qa6"),
+        sum(when(col("ia"), col("r6")).otherwise(0L)).as("ra6"),
+        sum(when(!col("ia"), col("q6")).otherwise(0L)).as("qb6"),
+        sum(when(!col("ia"), col("r6")).otherwise(0L)).as("rb6"))
+      def d(c: String) = col(c).cast("double")
+      val pa = d("ra6") / d("qa6")
+      val pb = d("rb6") / d("qb6")
+      def cents(c: Column) = floor(c * 1e2 + 0.5).cast("long")
+      val volC = cents((d("qb6") - d("qa6")) / 1e6 * pa)
+      val prcC = cents(d("qb6") / 1e6 * (pb - pa))
+      val dltC = cents((d("rb6") - d("ra6")) / 1e6)
+      val both = col("qa6") > 0 && col("qb6") > 0
+      agg.select(col("cat"),
+          (cents(d("ra6") / 1e6).cast("double") / 1e2).as("rev_a"),
+          (cents(d("rb6") / 1e6).cast("double") / 1e2).as("rev_b"),
+          (dltC.cast("double") / 1e2).as("delta"),
+          when(both, volC.cast("double") / 1e2).as("volume_effect"),
+          when(both, prcC.cast("double") / 1e2).as("price_effect"),
+          ((dltC - when(both, volC).otherwise(lit(0L)) -
+            when(both, prcC).otherwise(lit(0L))).cast("double") / 1e2)
+            .as("residual"))
+        .ordered(col("cat"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8457,6 +8503,49 @@ object SparkEntry {
     // versioned op log, so it shares this oracle verbatim
     "q204_cdc_merge" -> cdcOracleSql,
     "q209_stream_cdc" -> cdcOracleSql,
+
+    // identical conditional sums, unit-price trees, and per-effect
+    // cent quantization; the tie-out identity rides the hash
+    "q226_pv_bridge" ->
+      """WITH li AS (SELECT l_partkey % 100 AS cat,
+        |    CAST(l_shipdate AS DATE) < DATE '1998-01-01' AS ia,
+        |    CAST(FLOOR(l_quantity*1e6+0.5) AS BIGINT) AS q6,
+        |    CAST(FLOOR(l_extendedprice*1e6+0.5) AS BIGINT) AS r6
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |    AND l_shipdate IS NOT NULL),
+        |a AS (SELECT cat,
+        |    SUM(CASE WHEN ia THEN q6 ELSE 0 END) AS qa6,
+        |    SUM(CASE WHEN ia THEN r6 ELSE 0 END) AS ra6,
+        |    SUM(CASE WHEN NOT ia THEN q6 ELSE 0 END) AS qb6,
+        |    SUM(CASE WHEN NOT ia THEN r6 ELSE 0 END) AS rb6
+        |  FROM li GROUP BY 1),
+        |e AS (SELECT *, qa6 > 0 AND qb6 > 0 AS has_both,
+        |    CAST(ra6 AS DOUBLE)/CAST(qa6 AS DOUBLE) AS pa,
+        |    CAST(rb6 AS DOUBLE)/CAST(qb6 AS DOUBLE) AS pb
+        |  FROM a),
+        |q AS (SELECT cat, has_both,
+        |    CAST(FLOOR(CAST(ra6 AS DOUBLE)/1e6*1e2+0.5) AS BIGINT)
+        |      AS ra_c,
+        |    CAST(FLOOR(CAST(rb6 AS DOUBLE)/1e6*1e2+0.5) AS BIGINT)
+        |      AS rb_c,
+        |    CAST(FLOOR((CAST(rb6 AS DOUBLE)-CAST(ra6 AS DOUBLE))
+        |      /1e6*1e2+0.5) AS BIGINT) AS dlt_c,
+        |    CAST(FLOOR((CAST(qb6 AS DOUBLE)-CAST(qa6 AS DOUBLE))
+        |      /1e6*pa*1e2+0.5) AS BIGINT) AS vol_c,
+        |    CAST(FLOOR(CAST(qb6 AS DOUBLE)/1e6*(pb-pa)*1e2+0.5)
+        |      AS BIGINT) AS prc_c
+        |  FROM e)
+        |SELECT cat, CAST(ra_c AS DOUBLE)/1e2 AS rev_a,
+        |  CAST(rb_c AS DOUBLE)/1e2 AS rev_b,
+        |  CAST(dlt_c AS DOUBLE)/1e2 AS delta,
+        |  CASE WHEN has_both THEN CAST(vol_c AS DOUBLE)/1e2 END
+        |    AS volume_effect,
+        |  CASE WHEN has_both THEN CAST(prc_c AS DOUBLE)/1e2 END
+        |    AS price_effect,
+        |  CAST(dlt_c - CASE WHEN has_both THEN vol_c ELSE 0 END
+        |    - CASE WHEN has_both THEN prc_c ELSE 0 END AS DOUBLE)/1e2
+        |    AS residual
+        |FROM q ORDER BY cat""".stripMargin,
 
     // INDEPENDENT plan: brute-force event × POI pairs under the band
     // prefilter (no grid replay); identical salted-lattice coordinates
