@@ -8451,7 +8451,7 @@ object SparkEntry {
         |SELECT v.variant, v.n_users, v.mean_post, v.mean_pre,
         |  v.theta, v.adj_mean
         |FROM t, LATERAL (VALUES
-        |  ('A', n_a,
+        |  ('A', CAST(n_a AS BIGINT),
         |   FLOOR(CAST(sy_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)*1e4+0.5)
         |     /1e4,
         |   FLOOR(CAST(sx_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)*1e4+0.5)
@@ -8460,7 +8460,7 @@ object SparkEntry {
         |   FLOOR((CAST(sy_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)
         |     - theta*(CAST(sx_a AS DOUBLE)/1e6/CAST(n_a AS DOUBLE)
         |       - gxm))*1e4+0.5)/1e4),
-        |  ('B', n_b,
+        |  ('B', CAST(n_b AS BIGINT),
         |   FLOOR(CAST(sy_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)*1e4+0.5)
         |     /1e4,
         |   FLOOR(CAST(sx_b AS DOUBLE)/1e6/CAST(n_b AS DOUBLE)*1e4+0.5)
@@ -8822,7 +8822,8 @@ object SparkEntry {
         |    + SUM(CASE WHEN side='B' THEN 1 ELSE 0 END) >= 5),
         |t AS (SELECT SUM(CASE WHEN side='A' THEN 1 ELSE 0 END) AS na,
         |    SUM(CASE WHEN side='B' THEN 1 ELSE 0 END) AS nb FROM toks)
-        |SELECT tok, a AS n_en, b AS n_other,
+        |SELECT tok, CAST(a AS BIGINT) AS n_en,
+        |  CAST(b AS BIGINT) AS n_other,
         |  FLOOR(CAST(na+nb AS DOUBLE)
         |    * (CAST(a AS DOUBLE)*CAST(nb-b AS DOUBLE)
         |       - CAST(b AS DOUBLE)*CAST(na-a AS DOUBLE))
@@ -8915,7 +8916,8 @@ object SparkEntry {
            |  FLOOR(sqrt(CAST(chi2_6 AS DOUBLE)/1e6
            |    /(CAST(n AS DOUBLE)
            |      *(CAST(LEAST(r, c) AS DOUBLE)-1.0)))*1e6+0.5)/1e6 AS v
-           |FROM (SELECT MAX(n) AS n, MAX(r) AS r, MAX(c) AS c,
+           |FROM (SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(r) AS r,
+           |    MAX(c) AS c,
            |    CAST(SUM(term6) AS BIGINT) AS chi2_6
            |  FROM (SELECT o,
            |      SUM(o) OVER (PARTITION BY av) AS row_t,
