@@ -45,6 +45,25 @@ object OracleManifest {
        |""".stripMargin
   }
 
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    * Shared by Verify's oracle_sql.json dump and the type-lint spec. */
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Render a name→SQL map as the oracle_sql.json object. */
+  def renderSqlJson(m: Map[String, String]): String =
+    m.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+
   val ManifestPath = "ORACLE_MANIFEST.json"
 
   def main(args: Array[String]): Unit = {
