@@ -4473,7 +4473,12 @@ object SparkEntry {
         col("doc_id").cast("string")), 33)
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(u.asc, col("doc_id").asc)
+      // doc_id/lang/source must be non-null: a NULL doc_id makes the
+      // md5 coin NULL, and Spark ranks NULLS FIRST where DuckDB ranks
+      // NULLS LAST — null rows are excluded, not ordered differently
       Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
@@ -5466,23 +5471,24 @@ object SparkEntry {
     // ---- Inventory analytics: ABC / Pareto classification -------------------------
     // The 80/20 analysis: parts ranked by revenue, classes cut at the
     // 80% / 95% CUMULATIVE share boundaries. The cumulative sum runs
-    // over the per-part AGGREGATE (catalog-sized, one window pass —
-    // never the fact table), in integer micro-units with a (revenue
-    // desc, key) total order so ties can't reorder across engines;
-    // the class comparison is exact-integer (share6 vs 80/95 of the
-    // total — no float thresholds).
+    // over the per-part AGGREGATE (catalog-sized), in integer
+    // micro-units with a (revenue desc, key) total order so ties can't
+    // reorder across engines; the class comparison is exact-integer
+    // (share6 vs 80/95 of the total — no float thresholds). The running
+    // total is the DISTRIBUTED prefix sum (PrefixSum.runningTotalDesc:
+    // boundary-bucketed, bucket-local windows, broadcast offset
+    // ledger) — a bare Window.orderBy would single-task the whole
+    // catalog (billions of parts at 100 TB); the oracle recomputes the
+    // same values with DuckDB's one-pass window, so the decomposition
+    // is itself under test.
     "q207_abc_pareto" -> ((s, dir) => {
       val perPart = Tables(s, dir, "lineitem")
         .filter(col("l_partkey").isNotNull)
         .groupBy(col("l_partkey"))
         .agg(sum(floor(col("l_extendedprice") * 1e6 + 0.5).cast("long"))
           .as("rev6"))
-      val w = Window.orderBy(col("rev6").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      perPart
-        .withColumn("cum6", sum(col("rev6")).over(w))
-        .withColumn("tot6", sum(col("rev6")).over(wAll))
+      graft.ops.PrefixSum
+        .runningTotalDesc(perPart, "rev6", "l_partkey", "cum6", "tot6")
         .select(col("l_partkey"),
           (floor(col("rev6").cast("double") / 1e6 * 1e2 + 0.5) / 1e2)
             .as("revenue"),
@@ -5663,17 +5669,26 @@ object SparkEntry {
     // layout's ≈ 1-2. The advisor row pair IS the Z-order/sort-key
     // recommendation evidence, computed without writing a single file.
     // Scale contract: the global-order NTILE is the SIMULATED file
-    // assignment, not a production shuffle — a layout advisor runs on
-    // a bounded deterministic sample at 100 TB (q66's hash-rate
-    // sampling composes in front), so the one-task sort is bounded by
-    // the advisor's own sample budget, never the table.
+    // assignment, not a production shuffle — the advisor runs on the
+    // BOUNDED deterministic sample below (hash top-k: the
+    // advisorSampleBudget rows with the smallest md5 coin, planned as
+    // a distributed TakeOrderedAndProject), so the one-task sort is
+    // bounded by the budget, never the table. The depth conclusion
+    // (hash ≈ nFiles, range ≈ 1–2) is sample-invariant — that is the
+    // advisor's design point; the oracle re-derives over the SAME
+    // sampled set.
     "q213_layout_depth" -> ((s, dir) => {
       val nFiles = 16
       val o = Tables(s, dir, "orders")
         .filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull)
         .select(col("o_orderkey"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-            .cast("long").as("day"))
+            .cast("long").as("day"),
+          shiftrightunsigned(call_function("md5_lower64",
+            col("o_orderkey").cast("string")), 33).as("__u"))
+        .orderBy(col("__u"), col("o_orderkey"))
+        .limit(advisorSampleBudget)
+        .drop("__u")
       val hashFile = o.select(lit("hash").as("layout"),
         (shiftrightunsigned(call_function("md5_lower64",
           col("o_orderkey").cast("string")), 33) % nFiles).as("file"),
@@ -5782,21 +5797,42 @@ object SparkEntry {
     // evidence a table-layout advisor shows before recommending a
     // sort key, computed without writing a file. Same scale contract
     // as q213: the NTILE is the simulated assignment over the
-    // advisor's bounded sample, not a production shuffle.
+    // advisor's BOUNDED deterministic sample (hash top-k, shared
+    // budget), not a production shuffle.
     "q216_zorder_depth" -> ((s, dir) => {
       val nFiles = 16
-      val o = Tables(s, dir, "orders")
+      val base = Tables(s, dir, "orders")
         .filter(col("o_orderkey").isNotNull &&
           col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
         .select(col("o_orderkey"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
             .cast("long").as("day"),
-          col("o_custkey").as("cust"))
-        // 14-bit domains for the interleave: day is offset to its
-        // span's origin, cust is already < 2^14 at every fixture SF
-        .withColumn("day14", col("day") - lit(9131L))
-        .withColumn("z", expr(mortonSqlExpr("day14", "cust")))
+          col("o_custkey").as("cust"),
+          shiftrightunsigned(call_function("md5_lower64",
+            col("o_orderkey").cast("string")), 33).as("__u"))
+        .orderBy(col("__u"), col("o_orderkey"))
+        .limit(advisorSampleBudget)
+        .drop("__u")
         .persist()
+      // 14-bit domains for the interleave: day is offset to the
+      // SAMPLE's own min (shared with the oracle as the same scalar
+      // subquery — no hard-coded epoch), and both dims are guarded
+      // LOUDLY: morton interleave silently truncates outside
+      // [0, 2^14), so a nonconforming fixture must fail, not degrade.
+      val b = base.agg(min(col("day")), max(col("day")),
+        min(col("cust")), max(col("cust"))).first()
+      val minDay = if (b.isNullAt(0)) 0L else b.getLong(0)
+      if (!b.isNullAt(0)) {
+        require(b.getLong(1) - minDay < 16384L,
+          s"q216: day span ${b.getLong(1) - minDay} exceeds the 14-bit " +
+            "Morton domain — widen the interleave or shrink the sample")
+        require(b.getLong(2) >= 0L && b.getLong(3) < 16384L,
+          s"q216: cust range [${b.getLong(2)}, ${b.getLong(3)}] outside " +
+            "[0, 2^14) — the Morton contract is non-negative 14-bit")
+      }
+      val o = base
+        .withColumn("day14", col("day") - lit(minDay))
+        .withColumn("z", expr(mortonSqlExpr("day14", "cust")))
       def layout(name: String, orderCol: Column) = {
         val w = Window.orderBy(orderCol, col("o_orderkey"))
         o.select(lit(name).as("layout"),
@@ -6638,6 +6674,14 @@ object SparkEntry {
   private val stratifiedRates: Seq[(String, Double)] =
     Seq("src0" -> 0.05, "src1" -> 0.1, "src2" -> 0.25, "src3" -> 0.5)
   private val stratifiedDefaultRate = 0.75
+
+  /** Layout-advisor sample budget (q213/q216): the simulated NTILE file
+    * assignment runs over at most this many rows — the deterministic
+    * hash top-k (smallest md5 coin, tie-broken by key) — so its
+    * single-task sort is bounded by a CONSTANT, never the table. The
+    * advisor's depth conclusion is sample-invariant; the oracle samples
+    * identically, so the bound itself is oracle-checked. */
+  private val advisorSampleBudget = 100000
 
   /** q74's fixed query-term set — shared between the query and its
     * generated oracle so the two can never drift. */
@@ -7927,7 +7971,9 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY lang, source
         |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 33,
         |      doc_id) AS rn
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL)
         |SELECT doc_id, lang, source, rn FROM r WHERE rn <= 20
         |ORDER BY lang, source, rn""".stripMargin,
 
@@ -8741,14 +8787,19 @@ object SparkEntry {
     // Morton expression string) and the q183 sweep per dimension
     "q216_zorder_depth" -> {
       val morton = mortonSqlExpr("day14", "cust")
-      s"""WITH o AS (SELECT o_orderkey,
+      s"""WITH o0 AS (SELECT o_orderkey,
          |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
          |      AS day,
-         |    o_custkey AS cust
+         |    o_custkey AS cust,
+         |    CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) >> 33
+         |      AS BIGINT) AS u
          |  FROM orders WHERE o_orderkey IS NOT NULL
          |    AND o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+         |o AS (SELECT o_orderkey, day, cust FROM o0
+         |  ORDER BY u, o_orderkey LIMIT $advisorSampleBudget),
          |zz AS (SELECT *, $morton AS z
-         |  FROM (SELECT *, day - 9131 AS day14 FROM o)),
+         |  FROM (SELECT *, day - (SELECT MIN(day) FROM o) AS day14
+         |    FROM o)),
          |lay AS (
          |  SELECT 'range_day' AS layout,
          |    CAST(NTILE(16) OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT)
@@ -8841,11 +8892,15 @@ object SparkEntry {
     // same total order — both engines put remainder rows in the first
     // buckets) and the q183 sweep
     "q213_layout_depth" ->
-      """WITH o AS (SELECT o_orderkey,
+      s"""WITH o0 AS (SELECT o_orderkey,
         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      AS day
+        |      AS day,
+        |    CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) >> 33
+        |      AS BIGINT) AS u
         |  FROM orders WHERE o_orderkey IS NOT NULL
         |    AND o_orderdate IS NOT NULL),
+        |o AS (SELECT o_orderkey, day FROM o0
+        |  ORDER BY u, o_orderkey LIMIT $advisorSampleBudget),
         |hf AS (SELECT 'hash' AS layout,
         |    CAST((md5_number_lower(CAST(o_orderkey AS VARCHAR)) >> 33)
         |      % 16 AS BIGINT) AS file, day FROM o),
