@@ -212,6 +212,18 @@ object OnlineTable {
     val keep = keepEntries.map(_._2).toSet
     val committed = entries.map(_._2).toSet
     val now = System.currentTimeMillis()
+    // bucket-generation references: a gen subdir lives exactly as long
+    // as some RETAINED manifest points at it. Parse evicted manifests
+    // BEFORE deleting them so their now-unreferenced gens go promptly;
+    // gens referenced by NO logged manifest may belong to an in-flight
+    // publisher and wait out the grace window like any orphan.
+    def refsOf(names: Iterable[String]): Set[String] = names.flatMap { m =>
+      try readManifest(fs, rootPath, m).entries.values
+      catch { case _: java.io.IOException => Nil }
+    }.toSet
+    val keptRefs = refsOf(keep.filter(isManifest))
+    val evictedRefs = refsOf(
+      entries.dropRight(keepVersions).map(_._2).filter(isManifest))
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("v-") && !keep.contains(name)) {
@@ -220,6 +232,26 @@ object OnlineTable {
         // be a concurrent publisher mid-commit — only collect it once
         // it ages past the in-flight grace window
         if (committed.contains(name) ||
+            now - st.getModificationTime > OrphanGraceMs)
+          fs.delete(st.getPath, true)
+      }
+      if (st.isFile && name.startsWith(ManifestPrefix) &&
+          !keep.contains(name)) {
+        if (committed.contains(name) ||
+            now - st.getModificationTime > OrphanGraceMs)
+          fs.delete(st.getPath, false)
+      }
+      if (st.isDirectory && name.startsWith(GenPrefix)) {
+        var liveSubdirs = 0
+        fs.listStatus(st.getPath).foreach { sub =>
+          val rel = s"$name/${sub.getPath.getName}"
+          if (keptRefs.contains(rel)) liveSubdirs += 1
+          else if (evictedRefs.contains(rel) ||
+              now - sub.getModificationTime > OrphanGraceMs)
+            fs.delete(sub.getPath, true)
+          else liveSubdirs += 1 // young unreferenced: possibly in-flight
+        }
+        if (liveSubdirs == 0 &&
             now - st.getModificationTime > OrphanGraceMs)
           fs.delete(st.getPath, true)
       }
@@ -336,6 +368,147 @@ object OnlineTable {
     throw last
   }
 
+  // ---- Bucketed incremental snapshots --------------------------------
+  //
+  // A committed version whose name starts with `m-` is a BUCKETED
+  // snapshot: a small manifest FILE mapping each hash bucket of the key
+  // to the immutable bucket-generation dir holding its rows. A batch
+  // publish rewrites ONLY the buckets the batch touches and re-points
+  // the rest at their existing generation dirs — O(touched buckets)
+  // write amplification instead of O(table), the difference between a
+  // micro-batch upsert into a billion-entity table and rewriting it
+  // every trigger. Commits ride the SAME exclusive-create log (CAS at
+  // head+1), so readers resolve one pointer and scan immutable dirs —
+  // a torn snapshot is impossible, and full (`v-`) and bucketed (`m-`)
+  // versions interleave freely in one table's history.
+
+  private val ManifestPrefix = "m-"
+  private val GenPrefix = "g-"
+  private val BucketCol = "__graft_bucket"
+
+  private def isManifest(v: String): Boolean = v.startsWith(ManifestPrefix)
+
+  /** Bucket count + bucket -> generation-dir (root-relative). */
+  private[store] final case class Manifest(nBuckets: Int,
+                                           entries: Map[Int, String])
+
+  private def readManifest(fs: FileSystem, rootPath: Path,
+                           name: String): Manifest = {
+    val lines = readSmall(fs, new Path(rootPath, name)).split('\n')
+    val n = lines.head.stripPrefix("nbuckets=").toInt
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split('\t')
+      b.toInt -> rel
+    }.toMap
+    Manifest(n, entries)
+  }
+
+  private def writeManifest(fs: FileSystem, rootPath: Path,
+                            m: Manifest): String = {
+    val name = f"$ManifestPrefix${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val body = (s"nbuckets=${m.nBuckets}" +:
+      m.entries.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
+      .mkString("\n")
+    val out = fs.create(new Path(rootPath, name), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    name
+  }
+
+  private def bucketExpr(key: Seq[String], n: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        key.map(org.apache.spark.sql.functions.col): _*),
+      org.apache.spark.sql.functions.lit(n.toLong)).cast("int")
+
+  /** Incremental bucketed publish of one upsert batch.
+    *
+    * Reads the live snapshot's manifest, merges `batch` with ONLY the
+    * buckets it touches (`merge(prevTouchedRows, batchRows)` — the
+    * caller owns the upsert semantics, e.g. latest-per-key of the
+    * union), writes those buckets as one `partitionBy` generation dir,
+    * and CAS-commits a manifest that re-points touched buckets and
+    * keeps every other bucket's existing dir. A lost race re-derives
+    * from the winner's manifest (publishMerge's loop, per-bucket); a
+    * crash leaves only an unreferenced gen dir + manifest file,
+    * collected by the next publish after the grace window.
+    *
+    * First publish (or a legacy/full `v-` head) bucketizes everything
+    * once; afterwards `nBuckets` is pinned by the live manifest and the
+    * parameter is ignored. The merged result for a touched bucket may
+    * be empty (a delete-style merge) — that bucket simply leaves the
+    * manifest; a table cannot become entirely empty this way. */
+  def publishBucketedBatch(batch: DataFrame, root: String,
+                           key: Seq[String],
+                           merge: (DataFrame, DataFrame) => DataFrame,
+                           nBuckets: Int = 64, keepVersions: Int = 2,
+                           maxRetries: Int = 10): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = batch.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    backfillLegacyPointer(fs, rootPath)
+    var attempt = 0
+    var last: ConcurrentPublishException = null
+    while (attempt < maxRetries) {
+      attempt += 1
+      val h0 = head(fs, rootPath)
+      val seq = h0.map(_._1).getOrElse(0L) + 1L
+      val prevMan = h0.map(_._2).filter(isManifest)
+        .map(readManifest(fs, rootPath, _))
+      val n = prevMan.map(_.nBuckets).getOrElse(nBuckets)
+      val (merged, replacedBuckets, kept) = prevMan match {
+        case Some(man) =>
+          val touched = batch.select(bucketExpr(key, n).as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          if (touched.isEmpty) return // empty batch: nothing to change
+          val prevPaths = touched.flatMap(man.entries.get)
+            .map(rel => new Path(rootPath, rel).toString)
+          val prevRows =
+            if (prevPaths.isEmpty) batch.limit(0)
+            else spark.read.parquet(prevPaths: _*)
+          (merge(prevRows, batch), touched.toSet,
+            man.entries -- touched)
+        case None =>
+          // first publish, or migration of a full/legacy snapshot:
+          // every bucket is touched exactly once
+          val prevAll = h0.map(_._2) match {
+            case Some(v) => readVersion(spark, root, v)
+            case None => read(spark, root).getOrElse(batch.limit(0))
+          }
+          (merge(prevAll, batch), (0 until n).toSet, Map.empty[Int, String])
+      }
+      val genRel = f"$GenPrefix${System.currentTimeMillis()}%013d-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      merged.withColumn(BucketCol, bucketExpr(key, n))
+        .write.partitionBy(BucketCol)
+        .parquet(new Path(rootPath, genRel).toString)
+      val written = fs.listStatus(new Path(rootPath, genRel)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$BucketCol="))
+        .map { st =>
+          st.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
+            s"$genRel/${st.getPath.getName}"
+        }.toMap
+      require(written.keySet.subsetOf(replacedBuckets),
+        "merge produced rows outside the touched buckets — the merge " +
+          "callback must not invent keys the batch does not carry")
+      val entries = kept ++ written
+      require(entries.nonEmpty,
+        "bucketed publish would leave an empty table — use publish()")
+      val mName = writeManifest(fs, rootPath, Manifest(n, entries))
+      if (tryCommit(fs, rootPath, seq, mName)) {
+        finalizeCommit(spark, fs, rootPath, mName, keepVersions,
+          hadLogBefore = h0.isDefined)
+        return
+      }
+      // lost the race: leave the orphan gen/manifest to GC, re-derive
+      last = ConcurrentPublishException(h0.map(_._2),
+        head(fs, rootPath).map(_._2))
+    }
+    throw last
+  }
+
   /** Data files of a pre-versioning (plain parquet dir) online table. */
   private def legacyFiles(fs: FileSystem, rootPath: Path): Seq[Path] =
     if (!fs.exists(rootPath)) Nil
@@ -355,9 +528,17 @@ object OnlineTable {
     all.filter(v => fs.exists(new Path(rootPath, v)))
   }
 
-  /** Time-travel read of a retained snapshot (see [[listVersions]]). */
+  /** Time-travel read of a retained snapshot (see [[listVersions]]) —
+    * a full `v-` dir directly, a bucketed `m-` manifest via its
+    * referenced bucket-generation dirs. */
   def readVersion(spark: SparkSession, root: String, version: String): DataFrame =
-    spark.read.parquet(new Path(new Path(root), version).toString)
+    if (isManifest(version)) {
+      val (fs, rootPath) = fsOf(spark, root)
+      val man = readManifest(fs, rootPath, version)
+      val paths = man.entries.toSeq.sortBy(_._1)
+        .map { case (_, rel) => new Path(rootPath, rel).toString }
+      spark.read.parquet(paths: _*)
+    } else spark.read.parquet(new Path(new Path(root), version).toString)
 
   /** The live version name, if the table has ever been published. The
     * COMMIT LOG is authoritative; the `_CURRENT` pointer only serves
@@ -375,7 +556,7 @@ object OnlineTable {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root) match {
       case Some(v) =>
-        Some(spark.read.parquet(new Path(new Path(root), v).toString))
+        Some(readVersion(spark, root, v))
       case None =>
         val (fs, rootPath) = fsOf(spark, root)
         val legacy = legacyFiles(fs, rootPath)

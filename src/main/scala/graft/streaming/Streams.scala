@@ -223,28 +223,34 @@ object Streams {
     * DataFrame->DataFrame features/filtering before ingestion), collapse to
     * latest-per-key, merge with the live snapshot (max_by event time
     * again), and publish through [[graft.store.OnlineTable]] — immutable
-    * version dirs + an atomic pointer flip, safe for concurrent readers and
-    * object stores (no directory renames). The table stays entity-sized;
-    * merge cost is O(batch + table), not O(history). Batch retries after a
-    * failure republish idempotently (latest-per-key of a union is
-    * idempotent; a crashed publish leaves only an unreferenced version
-    * dir). */
+    * version dirs + an atomic commit-log pointer, safe for concurrent
+    * readers and object stores (no directory renames).
+    *
+    * Publish is the BUCKETED incremental form
+    * ([[graft.store.OnlineTable.publishBucketedBatch]]): the snapshot is
+    * hash-bucketed by key and each micro-batch merges + rewrites ONLY
+    * the buckets it touches — write amplification is O(touched buckets),
+    * not O(table), the difference between upserting into a
+    * billion-entity table every trigger and rewriting it. Merge cost per
+    * bucket stays O(batch + bucket), never O(history). Batch retries
+    * after a failure republish idempotently (latest-per-key of a union
+    * is idempotent; a crashed publish leaves only unreferenced gen dirs
+    * collected by GC), and a concurrent publisher costs a CAS re-derive,
+    * never a lost update. */
   def upsertOnline(stream: DataFrame, key: Seq[String], ts: String,
                    tieBreak: String, path: String,
-                   preprocess: DataFrame => DataFrame = identity) = {
+                   preprocess: DataFrame => DataFrame = identity,
+                   buckets: Int = 64) = {
     import graft.ops.PointInTime
     import graft.store.OnlineTable
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         val latestBatch =
           PointInTime.latestPerKey(preprocess(batch), key, ts, tieBreak)
-        val merged = OnlineTable.read(spark, path) match {
-          case Some(existing) => PointInTime.latestPerKey(
-            existing.unionByName(latestBatch), key, ts, tieBreak)
-          case None => latestBatch
-        }
-        OnlineTable.publish(merged, path)
+        OnlineTable.publishBucketedBatch(latestBatch, path, key,
+          (prev, b) => PointInTime.latestPerKey(
+            prev.unionByName(b), key, ts, tieBreak),
+          nBuckets = buckets)
     }
   }
 

@@ -217,6 +217,117 @@ class OnlineTableSpec extends AnyFunSuite {
     assert(legacyCount === 0, "legacy collected on the next publish")
   }
 
+  // ---- bucketed incremental publish ---------------------------------
+
+  private def latestMerge(key: Seq[String], ts: String, tie: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame =
+    (prev, b) => graft.ops.PointInTime.latestPerKey(
+      prev.unionByName(b), key, ts, tie)
+
+  private def genSubdirs(root: String): Set[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g-"))
+      .flatMap(g => g.listFiles().filter(_.isDirectory)
+        .map(b => s"${g.getName}/${b.getName}"))
+      .toSet
+
+  test("bucketed publish rewrites O(touched buckets), not the table") {
+    val root = java.nio.file.Files.createTempDirectory("otb1").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    // seed: 200 keys spread over 16 buckets
+    val seed = (1L to 200L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v")
+    OnlineTable.publishBucketedBatch(seed, root, Seq("k"), m, nBuckets = 16)
+    val gensBefore = genSubdirs(root)
+    assert(gensBefore.size === 16, s"seed must fill all buckets: $gensBefore")
+    // a one-key batch must add gen dirs for exactly ONE bucket
+    OnlineTable.publishBucketedBatch(
+      Seq((7L, 2L, "updated")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    val gensAfter = genSubdirs(root)
+    assert((gensAfter -- gensBefore).size === 1,
+      s"one-key batch must write exactly one bucket: ${gensAfter -- gensBefore}")
+    // the merged table is the latest-per-key union
+    val live = OnlineTable.read(spark, root).get
+      .as[(Long, Long, String)].collect()
+      .map { case (k, ts, v) => k -> ((ts, v)) }.toMap
+    assert(live.size === 200 && live(7L) === ((2L, "updated")) &&
+      live(8L) === ((1L, "v8")))
+    // superseded bucket gens are GC'd once their manifest leaves the log
+    OnlineTable.publishBucketedBatch(
+      Seq((7L, 3L, "again")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    val gensFinal = genSubdirs(root)
+    assert((gensBefore -- gensFinal).size === 1,
+      "bucket 7's seed gen must be collected once no retained manifest " +
+        s"references it; before=${gensBefore.size} final=${gensFinal.size}")
+  }
+
+  test("bucketed time travel and torn-snapshot impossibility") {
+    val root = java.nio.file.Files.createTempDirectory("otb2").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    OnlineTable.publishBucketedBatch(
+      (1L to 50L).map(k => (k, 1L, "a")).toDF("k", "ts", "v"),
+      root, Seq("k"), m, nBuckets = 8, keepVersions = 3)
+    OnlineTable.publishBucketedBatch(
+      Seq((1L, 2L, "b")).toDF("k", "ts", "v"), root, Seq("k"), m,
+      keepVersions = 3)
+    val vs = OnlineTable.listVersions(spark, root)
+    assert(vs.size === 2 && vs.forall(_.startsWith("m-")))
+    // the OLD manifest still reads completely (its gens are retained)
+    val old = OnlineTable.readVersion(spark, root, vs.head)
+      .as[(Long, Long, String)].collect()
+      .map { case (k, ts, v) => k -> ((ts, v)) }.toMap
+    assert(old.size === 50 && old(1L) === ((1L, "a")))
+    val now = OnlineTable.readVersion(spark, root, vs.last)
+      .as[(Long, Long, String)].collect()
+      .map { case (k, ts, v) => k -> ((ts, v)) }.toMap
+    assert(now(1L) === ((2L, "b")) && now.size === 50)
+  }
+
+  test("bucketed CAS: concurrent batches both land, no lost update") {
+    val root = java.nio.file.Files.createTempDirectory("otb3").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    OnlineTable.publishBucketedBatch(
+      Seq((0L, 1L, "base")).toDF("k", "ts", "v"), root, Seq("k"), m,
+      nBuckets = 4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() =>
+        try OnlineTable.publishBucketedBatch(
+          Seq((i.toLong, 1L, s"w$i")).toDF("k", "ts", "v"),
+          root, Seq("k"), m)
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"bucketed CAS loop must absorb the race: $errs")
+    val live = OnlineTable.read(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(live === Set((0L, "base"), (1L, "w1"), (2L, "w2")),
+      s"a lost update dropped a contribution: $live")
+  }
+
+  test("bucketed publish migrates a full snapshot and interleaves with publish()") {
+    val root = java.nio.file.Files.createTempDirectory("otb4").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    // starts life as a FULL versioned table
+    OnlineTable.publish(
+      Seq((1L, 1L, "full1"), (2L, 1L, "full2")).toDF("k", "ts", "v"), root)
+    // first bucketed batch migrates everything into buckets
+    OnlineTable.publishBucketedBatch(
+      Seq((2L, 2L, "upd")).toDF("k", "ts", "v"), root, Seq("k"), m,
+      nBuckets = 4)
+    assert(OnlineTable.currentVersion(spark, root).get.startsWith("m-"))
+    val live = OnlineTable.read(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(live === Set((1L, "full1"), (2L, "upd")))
+    // a later FULL publish supersedes the manifest cleanly
+    OnlineTable.publish(Seq((9L, 9L, "flat")).toDF("k", "ts", "v"), root)
+    assert(OnlineTable.read(spark, root).get.count() === 1L)
+    // and its GC (next cycle) collects the manifest's bucket gens
+    OnlineTable.publish(Seq((9L, 10L, "flat2")).toDF("k", "ts", "v"), root)
+    assert(genSubdirs(root).isEmpty,
+      "bucket gens must be collected once no retained manifest remains")
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
