@@ -6214,6 +6214,67 @@ object SparkEntry {
         .ordered(col("cat"))
     }),
 
+    // ---- ML monitoring: histogram-sketch KS (unbounded value domains) --------------
+    // q224's exact KS bounds its window state by the QUANTIZED DOMAIN —
+    // fine for [0,1]-ish metrics, unbounded for heavy-tailed ones. This
+    // is the CONSTANT-state form: per (side, day) FixedHistogram
+    // sketches (the q148 merge-identity layer: daily sketches roll up
+    // to the period by elementwise add, no rescan), one histKs pass
+    // over the two 256-bin arrays — sup over bin-boundary CDF gaps in
+    // exact cross-multiplied integers. The estimate's honest error
+    // bound (max in-bin mass of either side) is emitted NEXT TO it, and
+    // the exact q224 statistic rides along at fixture scale with
+    // bound_ok proving |exact − sketch| within the bound — the sketch
+    // is verified against the truth it replaces, q150's discipline.
+    "q227_ks_hist" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val (lo, hi, bins) = (0.0, 512.0, 256)
+      val e = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(col("value"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+          expr(s"ts_us div $dayUs").as("day"))
+        .withColumn("ia", col("day") < splitDay)
+      val perDay = e.groupBy(col("ia"), col("day"))
+        .agg(Sketches.histogram(col("value"), lo, hi, bins).as("sk"))
+      val perSide = perDay.groupBy(col("ia"))
+        .agg(Sketches.histMerge(col("sk"), bins).as("sk"))
+      val ks = perSide.filter(col("ia")).select(col("sk").as("ska"))
+        .crossJoin(perSide.filter(!col("ia")).select(col("sk").as("skb")))
+        .select(Sketches.histKs(col("ska"), col("skb")).as("k"))
+        .select(col("k.n_a").as("n_a"), col("k.n_b").as("n_b"),
+          col("k.max_gap").as("gap_h"), col("k.max_mass").as("mass"),
+          col("k.at_bin").as("at_bin"))
+      // exact rider: q224's integer pipeline (window state bounded by
+      // the quantized domain — the fixture-scale verification side)
+      val wOrd = Window.orderBy(col("v6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = e.groupBy(col("v6"))
+        .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("ia"), 1L).otherwise(0L)).as("b"))
+        .withColumn("ca", sum(col("a")).over(wOrd))
+        .withColumn("cb", sum(col("b")).over(wOrd))
+        .withColumn("na", sum(col("a")).over(Window.partitionBy()))
+        .withColumn("nb", sum(col("b")).over(Window.partitionBy()))
+        .select(abs(col("ca") * col("nb") - col("cb") * col("na"))
+          .as("gap"))
+        .agg(max(col("gap")).as("gap_e"))
+      ks.crossJoin(exact)
+        .select(col("n_a"), col("n_b"),
+          (floor(col("gap_h").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("ks_hist"),
+          (floor(col("gap_e").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") * 1e6 + 0.5) / 1e6)
+            .as("ks_exact"),
+          (lit(lo) + (col("at_bin") + 1).cast("double") *
+            lit((hi - lo) / bins)).as("at_boundary"),
+          (abs(col("gap_h") - col("gap_e")) <= col("mass"))
+            .as("bound_ok"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8661,6 +8722,52 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN gap = max_gap THEN v6 END) AS DOUBLE)/1e6
         |    AS at_value
         |FROM m GROUP BY na, nb, max_gap""".stripMargin,
+
+    // identical 256-bin grid (floor(v/512*256), clamped), the same
+    // cross-multiplied integer gaps at bin boundaries, the exact q224
+    // rider, and the in-bin-mass error bound — all replayed in SQL
+    "q227_ks_hist" ->
+      """WITH e AS (SELECT value AS v,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6,
+        |    epoch_us(ts)//86400000000 < 19738 AS ia
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |bins AS (SELECT LEAST(GREATEST(
+        |      CAST(FLOOR(v/512.0*256.0) AS INT), 0), 255) AS bin,
+        |    SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS b
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |    CAST(SUM(b) AS BIGINT) AS nb FROM bins),
+        |c AS (SELECT bin, a, b,
+        |    SUM(a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb FROM bins),
+        |g AS (SELECT bin, ABS(ca*nb - cb*na) AS gap,
+        |    a*nb + b*na AS mass FROM c, t),
+        |h AS (SELECT MAX(gap) AS gap_h, MAX(mass) AS mass FROM g),
+        |ab AS (SELECT CASE WHEN (SELECT gap_h FROM h) = 0 THEN -1
+        |    ELSE (SELECT MIN(bin) FROM g
+        |          WHERE gap = (SELECT gap_h FROM h)) END AS at_bin),
+        |ex AS (SELECT v6,
+        |    SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS b
+        |  FROM e GROUP BY 1),
+        |cx AS (SELECT
+        |    SUM(a) OVER (ORDER BY v6 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY v6 ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb FROM ex),
+        |x AS (SELECT MAX(ABS(ca*nb - cb*na)) AS gap_e FROM cx, t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR(CAST(gap_h AS DOUBLE)/CAST(na*nb AS DOUBLE)*1e6+0.5)/1e6
+        |    AS ks_hist,
+        |  FLOOR(CAST(gap_e AS DOUBLE)/CAST(na*nb AS DOUBLE)*1e6+0.5)/1e6
+        |    AS ks_exact,
+        |  CAST((at_bin + 1) * 2.0 AS DOUBLE) AS at_boundary,
+        |  ABS(gap_h - gap_e) <= mass AS bound_ok
+        |FROM t, h, ab, x""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

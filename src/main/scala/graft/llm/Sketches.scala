@@ -304,6 +304,46 @@ object Sketches {
   def histMerge(sk: Column, bins: Int): Column =
     udaf(new HistMergeAgg(bins)).apply(sk)
 
+  /** Two-sample Kolmogorov-Smirnov from two SAME-GRID histogram
+    * sketches — the drift statistic for value domains too wide or
+    * heavy-tailed for q224's exact distinct-value windows (whose state
+    * is bounded by the quantized DOMAIN; a histogram bounds it by the
+    * GRID, a constant). The sup runs over bin boundaries only, so the
+    * estimate can miss in-bin CDF movement: |KS_exact - KS_hist| <=
+    * max over bins of (pA(bin) + pB(bin)), which the returned
+    * `max_mass` states in the same integer gap units (divide by
+    * n_a*n_b) — callers emit the bound next to the estimate instead of
+    * pretending the sketch is exact (SketchesSpec asserts it).
+    *
+    * All-integer scan, one HOF pass: cumulative side counts, gap =
+    * |cumA*nB - cumB*nA| (cross-multiplied exactly like q224 — no float
+    * CDF), first-strict-max bin index rides along (`at_bin`, -1 when
+    * every gap is zero). Contract: n_a*n_b < 2^63 (q224's same bound).
+    */
+  def histKs(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val na = aggregate(a, lit(0L), (s, x) => s + x)
+    val nb = aggregate(b, lit(0L), (s, x) => s + x)
+    val pairs = zip_with(a, b, (x, y) => struct(x.as("a"), y.as("b")))
+    val zero = struct(lit(0L).as("ca"), lit(0L).as("cb"),
+      lit(0L).as("gap"), lit(0L).as("mass"),
+      lit(-1).as("i"), lit(-1).as("at"))
+    val scanned = aggregate(pairs, zero, (acc, p) => {
+      val ca = acc("ca") + p("a")
+      val cb = acc("cb") + p("b")
+      val g = abs(ca * nb - cb * na)
+      val m = p("a") * nb + p("b") * na
+      val i = acc("i") + 1
+      struct(ca.as("ca"), cb.as("cb"),
+        greatest(acc("gap"), g).as("gap"),
+        greatest(acc("mass"), m).as("mass"),
+        i.as("i"),
+        when(g > acc("gap"), i).otherwise(acc("at")).as("at"))
+    })
+    struct(na.as("n_a"), nb.as("n_b"), scanned("gap").as("max_gap"),
+      scanned("mass").as("max_mass"), scanned("at").as("at_bin"))
+  }
+
   /** Merge ALREADY-BUILT bottom-k (KMV) sketches — bottom-k of the
     * union of bottom-k sets IS the union's bottom-k, so per-group
     * distinct-count sketches roll up to any coarser grouping without a

@@ -136,6 +136,58 @@ class SketchesSpec extends AnyFunSuite {
     assert(edge.head + edge.last === 10L && edge.sum === 10L)
   }
 
+  test("histKs: within the stated in-bin-mass bound of the exact KS") {
+    // two deliberately drifted samples over [0,100)x50; the sketch KS
+    // evaluates the sup at bin boundaries only, so the documented bound
+    // is |KS_exact − KS_hist| <= max_mass/(nA·nB) — assert it, plus
+    // exactness when every value sits ON a bin boundary
+    def ksExact(a: Seq[Double], b: Seq[Double]): Double = {
+      val xs = (a ++ b).distinct.sorted
+      xs.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size -
+          b.count(_ <= x).toDouble / b.size)
+      }.max
+    }
+    val rnd = new scala.util.Random(42)
+    val sa = Seq.fill(4000)(rnd.nextDouble() * 100.0)
+    val sb = Seq.fill(3000)(math.pow(rnd.nextDouble(), 1.3) * 100.0)
+    val df = sa.map(v => (v, "a")).union(sb.map(v => (v, "b")))
+      .toDF("v", "side")
+    val sk = df.groupBy(col("side"))
+      .agg(Sketches.histogram(col("v"), 0.0, 100.0, 50).as("sk"))
+    val row = sk.filter(col("side") === "a").select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("side") === "b").select(col("sk").as("skb")))
+      .select(Sketches.histKs(col("ska"), col("skb")).as("k"))
+      .select(col("k.n_a"), col("k.n_b"), col("k.max_gap"),
+        col("k.max_mass"), col("k.at_bin")).head()
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    assert(na === 4000L && nb === 3000L)
+    val ksH = row.getLong(2).toDouble / (na * nb)
+    val bound = row.getLong(3).toDouble / (na * nb)
+    val ksE = ksExact(sa, sb)
+    assert(math.abs(ksE - ksH) <= bound,
+      s"|$ksE - $ksH| exceeds stated bound $bound")
+    assert(ksH > 0.05, s"drifted samples must show a real gap, got $ksH")
+    assert(row.getInt(4) >= 0 && row.getInt(4) < 50)
+    // boundary-aligned values: the sketch sup IS the exact sup
+    val ba = Seq(0.0, 2.0, 4.0, 6.0).map(v => (v, "a"))
+    val bb = Seq(2.0, 4.0, 6.0, 8.0).map(v => (v, "b"))
+    val sk2 = (ba ++ bb).toDF("v", "side").groupBy(col("side"))
+      .agg(Sketches.histogram(col("v"), 0.0, 10.0, 5).as("sk"))
+    val r2 = sk2.filter(col("side") === "a").select(col("sk").as("ska"))
+      .crossJoin(sk2.filter(col("side") === "b").select(col("sk").as("skb")))
+      .select(Sketches.histKs(col("ska"), col("skb")).as("k"))
+      .select(col("k.max_gap"), col("k.n_a"), col("k.n_b")).head()
+    assert(r2.getLong(0).toDouble / (r2.getLong(1) * r2.getLong(2))
+      === ksExact(ba.map(_._1), bb.map(_._1)))
+    // identical sketches: zero gap, at_bin = -1 sentinel
+    val same = sk2.filter(col("side") === "a").select(col("sk").as("ska"))
+    val r3 = same.crossJoin(same.select(col("ska").as("skb")))
+      .select(Sketches.histKs(col("ska"), col("skb")).as("k"))
+      .select(col("k.max_gap"), col("k.at_bin")).head()
+    assert(r3.getLong(0) === 0L && r3.getInt(1) === -1)
+  }
+
   test("histogram: NaN input fails fast, never inflates bin 0") {
     // floor(NaN).toInt == 0 would silently bin NaN at the low edge and
     // shift every quantile; the contract is fail-fast so callers filter
