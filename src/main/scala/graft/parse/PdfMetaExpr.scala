@@ -160,7 +160,44 @@ object PdfMetaExpr {
       while (pos < b.length && isWs(b(pos))) pos += 1
       if (pos >= b.length) return Bad
     }
-    // every in-use offset must land on "<num> 0 obj"
+    // every in-use offset must land on "<num> 0 obj". endobj positions
+    // are collected in ONE linear pass and looked up by binary search:
+    // a per-object indexOf(..., b.length) scans to EOF on crafted input
+    // whose bodies never terminate — O(n_objects x file_size), a DoS
+    // hot spot for a probe meant to run over untrusted crawl corpora.
+    // This keeps the walk O(file + objects·log objects) no matter what
+    // the bytes claim.
+    val endobjPos = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = indexOf(b, "endobj", 0, b.length)
+      while (p >= 0) { buf += p; p = indexOf(b, "endobj", p + 6, b.length) }
+      buf.toArray
+    }
+    def endobjAfter(from: Int): Int = {
+      var lo = 0
+      var hi = endobjPos.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (endobjPos(m) < from) lo = m + 1 else hi = m
+      }
+      if (lo < endobjPos.length) endobjPos(lo) else -1
+    }
+    // objects must occupy DISJOINT regions (each body ends before the
+    // next object starts) — true of any honest file, and the invariant
+    // that keeps the in-body /Type//Count searches linear overall: with
+    // overlapping bodies a crafted file could still make each object
+    // re-scan the same megabytes
+    val sortedOffs = entries.map(_._2).toArray
+    java.util.Arrays.sort(sortedOffs)
+    def nextOffsetAfter(off: Int): Int = {
+      var lo = 0
+      var hi = sortedOffs.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (sortedOffs(m) <= off) lo = m + 1 else hi = m
+      }
+      if (lo < sortedOffs.length) sortedOffs(lo) else Int.MaxValue
+    }
     var nPages = 0
     var pagesCount = -1
     var it = entries
@@ -170,8 +207,9 @@ object PdfMetaExpr {
       val pn = parseInt(b, off)
       if (pn == null || pn._1 != num) return Bad
       if (!startsWith(b, pn._2, " 0 obj")) return Bad
-      val bodyEnd = indexOf(b, "endobj", pn._2, b.length)
+      val bodyEnd = endobjAfter(pn._2)
       if (bodyEnd < 0) return Bad
+      if (bodyEnd > nextOffsetAfter(off)) return Bad // overlapping bodies
       val tp = indexOf(b, "/Type /Page", pn._2, bodyEnd)
       if (tp >= 0) {
         if (startsWith(b, tp + 11, "s")) { // /Type /Pages — the tree node

@@ -82,6 +82,29 @@ class PdfMetaSpec extends AnyFunSuite {
     (0 until base.length by 7).foreach(n => meta(base.take(n)))
   }
 
+  test("unterminated-body flood fails fast (no per-object scan to EOF)") {
+    // 4000 objects whose bodies never say endobj (one lone terminator
+    // near EOF): a per-object indexOf-to-EOF walk would do ~4000 scans
+    // of the file; the precomputed endobj index + disjoint-region check
+    // must reject this in one linear pass, well inside the deadline
+    val n = 4000
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = (1 to n).map { i =>
+      val off = sb.length
+      sb.append(s"$i 0 obj <</Filler ${"x" * 48}>>\n")
+      off
+    }
+    sb.append("endobj\n")
+    val xrefOff = sb.length
+    sb.append(s"xref\n1 $n\n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<</Size $n /Root 1 0 R>>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val bytes = sb.toString.getBytes(US_ASCII)
+    val m = TestSpark.timed(5000)(meta(bytes))
+    assert(!m.getBoolean(0), "overlapping unterminated bodies must fail")
+  }
+
   test("SQL surface: pdf_meta over a binary column") {
     import spark.implicits._
     val df = Seq((1L, Pdf.encode(2, 3, withInfo = true)),
