@@ -80,6 +80,21 @@ object Scaling {
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // factor× lineitem with fresh order AND part keys: the part catalog
+    // grows with the data (the q207 Pareto frame is per-part — weak
+    // scaling must grow the windowed frame, not just re-weigh it), while
+    // category structure (partkey % 100) and the ship-date split stay
+    // intact for the q226 bridge
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until factor).map { i =>
+      li.select((col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // ---- the heavy operator paths --------------------------------------
     def bronzeSilver(dir: String): DataFrame = {
@@ -432,6 +447,26 @@ object Scaling {
         (dir => SparkEntry.queries("q224_ks_drift")(spark, dir)),
       "new_returning" ->
         (dir => SparkEntry.queries("q223_new_returning")(spark, dir)),
+      // constant-state KS: per-day sketches merge to two 256-long
+      // arrays — wall must track the scan, state never grows with rows
+      "ks_hist" ->
+        (dir => SparkEntry.queries("q227_ks_hist")(spark, dir)),
+      // q207's distributed Pareto prefix sum over a part catalog that
+      // GROWS with the data (fresh part keys per replica): wall must
+      // track #parts — the single-task window it replaced would
+      // serialize the whole catalog through one sort
+      "abc_pareto" ->
+        (dir => SparkEntry.queries("q207_abc_pareto")(spark, dir)),
+      // q226's bridge: one conditional-aggregation scan over factor×
+      // lines into a FIXED 100-category frame — must stay scan-bound
+      "pv_bridge" ->
+        (dir => SparkEntry.queries("q226_pv_bridge")(spark, dir)),
+      // q225's two-dataset eps-join: the POI side is FIXED (512), so
+      // with fixed eps both the output and the candidate mass grow
+      // linearly in events — the fixed-dimension analogue of
+      // spatial_join's density-normalized row
+      "poi_join" ->
+        (dir => SparkEntry.queries("q225_poi_join")(spark, dir)),
       // q181's grid join with DENSITY-NORMALIZED eps (eps ∝ 1/sqrt(n)
       // holds expected output ~linear in points — fixed eps on a fixed
       // plane would grow pairs quadratically BY DEFINITION, measuring

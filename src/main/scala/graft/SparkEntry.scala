@@ -5495,8 +5495,14 @@ object SparkEntry {
           (floor(col("cum6").cast("double") /
             col("tot6").cast("double") * 1e6 + 0.5) / 1e6)
             .as("cum_share"),
-          when(col("cum6") * 100 <= col("tot6") * 80, "A")
-            .when(col("cum6") * 100 <= col("tot6") * 95, "B")
+          // exact-integer class cuts in DECIMAL(38,0): a BIGINT×20
+          // product overflows once total micro-revenue passes 2^63/20
+          // (≈ 10× the sf0.1 fixture) — reduced fractions (4/5, 19/20)
+          // plus 128-bit decimals keep the compare exact at any SF
+          when(col("cum6").cast("decimal(38,0)") * 5 <=
+            col("tot6").cast("decimal(38,0)") * 4, "A")
+            .when(col("cum6").cast("decimal(38,0)") * 20 <=
+              col("tot6").cast("decimal(38,0)") * 19, "B")
             .otherwise("C").as("abc_class"))
         .filter(col("l_partkey") % 10 === 0)
         .ordered(col("l_partkey"))
@@ -8493,8 +8499,10 @@ object SparkEntry {
         |  FLOOR(CAST(rev6 AS DOUBLE)/1e6*1e2+0.5)/1e2 AS revenue,
         |  FLOOR(CAST(cum6 AS DOUBLE)/CAST(tot6 AS DOUBLE)*1e6+0.5)/1e6
         |    AS cum_share,
-        |  CASE WHEN cum6*100 <= tot6*80 THEN 'A'
-        |       WHEN cum6*100 <= tot6*95 THEN 'B' ELSE 'C' END
+        |  CASE WHEN CAST(cum6 AS HUGEINT)*5 <= CAST(tot6 AS HUGEINT)*4
+        |         THEN 'A'
+        |       WHEN CAST(cum6 AS HUGEINT)*20 <= CAST(tot6 AS HUGEINT)*19
+        |         THEN 'B' ELSE 'C' END
         |    AS abc_class
         |FROM c WHERE l_partkey % 10 = 0
         |ORDER BY l_partkey""".stripMargin,
