@@ -4480,7 +4480,7 @@ object SparkEntry {
         .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
           col("source").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .ordered(col("lang"), col("source"), col("rn"))
     }),
@@ -6279,6 +6279,29 @@ object SparkEntry {
             lit((hi - lo) / bins)).as("at_boundary"),
           (abs(col("gap_h") - col("gap_e")) <= col("mass"))
             .as("bound_ok"))
+    }),
+
+    // ---- Customer analytics: global balance deciles (distributed NTILE) ----------
+    // The segmentation staple — rank EVERY customer into balance
+    // deciles — is exactly the query that single-tasks at scale: a
+    // bare NTILE(10) OVER (ORDER BY …) moves the whole entity table to
+    // one sort. PrefixSum.ntileDesc computes the identical tile ids
+    // (engine-standard remainder semantics, bit-for-bit — the ORACLE
+    // runs DuckDB's own NTILE) through boundary buckets + local
+    // windows + a broadcast rank ledger; balances ride exact integer
+    // cents so ties can't reorder across engines.
+    "q228_balance_deciles" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 1e2 + 0.5).cast("long").as("bal2"))
+      graft.ops.PrefixSum.ntileDesc(c, "bal2", "c_custkey", "decile", 10)
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          (max(col("bal2")).cast("double") / 1e2).as("hi_bal"),
+          (min(col("bal2")).cast("double") / 1e2).as("lo_bal"),
+          (sum(col("bal2")).cast("double") / 1e2).as("sum_bal"))
+        .ordered(col("decile"))
     }),
 
     // ---- Data profiling: categorical association (Cramér's V) -------------------
@@ -8776,6 +8799,23 @@ object SparkEntry {
         |  CAST((at_bin + 1) * 2.0 AS DOUBLE) AS at_boundary,
         |  ABS(gap_h - gap_e) <= mass AS bound_ok
         |FROM t, h, ab, x""".stripMargin,
+
+    // DuckDB's own NTILE under the identical (bal2 DESC, custkey)
+    // total order — the distributed rank decomposition must reproduce
+    // the engine-standard tile assignment bit for bit
+    "q228_balance_deciles" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(FLOOR(c_acctbal*1e2+0.5) AS BIGINT) AS bal2
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |    AND c_acctbal IS NOT NULL),
+        |t AS (SELECT bal2,
+        |    NTILE(10) OVER (ORDER BY bal2 DESC, c_custkey) AS decile
+        |  FROM c)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_cust,
+        |  CAST(MAX(bal2) AS DOUBLE)/1e2 AS hi_bal,
+        |  CAST(MIN(bal2) AS DOUBLE)/1e2 AS lo_bal,
+        |  CAST(SUM(bal2) AS DOUBLE)/1e2 AS sum_bal
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -45,6 +45,46 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Adds `rankCol` (1-based global ROW_NUMBER under (valueCol DESC,
+    * tieCol ASC)) and `nCol` (total rows) — the distributed form of
+    * `row_number() OVER (ORDER BY v DESC, k)`, whose bare-window plan
+    * funnels the whole frame through one task. Same decomposition as
+    * [[runningTotalDesc]] with per-bucket COUNTS as the ledger. Exact
+    * for a strict total order ((valueCol, tieCol) unique per row). */
+  def rankDesc(df: DataFrame, valueCol: String, tieCol: String,
+               rankCol: String, nCol: String,
+               buckets: Int = -1): DataFrame =
+    decompose(df, valueCol, tieCol, buckets,
+      _ => org.apache.spark.sql.functions.lit(1L),
+      (local, off, tot) => Seq(
+        (local + off).as(rankCol), tot.as(nCol)))
+
+  /** Adds `tileCol`: global NTILE(k) under (valueCol DESC, tieCol ASC)
+    * with engine-standard remainder semantics (the first N mod k tiles
+    * take one extra row) — exact integer arithmetic over the
+    * distributed rank, so it matches a single-window NTILE bit for bit
+    * without the single-task sort. */
+  def ntileDesc(df: DataFrame, valueCol: String, tieCol: String,
+                tileCol: String, k: Int, buckets: Int = -1): DataFrame = {
+    require(k >= 1, "ntile k must be >= 1")
+    import org.apache.spark.sql.functions._
+    // all-integer arithmetic (`div`, never `/` — Column./ is DOUBLE
+    // division and would round past 2^53 rows); CaseWhen evaluates
+    // lazily per row, so the size-0 branch never divides by zero when
+    // n < k (every rank then lives in the size+1 tiles)
+    rankDesc(df, valueCol, tieCol, "__rank", "__n", buckets)
+      .withColumn("__size", expr(s"__n div $k"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn("__cut", col("__rem") * (col("__size") + 1))
+      .withColumn(tileCol,
+        when(col("__rank") <= col("__cut"),
+          expr("(__rank - 1) div (__size + 1)") + 1)
+          .otherwise(col("__rem") +
+            expr("(__rank - 1 - __cut) div __size") + 1)
+          .cast("int"))
+      .drop("__rank", "__n", "__size", "__rem", "__cut")
+  }
+
   /** Adds `cumCol` (inclusive running total of `valueCol` under
     * (valueCol DESC, tieCol ASC)) and `totCol` (grand total) to `df`.
     *
@@ -53,7 +93,17 @@ object PrefixSum {
     */
   def runningTotalDesc(df: DataFrame, valueCol: String, tieCol: String,
                        cumCol: String, totCol: String,
-                       buckets: Int = -1): DataFrame = {
+                       buckets: Int = -1): DataFrame =
+    decompose(df, valueCol, tieCol, buckets, identity,
+      (local, off, tot) => Seq((local + off).as(cumCol), tot.as(totCol)))
+
+  /** The shared decomposition: bucketize on a boundary sample of
+    * `valueCol`, ledger = per-bucket sums of `weight(value)`, output =
+    * `emit(bucket-local inclusive cumsum, broadcast offset, total)`. */
+  private def decompose(df: DataFrame, valueCol: String, tieCol: String,
+                        buckets: Int, weight: Column => Column,
+                        emit: (Column, Column, Column) => Seq[Column])
+      : DataFrame = {
     val spark = df.sparkSession
     val nB =
       if (buckets > 0) buckets
@@ -82,7 +132,7 @@ object PrefixSum {
 
     // 3. per-bucket totals → driver prefix sum → broadcast ledger.
     val perBucket = bucketed.groupBy(col("__rng"))
-      .agg(sum(v).as("__btot"))
+      .agg(sum(weight(v)).as("__btot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = perBucket.map(_._2).sum
     val ledger = perBucket
@@ -102,10 +152,11 @@ object PrefixSum {
     val wLocal = Window.partitionBy(col("__rng"))
       .orderBy(v.desc, col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = emit(sum(weight(v)).over(wLocal), col("__off"),
+      lit(total))
     bucketed
       .join(broadcast(ledgerDf), col("__rng") === col("__orng"))
-      .withColumn(cumCol, col("__off") + sum(v).over(wLocal))
-      .withColumn(totCol, lit(total))
+      .select(col("*") +: outCols: _*)
       .drop("__rng", "__orng", "__off")
   }
 }

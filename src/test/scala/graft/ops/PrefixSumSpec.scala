@@ -61,6 +61,43 @@ class PrefixSumSpec extends AnyFunSuite {
       s"single-partition exchange in plan:\n$plan")
   }
 
+  test("rankDesc matches the single-window row_number for any buckets") {
+    val w = Window.orderBy(col("v").desc, col("k"))
+    val expected = fixture.withColumn("r", row_number().over(w))
+      .select("k", "r").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    for (b <- Seq(1, 5, 32)) {
+      val got = PrefixSum.rankDesc(fixture, "v", "k", "r", "n", buckets = b)
+        .select("k", "r", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.forall(_._3 == 500L))
+      assert(got.map(t => (t._1, t._2)).sortBy(_._1).toSeq ==
+        expected.toSeq, s"buckets=$b diverged")
+    }
+  }
+
+  test("ntileDesc matches the single-window NTILE, remainder semantics included") {
+    // 500 rows: k=7 leaves remainder 3, k=500 exact, k=617 > n (every
+    // tile size 0/1 — the lazy-branch div-by-zero hazard), k=1 trivial
+    for (k <- Seq(1, 7, 10, 500, 617)) {
+      val w = Window.orderBy(col("v").desc, col("k"))
+      val expected = fixture.withColumn("t", ntile(k).over(w))
+        .select("k", "t").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val got = PrefixSum.ntileDesc(fixture, "v", "k", "t", k, buckets = 8)
+        .select("k", "t").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.toSeq == expected.toSeq, s"k=$k diverged")
+    }
+  }
+
+  test("rank/ntile plans carry no single-partition exchange") {
+    val out = PrefixSum.ntileDesc(fixture, "v", "k", "t", 10, buckets = 8)
+    out.collect()
+    assert(singlePartitionNodes(
+      out.queryExecution.executedPlan.toString).isEmpty)
+  }
+
   test("empty input yields empty output") {
     val empty = fixture.filter(col("k") < 0)
     assert(PrefixSum
