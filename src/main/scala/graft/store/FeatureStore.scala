@@ -43,13 +43,14 @@ object FeatureStore {
 
   /** Online point lookup: entity keys -> latest feature row. The requested
     * key set is small by construction (a serving batch), so it broadcasts —
-    * the online table is never shuffled. */
+    * the online table is never shuffled, and on a BUCKETED snapshot
+    * (Streams.upsertOnline's layout) only the gen dirs the keys hash
+    * into are scanned at all ([[OnlineTable.lookup]]). */
   def getOnlineFeatures(spark: SparkSession, path: String,
                         view: FeatureView, keys: DataFrame): DataFrame =
-    OnlineTable.read(spark, path)
+    OnlineTable.lookup(spark, path, view.entities, keys)
       .getOrElse(throw new IllegalStateException(
         s"online table at $path has never been published"))
-      .join(broadcast(keys), view.entities)
 
   /** Offline point-in-time retrieval: for each entity row (key, ts) attach
     * the newest feature row with eventTime <= ts within the view's TTL —

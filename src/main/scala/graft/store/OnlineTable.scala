@@ -509,6 +509,35 @@ object OnlineTable {
     throw last
   }
 
+  /** Bucket-pruned point lookup against the live snapshot: for a
+    * serving-sized key set (small by construction — it broadcasts), a
+    * bucketed table needs to scan ONLY the gen dirs of the buckets the
+    * keys hash into — O(|keys|) files instead of the whole entity
+    * table, the read-side half of the bucketed-publish bargain. Falls
+    * back to a full-snapshot scan for non-bucketed versions. Returns
+    * None if the table was never published. */
+  def lookup(spark: SparkSession, root: String, key: Seq[String],
+             keys: DataFrame): Option[DataFrame] =
+    currentVersion(spark, root) map { v =>
+      val snapshot =
+        if (!isManifest(v)) readVersion(spark, root, v)
+        else {
+          val (fs, rootPath) = fsOf(spark, root)
+          val man = readManifest(fs, rootPath, v)
+          val touched = keys
+            .select(bucketExpr(key, man.nBuckets).as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val paths = man.entries.toSeq.sortBy(_._1)
+            .collect { case (b, rel) if touched(b) =>
+              new Path(rootPath, rel).toString }
+          if (paths.isEmpty)
+            readVersion(spark, root, v).limit(0) // no key hits any bucket
+          else spark.read.parquet(paths: _*)
+        }
+      snapshot.join(
+        org.apache.spark.sql.functions.broadcast(keys), key)
+    }
+
   /** Data files of a pre-versioning (plain parquet dir) online table. */
   private def legacyFiles(fs: FileSystem, rootPath: Path): Seq[Path] =
     if (!fs.exists(rootPath)) Nil

@@ -328,6 +328,37 @@ class OnlineTableSpec extends AnyFunSuite {
       "bucket gens must be collected once no retained manifest remains")
   }
 
+  test("bucket-pruned lookup scans only the keys' buckets, same answer") {
+    val root = java.nio.file.Files.createTempDirectory("otb5").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    OnlineTable.publishBucketedBatch(
+      (1L to 300L).map(kk => (kk, 1L, s"v$kk")).toDF("k", "ts", "v"),
+      root, Seq("k"), m, nBuckets = 16)
+    val keys = Seq(7L, 8L).toDF("k")
+    val out = OnlineTable.lookup(spark, root, Seq("k"), keys).get
+    val got = out.select("k", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((7L, "v7"), (8L, "v8")))
+    // the scan must reference at most 2 of the 16 bucket dirs
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location.rootPaths.map(_.toString)
+    }.flatten.filter(_.contains("__graft_bucket=")).toSet
+    assert(scanned.nonEmpty && scanned.size <= 2,
+      s"lookup scanned ${scanned.size} buckets: $scanned")
+    // a key set hashing to no published bucket returns empty, not error
+    assert(OnlineTable.lookup(spark, root, Seq("k"),
+      Seq(987654321L).toDF("k")).get.count() >= 0L)
+    // non-bucketed snapshot: same API, full-scan fallback
+    val root2 = java.nio.file.Files.createTempDirectory("otb6").toString + "/t"
+    OnlineTable.publish(Seq((1L, 1L, "x")).toDF("k", "ts", "v"), root2)
+    assert(OnlineTable.lookup(spark, root2, Seq("k"), Seq(1L).toDF("k"))
+      .get.count() === 1L)
+    assert(OnlineTable.lookup(spark, root2 + "_never", Seq("k"),
+      Seq(1L).toDF("k")).isEmpty)
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
