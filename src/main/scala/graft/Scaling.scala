@@ -461,6 +461,19 @@ object Scaling {
       // lines into a FIXED 100-category frame — must stay scan-bound
       "pv_bridge" ->
         (dir => SparkEntry.queries("q226_pv_bridge")(spark, dir)),
+      // q228's operator on the factor× event stream: global NTILE(100)
+      // by (value desc, event_id) through the rank decomposition —
+      // wall must track rows; the bare-window form would single-task
+      // the whole sort
+      "global_rank" -> (dir => {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+          .select(col("event_id"),
+            floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+        graft.ops.PrefixSum.ntileDesc(ev, "v6", "event_id", "tile", 100)
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n"), sum(col("v6")).as("s6"))
+      }),
       // q225's two-dataset eps-join: the POI side is FIXED (512), so
       // with fixed eps both the output and the candidate mass grow
       // linearly in events — the fixed-dimension analogue of
