@@ -6770,8 +6770,11 @@ object SparkEntry {
     * hash top-k (smallest md5 coin, tie-broken by key) — so its
     * single-task sort is bounded by a CONSTANT, never the table. The
     * advisor's depth conclusion is sample-invariant; the oracle samples
-    * identically, so the bound itself is oracle-checked. */
-  private val advisorSampleBudget = 100000
+    * identically, so the bound itself is oracle-checked. 20k rows keep
+    * every layout's depth estimate stable (hash ≈ nFiles, range ≈ 1–2,
+    * z-order between — 16 files × >1k rows/file of margin) while the
+    * three simulated sorts stay trivially cheap at any SF. */
+  private val advisorSampleBudget = 20000
 
   /** q74's fixed query-term set — shared between the query and its
     * generated oracle so the two can never drift. */
