@@ -6304,6 +6304,127 @@ object SparkEntry {
         .ordered(col("decile"))
     }),
 
+    // ---- Marketing analytics: first/last-touch revenue attribution ---------------
+    // WHO gets credit for a purchase? Each purchase's revenue is
+    // attributed to the FIRST and the LAST non-purchase touch by the
+    // same user inside a 48 h lookback — both models side by side, the
+    // report every growth team reconciles. One user-keyed Exchange;
+    // the touches come from RANGE frames over epoch-micros (bounded by
+    // the lookback, never the user's whole history), min/max of a
+    // (ts, event_id, type) struct so ties break identically in any
+    // engine; no touch in window → 'direct'. The oracle takes an
+    // INDEPENDENT route (correlated join + ROW_NUMBER pick) so the
+    // range-frame algebra is validated, not replayed.
+    "q229_attribution" -> ((s, dir) => {
+      val lookbackUs = 48L * 3600 * 1000000
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"),
+          floor(coalesce(col("value"), lit(0.0)) * 1e2 + 0.5)
+            .cast("long").as("rev2"))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-lookbackUs, -1L)
+      val touch = when(col("event_type") =!= "purchase",
+        struct(col("ts_us"), col("event_id"), col("event_type")))
+      val attributed = e
+        .withColumn("first_t", min(touch).over(wRange))
+        .withColumn("last_t", max(touch).over(wRange))
+        .filter(col("event_type") === "purchase")
+        .select(col("rev2"),
+          coalesce(col("first_t.event_type"), lit("direct"))
+            .as("first_channel"),
+          coalesce(col("last_t.event_type"), lit("direct"))
+            .as("last_channel"))
+      def model(name: String, channel: Column) = attributed
+        .groupBy(channel.as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(col("rev2")).cast("double") / 1e2).as("revenue"))
+        .withColumn("model", lit(name))
+      model("first_touch", col("first_channel"))
+        .unionByName(model("last_touch", col("last_channel")))
+        .select(col("model"), col("channel"), col("n_purchases"),
+          col("revenue"))
+        .ordered(col("model"), col("channel"))
+    }),
+
+    // ---- Growth analytics: weekly cohort retention matrix -------------------------
+    // The classic retention triangle: users grouped by FIRST-activity
+    // week, each later week's active share measured against the
+    // cohort's size. Everything runs on the distinct (user, week)
+    // table (entity×weeks rows, never raw events — q223's discipline);
+    // the first-week window partitions by user (frames bounded by
+    // weeks-per-user) and the cohort-size lookup rides a cohort-keyed
+    // window over the already-aggregated triangle (weeks² rows).
+    // Share quantized 1e-6 via the engine-portable floor contract.
+    "q230_cohort_retention" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val uw = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("user_id"),
+          expr(s"(ts_us div $dayUs) div 7").as("week"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id"))
+      val tri = uw
+        .withColumn("cohort_week", min(col("week")).over(wU))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_index"))
+        .agg(count(lit(1)).as("n_active"))
+      val wC = Window.partitionBy(col("cohort_week"))
+      tri
+        .withColumn("cohort_size",
+          max(when(col("week_index") === 0, col("n_active"))).over(wC))
+        .select(col("cohort_week"), col("week_index"), col("n_active"),
+          col("cohort_size"),
+          (floor(col("n_active").cast("double") /
+            col("cohort_size").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("retention"))
+        .ordered(col("cohort_week"), col("week_index"))
+    }),
+
+    // ---- Customer analytics: RFM segmentation (three distributed NTILEs) ---------
+    // The segmentation workhorse: every customer scored into quintiles
+    // on Recency (days since last order, DESC — tile 5 = most recent),
+    // Frequency (order count DESC — tile 1 = most orders) and Monetary
+    // (lifetime cents DESC), then the 125-cell segment distribution.
+    // All three quintiles ride PrefixSum.ntileDesc over the PERSISTED
+    // per-customer aggregate — three global ranks with zero
+    // single-task sorts, the q228 operator exercised as a battery; the
+    // oracle runs DuckDB's own three NTILEs. The one-row anchor-date
+    // frame broadcasts (the q79 lazy-denominator shape).
+    "q231_rfm" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          floor(col("o_totalprice") * 1e2 + 0.5).cast("long").as("p2"))
+      val anchor = o.agg(max(col("d")).as("anchor"))
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+          sum(col("p2")).as("money2"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("anchor"), col("last_d")).cast("long")
+            .as("recency_days"),
+          col("freq"), col("money2"))
+        .persist()
+      import graft.ops.PrefixSum
+      val scored =
+        PrefixSum.ntileDesc(
+          PrefixSum.ntileDesc(
+            PrefixSum.ntileDesc(perCust,
+              "recency_days", "o_custkey", "r_tile", 5),
+            "freq", "o_custkey", "f_tile", 5),
+          "money2", "o_custkey", "m_tile", 5)
+      scored.groupBy(col("r_tile").cast("long").as("r_tile"),
+          col("f_tile").cast("long").as("f_tile"),
+          col("m_tile").cast("long").as("m_tile"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("money2")).cast("double") / 1e2).as("revenue"))
+        .ordered(col("r_tile"), col("f_tile"), col("m_tile"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -8819,6 +8940,92 @@ object SparkEntry {
         |  CAST(MIN(bal2) AS DOUBLE)/1e2 AS lo_bal,
         |  CAST(SUM(bal2) AS DOUBLE)/1e2 AS sum_bal
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // INDEPENDENT plan: correlated join over the lookback interval +
+    // ROW_NUMBER picks — validates the engine's range-frame algebra
+    // rather than replaying it
+    "q229_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type,
+        |    CAST(FLOOR(COALESCE(value, 0)*1e2+0.5) AS BIGINT) AS rev2
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT user_id, us, event_id, rev2 FROM e
+        |  WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.user_id, p.event_id AS pid, p.rev2,
+        |    t.event_type, t.us, t.event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY t.us ASC, t.event_id ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY t.us DESC, t.event_id DESC) AS rl
+        |  FROM p JOIN e t ON t.user_id = p.user_id
+        |    AND t.event_type <> 'purchase'
+        |    AND t.us >= p.us - 172800000000 AND t.us <= p.us - 1),
+        |tagged AS (SELECT p.user_id, p.event_id, p.rev2,
+        |    COALESCE(f.event_type, 'direct') AS first_channel,
+        |    COALESCE(l.event_type, 'direct') AS last_channel
+        |  FROM p
+        |  LEFT JOIN cand f ON f.user_id = p.user_id
+        |    AND f.pid = p.event_id AND f.rf = 1
+        |  LEFT JOIN cand l ON l.user_id = p.user_id
+        |    AND l.pid = p.event_id AND l.rl = 1),
+        |m AS (
+        |  SELECT 'first_touch' AS model, first_channel AS channel,
+        |    COUNT(*) AS n_purchases,
+        |    CAST(SUM(rev2) AS DOUBLE)/1e2 AS revenue
+        |  FROM tagged GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', last_channel, COUNT(*),
+        |    CAST(SUM(rev2) AS DOUBLE)/1e2
+        |  FROM tagged GROUP BY 2)
+        |SELECT model, channel, n_purchases, revenue FROM m
+        |ORDER BY model, channel""".stripMargin,
+
+    // the same distinct (user, week) table, first-week min, triangle
+    // rollup, and cohort-size share
+    "q230_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts)//86400000000)//7 AS week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM uw),
+        |tri AS (SELECT cohort_week, week - cohort_week AS week_index,
+        |    COUNT(*) AS n_active
+        |  FROM c GROUP BY 1, 2),
+        |sz AS (SELECT *, MAX(CASE WHEN week_index = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS cohort_size FROM tri)
+        |SELECT cohort_week, week_index, n_active, cohort_size,
+        |  FLOOR(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS retention
+        |FROM sz ORDER BY cohort_week, week_index""".stripMargin,
+
+    // DuckDB's own three NTILEs under the identical (value DESC, cust)
+    // orders — the distributed quintiles must match engine-standard
+    // assignment on every dimension at once
+    "q231_rfm" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(FLOOR(o_totalprice*1e2+0.5) AS BIGINT) AS p2
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |pc AS (SELECT o_custkey,
+        |    CAST((SELECT MAX(d) FROM o) - MAX(d) AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(*) AS freq, SUM(p2) AS money2
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT o_custkey, money2,
+        |    NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |      AS r_tile,
+        |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_tile,
+        |    NTILE(5) OVER (ORDER BY money2 DESC, o_custkey) AS m_tile
+        |  FROM pc)
+        |SELECT CAST(r_tile AS BIGINT) AS r_tile,
+        |  CAST(f_tile AS BIGINT) AS f_tile,
+        |  CAST(m_tile AS BIGINT) AS m_tile,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(money2) AS DOUBLE)/1e2 AS revenue
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY r_tile, f_tile, m_tile""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -77,6 +77,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q227: two ONE-ROW frames crossed twice (side-A sketch × side-B
     *     sketch, then the histKs row × the ONE-ROW exact-KS rider) —
     *     the q135/q188 bounded-width one-row-aggregate shape.
+    *   - q231: the ONE-ROW anchor-date aggregate broadcast-crossed onto
+    *     the per-customer frame (recency needs the global max date on
+    *     every row — the q79 lazy-denominator shape).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -87,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
-    "q212_keyness", "q221_session_basket", "q227_ks_hist")
+    "q212_keyness", "q221_session_basket", "q227_ks_hist",
+    "q231_rfm")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
