@@ -6425,6 +6425,46 @@ object SparkEntry {
         .ordered(col("r_tile"), col("f_tile"), col("m_tile"))
     }),
 
+    // ---- Ops diagnostics: key-skew profile (Gini + hot-key shares) ----------------
+    // The shuffle-health report a platform team reads before picking
+    // partitioners: per-user event counts ranked globally
+    // (PrefixSum.rankDesc — no single-task sort), then the Gini
+    // coefficient in EXACT integer cross-multiplication — with desc
+    // rank rd, G = ((n+1)·S − 2·Σ rd·x) / (n·S), one double division
+    // at the end (Σ rd·x rides DECIMAL(38,0): it reaches n·S, past
+    // BIGINT at cluster scale) — plus the top-10-key share and the
+    // p99/p50 per-key load ratio read at exact desc ranks.
+    "q232_key_skew" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val ranked = graft.ops.PrefixSum
+        .rankDesc(perUser, "cnt", "user_id", "rd", "n")
+      val d38 = "decimal(38,0)"
+      ranked.agg(
+          max(col("n")).as("n_users"),
+          sum(col("cnt")).as("total_events"),
+          sum(col("rd").cast(d38) * col("cnt").cast(d38)).as("t38"),
+          sum(when(col("rd") <= 10, col("cnt")).otherwise(0L))
+            .as("top10"),
+          max(when(col("rd") === greatest(lit(1L),
+            expr("n div 100")), col("cnt"))).as("v99"),
+          max(when(col("rd") === greatest(lit(1L),
+            expr("n div 2")), col("cnt"))).as("v50"))
+        .select(col("n_users"), col("total_events"),
+          (floor(((col("n_users") + 1).cast(d38) *
+              col("total_events").cast(d38) -
+              col("t38") * 2).cast("double") /
+            (col("n_users").cast("double") *
+              col("total_events").cast("double")) * 1e6 + 0.5) / 1e6)
+            .as("gini"),
+          (floor(col("top10").cast("double") /
+            col("total_events").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("top10_share"),
+          (floor(col("v99").cast("double") / col("v50").cast("double")
+            * 1e4 + 0.5) / 1e4).as("p99_over_p50"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -9026,6 +9066,33 @@ object SparkEntry {
         |  CAST(SUM(money2) AS DOUBLE)/1e2 AS revenue
         |FROM t GROUP BY 1, 2, 3
         |ORDER BY r_tile, f_tile, m_tile""".stripMargin,
+
+    // the same desc rank, exact-integer Gini cross-multiplication
+    // (HUGEINT), and the rank-indexed hot-key reads
+    "q232_key_skew" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rd,
+        |    COUNT(*) OVER () AS n FROM pu),
+        |a AS (SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |    SUM(CAST(rd AS HUGEINT)*cnt) AS t,
+        |    CAST(SUM(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS top10,
+        |    MAX(CASE WHEN rd = GREATEST(1, n//100) THEN cnt END) AS v99,
+        |    MAX(CASE WHEN rd = GREATEST(1, n//2) THEN cnt END) AS v50
+        |  FROM r)
+        |SELECT n_users, total_events,
+        |  FLOOR(CAST((CAST(n_users+1 AS HUGEINT)*total_events - 2*t)
+        |      AS DOUBLE)
+        |    /(CAST(n_users AS DOUBLE)*CAST(total_events AS DOUBLE))
+        |    *1e6+0.5)/1e6 AS gini,
+        |  FLOOR(CAST(top10 AS DOUBLE)/CAST(total_events AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS top10_share,
+        |  FLOOR(CAST(v99 AS DOUBLE)/CAST(v50 AS DOUBLE)*1e4+0.5)/1e4
+        |    AS p99_over_p50
+        |FROM a""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
