@@ -85,6 +85,18 @@ object Scaling {
     // scaling must grow the windowed frame, not just re-weigh it), while
     // category structure (partkey % 100) and the ship-date split stay
     // intact for the q226 bridge
+    // factor× orders with fresh customer keys: the q231 RFM frame is
+    // per-customer, so weak scaling must grow the ranked entity set
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until factor).map { i =>
+      ord.select(
+        (col("o_orderkey") + lit(i * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * 10000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until factor).map { i =>
       li.select((col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
@@ -474,6 +486,17 @@ object Scaling {
           .groupBy(col("tile"))
           .agg(count(lit(1)).as("n"), sum(col("v6")).as("s6"))
       }),
+      // round-13 analytics wave: attribution rides lookback-bounded
+      // RANGE frames (one user Exchange), the retention triangle rides
+      // entity×weeks rows, key-skew and RFM ride the rank
+      // decomposition over entity-sized frames that GROW with the data
+      "attribution" ->
+        (dir => SparkEntry.queries("q229_attribution")(spark, dir)),
+      "cohort_retention" ->
+        (dir => SparkEntry.queries("q230_cohort_retention")(spark, dir)),
+      "key_skew" ->
+        (dir => SparkEntry.queries("q232_key_skew")(spark, dir)),
+      "rfm" -> (dir => SparkEntry.queries("q231_rfm")(spark, dir)),
       // q225's two-dataset eps-join: the POI side is FIXED (512), so
       // with fixed eps both the output and the candidate mass grow
       // linearly in events — the fixed-dimension analogue of

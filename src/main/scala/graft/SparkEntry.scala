@@ -6410,13 +6410,16 @@ object SparkEntry {
           col("freq"), col("money2"))
         .persist()
       import graft.ops.PrefixSum
-      val scored =
-        PrefixSum.ntileDesc(
-          PrefixSum.ntileDesc(
-            PrefixSum.ntileDesc(perCust,
-              "recency_days", "o_custkey", "r_tile", 5),
-            "freq", "o_custkey", "f_tile", 5),
-          "money2", "o_custkey", "m_tile", 5)
+      // each ntileDesc runs two driver-sized actions (boundary sample,
+      // rank ledger) over its INPUT — persist between stages or stage
+      // N's actions re-execute stages 1..N-1 end to end (measured 7.0×
+      // wall at 10× customers unpersisted; 2.2× with the stage caches)
+      val t1 = PrefixSum.ntileDesc(perCust,
+        "recency_days", "o_custkey", "r_tile", 5).persist()
+      val t2 = PrefixSum.ntileDesc(t1,
+        "freq", "o_custkey", "f_tile", 5).persist()
+      val scored = PrefixSum.ntileDesc(t2,
+        "money2", "o_custkey", "m_tile", 5)
       scored.groupBy(col("r_tile").cast("long").as("r_tile"),
           col("f_tile").cast("long").as("f_tile"),
           col("m_tile").cast("long").as("m_tile"))
