@@ -6468,6 +6468,57 @@ object SparkEntry {
             * 1e4 + 0.5) / 1e4).as("p99_over_p50"))
     }),
 
+    // ---- Forecasting ops: naive vs seasonal-naive backtest --------------------------
+    // The capacity-planning sanity check: per event type, daily volumes
+    // backtested against the two zero-parameter forecasters everyone
+    // must beat — naive (yesterday) and seasonal-naive (same weekday
+    // last week) — scored by MAE and bias over the evaluation window in
+    // EXACT integer counts (one double division per metric at the end).
+    // Lags ride (type)-keyed windows over the per-type-day table
+    // (domain-bounded: types × days), never raw events; days with no
+    // events are materialized as zeros via the type × day-span grid
+    // (two tiny frames joined) so lag-7 never silently skips gaps.
+    "q233_backtest" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      val counts = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val days = span.select(explode(sequence(col("lo"), col("hi")))
+        .as("day"))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(days))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = grid
+        .withColumn("f_naive", lag(col("n"), 1).over(w))
+        .withColumn("f_seasonal", lag(col("n"), 7).over(w))
+        .filter(col("f_seasonal").isNotNull) // eval window: both defined
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("f_naive"))).as("ae1"),
+          sum(abs(col("n") - col("f_seasonal"))).as("ae7"),
+          sum(col("n") - col("f_naive")).as("b1"),
+          sum(col("n") - col("f_seasonal")).as("b7"))
+        .select(col("event_type"), col("n_days"),
+          (floor(col("ae1").cast("double") / col("n_days").cast("double")
+            * 1e4 + 0.5) / 1e4).as("mae_naive"),
+          (floor(col("ae7").cast("double") / col("n_days").cast("double")
+            * 1e4 + 0.5) / 1e4).as("mae_seasonal"),
+          (floor(col("b1").cast("double") / col("n_days").cast("double")
+            * 1e4 + 0.5) / 1e4).as("bias_naive"),
+          (floor(col("b7").cast("double") / col("n_days").cast("double")
+            * 1e4 + 0.5) / 1e4).as("bias_seasonal"),
+          when(col("ae7") < col("ae1"), "seasonal")
+            .when(col("ae1") < col("ae7"), "naive")
+            .otherwise("tie").as("winner"))
+        .ordered(col("event_type"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -9096,6 +9147,43 @@ object SparkEntry {
         |  FLOOR(CAST(v99 AS DOUBLE)/CAST(v50 AS DOUBLE)*1e4+0.5)/1e4
         |    AS p99_over_p50
         |FROM a""".stripMargin,
+
+    // the same zero-filled type×day grid, LAG(1)/LAG(7) forecasters,
+    // and exact-integer error sums
+    "q233_backtest" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |sp AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+        |d AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM sp),
+        |g AS (SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM c) t
+        |  CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+        |s AS (SELECT *,
+        |    LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS f1,
+        |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS f7
+        |  FROM g),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(ABS(n - f1)) AS BIGINT) AS ae1,
+        |    CAST(SUM(ABS(n - f7)) AS BIGINT) AS ae7,
+        |    CAST(SUM(n - f1) AS BIGINT) AS b1,
+        |    CAST(SUM(n - f7) AS BIGINT) AS b7
+        |  FROM s WHERE f7 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  FLOOR(CAST(ae1 AS DOUBLE)/CAST(n_days AS DOUBLE)*1e4+0.5)/1e4
+        |    AS mae_naive,
+        |  FLOOR(CAST(ae7 AS DOUBLE)/CAST(n_days AS DOUBLE)*1e4+0.5)/1e4
+        |    AS mae_seasonal,
+        |  FLOOR(CAST(b1 AS DOUBLE)/CAST(n_days AS DOUBLE)*1e4+0.5)/1e4
+        |    AS bias_naive,
+        |  FLOOR(CAST(b7 AS DOUBLE)/CAST(n_days AS DOUBLE)*1e4+0.5)/1e4
+        |    AS bias_seasonal,
+        |  CASE WHEN ae7 < ae1 THEN 'seasonal'
+        |       WHEN ae1 < ae7 THEN 'naive' ELSE 'tie' END AS winner
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -80,6 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q231: the ONE-ROW anchor-date aggregate broadcast-crossed onto
     *     the per-customer frame (recency needs the global max date on
     *     every row — the q79 lazy-denominator shape).
+    *   - q233: the zero-fill grid crosses the distinct TYPE list with
+    *     the day-span sequence — both sides domain-bounded (types ×
+    *     days), the point being that lag-7 must see explicit zero days.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -91,7 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
-    "q231_rfm")
+    "q231_rfm", "q233_backtest")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
