@@ -6519,6 +6519,55 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- Fulfillment ops: ship-delay SLA report per priority ------------------------
+    // How long from order to LAST line shipped, by order priority —
+    // the SLA table an ops review reads. One orders⋈lineitem equi-join
+    // on the natural key (co-partitioned fact join, AQE's SMJ), per-
+    // order max delay, then DISCRETE rank percentiles in pure integer
+    // arithmetic (smallest delay whose cumulative count reaches
+    // ceil(q·n) — no interpolation, no float ranks) over the
+    // (priority × distinct-delay) table, domain-bounded by the delay
+    // calendar, never order count. Share-within-60-days rides the same
+    // tiny frame.
+    "q234_ship_sla" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("od"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull)
+        .select(col("l_orderkey").as("o_orderkey"),
+          to_date(col("l_shipdate")).as("sd"))
+      val perOrder = o.join(l, Seq("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("prio"), col("od"))
+        .agg(max(col("sd")).as("last_sd"))
+        .select(col("prio"),
+          datediff(col("last_sd"), col("od")).cast("long").as("delay"))
+      val byDelay = perOrder.groupBy(col("prio"), col("delay"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("prio")).orderBy(col("delay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("prio"))
+      byDelay
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n_orders"),
+          min(when(col("cum") * 2 >= col("n"), col("delay"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("delay")))
+            .as("p90"),
+          max(col("delay")).as("max_delay"),
+          sum(when(col("delay") <= 60, col("c")).otherwise(0L))
+            .as("w60"))
+        .select(col("prio"), col("n_orders"), col("p50"), col("p90"),
+          col("max_delay"),
+          (floor(col("w60").cast("double") /
+            col("n_orders").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("share_within_60"))
+        .ordered(col("prio"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -9184,6 +9233,32 @@ object SparkEntry {
         |  CASE WHEN ae7 < ae1 THEN 'seasonal'
         |       WHEN ae1 < ae7 THEN 'naive' ELSE 'tie' END AS winner
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // the same per-order max-ship delay and rank-discrete percentiles
+    // by integer cross-multiplication (2·cum >= n, 10·cum >= 9·n)
+    "q234_ship_sla" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |po AS (SELECT o.o_orderkey, prio,
+        |    CAST(MAX(CAST(l_shipdate AS DATE)) - od AS BIGINT) AS delay
+        |  FROM o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate IS NOT NULL
+        |  GROUP BY 1, 2, od),
+        |bd AS (SELECT prio, delay, COUNT(*) AS c FROM po GROUP BY 1, 2),
+        |cw AS (SELECT *,
+        |    SUM(c) OVER (PARTITION BY prio ORDER BY delay
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY prio) AS n FROM bd)
+        |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_orders,
+        |  MIN(CASE WHEN cum*2 >= n THEN delay END) AS p50,
+        |  MIN(CASE WHEN cum*10 >= n*9 THEN delay END) AS p90,
+        |  MAX(delay) AS max_delay,
+        |  FLOOR(CAST(SUM(CASE WHEN delay <= 60 THEN c ELSE 0 END)
+        |      AS DOUBLE)
+        |    /CAST(MAX(n) AS DOUBLE)*1e6+0.5)/1e6 AS share_within_60
+        |FROM cw GROUP BY prio ORDER BY prio""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
