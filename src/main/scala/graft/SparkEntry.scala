@@ -4980,20 +4980,20 @@ object SparkEntry {
     }),
 
     // ---- Multi-objective: Pareto skyline (min price, max recency) -------------
-    // The skyline operator, grid-pruned for scale: a naive skyline is
-    // an all-pairs domination test (the BNLJ PlanAudit outlaws). Cure:
-    // fixed-width price bands; per-band best recency; the running best
-    // over STRICTLY lower bands (a window over the tiny band table)
-    // prunes every point a lower-band point dominates — provably
-    // complete: a dominator has x' <= x, so it lives in a lower-or-
-    // equal band; lower-band dominators imply y <= prefix_best (the
-    // pruned set), same-band dominators survive pruning themselves
-    // (y' >= y > prefix_best) and are caught by the EXACT pass — a
-    // strict-x RANGE window + equal-x group max over the (small)
-    // candidate set only. The oracle is an INDEPENDENT plan: a
-    // declarative NOT EXISTS domination test.
+    // The skyline operator, distributed: a naive skyline is an
+    // all-pairs domination test (the BNLJ PlanAudit outlaws), and the
+    // declarative cure — `max(y) OVER (ORDER BY x RANGE ... 1
+    // PRECEDING)` — single-tasks the whole table through one sort. A
+    // point survives iff y beats the running max over STRICTLY smaller
+    // x AND it is the best y among its exact-x ties; the running max
+    // rides PrefixSum.runningMaxStrictAsc (quantile boundary buckets →
+    // bucket-local strict RANGE windows → broadcast prefix-max ledger),
+    // so parallelism follows the live value distribution — the fixed-
+    // width band prune this replaces collapsed to ONE task whenever the
+    // price range fit a single band (the r13 latent-skew finding). The
+    // oracle is an INDEPENDENT plan: a declarative NOT EXISTS
+    // domination test.
     "q193_skyline" -> ((s, dir) => {
-      val bandW = 1L << 30 // ~1073 price units per band on the micro scale
       val q = Tables(s, dir, "orders")
         .filter(col("o_orderkey") % 5 === 0 &&
           col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
@@ -5001,20 +5001,8 @@ object SparkEntry {
           floor(col("o_totalprice") * 1e6 + 0.5).cast("long").as("x"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
             .cast("long").as("y"))
-        .withColumn("band", expr(s"x div $bandW"))
-        .persist()
-      val bands = q.groupBy(col("band")).agg(max(col("y")).as("band_best"))
-      val wb = Window.orderBy(col("band"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val prefix = bands.withColumn("prefix_best",
-        max(col("band_best")).over(wb))
-      val cand = q.join(broadcast(prefix.select(col("band"),
-          col("prefix_best"))), Seq("band"))
-        .filter(col("prefix_best").isNull || col("y") > col("prefix_best"))
-      val wx = Window.orderBy(col("x"))
-        .rangeBetween(Window.unboundedPreceding, -1)
       val wEq = Window.partitionBy(col("x"))
-      cand.withColumn("max_y_smaller", max(col("y")).over(wx))
+      graft.ops.PrefixSum.runningMaxStrictAsc(q, "x", "y", "max_y_smaller")
         .withColumn("max_y_eq", max(col("y")).over(wEq))
         .filter((col("max_y_smaller").isNull ||
           col("y") > col("max_y_smaller")) && col("y") === col("max_y_eq"))
@@ -6408,18 +6396,17 @@ object SparkEntry {
           datediff(col("anchor"), col("last_d")).cast("long")
             .as("recency_days"),
           col("freq"), col("money2"))
-        .persist()
-      import graft.ops.PrefixSum
-      // each ntileDesc runs two driver-sized actions (boundary sample,
-      // rank ledger) over its INPUT — persist between stages or stage
-      // N's actions re-execute stages 1..N-1 end to end (measured 7.0×
-      // wall at 10× customers unpersisted; 2.2× with the stage caches)
-      val t1 = PrefixSum.ntileDesc(perCust,
-        "recency_days", "o_custkey", "r_tile", 5).persist()
-      val t2 = PrefixSum.ntileDesc(t1,
-        "freq", "o_custkey", "f_tile", 5).persist()
-      val scored = PrefixSum.ntileDesc(t2,
-        "money2", "o_custkey", "m_tile", 5)
+      // ONE fused call: all three boundary probes share one aggregate,
+      // all three rank ledgers share one conditional-sum aggregate, and
+      // the three tile windows chain in one linear job — the chained
+      // ntileDesc form this replaces ran two driver actions PER STAGE
+      // over its whole upstream (measured 7.0× wall at 10× customers
+      // unpersisted, and needed three persist() stage caches to reach
+      // 2.2×; the fused form needs none)
+      val scored = graft.ops.PrefixSum.ntileDescMany(perCust, Seq(
+        ("recency_days", "o_custkey", "r_tile", 5),
+        ("freq", "o_custkey", "f_tile", 5),
+        ("money2", "o_custkey", "m_tile", 5)))
       scored.groupBy(col("r_tile").cast("long").as("r_tile"),
           col("f_tile").cast("long").as("f_tile"),
           col("m_tile").cast("long").as("m_tile"))

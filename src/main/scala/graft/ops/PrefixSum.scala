@@ -97,6 +97,45 @@ object PrefixSum {
     decompose(df, valueCol, tieCol, buckets, identity,
       (local, off, tot) => Seq((local + off).as(cumCol), tot.as(totCol)))
 
+  /** Effective bucket count: the explicit knob, else the session's
+    * shuffle parallelism. */
+  private def bucketCount(df: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt, 1)
+
+  /** One boundary-sample aggregate row per value column: approximate
+    * (nB-1)-quantiles of each column, floored to LONG plan literals.
+    * Shared by every decomposition here — the literals make bucket
+    * assignment a pure row function, so the ledger and output passes
+    * cannot disagree (a `spark_partition_id()` ledger would tie
+    * correctness to cross-job partition-layout determinism). One
+    * column-pruned scan regardless of how many columns are probed. */
+  private def boundarySample(df: DataFrame, valueCols: Seq[String],
+                             nB: Int): Map[String, Seq[Long]] = {
+    if (nB == 1) return valueCols.map(_ -> Seq.empty[Long]).toMap
+    val probs = (1 until nB).map(i => i.toDouble / nB)
+    val row = df.select(valueCols.map(c =>
+        percentile_approx(col(c).cast("double"), typedLit(probs),
+          lit(10000)).as(c)): _*)
+      .collect()(0)
+    valueCols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getSeq[Double](i) match {
+        case null => Seq.empty[Long] // empty input
+        case qs => qs.map(q => math.floor(q).toLong).distinct
+      })
+    }.toMap
+  }
+
+  /** Order-preserving bucket id for (valueCol DESC): #{boundary b :
+    * value < b} with boundaries applied high-to-low — every row of
+    * bucket r sorts before every row of bucket r+1; value ties always
+    * share a bucket. A pure literal expression (see [[boundarySample]]). */
+  private def bucketDesc(v: Column, boundaries: Seq[Long]): Column =
+    boundaries.sorted(Ordering.Long.reverse).foldLeft(lit(0)) { (acc, b) =>
+      acc + when(v < lit(b), 1).otherwise(0)
+    }
+
   /** The shared decomposition: bucketize on a boundary sample of
     * `valueCol`, ledger = per-bucket sums of `weight(value)`, output =
     * `emit(bucket-local inclusive cumsum, broadcast offset, total)`. */
@@ -105,30 +144,10 @@ object PrefixSum {
                         emit: (Column, Column, Column) => Seq[Column])
       : DataFrame = {
     val spark = df.sparkSession
-    val nB =
-      if (buckets > 0) buckets
-      else math.max(
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val nB = bucketCount(df, buckets)
     val v = col(valueCol)
-
-    // 1. boundary sample — one tiny driver row; distinct+desc so bucket
-    // ranges are strictly decreasing even on heavily tied values.
-    val probs = (1 until nB).map(i => i.toDouble / nB)
-    val boundaries: Seq[Long] =
-      if (nB == 1) Seq.empty
-      else df.select(percentile_approx(v.cast("double"),
-          typedLit(probs), lit(10000)).as("qs"))
-        .collect()(0).getSeq[Double](0) match {
-          case null => Seq.empty // empty input
-          case qs => qs.map(q => math.floor(q).toLong).distinct
-            .sorted(Ordering.Long.reverse)
-        }
-
-    // 2. order-preserving bucket id as a pure literal expression.
-    val rng = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(v < lit(b), 1).otherwise(0)
-    }
-    val bucketed = df.withColumn("__rng", rng)
+    val boundaries = boundarySample(df, Seq(valueCol), nB)(valueCol)
+    val bucketed = df.withColumn("__rng", bucketDesc(v, boundaries))
 
     // 3. per-bucket totals → driver prefix sum → broadcast ledger.
     val perBucket = bucketed.groupBy(col("__rng"))
@@ -158,5 +177,142 @@ object PrefixSum {
       .join(broadcast(ledgerDf), col("__rng") === col("__orng"))
       .select(col("*") +: outCols: _*)
       .drop("__rng", "__orng", "__off")
+  }
+
+  /** Adds `maxCol`: the running MAX of `aggCol` over rows with STRICTLY
+    * smaller `orderCol` — the distributed form of
+    * `max(y) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` (NULL when no strictly-smaller row exists), whose bare
+    * plan moves the whole frame through ONE task. Same decomposition as
+    * [[runningTotalDesc]] with a MAX monoid: ascending boundary
+    * buckets, a per-bucket-max ledger prefix-maxed on the driver, and a
+    * bucket-local strict RANGE window. Exactness is bucket-invariant
+    * for the same reason as the sum form — max is associative and the
+    * bucket id is a pure function of `orderCol`, so equal order values
+    * never straddle buckets and the strict frame splits cleanly into
+    * (strictly lower buckets) ⊔ (strictly smaller within bucket).
+    *
+    * This is the skyline/record-sweep primitive (q193): unlike the
+    * band-prefix prune it replaces, parallelism comes from QUANTILES of
+    * the live data, so a value domain that collapses into one fixed-
+    * width band still fans out over `buckets` tasks.
+    *
+    * Preconditions: `orderCol` and `aggCol` non-null LONG-valued. */
+  def runningMaxStrictAsc(df: DataFrame, orderCol: String, aggCol: String,
+                          maxCol: String, buckets: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val nB = bucketCount(df, buckets)
+    val x = col(orderCol)
+    // ascending buckets: #{boundary b : x >= b} — order-preserving for
+    // x ASC, ties always share a bucket
+    val boundaries = boundarySample(df, Seq(orderCol), nB)(orderCol).sorted
+    val rng = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(x >= lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__rng", rng)
+    // ledger: per-bucket max, prefix-maxed over STRICTLY lower buckets
+    // on the driver (<= nB rows by construction), re-entered broadcast.
+    // Offset is NULL for the lowest populated bucket — "no smaller row".
+    val perBucket = bucketed.groupBy(col("__rng"))
+      .agg(max(col(aggCol)).as("__bmax"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val ledger = perBucket
+      .scanLeft((0, Option.empty[Long], Option.empty[Long])) {
+        case ((_, off, prevMax), (b, m)) =>
+          val newOff: Option[Long] =
+            (off ++ prevMax).reduceOption((a, c) => math.max(a, c))
+          (b, newOff, Some(m): Option[Long])
+      }.drop(1).map { case (b, off, _) =>
+        Row(b, off.map(java.lang.Long.valueOf).orNull)
+      }
+    import scala.jdk.CollectionConverters._
+    val ledgerDf = spark.createDataFrame(
+      ledger.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__orng",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    // bucket-local strict-range max + the broadcast cross-bucket max;
+    // greatest() is null-tolerant in exactly the semantics needed here
+    // (greatest(NULL, m) = m, greatest(NULL, NULL) = NULL)
+    val wLocal = Window.partitionBy(col("__rng")).orderBy(x)
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    bucketed
+      .join(broadcast(ledgerDf), col("__rng") === col("__orng"))
+      .withColumn(maxCol,
+        greatest(max(col(aggCol)).over(wLocal), col("__off")))
+      .drop("__rng", "__orng", "__off")
+  }
+
+  /** Fused multi-column NTILE: one [[ntileDesc]] per spec `(valueCol,
+    * tieCol, tileCol, k)`, computed with ONE boundary-probe scan and
+    * ONE ledger scan for ALL columns instead of a chained per-column
+    * pair — the RFM shape (q231), where chaining three ntileDesc calls
+    * made stage N's two driver actions re-execute stages 1..N-1 unless
+    * every stage was persisted (measured 7.0× wall at 10× customers
+    * unpersisted). Here the per-column rank ledgers are conditional
+    * sums in a single aggregate (nB×|specs| counter columns — bounded
+    * by the bucket knob, never the data), offsets become literal CASE
+    * expressions (no ledger join at all), and the output pass chains
+    * |specs| bucket-partitioned windows in one linear job. Tile ids
+    * are bit-for-bit [[ntileDesc]]'s (identical integer arithmetic). */
+  def ntileDescMany(df: DataFrame,
+                    specs: Seq[(String, String, String, Int)],
+                    buckets: Int = -1): DataFrame = {
+    require(specs.nonEmpty, "ntileDescMany needs at least one spec")
+    specs.foreach { case (_, _, _, k) =>
+      require(k >= 1, "ntile k must be >= 1") }
+    val nB = bucketCount(df, buckets)
+    // pass 1: every column's boundaries in one aggregate row
+    val bounds = boundarySample(df, specs.map(_._1).distinct, nB)
+    val bucketOf: Map[String, Column] = specs.map { case (v, _, _, _) =>
+      v -> bucketDesc(col(v), bounds(v))
+    }.toMap
+    // pass 2: every (column, bucket) count as a conditional sum — one
+    // aggregate row of |specs|×nB counters plus the shared total
+    val counters = specs.map(_._1).distinct.flatMap { v =>
+      (0 until nB).map(b =>
+        sum(when(bucketOf(v) === b, 1L).otherwise(0L)).as(s"__c_${v}_$b"))
+    }
+    val ledgerRow = df.agg(counters.head, counters.tail: _*).collect()(0)
+    val countsOf: Map[String, IndexedSeq[Long]] =
+      specs.map(_._1).distinct.zipWithIndex.map { case (v, i) =>
+        // sum over an EMPTY frame is NULL — read as 0 so an empty input
+        // degrades to empty output like ntileDesc
+        v -> (0 until nB).map { b =>
+          val idx = i * nB + b
+          if (ledgerRow.isNullAt(idx)) 0L else ledgerRow.getLong(idx)
+        }
+      }.toMap
+    val n = countsOf(specs.head._1).sum // same total for every column
+    // pass 3: per spec, rank = bucket-local row_number + literal offset,
+    // then ntileDesc's exact integer tile arithmetic inlined (all
+    // constants live on the driver already; `div`, never Column./ —
+    // that is DOUBLE division and rounds past 2^53 rows)
+    specs.foldLeft(df) { case (acc, (v, tie, tileCol, k)) =>
+      val offsets = countsOf(v).scanLeft(0L)(_ + _) // offset of bucket b
+      val bCol = bucketOf(v)
+      val offExpr = (0 until nB).foldLeft(lit(0L)) { (e, b) =>
+        if (offsets(b) == 0L) e
+        else when(bCol === b, lit(offsets(b))).otherwise(e)
+      }
+      val wLocal = Window.partitionBy(bCol).orderBy(col(v).desc, col(tie))
+      val size = n / k
+      val rem = n % k
+      val cut = rem * (size + 1)
+      val rankCol = s"__rank_$tileCol"
+      val tile =
+        if (size == 0) col(rankCol).cast("int") // n < k: tiles of <=1 row
+        else when(col(rankCol) <= cut,
+          expr(s"($rankCol - 1) div ${size + 1}") + 1)
+          .otherwise(lit(rem) +
+            expr(s"($rankCol - 1 - $cut) div $size") + 1)
+          .cast("int")
+      acc.withColumn(rankCol,
+          row_number().over(wLocal).cast("long") + offExpr)
+        .withColumn(tileCol, tile)
+        .drop(rankCol)
+    }
   }
 }

@@ -104,4 +104,113 @@ class PrefixSumSpec extends AnyFunSuite {
       .runningTotalDesc(empty, "v", "k", "cum", "tot", buckets = 4)
       .count() == 0L)
   }
+
+  // ---- running max (the q193 skyline sweep monoid) ---------------------
+
+  // x with heavy ties, y uncorrelated; nullable expected via java Long
+  private def maxFixture = (1 to 400).map { i =>
+    val x = (i * 13 % 97).toLong        // ~4 ties per x value
+    val y = (i * 29 % 211).toLong - 50
+    (i.toLong, x, y)
+  }.toDF("k", "x", "y")
+
+  private def maxOracle: Seq[(Long, Option[Long])] = {
+    val w = Window.orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    maxFixture.withColumn("m", max(col("y")).over(w))
+      .select("k", "m").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sortBy(_._1)
+  }
+
+  test("runningMaxStrictAsc matches the single-window strict-range max") {
+    val expected = maxOracle
+    for (b <- Seq(1, 3, 8, 64)) {
+      val got = PrefixSum
+        .runningMaxStrictAsc(maxFixture, "x", "y", "m", buckets = b)
+        .select("k", "m").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sortBy(_._1)
+      assert(got == expected, s"buckets=$b diverged")
+    }
+  }
+
+  test("runningMaxStrictAsc plan has no single-partition exchange — " +
+      "including on a NARROW value domain") {
+    // the r13 skyline finding: a fixed-width band prune collapses to one
+    // task when the whole value range fits one band. Quantile boundaries
+    // cannot: this fixture's x spans only [0, 3] (one 2^30 band with
+    // room to spare) and the plan must still fan out.
+    val narrow = (1 to 300).map(i =>
+      (i.toLong, (i % 4).toLong, (i * 7 % 100).toLong)).toDF("k", "x", "y")
+    for (df <- Seq(maxFixture, narrow)) {
+      val out = PrefixSum.runningMaxStrictAsc(df, "x", "y", "m", buckets = 8)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(singlePartitionNodes(plan).isEmpty,
+        s"single-partition exchange in plan:\n$plan")
+    }
+  }
+
+  test("runningMaxStrictAsc narrow-domain output still matches the oracle") {
+    val narrow = (1 to 300).map(i =>
+      (i.toLong, (i % 4).toLong, (i * 7 % 100).toLong)).toDF("k", "x", "y")
+    val w = Window.orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val expected = narrow.withColumn("m", max(col("y")).over(w))
+      .select("k", "m").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sortBy(_._1)
+    for (b <- Seq(2, 8)) {
+      val got = PrefixSum
+        .runningMaxStrictAsc(narrow, "x", "y", "m", buckets = b)
+        .select("k", "m").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sortBy(_._1)
+      assert(got == expected, s"buckets=$b diverged")
+    }
+  }
+
+  // ---- fused multi-column NTILE (the q231 RFM shape) --------------------
+
+  test("ntileDescMany is bit-for-bit ntileDesc per column") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 211).toLong, (i * 13 % 91).toLong,
+        (i * 101 % 401).toLong)
+    }.toDF("k", "a", "b", "c")
+    val fused = PrefixSum.ntileDescMany(df, Seq(
+        ("a", "k", "ta", 5), ("b", "k", "tb", 7), ("c", "k", "tc", 617)),
+        buckets = 8)
+      .select("k", "ta", "tb", "tc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    val chained = PrefixSum.ntileDesc(
+        PrefixSum.ntileDesc(
+          PrefixSum.ntileDesc(df, "a", "k", "ta", 5, buckets = 8),
+          "b", "k", "tb", 7, buckets = 8),
+        "c", "k", "tc", 617, buckets = 8)
+      .select("k", "ta", "tb", "tc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(fused.toSeq == chained.toSeq)
+  }
+
+  test("ntileDescMany plan has no single-partition exchange") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 211).toLong, (i * 13 % 91).toLong)
+    }.toDF("k", "a", "b")
+    val out = PrefixSum.ntileDescMany(df,
+      Seq(("a", "k", "ta", 5), ("b", "k", "tb", 5)), buckets = 8)
+    out.collect()
+    assert(singlePartitionNodes(
+      out.queryExecution.executedPlan.toString).isEmpty)
+  }
+
+  test("ntileDescMany on empty input yields empty output") {
+    val empty = (1 to 10).map(i => (i.toLong, i.toLong, i.toLong))
+      .toDF("k", "a", "b").filter(col("k") < 0)
+    assert(PrefixSum.ntileDescMany(empty,
+      Seq(("a", "k", "ta", 5), ("b", "k", "tb", 3)), buckets = 4)
+      .count() == 0L)
+  }
 }
