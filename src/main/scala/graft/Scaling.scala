@@ -478,8 +478,12 @@ object Scaling {
       // wall must track rows; the bare-window form would single-task
       // the whole sort
       "global_rank" -> (dir => {
+        // NaN filter honors PrefixSum's non-null valueCol precondition:
+        // floor(NaN*1e6+0.5).cast(long) is NULL, which would silently
+        // land in bucket 0 with undefined ordering
         val ev = spark.read.parquet(s"$dir/events.parquet")
-          .filter(col("event_id").isNotNull && col("value").isNotNull)
+          .filter(col("event_id").isNotNull && col("value").isNotNull &&
+            !isnan(col("value")))
           .select(col("event_id"),
             floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
         graft.ops.PrefixSum.ntileDesc(ev, "v6", "event_id", "tile", 100)
@@ -497,6 +501,17 @@ object Scaling {
       "key_skew" ->
         (dir => SparkEntry.queries("q232_key_skew")(spark, dir)),
       "rfm" -> (dir => SparkEntry.queries("q231_rfm")(spark, dir)),
+      // q234's shape: one orders⋈lineitem fact join (both sides grow
+      // with the data), then domain-bounded windows over the
+      // (priority × distinct-delay) table — wall must track the join
+      // scan (~linear), never the order count
+      "ship_sla" ->
+        (dir => SparkEntry.queries("q234_ship_sla")(spark, dir)),
+      // q193's skyline sweep through the running-max decomposition —
+      // the r13 latent finding was band collapse on a narrow domain;
+      // quantile buckets must keep wall tracking the scan
+      "skyline" ->
+        (dir => SparkEntry.queries("q193_skyline")(spark, dir)),
       // q225's two-dataset eps-join: the POI side is FIXED (512), so
       // with fixed eps both the output and the candidate mass grow
       // linearly in events — the fixed-dimension analogue of

@@ -449,62 +449,161 @@ object OnlineTable {
     val (fs, rootPath) = fsOf(spark, root)
     backfillLegacyPointer(fs, rootPath)
     var attempt = 0
-    var last: ConcurrentPublishException = null
+    var last: Throwable = null
     while (attempt < maxRetries) {
       attempt += 1
       val h0 = head(fs, rootPath)
       val seq = h0.map(_._1).getOrElse(0L) + 1L
-      val prevMan = h0.map(_._2).filter(isManifest)
-        .map(readManifest(fs, rootPath, _))
-      val n = prevMan.map(_.nBuckets).getOrElse(nBuckets)
-      val (merged, replacedBuckets, kept) = prevMan match {
-        case Some(man) =>
-          val touched = batch.select(bucketExpr(key, n).as(BucketCol))
-            .distinct().collect().map(_.getInt(0)).toSeq.sorted
-          if (touched.isEmpty) return // empty batch: nothing to change
-          val prevPaths = touched.flatMap(man.entries.get)
-            .map(rel => new Path(rootPath, rel).toString)
-          val prevRows =
-            if (prevPaths.isEmpty) batch.limit(0)
-            else spark.read.parquet(prevPaths: _*)
-          (merge(prevRows, batch), touched.toSet,
-            man.entries -- touched)
-        case None =>
-          // first publish, or migration of a full/legacy snapshot:
-          // every bucket is touched exactly once
-          val prevAll = h0.map(_._2) match {
-            case Some(v) => readVersion(spark, root, v)
-            case None => read(spark, root).getOrElse(batch.limit(0))
-          }
-          (merge(prevAll, batch), (0 until n).toSet, Map.empty[Int, String])
+      // the derive+write stage reads the previous gen dirs LAZILY: a
+      // concurrent publisher's GC may evict the manifest we resolved
+      // and collect its gens mid-scan — that surfaces as a missing-file
+      // failure, not a commit collision, and deserves the same
+      // re-derive-from-the-new-head retry
+      try {
+        val prevMan = h0.map(_._2).filter(isManifest)
+          .map(readManifest(fs, rootPath, _))
+        val n = prevMan.map(_.nBuckets).getOrElse(nBuckets)
+        val (merged, replacedBuckets, kept) = prevMan match {
+          case Some(man) =>
+            val touched = batch.select(bucketExpr(key, n).as(BucketCol))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            if (touched.isEmpty) return // empty batch: nothing to change
+            val prevPaths = touched.flatMap(man.entries.get)
+              .map(rel => new Path(rootPath, rel).toString)
+            val prevRows =
+              if (prevPaths.isEmpty) batch.limit(0)
+              else spark.read.parquet(prevPaths: _*)
+            (merge(prevRows, batch), touched.toSet,
+              man.entries -- touched)
+          case None =>
+            // first publish, or migration of a full/legacy snapshot:
+            // every bucket is touched exactly once
+            val prevAll = h0.map(_._2) match {
+              case Some(v) => readVersion(spark, root, v)
+              case None => read(spark, root).getOrElse(batch.limit(0))
+            }
+            (merge(prevAll, batch), (0 until n).toSet,
+              Map.empty[Int, String])
+        }
+        val genRel = f"$GenPrefix${System.currentTimeMillis()}%013d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        merged.withColumn(BucketCol, bucketExpr(key, n))
+          .write.partitionBy(BucketCol)
+          .parquet(new Path(rootPath, genRel).toString)
+        val written = fs.listStatus(new Path(rootPath, genRel)).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"$BucketCol="))
+          .map { st =>
+            st.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
+              s"$genRel/${st.getPath.getName}"
+          }.toMap
+        require(written.keySet.subsetOf(replacedBuckets),
+          "merge produced rows outside the touched buckets — the merge " +
+            "callback must not invent keys the batch does not carry")
+        val entries = kept ++ written
+        if (entries.isEmpty) {
+          // nothing merged out: on a FIRST publish this is just an
+          // empty micro-batch against a never-published table (a
+          // stream's first trigger is often empty) — a no-op, not an
+          // error; on a LIVE table it would tear the whole table down
+          fs.delete(new Path(rootPath, genRel), true)
+          if (h0.isEmpty) return
+          throw new IllegalArgumentException(
+            "bucketed publish would leave an empty table — use publish()")
+        }
+        val mName = writeManifest(fs, rootPath, Manifest(n, entries))
+        if (tryCommit(fs, rootPath, seq, mName)) {
+          finalizeCommit(spark, fs, rootPath, mName, keepVersions,
+            hadLogBefore = h0.isDefined)
+          return
+        }
+        // lost the race: leave the orphan gen/manifest to GC, re-derive
+        last = ConcurrentPublishException(h0.map(_._2),
+          head(fs, rootPath).map(_._2))
+      } catch {
+        case e if isMissingFiles(e) => last = e // head moved: re-derive
       }
-      val genRel = f"$GenPrefix${System.currentTimeMillis()}%013d-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      merged.withColumn(BucketCol, bucketExpr(key, n))
-        .write.partitionBy(BucketCol)
-        .parquet(new Path(rootPath, genRel).toString)
-      val written = fs.listStatus(new Path(rootPath, genRel)).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$BucketCol="))
-        .map { st =>
-          st.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
-            s"$genRel/${st.getPath.getName}"
-        }.toMap
-      require(written.keySet.subsetOf(replacedBuckets),
-        "merge produced rows outside the touched buckets — the merge " +
-          "callback must not invent keys the batch does not carry")
-      val entries = kept ++ written
-      require(entries.nonEmpty,
-        "bucketed publish would leave an empty table — use publish()")
-      val mName = writeManifest(fs, rootPath, Manifest(n, entries))
-      if (tryCommit(fs, rootPath, seq, mName)) {
-        finalizeCommit(spark, fs, rootPath, mName, keepVersions,
-          hadLogBefore = h0.isDefined)
-        return
+    }
+    throw last
+  }
+
+  /** A scan/derive failure rooted in files vanishing mid-read — the
+    * signature of racing an evicted manifest's gen-dir GC (the reader
+    * resolved a head, the head moved, GC collected what it referenced).
+    * Spark wraps the task-side FileNotFoundException in layered
+    * SparkExceptions; the path-missing form is an AnalysisException
+    * whose message carries the path. Bounded walk — cause chains can
+    * be long. */
+  private def isMissingFiles(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 20) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("FileNotFound") ||
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND")))
+        return true
+      c = c.getCause; depth += 1
+    }
+    false
+  }
+
+  /** CAS-committed re-bucketing migration: rewrite the live snapshot as
+    * a fresh bucketed generation at `newBuckets` hash buckets, committed
+    * through the same exclusive-create log. The manifest pins its bucket
+    * count at first publish; an entity table that grows 100× needs more
+    * buckets, and this is the ONLINE path — readers are never torn (one
+    * commit pointer resolving to immutable dirs), and a concurrent
+    * [[publishBucketedBatch]] upsert is never lost: the rebucket commits
+    * only at head+1 over the head it derived from, so a racing upsert
+    * that wins the seq forces the rebucket to re-derive from the
+    * winner's snapshot (and vice versa — the upsert loop re-derives over
+    * the new bucket count it finds at ITS retry). No-op if the table was
+    * never published or is empty. */
+  def rebucket(spark: SparkSession, root: String, key: Seq[String],
+               newBuckets: Int, keepVersions: Int = 2,
+               maxRetries: Int = 10): Unit = {
+    require(newBuckets >= 1, "newBuckets must be >= 1")
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val (fs, rootPath) = fsOf(spark, root)
+    backfillLegacyPointer(fs, rootPath)
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      attempt += 1
+      val h0 = head(fs, rootPath)
+      if (h0.isEmpty) return // never published: nothing to migrate
+      val seq = h0.get._1 + 1L
+      try {
+        val snapshot = readVersion(spark, root, h0.get._2)
+        val genRel = f"$GenPrefix${System.currentTimeMillis()}%013d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        snapshot.withColumn(BucketCol, bucketExpr(key, newBuckets))
+          .write.partitionBy(BucketCol)
+          .parquet(new Path(rootPath, genRel).toString)
+        val written = fs.listStatus(new Path(rootPath, genRel)).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"$BucketCol="))
+          .map { st =>
+            st.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
+              s"$genRel/${st.getPath.getName}"
+          }.toMap
+        if (written.isEmpty) { // empty snapshot: nothing to rebucket
+          fs.delete(new Path(rootPath, genRel), true)
+          return
+        }
+        val mName = writeManifest(fs, rootPath,
+          Manifest(newBuckets, written))
+        if (tryCommit(fs, rootPath, seq, mName)) {
+          finalizeCommit(spark, fs, rootPath, mName, keepVersions,
+            hadLogBefore = true)
+          return
+        }
+        last = ConcurrentPublishException(Some(h0.get._2),
+          head(fs, rootPath).map(_._2))
+      } catch {
+        case e if isMissingFiles(e) => last = e // head moved: re-derive
       }
-      // lost the race: leave the orphan gen/manifest to GC, re-derive
-      last = ConcurrentPublishException(h0.map(_._2),
-        head(fs, rootPath).map(_._2))
     }
     throw last
   }
@@ -514,28 +613,37 @@ object OnlineTable {
     * bucketed table needs to scan ONLY the gen dirs of the buckets the
     * keys hash into — O(|keys|) files instead of the whole entity
     * table, the read-side half of the bucketed-publish bargain. Falls
-    * back to a full-snapshot scan for non-bucketed versions. Returns
-    * None if the table was never published. */
+    * back to a full-snapshot scan for non-bucketed versions, and to
+    * the legacy plain-parquet snapshot [[read]] serves for tables that
+    * predate versioning (an upgrade never silently drops previously
+    * materialized entities). Returns None only if nothing was ever
+    * written. */
   def lookup(spark: SparkSession, root: String, key: Seq[String],
              keys: DataFrame): Option[DataFrame] =
-    currentVersion(spark, root) map { v =>
-      val snapshot =
-        if (!isManifest(v)) readVersion(spark, root, v)
-        else {
-          val (fs, rootPath) = fsOf(spark, root)
-          val man = readManifest(fs, rootPath, v)
-          val touched = keys
-            .select(bucketExpr(key, man.nBuckets).as(BucketCol))
-            .distinct().collect().map(_.getInt(0)).toSet
-          val paths = man.entries.toSeq.sortBy(_._1)
-            .collect { case (b, rel) if touched(b) =>
-              new Path(rootPath, rel).toString }
-          if (paths.isEmpty)
-            readVersion(spark, root, v).limit(0) // no key hits any bucket
-          else spark.read.parquet(paths: _*)
-        }
-      snapshot.join(
-        org.apache.spark.sql.functions.broadcast(keys), key)
+    currentVersion(spark, root) match {
+      case None =>
+        // legacy pre-versioning table: no log, no pointer — read()
+        // still serves its plain part-files as the live snapshot
+        read(spark, root).map(_.join(
+          org.apache.spark.sql.functions.broadcast(keys), key))
+      case Some(v) =>
+        val snapshot =
+          if (!isManifest(v)) readVersion(spark, root, v)
+          else {
+            val (fs, rootPath) = fsOf(spark, root)
+            val man = readManifest(fs, rootPath, v)
+            val touched = keys
+              .select(bucketExpr(key, man.nBuckets).as(BucketCol))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val paths = man.entries.toSeq.sortBy(_._1)
+              .collect { case (b, rel) if touched(b) =>
+                new Path(rootPath, rel).toString }
+            if (paths.isEmpty)
+              readVersion(spark, root, v).limit(0) // no key hits any bucket
+            else spark.read.parquet(paths: _*)
+          }
+        Some(snapshot.join(
+          org.apache.spark.sql.functions.broadcast(keys), key))
     }
 
   /** Data files of a pre-versioning (plain parquet dir) online table. */

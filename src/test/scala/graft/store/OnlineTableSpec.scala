@@ -359,6 +359,80 @@ class OnlineTableSpec extends AnyFunSuite {
       Seq(1L).toDF("k")).isEmpty)
   }
 
+  test("lookup serves a legacy plain-parquet table (no log, no pointer)") {
+    val root = java.nio.file.Files.createTempDirectory("otb7").toString + "/t"
+    // a pre-versioning writer left plain part-files at the root; read()
+    // deliberately serves them and lookup must not regress that
+    Seq((1L, "old"), (2L, "keep")).toDF("k", "v").write.parquet(root)
+    val out = OnlineTable.lookup(spark, root, Seq("k"), Seq(2L).toDF("k"))
+    assert(out.isDefined, "legacy table must be served, not 'never published'")
+    assert(out.get.select("k", "v").as[(Long, String)].collect().toSet ===
+      Set((2L, "keep")))
+    // a genuinely never-written root still returns None
+    assert(OnlineTable.lookup(spark, root + "_never", Seq("k"),
+      Seq(1L).toDF("k")).isEmpty)
+  }
+
+  test("an empty FIRST micro-batch is a no-op, not a crash") {
+    val root = java.nio.file.Files.createTempDirectory("otb8").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "ts", "v")
+    // the stream's first trigger is often empty: publish must no-op,
+    // leaving the table unpublished (the old path crashed on
+    // require(entries.nonEmpty))
+    OnlineTable.publishBucketedBatch(empty, root, Seq("k"), m, nBuckets = 4)
+    assert(OnlineTable.currentVersion(spark, root).isEmpty)
+    // the next real batch publishes normally
+    OnlineTable.publishBucketedBatch(
+      Seq((1L, 1L, "a")).toDF("k", "ts", "v"), root, Seq("k"), m,
+      nBuckets = 4)
+    assert(OnlineTable.read(spark, root).get.count() === 1L)
+    // an empty batch against a LIVE bucketed table is also a no-op
+    val v = OnlineTable.currentVersion(spark, root)
+    OnlineTable.publishBucketedBatch(empty, root, Seq("k"), m)
+    assert(OnlineTable.currentVersion(spark, root) === v)
+  }
+
+  test("rebucket migrates bucket count under concurrent upserts, no lost update") {
+    val root = java.nio.file.Files.createTempDirectory("otb9").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    OnlineTable.publishBucketedBatch(
+      (1L to 100L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"),
+      root, Seq("k"), m, nBuckets = 4)
+    // rebucket 4 -> 16 while upserts race it through the same CAS log
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val rb = new Thread(() =>
+      try OnlineTable.rebucket(spark, root, Seq("k"), 16, maxRetries = 20)
+      catch { case e: Throwable => errs.add(e) })
+    val up = new Thread(() =>
+      try (1 to 3).foreach { i =>
+        OnlineTable.publishBucketedBatch(
+          Seq((i.toLong, 2L, s"upd$i")).toDF("k", "ts", "v"),
+          root, Seq("k"), m, maxRetries = 20)
+      } catch { case e: Throwable => errs.add(e) })
+    rb.start(); up.start(); rb.join(180000); up.join(180000)
+    assert(errs.isEmpty, s"rebucket/upsert race must be absorbed: $errs")
+    // nothing lost: all 100 keys live, the 3 updates present
+    val live = OnlineTable.read(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(live.size === 100)
+    (1 to 3).foreach(i => assert(live(i.toLong) === s"upd$i",
+      s"update $i lost across the rebucket flip"))
+    // the live manifest carries the NEW bucket count: a fresh one-key
+    // upsert rewrites exactly one of 16 buckets
+    val before = genSubdirs(root)
+    OnlineTable.publishBucketedBatch(
+      Seq((50L, 3L, "post")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    val added = genSubdirs(root) -- before
+    assert(added.size === 1, s"post-rebucket upsert wrote $added")
+    // point lookups stay correct across the flip
+    val got = OnlineTable.lookup(spark, root, Seq("k"), Seq(50L).toDF("k"))
+      .get.select("v").as[String].collect().toSet
+    assert(got === Set("post"))
+    // rebucketing a never-published table is a no-op
+    OnlineTable.rebucket(spark, root + "_never", Seq("k"), 8)
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
