@@ -6555,6 +6555,54 @@ object SparkEntry {
         .ordered(col("prio"))
     }),
 
+    // ---- Streaming drift gate (q227's histogram KS as a continuous monitor) ------
+    // The production shape of distribution monitoring: per event-time
+    // DAY window, a FixedHistogram sketch aggregates in the state store
+    // (state per window = the 256-long grid, a constant — never the
+    // data), scored by histKs against a REFERENCE histogram computed
+    // once from the trusted baseline period and shipped as a plan
+    // literal. One drift row per window with the KS statistic, the
+    // exact integer drift verdict (cross-multiplied — no float CDF),
+    // and the first bin boundary achieving the sup. Batch-replay
+    // (AvailableNow) through the full streaming machinery, q136's
+    // discipline; the oracle replays grid, cumulative gaps, and
+    // verdict in SQL.
+    "q235_stream_drift" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val (lo, hi, bins) = (0.0, 512.0, 256)
+      val eBatch = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+      val ref: Seq[Long] = eBatch
+        .filter(expr(s"ts_us div $dayUs") < splitDay)
+        .agg(Sketches.histogram(col("value"), lo, hi, bins).as("sk"))
+        .collect()(0).getSeq[Long](0)
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .withColumn("ev_time", timestamp_micros(col("ts_us")))
+      val gate = Streams.driftGate(stream, "ev_time", "value",
+        delay = "1 hour", windowLen = "1 day", ref, lo, hi, bins)
+      val d38 = "decimal(38,0)"
+      Streams.runToMemory(gate, s"q235_mem_${System.nanoTime()}")
+        .select(col("w_start"), col("n_win"), col("n_ref"),
+          (floor(col("max_gap").cast("double") /
+            (col("n_win") * col("n_ref")).cast("double") * 1e6 + 0.5)
+            / 1e6).as("ks"),
+          (lit(lo) + (col("at_bin") + 1).cast("double") *
+            lit((hi - lo) / bins)).as("at_boundary"),
+          // exact integer verdict at ks > 0.15: gap·20 > n·m·3, on
+          // DECIMAL(38,0) so the product never overflows at scale
+          (col("max_gap").cast(d38) * 20 >
+            col("n_win").cast(d38) * col("n_ref").cast(d38) * 3)
+            .as("drifted"))
+        .ordered(col("w_start"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -9246,6 +9294,54 @@ object SparkEntry {
         |      AS DOUBLE)
         |    /CAST(MAX(n) AS DOUBLE)*1e6+0.5)/1e6 AS share_within_60
         |FROM cw GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // replays the 256-bin grid, the reference (pre-split) histogram,
+    // per-day cumulative cross-multiplied gaps over the union support
+    // (gap only moves at bins where either side counts, so max and
+    // first-max bin agree with the full-grid scan), and the exact
+    // HUGEINT drift verdict
+    "q235_stream_drift" ->
+      """WITH e AS (SELECT value AS v, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |ref AS (SELECT LEAST(GREATEST(
+        |      CAST(FLOOR(v/512.0*256.0) AS INT), 0), 255) AS bin,
+        |    COUNT(*) AS r FROM e WHERE day < 19738 GROUP BY 1),
+        |nr AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS n_ref
+        |  FROM ref),
+        |wb AS (SELECT day, LEAST(GREATEST(
+        |      CAST(FLOOR(v/512.0*256.0) AS INT), 0), 255) AS bin,
+        |    COUNT(*) AS a FROM e GROUP BY 1, 2),
+        |db AS (SELECT day, bin FROM wb
+        |  UNION SELECT d.day, ref.bin
+        |  FROM (SELECT DISTINCT day FROM e) d, ref),
+        |u AS (SELECT db.day, db.bin, COALESCE(wb.a, 0) AS a,
+        |    COALESCE(ref.r, 0) AS r
+        |  FROM db LEFT JOIN wb ON wb.day = db.day AND wb.bin = db.bin
+        |  LEFT JOIN ref ON ref.bin = db.bin),
+        |c AS (SELECT day, bin, a, r,
+        |    SUM(a) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(r) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    SUM(a) OVER (PARTITION BY day) AS nw FROM u),
+        |g AS (SELECT day, bin, nw, ABS(ca*n_ref - cr*nw) AS gap
+        |  FROM c, nr),
+        |h AS (SELECT day, CAST(MAX(nw) AS BIGINT) AS n_win,
+        |    CAST(MAX(gap) AS BIGINT) AS mgap FROM g GROUP BY 1),
+        |ab AS (SELECT h.day, h.n_win, h.mgap,
+        |    CASE WHEN h.mgap = 0 THEN -1 ELSE
+        |      (SELECT MIN(bin) FROM g
+        |       WHERE g.day = h.day AND g.gap = h.mgap) END AS at_bin
+        |  FROM h)
+        |SELECT CAST(day * 86400000000 AS BIGINT) AS w_start,
+        |  n_win, n_ref,
+        |  FLOOR(CAST(mgap AS DOUBLE)/CAST(n_win*n_ref AS DOUBLE)
+        |    *1e6+0.5)/1e6 AS ks,
+        |  CAST((at_bin + 1) * 2.0 AS DOUBLE) AS at_boundary,
+        |  CAST(mgap AS HUGEINT)*20 >
+        |    CAST(n_win AS HUGEINT)*n_ref*3 AS drifted
+        |FROM ab, nr ORDER BY w_start""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

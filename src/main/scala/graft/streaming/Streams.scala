@@ -212,6 +212,45 @@ object Streams {
         graft.llm.TextStats.fingerprint(col(textCol))),
       Seq("fingerprint"), eventTimeCol, delay)
 
+  /** Continuous distribution-drift monitor — the streaming form of the
+    * q227 histogram-KS sketch: per event-time window, a
+    * [[graft.llm.Sketches.FixedHistogram]] aggregates `valueCol` in the
+    * state store (state per window is the GRID — `bins` longs — a
+    * constant, never the data; elementwise adds merge incrementally
+    * across micro-batches), then [[graft.llm.Sketches.histKs]] scores
+    * each window's sketch against a same-grid REFERENCE histogram
+    * shipped as a plan literal (it broadcasts with the plan — `bins`
+    * longs, computed once from a trusted baseline period). One drift
+    * row per window: counts, the KS statistic in exact integer gap
+    * units, the sketch's own error bound (`max_mass` — callers emit it
+    * next to the estimate instead of pretending the sketch is exact),
+    * and the first bin boundary achieving the sup.
+    *
+    * With append output the watermark bounds state (closed windows
+    * evict and emit exactly once — the production monitor shape);
+    * batch-replay oracle checks run the same plan in complete mode
+    * (q136's discipline). NaN values must be filtered upstream —
+    * FixedHistogram fails fast on NaN by contract. */
+  def driftGate(stream: DataFrame, eventTimeCol: String, valueCol: String,
+                delay: String, windowLen: String, reference: Seq[Long],
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(reference.size == bins,
+      s"reference histogram has ${reference.size} bins, grid is $bins")
+    import graft.llm.Sketches
+    stream.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen).as("w"))
+      .agg(Sketches.histogram(col(valueCol), lo, hi, bins).as("sk"),
+        count(lit(1)).as("n_win"))
+      .select(col("w"), col("n_win"),
+        Sketches.histKs(col("sk"), typedLit(reference)).as("ks"))
+      .select(unix_micros(col("w.start")).as("w_start"),
+        col("n_win"),
+        col("ks.n_b").as("n_ref"),
+        col("ks.max_gap").as("max_gap"),
+        col("ks.max_mass").as("max_mass"),
+        col("ks.at_bin").as("at_bin"))
+  }
+
   /** Continuous online-store materialization: foreachBatch MERGE of each
     * micro-batch into a keyed latest-value table — the engine's analog of
     * the reference's Redis upsert stream

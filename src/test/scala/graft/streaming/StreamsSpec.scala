@@ -302,6 +302,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Map("a" -> Seq(1L, 3L), "b" -> Seq(1L)))
   }
 
+  test("driftGate: append mode emits closed windows once, state stays window-bounded") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("ts_s", "v")
+      .withColumn("evt", col("ts_s").cast("timestamp"))
+    // reference: 2 low + 2 high values on a 4-bin [0,8) grid
+    val ref = Seq(2L, 0L, 2L, 0L)
+    val gate = Streams.driftGate(stream, "evt", "v",
+      delay = "5 seconds", windowLen = "1 minute",
+      reference = ref, lo = 0.0, hi = 8.0, bins = 4)
+    val q = gate.writeStream.format("memory").queryName("drift_test")
+      .outputMode("append").start()
+    // window [0,60): same shape as the reference (gap 0 everywhere)
+    mem.addData((10L, 1.0), (20L, 1.0), (30L, 5.0), (40L, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("drift_test").count() === 0L,
+      "window still open: nothing must emit")
+    // advance the watermark past 60s -> [0,60) closes and emits ONCE
+    mem.addData((80L, 1.0), (81L, 1.0), (82L, 1.0))
+    q.processAllAvailable()
+    val r1 = spark.table("drift_test")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(r1.length === 1)
+    val (w0, nWin, nRef, gap, _, atBin) = r1.head
+    assert(w0 === 0L && nWin === 4L && nRef === 4L)
+    assert(gap === 0L && atBin === -1, "same-shape window must show no gap")
+    // close [60,120): 3 all-low values vs the half-high reference —
+    // sup gap at bin 0 boundary: |ca·n_ref − cr·n_win| = |3·4 − 2·3| = 6
+    mem.addData((200L, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("drift_test")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._6))).toMap
+    // state is bounded by OPEN windows: closed ones were evicted
+    val stateRows = q.lastProgress.stateOperators.asScala
+      .map(_.numRowsTotal).sum
+    q.stop()
+    assert(out.keySet === Set(0L, 60000000L))
+    assert(out(60000000L) === ((3L, 6L, 0)),
+      s"drifted window mismatch: $out")
+    assert(stateRows <= 2,
+      s"state must hold only open windows, found $stateRows rows")
+  }
+
+  private implicit class ArrayAsScala[T](a: Array[T]) {
+    def asScala: Seq[T] = a.toSeq
+  }
+
   test("runToMemory drives an AvailableNow file stream to completion") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
