@@ -6997,7 +6997,7 @@ object SparkEntry {
   /** q122's Count-Min geometry + probe terms — shared between the query
     * and its generated oracle so they can never drift (the q17/bm25Terms
     * discipline). */
-  private val cmsW = 512
+  private[graft] val cmsW = 512
   private val cmsParams: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(11L)
     Seq.fill(4)((1L + rnd.nextInt(Int.MaxValue - 1)).toLong ->
