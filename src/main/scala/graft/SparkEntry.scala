@@ -6603,6 +6603,101 @@ object SparkEntry {
         .ordered(col("w_start"))
     }),
 
+    // ---- Time-series analytics: record-breaking events -------------------------
+    // "When did the metric set a new all-time high?" — the running-max
+    // sweep over event time, the other classic query that single-tasks
+    // as a bare `max(v) OVER (ORDER BY ts)`: it rides
+    // PrefixSum.runningMaxStrictAsc (quantile buckets → bucket-local
+    // strict RANGE windows → broadcast prefix-max ledger), so the scan
+    // fans out at any volume. STRICT-preceding semantics: same-instant
+    // events compare only against earlier instants, so simultaneous
+    // record-breakers all count (engine-order-independent — a running
+    // max INCLUDING current row would tie-break by arrival). Output is
+    // the record set itself (~log n rows for exchangeable arrivals).
+    "q236_record_highs" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("ts_us").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("ts_us"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      graft.ops.PrefixSum
+        .runningMaxStrictAsc(e, "ts_us", "v6", "prev_max")
+        .filter(col("prev_max").isNull || col("v6") > col("prev_max"))
+        .select(col("event_id"), expr(s"ts_us div $dayUs").as("day"),
+          (col("v6").cast("double") / 1e6).as("value"))
+        .ordered(col("event_id"))
+    }),
+
+    // ---- Engagement analytics: consecutive-day activity streaks ----------------
+    // Gaps-and-islands on the distinct (user, day) table (q223's
+    // entity×day discipline — raw events never ride the windows): a
+    // day-minus-row-number island key per user, per-island lengths,
+    // then the distribution of each user's LONGEST streak — the
+    // engagement report a retention team tracks. One user-keyed
+    // Exchange; island arithmetic is pure integers.
+    "q237_streaks" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ud = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = ud
+        .withColumn("island",
+          col("day") - row_number().over(w).cast("long"))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_streaks")).as("n_streaks"))
+        .ordered(col("max_streak"))
+    }),
+
+    // ---- Robust statistics: median absolute deviation per event type -----------
+    // The outlier-resistant spread metric monitoring teams prefer over
+    // stddev: MAD = med(|x − med(x)|), both medians DISCRETE (smallest
+    // value whose doubled cumulative count reaches n — q234's rank
+    // arithmetic, no interpolation, no float ranks) over the
+    // (type × distinct-value) counts table, domain-bounded by the
+    // quantized value alphabet, never the event count. The deviation
+    // table re-derives from the SAME counts frame joined to the tiny
+    // per-type median — the fact table is scanned once.
+    "q238_mad_robust" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(col("event_type"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val counts = e.groupBy(col("event_type"), col("v6"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("v6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = counts
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("v6"))).as("med6"))
+      val dev = counts.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("v6") - col("med6")).as("d6"))
+        .agg(sum(col("c")).as("c"), max(col("n")).as("n"),
+          max(col("med6")).as("med6"))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dev.withColumn("cumd", sum(col("c")).over(wD))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          (max(col("med6")).cast("double") / 1e6).as("median"),
+          (min(when(col("cumd") * 2 >= col("n"), col("d6")))
+            .cast("double") / 1e6).as("mad"))
+        .ordered(col("event_type"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -9342,6 +9437,68 @@ object SparkEntry {
         |  CAST(mgap AS HUGEINT)*20 >
         |    CAST(n_win AS HUGEINT)*n_ref*3 AS drifted
         |FROM ab, nr ORDER BY w_start""".stripMargin,
+
+    // DuckDB's own strict-preceding RANGE running max — the
+    // decomposition must reproduce the single-window record sweep
+    // exactly, simultaneous records included
+    "q236_record_highs" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |m AS (SELECT *, MAX(v6) OVER (ORDER BY us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT event_id, CAST(us//86400000000 AS BIGINT) AS day,
+        |  CAST(v6 AS DOUBLE)/1e6 AS value
+        |FROM m WHERE pm IS NULL OR v6 > pm
+        |ORDER BY event_id""".stripMargin,
+
+    // the same day-minus-row-number islands over the distinct
+    // (user, day) table and the longest-streak distribution
+    "q237_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |isl AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island FROM ud),
+        |st AS (SELECT user_id, island, COUNT(*) AS len
+        |  FROM isl GROUP BY 1, 2),
+        |pu AS (SELECT user_id, MAX(len) AS max_streak,
+        |    COUNT(*) AS n_streaks FROM st GROUP BY 1)
+        |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+        |  COUNT(*) AS n_users, CAST(SUM(n_streaks) AS BIGINT) AS n_streaks
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical discrete-rank medians (value, then deviation) over the
+    // same quantized counts table
+    "q238_mad_robust" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS v6
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT event_type, v6, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT *,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM c),
+        |med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum*2 >= n THEN v6 END) AS med6
+        |  FROM cw GROUP BY 1),
+        |d AS (SELECT c.event_type, ABS(c.v6 - med.med6) AS d6,
+        |    CAST(SUM(c.c) AS BIGINT) AS c
+        |  FROM c JOIN med ON med.event_type = c.event_type
+        |  GROUP BY 1, 2),
+        |dw AS (SELECT d.event_type, d.d6, med.n, med.med6,
+        |    SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.d6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+        |  FROM d JOIN med ON med.event_type = d.event_type)
+        |SELECT event_type, MAX(n) AS n_events,
+        |  CAST(MAX(med6) AS DOUBLE)/1e6 AS median,
+        |  CAST(MIN(CASE WHEN cumd*2 >= n THEN d6 END) AS DOUBLE)/1e6
+        |    AS mad
+        |FROM dw GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -40,6 +40,11 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // inter-query hygiene (Bench's discipline): queries persist()
+      // intermediates that the CacheManager keeps referenced after the
+      // query completes; across 200+ queries the accumulation
+      // GC-thrashes the tail of the run
+      spark.catalog.clearCache()
     }
     val json = OracleManifest.renderSqlJson(SparkEntry.oracleSql)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

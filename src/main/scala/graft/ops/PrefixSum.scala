@@ -259,25 +259,51 @@ object PrefixSum {
     * are bit-for-bit [[ntileDesc]]'s (identical integer arithmetic). */
   def ntileDescMany(df: DataFrame,
                     specs: Seq[(String, String, String, Int)],
-                    buckets: Int = -1): DataFrame = {
+                    buckets: Int = -1,
+                    cacheInput: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "ntileDescMany needs at least one spec")
     specs.foreach { case (_, _, _, k) =>
       require(k >= 1, "ntile k must be >= 1") }
-    val nB = bucketCount(df, buckets)
+    // The operator runs THREE passes over its input (boundary probe,
+    // ledger, output). When the input is itself an expensive pipeline
+    // (the RFM per-customer aggregate), re-executing it per pass costs
+    // more than the tiles — measured 3.0× weak-scaling wall at 10×
+    // uncached vs 1.x with the input materialized. Cache it HERE, not
+    // in the caller: the two driver actions below populate the cache
+    // before the output plan reads it, and the returned plan keeps
+    // serving from it (callers/bench release via unpersist or
+    // clearCache when done). Disable for inputs that are plain scans —
+    // at 100 TB three column-pruned scans beat materializing the table.
+    val in =
+      if (cacheInput)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val nB = bucketCount(in, buckets)
     // pass 1: every column's boundaries in one aggregate row
-    val bounds = boundarySample(df, specs.map(_._1).distinct, nB)
-    val bucketOf: Map[String, Column] = specs.map { case (v, _, _, _) =>
-      v -> bucketDesc(col(v), bounds(v))
-    }.toMap
+    val vCols = specs.map(_._1).distinct
+    val bounds = boundarySample(in, vCols, nB)
+    // Materialize each column's bucket id ONCE as a physical column:
+    // the bucket expression is an nB-term when-chain, and the Column
+    // DSL COPIES the whole tree at every reference — inlining it into
+    // nB ledger counters and every window key blows the plan to
+    // thousands of nodes (measured 14.6 s vs 3 s on the RFM shape,
+    // pure optimizer+codegen time). A single projection keeps every
+    // later reference a plain attribute.
+    def rngName(v: String) = s"__rng_$v"
+    val bucketed = vCols.foldLeft(in) { (acc, v) =>
+      acc.withColumn(rngName(v), bucketDesc(col(v), bounds(v)))
+    }
     // pass 2: every (column, bucket) count as a conditional sum — one
     // aggregate row of |specs|×nB counters plus the shared total
-    val counters = specs.map(_._1).distinct.flatMap { v =>
+    val counters = vCols.flatMap { v =>
       (0 until nB).map(b =>
-        sum(when(bucketOf(v) === b, 1L).otherwise(0L)).as(s"__c_${v}_$b"))
+        sum(when(col(rngName(v)) === b, 1L).otherwise(0L))
+          .as(s"__c_${v}_$b"))
     }
-    val ledgerRow = df.agg(counters.head, counters.tail: _*).collect()(0)
+    val ledgerRow = bucketed.agg(counters.head, counters.tail: _*)
+      .collect()(0)
     val countsOf: Map[String, IndexedSeq[Long]] =
-      specs.map(_._1).distinct.zipWithIndex.map { case (v, i) =>
+      vCols.zipWithIndex.map { case (v, i) =>
         // sum over an EMPTY frame is NULL — read as 0 so an empty input
         // degrades to empty output like ntileDesc
         v -> (0 until nB).map { b =>
@@ -290,9 +316,9 @@ object PrefixSum {
     // then ntileDesc's exact integer tile arithmetic inlined (all
     // constants live on the driver already; `div`, never Column./ —
     // that is DOUBLE division and rounds past 2^53 rows)
-    specs.foldLeft(df) { case (acc, (v, tie, tileCol, k)) =>
+    specs.foldLeft(bucketed) { case (acc, (v, tie, tileCol, k)) =>
       val offsets = countsOf(v).scanLeft(0L)(_ + _) // offset of bucket b
-      val bCol = bucketOf(v)
+      val bCol = col(rngName(v))
       val offExpr = (0 until nB).foldLeft(lit(0L)) { (e, b) =>
         if (offsets(b) == 0L) e
         else when(bCol === b, lit(offsets(b))).otherwise(e)
@@ -313,6 +339,6 @@ object PrefixSum {
           row_number().over(wLocal).cast("long") + offExpr)
         .withColumn(tileCol, tile)
         .drop(rankCol)
-    }
+    }.drop(vCols.map(rngName): _*)
   }
 }
