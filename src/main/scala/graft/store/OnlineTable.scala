@@ -560,6 +560,26 @@ object OnlineTable {
     * winner's snapshot (and vice versa — the upsert loop re-derives over
     * the new bucket count it finds at ITS retry). No-op if the table was
     * never published or is empty. */
+  /** CAS-committed compaction of a bucketed table: every micro-batch
+    * publish adds one generation dir for its touched buckets, so a
+    * long-running upsert stream leaves each bucket's rows scattered
+    * across many small files under many gens; compaction rewrites the
+    * live snapshot into ONE fresh generation (same bucket count) and
+    * commits it through the log. Readers and concurrent upserts follow
+    * the [[rebucket]] safety argument verbatim — this IS a rebucket at
+    * the current count (or `nBuckets` for a full/legacy head that was
+    * never bucketed). Run it on the maintenance cadence small-file
+    * pressure dictates, not per batch. */
+  def compact(spark: SparkSession, root: String, key: Seq[String],
+              nBuckets: Int = 64, keepVersions: Int = 2,
+              maxRetries: Int = 10): Unit = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val n = head(fs, rootPath).map(_._2).filter(isManifest)
+      .map(readManifest(fs, rootPath, _).nBuckets)
+      .getOrElse(nBuckets)
+    rebucket(spark, root, key, n, keepVersions, maxRetries)
+  }
+
   def rebucket(spark: SparkSession, root: String, key: Seq[String],
                newBuckets: Int, keepVersions: Int = 2,
                maxRetries: Int = 10): Unit = {

@@ -433,6 +433,40 @@ class OnlineTableSpec extends AnyFunSuite {
     OnlineTable.rebucket(spark, root + "_never", Seq("k"), 8)
   }
 
+  test("compact collapses accumulated micro-batch gens into one generation") {
+    val root = java.nio.file.Files.createTempDirectory("otb10").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    OnlineTable.publishBucketedBatch(
+      (1L to 60L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"),
+      root, Seq("k"), m, nBuckets = 16)
+    (2L to 11L).foreach { i =>
+      OnlineTable.publishBucketedBatch(
+        Seq((i, 10L + i, s"u$i")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    }
+    // retention keeps 2 manifests; their gens span several generations
+    assert(genSubdirs(root).map(_.split('/').head).size > 4,
+      "micro-batches must have scattered buckets across gens")
+    OnlineTable.compact(spark, root, Seq("k"))
+    val live = OnlineTable.read(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(live.size === 60 && live(3L) === "u3" && live(50L) === "v50")
+    // bucket count preserved: a fresh one-key upsert rewrites 1 of 16
+    val before = genSubdirs(root)
+    OnlineTable.publishBucketedBatch(
+      Seq((30L, 99L, "post")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    assert((genSubdirs(root) -- before).size === 1)
+    // one more publish evicts the last pre-compact manifest: the only
+    // retained gens are the compact generation + the two post upserts
+    OnlineTable.publishBucketedBatch(
+      Seq((31L, 99L, "post2")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    val prefixes = genSubdirs(root).map(_.split('/').head)
+    assert(prefixes.size <= 3,
+      s"pre-compact gens must be collected, still have $prefixes")
+    assert(OnlineTable.read(spark, root).get.count() === 60L)
+    // compacting a never-published table is a no-op
+    OnlineTable.compact(spark, root + "_never", Seq("k"))
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
