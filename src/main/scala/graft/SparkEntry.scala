@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
 import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
-import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
+import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Pq, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Pdf, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
 import graft.store.FeatureStore
@@ -122,6 +122,16 @@ object SparkEntry {
     String, (Seq[graft.llm.Sketches.HeavyHitter], Long)]()
   private val Q142K = 64
   private val Q142Top = 20
+
+  /** q239's per-dir fitted PQ codebooks — same record/emission contract
+    * as [[bpeByDir]]: the oracle inlines the EXACT float-rounded
+    * centroids this run fit (shortest-repr double literals round-trip
+    * DuckDB's parser bit-identically — the q39 technique) and re-derives
+    * codes, ADC scores, and ranks independently. */
+  private val pqByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
+  private val PqM = 8
+  private val PqKsub = 16
 
   /** q80's per-dir waterfilled mix rates — same record/emission contract
     * as [[bpeByDir]]: the oracle inlines the exact rates this run
@@ -6698,6 +6708,41 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- Similarity search: product-quantization ADC top-k ---------------------
+    // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
+    // codebooks (fit once per dir, driver-tiny, plan literals), corpus
+    // encoded to m=8 4-bit codes — the scored side carries 8 ints
+    // instead of 64 floats through the ranking join, the byte cut that
+    // keeps brute-force rescoring viable at 100 TB — and queries score
+    // asymmetrically against the RECONSTRUCTED vectors (adc = exact
+    // dot with the decoded corpus vector; PqSpec pins the identity).
+    // The exact cosine of each emitted pair rides along so the
+    // quantization error is visible in the result, q227's honesty
+    // posture. Run-state oracle: the fitted codebooks inline as SQL
+    // literals and DuckDB re-derives codes, ADC, ranks, and the rider.
+    "q239_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val model = pqByDir.computeIfAbsent(dir,
+        _ => Pq.fit(emb, "embedding", m = PqM, ksub = PqKsub))
+      val encoded = Pq.encode(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nv", model).drop("nv")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      Pq.adcTopK(queries, encoded, model, 5)
+        .join(vecs.select(col("vec_id").as("nid"),
+          col("embedding").as("nvv")), Seq("nid"))
+        .join(broadcast(vecs.select(col("vec_id").as("qid"),
+          col("embedding").as("qvv"))), Seq("qid"))
+        .withColumn("cos_exact",
+          Similarity.round6(Similarity.cosine(col("qvv"), col("nvv"))))
+        .select(col("qid"), col("nid"), col("adc"), col("cos_exact"),
+          col("rank"))
+        .ordered(col("qid"), col("rank"))
+    }),
+
     // ---- Data profiling: categorical association (Cramér's V) -------------------
     // Which categorical columns move together? χ² over the contingency
     // cells (expected = rowTot·colTot/N from exact LONG counts), each
@@ -7223,7 +7268,66 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
-      q89OracleSql ++ q142OracleSql
+      q89OracleSql ++ q142OracleSql ++ q239OracleSql
+
+  /** q239's run-state oracle ([[q39OracleSql]] contract): inline the
+    * fitted PQ codebooks as double literals and replay EVERYTHING in
+    * DuckDB — per-subspace squared distances (same per-element fold
+    * `list_sum` order as the Spark expressions), first-min argmin
+    * codes, the ADC reconstruction dot, 1e-6 floor, rank, and the
+    * exact-cosine rider. Same exactly-one-fit-dir emission rule. */
+  private def q239OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val entries = pqByDir.asScala
+    soleDigest(entries.keys).map(entries(_)).map { m =>
+      val dsub = m.dsub
+      def zipDot(a: String, b: String): String =
+        s"list_sum(list_apply(list_zip($a, $b), x -> x[1] * x[2]))"
+      def sub(v: String, j: Int): String =
+        s"$v[${j * dsub + 1}:${(j + 1) * dsub}]"
+      val dCols = (0 until m.m).map { j =>
+        m.centroids(j).map { c =>
+          val lit = c.mkString("[", ",", "]")
+          s"list_sum(list_apply(list_zip(${sub("ev", j)}, $lit), " +
+            "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        }.mkString("[\n    ", ",\n    ", s"] AS d$j")
+      }.mkString(",\n  ")
+      val cCols = (0 until m.m).map(j =>
+        s"list_position(d$j, list_aggregate(d$j, 'min')) - 1 AS c$j")
+        .mkString(",\n    ")
+      val adc = (0 until m.m).map { j =>
+        val table = m.centroids(j).map(_.mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        zipDot(sub("qv", j), s"($table)[c$j + 1]")
+      }.mkString("(", " +\n      ", ")")
+      "q239_pq_topk" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           |  FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |d AS (SELECT vec_id, ev,
+           |  $dCols
+           |  FROM v),
+           |e AS (SELECT vec_id, ev,
+           |    $cCols
+           |  FROM d),
+           |q AS (SELECT vec_id AS qid, ev AS qv FROM v
+           |  WHERE vec_id % 20 = 0),
+           |p AS (SELECT q.qid, e.vec_id AS nid, q.qv, e.ev AS nv,
+           |    FLOOR($adc * 1e6 + 0.5) / 1e6 AS adc
+           |  FROM q JOIN e ON q.qid <> e.vec_id),
+           |r AS (SELECT qid, nid, adc, qv, nv,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY adc DESC, nid ASC) AS BIGINT) AS rank
+           |  FROM p)
+           |SELECT qid, nid, adc,
+           |  FLOOR(${zipDot("qv", "nv")} /
+           |    (sqrt(${zipDot("qv", "qv")}) * sqrt(${zipDot("nv", "nv")}))
+           |    * 1e6 + 0.5) / 1e6 AS cos_exact,
+           |  rank
+           |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
 
   /** q142's run-state oracle ([[q76OracleSql]] contract): inline the
     * recorded top-K (rank, token, lower-bound, offset) — all integers,
