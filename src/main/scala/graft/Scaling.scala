@@ -512,6 +512,21 @@ object Scaling {
       // quantile buckets must keep wall tracking the scan
       "skyline" ->
         (dir => SparkEntry.queries("q193_skyline")(spark, dir)),
+      // q239's ADC scan with a FIXED query set and codebook (fit on the
+      // base replica): the scored side grows 10× but carries only m=8
+      // codes per row — wall must track the encoded-corpus scan
+      "pq_adc" -> (dir => {
+        import graft.llm.Pq
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val base = emb.filter(col("vec_id") < 10000000L)
+        val model = Pq.fit(base, "embedding")
+        val enc = Pq.encode(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nv")), "nv", model).drop("nv")
+        val q = base.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Pq.adcTopK(q, enc, model, 5)
+      }),
       // q225's two-dataset eps-join: the POI side is FIXED (512), so
       // with fixed eps both the output and the candidate mass grow
       // linearly in events — the fixed-dimension analogue of

@@ -83,6 +83,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q233: the zero-fill grid crosses the distinct TYPE list with
     *     the day-span sequence — both sides domain-bounded (types ×
     *     days), the point being that lag-7 must see explicit zero days.
+    *   - q239: q19's bounded-broadcast shape over the PQ-ENCODED corpus
+    *     (the scored side carries m codes, not vectors) — the query
+    *     batch broadcasts, the qid≠nid predicate makes it an NLJ by
+    *     form, and the corpus scan stays embarrassingly parallel.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -94,7 +98,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
-    "q231_rfm", "q233_backtest")
+    "q231_rfm", "q233_backtest", "q239_pq_topk")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
