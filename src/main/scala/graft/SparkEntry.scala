@@ -6708,6 +6708,130 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- Similarity search: IVF + PQ (the faiss IVFPQ production shape) --------
+    // The two ANN halves composed: the IVF cell structure (q39's SAME
+    // persisted index and digest) prunes WHICH rows are scored — each
+    // query meets only its nprobe cells' rows on a cell equi-join — and
+    // PQ codes (q239's SAME codebooks) shrink WHAT each scored row
+    // carries to m=8 4-bit codes. At 100 TB this is the only brute-
+    // force-free shape: probe IO ~nprobe/nlist of the corpus, scored
+    // bytes /32, no corpus-sized shuffle anywhere. Run-state oracle
+    // inlines BOTH fitted models and replays cells, probes, codes, ADC,
+    // and ranks.
+    "q240_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, _) = ivfAcquire(s, dir, corpus)
+      val pq = pqByDir.computeIfAbsent(dir,
+        _ => Pq.fit(emb, "embedding", m = PqM, ksub = PqKsub))
+      val encoded = Pq.encode(corpus, "nvec", pq)
+        .withColumn("cell", Similarity.ivfCell(col("nvec"), index))
+        .drop("nvec")
+      // probe on the raw float vector (q39's exact expression); the
+      // double copy feeds only the ADC dot
+      val queryCells = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("cell", explode(
+          Similarity.ivfProbeCells(col("qvec"), index, Q39Nprobe)))
+        .withColumn("qv", col("qvec").cast("array<double>"))
+        .drop("qvec")
+      val cands = queryCells.join(encoded, Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("adc",
+          floor(Pq.adcScore(col("qv"), pq, j => col(s"code_$j"))
+            * 1e6 + 0.5) / 1e6)
+      val w = Window.partitionBy("qid").orderBy(desc("adc"), asc("nid"))
+      cands.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "nid", "adc", "rank")
+        .ordered(col("qid"), col("rank"))
+    }),
+
+    // ---- Trend analytics: per-type OLS fit of value against time ---------------
+    // The "is this metric drifting" regression: per event type, ordinary
+    // least squares of the micro-quantized value against the day index,
+    // from the five EXACT sufficient sums (n, Σx, Σy, Σxy, Σy² — Σy·y
+    // reaches ~2.6e23 at fixture scale alone, far past BIGINT, so the
+    // y-moments ride DECIMAL(38,0)); slope/intercept/r² are then one
+    // identical double-arithmetic tree over the exact sums in both
+    // engines. One map-side-combined aggregate over the fact scan — the
+    // sufficient-statistics pattern every distributed regression uses.
+    "q241_trend_ols" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val x0 = 19700L // fixed epoch-day anchor keeps x magnitudes small
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"),
+          (expr(s"ts_us div $dayUs") - x0).as("x"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("y"))
+      val sums = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sxx = col("sxx").cast("double")
+      val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      val slope = num / denx
+      // slope/intercept are in micro-value units; floor(x+0.5)/1e6 both
+      // rounds to 1e-6 and converts to value units in one step
+      sums.select(col("event_type"), col("n"),
+          (floor(slope + 0.5) / 1e6).as("slope"),
+          (floor((sy - slope * sx) / n + 0.5) / 1e6).as("intercept"),
+          (floor(num * num / (denx * deny) * 1e6 + 0.5) / 1e6).as("r2"))
+        .ordered(col("event_type"))
+    }),
+
+    // ---- Monitoring: MAD-robust anomaly days per event type --------------------
+    // Which days were abnormal? Per (type, day) counts, the q238
+    // discrete median + MAD over the domain-bounded type×day table,
+    // then the classic robust flag |c − med| > 3·MAD in PURE integer
+    // comparison (no float z-scores to diverge per engine). A type
+    // whose MAD is 0 flags every deviating day — the honest degenerate
+    // case, stated rather than fudged.
+    "q242_anomaly_days" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      val counts = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = counts
+        .withColumn("cum", count(lit(1)).over(wOrd))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("nd"), col("c"))).as("med"))
+      val dev = counts.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("c") - col("med")))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dev
+        .withColumn("cumd", count(lit(1)).over(wD))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cumd") * 2 >= col("nd"), col("d"))).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("d") > col("mad") * 3)
+        .select(col("event_type"), col("day"), col("c").as("n_events"),
+          col("med"), col("mad"))
+        .ordered(col("event_type"), col("day"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -7268,7 +7392,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
-      q89OracleSql ++ q142OracleSql ++ q239OracleSql
+      q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql
+
+  // ---- PQ oracle SQL builders, shared by q239 and q240 ---------------
+  private def pqZipDot(a: String, b: String): String =
+    s"list_sum(list_apply(list_zip($a, $b), x -> x[1] * x[2]))"
+  private def pqSubSlice(m: Pq.Model, v: String, j: Int): String =
+    s"$v[${j * m.dsub + 1}:${(j + 1) * m.dsub}]"
+  /** Per-subspace squared-distance arrays `d0..d{m-1}` over `ev`. */
+  private def pqDistCols(m: Pq.Model): String =
+    (0 until m.m).map { j =>
+      m.centroids(j).map { c =>
+        val lit = c.mkString("[", ",", "]")
+        s"list_sum(list_apply(list_zip(${pqSubSlice(m, "ev", j)}, $lit), " +
+          "x -> (x[1]-x[2])*(x[1]-x[2])))"
+      }.mkString("[\n    ", ",\n    ", s"] AS d$j")
+    }.mkString(",\n  ")
+  /** First-min argmin codes `c0..c{m-1}` from the distance arrays. */
+  private def pqCodeCols(m: Pq.Model): String =
+    (0 until m.m).map(j =>
+      s"list_position(d$j, list_aggregate(d$j, 'min')) - 1 AS c$j")
+      .mkString(",\n    ")
+  /** ADC dot of `qv` against codes `c0..c{m-1}` via codebook literals. */
+  private def pqAdcExpr(m: Pq.Model): String =
+    (0 until m.m).map { j =>
+      val table = m.centroids(j).map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      pqZipDot(pqSubSlice(m, "qv", j), s"($table)[c$j + 1]")
+    }.mkString("(", " +\n      ", ")")
 
   /** q239's run-state oracle ([[q39OracleSql]] contract): inline the
     * fitted PQ codebooks as double literals and replay EVERYTHING in
@@ -7280,26 +7431,10 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     val entries = pqByDir.asScala
     soleDigest(entries.keys).map(entries(_)).map { m =>
-      val dsub = m.dsub
-      def zipDot(a: String, b: String): String =
-        s"list_sum(list_apply(list_zip($a, $b), x -> x[1] * x[2]))"
-      def sub(v: String, j: Int): String =
-        s"$v[${j * dsub + 1}:${(j + 1) * dsub}]"
-      val dCols = (0 until m.m).map { j =>
-        m.centroids(j).map { c =>
-          val lit = c.mkString("[", ",", "]")
-          s"list_sum(list_apply(list_zip(${sub("ev", j)}, $lit), " +
-            "x -> (x[1]-x[2])*(x[1]-x[2])))"
-        }.mkString("[\n    ", ",\n    ", s"] AS d$j")
-      }.mkString(",\n  ")
-      val cCols = (0 until m.m).map(j =>
-        s"list_position(d$j, list_aggregate(d$j, 'min')) - 1 AS c$j")
-        .mkString(",\n    ")
-      val adc = (0 until m.m).map { j =>
-        val table = m.centroids(j).map(_.mkString("[", ",", "]"))
-          .mkString("[", ",", "]")
-        zipDot(sub("qv", j), s"($table)[c$j + 1]")
-      }.mkString("(", " +\n      ", ")")
+      val dCols = pqDistCols(m)
+      val cCols = pqCodeCols(m)
+      val adc = pqAdcExpr(m)
+      def zipDot(a: String, b: String): String = pqZipDot(a, b)
       "q239_pq_topk" ->
         s"""WITH v AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
@@ -7327,6 +7462,58 @@ object SparkEntry {
            |  rank
            |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     }.toMap
+  }
+
+  /** q240's run-state oracle: BOTH fitted models inlined — q39's cell
+    * scores for assignment + probe selection, q239's codebooks for
+    * codes + ADC — and the whole IVFPQ pipeline replayed in DuckDB.
+    * Emits only when both sole-fit-dir rules hold (Verify's shape). */
+  private def q240OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val sql = for {
+      ivfKey <- soleDigest(ivfDigestByDir.values().asScala)
+      ivf <- Option(ivfCache.get(ivfKey))
+      pqKey <- soleDigest(pqByDir.asScala.keys)
+    } yield {
+      val m = pqByDir.get(pqKey)
+      val cents = ivf.centroids.sortBy(_._1)
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }
+        .mkString("[\n    ", ",\n    ", "]")
+      val cellIds = cents.map(_._1).mkString("[", ",", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |cs AS (SELECT vec_id, ev, $scores AS ss FROM v),
+         |d AS (SELECT vec_id, ev,
+         |    list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell,
+         |  ${pqDistCols(m)}
+         |  FROM cs),
+         |e AS (SELECT vec_id, cell,
+         |    ${pqCodeCols(m)}
+         |  FROM d),
+         |qp AS (SELECT vec_id AS qid, ev AS qv,
+         |    UNNEST(ss) AS s, UNNEST($cellIds) AS cell
+         |  FROM cs WHERE vec_id % 20 = 0),
+         |qsel AS (SELECT qid, qv, cell FROM (
+         |    SELECT qid, qv, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, cell ASC) AS rn
+         |    FROM qp) WHERE rn <= $Q39Nprobe),
+         |p AS (SELECT qsel.qid, e.vec_id AS nid,
+         |    FLOOR(${pqAdcExpr(m)} * 1e6 + 0.5) / 1e6 AS adc
+         |  FROM qsel JOIN e USING (cell) WHERE qsel.qid <> e.vec_id),
+         |r AS (SELECT qid, nid, adc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc DESC, nid ASC) AS BIGINT) AS rank
+         |  FROM p)
+         |SELECT qid, nid, adc, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    }
+    sql.map("q240_ivfpq_topk" -> _).toList.toMap
   }
 
   /** q142's run-state oracle ([[q76OracleSql]] contract): inline the
@@ -9603,6 +9790,64 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cumd*2 >= n THEN d6 END) AS DOUBLE)/1e6
         |    AS mad
         |FROM dw GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the identical exact sufficient sums (y-moments on HUGEINT — the
+    // DECIMAL(38,0) twin) and the identical double formula tree
+    "q241_trend_ols" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts)//86400000000 - 19700 AS x,
+        |    CAST(FLOOR(value*1e6+0.5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(x*x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x*y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(y AS HUGEINT)*y) AS syy
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT event_type, n,
+        |  FLOOR((nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd) + 0.5)/1e6
+        |    AS slope,
+        |  FLOOR((syd - (nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)*sxd)/nd
+        |    + 0.5)/1e6 AS intercept,
+        |  FLOOR((nd*sxyd - sxd*syd)*(nd*sxyd - sxd*syd) /
+        |    ((nd*sxxd - sxd*sxd)*(nd*syyd - syd*syd))*1e6 + 0.5)/1e6
+        |    AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // same discrete median/MAD over the type×day counts and the pure
+    // integer 3·MAD flag
+    "q242_anomaly_days" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM c),
+        |med AS (SELECT event_type,
+        |    MIN(CASE WHEN cum*2 >= nd THEN c END) AS med
+        |  FROM cw GROUP BY 1),
+        |dev AS (SELECT c.event_type, c.day, c.c, med.med,
+        |    ABS(c.c - med.med) AS d
+        |  FROM c JOIN med ON med.event_type = c.event_type),
+        |dw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM dev),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cumd*2 >= nd THEN d END) AS mad
+        |  FROM dw GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.c AS n_events,
+        |  dev.med, mad.mad
+        |FROM dev JOIN mad ON mad.event_type = dev.event_type
+        |WHERE dev.d > mad.mad * 3
+        |ORDER BY dev.event_type, dev.day""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
