@@ -408,6 +408,19 @@ object Scaling {
         .groupBy(col("iid")).agg(count(lit(1)).as("n_pts"))
     }
 
+    // fit-once ANN models for the ivfpq probe row: both scales probe
+    // the SAME artifacts (the base replica's data is identical in the
+    // src and synthesized dirs by construction — replica 0 is the
+    // identity), so the timed body is encode + probe only
+    lazy val ivfpqModels: (graft.llm.IvfIndex.Model, graft.llm.Pq.Model) = {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      (graft.llm.IvfIndex.fit(
+        base.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        nlist = 64, fitFraction = 1.0),
+        graft.llm.Pq.fit(base, "embedding"))
+    }
+
     val all: Seq[(String, String => DataFrame)] = Seq(
       "bronze_silver" -> bronzeSilver, "minhash_lsh" -> minhash,
       "simhash_banded" -> simhash, "rolling_dedup" -> rolling,
@@ -526,6 +539,42 @@ object Scaling {
         val q = base.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Pq.adcTopK(q, enc, model, 5)
+      }),
+      // q240's composed shape on the factor× corpus: cells prune the
+      // candidate mass to ~nprobe/nlist and the scored side carries m
+      // codes — wall must track the (pruned) encoded scan. The models
+      // are FIT ONCE on the base corpus outside the timed body (they
+      // are fit-once artifacts — q39 probes a persisted index for the
+      // same reason; timing 9 KMeans fits per run would measure MLlib
+      // job overhead, not the probe path this row exists to bound).
+      "ivfpq" -> (dir => {
+        import graft.llm.{Pq, Similarity}
+        val (ivf, pq) = ivfpqModels
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val base = emb.filter(col("vec_id") < 10000000L)
+        val corpus = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val enc = Pq.encode(corpus, "nvec", pq)
+          .withColumn("cell", Similarity.ivfCell(col("nvec"), ivf))
+          .drop("nvec")
+        val qc = base.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          .withColumn("cell", explode(
+            Similarity.ivfProbeCells(col("qvec"), ivf, 16)))
+          .withColumn("qv", col("qvec").cast("array<double>"))
+          .drop("qvec")
+        import org.apache.spark.sql.expressions.Window
+        val cands = qc.join(enc, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("adc",
+            floor(Pq.adcScore(col("qv"), pq, j => col(s"code_$j"))
+              * 1e6 + 0.5) / 1e6)
+        val w = Window.partitionBy("qid").orderBy(desc("adc"), asc("nid"))
+        cands.withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(w)
+              .cast("long"))
+          .filter(col("rank") <= 5)
       }),
       // q225's two-dataset eps-join: the POI side is FIXED (512), so
       // with fixed eps both the output and the candidate mass grow
