@@ -276,20 +276,33 @@ object Streams {
     * is idempotent; a crashed publish leaves only unreferenced gen dirs
     * collected by GC), and a concurrent publisher costs a CAS re-derive,
     * never a lost update. */
+  /** @param compactEvery run [[graft.store.OnlineTable.compact]] after
+    *   every Nth micro-batch (0 disables): each batch adds one
+    *   generation dir for its touched buckets, so a long-running stream
+    *   scatters every bucket's rows across many small files; periodic
+    *   compaction collapses the live snapshot back to one generation
+    *   through the same CAS log (readers and concurrent publishers are
+    *   safe by the rebucket argument). Size the cadence to small-file
+    *   pressure — compaction rewrites the WHOLE table, so it belongs on
+    *   a maintenance rhythm, not per trigger. */
   def upsertOnline(stream: DataFrame, key: Seq[String], ts: String,
                    tieBreak: String, path: String,
                    preprocess: DataFrame => DataFrame = identity,
-                   buckets: Int = 64) = {
+                   buckets: Int = 64, compactEvery: Long = 0L) = {
     import graft.ops.PointInTime
     import graft.store.OnlineTable
     stream.writeStream.outputMode("update").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val latestBatch =
           PointInTime.latestPerKey(preprocess(batch), key, ts, tieBreak)
         OnlineTable.publishBucketedBatch(latestBatch, path, key,
           (prev, b) => PointInTime.latestPerKey(
             prev.unionByName(b), key, ts, tieBreak),
           nBuckets = buckets)
+        // after the publish, so a retried batch re-runs idempotently
+        // (compact itself is a no-op on content)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          OnlineTable.compact(batch.sparkSession, path, key, buckets)
     }
   }
 

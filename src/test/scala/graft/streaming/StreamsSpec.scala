@@ -141,6 +141,46 @@ class StreamsSpec extends AnyFunSuite {
       === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("upsertOnline compactEvery collapses accumulated generations mid-stream") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsertc").toString
+    val path = s"$dir/online"
+    // count populated bucket SUBDIRS per generation: evicted manifests'
+    // bucket dirs are collected promptly, while the emptied parent g-
+    // dir itself waits out the orphan grace window (cosmetic)
+    def gens: Set[String] =
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("g-"))
+        .flatMap(g => Option(g.listFiles()).toSeq.flatten
+          .filter(_.isDirectory).map(b => s"${g.getName}/${b.getName}"))
+        .map(_.split('/').head).toSet
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertOnline(mem.toDF().toDF("uid", "ts", "v"),
+      Seq("uid"), "ts", "v", path, buckets = 8, compactEvery = 2).start()
+    // batch 0: seed spread over the buckets; batches 1, 2: point upserts
+    mem.addData((1L to 40L).map(k => (k, 1L, s"v$k")): _*)
+    q.processAllAvailable()
+    mem.addData((5L, 2L, "u5"))
+    q.processAllAvailable()
+    mem.addData((6L, 2L, "u6")) // batchId 2 -> compact after publish
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.store.OnlineTable.read(spark, path).get
+      .select("uid", "v").as[(Long, String)].collect().toMap
+    assert(out.size === 40 && out(5L) === "u5" && out(6L) === "u6")
+    // one more publish cycle evicts pre-compact manifests; after that
+    // the only retained generations are the compact one (+ none newer)
+    val m = (prev: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =>
+      graft.ops.PointInTime.latestPerKey(prev.unionByName(b),
+        Seq("uid"), "ts", "v")
+    graft.store.OnlineTable.publishBucketedBatch(
+      Seq((7L, 3L, "u7")).toDF("uid", "ts", "v"), path, Seq("uid"), m)
+    assert(gens.size <= 2,
+      s"pre-compact generations must be collected, still have $gens")
+    assert(graft.store.OnlineTable.read(spark, path).get.count() === 40L)
+  }
+
   test("stream-stream interval join: clicks attribute to impressions in-window only") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     implicit val sql = spark.sqlContext
