@@ -6832,6 +6832,70 @@ object SparkEntry {
         .ordered(col("event_type"), col("day"))
     }),
 
+    // ---- Time series: CUSUM changepoint detection ------------------------------
+    // q242 flags individual outlier days; CUSUM detects a sustained LEVEL
+    // SHIFT that no single day makes anomalous (reference-adjacent: drift
+    // monitoring over the event stream, the batch form of q235's gate).
+    // The textbook recurrence S_t = max(0, S_{t-1} + x_t) is sequential —
+    // useless on a cluster — but has a closed prefix form:
+    //   S_t = C_t − min(0, min_{i≤t} C_i),   C_t = Σ_{i≤t} x_i
+    // (the running max-drawup identity), so the whole detector is ONE
+    // running sum plus ONE running min — both per-event-type partitioned
+    // windows over the per-day series, never an unpartitioned sort (the
+    // day axis grows with TIME, not data volume, so per-key state stays
+    // bounded at 100 TB). All arithmetic is exact BIGINT: the deviation
+    // is scaled by nd (x_t = nd·c_t − tot, i.e. nd·(c_t − mean)) instead
+    // of subtracting a fractional mean, and the alarm threshold is the
+    // q242 integer MAD: S_t > 5·max(mad,1)·nd — max(·,1) states the
+    // degenerate flat-series case (mad = 0) instead of dividing by it.
+    // One summary row per type: peak drawup, its (earliest) day, alarm
+    // count, first alarm day (NULL when the series never shifts).
+    "q243_cusum" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      val c = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy(col("event_type"))
+      // q242's exact lower-median / MAD (integer, engine-stable)
+      val wOrdC = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = c
+        .withColumn("cum", count(lit(1)).over(wOrdC))
+        .withColumn("ndm", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("ndm"), col("c"))).as("med"))
+      val dev = c.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("c") - col("med")))
+      val wOrdD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dev
+        .withColumn("cumd", count(lit(1)).over(wOrdD))
+        .withColumn("ndm", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cumd") * 2 >= col("ndm"), col("d"))).as("mad"))
+      val stats = c.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("tot"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.join(broadcast(stats), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .withColumn("x", col("nd") * col("c") - col("tot"))
+        .withColumn("cx", sum(col("x")).over(wT))
+        .withColumn("s",
+          col("cx") - least(lit(0L), min(col("cx")).over(wT)))
+        .withColumn("h", lit(5L) * greatest(col("mad"), lit(1L)) * col("nd"))
+        .withColumn("smax", max(col("s")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("nd")).as("nd"),
+          max(col("s")).as("peak_cusum"),
+          min(when(col("s") === col("smax"), col("day"))).as("peak_day"),
+          count(when(col("s") > col("h"), lit(1))).as("n_alarms"),
+          min(when(col("s") > col("h"), col("day"))).as("first_alarm"))
+        .ordered(col("event_type"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -9848,6 +9912,51 @@ object SparkEntry {
         |FROM dev JOIN mad ON mad.event_type = dev.event_type
         |WHERE dev.d > mad.mad * 3
         |ORDER BY dev.event_type, dev.day""".stripMargin,
+
+    // the identical prefix-form CUSUM: running sum + running min per
+    // type, q242's integer median/MAD, thresholds and peaks in exact
+    // integer arithmetic (intermediate HUGEINTs cast back at the edge)
+    "q243_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ndm FROM c),
+        |med AS (SELECT event_type,
+        |    MIN(CASE WHEN cum*2 >= ndm THEN c END) AS med
+        |  FROM cw GROUP BY 1),
+        |dev AS (SELECT c.event_type, c.day, c.c,
+        |    ABS(c.c - med.med) AS d
+        |  FROM c JOIN med ON med.event_type = c.event_type),
+        |dw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ndm FROM dev),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cumd*2 >= ndm THEN d END) AS mad
+        |  FROM dw GROUP BY 1),
+        |st AS (SELECT event_type, COUNT(*) AS nd,
+        |    CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |cu AS (SELECT c.event_type, c.day, st.nd,
+        |    CAST(SUM(st.nd*c.c - st.tot) OVER (PARTITION BY c.event_type
+        |      ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cx
+        |  FROM c JOIN st ON st.event_type = c.event_type),
+        |s AS (SELECT *, cx - LEAST(0, MIN(cx) OVER (PARTITION BY
+        |      event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)) AS s
+        |  FROM cu),
+        |sh AS (SELECT s.*, 5*GREATEST(mad.mad, 1)*s.nd AS h,
+        |    MAX(s.s) OVER (PARTITION BY s.event_type) AS smax
+        |  FROM s JOIN mad ON mad.event_type = s.event_type)
+        |SELECT event_type, MAX(nd) AS nd,
+        |  CAST(MAX(s) AS BIGINT) AS peak_cusum,
+        |  MIN(CASE WHEN s = smax THEN day END) AS peak_day,
+        |  COUNT(CASE WHEN s > h THEN 1 END) AS n_alarms,
+        |  MIN(CASE WHEN s > h THEN day END) AS first_alarm
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
