@@ -6896,6 +6896,78 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- Retrieval: reciprocal-rank-fusion hybrid search ------------------------
+    // The standard hybrid-retrieval combiner (RRF, Cormack/Clarke/Buettcher
+    // SIGIR'09): dense ranks (q19's cosine top-k over embeddings) and
+    // lexical ranks (3-gram shingle Jaccard via the shared-shingle
+    // inverted index — q33's tokenizer, q34's index join shape) fused as
+    // Σ 1/(60+rank_i), missing list ⇒ no contribution. Rank fusion is
+    // score-scale-free, so the two rankers never need calibration — the
+    // reason RRF is the default in production hybrid search. Both stages
+    // keep their audited scale postures: the lexical join is a token
+    // equi-join (hot stop-tokens are the q142/q145 measured-salting
+    // shape), and the dense stage is the q19 bounded-broadcast exact
+    // baseline — at 100 TB swap in annTopK/IvfIndex ranks (q24/q39/q240);
+    // the fusion is ranker-agnostic and unchanged. Floats are engine-
+    // stable: Jaccard is one IEEE division of exact integers, RRF terms
+    // are 1/(60+r) over integer ranks, both floored at 1e-6.
+    "q244_rrf_hybrid" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val dense = Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+          k = 20)
+        .select(col("qid"), col("nid"), col("rank").as("rd"))
+      // lexical unit = word 3-gram shingles, NOT unigrams: the corpus
+      // vocabulary is tiny and dense (31 tokens, ~78% df each — every
+      // unigram is a stopword), so a unigram inverted index degenerates
+      // to near-all-pairs (measured 448M candidate mass vs 2.8M for
+      // 3-grams at sf0.1, a 160× cut) — the exact df-blowup a 100 TB
+      // inverted index must avoid; shingling is the standard fix
+      // shingles via the codegen'd single-pass kernel, NOT the
+      // transform(sequence, slice+array_join) HOF — the HOF evaluates
+      // interpreted per shingle and re-tokenizes per reference after
+      // projection collapse (measured 4.4 s for 240k shingles at sf0.1
+      // vs ~0.1 s single-pass); the ≥3-token gate keeps shingles_k's
+      // whole-doc fallback from firing, so short docs simply don't
+      // participate in the lexical list (the oracle filters the same)
+      val idx = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(size(TextStats.tokens(lower(col("text")))) >= 3)
+        .withColumn("gs", Dedup.shingles(col("text"), 3))
+        .select(col("doc_id"), size(col("gs")).as("ntok"),
+          explode(col("gs")).as("tok"))
+      val shared = idx.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("qid"), col("ntok").as("nq"), col("tok"))
+        .join(idx.select(col("doc_id").as("nid"), col("ntok").as("nn"),
+          col("tok")), Seq("tok"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"), col("nq"), col("nn"))
+        .agg(count(lit(1)).as("nab"))
+        .withColumn("jac", round6(col("nab").cast("double") /
+          (col("nq") + col("nn") - col("nab"))))
+      val wl = Window.partitionBy(col("qid"))
+        .orderBy(desc("jac"), asc("nid"))
+      val lex = shared
+        .withColumn("rl", row_number().over(wl).cast("long"))
+        .filter(col("rl") <= 20)
+        .select(col("qid"), col("nid"), col("rl"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(desc("rrf"), asc("nid"))
+      dense.join(lex, Seq("qid", "nid"), "full_outer")
+        .withColumn("rrf", round6(
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"), col("rrf"), col("rd"), col("rl"),
+          col("rank"))
+        .ordered(col("qid"), col("rank"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -9957,6 +10029,61 @@ object SparkEntry {
         |  COUNT(CASE WHEN s > h THEN 1 END) AS n_alarms,
         |  MIN(CASE WHEN s > h THEN day END) AS first_alarm
         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dense ranks = q19's cosine pipeline at k=20; lexical ranks = 3-gram
+    // shingle Jaccard over the inverted index; RRF fused over the full outer
+    // join of the two lists — every float is a single IEEE op over exact
+    // integers, floored at 1e-6 on both engines
+    "q244_rrf_hybrid" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |    AND vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |p AS (
+        |  SELECT qid, nid,
+        |  FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6
+        |    AS cos
+        |  FROM q, c WHERE qid <> nid),
+        |dr AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid ASC) AS BIGINT) AS rd FROM p),
+        |d AS (SELECT qid, nid, rd FROM dr WHERE rd <= 20),
+        |tk AS (SELECT doc_id, list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |gs AS (SELECT doc_id, list_distinct(
+        |    [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |     for i in range(1, len(toks)-1)]) AS g
+        |  FROM tk WHERE len(toks) >= 3),
+        |ix AS (SELECT doc_id, len(g) AS ntok, unnest(g) AS tok
+        |  FROM gs),
+        |sh AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+        |    a.ntok AS nq, b.ntok AS nn, COUNT(*) AS nab
+        |  FROM ix a JOIN ix b ON a.tok = b.tok
+        |  WHERE a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT qid, nid,
+        |    FLOOR(CAST(nab AS DOUBLE)/(nq+nn-nab)*1e6+0.5)/1e6 AS jac
+        |  FROM sh),
+        |lr AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY jac DESC, nid ASC) AS BIGINT) AS rl FROM j),
+        |l AS (SELECT qid, nid, rl FROM lr WHERE rl <= 20),
+        |f AS (SELECT COALESCE(d.qid, l.qid) AS qid,
+        |    COALESCE(d.nid, l.nid) AS nid, d.rd, l.rl,
+        |    FLOOR((COALESCE(CAST(1 AS DOUBLE)/(60+d.rd), 0) +
+        |           COALESCE(CAST(1 AS DOUBLE)/(60+l.rl), 0))*1e6+0.5)/1e6
+        |      AS rrf
+        |  FROM d FULL OUTER JOIN l ON d.qid = l.qid AND d.nid = l.nid),
+        |r AS (SELECT qid, nid, rrf, rd, rl,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM f)
+        |SELECT qid, nid, rrf, rd, rl, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

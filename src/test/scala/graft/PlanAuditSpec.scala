@@ -87,6 +87,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *     (the scored side carries m codes, not vectors) — the query
     *     batch broadcasts, the qid≠nid predicate makes it an NLJ by
     *     form, and the corpus scan stays embarrassingly parallel.
+    *   - q244: the DENSE stage is exactly q19's bounded-broadcast exact
+    *     baseline (the RRF fusion itself is equi-joins and partitioned
+    *     windows; at scale the dense ranks swap to annTopK/IvfIndex,
+    *     documented in the query).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -98,7 +102,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
-    "q231_rfm", "q233_backtest", "q239_pq_topk")
+    "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
