@@ -7018,6 +7018,56 @@ object SparkEntry {
       frames.reduce(_ unionAll _).ordered(col("phrase"))
     }),
 
+    // ---- Survival analysis: Nelson–Aalen churn hazard ---------------------------
+    // The retention curve done right: per-user lifetime = first→last
+    // event; a user is churned if silent for a full day before the
+    // observation end (the inactivity SLA is a knob — 1 day fits this
+    // fixture's dense per-user cadence; a 14-day cut churns nobody in a
+    // 30-day window), else CENSORED — the distinction naive retention
+    // queries ignore (q139/q177 count exposure; this estimates the
+    // hazard). Nelson–Aalen instead of Kaplan–Meier deliberately: KM's
+    // survival is a cumulative PRODUCT (exp(Σln) cross-engine is a
+    // last-ulp knife edge; exact rational products overflow), while the
+    // cumulative HAZARD is a plain SUM — each step's e(d)/n(d) is one
+    // IEEE division floored to integer micro-units, then the cumsum is
+    // exact BIGINT (q227's honesty posture; S(t) ≈ exp(−H) is the
+    // consumer's step). Risk sets come from one reverse-cumulative count
+    // over the per-duration frame — the duration domain is DAYS of
+    // lifetime, bounded by the time axis, not data volume (the q234
+    // domain-bounded window posture); everything upstream is per-user
+    // groupBy, fully distributed.
+    "q246_hazard" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val u = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      val endRow = u.agg(max(col("last_us")).as("end_us"))
+      val byDur = u.crossJoin(broadcast(endRow))
+        .withColumn("dur", expr(s"(last_us - first_us) div $dayUs"))
+        .withColumn("churned",
+          (col("last_us") < col("end_us") - lit(dayUs)).cast("long"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_enter"), sum(col("churned")).as("n_events"))
+      val wAsc = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byDur
+        .withColumn("cum_enter", sum(col("n_enter")).over(wAsc))
+        .withColumn("total", sum(col("n_enter")).over(wAll))
+        .withColumn("n_at_risk",
+          col("total") - col("cum_enter") + col("n_enter"))
+        .filter(col("n_events") > 0)
+        .withColumn("hazard_u",
+          floor(col("n_events").cast("double") / col("n_at_risk") * 1e6
+            + 0.5).cast("long"))
+        .withColumn("cum_hazard_u", sum(col("hazard_u")).over(wAsc))
+        .select(col("dur"), col("n_at_risk"), col("n_events"),
+          col("hazard_u"), col("cum_hazard_u"))
+        .ordered(col("dur"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10163,6 +10213,36 @@ object SparkEntry {
       }
       ix + blocks.mkString("\nUNION ALL\n") + "\nORDER BY phrase"
     },
+
+    // identical Nelson–Aalen pipeline: per-user lifetimes, 1-day churn
+    // cut against the scalar observation end, reverse-cumulative risk
+    // sets, hazard floored to integer micro-units, exact BIGINT cumsum
+    "q246_hazard" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT *, (SELECT MAX(last_us) FROM u) AS end_us FROM u),
+        |d AS (SELECT (last_us - first_us)//86400000000 AS dur,
+        |    CASE WHEN last_us < end_us - 86400000000 THEN 1 ELSE 0 END
+        |      AS churned
+        |  FROM x),
+        |b AS (SELECT dur, COUNT(*) AS n_enter,
+        |    CAST(SUM(churned) AS BIGINT) AS n_events FROM d GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(SUM(n_enter) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_enter,
+        |    CAST(SUM(n_enter) OVER () AS BIGINT) AS total FROM b),
+        |h AS (SELECT dur, total - cum_enter + n_enter AS n_at_risk,
+        |    n_events,
+        |    CAST(FLOOR(CAST(n_events AS DOUBLE) /
+        |      (total - cum_enter + n_enter) * 1e6 + 0.5) AS BIGINT)
+        |      AS hazard_u
+        |  FROM w WHERE n_events > 0)
+        |SELECT dur, n_at_risk, n_events, hazard_u,
+        |  CAST(SUM(hazard_u) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_u
+        |FROM h ORDER BY dur""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

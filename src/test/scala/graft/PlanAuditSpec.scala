@@ -91,6 +91,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *     baseline (the RRF fusion itself is equi-joins and partitioned
     *     windows; at scale the dense ranks swap to annTopK/IvfIndex,
     *     documented in the query).
+    *   - q246: the ONE-ROW observation-end aggregate broadcast-crossed
+    *     onto the per-user lifetime frame (every user's churn cut needs
+    *     the global max timestamp — the q231 anchor-date shape).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -102,7 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
-    "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid")
+    "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
+    "q246_hazard")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
