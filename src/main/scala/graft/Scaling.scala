@@ -514,6 +514,24 @@ object Scaling {
       "key_skew" ->
         (dir => SparkEntry.queries("q232_key_skew")(spark, dir)),
       "rfm" -> (dir => SparkEntry.queries("q231_rfm")(spark, dir)),
+      // q243's detector: per-(type, day) counts then two partitioned
+      // windows over the day axis — wall must track the events scan;
+      // per-key window state is bounded by the TIME axis, not volume
+      "cusum" -> (dir => SparkEntry.queries("q243_cusum")(spark, dir)),
+      // q244's fusion: the dense crossJoin carries a 20× query batch at
+      // 10× corpus (both sides grow — the documented q19 posture) while
+      // the lexical side is the shingle-index equi-join; candidate mass
+      // must stay index-shaped, never all-pairs
+      "rrf_hybrid" ->
+        (dir => SparkEntry.queries("q244_rrf_hybrid")(spark, dir)),
+      // q245's intersect-postings plan: posting lists grow linearly with
+      // the corpus and the joins stay (doc, pos) equi-joins — wall must
+      // track the posting-list scan
+      "phrase_search" ->
+        (dir => SparkEntry.queries("q245_phrase_search")(spark, dir)),
+      // q246's estimator: per-user lifetime groupBy (grows with users),
+      // then windows over the bounded duration domain
+      "hazard" -> (dir => SparkEntry.queries("q246_hazard")(spark, dir)),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join
