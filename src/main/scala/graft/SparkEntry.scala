@@ -49,6 +49,17 @@ object SparkEntry {
     "big data", "the window", "table key filter", "row value spark",
     "data lake house")
 
+  /** q247's bootstrap constants, shared by the query and its generated
+    * oracle. Thresholds are the Poisson(1) CDF at k = 0..7 (weights cap
+    * at 8; P(X>8|λ=1) ≈ 1e-6), kept as STRINGS so the exact same literal
+    * text reaches both engines — shortest-repr doubles round-trip
+    * bit-identically through both parsers. */
+  private val q247Replicates = 100
+  private val q247PoissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
   /** Per-process scratch path under java.io.tmpdir for query bodies that
     * must materialize on-disk state (online store, dedup index,
     * partitioned sink). The path is keyed by (purpose, data-dir hash,
@@ -7068,6 +7079,74 @@ object SparkEntry {
         .ordered(col("dur"))
     }),
 
+    // ---- Statistics: Poisson-bootstrap confidence intervals ---------------------
+    // THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams", the one production systems actually run):
+    // classical resampling needs n draws WITH replacement per replicate —
+    // a shuffle per replicate — while Poisson(1) weights approximate the
+    // multinomial row-wise, so ALL R replicates ride ONE pass: each row
+    // derives R deterministic hash-uniforms (md5, the q66 sampling coin),
+    // inverts the Poisson(1) CDF by an 8-literal ladder, and R weighted
+    // sums aggregate map-side. Everything that must match cross-engine is
+    // exact: values floored to micro-units, weighted sums on
+    // DECIMAL(38,0), ONE double division per replicate mean, nearest-rank
+    // 2.5%/97.5% picked from the sorted 100-mean array. Per-type output:
+    // point mean + the bootstrap CI. The u-columns materialize in their
+    // own projection — each feeds a 9-branch ladder, and inlining would
+    // re-hash per branch (the q231 plan-copy lesson).
+    "q247_bootstrap_ci" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val R = q247Replicates
+      val ts = q247PoissonCdf.map(_.toDouble)
+      val d38 = "decimal(38,0)"
+      val base = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v"))
+      // replicates as ROWS, not columns: a first cut carried R u-columns,
+      // R ladder columns and 2R aggregates through one 300-wide plan —
+      // 6.4 s of codegen/agg overhead at sf0.1; exploded, the same work
+      // is one narrow codegen stage over R×n rows plus a (type, r)
+      // partial agg that map-side combines to |types|·R rows (measured
+      // ~1 s). The withColumn chain stays staged: `u` is non-cheap and
+      // referenced by all 9 ladder branches, so CollapseProject keeps it
+      // materialized (the Urls.staged contract).
+      // the heavy stage is R×n rows of hash+ladder DERIVED from n input
+      // rows — fan the n rows out FIRST or the single-file scan partition
+      // does all R× the work alone (a cluster reading 100 TB gets this
+      // parallelism from the splits themselves; a one-file fixture needs
+      // the explicit fan-out)
+      val ex = base
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .withColumn("r", explode(sequence(lit(0), lit(R - 1))))
+        .withColumn("u", shiftrightunsigned(call_function("md5_lower64",
+          concat(col("event_id").cast("string"), lit("#"),
+            col("r").cast("string"))), 11)
+          .cast("double") / lit(9007199254740992.0))
+        .withColumn("w", ts.zipWithIndex
+          .foldRight(lit(8): Column) { case ((t, k), acc) =>
+            when(col("u") < lit(t), lit(k)).otherwise(acc) })
+      val perRep = ex.groupBy(col("event_type"), col("r"))
+        .agg(sum((col("w").cast("long") * col("v")).cast(d38)).as("swv"),
+          sum(col("w").cast("long")).as("sw"))
+        .withColumn("m", round6(col("swv").cast("double") /
+          (lit(1e6) * col("sw").cast("double"))))
+      val point = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sv"))
+      val loIdx = math.ceil(0.025 * R).toInt // nearest-rank 2.5%
+      val hiIdx = math.ceil(0.975 * R).toInt // nearest-rank 97.5%
+      perRep.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .join(point, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round6(col("sv").cast("double") /
+            (lit(1e6) * col("n").cast("double"))).as("mean"),
+          element_at(col("ms"), loIdx).as("ci_lo"),
+          element_at(col("ms"), hiIdx).as("ci_hi"))
+        .ordered(col("event_type"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10243,6 +10322,52 @@ object SparkEntry {
         |  CAST(SUM(hazard_u) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_u
         |FROM h ORDER BY dur""".stripMargin,
+
+    // generated from the SAME replicate count and CDF-threshold literals
+    // the query uses: per-row hash-uniforms (md5_number_lower >> 11, the
+    // md5_lower64 contract), the identical Poisson ladder, HUGEINT
+    // weighted sums cast at the edge, the identical nearest-rank picks
+    "q247_bootstrap_ci" -> {
+      val R = q247Replicates
+      val us = (0 until R).map(r =>
+        s"    (md5_number_lower(eid || '#$r') >> 11)" +
+          s" / 9007199254740992.0 AS u_$r").mkString(",\n")
+      val ws = (0 until R).map { r =>
+        val ladder = q247PoissonCdf.zipWithIndex
+          .map { case (t, k) => s"WHEN u_$r < $t THEN $k" }.mkString(" ")
+        s"    CASE $ladder ELSE 8 END AS w_$r"
+      }.mkString(",\n")
+      val sums = (0 until R).map(r =>
+        s"    CAST(SUM(w_$r * v) AS DOUBLE) AS swv_$r," +
+          s" CAST(SUM(w_$r) AS DOUBLE) AS sw_$r").mkString(",\n")
+      val means = (0 until R).map(r =>
+        s"FLOOR(swv_$r / (1e6 * sw_$r) * 1e6 + 0.5) / 1e6")
+        .mkString(",\n      ")
+      s"""WITH e AS (SELECT event_type, CAST(event_id AS VARCHAR) AS eid,
+         |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND event_id IS NOT NULL AND value IS NOT NULL
+         |    AND NOT isnan(value)),
+         |us AS (SELECT event_type, v,
+         |$us
+         |  FROM e),
+         |ws AS (SELECT event_type, v,
+         |$ws
+         |  FROM us),
+         |g AS (SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(v) AS DOUBLE) AS sv,
+         |$sums
+         |  FROM ws GROUP BY 1),
+         |m AS (SELECT event_type, n, sv,
+         |    list_sort([
+         |      $means]) AS ms
+         |  FROM g)
+         |SELECT event_type, n,
+         |  FLOOR(sv / (1e6 * n) * 1e6 + 0.5) / 1e6 AS mean,
+         |  ms[${math.ceil(0.025 * R).toInt}] AS ci_lo,
+         |  ms[${math.ceil(0.975 * R).toInt}] AS ci_hi
+         |FROM m ORDER BY event_type""".stripMargin
+    },
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
