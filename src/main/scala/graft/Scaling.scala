@@ -532,6 +532,12 @@ object Scaling {
       // q246's estimator: per-user lifetime groupBy (grows with users),
       // then windows over the bounded duration domain
       "hazard" -> (dir => SparkEntry.queries("q246_hazard")(spark, dir)),
+      // q247's resampler: R×n hash+ladder rows in one codegen stage,
+      // (type, replicate) partial agg — wall must track the R× row scan
+      // (the whole point of the Poisson bootstrap: no shuffle per
+      // replicate, no second pass)
+      "bootstrap" ->
+        (dir => SparkEntry.queries("q247_bootstrap_ci")(spark, dir)),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join
