@@ -7147,6 +7147,77 @@ object SparkEntry {
         .ordered(col("event_type"))
     }),
 
+    // ---- Retrieval: MMR diversity re-ranking ------------------------------------
+    // Maximal Marginal Relevance (Carbonell/Goldstein SIGIR'98) — the
+    // standard RAG re-ranker: from each query's top-10 cosine candidates,
+    // greedily pick 3 maximizing λ·rel − (1−λ)·max-sim-to-already-picked
+    // (λ=0.7), so near-duplicate hits can't crowd the context window.
+    // The greedy recurrence is bounded by construction (k picks over ≤10
+    // candidates per query), so it UNROLLS into k−1 static rounds of
+    // [anti-join remaining → max-sim aggregate over picked → windowed
+    // argmax] — per-query work is candidate-set-local; only the
+    // candidate stage touches the corpus (q19's audited posture, or
+    // annTopK/IVF at scale). Pairwise sims are computed once within the
+    // ≤10-candidate sets (≤90 pairs/query), never corpus×corpus. Floats:
+    // rel and sim arrive 1e-6-floored, one fused λ-combination re-floored
+    // before ranking; ties break on nid — deterministic both engines.
+    // Bench cost is STAGE-SCHEDULING, not data (q155's shape): the
+    // candidate stage measures 0.74 s and the greedy rounds move ≤22.5k
+    // rows through ~15 tiny shuffles; at real scale those stages stay
+    // queries×10-sized while the candidate stage grows — the right
+    // asymmetry.
+    "q248_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      // the unrolled rounds reference `cands` ~8 times (cv's two pair
+      // branches, each round's anti-join + score join) — uncached, each
+      // reference re-executes the corpus-wide candidate stage (measured
+      // 3.8 s vs 1.3 s); the candidate lists are queries×10 rows, the
+      // textbook persist (Bench's clearCache releases it)
+      val cands = Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+          k = 10)
+        .select(col("qid"), col("nid"), col("cos").as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cv = cands.join(
+        emb.select(col("vec_id").as("nid"), col("embedding").as("v")),
+        Seq("nid"))
+      val pairs = cv.select(col("qid"), col("nid").as("anid"),
+          col("v").as("av"))
+        .join(cv.select(col("qid"), col("nid").as("bnid"),
+          col("v").as("bv")), Seq("qid"))
+        .filter(col("anid") =!= col("bnid"))
+        .select(col("qid"), col("anid"), col("bnid"),
+          Similarity.round6(Similarity.dot(col("av"), col("bv")) /
+            (Similarity.l2Norm(col("av")) * Similarity.l2Norm(col("bv"))))
+            .as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def argmax(scored: DataFrame, pickNo: Int): DataFrame = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("sc"), asc("nid"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("qid"), lit(pickNo).as("pick"), col("nid"),
+            col("sc").as("score"))
+      }
+      val sel1 = argmax(cands.withColumn("sc", col("rel")), 1)
+      def round(selected: DataFrame, pickNo: Int): DataFrame = {
+        val keys = selected.select(col("qid"), col("nid"))
+        val ms = pairs
+          .join(keys.withColumnRenamed("nid", "bnid"), Seq("qid", "bnid"))
+          .groupBy(col("qid"), col("anid")).agg(max(col("sim")).as("msim"))
+          .withColumnRenamed("anid", "nid")
+        val scored = cands.join(keys, Seq("qid", "nid"), "left_anti")
+          .join(ms, Seq("qid", "nid"))
+          .withColumn("sc", Similarity.round6(
+            lit(0.7) * col("rel") - lit(0.3) * col("msim")))
+        selected.unionByName(argmax(scored, pickNo))
+      }
+      round(round(sel1, 2), 3).ordered(col("qid"), col("pick"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10368,6 +10439,76 @@ object SparkEntry {
          |  ms[${math.ceil(0.975 * R).toInt}] AS ci_hi
          |FROM m ORDER BY event_type""".stripMargin
     },
+
+    // q19's cosine pipeline at k=10 feeds the same statically-unrolled
+    // greedy: candidate-local pairwise sims, then per round an
+    // anti-join + max-sim + windowed argmax; λ-combination re-floored
+    // before ranking, ties on nid — deterministic both engines
+    "q248_mmr_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |    AND vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |p AS (
+        |  SELECT qid, nid,
+        |  FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6
+        |    AS cos
+        |  FROM q, c WHERE qid <> nid),
+        |rk AS (SELECT qid, nid, cos AS rel, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn FROM p),
+        |cand AS (SELECT qid, nid, rel FROM rk WHERE rn <= 10),
+        |cv AS (SELECT cand.qid, cand.nid, cand.rel, c.nv AS v
+        |  FROM cand JOIN c ON c.nid = cand.nid),
+        |pr AS (SELECT a.qid, a.nid AS anid, b.nid AS bnid,
+        |    FLOOR(list_sum(list_apply(list_zip(a.v, b.v),
+        |      x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_apply(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_apply(b.v, x -> x * x)))) * 1e6 + 0.5)
+        |      / 1e6 AS sim
+        |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+        |sel1 AS (SELECT qid, nid, rel AS score FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, nid ASC) AS rn FROM cand) t
+        |  WHERE rn = 1),
+        |ms1 AS (SELECT pr.qid, pr.anid AS nid, MAX(pr.sim) AS msim
+        |  FROM pr JOIN sel1 ON sel1.qid = pr.qid AND sel1.nid = pr.bnid
+        |  GROUP BY 1, 2),
+        |sc2 AS (SELECT cand.qid, cand.nid,
+        |    FLOOR((CAST(0.7 AS DOUBLE) * cand.rel -
+        |      CAST(0.3 AS DOUBLE) * ms1.msim) * 1e6 + 0.5) / 1e6 AS sc
+        |  FROM cand JOIN ms1 ON ms1.qid = cand.qid AND ms1.nid = cand.nid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel1
+        |    WHERE sel1.qid = cand.qid AND sel1.nid = cand.nid)),
+        |sel2 AS (SELECT qid, nid, sc AS score FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, nid ASC) AS rn FROM sc2) t
+        |  WHERE rn = 1),
+        |s12 AS (SELECT qid, nid FROM sel1
+        |  UNION ALL SELECT qid, nid FROM sel2),
+        |ms2 AS (SELECT pr.qid, pr.anid AS nid, MAX(pr.sim) AS msim
+        |  FROM pr JOIN s12 ON s12.qid = pr.qid AND s12.nid = pr.bnid
+        |  GROUP BY 1, 2),
+        |sc3 AS (SELECT cand.qid, cand.nid,
+        |    FLOOR((CAST(0.7 AS DOUBLE) * cand.rel -
+        |      CAST(0.3 AS DOUBLE) * ms2.msim) * 1e6 + 0.5) / 1e6 AS sc
+        |  FROM cand JOIN ms2 ON ms2.qid = cand.qid AND ms2.nid = cand.nid
+        |  WHERE NOT EXISTS (SELECT 1 FROM s12
+        |    WHERE s12.qid = cand.qid AND s12.nid = cand.nid)),
+        |sel3 AS (SELECT qid, nid, sc AS score FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, nid ASC) AS rn FROM sc3) t
+        |  WHERE rn = 1)
+        |SELECT qid, CAST(1 AS INT) AS pick, nid, score FROM sel1
+        |UNION ALL
+        |SELECT qid, CAST(2 AS INT) AS pick, nid, score FROM sel2
+        |UNION ALL
+        |SELECT qid, CAST(3 AS INT) AS pick, nid, score FROM sel3
+        |ORDER BY qid, pick""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -94,6 +94,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q246: the ONE-ROW observation-end aggregate broadcast-crossed
     *     onto the per-user lifetime frame (every user's churn cut needs
     *     the global max timestamp — the q231 anchor-date shape).
+    *   - q248: the candidate stage is q19's bounded-broadcast baseline;
+    *     the MMR rounds themselves are candidate-set-local equi-joins.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -106,7 +108,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
-    "q246_hazard")
+    "q246_hazard", "q248_mmr_rerank")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
