@@ -538,6 +538,10 @@ object Scaling {
       // replicate, no second pass)
       "bootstrap" ->
         (dir => SparkEntry.queries("q247_bootstrap_ci")(spark, dir)),
+      // q248's greedy: candidate stage grows with corpus×queries, the
+      // unrolled rounds stay queries×10-sized — wall must track the
+      // candidate stage, the rounds' share must shrink
+      "mmr" -> (dir => SparkEntry.queries("q248_mmr_rerank")(spark, dir)),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join

@@ -7218,6 +7218,93 @@ object SparkEntry {
       round(round(sel1, 2), 3).ordered(col("qid"), col("pick"))
     }),
 
+    // ---- Sketches: deterministic sample quantiles with a DKW bound --------------
+    // Quantiles over an UNBOUNDED value domain — the gap FixedHistogram
+    // (q131, bounded domain) and the exact discrete percentiles (q234,
+    // domain-bounded windows) leave open. The sketch is a bottom-k-BY-HASH
+    // sample (k=1024 per group): a uniform sample that is a pure function
+    // of the data SET — order-insensitive, mergeable (union → bottom-k),
+    // and deterministic where KLL's compaction coin flips are not, which
+    // is what lets DuckDB replay the ENTIRE sketch (md5 bottom-k, same
+    // nearest-rank picks) instead of settling for a plausibility check.
+    // Honesty rider (q227's posture): the exact discrete percentile and
+    // the estimate's true rank error ride along, with bound_ok asserting
+    // the DKW(k, δ=1e-6) envelope 1000·|den·cnt_le − num·n| ≤ 90·den·n
+    // in PURE integers. At 100 TB the sample stage is one scan + a
+    // per-group top-k (never a global sort); the exact rider is the
+    // fixture-scale verification side, as in q227.
+    "q249_sample_quantile" -> ((s, dir) => {
+      val kS = 1024
+      val pcts = Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+          // >> 11 keeps the coin NONNEGATIVE: the raw 64-bit hash is
+          // signed here but unsigned in DuckDB — same bits, different
+          // ORDER, and bottom-k is an order statistic
+          shiftrightunsigned(call_function("md5_lower64",
+            concat(col("event_id").cast("string"), lit("#q249"))), 11)
+            .as("h"),
+          col("event_id"))
+      val wH = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      val sample = e.withColumn("rs", row_number().over(wH))
+        .filter(col("rs") <= kS)
+      val wSv = Window.partitionBy(col("event_type")).orderBy(col("v6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSa = Window.partitionBy(col("event_type"))
+      val sEsts = pcts.map { case (num, den, nm) =>
+        min(when(col("cum") * den >= col("ks") * num, col("v6")))
+          .as(s"est_$nm")
+      }
+      val sQ = sample
+        .withColumn("cum", count(lit(1)).over(wSv))
+        .withColumn("ks", count(lit(1)).over(wSa))
+        .groupBy(col("event_type"))
+        .agg(sEsts.head, sEsts.tail: _*)
+      val full = e.groupBy(col("event_type"), col("v6"))
+        .agg(count(lit(1)).as("c"))
+      val wFv = Window.partitionBy(col("event_type")).orderBy(col("v6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fEsts = max(col("n")).as("n") +:
+        pcts.map { case (num, den, nm) =>
+          min(when(col("cum") * den >= col("n") * num, col("v6")))
+            .as(s"exact_$nm")
+        }
+      val fQ = full
+        .withColumn("cum", sum(col("c")).over(wFv))
+        .withColumn("n", sum(col("c")).over(wSa))
+        .groupBy(col("event_type"))
+        .agg(fEsts.head, fEsts.tail: _*)
+      // true rank of each estimate: cnt_le = #rows with v6 <= est
+      val est = sQ.join(fQ, Seq("event_type"))
+      val longRows = pcts.map { case (num, den, nm) =>
+        est.select(col("event_type"), lit(nm).as("pct"),
+          lit(num.toLong).as("num"), lit(den.toLong).as("den"),
+          col("n"), col(s"est_$nm").as("est"),
+          col(s"exact_$nm").as("exact"))
+      }.reduce(_ unionAll _)
+      val cnt = longRows.join(full, Seq("event_type"))
+        .withColumn("le", when(col("v6") <= col("est"), col("c"))
+          .otherwise(lit(0L)))
+        .groupBy(col("event_type"), col("pct"), col("num"), col("den"),
+          col("n"), col("est"), col("exact"))
+        .agg(sum(col("le")).as("cnt_le"))
+      cnt
+        .withColumn("rank_err",
+          abs(col("den") * col("cnt_le") - col("num") * col("n")))
+        .withColumn("bound_ok",
+          (col("rank_err") * 1000 <= col("den") * col("n") * 90)
+            .cast("int"))
+        .select(col("event_type"), col("pct"), col("n"),
+          (col("est").cast("double") / 1e6).as("est"),
+          (col("exact").cast("double") / 1e6).as("exact"),
+          col("rank_err"), col("bound_ok"))
+        .ordered(col("event_type"), col("pct"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10509,6 +10596,69 @@ object SparkEntry {
         |UNION ALL
         |SELECT qid, CAST(3 AS INT) AS pick, nid, score FROM sel3
         |ORDER BY qid, pick""".stripMargin,
+
+    // the ENTIRE sketch replayed: same md5 bottom-k coin (>> 11, both
+    // engines nonnegative), same nearest-rank picks on sample and full
+    // data, same integer DKW bound arithmetic
+    "q249_sample_quantile" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v6,
+        |    CAST(md5_number_lower(CAST(event_id AS VARCHAR) || '#q249')
+        |      >> 11 AS BIGINT) AS h,
+        |    event_id
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |smp AS (SELECT event_type, v6 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY h, event_id) AS rs FROM e) t
+        |  WHERE rs <= 1024),
+        |sw AS (SELECT event_type, v6,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY v6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ks FROM smp),
+        |sq AS (SELECT event_type,
+        |    MIN(CASE WHEN cum*2 >= ks*1 THEN v6 END) AS est_p50,
+        |    MIN(CASE WHEN cum*10 >= ks*9 THEN v6 END) AS est_p90,
+        |    MIN(CASE WHEN cum*100 >= ks*99 THEN v6 END) AS est_p99
+        |  FROM sw GROUP BY 1),
+        |fl AS (SELECT event_type, v6, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |fw AS (SELECT event_type, v6, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM fl),
+        |fq AS (SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum*2 >= n*1 THEN v6 END) AS exact_p50,
+        |    MIN(CASE WHEN cum*10 >= n*9 THEN v6 END) AS exact_p90,
+        |    MIN(CASE WHEN cum*100 >= n*99 THEN v6 END) AS exact_p99
+        |  FROM fw GROUP BY 1),
+        |lr AS (
+        |  SELECT sq.event_type, 'p50' AS pct, 1 AS num, 2 AS den,
+        |    fq.n, sq.est_p50 AS est, fq.exact_p50 AS exact
+        |  FROM sq JOIN fq ON fq.event_type = sq.event_type
+        |  UNION ALL
+        |  SELECT sq.event_type, 'p90', 9, 10, fq.n, sq.est_p90,
+        |    fq.exact_p90
+        |  FROM sq JOIN fq ON fq.event_type = sq.event_type
+        |  UNION ALL
+        |  SELECT sq.event_type, 'p99', 99, 100, fq.n, sq.est_p99,
+        |    fq.exact_p99
+        |  FROM sq JOIN fq ON fq.event_type = sq.event_type),
+        |ct AS (SELECT lr.event_type, lr.pct, lr.num, lr.den, lr.n,
+        |    lr.est, lr.exact,
+        |    CAST(SUM(CASE WHEN fl.v6 <= lr.est THEN fl.c ELSE 0 END)
+        |      AS BIGINT) AS cnt_le
+        |  FROM lr JOIN fl ON fl.event_type = lr.event_type
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        |SELECT event_type, pct, n,
+        |  CAST(est AS DOUBLE) / 1e6 AS est,
+        |  CAST(exact AS DOUBLE) / 1e6 AS exact,
+        |  ABS(den*cnt_le - num*n) AS rank_err,
+        |  CAST(ABS(den*cnt_le - num*n) * 1000 <= den*n*90 AS INT)
+        |    AS bound_ok
+        |FROM ct ORDER BY event_type, pct""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
