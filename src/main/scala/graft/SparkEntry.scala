@@ -7305,6 +7305,63 @@ object SparkEntry {
         .ordered(col("event_type"), col("pct"))
     }),
 
+    // ---- Streaming: continuous CUSUM level-shift monitor ------------------------
+    // q243's detector as production ops runs it: the med/MAD baseline is
+    // batch-fit on the REFERENCE period (days < split) and handed to the
+    // stream as a parameter (q235's broadcast-reference pattern — a
+    // monitor that re-fits its baseline from the watched stream can't
+    // tell drift from baseline creep), then Streams.cusumMonitor holds
+    // per-type open-day counts + O(1) CUSUM accumulators in state,
+    // finalizing each day when a newer one appears and emitting
+    // (day, count, drawup, alarm) rows. The per-type max (still-open)
+    // day is deliberately absent — a monitor can't score a day that
+    // isn't over. AvailableNow batch-replay is the oracle's ground:
+    // DuckDB re-derives the baseline and replays the recurrence through
+    // the prefix identity over every finalized day.
+    "q250_stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val splitDay = 19738L
+      val eB = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      val ref = eB.filter(col("day") < splitDay)
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wC = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = ref
+        .withColumn("cum", count(lit(1)).over(wC))
+        .withColumn("ndm", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("ndm"), col("c"))).as("med"))
+      val dev = ref.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("c") - col("med")))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mm = dev
+        .withColumn("cumd", count(lit(1)).over(wD))
+        .withColumn("ndm", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cumd") * 2 >= col("ndm"), col("d"))).as("mad"))
+        .join(med, Seq("event_type"))
+      // contract-small: one (med, mad) pair per event type
+      val baseline: Map[String, (Long, Long)] = mm.collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .as[(String, Long)]
+      val mon = Streams.cusumMonitor(stream, baseline)
+        .toDF("event_type", "day", "n_events", "cusum", "alarm")
+      Streams.runToMemory(mon, s"q250_mem_${System.nanoTime()}",
+          outputMode = "append")
+        .ordered(col("event_type"), col("day"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10659,6 +10716,51 @@ object SparkEntry {
         |  CAST(ABS(den*cnt_le - num*n) * 1000 <= den*n*90 AS INT)
         |    AS bound_ok
         |FROM ct ORDER BY event_type, pct""".stripMargin,
+
+    // batch replay of the monitor: same reference-period med/MAD fit,
+    // recurrence via the prefix identity over every day except each
+    // type's still-open max day; a type with no reference days gets
+    // med 0 / mad 0 (the monitor's getOrElse), hence the LEFT JOINs
+    "q250_stream_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |r AS (SELECT * FROM c WHERE day < 19738),
+        |rw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ndm FROM r),
+        |med AS (SELECT event_type,
+        |    MIN(CASE WHEN cum*2 >= ndm THEN c END) AS med
+        |  FROM rw GROUP BY 1),
+        |dev AS (SELECT r.event_type, r.c, ABS(r.c - med.med) AS d
+        |  FROM r JOIN med ON med.event_type = r.event_type),
+        |dw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ndm FROM dev),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cumd*2 >= ndm THEN d END) AS mad
+        |  FROM dw GROUP BY 1),
+        |mx AS (SELECT event_type, MAX(day) AS mxd FROM c GROUP BY 1),
+        |inc AS (SELECT c.*, COALESCE(med.med, 0) AS med,
+        |    COALESCE(mad.mad, 0) AS mad
+        |  FROM c
+        |  JOIN mx ON mx.event_type = c.event_type AND c.day < mx.mxd
+        |  LEFT JOIN med ON med.event_type = c.event_type
+        |  LEFT JOIN mad ON mad.event_type = c.event_type),
+        |cu AS (SELECT event_type, day, c, mad,
+        |    CAST(SUM(c - med) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cx
+        |  FROM inc),
+        |s AS (SELECT *, cx - LEAST(0, MIN(cx) OVER (PARTITION BY
+        |      event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)) AS s
+        |  FROM cu)
+        |SELECT event_type, day, c AS n_events, CAST(s AS BIGINT) AS cusum,
+        |  s > 5*GREATEST(mad, 1) AS alarm
+        |FROM s ORDER BY event_type, day""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

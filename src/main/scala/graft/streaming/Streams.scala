@@ -107,6 +107,63 @@ object Streams {
       }
   }
 
+  /** Per-key state for [[cusumMonitor]]: counts of still-OPEN days
+    * (bounded by the out-of-orderness horizon, not history), the running
+    * CUSUM drawup, and the newest finalized day (a later-arriving row for
+    * a finalized day is dropped — the T4 late-data posture). */
+  case class CusumKeyState(open: Map[Long, Long], s: Long,
+                           doneThrough: Long)
+
+  /** Streaming CUSUM level-shift monitor — q243's detector as a
+    * continuous stateful operator. The baseline (per-key integer median +
+    * MAD) is batch-fit on a reference period and passed in, the
+    * [[driftGate]] broadcast-reference pattern: a monitor that re-derives
+    * its own baseline from the stream it watches can't tell drift from
+    * baseline creep. Input rows are (key, day) — one per event, day
+    * pre-bucketed by the caller. Each batch folds events into open-day
+    * counts, finalizes every day STRICTLY older than the newest day seen
+    * for the key, and runs the literal recurrence S = max(0, S + (c −
+    * med)) over finalized days in day order (streaming state is the one
+    * place the sequential form is right — per-key arrival IS ordered;
+    * the batch side uses the prefix identity, CusumSpec pins equality).
+    * Emits one row per finalized day: (key, day, count, cusum, alarm at
+    * S > hMult·max(mad, 1)). State per key is O(open days), never
+    * O(history). */
+  def cusumMonitor(events: Dataset[(String, Long)],
+                   baseline: Map[String, (Long, Long)],
+                   hMult: Long = 5L)
+      : Dataset[(String, Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumKeyState,
+        (String, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long)],
+         state: GroupState[CusumKeyState]) =>
+          val (med, mad) = baseline.getOrElse(k, (0L, 0L))
+          val h = hMult * math.max(mad, 1L)
+          val st = state.getOption
+            .getOrElse(CusumKeyState(Map.empty, 0L, Long.MinValue))
+          val open = rows.foldLeft(st.open) { case (m, (_, day)) =>
+            if (day <= st.doneThrough) m // late past finalization
+            else m.updated(day, m.getOrElse(day, 0L) + 1L)
+          }
+          val maxDay =
+            if (open.isEmpty) st.doneThrough else open.keys.max
+          val (toEmit, remaining) = open.partition(_._1 < maxDay)
+          var s = st.s
+          val out = toEmit.toSeq.sortBy(_._1).map { case (day, c) =>
+            s = math.max(0L, s + (c - med))
+            (k, day, c, s, s > h)
+          }
+          val newDone =
+            if (toEmit.isEmpty) st.doneThrough else toEmit.keys.max
+          state.update(CusumKeyState(remaining, s,
+            math.max(st.doneThrough, newDone)))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: left rows match right rows
     * with the same `key` whose event time lies in
     * `[leftTs, leftTs + window]` (e.g. clicks within 10s after their
