@@ -542,6 +542,11 @@ object Scaling {
       // unrolled rounds stay queries×10-sized — wall must track the
       // candidate stage, the rounds' share must shrink
       "mmr" -> (dir => SparkEntry.queries("q248_mmr_rerank")(spark, dir)),
+      // q249's sketch: the sample stage is a per-group top-k over the
+      // scan (k fixed), the exact rider grows with the value domain —
+      // wall must track the scan, the sample stays 1024/group
+      "sample_quantile" ->
+        (dir => SparkEntry.queries("q249_sample_quantile")(spark, dir)),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join

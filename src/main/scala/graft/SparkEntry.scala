@@ -7362,6 +7362,50 @@ object SparkEntry {
         .ordered(col("event_type"), col("day"))
     }),
 
+    // ---- Text analysis: PMI-lift collocations ------------------------------------
+    // Statistically-bound word pairs (collocations) by pointwise mutual
+    // information — ranked by LIFT p(ab)/(p(a)p(b)) = c_ab·N²/(B·c_a·c_b)
+    // rather than its log, so the score is one double division of EXACT
+    // integer cross-products (DECIMAL(38,0), the q232 Gini discipline —
+    // log() last-ulp behavior is engine-specific, ratios are not). Bigram
+    // instances come from the q245 positional index self-joined on
+    // (doc, pos+1); min support 5 and a row_number tie-break make the
+    // top-20 a deterministic SET. The N/B totals are one-row aggregates
+    // broadcast-crossed on (the q190 denominator shape).
+    "q251_collocations" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val idx = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextStats.tokens(lower(col("text")))))
+        .withColumnRenamed("col", "tok")
+      val uni = idx.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val bi = idx.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+        .join(idx.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("tok").as("w2")), Seq("doc_id", "pos"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      val totals = uni.agg(sum(col("cu")).as("nn"))
+        .crossJoin(bi.agg(sum(col("n_ab")).as("bb")))
+      val scored = bi.filter(col("n_ab") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("cu").as("ca")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("cu").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("lift", floor(
+          (col("n_ab").cast(d38) * col("nn").cast(d38) *
+            col("nn").cast(d38)).cast("double") /
+          (col("bb").cast(d38) * col("ca").cast(d38) *
+            col("cb").cast(d38)).cast("double") * 1e6 + 0.5) / 1e6)
+      // orderBy + limit is TakeOrderedAndProject (per-partition heaps, no
+      // global sort); (w1, w2) is unique per row so the top-20 SET is a
+      // deterministic total order
+      scored
+        .orderBy(desc("lift"), col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("n_ab"), col("ca"), col("cb"),
+          col("lift"))
+        .ordered(desc("lift"), col("w1"), col("w2"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10761,6 +10805,34 @@ object SparkEntry {
         |SELECT event_type, day, c AS n_events, CAST(s AS BIGINT) AS cusum,
         |  s > 5*GREATEST(mad, 1) AS alarm
         |FROM s ORDER BY event_type, day""".stripMargin,
+
+    // identical positional bigrams (zipped unnest), HUGEINT cross-products
+    // cast to DOUBLE for the one lift division, same support cut and
+    // deterministic top-20 total order
+    "q251_collocations" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |ix AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(0, len(toks))) AS pos FROM tk),
+        |uni AS (SELECT tok, COUNT(*) AS cu FROM ix GROUP BY 1),
+        |bi AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+        |  FROM ix a JOIN ix b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM uni) AS nn,
+        |    (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bi) AS bb),
+        |sc AS (SELECT bi.w1, bi.w2, bi.n_ab, ua.cu AS ca, ub.cu AS cb,
+        |    FLOOR(CAST(bi.n_ab * tot.nn * tot.nn AS DOUBLE) /
+        |      CAST(tot.bb * ua.cu * ub.cu AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS lift
+        |  FROM bi
+        |  JOIN uni ua ON ua.tok = bi.w1
+        |  JOIN uni ub ON ub.tok = bi.w2
+        |  CROSS JOIN tot
+        |  WHERE bi.n_ab >= 5)
+        |SELECT w1, w2, n_ab, ca, cb, lift FROM sc
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -96,6 +96,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *     the global max timestamp — the q231 anchor-date shape).
     *   - q248: the candidate stage is q19's bounded-broadcast baseline;
     *     the MMR rounds themselves are candidate-set-local equi-joins.
+    *   - q251: the ONE-ROW N/B token totals broadcast-crossed onto the
+    *     bigram table (the q190 support-denominator shape).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -108,7 +110,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
-    "q246_hazard", "q248_mmr_rerank")
+    "q246_hazard", "q248_mmr_rerank", "q251_collocations")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
