@@ -7406,6 +7406,72 @@ object SparkEntry {
         .ordered(desc("lift"), col("w1"), col("w2"))
     }),
 
+    // ---- Time series: additive seasonal decomposition ---------------------------
+    // STL-lite: per-type daily volume split into TREND (centered 7-day
+    // moving average, carried ×7 as an exact BIGINT sum; NULL at the
+    // edges where the window isn't full, stated rather than padded), then
+    // SEASONAL as the per-day-of-week integer median of the DETRENDED
+    // series (detrend first — a dow-median of raw counts folds the level
+    // into the seasonal term and the residual double-subtracts it), then
+    // RESIDUAL d7 − seas7 (exact integers throughout — the only doubles
+    // are the display divisions).
+    // Anomaly = |resid7| > 3·max(mad7, 7) with mad7 the integer lower-
+    // median of |resid7| (q242's trick), i.e. residual outliers AFTER
+    // seasonality and trend are explained away — q242 flags level
+    // outliers, q243 level shifts, this flags seasonality-adjusted
+    // shocks. Every window is per-type over the day axis (time-bounded
+    // state, the q234 posture).
+    "q252_seasonal" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      val c = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", col("day") % 7)
+      // DETREND FIRST: the dow-median of raw counts would fold the level
+      // into the seasonal term and the residual would double-subtract it
+      val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val t = c
+        .withColumn("trend7",
+          when(count(lit(1)).over(wMa) === 7, sum(col("c")).over(wMa)))
+        .withColumn("d7", col("c") * 7 - col("trend7"))
+      val wSd = Window.partitionBy(col("event_type"), col("dow"))
+        .orderBy(col("d7"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSda = Window.partitionBy(col("event_type"), col("dow"))
+      val seas = t.filter(col("d7").isNotNull)
+        .withColumn("cum", count(lit(1)).over(wSd))
+        .withColumn("nd", count(lit(1)).over(wSda))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(min(when(col("cum") * 2 >= col("nd"), col("d7"))).as("seas7"))
+      val r = t.join(broadcast(seas), Seq("event_type", "dow"), "left")
+        .withColumn("resid7", col("d7") - col("seas7"))
+      val wRd = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("resid7")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRa = Window.partitionBy(col("event_type"))
+      val mads = r.filter(col("resid7").isNotNull)
+        .withColumn("cum", count(lit(1)).over(wRd))
+        .withColumn("nd", count(lit(1)).over(wRa))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("nd"), abs(col("resid7"))))
+          .as("mad7"))
+      r.join(broadcast(mads), Seq("event_type"), "left")
+        .select(col("event_type"), col("day"), col("dow"),
+          col("c").as("n_events"),
+          (floor(col("trend7").cast("double") / 7.0 * 1e6 + 0.5) / 1e6)
+            .as("trend"),
+          (floor(col("seas7").cast("double") / 7.0 * 1e6 + 0.5) / 1e6)
+            .as("seasonal"),
+          col("resid7"),
+          when(col("resid7").isNotNull,
+            abs(col("resid7")) > lit(3L) * greatest(col("mad7"), lit(7L)))
+            .as("is_anom"))
+        .ordered(col("event_type"), col("day"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10833,6 +10899,51 @@ object SparkEntry {
         |  WHERE bi.n_ab >= 5)
         |SELECT w1, w2, n_ab, ca, cb, lift FROM sc
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // identical decomposition: per-(type, dow) integer median seasonal,
+    // 7-scaled centered-MA trend (NULL at edges), exact integer residual,
+    // |resid7| > 3·max(mad7, 7) anomaly flag
+    "q252_seasonal" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, COUNT(*) AS c, day % 7 AS dow
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CASE WHEN COUNT(*) OVER w7 = 7
+        |      THEN CAST(SUM(c) OVER w7 AS BIGINT) END AS trend7
+        |  FROM c
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |td AS (SELECT *, c*7 - trend7 AS d7 FROM t),
+        |sw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type, dow ORDER BY d7
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type, dow) AS nd
+        |  FROM td WHERE d7 IS NOT NULL),
+        |seas AS (SELECT event_type, dow,
+        |    MIN(CASE WHEN cum*2 >= nd THEN d7 END) AS seas7
+        |  FROM sw GROUP BY 1, 2),
+        |tr AS (SELECT td.*, seas.seas7, td.d7 - seas.seas7 AS resid7
+        |  FROM td LEFT JOIN seas ON seas.event_type = td.event_type
+        |    AND seas.dow = td.dow),
+        |rw AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY ABS(resid7)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM tr WHERE resid7 IS NOT NULL),
+        |mads AS (SELECT event_type,
+        |    MIN(CASE WHEN cum*2 >= nd THEN ABS(resid7) END) AS mad7
+        |  FROM rw GROUP BY 1)
+        |SELECT tr.event_type, tr.day, tr.dow, tr.c AS n_events,
+        |  FLOOR(CAST(tr.trend7 AS DOUBLE) / 7.0 * 1e6 + 0.5) / 1e6
+        |    AS trend,
+        |  FLOOR(CAST(tr.seas7 AS DOUBLE) / 7.0 * 1e6 + 0.5) / 1e6
+        |    AS seasonal,
+        |  tr.resid7,
+        |  CASE WHEN tr.resid7 IS NOT NULL
+        |    THEN ABS(tr.resid7) > 3*GREATEST(mads.mad7, 7) END AS is_anom
+        |FROM tr LEFT JOIN mads ON mads.event_type = tr.event_type
+        |ORDER BY tr.event_type, tr.day""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
