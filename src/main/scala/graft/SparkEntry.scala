@@ -7472,6 +7472,50 @@ object SparkEntry {
         .ordered(col("event_type"), col("day"))
     }),
 
+    // ---- LLM ops: the dedup CASCADE ledger ---------------------------------------
+    // What curation pipelines actually run (RefinedWeb/FineWeb shape):
+    // exact dedup FIRST (cheap, order-normalized fingerprint groupBy),
+    // near-dup on the survivors (size-gated exact-Jaccard pairs →
+    // connected components → min-id keep), with a per-stage LEDGER of
+    // docs_in / removed / docs_out — the removal accounting reviewers
+    // demand before a corpus ships. Composes the audited q12/q34
+    // operators; both pair plans return the identical set (DedupSpec), so
+    // the gate is a physical choice only. The ledger rows are one-row
+    // aggregates crossed together (the q190 denominator shape).
+    "q253_dedup_cascade" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val groups = Dedup.exact(docs, TextStats.fingerprint(col("text")),
+        "doc_id")
+      val survivors = docs.join(
+        groups.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      // 3-gram shingles, NOT unigrams: the 31-token vocabulary makes
+      // most long docs IDENTICAL as distinct-token sets (one giant
+      // clique — a closure the oracle can't replay and a "dedup" that
+      // would delete the corpus); 3-grams recover the planted near-dup
+      // structure (25 pairs at sf0.01 / 256 at sf0.1, = the MinHash row).
+      // allPairsMax = 0 pins the PREFIX-INDEX plan: the auto gate would
+      // pick all-pairs at 5k docs (12.5M jaccards, measured 25 s) — right
+      // for a one-off, wrong for the pipeline this query demonstrates
+      val pairs = Dedup.jaccardPairsAuto(survivors, "doc_id", "text",
+        shingleK = 3, threshold = 0.8, allPairsMax = 0)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val n0 = docs.agg(count(lit(1)).as("n0"))
+      val g1 = groups.agg(count(lit(1)).as("g1"))
+      val r2 = cc.agg((count(lit(1)) -
+        countDistinct(col("label"))).as("rem2"))
+      val stage1 = n0.crossJoin(g1)
+        .select(lit("1_exact").as("stage"), col("n0").as("docs_in"),
+          (col("n0") - col("g1")).as("docs_removed"),
+          col("g1").as("docs_out"))
+      val stage2 = g1.crossJoin(r2)
+        .select(lit("2_near").as("stage"), col("g1").as("docs_in"),
+          col("rem2").as("docs_removed"),
+          (col("g1") - col("rem2")).as("docs_out"))
+      stage1.unionAll(stage2).ordered(col("stage"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -10944,6 +10988,51 @@ object SparkEntry {
         |    THEN ABS(tr.resid7) > 3*GREATEST(mads.mad7, 7) END AS is_anom
         |FROM tr LEFT JOIN mads ON mads.event_type = tr.event_type
         |ORDER BY tr.event_type, tr.day""".stripMargin,
+
+    // the same cascade: q12's order-normalized fingerprint groupBy, q34's
+    // exact-Jaccard pairs + recursive-CTE closure over the SURVIVORS,
+    // the identical min-id keep accounting
+    "q253_dedup_cascade" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |fp AS (SELECT md5(COALESCE(array_to_string(list_sort(
+        |      list_filter(string_split(lower(text), ' '),
+        |        t -> len(t) > 0)), ' '), '')) AS k,
+        |    CAST(MIN(doc_id) AS BIGINT) AS keep
+        |  FROM d GROUP BY 1),
+        |n0 AS (SELECT COUNT(*) AS n0 FROM d),
+        |g1 AS (SELECT COUNT(*) AS g1 FROM fp),
+        |tk AS (SELECT d.doc_id, list_filter(
+        |    string_split(lower(d.text), ' '), t -> len(t) > 0) AS t0
+        |  FROM d JOIN fp ON fp.keep = d.doc_id),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN len(t0) >= 3
+        |      THEN list_distinct([list_aggregate(t0[i:i+2],
+        |        'string_agg', ' ') for i in range(1, len(t0)-1)])
+        |      ELSE [COALESCE(list_aggregate(t0, 'string_agg', ' '), '')]
+        |      END AS toks
+        |  FROM tk),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) -
+        |     len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |closure(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT c.n, e.d FROM closure c JOIN edges e ON c.m = e.s),
+        |cc AS (SELECT n AS node, LEAST(n, MIN(m)) AS label
+        |  FROM closure GROUP BY n),
+        |r2 AS (SELECT COUNT(*) - COUNT(DISTINCT label) AS rem2 FROM cc)
+        |SELECT '1_exact' AS stage, n0.n0 AS docs_in,
+        |  n0.n0 - g1.g1 AS docs_removed, g1.g1 AS docs_out
+        |FROM n0, g1
+        |UNION ALL
+        |SELECT '2_near', g1.g1, r2.rem2, g1.g1 - r2.rem2
+        |FROM g1, r2
+        |ORDER BY stage""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count

@@ -98,6 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *     the MMR rounds themselves are candidate-set-local equi-joins.
     *   - q251: the ONE-ROW N/B token totals broadcast-crossed onto the
     *     bigram table (the q190 support-denominator shape).
+    *   - q253: the per-stage ledger rows are ONE-ROW count aggregates
+    *     crossed together (q190 shape); the pair stage itself is pinned
+    *     to the prefix-index plan (allPairsMax = 0), never a crossJoin.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -110,7 +113,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_cms_join_est", "q190_assoc_rules", "q197_ref_integrity",
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
-    "q246_hazard", "q248_mmr_rerank", "q251_collocations")
+    "q246_hazard", "q248_mmr_rerank", "q251_collocations",
+    "q253_dedup_cascade")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
