@@ -7516,6 +7516,52 @@ object SparkEntry {
       stage1.unionAll(stage2).ordered(col("stage"))
     }),
 
+    // ---- Time series: lead–lag cross-correlation ---------------------------------
+    // "Does signups lead purchases, and by how many days?" — Pearson r
+    // between every ordered PAIR of event types' daily series at lags
+    // −7..+7, best lag per pair by max r (ties to the smallest |lag|,
+    // then the smaller lag). q185's exact-sufficient-sums discipline
+    // (integer counts, one double formula tree both engines, 1e-6 floor
+    // BEFORE ranking); the lag join is a (type, day+k) equi-join over
+    // the bounded types×days×15 frame. Pairs with under 10 overlapping
+    // days or a degenerate variance are dropped, stated not fudged.
+    "q254_lag_xcorr" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val lagged = daily
+        .select(col("event_type").as("ta"), col("day"), col("n").as("x"))
+        .withColumn("k", explode(sequence(lit(-7), lit(7))))
+      val m = lagged.join(daily
+          .select(col("event_type").as("tb"), col("day").as("day2"),
+            col("n").as("y")),
+          col("day2") === col("day") + col("k") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"), col("k")).agg(
+          count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("m") >= 10)
+      val mD = col("m").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val num = mD * d("sxy") - d("sx") * d("sy")
+      val den = sqrt(mD * d("sxx") - d("sx") * d("sx")) *
+        sqrt(mD * d("syy") - d("sy") * d("sy"))
+      val scored = m
+        .withColumn("r", when(den > 0, floor(num / den * 1e6 + 0.5) / 1e6))
+        .filter(col("r").isNotNull)
+      val w = Window.partitionBy(col("ta"), col("tb"))
+        .orderBy(desc("r"), abs(col("k")), col("k"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("ta"), col("tb"), col("k").as("best_lag"),
+          col("r"), col("m"))
+        .ordered(col("ta"), col("tb"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -11033,6 +11079,44 @@ object SparkEntry {
         |SELECT '2_near', g1.g1, r2.rem2, g1.g1 - r2.rem2
         |FROM g1, r2
         |ORDER BY stage""".stripMargin,
+
+    // identical lag join over the day grid, the same exact-sums Pearson
+    // formula tree, same min-overlap and variance guards, same
+    // (r DESC, |lag|, lag) best pick
+    "q254_lag_xcorr" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |daily AS (SELECT event_type, day, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |lg AS (SELECT event_type AS ta, day, n AS x,
+        |    unnest(range(-7, 8)) AS k FROM daily),
+        |j AS (SELECT lg.ta, b.event_type AS tb, lg.k, lg.x, b.n AS y
+        |  FROM lg JOIN daily b ON b.day = lg.day + lg.k
+        |    AND lg.ta < b.event_type),
+        |m AS (SELECT ta, tb, k, COUNT(*) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM j GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10),
+        |sc AS (SELECT ta, tb, k, m,
+        |    CASE WHEN sqrt(m*CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |      sqrt(m*CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+        |    THEN FLOOR((m*CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |      (sqrt(m*CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |       sqrt(m*CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e6 + 0.5)/1e6
+        |    END AS r
+        |  FROM m),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+        |    ORDER BY r DESC, ABS(k), k) AS rn
+        |  FROM sc WHERE r IS NOT NULL)
+        |SELECT ta, tb, k AS best_lag, r, m FROM rk WHERE rn = 1
+        |ORDER BY ta, tb""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
