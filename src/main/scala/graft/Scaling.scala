@@ -547,6 +547,24 @@ object Scaling {
       // wall must track the scan, the sample stays 1024/group
       "sample_quantile" ->
         (dir => SparkEntry.queries("q249_sample_quantile")(spark, dir)),
+      // q250's monitor: streaming state per type is open days + O(1)
+      // accumulators — wall must track the batch-replay scan
+      "stream_cusum" ->
+        (dir => SparkEntry.queries("q250_stream_cusum")(spark, dir)),
+      // q251: positional bigram join + vocab²-bounded scoring
+      "collocations" ->
+        (dir => SparkEntry.queries("q251_collocations")(spark, dir)),
+      // q252: per-type day-axis windows — decomposition cost is the
+      // count scan, like cusum
+      "seasonal" ->
+        (dir => SparkEntry.queries("q252_seasonal")(spark, dir)),
+      // q253: fingerprint groupBy + prefix-index pairs + CC — the
+      // whole-corpus curation pass; wall must track the corpus scan
+      "cascade" ->
+        (dir => SparkEntry.queries("q253_dedup_cascade")(spark, dir)),
+      // q254: bounded lag grid over the day axis
+      "lag_xcorr" ->
+        (dir => SparkEntry.queries("q254_lag_xcorr")(spark, dir)),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join

@@ -7349,8 +7349,16 @@ object SparkEntry {
       val baseline: Map[String, (Long, Long)] = mm.collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // the file-stream source needs a DIRECTORY: the fixture's
+      // events.parquet is a single file (stream the parent with a name
+      // filter), a replica workdir's is a directory of part files
+      // (stream it directly — the dir-level pathGlobFilter idiom matches
+      // NOTHING there; caught by the 10× scaling run reading 0 rows)
+      val tablePath = s"$dir/events.parquet"
+      val reader = s.readStream.schema(schema)
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          reader.parquet(tablePath)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
         .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
