@@ -7570,6 +7570,48 @@ object SparkEntry {
         .ordered(col("ta"), col("tb"))
     }),
 
+    // ---- Embeddings: intra-class diversity WITHOUT the pair join ----------------
+    // Mean pairwise cosine per label class via the moment identity
+    //   Σ_{i≠j} u_i·u_j = ‖Σ u‖² − Σ ‖u_i‖²
+    // over L2-NORMALIZED vectors — the O(n) form of an O(n²) statistic,
+    // and the reason a 100 TB corpus can have its redundancy/diversity
+    // profiled per source with ONE scan and a 64-row-per-class shuffle
+    // (per-dimension sums), no pair join anywhere. Exactness: components
+    // are floored to the 1e-6 grid after one IEEE normalize division, so
+    // every sum is integer (per-dim BIGINT, squares on DECIMAL(38,0));
+    // the identity then holds EXACTLY on the grid, and the single final
+    // division is the only double op. High mean cosine = a redundant
+    // (near-duplicate-heavy) class; the dedup-pipeline triage metric.
+    "q255_embed_diversity" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val v = Tables(s, dir, "embeddings")
+        .filter(col("label").isNotNull && col("embedding").isNotNull)
+        .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+        .filter(col("nrm") > 0)
+        .withColumn("u6", expr(
+          "transform(embedding, x -> CAST(FLOOR(x / nrm * 1e6 + 0.5)" +
+            " AS BIGINT))"))
+        .withColumn("usq", expr(
+          "aggregate(u6, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      val perClass = v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("usq").cast(d38)).as("un"))
+      val dims = v.select(col("label"), posexplode(col("u6")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s6"))
+      val ssq = dims.groupBy(col("label"))
+        .agg(sum(col("s6").cast(d38) * col("s6").cast(d38)).as("ssq"))
+      perClass.join(ssq, Seq("label"))
+        .filter(col("n") >= 2)
+        .select(col("label"), col("n"),
+          (floor((col("ssq") - col("un")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")) /
+            1e12 * 1e6 + 0.5) / 1e6).as("mean_cos"),
+          (floor(sqrt(col("ssq").cast("double")) /
+            col("n").cast("double") / 1e6 * 1e6 + 0.5) / 1e6)
+            .as("centroid_norm"))
+        .ordered(col("label"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -11125,6 +11167,39 @@ object SparkEntry {
         |  FROM sc WHERE r IS NOT NULL)
         |SELECT ta, tb, k AS best_lag, r, m FROM rk WHERE rn = 1
         |ORDER BY ta, tb""".stripMargin,
+
+    // identical grid normalization (one IEEE divide, 1e-6 floor per
+    // component), per-dimension HUGEINT sums, the same exact moment
+    // identity, one double division at the edge
+    "q255_embed_diversity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |nv AS (SELECT label,
+        |    sqrt(list_sum(list_apply(v, x -> x * x))) AS nrm, v
+        |  FROM e),
+        |u AS (SELECT label,
+        |    list_transform(v, x -> CAST(FLOOR(x / nrm * 1e6 + 0.5)
+        |      AS BIGINT)) AS u6
+        |  FROM nv WHERE nrm > 0),
+        |pc AS (SELECT label, COUNT(*) AS n,
+        |    CAST(SUM(list_sum(list_apply(u6, x -> x * x)))
+        |      AS HUGEINT) AS un
+        |  FROM u GROUP BY 1),
+        |dm AS (SELECT label, pos, SUM(c) AS s6 FROM (
+        |    SELECT label, unnest(u6) AS c,
+        |      unnest(range(0, len(u6))) AS pos FROM u) t
+        |  GROUP BY 1, 2),
+        |sq AS (SELECT label, SUM(CAST(s6 AS HUGEINT) * s6) AS ssq
+        |  FROM dm GROUP BY 1)
+        |SELECT pc.label, pc.n,
+        |  FLOOR(CAST(sq.ssq - pc.un AS DOUBLE) /
+        |    (CAST(pc.n AS DOUBLE) * CAST(pc.n - 1 AS DOUBLE)) / 1e12
+        |    * 1e6 + 0.5) / 1e6 AS mean_cos,
+        |  FLOOR(sqrt(CAST(sq.ssq AS DOUBLE)) / CAST(pc.n AS DOUBLE)
+        |    / 1e6 * 1e6 + 0.5) / 1e6 AS centroid_norm
+        |FROM pc JOIN sq ON sq.label = pc.label
+        |WHERE pc.n >= 2 ORDER BY pc.label""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
