@@ -7612,6 +7612,43 @@ object SparkEntry {
         .ordered(col("label"))
     }),
 
+    // ---- Embeddings: between-class centroid similarity ---------------------------
+    // q255's inter-class companion: cosine between every pair of class
+    // CENTROIDS, from the same per-dimension integer sums — the class-
+    // separability report (high off-diagonal cosine = two labels the
+    // classifier/router can't tell apart geometrically). Still no
+    // vector-pair join: the only pairwise work is labels² × dims rows,
+    // domain-bounded, after the one corpus scan. Exact integer dot on
+    // DECIMAL(38,0); the sqrt-norm division is the one double step.
+    "q256_centroid_matrix" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val dims = Tables(s, dir, "embeddings")
+        .filter(col("label").isNotNull && col("embedding").isNotNull)
+        .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+        .filter(col("nrm") > 0)
+        .withColumn("u6", expr(
+          "transform(embedding, x -> CAST(FLOOR(x / nrm * 1e6 + 0.5)" +
+            " AS BIGINT))"))
+        .select(col("label"), posexplode(col("u6")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s6"))
+      val a = dims.select(col("label").as("la"), col("pos"),
+        col("s6").as("sa"))
+      val b = dims.select(col("label").as("lb"), col("pos"),
+        col("s6").as("sb"))
+      a.join(b, Seq("pos")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(col("sa").cast(d38) * col("sb").cast(d38)).as("dot"),
+          sum(col("sa").cast(d38) * col("sa").cast(d38)).as("na"),
+          sum(col("sb").cast(d38) * col("sb").cast(d38)).as("nb"))
+        .select(col("la"), col("lb"),
+          (floor(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+             sqrt(col("nb").cast("double"))) * 1e6 + 0.5) / 1e6)
+            .as("cos"))
+        .ordered(col("la"), col("lb"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -11200,6 +11237,34 @@ object SparkEntry {
         |    / 1e6 * 1e6 + 0.5) / 1e6 AS centroid_norm
         |FROM pc JOIN sq ON sq.label = pc.label
         |WHERE pc.n >= 2 ORDER BY pc.label""".stripMargin,
+
+    // same per-dimension sums, exact HUGEINT dot, one double division
+    "q256_centroid_matrix" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |nv AS (SELECT label,
+        |    sqrt(list_sum(list_apply(v, x -> x * x))) AS nrm, v
+        |  FROM e),
+        |u AS (SELECT label,
+        |    list_transform(v, x -> CAST(FLOOR(x / nrm * 1e6 + 0.5)
+        |      AS BIGINT)) AS u6
+        |  FROM nv WHERE nrm > 0),
+        |dm AS (SELECT label, pos, SUM(c) AS s6 FROM (
+        |    SELECT label, unnest(u6) AS c,
+        |      unnest(range(0, len(u6))) AS pos FROM u) t
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |    SUM(CAST(a.s6 AS HUGEINT) * b.s6) AS dot,
+        |    SUM(CAST(a.s6 AS HUGEINT) * a.s6) AS na,
+        |    SUM(CAST(b.s6 AS HUGEINT) * b.s6) AS nb
+        |  FROM dm a JOIN dm b ON b.pos = a.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT la, lb,
+        |  FLOOR(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS cos
+        |FROM p ORDER BY la, lb""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
