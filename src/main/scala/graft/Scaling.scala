@@ -565,6 +565,35 @@ object Scaling {
       // q254: bounded lag grid over the day axis
       "lag_xcorr" ->
         (dir => SparkEntry.queries("q254_lag_xcorr")(spark, dir)),
+      // q255's shape: the O(n) moment identity — wall must track the ONE
+      // corpus scan; the per-dimension shuffle stays labels×dims. The
+      // replica generator drops `label`, so the class is re-derived from
+      // vec_id (same pipeline downstream of the label column)
+      "embed_diversity" -> (dir => {
+        val d38 = "decimal(38,0)"
+        val v = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+          .withColumn("nrm", graft.llm.Similarity.l2Norm(col("embedding")))
+          .filter(col("nrm") > 0)
+          .withColumn("u6", expr(
+            "transform(embedding, x -> CAST(FLOOR(x / nrm * 1e6 + 0.5)" +
+              " AS BIGINT))"))
+          .withColumn("usq", expr(
+            "aggregate(u6, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        val perClass = v.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("usq").cast(d38)).as("un"))
+        val ssq = v.select(col("label"), posexplode(col("u6")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("s6"))
+          .groupBy(col("label"))
+          .agg(sum(col("s6").cast(d38) * col("s6").cast(d38)).as("ssq"))
+        perClass.join(ssq, Seq("label")).filter(col("n") >= 2)
+          .select(col("label"), col("n"),
+            (floor((col("ssq") - col("un")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double")) /
+              1e12 * 1e6 + 0.5) / 1e6).as("mean_cos"))
+      }),
       // q234's shape: one orders⋈lineitem fact join (both sides grow
       // with the data), then domain-bounded windows over the
       // (priority × distinct-delay) table — wall must track the join
