@@ -7649,6 +7649,48 @@ object SparkEntry {
         .ordered(col("la"), col("lb"))
     }),
 
+    // ---- Retrieval: quota-constrained (source-fair) top-k ------------------------
+    // Production search's domain-diversity rule: per query, the top-5 by
+    // relevance subject to AT MOST 2 results per source — one host must
+    // not monopolize the page. Two chained partitioned windows (rank
+    // within (query, source), then rank over the survivors) — contrast
+    // q248's MMR, which diversifies by CONTENT similarity; this is the
+    // cheap structural quota run first in practice. Relevance = q244's
+    // shingle-Jaccard lexical ranks (the oracle-replayable ranker); the
+    // windows are per-query frames, candidate-bounded at any scale.
+    "q257_fair_topk" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val idx = docs
+        .filter(size(TextStats.tokens(lower(col("text")))) >= 3)
+        .withColumn("gs", Dedup.shingles(col("text"), 3))
+        .select(col("doc_id"), size(col("gs")).as("ntok"),
+          explode(col("gs")).as("tok"))
+      val jac = idx.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("qid"), col("ntok").as("nq"), col("tok"))
+        .join(idx.select(col("doc_id").as("nid"), col("ntok").as("nn"),
+          col("tok")), Seq("tok"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"), col("nq"), col("nn"))
+        .agg(count(lit(1)).as("nab"))
+        .withColumn("jac", round6(col("nab").cast("double") /
+          (col("nq") + col("nn") - col("nab"))))
+        .join(docs.select(col("doc_id").as("nid"),
+          col("source").as("src")), Seq("nid"))
+      val wSrc = Window.partitionBy(col("qid"), col("src"))
+        .orderBy(desc("jac"), asc("nid"))
+      val wAll = Window.partitionBy(col("qid"))
+        .orderBy(desc("jac"), asc("nid"))
+      jac.withColumn("source_rank", row_number().over(wSrc).cast("long"))
+        .filter(col("source_rank") <= 2)
+        .withColumn("rank", row_number().over(wAll).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"), col("src"), col("jac"),
+          col("source_rank"), col("rank"))
+        .ordered(col("qid"), col("rank"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -11265,6 +11307,34 @@ object SparkEntry {
         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
         |    * 1e6 + 0.5) / 1e6 AS cos
         |FROM p ORDER BY la, lb""".stripMargin,
+
+    // q244's lexical ranks + the same two-window quota; identical tie
+    // orders, ranks cast to BIGINT
+    "q257_fair_topk" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |gs AS (SELECT doc_id, list_distinct(
+        |    [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+        |     for i in range(1, len(toks)-1)]) AS g
+        |  FROM tk WHERE len(toks) >= 3),
+        |ix AS (SELECT doc_id, len(g) AS ntok, unnest(g) AS tok
+        |  FROM gs),
+        |sh AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+        |    a.ntok AS nq, b.ntok AS nn, COUNT(*) AS nab
+        |  FROM ix a JOIN ix b ON a.tok = b.tok
+        |  WHERE a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT sh.qid, sh.nid, tk.source AS src,
+        |    FLOOR(CAST(nab AS DOUBLE)/(nq+nn-nab)*1e6+0.5)/1e6 AS jac
+        |  FROM sh JOIN tk ON tk.doc_id = sh.nid),
+        |sr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid, src
+        |    ORDER BY jac DESC, nid ASC) AS BIGINT) AS source_rank FROM j),
+        |fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY jac DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM sr WHERE source_rank <= 2)
+        |SELECT qid, nid, src, jac, source_rank, rank FROM fr
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
