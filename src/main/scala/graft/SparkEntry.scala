@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Checks, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
+import graft.ops.{BronzeSilver, Categorify, Checks, Eval, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Pq, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Pdf, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
@@ -7691,6 +7691,224 @@ object SparkEntry {
         .ordered(col("qid"), col("rank"))
     }),
 
+    // ---- Model evaluation: distributed AUC / Gini / KS ---------------------------
+    // The ranking-metric triple every scoring pipeline reports, per
+    // serving segment. The textbook computation is a global sort of all
+    // scored rows — a single-task window at 100 TB; Eval.rankingMetrics
+    // instead collapses the facts map-side to the (segment × quantized
+    // score) contingency grid and derives tie-aware Mann-Whitney U and
+    // the class-CDF KS gap from grid windows — exact integers on
+    // DECIMAL(38,0) until the final floor-rounded division (see the
+    // Eval scaladoc; EvalSpec pins the pair-count definition and the
+    // separable/reversed/constant closed forms). Label: click vs rest;
+    // score: the 1e-2-quantized event value.
+    "q258_auc_roc" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("segment"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("score2"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      Eval.rankingMetrics(e, "score2", "y", Seq("segment"))
+        .select(col("segment"), col("n_pos"), col("n_neg"),
+          col("auc"), col("gini"), col("ks"))
+        .ordered(col("segment"))
+    }),
+
+    // ---- Model evaluation: calibration reliability + ECE + Brier -----------------
+    // Is the score a PROBABILITY? Ten reliability bins (predicted
+    // confidence vs observed rate), expected calibration error, and the
+    // Brier score — the standard post-training calibration report. The
+    // pseudo-probability is the 1e-2-quantized value mod 101 (0..100%,
+    // deterministic in both engines); everything reduces to ONE
+    // map-side-combined groupBy over 10 bins, and every ratio keeps an
+    // exact integer numerator: |acc−conf| per bin is |100·Σy − Σpq| /
+    // (100·n), so ECE and Brier are single integer sums until the final
+    // floor-rounded division — no float accumulation anywhere. ECE and
+    // Brier ride the 10-row grid as window totals (constant per row,
+    // the q200 whole-grid window shape).
+    "q259_calibration" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select((floor(col("value") * 1e2 + 0.5).cast("long") % 101)
+            .as("pq"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val bins = e
+        .withColumn("bin", least(expr("pq div 10"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pq")).as("spq"),
+          sum(col("y")).as("sy"),
+          sum(((col("pq") - col("y") * 100) *
+            (col("pq") - col("y") * 100)).cast(d38)).as("ssq"))
+      val wAll = Window.partitionBy()
+      bins
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .withColumn("sabs",
+          sum(abs(col("sy") * 100 - col("spq"))).over(wAll))
+        .withColumn("ssqt", sum(col("ssq")).over(wAll))
+        .select(col("bin"), col("n"),
+          round6(col("spq").cast("double") /
+            (col("n").cast("double") * 100)).as("conf"),
+          round6(col("sy").cast("double") / col("n").cast("double"))
+            .as("acc"),
+          round6(abs(col("sy") * 100 - col("spq")).cast("double") /
+            (col("n").cast("double") * 100)).as("gap"),
+          round6(col("sabs").cast("double") /
+            (col("nn").cast("double") * 100)).as("ece"),
+          round6(col("ssqt").cast("double") /
+            (col("nn").cast("double") * 10000)).as("brier"))
+        .ordered(col("bin"))
+    }),
+
+    // ---- Monitoring: binned distribution drift (TVD report) ----------------------
+    // Which value bins moved between two serving periods? The per-bin
+    // drift report behind every feature monitor. The headline number is
+    // total-variation distance ½·Σ|p_a − p_e| — chosen over PSI because
+    // PSI's ln() is engine-hostile (float log last-ulp behavior is
+    // engine-specific, the q212 lesson) while TVD is an EXACT rational:
+    // Σ|a_cnt·N_e − e_cnt·N_a| / (2·N_a·N_e) stays integral on
+    // DECIMAL(38,0) until one floor-rounded division. Facts collapse
+    // map-side to ≤20 fixed-width bins × 2 periods; the complement of
+    // q224's KS (which says IF the distribution moved, not WHERE).
+    "q260_bin_drift" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+      val e = Tables.events(s, dir)
+        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(least(floor(col("value") / 25).cast("long"), lit(19L))
+            .as("bin"),
+          when(col("ts_us") < splitUs, 1L).otherwise(0L).as("is_e"))
+      val bins = e.groupBy(col("bin"))
+        .agg(sum(col("is_e")).as("e_cnt"),
+          sum(lit(1L) - col("is_e")).as("a_cnt"))
+      val wAll = Window.partitionBy()
+      bins
+        .withColumn("ne", sum(col("e_cnt")).over(wAll))
+        .withColumn("na", sum(col("a_cnt")).over(wAll))
+        .withColumn("shift_num",
+          abs(col("a_cnt").cast(d38) * col("ne").cast(d38) -
+            col("e_cnt").cast(d38) * col("na").cast(d38)))
+        .withColumn("tvd_num", sum(col("shift_num")).over(wAll))
+        .select(col("bin"), col("e_cnt"), col("a_cnt"),
+          round6(col("e_cnt").cast("double") / col("ne").cast("double"))
+            .as("e_share"),
+          round6(col("a_cnt").cast("double") / col("na").cast("double"))
+            .as("a_share"),
+          round6(col("shift_num").cast("double") /
+            (col("na").cast("double") * col("ne").cast("double")))
+            .as("shift"),
+          round6(col("tvd_num").cast("double") /
+            (col("na").cast("double") * col("ne").cast("double") * 2))
+            .as("tvd"))
+        .ordered(col("bin"))
+    }),
+
+    // ---- Model evaluation: decile gains / lift table -----------------------------
+    // The campaign-targeting report: rank everything by score, cut into
+    // global deciles, and read cumulative capture + lift per decile —
+    // the WoE-table sibling that stays ln-free (lift is the exact
+    // rational n_pos·N / (n·P)). The global NTILE is the single-task
+    // window killer at 100 TB, so the cut rides PrefixSum.ntileDesc
+    // (boundary-literal buckets + local windows + broadcast ledger,
+    // q228's machinery); per-decile sums then collapse map-side to 10
+    // rows and the cumulative windows ride that grid.
+    "q261_gains" -> ((s, dir) => {
+      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("score2"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val tiles = graft.ops.PrefixSum
+        .ntileDesc(e, "score2", "event_id", "decile", 10)
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val ord = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      tiles
+        .withColumn("cum_pos", sum(col("n_pos")).over(ord))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .withColumn("tot_n", sum(col("n")).over(wAll))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round6(col("n_pos").cast("double") / col("n").cast("double"))
+            .as("pos_rate"),
+          round6(col("cum_pos").cast("double") /
+            col("tot_pos").cast("double")).as("capture"),
+          round6((col("n_pos").cast(d38) * col("tot_n").cast(d38))
+            .cast("double") /
+            (col("n").cast(d38) * col("tot_pos").cast(d38))
+              .cast("double")).as("lift"))
+        .ordered(col("decile"))
+    }),
+
+    // ---- Feature selection: Gini-gain ranking ------------------------------------
+    // Which feature splits the label best? CART's Gini impurity
+    // reduction per candidate feature — chosen over mutual information
+    // because MI's ln() is engine-hostile (q212/q260 policy) while Gini
+    // gain is rational: for a binary label, Σ_y c²  per feature value is
+    // p² + (n−p)², so the weighted child impurity is 1 − Σ_x t_x/N with
+    // t_x = (p_x² + (n_x−p_x)²)/n_x — ONE correctly-rounded division
+    // per feature value, floored to a 1e-6 integer grid before the sum,
+    // so accumulation order can't move the result. Facts collapse
+    // map-side to (feature × value) cells via one stack() pass; every
+    // window rides the tiny cell grid.
+    "q262_gini_gain" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val dayUs = 86400000000L
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"),
+          (col("user_id") % 8).cast("string").as("segment"),
+          ((expr(s"ts_us div $dayUs") + 4) % 7).cast("string").as("dow"),
+          least(floor(col("value") / 50).cast("long"), lit(9L))
+            .cast("string").as("value_band"))
+      val cells = e.select(col("y"),
+          expr("stack(3, 'segment', segment, 'dow', dow, " +
+            "'value_band', value_band) as (feature, x)"))
+        .groupBy(col("feature"), col("x"))
+        .agg(count(lit(1)).as("nx"), sum(col("y")).as("px"))
+        .withColumn("t6",
+          floor((col("px").cast(d38) * col("px").cast(d38) +
+            (col("nx") - col("px")).cast(d38) *
+              (col("nx") - col("px")).cast(d38)).cast("double") /
+            col("nx").cast("double") * 1e6 + 0.5).cast(d38))
+      val perFeature = cells.groupBy(col("feature"))
+        .agg(sum(col("nx")).as("n"), sum(col("px")).as("p"),
+          sum(col("t6")).as("s6"))
+        .withColumn("parent6",
+          lit(1000000L) - floor((col("p").cast(d38) * col("p").cast(d38) +
+            (col("n") - col("p")).cast(d38) *
+              (col("n") - col("p")).cast(d38)).cast("double") /
+            (col("n").cast(d38) * col("n").cast(d38)).cast("double") *
+            1e6 + 0.5).cast("long"))
+        .withColumn("child6", lit(1000000L) -
+          floor(col("s6").cast("double") / col("n").cast("double") + 0.5)
+            .cast("long"))
+      perFeature
+        // the rank window rides the 3-row feature set — bounded frame
+        .withColumn("rank", row_number().over(Window.orderBy(
+          (col("parent6") - col("child6")).desc, col("feature")))
+          .cast("long"))
+        .select(col("feature"), col("n"),
+          (col("parent6").cast("double") / 1e6).as("gini_parent"),
+          (col("child6").cast("double") / 1e6).as("gini_split"),
+          ((col("parent6") - col("child6")).cast("double") / 1e6)
+            .as("gain"),
+          col("rank"))
+        .ordered(col("rank"))
+    }),
+
     // ---- Similarity search: product-quantization ADC top-k ---------------------
     // The compression half of ANN (faiss IndexPQ): per-subspace KMeans
     // codebooks (fit once per dir, driver-tiny, plan literals), corpus
@@ -11335,6 +11553,174 @@ object SparkEntry {
         |  FROM sr WHERE source_rank <= 2)
         |SELECT qid, nid, src, jac, source_rank, rank FROM fr
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same contingency-grid route: tie-aware U as Σ p·(2·negBelow+q)
+    // and KS as max |cumP·Q − cumQ·P| on HUGEINT (Spark DECIMAL(38,0)),
+    // one floor-rounded division at the end; gini re-floored from the
+    // ROUNDED auc on both engines
+    "q258_auc_roc" ->
+      """WITH e AS (SELECT user_id % 4 AS segment,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS score2,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT segment, score2, SUM(y) AS p, SUM(1 - y) AS q
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT segment, p, q,
+        |    COALESCE(SUM(q) OVER (PARTITION BY segment ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    SUM(p) OVER (PARTITION BY segment ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+        |    SUM(q) OVER (PARTITION BY segment ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+        |    SUM(p) OVER (PARTITION BY segment) AS pp,
+        |    SUM(q) OVER (PARTITION BY segment) AS qq
+        |  FROM g),
+        |a AS (SELECT segment, MAX(pp) AS n_pos, MAX(qq) AS n_neg,
+        |    SUM(CAST(p AS HUGEINT) * (2 * neg_below + q)) AS u2,
+        |    MAX(ABS(CAST(cum_p AS HUGEINT) * qq -
+        |      CAST(cum_q AS HUGEINT) * pp)) AS ksn
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT segment, n_pos, n_neg,
+        |    FLOOR(CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |      CAST(n_neg AS DOUBLE) * 2) * 1e6 + 0.5) / 1e6 AS auc,
+        |    FLOOR(CAST(ksn AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |      CAST(n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks
+        |  FROM a WHERE n_pos > 0 AND n_neg > 0)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(auc AS DOUBLE) AS auc,
+        |  CAST(FLOOR((auc * 2 - 1) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS gini,
+        |  CAST(ks AS DOUBLE) AS ks
+        |FROM f ORDER BY segment""".stripMargin,
+
+    // same single groupBy: integer numerators for every ratio (|acc−conf|
+    // per bin is |100·Σy − Σpq| / (100·n)); ECE/Brier as whole-grid
+    // window totals of the same integer sums
+    "q259_calibration" ->
+      """WITH e AS (SELECT CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) % 101
+        |    AS pq,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT LEAST(pq // 10, 9) AS bin, COUNT(*) AS n,
+        |    SUM(pq) AS spq, SUM(y) AS sy,
+        |    SUM((pq - 100 * y) * (pq - 100 * y)) AS ssq
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT *, SUM(n) OVER () AS nn,
+        |    SUM(ABS(sy * 100 - spq)) OVER () AS sabs,
+        |    SUM(ssq) OVER () AS ssqt FROM b)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(spq AS DOUBLE) / (CAST(n AS DOUBLE) * 100)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS conf,
+        |  CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS acc,
+        |  CAST(FLOOR(CAST(ABS(sy * 100 - spq) AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * 100) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS gap,
+        |  CAST(FLOOR(CAST(sabs AS DOUBLE) / (CAST(nn AS DOUBLE) * 100)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ece,
+        |  CAST(FLOOR(CAST(ssqt AS DOUBLE) / (CAST(nn AS DOUBLE) * 10000)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS brier
+        |FROM w ORDER BY bin""".stripMargin,
+
+    // same fixed-width bins and exact-rational shift numerators on
+    // HUGEINT; TVD as the whole-grid window total
+    "q260_bin_drift" ->
+      """WITH e AS (SELECT LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19)
+        |    AS bin,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END
+        |      AS is_e
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT bin, SUM(is_e) AS e_cnt, SUM(1 - is_e) AS a_cnt
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT *, SUM(e_cnt) OVER () AS ne,
+        |    SUM(a_cnt) OVER () AS na FROM b),
+        |t AS (SELECT *, ABS(CAST(a_cnt AS HUGEINT) * ne -
+        |    CAST(e_cnt AS HUGEINT) * na) AS shift_num FROM w),
+        |u AS (SELECT *, SUM(shift_num) OVER () AS tvd_num FROM t)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(e_cnt AS BIGINT) AS e_cnt,
+        |  CAST(a_cnt AS BIGINT) AS a_cnt,
+        |  CAST(FLOOR(CAST(e_cnt AS DOUBLE) / CAST(ne AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS e_share,
+        |  CAST(FLOOR(CAST(a_cnt AS DOUBLE) / CAST(na AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS a_share,
+        |  CAST(FLOOR(CAST(shift_num AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(ne AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS shift,
+        |  CAST(FLOOR(CAST(tvd_num AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(ne AS DOUBLE) * 2) * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS tvd
+        |FROM u ORDER BY bin""".stripMargin,
+
+    // engine-native NTILE over (score DESC, event_id) — PrefixSum's
+    // remainder semantics match the standard bit for bit; lift as the
+    // exact rational n_pos·N/(n·P) on HUGEINT
+    "q261_gains" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS score2,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |t AS (SELECT y, NTILE(10) OVER (ORDER BY score2 DESC, event_id)
+        |    AS decile FROM e),
+        |g AS (SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos
+        |  FROM t GROUP BY 1),
+        |w AS (SELECT *, SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    SUM(n_pos) OVER () AS tot_pos, SUM(n) OVER () AS tot_n
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS pos_rate,
+        |  CAST(FLOOR(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS capture,
+        |  CAST(FLOOR(CAST(CAST(n_pos AS HUGEINT) * tot_n AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * tot_pos AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS lift
+        |FROM w ORDER BY decile""".stripMargin,
+
+    // UNION ALL unpivot (DuckDB has no stack); the same per-cell
+    // floor-to-1e-6-grid child terms so accumulation order is moot
+    "q262_gini_gain" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |    CAST(user_id % 8 AS VARCHAR) AS segment,
+        |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS dow,
+        |    CAST(LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS VARCHAR)
+        |      AS value_band
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+        |u AS (SELECT y, 'segment' AS feature, segment AS x FROM e
+        |  UNION ALL SELECT y, 'dow', dow FROM e
+        |  UNION ALL SELECT y, 'value_band', value_band FROM e),
+        |cells AS (SELECT feature, x, COUNT(*) AS nx, SUM(y) AS px
+        |  FROM u GROUP BY 1, 2),
+        |terms AS (SELECT feature, nx, px,
+        |    CAST(FLOOR(CAST(CAST(px AS HUGEINT) * px +
+        |      CAST(nx - px AS HUGEINT) * (nx - px) AS DOUBLE) /
+        |      CAST(nx AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS t6
+        |  FROM cells),
+        |pf AS (SELECT feature, SUM(nx) AS n, SUM(px) AS p, SUM(t6) AS s6
+        |  FROM terms GROUP BY 1),
+        |s AS (SELECT feature, n,
+        |    1000000 - CAST(FLOOR(CAST(CAST(p AS HUGEINT) * p +
+        |      CAST(n - p AS HUGEINT) * (n - p) AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS parent6,
+        |    1000000 - CAST(FLOOR(CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS child6
+        |  FROM pf)
+        |SELECT feature, CAST(n AS BIGINT) AS n,
+        |  CAST(parent6 AS DOUBLE) / 1e6 AS gini_parent,
+        |  CAST(child6 AS DOUBLE) / 1e6 AS gini_split,
+        |  CAST(parent6 - child6 AS DOUBLE) / 1e6 AS gain,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY parent6 - child6 DESC, feature)
+        |    AS BIGINT) AS rank
+        |FROM s ORDER BY rank""".stripMargin,
 
     // the same sessionization, distinct (session, type) baskets, and
     // a<b pair join; support over the distinct-session count
