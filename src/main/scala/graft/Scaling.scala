@@ -605,6 +605,49 @@ object Scaling {
       // quantile buckets must keep wall tracking the scan
       "skyline" ->
         (dir => SparkEntry.queries("q193_skyline")(spark, dir)),
+      // q263's scoring tail over a FIXED query batch (base replica only
+      // — the q19/pq_adc posture: a query batch that scaled WITH the
+      // corpus would grow dense pair work quadratically by design):
+      // corpus grows factor×, wall must track the corpus scan. Labels
+      // re-derived from vec_id (replicas drop the label column).
+      "retrieval_eval" -> (dir => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+        val queries = emb
+          .filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+        val nLab = emb.select(col("vec_id").as("nid"),
+          col("label").as("nlabel"))
+        val qLab = emb.select(col("vec_id").as("qid"),
+          col("label").as("qlabel"))
+        topk.join(nLab, "nid").join(broadcast(qLab), "qid")
+          .groupBy(col("qid"))
+          .agg(sum(when(col("nlabel") === col("qlabel"), 1L)
+            .otherwise(0L)).as("hits"))
+          .groupBy().agg(count(lit(1)).as("n_q"), sum(col("hits")).as("h"))
+      }),
+      // q264: one map-side groupBy over sources — wall must track the
+      // documents scan, the agreement grid stays |sources|-sized
+      "kappa" ->
+        (dir => SparkEntry.queries("q264_rater_kappa")(spark, dir)),
+      // q265: both order statistics ride the (segment × score-domain)
+      // grid — the grid is bounded by the VALUE DOMAIN, so 10× events
+      // collapse map-side into the same frame; wall must track the scan
+      "conformal" ->
+        (dir => SparkEntry.queries("q265_conformal")(spark, dir)),
+      // q266: the merged view is |priority × year| rows; wall must
+      // track the orders scan (two partial-agg passes over disjoint
+      // halves = one full scan of facts)
+      "mv_merge" ->
+        (dir => SparkEntry.queries("q266_mv_merge")(spark, dir)),
+      // q267: one user_id shuffle (sessionization), user-local windows,
+      // |types|³-bounded path grid — wall must track the events scan
+      "session_paths" ->
+        (dir => SparkEntry.queries("q267_session_paths")(spark, dir)),
       // q239's ADC scan with a FIXED query set and codebook (fit on the
       // base replica): the scored side grows 10× but carries only m=8
       // codes per row — wall must track the encoded-corpus scan

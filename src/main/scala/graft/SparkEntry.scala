@@ -60,6 +60,16 @@ object SparkEntry {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712", "0.9999897508033253")
 
+  /** q263's DCG rank discounts: w(r) = round(1e6/log2(r+1)) for
+    * r = 1..10, plus their prefix sums (the ideal DCG of m <= 10
+    * relevant items). log2 is engine-hostile in query bodies (q212
+    * float policy) but rank is bounded by k, so the discount curve
+    * lives HERE as integers — both engines consume identical literals
+    * and every DCG stays an exact integer sum until one division. */
+  private val ndcgW: Seq[Long] = (1 to 10).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val ndcgWCum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
   /** Per-process scratch path under java.io.tmpdir for query bodies that
     * must materialize on-disk state (online store, dedup index,
     * partitioned sink). The path is keyed by (purpose, data-dir hash,
@@ -8220,6 +8230,245 @@ object SparkEntry {
           element_at(col("cs"), col("__i") + 1).as("cnt"), col("off"))
         .ordered(col("w_start"), col("event_type"))
     }),
+
+    // ---- Model evaluation: retrieval quality (NDCG@10 / MRR / P@10) -----
+    // The offline search-quality report over the labeled corpus: q19's
+    // audited exact-cosine candidate stage yields each query's top-10,
+    // a neighbor is relevant when it shares the query's class label,
+    // and each query scores the three standard ranking metrics. log2
+    // is engine-hostile (q212 float policy), but rank <= k means the
+    // DCG discount is a FIXED curve — [[ndcgW]] holds
+    // round(1e6/log2(r+1)) as shared integer literals, so DCG, ideal
+    // DCG, and MRR stay exact integers until one floored division
+    // each. Per-label corpus counts ride a broadcast |labels|-row
+    // frame; everything downstream of the top-k is per-query
+    // arithmetic over k rows. At 100 TB the candidate stage swaps for
+    // annTopK/IVFPQ (q24/q39/q240) with this scoring tail unchanged.
+    "q263_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+          col("label").isNotNull)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+      val nLab = emb.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"))
+      val qLab = emb.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))
+      val labN = emb.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("lab_n"))
+      val wRank = ndcgW.zipWithIndex.foldLeft(lit(0L)) { case (e, (w, i)) =>
+        when(col("rank") === (i + 1), lit(w)).otherwise(e) }
+      val idcg6 = ndcgWCum.zipWithIndex.foldLeft(lit(0L)) { case (e, (w, i)) =>
+        when(least(col("n_rel"), lit(10L)) === (i + 1), lit(w)).otherwise(e) }
+      topk
+        .join(nLab, "nid")
+        .join(broadcast(qLab), "qid")
+        .join(broadcast(labN), "qlabel")
+        .withColumn("rel",
+          when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .groupBy(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          (col("lab_n") - 1).as("n_rel"))
+        .agg(sum(col("rel")).as("hits"),
+          sum(col("rel") * wRank).as("dcg6"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .select(col("qid"), col("qlabel"), col("n_rel"), col("hits"),
+          when(col("n_rel") > 0,
+            floor(col("dcg6").cast("double") / idcg6.cast("double")
+              * 1e6 + 0.5) / 1e6).as("ndcg"),
+          coalesce(floor(lit(1e6) / col("first_rel") + 0.5) / 1e6,
+            lit(0.0)).as("mrr"),
+          (floor(col("hits") * lit(1e6) / 10 + 0.5) / 1e6).as("prec"))
+        .ordered(col("qid"))
+    }),
+
+    // ---- Data quality: inter-rater agreement (Cohen's kappa) ------------
+    // Two deterministic labeling heuristics (rater A: >= 150 chars;
+    // rater B: >= 30 whitespace tokens) scored for chance-corrected
+    // agreement per source — the annotation-QA report. kappa =
+    // (po - pe)/(1 - pe) is an exact rational in the confusion counts:
+    // numerator N*(n00+n11) - (a1*b1 + a0*b0), denominator N^2 -
+    // (a1*b1 + a0*b0), both on DECIMAL(38,0) (the products pass 2^63
+    // near ~10^10 docs — the q232 overflow lesson), one floored
+    // division at the end. ONE map-side-combined groupBy over sources;
+    // no windows, no joins — the cheapest possible plan shape.
+    "q264_rater_kappa" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("source").isNotNull)
+        .select(col("source"),
+          when(length(col("text")) >= 150, 1L).otherwise(0L).as("a"),
+          when(size(filter(split(col("text"), " "),
+            t => length(t) > 0)) >= 30, 1L).otherwise(0L).as("b"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")).cast(d38) *
+            (col("n11") + col("n01")).cast(d38) +
+          (col("n00") + col("n01")).cast(d38) *
+            (col("n00") + col("n10")).cast(d38))
+        .select(col("source"), col("n"), col("n00"), col("n01"),
+          col("n10"), col("n11"),
+          r6((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double")).as("po"),
+          r6(col("pe_num").cast("double") /
+            (col("n").cast(d38) * col("n").cast(d38)).cast("double"))
+            .as("pe"),
+          when(col("n").cast(d38) * col("n").cast(d38) =!= col("pe_num"),
+            r6((col("n").cast(d38) * (col("n11") + col("n00")).cast(d38) -
+              col("pe_num")).cast("double") /
+              (col("n").cast(d38) * col("n").cast(d38) - col("pe_num"))
+                .cast("double"))).as("kappa"))
+        .ordered(col("source"))
+    }),
+
+    // ---- Model evaluation: split-conformal prediction intervals ---------
+    // Distribution-free intervals with a finite-sample coverage
+    // guarantee: a deterministic even/odd event_id split yields
+    // calibration and serving halves, the per-segment predictor is the
+    // calibration nearest-rank median, nonconformity is the integer
+    // |score - median|, and qhat is the ceil((n+1)(1-alpha))-th
+    // smallest calibration nonconformity — the split-conformal
+    // quantile, alpha = 0.1. BOTH order statistics ride the (segment x
+    // quantized-score-domain) grid, never the facts (Eval's
+    // contingency discipline — the value domain bounds every window
+    // frame), and the serving half needs one broadcast join against
+    // the 4-row (median, qhat) frame plus one aggregate. The report
+    // shows the theorem: coverage >= 0.9 per segment.
+    "q265_conformal" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("segment"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("score2"),
+          (col("event_id") % 2).as("half"))
+      val cal = e.filter(col("half") === 0)
+      val wSeg = Window.partitionBy(col("segment"))
+      val wInclScore = wSeg.orderBy(col("score2"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = cal.groupBy(col("segment"), col("score2"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wInclScore))
+        .withColumn("n_cal", sum(col("c")).over(wSeg))
+        .groupBy(col("segment"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          min(when(col("cum") >= expr("n_cal div 2") + 1, col("score2")))
+            .as("med"))
+      val wInclNc = wSeg.orderBy(col("nc"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val qhat = cal.join(broadcast(med.select("segment", "med")), "segment")
+        .select(col("segment"), abs(col("score2") - col("med")).as("nc"))
+        .groupBy(col("segment"), col("nc")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wInclNc))
+        .withColumn("n_cal", sum(col("c")).over(wSeg))
+        .groupBy(col("segment"))
+        .agg(min(when(col("cum") >= expr("((n_cal + 1) * 9 + 9) div 10"),
+          col("nc"))).as("qhat"))
+      e.filter(col("half") === 1)
+        .join(broadcast(med.join(qhat, "segment")), "segment")
+        .groupBy(col("segment"), col("n_cal"), col("med"), col("qhat"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(abs(col("score2") - col("med")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("covered"))
+        .select(col("segment"), col("n_cal"), col("med"), col("qhat"),
+          (col("qhat") * 2).as("width"), col("n_eval"), col("covered"),
+          r6(col("covered").cast("double") / col("n_eval").cast("double"))
+            .as("coverage"))
+        .ordered(col("segment"))
+    }),
+
+    // ---- Lakehouse: incremental materialized-view maintenance -----------
+    // The refresh path must NOT rescan history: both sides hold
+    // algebraic PARTIALS (count / sum / min / max over exact 1e-2
+    // integers, the sum on DECIMAL(38,0)), the snapshot aggregates
+    // orders strictly before the cutoff, the delta only the new ones,
+    // and the published view is a groupBy MERGE of the two partial
+    // frames — the classic aggregation monoid, so merged == full
+    // recompute. The oracle recomputes from scratch: the hash match IS
+    // the maintenance-correctness proof. At 100 TB the snapshot side
+    // is |groups| stored rows; the delta scan is the only fact work.
+    "q266_mv_merge" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val cutoff = "1999-01-01"
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+        .select(col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          floor(col("o_totalprice") * 1e2 + 0.5).cast("long").as("price2"),
+          to_date(col("o_orderdate")).as("od"))
+      def partials(df: DataFrame, isDelta: Int): DataFrame =
+        df.groupBy(col("priority"), col("yr"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price2").cast(d38)).as("sum2"),
+            min(col("price2")).as("min2"), max(col("price2")).as("max2"))
+          .withColumn("is_delta", lit(isDelta.toLong))
+      val snap = partials(o.filter(col("od") < lit(cutoff)), 0)
+      val delta = partials(o.filter(col("od") >= lit(cutoff)), 1)
+      snap.unionByName(delta)
+        .groupBy(col("priority"), col("yr"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          sum(col("sum2")).as("sum2"),
+          min(col("min2")).as("min2"), max(col("max2")).as("max2"),
+          max(col("is_delta")).as("changed"))
+        .select(col("priority"), col("yr"), col("n_orders"),
+          col("sum2").cast("long").as("total2"),
+          (col("min2").cast("double") / 1e2).as("min_price"),
+          (col("max2").cast("double") / 1e2).as("max_price"),
+          col("changed"))
+        .ordered(col("priority"), col("yr"))
+    }),
+
+    // ---- Product analytics: top session paths (ordered 3-grams) ---------
+    // Which ordered event-type triples do sessions actually walk? The
+    // navigation-path report behind funnel design: q221's 2h-gap
+    // sessionization, then every session's ordered type sequence
+    // contributes its consecutive 3-grams. The lead() windows
+    // partition per user — facts shuffle ONCE on user_id (the
+    // sessionization shuffle) and every window is user-local — and the
+    // path histogram is bounded by |types|^3, so the share/rank
+    // windows ride a <= 125-row grid, never the facts.
+    "q267_session_paths" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id"), col("sess_no"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val paths = e
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(wu) <= 7200000000L,
+            0L).otherwise(1L))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          wu.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("p2", lead(col("event_type"), 1).over(ws))
+        .withColumn("p3", lead(col("event_type"), 2).over(ws))
+        .filter(col("p2").isNotNull && col("p3").isNotNull)
+        .groupBy(col("event_type").as("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("n_paths"))
+      val wAll = Window.partitionBy()
+      paths
+        .withColumn("total", sum(col("n_paths")).over(wAll))
+        .select(col("p1"), col("p2"), col("p3"), col("n_paths"),
+          r6(col("n_paths").cast("double") / col("total").cast("double"))
+            .as("share"),
+          row_number().over(Window.orderBy(col("n_paths").desc,
+            col("p1"), col("p2"), col("p3"))).cast("long").as("rank"))
+        .ordered(col("rank"))
+    }),
   )
 
   /** q126's iteration count — shared with the generated oracle. */
@@ -14659,6 +14908,176 @@ object SparkEntry {
         |  CAST(list_min(lum) AS BIGINT) AS luma_min,
         |  CAST(list_max(lum) AS BIGINT) AS luma_max
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q19's cosine/rank pipeline at k=10 + label joins; the DCG
+    // discount and ideal-DCG curves are the SAME ndcgW/ndcgWCum integer
+    // literals the Spark side folds in, so both engines sum identical
+    // integers and divide once
+    "q263_retrieval_eval" -> {
+      val wCase = ndcgW.zipWithIndex.map { case (w, i) =>
+        s"WHEN rank = ${i + 1} THEN $w" }.mkString(" ")
+      val cumCase = ndcgWCum.zipWithIndex.map { case (w, i) =>
+        s"WHEN LEAST(n_rel, 10) = ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         |    label
+         |  FROM embeddings WHERE vec_id IS NOT NULL
+         |    AND embedding IS NOT NULL AND label IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, ev AS qv, label AS qlabel FROM emb
+         |  WHERE vec_id % 20 = 0),
+         |p AS (SELECT qid, qlabel, vec_id AS nid, label AS nlabel,
+         |    FLOOR(list_sum(list_apply(list_zip(qv, ev), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+         |       sqrt(list_sum(list_apply(ev, x -> x * x)))) * 1e6 + 0.5)
+         |      / 1e6 AS cos
+         |  FROM q, emb WHERE qid <> vec_id),
+         |r AS (SELECT qid, qlabel, nid, nlabel,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+         |  FROM p),
+         |t AS (SELECT qid, qlabel, rank,
+         |    CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+         |  FROM r WHERE rank <= 10),
+         |g AS (SELECT qid, MAX(qlabel) AS qlabel, SUM(rel) AS hits,
+         |    SUM(rel * CASE $wCase ELSE 0 END) AS dcg6,
+         |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM t GROUP BY qid),
+         |ln AS (SELECT label, COUNT(*) AS lab_n FROM emb GROUP BY 1),
+         |f AS (SELECT g.*, ln.lab_n - 1 AS n_rel FROM g
+         |  JOIN ln ON ln.label = g.qlabel)
+         |SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+         |  CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits,
+         |  CAST(CASE WHEN n_rel > 0 THEN FLOOR(CAST(dcg6 AS DOUBLE) /
+         |    CAST((CASE $cumCase ELSE 0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |    END AS DOUBLE) AS ndcg,
+         |  CAST(COALESCE(FLOOR(1e6 / first_rel + 0.5) / 1e6, 0.0)
+         |    AS DOUBLE) AS mrr,
+         |  CAST(FLOOR(hits * 1e6 / 10 + 0.5) / 1e6 AS DOUBLE) AS prec
+         |FROM f ORDER BY qid""".stripMargin
+    },
+
+    // identical deterministic raters (len >= 150 chars, >= 30 nonempty
+    // whitespace tokens) and the same exact-rational kappa on HUGEINT
+    "q264_rater_kappa" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN len(text) >= 150 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) >= 30 THEN 1 ELSE 0 END AS b
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND source IS NOT NULL),
+        |g AS (SELECT source, COUNT(*) AS n,
+        |    SUM(a * b) AS n11, SUM(a * (1 - b)) AS n10,
+        |    SUM((1 - a) * b) AS n01, SUM((1 - a) * (1 - b)) AS n00
+        |  FROM d GROUP BY 1),
+        |k AS (SELECT *,
+        |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+        |    CAST(n00 + n01 AS HUGEINT) * (n00 + n10) AS pe_num
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS po,
+        |  CAST(FLOOR(CAST(pe_num AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * n AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS pe,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n <> pe_num THEN
+        |    FLOOR(CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num
+        |      AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS kappa
+        |FROM k ORDER BY source""".stripMargin,
+
+    // the same grid-ridden nearest-rank order statistics: median rank
+    // n div 2 + 1, conformal rank ceil(0.9*(n+1)) in pure integers
+    "q265_conformal" ->
+      """WITH e AS (SELECT user_id % 4 AS segment,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS score2,
+        |    event_id % 2 AS half
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cal AS (SELECT segment, score2 FROM e WHERE half = 0),
+        |cg AS (SELECT segment, score2, COUNT(*) AS c FROM cal
+        |  GROUP BY 1, 2),
+        |cw AS (SELECT *, SUM(c) OVER (PARTITION BY segment ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY segment) AS n_cal FROM cg),
+        |med AS (SELECT segment, MAX(n_cal) AS n_cal,
+        |    MIN(CASE WHEN cum >= n_cal // 2 + 1 THEN score2 END) AS med
+        |  FROM cw GROUP BY 1),
+        |nc AS (SELECT cal.segment, ABS(score2 - med) AS nc
+        |  FROM cal JOIN med ON med.segment = cal.segment),
+        |ng AS (SELECT segment, nc, COUNT(*) AS c FROM nc GROUP BY 1, 2),
+        |nw AS (SELECT *, SUM(c) OVER (PARTITION BY segment ORDER BY nc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY segment) AS n_cal FROM ng),
+        |qh AS (SELECT segment,
+        |    MIN(CASE WHEN cum >= ((n_cal + 1) * 9 + 9) // 10 THEN nc END)
+        |      AS qhat
+        |  FROM nw GROUP BY 1),
+        |ev AS (SELECT e.segment, med.n_cal, med.med, qh.qhat,
+        |    COUNT(*) AS n_eval,
+        |    SUM(CASE WHEN ABS(score2 - med) <= qhat THEN 1 ELSE 0 END)
+        |      AS covered
+        |  FROM e JOIN med ON med.segment = e.segment
+        |    JOIN qh ON qh.segment = e.segment
+        |  WHERE half = 1 GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(n_cal AS BIGINT) AS n_cal, CAST(med AS BIGINT) AS med,
+        |  CAST(qhat AS BIGINT) AS qhat,
+        |  CAST(qhat * 2 AS BIGINT) AS width,
+        |  CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(covered AS BIGINT) AS covered,
+        |  CAST(FLOOR(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS coverage
+        |FROM ev ORDER BY segment""".stripMargin,
+
+    // full recompute from scratch — the hash match against the engine's
+    // partial-merge route IS the maintenance-correctness proof
+    "q266_mv_merge" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS price2,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END AS is_delta
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL)
+        |SELECT priority, yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(price2 AS HUGEINT)) AS BIGINT) AS total2,
+        |  CAST(MIN(price2) AS DOUBLE) / 1e2 AS min_price,
+        |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
+        |  CAST(MAX(is_delta) AS BIGINT) AS changed
+        |FROM o GROUP BY 1, 2 ORDER BY priority, yr""".stripMargin,
+
+    // q221's sessionization verbatim, then consecutive type 3-grams
+    // via LEAD over the session order; share/rank ride the path grid
+    "q267_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN us - LAG(us) OVER w <= 7200000000
+        |    THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |n AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sess_no FROM f),
+        |t AS (SELECT event_type AS p1,
+        |    LEAD(event_type, 1) OVER w2 AS p2,
+        |    LEAD(event_type, 2) OVER w2 AS p3
+        |  FROM n WINDOW w2 AS (PARTITION BY user_id, sess_no
+        |    ORDER BY us, event_id)),
+        |g AS (SELECT p1, p2, p3, COUNT(*) AS n_paths FROM t
+        |  WHERE p2 IS NOT NULL AND p3 IS NOT NULL GROUP BY 1, 2, 3),
+        |w AS (SELECT *, SUM(n_paths) OVER () AS total FROM g)
+        |SELECT p1, p2, p3, CAST(n_paths AS BIGINT) AS n_paths,
+        |  CAST(FLOOR(CAST(n_paths AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS share,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, p1, p2, p3)
+        |    AS BIGINT) AS rank
+        |FROM w ORDER BY rank""".stripMargin,
   )
 
   /** q39's DuckDB twin, generated from the SAME fitted IVF index the Spark

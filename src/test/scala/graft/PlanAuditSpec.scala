@@ -101,6 +101,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q253: the per-stage ledger rows are ONE-ROW count aggregates
     *     crossed together (q190 shape); the pair stage itself is pinned
     *     to the prefix-index plan (allPairsMax = 0), never a crossJoin.
+    *   - q263: the candidate stage is q19's bounded-broadcast exact
+    *     baseline (the NDCG/MRR scoring tail is per-query arithmetic
+    *     over k rows; at scale the candidates swap to annTopK/IVFPQ,
+    *     documented in the query).
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -114,7 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
     "q246_hazard", "q248_mmr_rerank", "q251_collocations",
-    "q253_dedup_cascade")
+    "q253_dedup_cascade", "q263_retrieval_eval")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
