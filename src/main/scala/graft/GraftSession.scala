@@ -30,6 +30,21 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Long-lived-driver hygiene: the app/SQL status stores retain
+    // per-execution detail — including FULL plan strings, which for
+    // literal-heavy plans (PQ/IVF codebooks, q24's hyperplane tables)
+    // run to megabytes each — for 1000 executions by default, UI
+    // enabled or not. A driver that issues hundreds of queries
+    // accumulates that as old-gen heap and pays the GC tax on
+    // whatever runs LAST (measured on the bench suite: q239 warm
+    // pass 2.9 s with 68 queries of retained state vs 9.5 s with
+    // 262). Production services sizing drivers for query THROUGHPUT
+    // want the same bounds.
+    .config("spark.sql.ui.retainedExecutions", "16")
+    .config("spark.ui.retainedJobs", "200")
+    .config("spark.ui.retainedStages", "200")
+    .config("spark.ui.retainedTasks", "2000")
+    .config("spark.ui.retainedDeadExecutors", "10")
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val s = tune(

@@ -639,15 +639,26 @@ object Scaling {
       // collapse map-side into the same frame; wall must track the scan
       "conformal" ->
         (dir => SparkEntry.queries("q265_conformal")(spark, dir)),
-      // q266: the merged view is |priority × year| rows; wall must
-      // track the orders scan (two partial-agg passes over disjoint
-      // halves = one full scan of facts)
-      "mv_merge" ->
-        (dir => SparkEntry.queries("q266_mv_merge")(spark, dir)),
+      // q266: wall must track the TOUCHED-group history rescan + delta,
+      // never the untouched-majority passthrough (which reads only the
+      // stored |groups|-row view) — the selective-refresh claim itself
+      "mv_refresh" ->
+        (dir => SparkEntry.queries("q266_mv_refresh")(spark, dir)),
       // q267: one user_id shuffle (sessionization), user-local windows,
       // |types|³-bounded path grid — wall must track the events scan
-      "session_paths" ->
-        (dir => SparkEntry.queries("q267_session_paths")(spark, dir)),
+      "path_trigrams" ->
+        (dir => SparkEntry.queries("q267_path_trigrams")(spark, dir)),
+      // q268: pair work is Σ|basket|² (per-order line cap bounds each
+      // term), so 10× orders ⇒ ~10× pairs; the top-k window partitions
+      // per item over the pair table — wall must track the pair count,
+      // never catalog²
+      "item_cf" ->
+        (dir => SparkEntry.queries("q268_item_cf")(spark, dir)),
+      // q269: facts collapse map-side to the |ctx|·|actions| cell grid
+      // — wall must track the events scan, the estimator rides ≤20
+      // rows whatever the volume
+      "ips" ->
+        (dir => SparkEntry.queries("q269_ips_offpolicy")(spark, dir)),
       // q239's ADC scan with a FIXED query set and codebook (fit on the
       // base replica): the scored side grows 10× but carries only m=8
       // codes per row — wall must track the encoded-corpus scan

@@ -8386,58 +8386,180 @@ object SparkEntry {
         .ordered(col("segment"))
     }),
 
-    // ---- Lakehouse: incremental materialized-view maintenance -----------
-    // The refresh path must NOT rescan history: both sides hold
-    // algebraic PARTIALS (count / sum / min / max over exact 1e-2
-    // integers, the sum on DECIMAL(38,0)), the snapshot aggregates
-    // orders strictly before the cutoff, the delta only the new ones,
-    // and the published view is a groupBy MERGE of the two partial
-    // frames — the classic aggregation monoid, so merged == full
-    // recompute. The oracle recomputes from scratch: the hash match IS
-    // the maintenance-correctness proof. At 100 TB the snapshot side
-    // is |groups| stored rows; the delta scan is the only fact work.
-    "q266_mv_merge" -> ((s, dir) => {
+    // ---- Lakehouse: selective MV refresh (non-invertible aggregates) ----
+    // q195 maintains count/sum by coalesced MERGE — impossible for
+    // min/max, which don't subtract. The production answer is
+    // touched-group recompute: the delta names the groups it touches
+    // (a broadcast-sized distinct), history is rescanned ONLY for
+    // those groups (at scale a partition/bucket-pruned semi-join —
+    // the group key is the natural bucketing key), and every
+    // UNTOUCHED stored row passes through from the materialized view
+    // unread-from-facts. The group key (priority × customer bucket)
+    // deliberately does NOT align with the time cutoff, so pruning is
+    // by CONTENT, never by the partition axis. The stored view is a
+    // REAL storage hop (q164/q195 discipline). The oracle recomputes
+    // the whole view from scratch: the hash match proves
+    // passthrough ∪ recompute == full refresh, min/max included.
+    "q266_mv_refresh" -> ((s, dir) => {
       val d38 = "decimal(38,0)"
-      val cutoff = "1999-01-01"
+      val cutoff = "2001-06-01"
+      val out = scratchDir("mvrefresh", dir)
       val o = Tables(s, dir, "orders")
         .filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull &&
-          col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+          col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull && col("o_custkey").isNotNull)
         .select(col("o_orderpriority").as("priority"),
-          year(col("o_orderdate")).cast("long").as("yr"),
+          (col("o_custkey") % 1000).cast("long").as("cust_bucket"),
           floor(col("o_totalprice") * 1e2 + 0.5).cast("long").as("price2"),
           to_date(col("o_orderdate")).as("od"))
-      def partials(df: DataFrame, isDelta: Int): DataFrame =
-        df.groupBy(col("priority"), col("yr"))
-          .agg(count(lit(1)).as("cnt"),
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("priority"), col("cust_bucket"))
+          .agg(count(lit(1)).as("n_orders"),
             sum(col("price2").cast(d38)).as("sum2"),
             min(col("price2")).as("min2"), max(col("price2")).as("max2"))
-          .withColumn("is_delta", lit(isDelta.toLong))
-      val snap = partials(o.filter(col("od") < lit(cutoff)), 0)
-      val delta = partials(o.filter(col("od") >= lit(cutoff)), 1)
-      snap.unionByName(delta)
-        .groupBy(col("priority"), col("yr"))
-        .agg(sum(col("cnt")).as("n_orders"),
-          sum(col("sum2")).as("sum2"),
-          min(col("min2")).as("min2"), max(col("max2")).as("max2"),
-          max(col("is_delta")).as("changed"))
-        .select(col("priority"), col("yr"), col("n_orders"),
+      agg(o.filter(col("od") < lit(cutoff)))
+        .write.mode("overwrite").parquet(s"$out/mv_v1")
+      val stored = s.read.parquet(s"$out/mv_v1")
+      val delta = o.filter(col("od") >= lit(cutoff))
+      val touched = delta.select(col("priority"), col("cust_bucket"))
+        .distinct()
+      val hist = o.filter(col("od") < lit(cutoff))
+        .join(broadcast(touched), Seq("priority", "cust_bucket"),
+          "left_semi")
+      val refreshed = agg(hist.unionByName(delta))
+        .withColumn("changed", lit(1L))
+      val passthrough = stored
+        .join(broadcast(touched), Seq("priority", "cust_bucket"),
+          "left_anti")
+        .withColumn("changed", lit(0L))
+      passthrough.unionByName(refreshed)
+        .select(col("priority"), col("cust_bucket"), col("n_orders"),
           col("sum2").cast("long").as("total2"),
           (col("min2").cast("double") / 1e2).as("min_price"),
           (col("max2").cast("double") / 1e2).as("max_price"),
           col("changed"))
-        .ordered(col("priority"), col("yr"))
+        .ordered(col("priority"), col("cust_bucket"))
     }),
 
-    // ---- Product analytics: top session paths (ordered 3-grams) ---------
-    // Which ordered event-type triples do sessions actually walk? The
-    // navigation-path report behind funnel design: q221's 2h-gap
-    // sessionization, then every session's ordered type sequence
-    // contributes its consecutive 3-grams. The lead() windows
-    // partition per user — facts shuffle ONCE on user_id (the
-    // sessionization shuffle) and every window is user-local — and the
-    // path histogram is bounded by |types|^3, so the share/rank
-    // windows ride a <= 125-row grid, never the facts.
-    "q267_session_paths" -> ((s, dir) => {
+    // ---- Recommendation: item-item cosine co-occurrence (ItemCF) --------
+    // The classic batch recommender: two items are similar when they
+    // share baskets, cosine-normalized so hub items don't dominate —
+    // cos(a,b) = c_ab / sqrt(c_a·c_b) over basket co-occurrence
+    // counts. Distinct from q190's category-level association RULES
+    // (support/confidence/lift over ~100 categories): this ranks
+    // CATALOG-sized item neighbors. Scale shape: pair generation is a
+    // basket self-join — work is Σ|basket|², bounded by the per-order
+    // line cap, never catalog² — and the top-k window partitions per
+    // item. Integer counts; one sqrt+division per pair, quantized to
+    // the 1e-6 grid BEFORE ranking (the cosineTopK discipline).
+    "q268_item_cf" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+        .distinct()
+      val cnt = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val half = li.as("a")
+        .join(li.as("b"), col("a.bk") === col("b.bk"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("cab"))
+      val sym = half.unionByName(half.select(col("ib").as("ia"),
+        col("ia").as("ib"), col("cab")))
+      val scored = sym
+        .join(cnt.select(col("item").as("ia"), col("c").as("ca")), "ia")
+        .join(cnt.select(col("item").as("ib"), col("c").as("cb")), "ib")
+        .withColumn("cos", r6(col("cab").cast("double") /
+          sqrt((col("ca") * col("cb")).cast("double"))))
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy(col("ia"))
+          .orderBy(col("cos").desc, col("ib"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("ia"), col("ib"), col("cab"), col("ca"), col("cb"),
+          col("cos"), col("rank"))
+        .ordered(col("ia"), col("rank"))
+    }),
+
+    // ---- Model evaluation: off-policy value estimate (IPS) --------------
+    // Counterfactual policy evaluation from logged data — "what would
+    // this targeting policy have earned?" — via inverse-propensity
+    // scoring with empirical logging propensities p̂(a|ctx) =
+    // n_cell/n_ctx. The estimate collapses to the (context × action)
+    // CELL GRID: V̂ = (1/N)·Σ_ctx R_cell(ctx,π(ctx))·n_ctx/n_cell —
+    // one floored division per context (q262's quantize-before-sum
+    // discipline), everything else exact integers. Policies: the two
+    // constant arms and the per-context empirical-argmax arm, whose
+    // argmax compares 1e-6-quantized mean rewards (cross-engine-exact
+    // tie order). A context where the policy's arm was never logged is
+    // an overlap violation — contrib NULL, never 0 (standard IPS
+    // failure mode, surfaced not hidden). Facts collapse map-side to
+    // ≤ |ctx|·|actions| cells; every window rides that grid.
+    "q269_ips_offpolicy" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("ctx"),
+          col("event_type").as("action"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("r2"))
+      val wAll = Window.partitionBy()
+      val wCtx = Window.partitionBy(col("ctx"))
+      val grid = e.groupBy(col("ctx"), col("action"))
+        .agg(count(lit(1)).as("n_cell"), sum(col("r2")).as("r2_cell"))
+        .withColumn("n_ctx", sum(col("n_cell")).over(wCtx))
+        .withColumn("n_tot", sum(col("n_cell")).over(wAll))
+        .withColumn("mean6",
+          floor(col("r2_cell").cast("double") * 1e4 /
+            col("n_cell").cast("double") + 0.5).cast("long"))
+      // the empirical-argmax arm per context (tie: action asc)
+      val best = grid
+        .withColumn("rk", row_number().over(wCtx.orderBy(
+          col("mean6").desc, col("action"))))
+        .filter(col("rk") === 1)
+        .select(lit("argmax").as("policy"), col("ctx"),
+          col("action").as("pi_action"))
+      val constant = grid.select(col("ctx")).distinct()
+        .select(col("ctx"), explode(typedLit(Seq(
+          ("always_click", "click"), ("always_purchase", "purchase"))))
+          .as("p"))
+        .select(col("p._1").as("policy"), col("ctx"),
+          col("p._2").as("pi_action"))
+      val policies = best.unionByName(constant)
+      val g2 = grid.select(col("ctx").as("g_ctx"),
+        col("action").as("g_action"), col("n_cell"), col("r2_cell"),
+        col("n_ctx"), col("n_tot"))
+      val wPol = Window.partitionBy(col("policy"))
+      policies
+        .join(g2, col("ctx") === col("g_ctx") &&
+          col("pi_action") === col("g_action"), "left")
+        .withColumn("contrib6",
+          when(col("n_cell") > 0,
+            floor((col("r2_cell").cast(d38) * col("n_ctx").cast(d38))
+              .cast("double") / (col("n_cell").cast("double") *
+                col("n_tot").cast("double") * 100) * 1e6 + 0.5)
+              .cast("long")))
+        .withColumn("viol",
+          sum(when(col("contrib6").isNull, 1L).otherwise(0L)).over(wPol))
+        .select(col("policy"), col("ctx"), col("pi_action"),
+          coalesce(col("n_cell"), lit(0L)).as("n_cell"),
+          (col("contrib6").cast("double") / 1e6).as("contrib"),
+          when(col("viol") === 0,
+            sum(col("contrib6")).over(wPol).cast("double") / 1e6)
+            .as("v_ips"))
+        .ordered(col("policy"), col("ctx"))
+    }),
+
+    // ---- Product analytics: session path trigrams -----------------------
+    // The bounded-grid complement to q182's full-path mining: q182's
+    // whole-session path strings form an UNBOUNDED domain (a 40-event
+    // session is its own path), so its histogram grows with behavioral
+    // diversity; decomposing into consecutive type 3-grams bounds the
+    // grid at |types|^3 regardless of session length — the n-gram
+    // trade every sequence-mining pipeline makes. Same q221 2h-gap
+    // sessionization; the lead() windows partition per user — facts
+    // shuffle ONCE on user_id and every window is user-local — and the
+    // share/rank windows ride the <= 125-row grid, never the facts.
+    "q267_path_trigrams" -> ((s, dir) => {
       def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val e = Tables.events(s, dir)
         .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
@@ -15032,26 +15154,94 @@ object SparkEntry {
         |FROM ev ORDER BY segment""".stripMargin,
 
     // full recompute from scratch — the hash match against the engine's
-    // partial-merge route IS the maintenance-correctness proof
-    "q266_mv_merge" ->
+    // passthrough ∪ touched-group-recompute route IS the selective-
+    // refresh correctness proof (min/max can't merge; only recompute)
+    "q266_mv_refresh" ->
       """WITH o AS (SELECT o_orderpriority AS priority,
-        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_custkey % 1000 AS cust_bucket,
         |    CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS price2,
-        |    CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+        |    CASE WHEN o_orderdate >= TIMESTAMP '2001-06-01'
         |      THEN 1 ELSE 0 END AS is_delta
         |  FROM orders WHERE o_orderkey IS NOT NULL
         |    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
-        |    AND o_orderpriority IS NOT NULL)
-        |SELECT priority, yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    AND o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL)
+        |SELECT priority, CAST(cust_bucket AS BIGINT) AS cust_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(price2 AS HUGEINT)) AS BIGINT) AS total2,
         |  CAST(MIN(price2) AS DOUBLE) / 1e2 AS min_price,
         |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
         |  CAST(MAX(is_delta) AS BIGINT) AS changed
-        |FROM o GROUP BY 1, 2 ORDER BY priority, yr""".stripMargin,
+        |FROM o GROUP BY 1, 2 ORDER BY priority, cust_bucket""".stripMargin,
+
+    // the same basket self-join, symmetrized pair counts, and
+    // quantize-before-rank cosine
+    "q268_item_cf" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
+        |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
+        |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, cab FROM half
+        |  UNION ALL SELECT ib, ia, cab FROM half),
+        |scored AS (SELECT ia, ib, cab, ca.c AS ca, cb.c AS cb,
+        |    FLOOR(CAST(cab AS DOUBLE) /
+        |      sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM sym JOIN cnt ca ON ca.item = ia
+        |    JOIN cnt cb ON cb.item = ib),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ia
+        |    ORDER BY cos DESC, ib) AS BIGINT) AS rank FROM scored)
+        |SELECT ia, ib, CAST(cab AS BIGINT) AS cab,
+        |  CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |  CAST(cos AS DOUBLE) AS cos, rank
+        |FROM r WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // the same cell grid, quantized-mean argmax arm, and per-context
+    // floored IPS contributions; overlap violations stay NULL
+    "q269_ips_offpolicy" ->
+      """WITH e AS (SELECT user_id % 4 AS ctx, event_type AS action,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS r2
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT ctx, action, COUNT(*) AS n_cell, SUM(r2) AS r2_cell
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, SUM(n_cell) OVER (PARTITION BY ctx) AS n_ctx,
+        |    SUM(n_cell) OVER () AS n_tot,
+        |    CAST(FLOOR(CAST(r2_cell AS DOUBLE) * 1e4 /
+        |      CAST(n_cell AS DOUBLE) + 0.5) AS BIGINT) AS mean6
+        |  FROM g),
+        |best AS (SELECT 'argmax' AS policy, ctx, action AS pi_action
+        |  FROM (SELECT ctx, action, ROW_NUMBER() OVER (PARTITION BY ctx
+        |      ORDER BY mean6 DESC, action) AS rk FROM w)
+        |  WHERE rk = 1),
+        |co AS (SELECT p.policy, c.ctx, p.pi_action FROM
+        |  (SELECT DISTINCT ctx FROM g) c,
+        |  (VALUES ('always_click', 'click'),
+        |    ('always_purchase', 'purchase')) AS p(policy, pi_action)),
+        |pol AS (SELECT * FROM best UNION ALL SELECT * FROM co),
+        |j AS (SELECT pol.policy, pol.ctx, pol.pi_action, w.n_cell,
+        |    w.r2_cell, w.n_ctx, w.n_tot
+        |  FROM pol LEFT JOIN w ON w.ctx = pol.ctx
+        |    AND w.action = pol.pi_action),
+        |k AS (SELECT *, CASE WHEN n_cell > 0 THEN
+        |    CAST(FLOOR(CAST(CAST(r2_cell AS HUGEINT) * n_ctx AS DOUBLE) /
+        |      (CAST(n_cell AS DOUBLE) * CAST(n_tot AS DOUBLE) * 100)
+        |      * 1e6 + 0.5) AS BIGINT) END AS contrib6 FROM j),
+        |v AS (SELECT *, SUM(CASE WHEN contrib6 IS NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY policy) AS viol,
+        |    SUM(contrib6) OVER (PARTITION BY policy) AS vsum FROM k)
+        |SELECT policy, CAST(ctx AS BIGINT) AS ctx, pi_action,
+        |  CAST(COALESCE(n_cell, 0) AS BIGINT) AS n_cell,
+        |  CAST(CAST(contrib6 AS DOUBLE) / 1e6 AS DOUBLE) AS contrib,
+        |  CAST(CASE WHEN viol = 0 THEN CAST(vsum AS DOUBLE) / 1e6 END
+        |    AS DOUBLE) AS v_ips
+        |FROM v ORDER BY policy, ctx""".stripMargin,
 
     // q221's sessionization verbatim, then consecutive type 3-grams
     // via LEAD over the session order; share/rank ride the path grid
-    "q267_session_paths" ->
+    "q267_path_trigrams" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |    event_type
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
