@@ -659,6 +659,71 @@ object Scaling {
       // rows whatever the volume
       "ips" ->
         (dir => SparkEntry.queries("q269_ips_offpolicy")(spark, dir)),
+      // q270: per-fold contingency-grid AUC — the grid is (fold ×
+      // score-domain)-bounded, so wall must track the events scan
+      "cv_folds" ->
+        (dir => SparkEntry.queries("q270_cv_folds")(spark, dir)),
+      // q272: streaming state is observed (window × 512-bucket) cells —
+      // domain-bounded per window; wall must track the stream replay
+      "stream_auc" ->
+        (dir => SparkEntry.queries("q272_stream_auc")(spark, dir)),
+      // q273's shape: O(n·nlist) against literal centroids, never
+      // point×point — the index is a fit-once artifact (ivfpqModels,
+      // base corpus, the pq_adc/ivfpq posture), so this row measures
+      // the PROBE path; wall must track the corpus scan
+      "silhouette" -> (dir => {
+        val (ivf, _) = ivfpqModels
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val scores = array(ivf.centroids.sortBy(_._1).map {
+          case (_, cv, n2) =>
+            Similarity.dot(col("embedding"), typedlit(cv)) - lit(n2 / 2)
+        }: _*)
+        emb.withColumn("ss", scores)
+          .withColumn("smax", array_max(col("ss")))
+          .withColumn("cell",
+            (array_position(col("ss"), col("smax")) - 1).cast("int"))
+          .withColumn("s2nd",
+            array_max(filter(col("ss"), (_, i) => i =!= col("cell"))))
+          .withColumn("nrm2",
+            Similarity.dot(col("embedding"), col("embedding")))
+          .withColumn("a",
+            sqrt(greatest(col("nrm2") - col("smax") * 2, lit(0.0))))
+          .withColumn("b",
+            sqrt(greatest(col("nrm2") - col("s2nd") * 2, lit(0.0))))
+          .withColumn("s6", when(greatest(col("a"), col("b")) > 0,
+            floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+              * 1e6 + 0.5).cast("long")))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), sum(col("s6")).as("ssum"))
+      }),
+      // q271: the retrieval_eval posture — FIXED anchor batch (base
+      // replica), corpus 10×; the mining windows ride anchors×k rows
+      "hard_mining" -> (dir => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+        val queries = emb
+          .filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+        val t = topk
+          .join(emb.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), "nid")
+          .join(broadcast(emb.select(col("vec_id").as("qid"),
+            col("label").as("qlabel"))), "qid")
+          .withColumn("rel", (col("nlabel") === col("qlabel")).cast("int"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+        t.filter(col("rel") === 0)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(wq.orderBy(col("cos").desc, col("nid"))))
+          .filter(col("rn") === 1)
+          .groupBy().agg(count(lit(1)).as("n_anchors"),
+            sum(col("cos")).as("s"))
+      }),
       // q239's ADC scan with a FIXED query set and codebook (fit on the
       // base replica): the scored side grows 10× but carries only m=8
       // codes per row — wall must track the encoded-corpus scan

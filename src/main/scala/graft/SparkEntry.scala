@@ -8441,6 +8441,207 @@ object SparkEntry {
         .ordered(col("priority"), col("cust_bucket"))
     }),
 
+    // ---- Streaming: windowed online AUC monitor -------------------------
+    // q258's evaluation as a CONTINUOUS gate: the stream aggregates
+    // the (hour-window × coarse score bucket) contingency grid — the
+    // only state is observed (window, bucket) cells, bounded by the
+    // 512-bucket domain per window, never the facts (the coarser
+    // quantum is the state-size trade; the tie-midrank AUC at that
+    // quantum is what the oracle replays, exactly) — and the per-
+    // window AUC finalizes over the collected grid (windows × ≤512
+    // rows, driver-sized by construction, the q136 sketch-finalize
+    // shape). A production monitor alerts when a window's AUC drops;
+    // this is that report, oracle-checked through batch replay.
+    "q272_stream_auc" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val schema = Tables(s, dir, "events").schema
+      // layout branch (q250 lesson): a replica table is a DIRECTORY of
+      // part files, where the dir-level glob idiom matches nothing
+      val tablePath = s"$dir/events.parquet"
+      val reader = s.readStream.schema(schema)
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          reader.parquet(tablePath)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("ts_us"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)),
+            lit(511L)).as("sb"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val agg = stream
+        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
+          col("sb"))
+        .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("q"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("sb"),
+          col("p"), col("q"))
+      val grid = Streams.runToMemory(agg, s"q272_mem_${System.nanoTime()}")
+      val below = Window.partitionBy(col("w_start")).orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val incl = Window.partitionBy(col("w_start")).orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("w_start"))
+      grid
+        .withColumn("negBelow",
+          coalesce(sum(col("q")).over(below), lit(0L)))
+        .withColumn("cumP", sum(col("p")).over(incl))
+        .withColumn("cumQ", sum(col("q")).over(incl))
+        .withColumn("ptot", sum(col("p")).over(wAll))
+        .withColumn("qtot", sum(col("q")).over(wAll))
+        .groupBy(col("w_start"))
+        .agg(max(col("ptot")).as("n_pos"), max(col("qtot")).as("n_neg"),
+          sum(col("p").cast(d38) *
+            (col("negBelow") * 2 + col("q")).cast(d38)).as("u2"),
+          max(abs(col("cumP").cast(d38) * col("qtot").cast(d38) -
+            col("cumQ").cast(d38) * col("ptot").cast(d38))).as("ksn"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("w_start"), col("n_pos"), col("n_neg"),
+          r6(col("u2").cast("double") / (col("n_pos").cast("double") *
+            col("n_neg").cast("double") * 2)).as("auc"),
+          r6(col("ksn").cast("double") / (col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("ks"))
+        .ordered(col("w_start"))
+    }),
+
+    // ---- Clustering evaluation: simplified silhouette -------------------
+    // How separable are the IVF cells q39/q89/q240 ride? The
+    // simplified (centroid-based) silhouette: a(i) = distance to own
+    // centroid, b(i) = distance to the nearest OTHER centroid, s(i) =
+    // (b−a)/max(a,b) — O(n·nlist) against plan-literal centroids,
+    // never point×point. Distances derive from the SAME score fold
+    // the assignment uses (dist² = ‖v‖² − 2·score), so the geometry
+    // cannot drift from the index; per-point s quantized to the 1e-6
+    // grid before the per-cell integer mean (q262 discipline). The
+    // oracle is generated from the run's fitted centroids (the q39/
+    // q89 run-state contract) and replays everything.
+    "q273_silhouette" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, _) = ivfAcquire(s, dir, corpus)
+      val scores = array(index.centroids.sortBy(_._1).map {
+        case (_, cv, n2) =>
+          Similarity.dot(col("embedding"), typedlit(cv)) - lit(n2 / 2)
+      }: _*)
+      val pts = emb
+        .withColumn("ss", scores)
+        .withColumn("smax", array_max(col("ss")))
+        .withColumn("cell",
+          (array_position(col("ss"), col("smax")) - 1).cast("int"))
+        .withColumn("s2nd",
+          array_max(filter(col("ss"), (_, i) => i =!= col("cell"))))
+        .withColumn("nrm2",
+          Similarity.dot(col("embedding"), col("embedding")))
+        .withColumn("a",
+          sqrt(greatest(col("nrm2") - col("smax") * 2, lit(0.0))))
+        .withColumn("b",
+          sqrt(greatest(col("nrm2") - col("s2nd") * 2, lit(0.0))))
+        .withColumn("s6", when(greatest(col("a"), col("b")) > 0,
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * 1e6 + 0.5).cast("long")))
+      pts.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), count(col("s6")).as("n_scored"),
+          sum(col("s6")).as("ssum"),
+          min(col("s6")).as("smin"), max(col("s6")).as("smax6"))
+        .select(col("cell"), col("n"), col("n_scored"),
+          when(col("n_scored") > 0,
+            floor(col("ssum").cast("double") /
+              col("n_scored").cast("double") + 0.5) / 1e6).as("mean_s"),
+          (col("smin").cast("double") / 1e6).as("min_s"),
+          (col("smax6").cast("double") / 1e6).as("max_s"))
+        .ordered(col("cell"))
+    }),
+
+    // ---- Model evaluation: k-fold metric stability ----------------------
+    // Is the AUC a property of the model or of the split? Five
+    // deterministic folds (event_id % 5), Eval.rankingMetrics per fold
+    // — the contingency-grid AUC machinery, no global sort at any
+    // fold — then across-fold mean and variance computed on the
+    // 1e-6-integer AUCs over the 5-row fold grid: var_num =
+    // k·Σa² − (Σa)² stays an exact integer (q262's quantize-before-
+    // sum discipline), one floored division at the edge. The spread IS
+    // the report: a fold-sensitive metric means the evaluation, not
+    // the model, is moving.
+    "q270_cv_folds" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("event_id") % 5).cast("long").as("fold"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("score2"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val folds = Eval.rankingMetrics(e, "score2", "y", Seq("fold"))
+        .select(col("fold"), col("n_pos"), col("n_neg"), col("auc"),
+          col("ks"))
+        .withColumn("auc6", floor(col("auc") * 1e6 + 0.5).cast("long"))
+      val wAll = Window.partitionBy()
+      folds
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("sa", sum(col("auc6")).over(wAll))
+        .withColumn("sa2",
+          sum((col("auc6") * col("auc6")).cast(d38)).over(wAll))
+        .select(col("fold"), col("n_pos"), col("n_neg"), col("auc"),
+          col("ks"),
+          r6(col("sa").cast("double") / (col("k").cast("double") * 1e6))
+            .as("mean_auc"),
+          r6((col("k").cast(d38) * col("sa2") -
+            col("sa").cast(d38) * col("sa").cast(d38)).cast("double") /
+            (col("k").cast("double") * col("k").cast("double") * 1e12))
+            .as("var_auc"))
+        .ordered(col("fold"))
+    }),
+
+    // ---- Training-data curation: hard-example mining --------------------
+    // Contrastive training wants, per anchor, the most-confusable
+    // wrong-class neighbor (hard negative: highest-cosine different-
+    // label in the top-k) and the least-confident right-class neighbor
+    // (hard positive: lowest-cosine same-label in the top-k). Rides
+    // q263's audited candidate stage (annTopK/IVFPQ at scale, mining
+    // tail unchanged); the mining itself is two rank windows over the
+    // queries×k candidate rows. An anchor whose top-k is single-class
+    // emits NULL on the missing side — absence is the signal (nothing
+    // confusable nearby), never a fabricated pair.
+    "q271_hard_mining" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+          col("label").isNotNull)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+      val nLab = emb.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"))
+      val qLab = emb.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))
+      val t = topk.join(nLab, "nid").join(broadcast(qLab), "qid")
+        .withColumn("rel", (col("nlabel") === col("qlabel")).cast("int"))
+      val wq = Window.partitionBy(col("qid"))
+      val neg = t.filter(col("rel") === 0)
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid").as("hard_neg_id"),
+          col("cos").as("hard_neg_cos"))
+      val pos = t.filter(col("rel") === 1)
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("cos").asc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid").as("hard_pos_id"),
+          col("cos").as("hard_pos_cos"))
+      emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        .join(neg, Seq("qid"), "left")
+        .join(pos, Seq("qid"), "left")
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("hard_neg_id"), col("hard_neg_cos"),
+          col("hard_pos_id"), col("hard_pos_cos"))
+        .ordered(col("qid"))
+    }),
+
     // ---- Recommendation: item-item cosine co-occurrence (ItemCF) --------
     // The classic batch recommender: two items are similar when they
     // share baskets, cosine-normalized so hub items don't dominate —
@@ -8840,7 +9041,57 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
-      q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql
+      q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql ++
+      q273OracleSql
+
+  /** q273's run-state oracle ([[q89OracleSql]] contract): the same
+    * fitted centroids replayed for assignment, the second-best cell via
+    * an index-filtered list max, exact distances through the identity
+    * dist² = ‖v‖² − 2·score, and the per-cell silhouette report —
+    * everything recomputed from the inlined double literals. */
+  private def q273OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k => Option(ivfCache.get(k))).map { m =>
+      val cents = m.centroids.sortBy(_._1)
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }
+        .mkString("[\n    ", ",\n    ", "]")
+      "q273_silhouette" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           |  FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |cs AS (SELECT vec_id, ev, $scores AS ss FROM v),
+           |d AS (SELECT vec_id, ev, ss,
+           |    list_aggregate(ss, 'max') AS smax,
+           |    list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM cs),
+           |e AS (SELECT vec_id, cell, smax,
+           |    list_aggregate(list_filter(ss, (x, i) -> i - 1 != cell),
+           |      'max') AS s2nd,
+           |    list_sum(list_apply(ev, x -> x * x)) AS nrm2
+           |  FROM d),
+           |f AS (SELECT vec_id, cell,
+           |    sqrt(GREATEST(nrm2 - smax * 2, 0)) AS a,
+           |    sqrt(GREATEST(nrm2 - s2nd * 2, 0)) AS b
+           |  FROM e),
+           |h AS (SELECT cell, CASE WHEN GREATEST(a, b) > 0 THEN
+           |    CAST(FLOOR((b - a) / GREATEST(a, b) * 1e6 + 0.5) AS BIGINT)
+           |    END AS s6 FROM f)
+           |SELECT CAST(cell AS INT) AS cell,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(s6) AS BIGINT) AS n_scored,
+           |  CAST(CASE WHEN COUNT(s6) > 0 THEN
+           |    FLOOR(CAST(SUM(s6) AS DOUBLE) / COUNT(s6) + 0.5) / 1e6
+           |    END AS DOUBLE) AS mean_s,
+           |  CAST(CAST(MIN(s6) AS DOUBLE) / 1e6 AS DOUBLE) AS min_s,
+           |  CAST(CAST(MAX(s6) AS DOUBLE) / 1e6 AS DOUBLE) AS max_s
+           |FROM h GROUP BY 1 ORDER BY cell""".stripMargin
+    }.toMap
+  }
 
   // ---- PQ oracle SQL builders, shared by q239 and q240 ---------------
   private def pqZipDot(a: String, b: String): String =
@@ -15172,6 +15423,132 @@ object SparkEntry {
         |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
         |  CAST(MAX(is_delta) AS BIGINT) AS changed
         |FROM o GROUP BY 1, 2 ORDER BY priority, cust_bucket""".stripMargin,
+
+    // batch replay of the stream: epoch-aligned hour windows (Spark's
+    // tumbling window() aligns to the epoch in UTC), the same coarse
+    // clamped score buckets, and q258's grid AUC per window
+    "q272_stream_auc" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+        |    LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 511) AS sb,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT w_start, sb, SUM(y) AS p, SUM(1 - y) AS q
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT w_start, p, q,
+        |    COALESCE(SUM(q) OVER (PARTITION BY w_start ORDER BY sb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    SUM(p) OVER (PARTITION BY w_start ORDER BY sb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+        |    SUM(q) OVER (PARTITION BY w_start ORDER BY sb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+        |    SUM(p) OVER (PARTITION BY w_start) AS pp,
+        |    SUM(q) OVER (PARTITION BY w_start) AS qq
+        |  FROM g),
+        |a AS (SELECT w_start, MAX(pp) AS n_pos, MAX(qq) AS n_neg,
+        |    SUM(CAST(p AS HUGEINT) * (2 * neg_below + q)) AS u2,
+        |    MAX(ABS(CAST(cum_p AS HUGEINT) * qq -
+        |      CAST(cum_q AS HUGEINT) * pp)) AS ksn
+        |  FROM c GROUP BY 1)
+        |SELECT w_start, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(FLOOR(CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |    CAST(n_neg AS DOUBLE) * 2) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS auc,
+        |  CAST(FLOOR(CAST(ksn AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |    CAST(n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ks
+        |FROM a WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY w_start""".stripMargin,
+
+    // q258's contingency-grid AUC per fold, then the same exact-integer
+    // across-fold mean/variance over the 5-row grid
+    "q270_cv_folds" ->
+      """WITH e AS (SELECT event_id % 5 AS fold,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS score2,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT fold, score2, SUM(y) AS p, SUM(1 - y) AS q
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT fold, p, q,
+        |    COALESCE(SUM(q) OVER (PARTITION BY fold ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    SUM(p) OVER (PARTITION BY fold ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+        |    SUM(q) OVER (PARTITION BY fold ORDER BY score2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+        |    SUM(p) OVER (PARTITION BY fold) AS pp,
+        |    SUM(q) OVER (PARTITION BY fold) AS qq
+        |  FROM g),
+        |a AS (SELECT fold, MAX(pp) AS n_pos, MAX(qq) AS n_neg,
+        |    SUM(CAST(p AS HUGEINT) * (2 * neg_below + q)) AS u2,
+        |    MAX(ABS(CAST(cum_p AS HUGEINT) * qq -
+        |      CAST(cum_q AS HUGEINT) * pp)) AS ksn
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT fold, n_pos, n_neg,
+        |    CAST(FLOOR(CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |      CAST(n_neg AS DOUBLE) * 2) * 1e6 + 0.5) AS BIGINT) AS auc6,
+        |    FLOOR(CAST(ksn AS DOUBLE) / (CAST(n_pos AS DOUBLE) *
+        |      CAST(n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks
+        |  FROM a WHERE n_pos > 0 AND n_neg > 0),
+        |w AS (SELECT *, COUNT(*) OVER () AS k,
+        |    SUM(auc6) OVER () AS sa,
+        |    SUM(CAST(auc6 AS HUGEINT) * auc6) OVER () AS sa2 FROM f)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(CAST(auc6 AS DOUBLE) / 1e6 AS DOUBLE) AS auc,
+        |  CAST(ks AS DOUBLE) AS ks,
+        |  CAST(FLOOR(CAST(sa AS DOUBLE) / (CAST(k AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_auc,
+        |  CAST(FLOOR(CAST(CAST(k AS HUGEINT) * sa2 -
+        |    CAST(sa AS HUGEINT) * sa AS DOUBLE) /
+        |    (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * 1e12) * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS var_auc
+        |FROM w ORDER BY fold""".stripMargin,
+
+    // the q263 candidate pipeline at k=10, then the two rank windows
+    // (hard negative: cos DESC among rel=0; hard positive: cos ASC
+    // among rel=1); NULL survives on single-class top-k sides
+    "q271_hard_mining" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    label
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND label IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, ev AS qv, label AS qlabel FROM emb
+        |  WHERE vec_id % 20 = 0),
+        |p AS (SELECT qid, qlabel, vec_id AS nid, label AS nlabel,
+        |    FLOOR(list_sum(list_apply(list_zip(qv, ev), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_apply(ev, x -> x * x)))) * 1e6 + 0.5)
+        |      / 1e6 AS cos
+        |  FROM q, emb WHERE qid <> vec_id),
+        |r AS (SELECT qid, qlabel, nid, nlabel, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM p),
+        |t AS (SELECT qid, qlabel, nid, cos,
+        |    CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+        |  FROM r WHERE rank <= 10),
+        |neg AS (SELECT qid, nid AS hard_neg_id, cos AS hard_neg_cos
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rn FROM t WHERE rel = 0)
+        |  WHERE rn = 1),
+        |pos AS (SELECT qid, nid AS hard_pos_id, cos AS hard_pos_cos
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos ASC, nid ASC) AS rn FROM t WHERE rel = 1)
+        |  WHERE rn = 1)
+        |SELECT q.qid, CAST(q.qlabel AS BIGINT) AS qlabel,
+        |  neg.hard_neg_id, CAST(neg.hard_neg_cos AS DOUBLE)
+        |    AS hard_neg_cos,
+        |  pos.hard_pos_id, CAST(pos.hard_pos_cos AS DOUBLE)
+        |    AS hard_pos_cos
+        |FROM q LEFT JOIN neg ON neg.qid = q.qid
+        |  LEFT JOIN pos ON pos.qid = q.qid
+        |ORDER BY q.qid""".stripMargin,
 
     // the same basket self-join, symmetrized pair counts, and
     // quantize-before-rank cosine

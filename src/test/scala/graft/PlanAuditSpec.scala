@@ -105,6 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *     baseline (the NDCG/MRR scoring tail is per-query arithmetic
     *     over k rows; at scale the candidates swap to annTopK/IVFPQ,
     *     documented in the query).
+    *   - q271: the same q19/q263 candidate stage; the hard-example
+    *     windows ride the queries×k rows.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -118,7 +120,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_keyness", "q221_session_basket", "q227_ks_hist",
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
     "q246_hazard", "q248_mmr_rerank", "q251_collocations",
-    "q253_dedup_cascade", "q263_retrieval_eval")
+    "q253_dedup_cascade", "q263_retrieval_eval", "q271_hard_mining")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
