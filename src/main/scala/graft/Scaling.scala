@@ -654,6 +654,14 @@ object Scaling {
       // never catalog²
       "item_cf" ->
         (dir => SparkEntry.queries("q268_item_cf")(spark, dir)),
+      // q274: the ItemCF pipeline plus four metric branches over the
+      // persisted lists; wall must track the pair table like item_cf
+      "rec_eval" ->
+        (dir => SparkEntry.queries("q274_rec_eval")(spark, dir)),
+      // q275: user-local LEAD + the (pair × ≤7200 s gap domain) grid —
+      // wall must track the events scan
+      "dwell" ->
+        (dir => SparkEntry.queries("q275_dwell_times")(spark, dir)),
       // q269: facts collapse map-side to the |ctx|·|actions| cell grid
       // — wall must track the events scan, the estimator rides ≤20
       // rows whatever the volume

@@ -8441,6 +8441,139 @@ object SparkEntry {
         .ordered(col("priority"), col("cust_bucket"))
     }),
 
+    // ---- Recommendation evaluation: coverage / popularity / ILD ---------
+    // The three standard recommender health metrics over q268's
+    // neighbor lists: CATALOG COVERAGE (share of items ever
+    // recommended — collapse detection), POPULARITY BIAS (mean basket
+    // count of recommended items vs the catalog mean, as the exact
+    // rational lift on DECIMAL(38,0)), and INTRA-LIST DIVERSITY
+    // (1 − mean pairwise co-occurrence cosine inside each top-5 list;
+    // a missing pair IS cosine 0 — never-co-bought items are maximally
+    // diverse). List-pair work is ≤ k²/2 per item against the pair
+    // score table — bounded by k, never catalog². One summary row.
+    "q274_rec_eval" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+        .distinct()
+      val cnt = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val half = li.as("a")
+        .join(li.as("b"), col("a.bk") === col("b.bk"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("cab"))
+      // half carries each unordered pair once (ia < ib): ranking needs
+      // the symmetric view, but the ILD lookup below keys on ordered
+      // (b1 < b2) pairs — probing half instead of sym halves that
+      // shuffle. The top-5 lists feed four metric branches and Spark
+      // shares no common subplans across joins — persist them (the
+      // bench releases per-query caches via clearCache).
+      val scoredHalf = half
+        .join(cnt.select(col("item").as("ia"), col("c").as("ca")), "ia")
+        .join(cnt.select(col("item").as("ib"), col("c").as("cb")), "ib")
+        .withColumn("cos", r6(col("cab").cast("double") /
+          sqrt((col("ca") * col("cb")).cast("double"))))
+        .select(col("ia"), col("ib"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = scoredHalf.unionByName(scoredHalf
+        .select(col("ib").as("ia"), col("ia").as("ib"), col("cos")))
+      val recs = scored
+        .withColumn("rank", row_number().over(Window.partitionBy(col("ia"))
+          .orderBy(col("cos").desc, col("ib"))))
+        .filter(col("rank") <= 5)
+        .select(col("ia"), col("ib"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // intra-list pair dissimilarity: within-list pairs (b1 < b2)
+      // looked up in the half table; absent pair = cos 0
+      val lp = recs.select(col("ia"), col("ib").as("b1"))
+        .join(recs.select(col("ia"), col("ib").as("b2")), "ia")
+        .filter(col("b1") < col("b2"))
+        .join(scoredHalf.select(col("ia").as("b1"), col("ib").as("b2"),
+          col("cos").as("pc")), Seq("b1", "b2"), "left")
+        .withColumn("pc6",
+          coalesce(floor(col("pc") * 1e6 + 0.5).cast("long"), lit(0L)))
+      val ild = lp.groupBy(col("ia"))
+        .agg(count(lit(1)).as("np"), sum(col("pc6")).as("sp6"))
+        .select((lit(1000000L) -
+          floor(col("sp6").cast("double") / col("np").cast("double")
+            + 0.5).cast("long")).as("ild6"))
+        .agg(count(lit(1)).as("n_lists"), sum(col("ild6")).as("ild_sum"))
+      val cov = recs.agg(
+        countDistinct(col("ia")).as("n_items_with_recs"),
+        countDistinct(col("ib")).as("n_recommended"))
+      val pop = recs.join(cnt.select(col("item").as("ib"),
+          col("c").as("pc_cnt")), "ib")
+        .agg(count(lit(1)).as("n_recs"),
+          sum(col("pc_cnt").cast(d38)).as("pop_sum"))
+      val cat = cnt.agg(count(lit(1)).as("n_catalog"),
+        sum(col("c").cast(d38)).as("cat_sum"))
+      cov.crossJoin(broadcast(pop)).crossJoin(broadcast(cat))
+        .crossJoin(broadcast(ild))
+        .select(col("n_items_with_recs"), col("n_recommended"),
+          col("n_catalog"),
+          r6(col("n_recommended").cast("double") /
+            col("n_catalog").cast("double")).as("coverage"),
+          r6(col("pop_sum").cast("double") /
+            col("n_recs").cast("double")).as("avg_pop_rec"),
+          r6(col("cat_sum").cast("double") /
+            col("n_catalog").cast("double")).as("avg_pop_catalog"),
+          r6((col("pop_sum") * col("n_catalog").cast(d38)).cast("double") /
+            (col("cat_sum") * col("n_recs").cast(d38)).cast("double"))
+            .as("pop_lift"),
+          r6(col("ild_sum").cast("double") /
+            (col("n_lists").cast("double") * 1e6)).as("mean_ild"))
+    }),
+
+    // ---- Product analytics: transition dwell times ----------------------
+    // How long do users sit between consecutive steps? Per ordered
+    // type transition (a → b) within the 2h session horizon: count,
+    // exact nearest-rank median and p90 of the integer gap seconds,
+    // and the exact-rational mean. Both order statistics ride the
+    // (pair × ≤7200-second gap domain) grid — the q265/q234 bounded-
+    // domain discipline — and the lead() window is user-local (one
+    // user_id shuffle). The duration complement to q178's transition
+    // PROBABILITIES: q178 says where users go next, this says how
+    // fast.
+    "q275_dwell_times" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = e
+        .withColumn("b", lead(col("event_type"), 1).over(wu))
+        .withColumn("gap_s",
+          expr("(lead(ts_us, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts_us, event_id) - ts_us) div 1000000"))
+        .filter(col("b").isNotNull && col("gap_s") <= 7200L)
+        .select(col("event_type").as("a"), col("b"), col("gap_s"))
+      val wPair = Window.partitionBy(col("a"), col("b"))
+      val wCum = wPair.orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      trans.groupBy(col("a"), col("b"), col("gap_s"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wPair))
+        .withColumn("gsum", sum(col("gap_s") * col("c")).over(wPair))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("n div 2") + 1, col("gap_s")))
+            .as("med_gap_s"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("gap_s")))
+            .as("p90_gap_s"),
+          max(col("gsum")).as("gsum"))
+        .select(col("a"), col("b"), col("n"), col("med_gap_s"),
+          col("p90_gap_s"),
+          r6(col("gsum").cast("double") / col("n").cast("double"))
+            .as("mean_gap_s"))
+        .ordered(col("a"), col("b"))
+    }),
+
     // ---- Streaming: windowed online AUC monitor -------------------------
     // q258's evaluation as a CONTINUOUS gate: the stream aggregates
     // the (hour-window × coarse score bucket) contingency grid — the
@@ -15423,6 +15556,88 @@ object SparkEntry {
         |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
         |  CAST(MAX(is_delta) AS BIGINT) AS changed
         |FROM o GROUP BY 1, 2 ORDER BY priority, cust_bucket""".stripMargin,
+
+    // full replay of q268's pipeline plus the three metric CTEs; a
+    // missing within-list pair coalesces to cosine 0 on both sides
+    "q274_rec_eval" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
+        |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
+        |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, cab FROM half
+        |  UNION ALL SELECT ib, ia, cab FROM half),
+        |scored AS (SELECT ia, ib,
+        |    FLOOR(CAST(cab AS DOUBLE) /
+        |      sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM sym JOIN cnt ca ON ca.item = ia
+        |    JOIN cnt cb ON cb.item = ib),
+        |recs AS (SELECT ia, ib, cos FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos DESC, ib)
+        |      AS rank FROM scored) WHERE rank <= 5),
+        |lp AS (SELECT r1.ia, r1.ib AS b1, r2.ib AS b2,
+        |    COALESCE(CAST(FLOOR(sc.cos * 1e6 + 0.5) AS BIGINT), 0)
+        |      AS pc6
+        |  FROM recs r1 JOIN recs r2 ON r1.ia = r2.ia AND r1.ib < r2.ib
+        |  LEFT JOIN scored sc ON sc.ia = r1.ib AND sc.ib = r2.ib),
+        |ild AS (SELECT COUNT(*) AS n_lists, SUM(ild6) AS ild_sum FROM (
+        |  SELECT ia, 1000000 - CAST(FLOOR(CAST(SUM(pc6) AS DOUBLE) /
+        |    COUNT(*) + 0.5) AS BIGINT) AS ild6
+        |  FROM lp GROUP BY ia)),
+        |cov AS (SELECT COUNT(DISTINCT ia) AS n_items_with_recs,
+        |    COUNT(DISTINCT ib) AS n_recommended FROM recs),
+        |pop AS (SELECT COUNT(*) AS n_recs,
+        |    SUM(CAST(c AS HUGEINT)) AS pop_sum
+        |  FROM recs JOIN cnt ON cnt.item = recs.ib),
+        |cat AS (SELECT COUNT(*) AS n_catalog,
+        |    SUM(CAST(c AS HUGEINT)) AS cat_sum FROM cnt)
+        |SELECT CAST(n_items_with_recs AS BIGINT) AS n_items_with_recs,
+        |  CAST(n_recommended AS BIGINT) AS n_recommended,
+        |  CAST(n_catalog AS BIGINT) AS n_catalog,
+        |  CAST(FLOOR(CAST(n_recommended AS DOUBLE) /
+        |    CAST(n_catalog AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS coverage,
+        |  CAST(FLOOR(CAST(pop_sum AS DOUBLE) / CAST(n_recs AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS avg_pop_rec,
+        |  CAST(FLOOR(CAST(cat_sum AS DOUBLE) / CAST(n_catalog AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS avg_pop_catalog,
+        |  CAST(FLOOR(CAST(pop_sum * n_catalog AS DOUBLE) /
+        |    CAST(cat_sum * n_recs AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS pop_lift,
+        |  CAST(FLOOR(CAST(ild_sum AS DOUBLE) /
+        |    (CAST(n_lists AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS mean_ild
+        |FROM cov, pop, cat, ild""".stripMargin,
+
+    // the same user-local LEAD transitions, session-horizon filter,
+    // and grid-ridden nearest-rank order statistics
+    "q275_dwell_times" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |t AS (SELECT event_type AS a,
+        |    LEAD(event_type, 1) OVER w AS b,
+        |    (LEAD(us, 1) OVER w - us) // 1000000 AS gap_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |f AS (SELECT a, b, gap_s FROM t
+        |  WHERE b IS NOT NULL AND gap_s <= 7200),
+        |g AS (SELECT a, b, gap_s, COUNT(*) AS c FROM f GROUP BY 1, 2, 3),
+        |w2 AS (SELECT *, SUM(c) OVER (PARTITION BY a, b ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY a, b) AS n,
+        |    SUM(gap_s * c) OVER (PARTITION BY a, b) AS gsum FROM g)
+        |SELECT a, b, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= n // 2 + 1 THEN gap_s END)
+        |    AS BIGINT) AS med_gap_s,
+        |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END)
+        |    AS BIGINT) AS p90_gap_s,
+        |  CAST(FLOOR(CAST(MAX(gsum) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_gap_s
+        |FROM w2 GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     // batch replay of the stream: epoch-aligned hour windows (Spark's
     // tumbling window() aligns to the epoch in UTC), the same coarse
