@@ -662,6 +662,35 @@ object Scaling {
       // wall must track the events scan
       "dwell" ->
         (dir => SparkEntry.queries("q275_dwell_times")(spark, dir)),
+      // q276: two map-side groupBys + a 4-row broadcast — wall must
+      // track the events scan, the metric frame is |segments| rows
+      "regression_eval" ->
+        (dir => SparkEntry.queries("q276_regression_eval")(spark, dir)),
+      // q277: per-round frontier×edges equi-join + min-groupBy on a
+      // FIXED 311-node domain — edge volume grows with docs, rounds
+      // fixed; wall must track per-round join cost ~linearly
+      "sssp" ->
+        (dir => SparkEntry.queries("q277_sssp")(spark, dir)),
+      // q278: facts collapse to the (type × day) grid; the decayed
+      // scoring rides the grid — wall must track the events scan
+      "decayed_pop" ->
+        (dir => SparkEntry.queries("q278_decayed_popularity")(spark, dir)),
+      // q279: per-user groupBy grows with users, deciles ride the
+      // PrefixSum decomposition — wall must track the user frame,
+      // never a single-task NTILE
+      "uplift" ->
+        (dir => SparkEntry.queries("q279_uplift_qini")(spark, dir)),
+      // q280: the (type × quantized-value) grid bounds every window —
+      // wall must track the events scan
+      "trimmed_mean" ->
+        (dir => SparkEntry.queries("q280_trimmed_mean")(spark, dir)),
+      // q281: one fact collapse to (type × day × segment), everything
+      // after rides grids — wall must track the events scan
+      "anomaly_contrib" ->
+        (dir => SparkEntry.queries("q281_anomaly_contrib")(spark, dir)),
+      // q282: the day-axis OLS grid — FLAT like cusum/seasonal
+      "capacity" ->
+        (dir => SparkEntry.queries("q282_capacity_forecast")(spark, dir)),
       // q269: facts collapse map-side to the |ctx|·|actions| cell grid
       // — wall must track the events scan, the estimator rides ≤20
       // rows whatever the volume

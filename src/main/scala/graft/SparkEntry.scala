@@ -8441,6 +8441,354 @@ object SparkEntry {
         .ordered(col("priority"), col("cust_bucket"))
     }),
 
+    // ---- Monitoring: anomaly root-cause contribution --------------------
+    // q242 flags WHICH days are abnormal; ops needs WHO moved. For
+    // every flagged (type, day), each user segment's day share is
+    // compared against its whole-period baseline share, and the
+    // surprise |c_seg·C_t − C_ts·c_day| / (c_day·C_t) — an exact
+    // rational on DECIMAL(38,0), the Adtributor shape without its
+    // engine-hostile JS divergence — ranks the contributors. Facts
+    // collapse once to the (type × day × segment) grid; detection,
+    // baselines, and ranking all ride grids, and the output is
+    // anomalies × |segments| rows.
+    "q281_anomaly_contrib" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val dayUs = 86400000000L
+      val g3 = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"),
+          (col("user_id") % 4).cast("long").as("segment"))
+        .groupBy(col("event_type"), col("day"), col("segment"))
+        .agg(count(lit(1)).as("c_seg"))
+      val g2 = g3.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("c_seg")).as("c_day"))
+      // q242's med/MAD robust flag over the (type × day) grid
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("c_day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = g2
+        .withColumn("cum", count(lit(1)).over(wOrd))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("nd"), col("c_day")))
+          .as("med"))
+      val dev = g2.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("c_day") - col("med")))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mad = dev
+        .withColumn("cumd", count(lit(1)).over(wD))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cumd") * 2 >= col("nd"), col("d"))).as("mad"))
+      val anomalies = dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("d") > col("mad") * 3)
+        .select(col("event_type"), col("day"), col("c_day"))
+      val base = g3.groupBy(col("event_type"), col("segment"))
+        .agg(sum(col("c_seg")).as("c_ts"))
+        .withColumn("c_t", sum(col("c_ts")).over(wAll))
+      anomalies
+        .join(g3, Seq("event_type", "day"))
+        .join(base, Seq("event_type", "segment"))
+        .withColumn("surprise_num",
+          abs(col("c_seg").cast(d38) * col("c_t").cast(d38) -
+            col("c_ts").cast(d38) * col("c_day").cast(d38)))
+        .select(col("event_type"), col("day"), col("segment"),
+          col("c_seg"), col("c_day"),
+          r6(col("c_seg").cast("double") / col("c_day").cast("double"))
+            .as("share_day"),
+          r6(col("c_ts").cast("double") / col("c_t").cast("double"))
+            .as("share_base"),
+          r6(col("surprise_num").cast("double") /
+            (col("c_day").cast("double") * col("c_t").cast("double")))
+            .as("surprise"),
+          row_number().over(Window.partitionBy(col("event_type"),
+            col("day")).orderBy(col("surprise_num").desc, col("segment")))
+            .cast("long").as("rank"))
+        .ordered(col("event_type"), col("day"), col("rank"))
+    }),
+
+    // ---- Capacity planning: trend-to-threshold forecast -----------------
+    // "When does daily volume hit the ceiling?" — q241's OLS
+    // sufficient-statistic discipline applied to daily COUNTS (all
+    // sums exact integers on DECIMAL(38,0)), slope and intercept
+    // FLOORED to 1e-6 integers first, then the forecast
+    // days_to_cap = (cap6 − level_now6) / slope6 runs on those
+    // integers with ONE float division — both engines walk the
+    // identical integer path. The ceiling is 2× the observed daily
+    // max (deterministic from data); a non-growing type emits NULL,
+    // never a negative ETA.
+    "q282_capacity_forecast" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val dayUs = 86400000000L
+      val x0 = 19700L
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"),
+          (expr(s"ts_us div $dayUs") - x0).as("x"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("y"))
+      val sums = g.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        max(col("y")).as("max_c"),
+        max(col("x")).as("x_max"))
+      sums
+        .withColumn("num", col("n").cast(d38) * col("sxy") -
+          col("sx").cast(d38) * col("sy").cast(d38))
+        .withColumn("denx", col("n").cast(d38) * col("sxx").cast(d38) -
+          col("sx").cast(d38) * col("sx").cast(d38))
+        .withColumn("slope6",
+          when(col("denx") =!= 0, // single-day type: no slope, NULL out
+            floor((col("num") * 1000000).cast("double") /
+              col("denx").cast("double") + 0.5).cast("long")))
+        .withColumn("intercept6",
+          floor((col("sy").cast(d38) * 1000000 -
+            col("slope6").cast(d38) * col("sx").cast(d38)).cast("double") /
+            col("n").cast("double") + 0.5).cast("long"))
+        .withColumn("level_now6",
+          col("intercept6") + col("slope6") * col("x_max"))
+        .withColumn("cap6", col("max_c") * 2000000L)
+        .select(col("event_type"), col("n").as("n_days"),
+          (col("slope6").cast("double") / 1e6).as("slope_per_day"),
+          (col("level_now6").cast("double") / 1e6).as("level_now"),
+          (col("max_c") * 2).as("cap_daily"),
+          when(col("slope6") > 0 && col("cap6") > col("level_now6"),
+            floor((col("cap6") - col("level_now6")).cast("double") * 1e2 /
+              col("slope6").cast("double") + 0.5) / 1e2)
+            .as("days_to_cap"))
+        .ordered(col("event_type"))
+    }),
+
+    // ---- Causal evaluation: Qini / uplift-by-decile curve ---------------
+    // Did targeting work BEYOND its own selection? The uplift
+    // companion to q184's A/B z and q261's gains table: per-user
+    // frame (md5-coin treatment — content-addressed, the q184/q60
+    // discipline — conversion flag, activity score), global score
+    // deciles via PrefixSum.ntileDesc (no single-task NTILE window),
+    // then per-decile arm rates and the cumulative Qini value
+    // q(d) = cumconv_t − cumconv_c·cumn_t/cumn_c — the expected extra
+    // conversions from targeting the top d deciles — one floored
+    // division per decile on the 10-row grid, everything else exact
+    // integers (the cross-product on DECIMAL(38,0)).
+    "q279_uplift_qini" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val coin = shiftrightunsigned(call_function("md5_lower64",
+        col("user_id").cast("string")), 33)
+      val perUser = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("user_id"), (coin % 2 === 0).as("treated"))
+        .agg(sum(floor(col("value") * 1e2 + 0.5).cast("long"))
+            .as("score2"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("conv"))
+      val tiles = graft.ops.PrefixSum.ntileDesc(perUser, "score2",
+          "user_id", "decile", 10)
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated"), col("conv")).otherwise(0L))
+            .as("conv_t"),
+          sum(when(!col("treated"), col("conv")).otherwise(0L))
+            .as("conv_c"))
+      val ord = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tiles
+        .withColumn("cn_t", sum(col("n_t")).over(ord))
+        .withColumn("cn_c", sum(col("n_c")).over(ord))
+        .withColumn("cc_t", sum(col("conv_t")).over(ord))
+        .withColumn("cc_c", sum(col("conv_c")).over(ord))
+        .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"),
+          when(col("n_t") > 0, r6(col("conv_t").cast("double") /
+            col("n_t").cast("double"))).as("rate_t"),
+          when(col("n_c") > 0, r6(col("conv_c").cast("double") /
+            col("n_c").cast("double"))).as("rate_c"),
+          when(col("cn_c") > 0,
+            r6(col("cc_t").cast("double") -
+              (col("cc_c").cast(d38) * col("cn_t").cast(d38))
+                .cast("double") / col("cn_c").cast("double")))
+            .as("qini"))
+        .ordered(col("decile"))
+    }),
+
+    // ---- Robust aggregation: exact trimmed mean from the value grid -----
+    // The 5%-trimmed mean per event type WITHOUT sorting facts: facts
+    // collapse to the (type × quantized-value) grid, each cell spans
+    // ranks (cum−c, cum], and a cell's kept mass is the integer
+    // overlap of that span with the keep window (lo, n−lo] — the
+    // trimmed sum becomes an exact DECIMAL(38,0) dot product over the
+    // grid, no row-level rank ever materializes. The robust-LOCATION
+    // sibling of q238's MAD outlier detection.
+    "q280_trimmed_mean" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val grid = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .select(col("event_type"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("v2"))
+        .groupBy(col("event_type"), col("v2"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wCum = wT.orderBy(col("v2"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wT))
+        .withColumn("lo", expr("n * 5 div 100"))
+        .withColumn("kept_in_cell",
+          greatest(lit(0L),
+            least(col("cum"), col("n") - col("lo")) -
+            greatest(col("cum") - col("c"), col("lo"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("lo")).as("trimmed_each"),
+          sum(col("kept_in_cell")).as("kept"),
+          sum((col("v2") * col("kept_in_cell")).cast(d38)).as("tsum2"),
+          sum((col("v2") * col("c")).cast(d38)).as("rsum2"))
+        .select(col("event_type"), col("n"), col("trimmed_each"),
+          col("kept"),
+          r6(col("tsum2").cast("double") /
+            (col("kept").cast("double") * 100)).as("trimmed_mean"),
+          r6(col("rsum2").cast("double") /
+            (col("n").cast("double") * 100)).as("raw_mean"))
+        .ordered(col("event_type"))
+    }),
+
+    // ---- Model evaluation: regression metrics (MAE / RMSE / R²) ---------
+    // The classification eval family (q258-q262, q270) gets its
+    // regression sibling: a deterministic even/odd split (q265's
+    // design), the per-segment calibration-mean predictor (integer
+    // floor division), and MAE / RMSE / R² on the serving half — all
+    // exact rationals until one floored division each: SSres and the
+    // moment-identity total n·Σy²−(Σy)² ride DECIMAL(38,0), so
+    // R² = 1 − n·SSres/(n·Σy²−(Σy)²) never touches float
+    // accumulation. Two map-side groupBys and a broadcast join; a
+    // zero-variance serving half (SStot = 0) emits NULL R², not a
+    // fabricated 0/0.
+    "q276_regression_eval" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("segment"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("y2"),
+          (col("event_id") % 2).as("half"))
+      val pred = e.filter(col("half") === 0)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cal"), sum(col("y2")).as("s_cal"))
+        .withColumn("pred2", expr("s_cal div n_cal"))
+        .select(col("segment"), col("n_cal"), col("pred2"))
+      e.filter(col("half") === 1)
+        .join(broadcast(pred), "segment")
+        .groupBy(col("segment"), col("n_cal"), col("pred2"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("y2") - col("pred2"))).as("sabs"),
+          sum(((col("y2") - col("pred2")) *
+            (col("y2") - col("pred2"))).cast(d38)).as("ssres"),
+          sum(col("y2")).as("sy"),
+          sum((col("y2") * col("y2")).cast(d38)).as("sy2"))
+        .withColumn("sstot_n", col("n_eval").cast(d38) * col("sy2") -
+          col("sy").cast(d38) * col("sy").cast(d38))
+        .select(col("segment"), col("n_cal"),
+          (col("pred2").cast("double") / 1e2).as("pred"),
+          col("n_eval"),
+          r6(col("sabs").cast("double") /
+            (col("n_eval").cast("double") * 100)).as("mae"),
+          r6(sqrt(col("ssres").cast("double") /
+            col("n_eval").cast("double")) / 100).as("rmse"),
+          when(col("sstot_n") =!= 0,
+            r6(lit(1.0) - (col("n_eval").cast(d38) * col("ssres"))
+              .cast("double") / col("sstot_n").cast("double")))
+            .as("r2"))
+        .ordered(col("segment"))
+    }),
+
+    // ---- Graph: bounded-hop weighted shortest paths (Bellman-Ford) ------
+    // q208's BFS gives hop counts; real routing needs WEIGHTED
+    // distances. K rounds of distributed Bellman-Ford relaxation —
+    // each round one equi-join frontier×edges plus a min-groupBy,
+    // lineage truncated per round (localCheckpoint, the LinkGraph
+    // discipline) — computes exact shortest distances over paths of
+    // <= K edges; K bounds both the work and the oracle's recursive
+    // unrolling, and is the standard iteration cap a 1000-executor
+    // run would also set. Deterministic synthetic edge weights in
+    // 1..97, all-integer distances.
+    "q277_sssp" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+      val e1 = docs.select((d % 311).as("from"),
+        ((d * 11 + 7) % 311).as("to"))
+      val e2 = docs.filter(d % 2 === 0)
+        .select((d % 311).as("from"), ((d * 23 + 3) % 311).as("to"))
+      val edges = e1.unionByName(e2)
+        .filter(col("from") =!= col("to")).distinct()
+        .withColumn("w", (col("from") * 7 + col("to") * 13) % 97 + 1)
+        .localCheckpoint()
+      var dist = docs.filter(d % 311 < 3)
+        .select((d % 311).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      (1 to 5).foreach { _ =>
+        val relaxed = dist
+          .join(edges.select(col("from").as("node"), col("to"),
+            col("w")), Seq("node"))
+          .select(col("to").as("node"),
+            (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.ordered(col("node"))
+    }),
+
+    // ---- Product analytics: recency-decayed popularity ------------------
+    // Trending-now ranking with a one-week half-life — and an EXACT
+    // one: the decay base is 2, so weight(w weeks old) = 2^(Wcap−w)
+    // is an integer (Wcap = 40; anything older saturates at weight 1,
+    // stated not hidden), the per-type score is a DECIMAL(38,0) sum
+    // of integer products, and the share is one floored division.
+    // pow()/exp() never appear (q212 float policy — engines disagree
+    // in the last ulp; powers of two don't). Facts collapse map-side
+    // to the (type × day) grid; the anchor day is a grid-window max,
+    // so no one-row crossJoin either.
+    "q278_decayed_popularity" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val dayUs = 86400000000L
+      val grid = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy()
+      val scored = grid
+        .withColumn("anchor", max(col("day")).over(wAll))
+        .withColumn("wk", expr("(anchor - day) div 7"))
+        .withColumn("weight", expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(40 - least(wk, 40) AS INT))"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          sum((col("c") * col("weight")).cast(d38)).as("score"))
+      scored
+        .withColumn("tot", sum(col("score")).over(wAll))
+        .select(col("event_type"), col("n"),
+          r6(col("score").cast("double") / col("tot").cast("double"))
+            .as("decayed_share"),
+          row_number().over(Window.orderBy(col("score").desc,
+            col("event_type"))).cast("long").as("rank"))
+        .ordered(col("rank"))
+    }),
+
     // ---- Recommendation evaluation: coverage / popularity / ILD ---------
     // The three standard recommender health metrics over q268's
     // neighbor lists: CATALOG COVERAGE (share of items ever
@@ -15556,6 +15904,250 @@ object SparkEntry {
         |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
         |  CAST(MAX(is_delta) AS BIGINT) AS changed
         |FROM o GROUP BY 1, 2 ORDER BY priority, cust_bucket""".stripMargin,
+
+    // the same grids: q242's med/MAD flag, whole-period baselines, and
+    // the exact HUGEINT surprise cross-product ranking
+    "q281_anomaly_contrib" ->
+      """WITH g3 AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    user_id % 4 AS segment, COUNT(*) AS c_seg
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL GROUP BY 1, 2, 3),
+        |g2 AS (SELECT event_type, day, SUM(c_seg) AS c_day FROM g3
+        |  GROUP BY 1, 2),
+        |cw AS (SELECT *, COUNT(*) OVER (PARTITION BY event_type
+        |      ORDER BY c_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM g2),
+        |med AS (SELECT event_type,
+        |    MIN(CASE WHEN cum * 2 >= nd THEN c_day END) AS med
+        |  FROM cw GROUP BY 1),
+        |dev AS (SELECT g2.*, ABS(c_day - med) AS d FROM g2
+        |  JOIN med USING (event_type)),
+        |dw AS (SELECT *, COUNT(*) OVER (PARTITION BY event_type
+        |      ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM dev),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cumd * 2 >= nd THEN d END) AS mad
+        |  FROM dw GROUP BY 1),
+        |an AS (SELECT dev.event_type, dev.day, dev.c_day FROM dev
+        |  JOIN mad USING (event_type) WHERE d > mad * 3),
+        |base AS (SELECT event_type, segment, SUM(c_seg) AS c_ts
+        |  FROM g3 GROUP BY 1, 2),
+        |bw AS (SELECT *, SUM(c_ts) OVER (PARTITION BY event_type)
+        |    AS c_t FROM base),
+        |j AS (SELECT an.event_type, an.day, g3.segment, g3.c_seg,
+        |    an.c_day, bw.c_ts, bw.c_t,
+        |    ABS(CAST(g3.c_seg AS HUGEINT) * bw.c_t -
+        |      CAST(bw.c_ts AS HUGEINT) * an.c_day) AS surprise_num
+        |  FROM an JOIN g3 ON g3.event_type = an.event_type
+        |    AND g3.day = an.day
+        |  JOIN bw ON bw.event_type = an.event_type
+        |    AND bw.segment = g3.segment)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(segment AS BIGINT) AS segment,
+        |  CAST(c_seg AS BIGINT) AS c_seg,
+        |  CAST(c_day AS BIGINT) AS c_day,
+        |  CAST(FLOOR(CAST(c_seg AS DOUBLE) / CAST(c_day AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS share_day,
+        |  CAST(FLOOR(CAST(c_ts AS DOUBLE) / CAST(c_t AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS share_base,
+        |  CAST(FLOOR(CAST(surprise_num AS DOUBLE) /
+        |    (CAST(c_day AS DOUBLE) * CAST(c_t AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS DOUBLE) AS surprise,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |    ORDER BY surprise_num DESC, segment) AS BIGINT) AS rank
+        |FROM j ORDER BY event_type, day, rank""".stripMargin,
+
+    // identical integer sufficient sums, floored slope/intercept, and
+    // the one-division forecast on those integers
+    "q282_capacity_forecast" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 - 19700 AS x, COUNT(*) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS sxx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    MAX(y) AS max_c, MAX(x) AS x_max
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT *,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx
+        |  FROM s),
+        |u AS (SELECT *, CASE WHEN denx <> 0 THEN
+        |    CAST(FLOOR(CAST(num * 1000000 AS DOUBLE) /
+        |      CAST(denx AS DOUBLE) + 0.5) AS BIGINT) END AS slope6
+        |  FROM t),
+        |v AS (SELECT *, CAST(FLOOR(CAST(CAST(sy AS HUGEINT) * 1000000 -
+        |      CAST(slope6 AS HUGEINT) * sx AS DOUBLE) /
+        |      CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept6 FROM u),
+        |w AS (SELECT *, intercept6 + slope6 * x_max AS level_now6,
+        |    max_c * 2000000 AS cap6 FROM v)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(slope6 AS DOUBLE) / 1e6 AS slope_per_day,
+        |  CAST(level_now6 AS DOUBLE) / 1e6 AS level_now,
+        |  CAST(max_c * 2 AS BIGINT) AS cap_daily,
+        |  CAST(CASE WHEN slope6 > 0 AND cap6 > level_now6 THEN
+        |    FLOOR(CAST(cap6 - level_now6 AS DOUBLE) * 1e2 /
+        |      CAST(slope6 AS DOUBLE) + 0.5) / 1e2 END AS DOUBLE)
+        |    AS days_to_cap
+        |FROM w ORDER BY event_type""".stripMargin,
+
+    // the same md5 coin, engine-native NTILE (PrefixSum matches its
+    // remainder semantics bit for bit), and exact Qini cross-product
+    "q279_uplift_qini" ->
+      """WITH e AS (SELECT user_id,
+        |    md5_number_lower(CAST(user_id AS VARCHAR)) >> 33 AS coin,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS v2,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |u AS (SELECT user_id, MAX(coin) % 2 = 0 AS treated,
+        |    SUM(v2) AS score2, MAX(y) AS conv
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT treated, conv,
+        |    NTILE(10) OVER (ORDER BY score2 DESC, user_id) AS decile
+        |  FROM u),
+        |g AS (SELECT decile,
+        |    SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS n_t,
+        |    SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS n_c,
+        |    SUM(CASE WHEN treated THEN conv ELSE 0 END) AS conv_t,
+        |    SUM(CASE WHEN treated THEN 0 ELSE conv END) AS conv_c
+        |  FROM t GROUP BY 1),
+        |w AS (SELECT *,
+        |    SUM(n_t) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn_t,
+        |    SUM(n_c) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn_c,
+        |    SUM(conv_t) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc_t,
+        |    SUM(conv_c) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc_c
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(conv_t AS BIGINT) AS conv_t,
+        |  CAST(conv_c AS BIGINT) AS conv_c,
+        |  CAST(CASE WHEN n_t > 0 THEN FLOOR(CAST(conv_t AS DOUBLE) /
+        |    CAST(n_t AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS rate_t,
+        |  CAST(CASE WHEN n_c > 0 THEN FLOOR(CAST(conv_c AS DOUBLE) /
+        |    CAST(n_c AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS rate_c,
+        |  CAST(CASE WHEN cn_c > 0 THEN
+        |    FLOOR((CAST(cc_t AS DOUBLE) -
+        |      CAST(CAST(cc_c AS HUGEINT) * cn_t AS DOUBLE) /
+        |      CAST(cn_c AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS DOUBLE)
+        |    AS qini
+        |FROM w ORDER BY decile""".stripMargin,
+
+    // the same grid, rank-span overlap arithmetic, and HUGEINT dot
+    // product for the trimmed sum
+    "q280_trimmed_mean" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS v2
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT event_type, v2, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY v2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM g),
+        |k AS (SELECT *, n * 5 // 100 AS lo,
+        |    GREATEST(0, LEAST(cum, n - n * 5 // 100) -
+        |      GREATEST(cum - c, n * 5 // 100)) AS kept_in_cell
+        |  FROM w)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(lo) AS BIGINT) AS trimmed_each,
+        |  CAST(SUM(kept_in_cell) AS BIGINT) AS kept,
+        |  CAST(FLOOR(CAST(SUM(CAST(v2 AS HUGEINT) * kept_in_cell)
+        |    AS DOUBLE) / (CAST(SUM(kept_in_cell) AS DOUBLE) * 100)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS trimmed_mean,
+        |  CAST(FLOOR(CAST(SUM(CAST(v2 AS HUGEINT) * c) AS DOUBLE) /
+        |    (CAST(MAX(n) AS DOUBLE) * 100) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS raw_mean
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the same split, floor-division predictor, and exact-rational
+    // metric algebra on HUGEINT (non-negative sums, so DuckDB's floor
+    // // and Spark's truncating div agree)
+    "q276_regression_eval" ->
+      """WITH e AS (SELECT user_id % 4 AS segment,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS y2,
+        |    event_id % 2 AS half
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |p AS (SELECT segment, COUNT(*) AS n_cal,
+        |    SUM(y2) // COUNT(*) AS pred2
+        |  FROM e WHERE half = 0 GROUP BY 1),
+        |v AS (SELECT e.segment, p.n_cal, p.pred2, COUNT(*) AS n_eval,
+        |    SUM(ABS(y2 - pred2)) AS sabs,
+        |    SUM(CAST(y2 - pred2 AS HUGEINT) * (y2 - pred2)) AS ssres,
+        |    SUM(y2) AS sy, SUM(CAST(y2 AS HUGEINT) * y2) AS sy2
+        |  FROM e JOIN p ON p.segment = e.segment WHERE half = 1
+        |  GROUP BY 1, 2, 3),
+        |w AS (SELECT *, CAST(n_eval AS HUGEINT) * sy2 -
+        |    CAST(sy AS HUGEINT) * sy AS sstot_n FROM v)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(n_cal AS BIGINT) AS n_cal,
+        |  CAST(pred2 AS DOUBLE) / 1e2 AS pred,
+        |  CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(FLOOR(CAST(sabs AS DOUBLE) /
+        |    (CAST(n_eval AS DOUBLE) * 100) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS mae,
+        |  CAST(FLOOR(sqrt(CAST(ssres AS DOUBLE) /
+        |    CAST(n_eval AS DOUBLE)) / 100 * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS rmse,
+        |  CAST(CASE WHEN sstot_n <> 0 THEN
+        |    FLOOR((1.0 - CAST(CAST(n_eval AS HUGEINT) * ssres AS DOUBLE)
+        |      / CAST(sstot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    END AS DOUBLE) AS r2
+        |FROM w ORDER BY segment""".stripMargin,
+
+    // the identical synthetic weighted graph; bounded-depth recursive
+    // unrolling (hops < 5) + MIN per node equals K rounds of
+    // Bellman-Ford relaxation
+    "q277_sssp" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id AS d FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |e0 AS (SELECT d % 311 AS f, (d * 11 + 7) % 311 AS t FROM docs
+        |  UNION ALL SELECT d % 311, (d * 23 + 3) % 311 FROM docs
+        |  WHERE d % 2 = 0),
+        |edges AS (SELECT DISTINCT f, t FROM e0 WHERE f <> t),
+        |we AS (SELECT f, t, (f * 7 + t * 13) % 97 + 1 AS w FROM edges),
+        |src AS (SELECT DISTINCT d % 311 AS node FROM docs
+        |  WHERE d % 311 < 3),
+        |paths(node, dist, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM src
+        |  UNION ALL
+        |  SELECT we.t, p.dist + we.w, p.hops + 1
+        |  FROM paths p JOIN we ON we.f = p.node WHERE p.hops < 5)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM paths GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // the same (type × day) grid, power-of-two weights via integer
+    // shifts (never pow()), and one floored division for the share
+    "q278_decayed_popularity" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, MAX(day) OVER () AS anchor FROM g),
+        |s AS (SELECT event_type, SUM(c) AS n,
+        |    SUM(CAST(c AS HUGEINT) * (CAST(1 AS BIGINT) <<
+        |      CAST(40 - LEAST((anchor - day) // 7, 40) AS INT)))
+        |      AS score
+        |  FROM w GROUP BY 1),
+        |t AS (SELECT *, SUM(score) OVER () AS tot FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS decayed_share,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, event_type)
+        |    AS BIGINT) AS rank
+        |FROM t ORDER BY rank""".stripMargin,
 
     // full replay of q268's pipeline plus the three metric CTEs; a
     // missing within-list pair coalesces to cosine 0 on both sides
