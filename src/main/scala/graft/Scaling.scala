@@ -691,6 +691,35 @@ object Scaling {
       // q282: the day-axis OLS grid — FLAT like cusum/seasonal
       "capacity" ->
         (dir => SparkEntry.queries("q282_capacity_forecast")(spark, dir)),
+      // q283's shape: the fixed-anchor retrieval posture; voting and
+      // confusion ride anchors×k / |labels|² grids. Labels re-derived
+      // from vec_id (replicas drop the label column).
+      "knn_eval" -> (dir => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+        val queries = emb
+          .filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+        val votes = topk
+          .join(emb.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), "nid")
+          .groupBy(col("qid"), col("nlabel"))
+          .agg(count(lit(1)).as("v"))
+        votes
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid"))
+              .orderBy(col("v").desc, col("nlabel"))))
+          .filter(col("rn") === 1)
+          .groupBy(col("nlabel")).agg(count(lit(1)).as("n"))
+      }),
+      // q284: one map-side groupBy to the (source × lang) grid
+      "simpson" ->
+        (dir => SparkEntry.queries("q284_simpson_diversity")(spark, dir)),
       // q269: facts collapse map-side to the |ctx|·|actions| cell grid
       // — wall must track the events scan, the estimator rides ≤20
       // rows whatever the volume

@@ -8441,6 +8441,76 @@ object SparkEntry {
         .ordered(col("priority"), col("cust_bucket"))
     }),
 
+    // ---- Model evaluation: kNN-classifier accuracy + confusion ----------
+    // What accuracy does the embedding space actually support? The
+    // k-nearest-neighbor majority vote IS the non-parametric ceiling
+    // probe: per anchor, the top-10 neighbors (q263's audited
+    // candidate stage) vote by label — argmax on (count DESC, label
+    // ASC), deterministic in both engines — and the report is the
+    // label-level confusion grid with per-true-label accuracy riding
+    // it. Voting is two grid passes over anchors×k rows; the
+    // confusion frame is |labels|² bounded.
+    "q283_knn_eval" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+          col("label").isNotNull)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val topk = Similarity.cosineTopK(queries, corpus, k = 10)
+      val nLab = emb.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"))
+      val qLab = emb.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))
+      val votes = topk.join(nLab, "nid")
+        .groupBy(col("qid"), col("nlabel"))
+        .agg(count(lit(1)).as("v"))
+      val pred = votes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("v").desc, col("nlabel"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nlabel").as("pred"))
+      val conf = pred.join(broadcast(qLab), "qid")
+        .groupBy(col("qlabel").cast("long").as("qlabel"),
+          col("pred").cast("long").as("pred"))
+        .agg(count(lit(1)).as("n"))
+      val wL = Window.partitionBy(col("qlabel"))
+      conf
+        .withColumn("n_true", sum(col("n")).over(wL))
+        .withColumn("n_correct", sum(when(col("qlabel") === col("pred"),
+          col("n")).otherwise(0L)).over(wL))
+        .select(col("qlabel"), col("pred"), col("n"), col("n_true"),
+          r6(col("n_correct").cast("double") /
+            col("n_true").cast("double")).as("label_accuracy"))
+        .ordered(col("qlabel"), col("pred"))
+    }),
+
+    // ---- Data profiling: Gini-Simpson source diversity ------------------
+    // How concentrated is each source's language mix? The
+    // Gini-Simpson index 1 − Σ p² — the ln-free diversity measure
+    // (Shannon entropy is q212-hostile) — as the exact rational
+    // (C² − Σc²)/C² on DECIMAL(38,0), one floored division per
+    // source; facts collapse map-side to the (source × lang) grid.
+    "q284_simpson_diversity" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val g = Tables(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      g.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"), sum(col("c")).as("n_docs"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("ssq"))
+        .select(col("source"), col("n_langs"), col("n_docs"),
+          r6((col("n_docs").cast(d38) * col("n_docs").cast(d38) -
+            col("ssq")).cast("double") /
+            (col("n_docs").cast(d38) * col("n_docs").cast(d38))
+              .cast("double")).as("simpson"))
+        .ordered(col("source"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -15904,6 +15974,60 @@ object SparkEntry {
         |  CAST(MAX(price2) AS DOUBLE) / 1e2 AS max_price,
         |  CAST(MAX(is_delta) AS BIGINT) AS changed
         |FROM o GROUP BY 1, 2 ORDER BY priority, cust_bucket""".stripMargin,
+
+    // the q263 candidate pipeline at k=10, first-max majority vote
+    // ((v DESC, label ASC) — same tie order), confusion + per-label
+    // accuracy over the grid
+    "q283_knn_eval" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    label
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND label IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, ev AS qv, label AS qlabel FROM emb
+        |  WHERE vec_id % 20 = 0),
+        |p AS (SELECT qid, qlabel, vec_id AS nid, label AS nlabel,
+        |    FLOOR(list_sum(list_apply(list_zip(qv, ev), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_apply(ev, x -> x * x)))) * 1e6 + 0.5)
+        |      / 1e6 AS cos
+        |  FROM q, emb WHERE qid <> vec_id),
+        |r AS (SELECT qid, qlabel, nlabel,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM p),
+        |votes AS (SELECT qid, MAX(qlabel) AS qlabel, nlabel,
+        |    COUNT(*) AS v
+        |  FROM r WHERE rank <= 10 GROUP BY qid, nlabel),
+        |pred AS (SELECT qid, qlabel, nlabel AS pred FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY v DESC, nlabel ASC) AS rn FROM votes)
+        |  WHERE rn = 1),
+        |conf AS (SELECT qlabel, pred, COUNT(*) AS n FROM pred
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, SUM(n) OVER (PARTITION BY qlabel) AS n_true,
+        |    SUM(CASE WHEN qlabel = pred THEN n ELSE 0 END)
+        |      OVER (PARTITION BY qlabel) AS n_correct
+        |  FROM conf)
+        |SELECT CAST(qlabel AS BIGINT) AS qlabel,
+        |  CAST(pred AS BIGINT) AS pred, CAST(n AS BIGINT) AS n,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(FLOOR(CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS label_accuracy
+        |FROM w ORDER BY qlabel, pred""".stripMargin,
+
+    // the same (source × lang) grid and exact HUGEINT rational
+    "q284_simpson_diversity" ->
+      """WITH g AS (SELECT source, lang, COUNT(*) AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT source, COUNT(*) AS n_langs, SUM(c) AS n_docs,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ssq
+        |  FROM g GROUP BY 1)
+        |SELECT source, CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(FLOOR(CAST(CAST(n_docs AS HUGEINT) * n_docs - ssq
+        |    AS DOUBLE) / CAST(CAST(n_docs AS HUGEINT) * n_docs
+        |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS simpson
+        |FROM s ORDER BY source""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

@@ -110,6 +110,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *   - q274: four ONE-ROW summary aggregates crossed into the
     *     single-row report (the q135/q188 bounded-width shape); the
     *     pair stages themselves are basket/list equi-joins.
+    *   - q283: the q19/q263 candidate stage again; voting and the
+    *     confusion grid are |labels|-bounded.
     */
   private val allowed = Set(
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
@@ -124,7 +126,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
     "q246_hazard", "q248_mmr_rerank", "q251_collocations",
     "q253_dedup_cascade", "q263_retrieval_eval", "q271_hard_mining",
-    "q274_rec_eval")
+    "q274_rec_eval", "q283_knn_eval")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
