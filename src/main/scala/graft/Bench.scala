@@ -1,42 +1,79 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{count, lit}
+
+/** Headline benchmark — one JSON line on stdout, full per-query detail in
+  * BENCH_DETAIL.json.
+  *
+  * Measurement protocol (round 15): queries run in CHUNKS of
+  * `SPARK_GRAFT_CHUNK` (default 48), each chunk in a FRESH SparkSession
+  * with both of its min-of-2 passes back-to-back. Round 14's closing
+  * artifact showed why: with two whole-suite passes in one session, pass
+  * 2 — the pass that usually supplies the min — starts after 284+
+  * executions of accumulated driver residue (codegen classloaders,
+  * shuffle dirs, broadcast/localCheckpoint blocks the ContextCleaner
+  * hasn't reclaimed), and the suite TAIL pays for it: shared-query
+  * totals drifted 1.14x while the median per-query ratio was 0.98x, with
+  * q187/q103/q100 measuring ~1.8x their isolated min-of-2. Chunking
+  * bounds any query's measurement to at most ~2x chunk executions of
+  * residue, and a session stop deterministically releases what
+  * clearCache()/System.gc() cannot. Each fresh session is re-warmed
+  * (JIT of the task loop, parquet footer/codec machinery, whole-stage
+  * codegen, the registered kernel functions, the noop sink path) so
+  * chunk boundaries don't show up as cold-start spikes in either pass.
+  *
+  * The closing bench of a round MUST be gated against the PRIOR ROUND's
+  * closing artifact (bench_baselines/BENCH_DETAIL_r{N}.json), not the
+  * intra-round predecessor: per-step gating lets drift ratchet past the
+  * 2x bar unseen (the round-14 lesson — every intra-round gate passed
+  * while the r13-vs-r14 comparison exited 1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = GraftSession.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warmup outside the timed loop: the first measured query otherwise
-    // absorbs one-time costs that are not its own — JIT of the task loop,
-    // the parquet footer/codec machinery, whole-stage-codegen (janino)
-    // compilation, the registered kernel functions, and the noop sink
-    // path. A tiny real parquet scan through the same action path warms
-    // all of them (q01 measured 3.4s cold vs ~1.2s warmed, round 3).
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    // best-effort: a custom SPARK_GRAFT_SF_DIR may lack this table, and a
-    // failed warmup must not kill the bench (queries then just run colder)
-    try spark.read.parquet(s"$sfDir/nation.parquet")
-      .select(
-        org.apache.spark.sql.functions.call_function("simhash64",
-          org.apache.spark.sql.functions.split(
-            org.apache.spark.sql.functions.col("n_name"), " ")).as("s"))
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Exception =>
-      System.err.println(s"[bench] parquet warmup skipped: ${e.getMessage}") }
+
+    def mkSession(): SparkSession = {
+      val spark = GraftSession.tune(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // Warmup outside the timed loop: the first measured query otherwise
+      // absorbs one-time costs that are not its own — JIT of the task
+      // loop, the parquet footer/codec machinery, whole-stage-codegen
+      // (janino) compilation, the registered kernel functions, and the
+      // noop sink path. A tiny real parquet scan through the same action
+      // path warms all of them (q01 measured 3.4s cold vs ~1.2s warmed,
+      // round 3). Re-run per fresh chunk session.
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      // best-effort: a custom SPARK_GRAFT_SF_DIR may lack this table, and
+      // a failed warmup must not kill the bench (queries just run colder)
+      try spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(
+          org.apache.spark.sql.functions.call_function("simhash64",
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("n_name"), " ")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Exception =>
+        System.err.println(s"[bench] parquet warmup skipped: ${e.getMessage}") }
+      spark
+    }
+
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     // optional comma-separated subset filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // queries per fresh-session chunk (0 disables chunking: one session
+    // for everything — the pre-round-15 behavior, kept for A/B profiling)
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "48").toInt
     // per-query output row counts (plausibility audit alongside timings).
     // Concurrent map: a timed-out query's orphaned future may still write
     // its count while the main thread reads for the final report.
     val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+    def onePass(spark: SparkSession,
+                qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
@@ -72,35 +109,42 @@ object Bench {
         System.err.println(f"[bench] pass $name%-22s ${dt}%.3f s")
         // Untimed inter-query hygiene: operators cache intermediates that
         // stay referenced by the CacheManager after the query completes;
-        // across 55 queries x 2 passes the accumulation GC-thrashes the
-        // whole tail of the run (q29 measured 12.4s dirty vs 1.4s clean).
-        // Also keeps each query's measurement independent of its neighbors.
+        // accumulated across a chunk they GC-thrash whatever runs next
+        // (q29 measured 12.4s dirty vs 1.4s clean, round 3). Also keeps
+        // each query's measurement independent of its neighbors.
         spark.catalog.clearCache()
         name -> dt
       }
+    // two passes per chunk, report per-query min: the chunk's first pass
+    // pays residual JIT/codegen warmup; min-of-2 is the steady-state
+    // number a long-running cluster job actually sees. Both passes run in
+    // the chunk's OWN fresh session, then the session stops — codegen
+    // classloaders, shuffle dirs, broadcast and localCheckpoint blocks
+    // all release deterministically before the next chunk measures.
+    def minOfTwoChunked(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] = {
+      val groups = if (chunkSize <= 0) Seq(qs)
+        else qs.grouped(chunkSize).toSeq
+      groups.flatMap { chunk =>
+        val spark = mkSession()
+        try {
+          val r1 = onePass(spark, chunk).toMap
+          // let ContextCleaner reclaim localCheckpoint blocks before pass 2
+          System.gc()
+          onePass(spark, chunk).map { case (n, t) => n -> math.min(t, r1(n)) }
+        } finally spark.stop()
+      }
+    }
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // two passes, report per-query min: first pass pays JIT/codegen-cache
-    // warmup; min-of-2 is the steady-state number a long-running cluster
-    // job actually sees
-    val r1 = onePass(headline).toMap
-    // let ContextCleaner reclaim localCheckpoint blocks before pass 2
-    System.gc()
-    val results = onePass(headline).map { case (n, t) => n -> math.min(t, r1(n)) }
+    val results = minOfTwoChunked(headline)
     // production-path twins (__prod hash-mode, __prefix plan-mode): timed
     // the same way but recorded in BENCH_DETAIL's separate "variants" map,
     // so the headline total keeps measuring exactly the correctness-
     // verified queries AND sum("queries") == "value" stays true in the
     // detail file too (a consumer cross-checking the invariant must not
     // trip over variant entries)
-    val prod = {
-      val qs = SparkEntry.prodVariants.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-      if (qs.isEmpty) Seq.empty[(String, Double)] else {
-        val p1 = onePass(qs).toMap
-        onePass(qs).map { case (n, t) => n -> math.min(t, p1(n)) }
-      }
-    }
+    val prod = minOfTwoChunked(SparkEntry.prodVariants.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) })
     // 2 decimals in the compact line: at 69+ queries a 3-decimal map
     // outgrows the harness's 2000-char tail capture (measured 1737 chars
     // at 68 queries); centisecond resolution loses nothing the min-of-2
@@ -137,6 +181,5 @@ object Bench {
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(out)
-    spark.stop()
   }
 }

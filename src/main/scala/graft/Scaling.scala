@@ -654,6 +654,25 @@ object Scaling {
       // never catalog²
       "item_cf" ->
         (dir => SparkEntry.queries("q268_item_cf")(spark, dir)),
+      // q268's pipeline with a PLANTED 10k-item bot basket unioned in
+      // before the cap: ItemCf.cappedBaskets must exclude it, so wall
+      // must MATCH the item_cf row (its |b|² = 10⁸ single-key pair rows
+      // never materialize; uncapped, this op would be a one-task
+      // 100M-row shuffle key — the skew class the cap exists to kill)
+      "item_cf_hot" -> (dir => {
+        val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+          .distinct()
+        val hot = spark.range(10000).select(lit(999999999999L).as("bk"),
+          (col("id") + 8000000000L).as("item"))
+        val li = graft.ops.ItemCf.cappedBaskets(raw.unionByName(hot))
+        graft.ops.ItemCf.pairScores(li)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("ia"))
+              .orderBy(col("cos").desc, col("ib"))).cast("long"))
+          .filter(col("rank") <= 5)
+      }),
       // q274: the ItemCF pipeline plus four metric branches over the
       // persisted lists; wall must track the pair table like item_cf
       "rec_eval" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.parse.AliccpCodec
-import graft.ops.{BronzeSilver, Categorify, Checks, Eval, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
+import graft.ops.{BronzeSilver, Categorify, Checks, Eval, ItemCf, Layout, PointInTime, RangeJoin, Scaler, Scd, Skew, Spatial}
 import graft.llm.{Bpe, Dedup, IvfIndex, LinkGraph, Pack, Pq, Privacy, Rank, Similarity, Sketches, TextStats, Urls}
 import graft.multimodal.{Avi, Binary, Bmp, Flac, Gif, Gzip, Jpeg, Mp3, Mp4, Ogg, Pdf, Png, Tar, Tiff, Warc, Wav, Webp, Zip}
 import graft.sources.{Sources, Tables}
@@ -8255,8 +8255,12 @@ object SparkEntry {
       val topk = Similarity.cosineTopK(queries, corpus, k = 10)
       val nLab = emb.select(col("vec_id").as("nid"),
         col("label").as("nlabel"))
-      val qLab = emb.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))
+      // qLab feeds a broadcast join keyed on qid: restrict it to the
+      // 1/20 query batch BEFORE the hint, or the explicit broadcast
+      // ships the FULL corpus label frame (20x the surviving rows)
+      // past the 64MB gate — a driver/executor memory hazard at scale
+      val qLab = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
       val labN = emb.groupBy(col("label").as("qlabel"))
         .agg(count(lit(1)).as("lab_n"))
       val wRank = ndcgW.zipWithIndex.foldLeft(lit(0L)) { case (e, (w, i)) =>
@@ -8462,8 +8466,12 @@ object SparkEntry {
       val topk = Similarity.cosineTopK(queries, corpus, k = 10)
       val nLab = emb.select(col("vec_id").as("nid"),
         col("label").as("nlabel"))
-      val qLab = emb.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))
+      // qLab feeds a broadcast join keyed on qid: restrict it to the
+      // 1/20 query batch BEFORE the hint, or the explicit broadcast
+      // ships the FULL corpus label frame (20x the surviving rows)
+      // past the 64MB gate — a driver/executor memory hazard at scale
+      val qLab = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
       val votes = topk.join(nLab, "nid")
         .groupBy(col("qid"), col("nlabel"))
         .agg(count(lit(1)).as("v"))
@@ -8509,6 +8517,22 @@ object SparkEntry {
             (col("n_docs").cast(d38) * col("n_docs").cast(d38))
               .cast("double")).as("simpson"))
         .ordered(col("source"))
+    }),
+
+    // ---- Recommendation: ItemCF basket-cap accounting ledger ------------
+    // The no-silent-caps companion to q268/q274: those queries exclude
+    // baskets over ItemCf.MaxBasketSize from pair generation (one hot
+    // basket = |b|² rows on ONE join key — the skewed-shuffle killer);
+    // this ledger is the drop's visible accounting — basket census,
+    // dropped count and rows, largest-seen vs largest-kept, and the
+    // exact Σ|b|² pair work the kept universe admits (the self-join's
+    // output bound, on DECIMAL(38,0)). One map-side-combined groupBy
+    // plus a one-row rollup; the q253 per-stage-ledger shape.
+    "q285_itemcf_cap_ledger" -> ((s, dir) => {
+      ItemCf.droppedLedger(Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+        .distinct())
     }),
 
     // ---- Monitoring: anomaly root-cause contribution --------------------
@@ -8755,7 +8779,16 @@ object SparkEntry {
       val pred = e.filter(col("half") === 0)
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_cal"), sum(col("y2")).as("s_cal"))
-        .withColumn("pred2", expr("s_cal div n_cal"))
+        // FLOOR division, pinned on BOTH engines: Spark's `div` and
+        // DuckDB's `//` both truncate toward zero, so the raw forms
+        // agree — but only because y2 happens to be non-negative on
+        // current fixtures does trunc == floor. The predictor is
+        // defined as floor(mean), so spell it sign-safely: pmod keeps
+        // the remainder in [0, n), making (s - pmod(s, n)) div n IS
+        // floor(s/n) for any sign of s, in exact integer arithmetic
+        // (n_cal = COUNT(*) > 0 always). The oracle uses the same
+        // identity with ((s % n) + n) % n.
+        .withColumn("pred2", expr("(s_cal - pmod(s_cal, n_cal)) div n_cal"))
         .select(col("segment"), col("n_cal"), col("pred2"))
       e.filter(col("half") === 1)
         .join(broadcast(pred), "segment")
@@ -8848,7 +8881,10 @@ object SparkEntry {
           "shiftleft(CAST(1 AS BIGINT), CAST(40 - least(wk, 40) AS INT))"))
         .groupBy(col("event_type"))
         .agg(sum(col("c")).as("n"),
-          sum((col("c") * col("weight")).cast(d38)).as("score"))
+          // decimal BEFORE the product: weight reaches 2^40, so any
+          // (type, day) cell past ~2^23 events overflows a BIGINT
+          // c*weight; DuckDB multiplies on HUGEINT (round-13 lesson)
+          sum(col("c").cast(d38) * col("weight").cast(d38)).as("score"))
       scored
         .withColumn("tot", sum(col("score")).over(wAll))
         .select(col("event_type"), col("n"),
@@ -8872,10 +8908,15 @@ object SparkEntry {
     "q274_rec_eval" -> ((s, dir) => {
       def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val d38 = "decimal(38,0)"
-      val li = Tables(s, dir, "lineitem")
+      // basket cap (ItemCf.MaxBasketSize): the pair self-join below
+      // does |b|² work ON ONE JOIN KEY per basket — uncapped, a single
+      // hot basket is the classic skewed-shuffle killer. The cap is in
+      // the oracle too (declared semantics, not a silent truncation);
+      // q285 is the accounting ledger, ItemCfSpec the hot-basket proof.
+      val li = ItemCf.cappedBaskets(Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
-        .distinct()
+        .distinct())
       val cnt = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
       val half = li.as("a")
         .join(li.as("b"), col("a.bk") === col("b.bk"))
@@ -8891,8 +8932,12 @@ object SparkEntry {
       val scoredHalf = half
         .join(cnt.select(col("item").as("ia"), col("c").as("ca")), "ia")
         .join(cnt.select(col("item").as("ib"), col("c").as("cb")), "ib")
+        // cast each count to double BEFORE the product: ca*cb on
+        // BIGINT overflows past ~3e9-count hub items (ANSI throw);
+        // only the double magnitude is needed, and double*double is
+        // IEEE-identical in both engines
         .withColumn("cos", r6(col("cab").cast("double") /
-          sqrt((col("ca") * col("cb")).cast("double"))))
+          sqrt(col("ca").cast("double") * col("cb").cast("double"))))
         .select(col("ia"), col("ib"), col("cos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val scored = scoredHalf.unionByName(scoredHalf
@@ -9166,8 +9211,12 @@ object SparkEntry {
       val topk = Similarity.cosineTopK(queries, corpus, k = 10)
       val nLab = emb.select(col("vec_id").as("nid"),
         col("label").as("nlabel"))
-      val qLab = emb.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))
+      // qLab feeds a broadcast join keyed on qid: restrict it to the
+      // 1/20 query batch BEFORE the hint, or the explicit broadcast
+      // ships the FULL corpus label frame (20x the surviving rows)
+      // past the 64MB gate — a driver/executor memory hazard at scale
+      val qLab = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
       val t = topk.join(nLab, "nid").join(broadcast(qLab), "qid")
         .withColumn("rel", (col("nlabel") === col("qlabel")).cast("int"))
       val wq = Window.partitionBy(col("qid"))
@@ -9205,25 +9254,17 @@ object SparkEntry {
     // item. Integer counts; one sqrt+division per pair, quantized to
     // the 1e-6 grid BEFORE ranking (the cosineTopK discipline).
     "q268_item_cf" -> ((s, dir) => {
-      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val li = Tables(s, dir, "lineitem")
+      // basket cap (ItemCf.MaxBasketSize): the pair self-join inside
+      // ItemCf.pairScores does |b|² work ON ONE JOIN KEY per basket —
+      // uncapped, a single hot basket is the classic skewed-shuffle
+      // killer. The cap is in the oracle too (declared semantics, not
+      // a silent truncation); q285 is the accounting ledger, ItemCfSpec
+      // the hot-basket proof, Scaling's item_cf_hot the measured row.
+      val li = ItemCf.cappedBaskets(Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
-        .distinct()
-      val cnt = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
-      val half = li.as("a")
-        .join(li.as("b"), col("a.bk") === col("b.bk"))
-        .filter(col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-        .agg(count(lit(1)).as("cab"))
-      val sym = half.unionByName(half.select(col("ib").as("ia"),
-        col("ia").as("ib"), col("cab")))
-      val scored = sym
-        .join(cnt.select(col("item").as("ia"), col("c").as("ca")), "ia")
-        .join(cnt.select(col("item").as("ib"), col("c").as("cb")), "ib")
-        .withColumn("cos", r6(col("cab").cast("double") /
-          sqrt((col("ca") * col("cb")).cast("double"))))
-      scored
+        .distinct())
+      ItemCf.pairScores(li)
         .withColumn("rank", row_number().over(Window.partitionBy(col("ia"))
           .orderBy(col("cos").desc, col("ib"))).cast("long"))
         .filter(col("rank") <= 5)
@@ -16029,6 +16070,26 @@ object SparkEntry {
         |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS simpson
         |FROM s ORDER BY source""".stripMargin,
 
+    // the same basket census and cap; NULL max_kept when every basket
+    // is over the cap (absence surfaced, never a fabricated 0)
+    "q285_itemcf_cap_ledger" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |sz AS (SELECT bk, COUNT(*) AS bsz FROM li GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets,
+        |  CAST(SUM(CASE WHEN bsz > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN bsz > 1000 THEN bsz ELSE 0 END) AS BIGINT)
+        |    AS dropped_rows,
+        |  CAST(MAX(bsz) AS BIGINT) AS max_basket,
+        |  CAST(MAX(CASE WHEN bsz <= 1000 THEN bsz END) AS BIGINT)
+        |    AS max_kept,
+        |  CAST(SUM(CASE WHEN bsz <= 1000
+        |    THEN CAST(bsz AS HUGEINT) * bsz ELSE 0 END) AS DOUBLE)
+        |    AS pair_work_kept
+        |FROM sz""".stripMargin,
+
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking
     "q281_anomaly_contrib" ->
@@ -16204,7 +16265,8 @@ object SparkEntry {
         |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
         |    AND value IS NOT NULL AND NOT isnan(value)),
         |p AS (SELECT segment, COUNT(*) AS n_cal,
-        |    SUM(y2) // COUNT(*) AS pred2
+        |    (SUM(y2) - ((SUM(y2) % COUNT(*)) + COUNT(*)) % COUNT(*))
+        |      // COUNT(*) AS pred2
         |  FROM e WHERE half = 0 GROUP BY 1),
         |v AS (SELECT e.segment, p.n_cal, p.pred2, COUNT(*) AS n_eval,
         |    SUM(ABS(y2 - pred2)) AS sabs,
@@ -16276,9 +16338,12 @@ object SparkEntry {
     // full replay of q268's pipeline plus the three metric CTEs; a
     // missing within-list pair coalesces to cosine 0 on both sides
     "q274_rec_eval" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_partkey IS NOT NULL),
+        |li AS (SELECT bk, item FROM (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY bk) AS bsz FROM li0)
+        |  WHERE bsz <= 1000),
         |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
         |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
         |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
@@ -16287,7 +16352,8 @@ object SparkEntry {
         |  UNION ALL SELECT ib, ia, cab FROM half),
         |scored AS (SELECT ia, ib,
         |    FLOOR(CAST(cab AS DOUBLE) /
-        |      sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos
+        |      sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS cos
         |  FROM sym JOIN cnt ca ON ca.item = ia
         |    JOIN cnt cb ON cb.item = ib),
         |recs AS (SELECT ia, ib, cos FROM (SELECT *,
@@ -16484,9 +16550,12 @@ object SparkEntry {
     // the same basket self-join, symmetrized pair counts, and
     // quantize-before-rank cosine
     "q268_item_cf" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_partkey IS NOT NULL),
+        |li AS (SELECT bk, item FROM (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY bk) AS bsz FROM li0)
+        |  WHERE bsz <= 1000),
         |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
         |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
         |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
@@ -16495,7 +16564,8 @@ object SparkEntry {
         |  UNION ALL SELECT ib, ia, cab FROM half),
         |scored AS (SELECT ia, ib, cab, ca.c AS ca, cb.c AS cb,
         |    FLOOR(CAST(cab AS DOUBLE) /
-        |      sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos
+        |      sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS cos
         |  FROM sym JOIN cnt ca ON ca.item = ia
         |    JOIN cnt cb ON cb.item = ib),
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ia

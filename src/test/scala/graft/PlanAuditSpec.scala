@@ -2,17 +2,36 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Suite-wide physical-plan guard: no query may contain a cartesian or
-  * broadcast-nested-loop join unless it is on the documented allowlist —
-  * the plan-shape regression a single bad refactor (a dropped join key, a
-  * non-equi condition) would otherwise introduce silently. Plans are built
-  * at sf0.001; queries whose operators execute jobs at plan-build time
-  * (Categorify fit, CC rounds, IVF fit) run them at that scale, which
-  * keeps the whole audit cheap.
+/** Suite-wide physical-plan guards, one plan build per query (sf0.001;
+  * queries whose operators execute jobs at plan-build time — Categorify
+  * fit, CC rounds, IVF fit — run them at that scale, keeping the audit
+  * cheap):
+  *
+  *   1. no cartesian / broadcast-nested-loop join off the documented
+  *      allowlist — the plan-shape regression a single bad refactor (a
+  *      dropped join key, a non-equi condition) introduces silently;
+  *   2. no planner-inserted `Exchange SinglePartition,
+  *      ENSURE_REQUIREMENTS` off the documented-BOUND allowlist — the
+  *      q193-class pathology (a fact-table window/sort serialized onto
+  *      one task) that previously took a manual PLANS.md sweep every
+  *      round to adjudicate. The matcher is deliberately narrow: the
+  *      `.ordered(...)` output contract's `repartition(1)` prints as
+  *      REPARTITION_BY_NUM (a deliberate, documented one-partition dump
+  *      of an already-small result) and is NOT flagged; only exchanges
+  *      the PLANNER inserted to satisfy an AllTuples/single-partition
+  *      requirement are audited, because those are where an unbounded
+  *      frame can silently serialize.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  /** One executedPlan string per query, built once and shared by every
+    * audit in this suite (the build itself is the expensive part). */
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
 
   /** Queries whose cross/NLJ is a documented design choice:
     *   - q16: the exact all-pairs ground-truth harness (its point).
@@ -129,18 +148,122 @@ class PlanAuditSpec extends AnyFunSuite {
     "q274_rec_eval", "q283_knn_eval")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan
-          .toString.toLowerCase
-        val hasCross =
-          plan.contains("cartesianproduct") || plan.contains("broadcastnestedloop")
-        if (hasCross && !allowed(name)) Some(name)
-        else if (!hasCross && allowed(name)) None // allowlist is permissive,
-          // not required: a query may lose its NLJ (e.g. q34 above-gate)
-        else None
+    val offenders = plans.flatMap { case (name, planStr) =>
+      val plan = planStr.toLowerCase
+      val hasCross =
+        plan.contains("cartesianproduct") || plan.contains("broadcastnestedloop")
+      if (hasCross && !allowed(name)) Some(name)
+      else if (!hasCross && allowed(name)) None // allowlist is permissive,
+        // not required: a query may lose its NLJ (e.g. q34 above-gate)
+      else None
     }
     assert(offenders.isEmpty,
       s"undocumented cross/NLJ joins in: ${offenders.mkString(", ")}")
+  }
+
+  // ---- single-partition exchange audit ---------------------------------
+
+  /** Planner-inserted single-partition exchanges in a physical plan
+    * string. REPARTITION_BY_NUM (the `.ordered` output dump) is excluded
+    * by construction — only ENSURE_REQUIREMENTS placements are the
+    * planner satisfying a one-partition distribution requirement. */
+  private[graft] def singlePartitionExchanges(plan: String): Int =
+    "Exchange SinglePartition, ENSURE_REQUIREMENTS".r
+      .findAllMatchIn(plan).length
+
+  /** Every query that legitimately carries a planner-inserted
+    * single-partition exchange, WITH the bound that makes it safe: the
+    * frame crossing the exchange is sized by a DOMAIN (grid cells,
+    * sketch width, decile/fold/class counts, one-row aggregates), never
+    * by the fact table. A query absent from this map that grows one is
+    * the q193 pathology and fails the audit until its bound is named
+    * here (or the plan is fixed — PrefixSum owns the global-order
+    * monoids, runningMaxStrictAsc the running-max family). */
+  private val boundedSinglePartition: Map[String, String] = Map(
+    "q06_categorify" -> "per-column vocab count frames (|vocab| rows)",
+    "q11_vocab_stats" -> "one-row distinct-counts aggregate",
+    "q40_vocab_sketch" -> "one-row sketch aggregate",
+    "q43_scalar_subquery" -> "one-row scalar-subquery aggregate",
+    "q59_tfidf" -> "one-row corpus doc-count aggregate",
+    "q79_unigram_lm" -> "one-row token-total aggregate (lazy denominator)",
+    "q88_vocab_coverage" -> "one-row token-mass total",
+    "q97_dsir_select" -> "one-row totals of the two unigram LMs",
+    "q98_ccnet_buckets" -> "one-row total + 3-row tercile cuts",
+    "q105_vocab_drift" -> "top-K vocab frames (K rows per corpus)",
+    "q118_sparse_topk" -> "one-row corpus-count aggregate",
+    "q122_cms_counts" -> "one-row Count-Min sketch aggregate",
+    "q130_hll_distinct" -> "one-row HLL register aggregate",
+    "q135_kmv_overlap" -> "one-row KMV sketch aggregates",
+    "q137_dq_checks" -> "one-row publish-gate check aggregate",
+    "q148_hist_merge" -> "one-row merged fixed-width histogram",
+    "q149_kmv_merge" -> "one-row merged KMV sketch",
+    "q150_hll_merge" -> "one-row merged HLL registers",
+    "q151_cms_merge" -> "one-row merged CMS counters",
+    "q160_pps_sample" -> "one-row total-weight frame + 20k advisor sample",
+    "q164_sketch_mv" -> "per-day sketch rows (day-domain grid)",
+    "q176_funnel" -> "stage-domain funnel grid (|stages| rows)",
+    "q180_benford" -> "9-row leading-digit grid",
+    "q184_ab_test" -> "per-arm aggregate grid (|arms| rows)",
+    "q187_fd_audit" -> "per-FD-edge one-row violation aggregates",
+    "q188_cms_join_est" -> "one-row sketch aggregates",
+    "q190_assoc_rules" -> "one-row distinct-order denominator",
+    "q192_gini" -> "decile-domain grid (10 rows)",
+    "q197_ref_integrity" -> "per-FK-edge one-row audit aggregates",
+    "q200_cramers_v" -> "bounded contingency grid (|a|x|b| cells)",
+    "q201_date_dim" -> "day-span sequence (date-domain grid)",
+    "q202_cuped" -> "one-row covariance/variance aggregates",
+    "q205_sliding_hll" -> "per-day HLL rows (day-domain grid)",
+    "q211_forget_scrub" -> "one-row scrub ledger aggregate",
+    "q212_keyness" -> "one-row corpus-split token totals",
+    "q220_apportionment" -> "fixed seat-ladder grid (seats x parties)",
+    "q221_session_basket" -> "one-row session-count denominator",
+    "q224_ks_drift" -> "quantized value-domain CDF grid",
+    "q227_ks_hist" -> "one-row sketch + 256-bin histogram grid",
+    "q231_rfm" -> "PrefixSum bucket ledger (<= nB boundary rows)",
+    "q232_key_skew" -> "top-K key frame (K rows)",
+    "q233_backtest" -> "(type x day) domain grid",
+    "q245_phrase_search" -> "per-phrase candidate/rank frames (|phrases| bounded)",
+    "q246_hazard" -> "one-row observation-end aggregate",
+    "q251_collocations" -> "one-row N/B token totals",
+    "q253_dedup_cascade" -> "per-stage one-row ledger aggregates",
+    "q259_calibration" -> "score-bin calibration grid",
+    "q260_bin_drift" -> "score-bin drift grid",
+    "q261_gains" -> "decile-domain gains grid",
+    "q262_gini_gain" -> "(feature x class) split grid",
+    "q267_path_trigrams" -> "page-domain trigram grid (125 rows)",
+    "q269_ips_offpolicy" -> "(ctx x action) cell grid (~20 rows)",
+    "q270_cv_folds" -> "fold x score-domain grid",
+    "q274_rec_eval" -> "one-row summary aggregates over top-5 lists",
+    "q278_decayed_popularity" -> "(type x day) grid + one-row score total",
+    "q279_uplift_qini" -> "decile-domain uplift grid",
+    "q285_itemcf_cap_ledger" -> "one-row basket-census ledger rollup")
+
+  test("every planner-inserted SinglePartition exchange has a named bound") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      val n = singlePartitionExchanges(plan)
+      if (n > 0 && !boundedSinglePartition.contains(name)) Some(s"$name ($n)")
+      else None // allowlist is permissive, not required: a query may lose
+        // its exchange (e.g. a broadcast flip at a different SF)
+    }
+    assert(offenders.isEmpty,
+      "planner-inserted single-partition exchanges with NO documented bound " +
+        s"(name the bound in boundedSinglePartition or fix the plan): " +
+        offenders.mkString(", "))
+  }
+
+  test("the audit is red on a planted global-window query (not vacuous)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the exact q193-class shape: a window over EVERYTHING — the planner
+    // must serialize the full frame onto one task to satisfy it
+    val planted = spark.range(1000)
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(singlePartitionExchanges(planted) > 0,
+      "detector failed to see the planted single-partition window")
+    // and an unlisted query carrying it WOULD be flagged by the audit rule
+    val flagged = singlePartitionExchanges(planted) > 0 &&
+      !boundedSinglePartition.contains("q999_planted")
+    assert(flagged)
   }
 }

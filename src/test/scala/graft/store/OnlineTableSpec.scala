@@ -467,6 +467,89 @@ class OnlineTableSpec extends AnyFunSuite {
     OnlineTable.compact(spark, root + "_never", Seq("k"))
   }
 
+  test("three-way race: compact x rebucket x upserts — no lost update, " +
+      "no torn reader, monotone log") {
+    val root = java.nio.file.Files.createTempDirectory("otb11").toString + "/t"
+    val m = latestMerge(Seq("k"), "ts", "ts")
+    // seed 100 keys in 4 buckets, then scatter micro-batch gens so the
+    // compact thread has real generations to collapse
+    OnlineTable.publishBucketedBatch(
+      (1L to 100L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"),
+      root, Seq("k"), m, nBuckets = 4)
+    (2L to 6L).foreach { i =>
+      OnlineTable.publishBucketedBatch(
+        Seq((i, 2L, s"u$i")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // continuous reader: every observed snapshot must be complete (100
+    // keys — upserts touch existing keys only). A missing-files error is
+    // NOT torn state: it is the documented retention race (a reader that
+    // held a snapshot across >keepVersions commits re-derives, exactly
+    // like the writers' isMissingFiles path) — the reader retries; only
+    // a WRONG ROW COUNT (a half-visible generation) is a torn snapshot.
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          OnlineTable.read(spark, root).foreach { df =>
+            val n = df.count()
+            if (n != 100L)
+              errs.add(new AssertionError(s"torn snapshot: $n rows"))
+          }
+        } catch {
+          case _: Throwable => () // retention race: re-derive next loop
+        }
+      }
+    })
+    val rb = new Thread(() =>
+      try OnlineTable.rebucket(spark, root, Seq("k"), 16, maxRetries = 40)
+      catch { case e: Throwable => errs.add(e) })
+    val cp = new Thread(() =>
+      try OnlineTable.compact(spark, root, Seq("k"), maxRetries = 40)
+      catch { case e: Throwable => errs.add(e) })
+    val up = new Thread(() =>
+      try (1 to 5).foreach { i =>
+        OnlineTable.publishBucketedBatch(
+          Seq((i.toLong, 3L, s"upd$i")).toDF("k", "ts", "v"),
+          root, Seq("k"), m, maxRetries = 40)
+      } catch { case e: Throwable => errs.add(e) })
+    reader.start(); rb.start(); cp.start(); up.start()
+    rb.join(180000); cp.join(180000); up.join(180000)
+    stop.set(true); reader.join(60000)
+    assert(errs.isEmpty, s"three-way race must be absorbed cleanly: $errs")
+    // no lost update: every key lives, and latest-ts wins everywhere —
+    // ts=3 upserts over ts=2 scatter over the ts=1 seed, regardless of
+    // which side of the rebucket/compact flips each one landed on
+    val live = OnlineTable.read(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(live.size === 100)
+    (1 to 5).foreach(i => assert(live(i.toLong) === s"upd$i",
+      s"update $i lost across the compact/rebucket flips"))
+    assert(live(6L) === "u6")
+    assert(live(50L) === "v50")
+    // monotone, gapless log: 1 seed + 5 scatter + 5 upserts + rebucket +
+    // compact = 13 successful commits, each consuming exactly one seq
+    // (CAS losers retry WITHOUT committing); retention GC trims only a
+    // prefix, so the retained window is contiguous up to head = 13
+    val seqs = Option(new java.io.File(root, "_commits").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("c-"))
+      .map(_.stripPrefix("c-").toLong).sorted
+    assert(seqs.nonEmpty && seqs.last === 13L,
+      s"head seq must be 13 (one per successful commit), got $seqs")
+    assert(seqs === (seqs.head to seqs.last),
+      s"retained commit window must be gapless, got $seqs")
+    // the surviving manifest is coherent: a one-key upsert rewrites
+    // exactly ONE bucket of whichever count won the count race (4 if
+    // compact's re-derive landed last, 16 if the rebucket did)
+    val before = genSubdirs(root)
+    OnlineTable.publishBucketedBatch(
+      Seq((42L, 9L, "post")).toDF("k", "ts", "v"), root, Seq("k"), m)
+    assert((genSubdirs(root) -- before).size === 1)
+    val got = OnlineTable.lookup(spark, root, Seq("k"), Seq(42L).toDF("k"))
+      .get.select("v").as[String].collect().toSet
+    assert(got === Set("post"))
+  }
+
   test("getOnlineFeatures broadcasts keys against the live snapshot") {
     val root = java.nio.file.Files.createTempDirectory("ot3").toString + "/t"
     val view = FeatureStore.FeatureView("v", Seq("k"), "ts", 1000000L, Seq("f"))
