@@ -542,6 +542,15 @@ object Scaling {
       // unrolled rounds stay queries×10-sized — wall must track the
       // candidate stage, the rounds' share must shrink
       "mmr" -> (dir => SparkEntry.queries("q248_mmr_rerank")(spark, dir)),
+      // the IVFPQ production twins: same fusion/greedy tails, candidate
+      // stage swapped from the corpus-wide exact cosine to IVF-pruned
+      // ADC over PQ codes — the 100 TB candidate path; their ratios
+      // against the exact rrf_hybrid/mmr rows ARE the measured case for
+      // the swap (the corpus side carries m 4-bit codes, no vector join)
+      "rrf_prod" ->
+        (dir => SparkEntry.prodVariants("q244_rrf_hybrid__prod")(spark, dir)),
+      "mmr_prod" ->
+        (dir => SparkEntry.prodVariants("q248_mmr_rerank__prod")(spark, dir)),
       // q249's sketch: the sample stage is a per-group top-k over the
       // scan (k fixed), the exact rider grows with the value domain —
       // wall must track the scan, the sample stays 1024/group

@@ -211,7 +211,8 @@ object SparkEntry {
     * q89's cluster-balanced sampling shares the IDENTICAL index and
     * digest-emission rule; `corpus` must be (nid, nvec)-shaped. */
   private def ivfAcquire(s: SparkSession, dir: String,
-                         corpus: DataFrame): (IvfIndex.Model, java.nio.file.Path) = {
+                         corpus: DataFrame,
+                         nlist: Int = Q39Nlist): (IvfIndex.Model, java.nio.file.Path) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     // The cache key — in memory AND on disk — is (dir, dataset content):
@@ -236,7 +237,7 @@ object SparkEntry {
     // never load each other's index dirs
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest((dir + "\u0000" + contentFp +
-        s"\u0000ivf2:nlist=$Q39Nlist").getBytes("UTF-8"))
+        s"\u0000ivf2:nlist=$nlist").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_ivf_$digest")
     val fin = base.resolve("index")
@@ -260,7 +261,7 @@ object SparkEntry {
         // one atomic tree: centroids/ (driver-sized) and cells/ (the
         // inverted file — corpus partitioned by cell, what lets the
         // probe read only probed cells)
-        val m = IvfIndex.fit(corpus, nlist = Q39Nlist)
+        val m = IvfIndex.fit(corpus, nlist = nlist)
         m.save(s, tmp.resolve("centroids").toString)
         IvfIndex.buildInverted(corpus, m, tmp.resolve("cells").toString)
         // atomic rename, concurrent-publisher-safe; the non-atomic-move
@@ -6941,7 +6942,6 @@ object SparkEntry {
     // stable: Jaccard is one IEEE division of exact integers, RRF terms
     // are 1/(60+r) over integer ranks, both floored at 1e-6.
     "q244_rrf_hybrid" -> ((s, dir) => {
-      def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val emb = Tables(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       val dense = Similarity.cosineTopK(
@@ -6950,51 +6950,7 @@ object SparkEntry {
           emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
           k = 20)
         .select(col("qid"), col("nid"), col("rank").as("rd"))
-      // lexical unit = word 3-gram shingles, NOT unigrams: the corpus
-      // vocabulary is tiny and dense (31 tokens, ~78% df each — every
-      // unigram is a stopword), so a unigram inverted index degenerates
-      // to near-all-pairs (measured 448M candidate mass vs 2.8M for
-      // 3-grams at sf0.1, a 160× cut) — the exact df-blowup a 100 TB
-      // inverted index must avoid; shingling is the standard fix
-      // shingles via the codegen'd single-pass kernel, NOT the
-      // transform(sequence, slice+array_join) HOF — the HOF evaluates
-      // interpreted per shingle and re-tokenizes per reference after
-      // projection collapse (measured 4.4 s for 240k shingles at sf0.1
-      // vs ~0.1 s single-pass); the ≥3-token gate keeps shingles_k's
-      // whole-doc fallback from firing, so short docs simply don't
-      // participate in the lexical list (the oracle filters the same)
-      val idx = Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .filter(size(TextStats.tokens(lower(col("text")))) >= 3)
-        .withColumn("gs", Dedup.shingles(col("text"), 3))
-        .select(col("doc_id"), size(col("gs")).as("ntok"),
-          explode(col("gs")).as("tok"))
-      val shared = idx.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("qid"), col("ntok").as("nq"), col("tok"))
-        .join(idx.select(col("doc_id").as("nid"), col("ntok").as("nn"),
-          col("tok")), Seq("tok"))
-        .filter(col("qid") =!= col("nid"))
-        .groupBy(col("qid"), col("nid"), col("nq"), col("nn"))
-        .agg(count(lit(1)).as("nab"))
-        .withColumn("jac", round6(col("nab").cast("double") /
-          (col("nq") + col("nn") - col("nab"))))
-      val wl = Window.partitionBy(col("qid"))
-        .orderBy(desc("jac"), asc("nid"))
-      val lex = shared
-        .withColumn("rl", row_number().over(wl).cast("long"))
-        .filter(col("rl") <= 20)
-        .select(col("qid"), col("nid"), col("rl"))
-      val wf = Window.partitionBy(col("qid"))
-        .orderBy(desc("rrf"), asc("nid"))
-      dense.join(lex, Seq("qid", "nid"), "full_outer")
-        .withColumn("rrf", round6(
-          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))))
-        .withColumn("rank", row_number().over(wf).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("nid"), col("rrf"), col("rd"), col("rl"),
-          col("rank"))
-        .ordered(col("qid"), col("rank"))
+      rrfHybrid(s, dir, dense)
     }),
 
     // ---- Retrieval: positional-index phrase search ------------------------------
@@ -7179,53 +7135,13 @@ object SparkEntry {
     "q248_mmr_rerank" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      // the unrolled rounds reference `cands` ~8 times (cv's two pair
-      // branches, each round's anti-join + score join) — uncached, each
-      // reference re-executes the corpus-wide candidate stage (measured
-      // 3.8 s vs 1.3 s); the candidate lists are queries×10 rows, the
-      // textbook persist (Bench's clearCache releases it)
       val cands = Similarity.cosineTopK(
           emb.filter(col("vec_id") % 20 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
           k = 10)
         .select(col("qid"), col("nid"), col("cos").as("rel"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cv = cands.join(
-        emb.select(col("vec_id").as("nid"), col("embedding").as("v")),
-        Seq("nid"))
-      val pairs = cv.select(col("qid"), col("nid").as("anid"),
-          col("v").as("av"))
-        .join(cv.select(col("qid"), col("nid").as("bnid"),
-          col("v").as("bv")), Seq("qid"))
-        .filter(col("anid") =!= col("bnid"))
-        .select(col("qid"), col("anid"), col("bnid"),
-          Similarity.round6(Similarity.dot(col("av"), col("bv")) /
-            (Similarity.l2Norm(col("av")) * Similarity.l2Norm(col("bv"))))
-            .as("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def argmax(scored: DataFrame, pickNo: Int): DataFrame = {
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(desc("sc"), asc("nid"))
-        scored.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("qid"), lit(pickNo).as("pick"), col("nid"),
-            col("sc").as("score"))
-      }
-      val sel1 = argmax(cands.withColumn("sc", col("rel")), 1)
-      def round(selected: DataFrame, pickNo: Int): DataFrame = {
-        val keys = selected.select(col("qid"), col("nid"))
-        val ms = pairs
-          .join(keys.withColumnRenamed("nid", "bnid"), Seq("qid", "bnid"))
-          .groupBy(col("qid"), col("anid")).agg(max(col("sim")).as("msim"))
-          .withColumnRenamed("anid", "nid")
-        val scored = cands.join(keys, Seq("qid", "nid"), "left_anti")
-          .join(ms, Seq("qid", "nid"))
-          .withColumn("sc", Similarity.round6(
-            lit(0.7) * col("rel") - lit(0.3) * col("msim")))
-        selected.unionByName(argmax(scored, pickNo))
-      }
-      round(round(sel1, 2), 3).ordered(col("qid"), col("pick"))
+      mmrRounds(emb, cands).ordered(col("qid"), col("pick"))
     }),
 
     // ---- Sketches: deterministic sample quantiles with a DKW bound --------------
@@ -8535,6 +8451,48 @@ object SparkEntry {
         .distinct())
     }),
 
+    // ---- Streaming drift gate with a ROLLING re-baseline ----------------
+    // q235's monitor scores against a STATIC trusted-period reference —
+    // which goes stale in production: a permanent level shift is
+    // "drift" forever. This variant re-derives each day's reference
+    // from the 3 PRECEDING observed days' sketches (elementwise sum of
+    // the state-store histograms — Streams.rollingDriftScore), so a
+    // level shift alarms for exactly lag windows and then becomes the
+    // new normal (StreamsSpec proves the exact alarm pattern). Same
+    // machinery: AvailableNow replay through the full streaming state
+    // store; the rescoring rides the days×256 DOMAIN grid; all drift
+    // arithmetic exact (cross-multiplied DECIMAL(38,0) gaps, q235's
+    // integer-KS form); day 1 emits NULL (no reference — warmup
+    // surfaced, never a fabricated verdict).
+    "q286_rolling_drift" -> ((s, dir) => {
+      val (lo, hi, bins) = (0.0, 512.0, 256)
+      val d38 = "decimal(38,0)"
+      val schema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", Tables.tsUsOf(schema))
+        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+        .withColumn("ev_time", timestamp_micros(col("ts_us")))
+      val perWin = Streams.runToMemory(
+        Streams.driftWindows(stream, "ev_time", "value",
+          delay = "1 hour", windowLen = "1 day", lo, hi, bins),
+        s"q286_mem_${System.nanoTime()}")
+      Streams.rollingDriftScore(perWin, lag = 3)
+        .select(col("w_start"), col("n_win"), col("n_ref"),
+          col("max_gap"), col("ks"),
+          when(col("at_bin").isNotNull, lit(lo) +
+            (col("at_bin") + 1).cast("double") * lit((hi - lo) / bins))
+            .as("at_boundary"),
+          // exact integer verdict at ks > 0.15 (q235's bar), NULL on
+          // the warmup window
+          when(col("n_ref").isNotNull,
+            col("max_gap").cast(d38) * 20 >
+              col("n_win").cast(d38) * col("n_ref").cast(d38) * 3)
+            .as("drifted"))
+        .ordered(col("w_start"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -9596,7 +9554,194 @@ object SparkEntry {
     *     inverted-index plan — the path a >10⁴-doc corpus executes. The
     *     benched q34 at sf0.1 (600 docs) sits below the gate, so without
     *     this twin the scale path would have no tracked timing. */
+  /** q244's lexical leg + RRF fusion over a given dense ranking
+    * (qid, nid, rd) — shared by the oracle-checked exact query and its
+    * IVFPQ `__prod` twin so only the CANDIDATE stage can differ.
+    *
+    * Lexical unit = word 3-gram shingles, NOT unigrams: the corpus
+    * vocabulary is tiny and dense (31 tokens, ~78% df each — every
+    * unigram is a stopword), so a unigram inverted index degenerates to
+    * near-all-pairs (measured 448M candidate mass vs 2.8M for 3-grams
+    * at sf0.1, a 160× cut) — the exact df-blowup a 100 TB inverted
+    * index must avoid; shingling is the standard fix. Shingles via the
+    * codegen'd single-pass kernel, NOT the transform(sequence,
+    * slice+array_join) HOF — the HOF evaluates interpreted per shingle
+    * and re-tokenizes per reference after projection collapse (measured
+    * 4.4 s for 240k shingles at sf0.1 vs ~0.1 s single-pass); the
+    * ≥3-token gate keeps shingles_k's whole-doc fallback from firing,
+    * so short docs simply don't participate in the lexical list (the
+    * oracle filters the same). */
+  private def rrfHybrid(s: SparkSession, dir: String,
+                        dense: DataFrame): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val idx = Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .filter(size(TextStats.tokens(lower(col("text")))) >= 3)
+      .withColumn("gs", Dedup.shingles(col("text"), 3))
+      .select(col("doc_id"), size(col("gs")).as("ntok"),
+        explode(col("gs")).as("tok"))
+    val shared = idx.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("qid"), col("ntok").as("nq"), col("tok"))
+      .join(idx.select(col("doc_id").as("nid"), col("ntok").as("nn"),
+        col("tok")), Seq("tok"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"), col("nq"), col("nn"))
+      .agg(count(lit(1)).as("nab"))
+      .withColumn("jac", round6(col("nab").cast("double") /
+        (col("nq") + col("nn") - col("nab"))))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(desc("jac"), asc("nid"))
+    val lex = shared
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .filter(col("rl") <= 20)
+      .select(col("qid"), col("nid"), col("rl"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(desc("rrf"), asc("nid"))
+    dense.join(lex, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", round6(
+        coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rrf"), col("rd"), col("rl"),
+        col("rank"))
+      .ordered(col("qid"), col("rank"))
+  }
+
+  /** q248's greedy MMR rounds over a given candidate frame
+    * (qid, nid, rel) — shared by the oracle-checked exact query and its
+    * IVFPQ `__prod` twin so only the CANDIDATE stage can differ.
+    *
+    * The unrolled rounds reference `cands` ~8 times (cv's two pair
+    * branches, each round's anti-join + score join) — uncached, each
+    * reference re-executes the candidate stage (measured 3.8 s vs
+    * 1.3 s); the candidate lists are queries×10 rows, the textbook
+    * persist (Bench's clearCache releases it). */
+  private def mmrRounds(emb: DataFrame, cands0: DataFrame): DataFrame = {
+    val cands = cands0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cv = cands.join(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("v")),
+      Seq("nid"))
+    val pairs = cv.select(col("qid"), col("nid").as("anid"),
+        col("v").as("av"))
+      .join(cv.select(col("qid"), col("nid").as("bnid"),
+        col("v").as("bv")), Seq("qid"))
+      .filter(col("anid") =!= col("bnid"))
+      .select(col("qid"), col("anid"), col("bnid"),
+        Similarity.round6(Similarity.dot(col("av"), col("bv")) /
+          (Similarity.l2Norm(col("av")) * Similarity.l2Norm(col("bv"))))
+          .as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def argmax(scored: DataFrame, pickNo: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("sc"), asc("nid"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), lit(pickNo).as("pick"), col("nid"),
+          col("sc").as("score"))
+    }
+    val sel1 = argmax(cands.withColumn("sc", col("rel")), 1)
+    def round(selected: DataFrame, pickNo: Int): DataFrame = {
+      val keys = selected.select(col("qid"), col("nid"))
+      val ms = pairs
+        .join(keys.withColumnRenamed("nid", "bnid"), Seq("qid", "bnid"))
+        .groupBy(col("qid"), col("anid")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("anid", "nid")
+      val scored = cands.join(keys, Seq("qid", "nid"), "left_anti")
+        .join(ms, Seq("qid", "nid"))
+        .withColumn("sc", Similarity.round6(
+          lit(0.7) * col("rel") - lit(0.3) * col("msim")))
+      selected.unionByName(argmax(scored, pickNo))
+    }
+    round(round(sel1, 2), 3)
+  }
+
+  /** Shared IVFPQ candidate stage for the production retrieval twins
+    * (q244/q248 `__prod`): IVF cell pruning (nprobe of nlist cells) ×
+    * PQ ADC scoring over the ENCODED corpus — q240's machinery, the
+    * codebooks ride the plan as literals and the corpus side carries m
+    * 4-bit codes instead of vectors — takes each query's candidate set
+    * down to `k` WITHOUT a corpus-wide vector join; the k survivors are
+    * then re-scored with the EXACT cosine over queries×k vector pairs
+    * (the standard two-stage retrieval: approximate recall, exact
+    * precision — so downstream scoring is bit-identical to the exact
+    * sibling's wherever the candidate sets agree). Output: qid, nid,
+    * cos (round6-quantized, cosineTopK's exact discipline). */
+  private[graft] def ivfpqCandidates(s: SparkSession, dir: String,
+                                     k: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val corpus = emb.select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"))
+    // CONSTANT-CELL-SIZE nlist (the flat-candidate-stage discipline):
+    // with nlist fixed, cells densify as the corpus grows and the
+    // per-query candidate mass is n·nprobe/nlist — linear in n (the
+    // fixed-planes LSH pathology, measured in the semantic_dup scaling
+    // row). Holding cell size ~512 instead (nlist = n/512, nprobe
+    // fixed) pins per-query scanned candidates at ~nprobe·512 rows at
+    // ANY corpus size; recall then rides the IVF bet that true
+    // neighbors concentrate in the nearest cells (nprobe is the
+    // recall/cost knob production tunes). Fixture-sized corpora keep
+    // the oracle-stable nlist=64 (the floor), so the spec'd recall
+    // tripwires and every oracle query are untouched.
+    val nlist = math.max(Q39Nlist, (corpus.count() / 512L).toInt)
+    val (index, _) = ivfAcquire(s, dir, corpus, nlist)
+    val pq = pqByDir.computeIfAbsent(dir,
+      _ => Pq.fit(emb, "embedding", m = PqM, ksub = PqKsub))
+    val encoded = Pq.encode(corpus, "nvec", pq)
+      .withColumn("cell", Similarity.ivfCell(col("nvec"), index))
+      .drop("nvec")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val queryCells = queries
+      .withColumn("cell", explode(
+        Similarity.ivfProbeCells(col("qvec"), index, Q39Nprobe)))
+      .withColumn("qv", col("qvec").cast("array<double>"))
+      .drop("qvec")
+    val w = Window.partitionBy("qid").orderBy(desc("adc"), asc("nid"))
+    val topAdc = queryCells.join(encoded, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        floor(Pq.adcScore(col("qv"), pq, j => col(s"code_$j"))
+          * 1e6 + 0.5) / 1e6)
+      .withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= k)
+      .select(col("qid"), col("nid"))
+    topAdc
+      .join(queries, Seq("qid"))
+      .join(corpus, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.round6(Similarity.dot(col("qvec"), col("nvec")) /
+          (Similarity.l2Norm(col("qvec")) * Similarity.l2Norm(col("nvec"))))
+          .as("cos"))
+  }
+
   def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q244's fusion with the DENSE leg sourced from IVFPQ instead of
+    // the exact corpus-wide cosine — the production candidate path at
+    // 100 TB (the exact stage is the oracle form; SCALING measures its
+    // 30× cost vs this twin's). Dense ranks re-derive from the exact
+    // re-scored candidates so the fusion tail is the sibling's.
+    "q244_rrf_hybrid__prod" -> ((s, dir) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cos"), asc("nid"))
+      val dense = ivfpqCandidates(s, dir, k = 20)
+        .withColumn("rd", row_number().over(w).cast("long"))
+        .select(col("qid"), col("nid"), col("rd"))
+      rrfHybrid(s, dir, dense)
+    }),
+    // q248's MMR with IVFPQ-sourced candidates; rel is the exact
+    // re-scored cosine, so rounds are bit-identical to the sibling
+    // wherever the candidate sets agree (VariantEquivalenceSpec gates
+    // candidate recall + same-candidate pick identity)
+    "q248_mmr_rerank__prod" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      mmrRounds(emb, ivfpqCandidates(s, dir, k = 10)
+          .withColumnRenamed("cos", "rel"))
+        .ordered(col("qid"), col("pick"))
+    }),
     "q34_dedup_groups__prefix" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       // force the prefix path; docCount skips the gating count() so the
@@ -16089,6 +16234,53 @@ object SparkEntry {
         |    THEN CAST(bsz AS HUGEINT) * bsz ELSE 0 END) AS DOUBLE)
         |    AS pair_work_kept
         |FROM sz""".stripMargin,
+
+    // the same dense (day x 256-bin) grid; the rolling reference is the
+    // ROWS -3..-1 elementwise sum per bin, cumulative gaps
+    // cross-multiplied on HUGEINT; day 1 stays NULL end to end
+    "q286_rolling_drift" ->
+      """WITH e AS (SELECT value AS v, epoch_us(ts)//86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |wb AS (SELECT day, LEAST(GREATEST(
+        |      CAST(FLOOR(v/512.0*256.0) AS INT), 0), 255) AS bin,
+        |    COUNT(*) AS a FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |allb AS (SELECT UNNEST(range(0, 256)) AS bin),
+        |u AS (SELECT d.day, b.bin, COALESCE(wb.a, 0) AS a
+        |  FROM days d CROSS JOIN allb b
+        |  LEFT JOIN wb ON wb.day = d.day AND wb.bin = b.bin),
+        |r AS (SELECT day, bin, a, SUM(a) OVER (PARTITION BY bin
+        |    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS r
+        |  FROM u),
+        |c AS (SELECT day, bin, a, r,
+        |    SUM(a) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(r) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    SUM(a) OVER (PARTITION BY day) AS nw,
+        |    SUM(r) OVER (PARTITION BY day) AS nr FROM r),
+        |g AS (SELECT day, bin, nw, nr,
+        |    ABS(CAST(ca AS HUGEINT) * nr - CAST(cr AS HUGEINT) * nw)
+        |      AS gap FROM c),
+        |h AS (SELECT day, MAX(nw) AS n_win, MAX(nr) AS n_ref,
+        |    MAX(gap) AS mgap FROM g GROUP BY 1),
+        |ab AS (SELECT h.day, h.n_win, h.n_ref, h.mgap,
+        |    (SELECT MIN(bin) FROM g
+        |     WHERE g.day = h.day AND g.gap = h.mgap) AS at_bin
+        |  FROM h)
+        |SELECT CAST(day * 86400000000 AS BIGINT) AS w_start,
+        |  CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(mgap AS BIGINT) AS max_gap,
+        |  CAST(FLOOR(CAST(mgap AS DOUBLE) /
+        |    (CAST(n_win AS DOUBLE) * CAST(n_ref AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ks,
+        |  CAST((at_bin + 1) * 2.0 AS DOUBLE) AS at_boundary,
+        |  CASE WHEN n_ref IS NOT NULL THEN
+        |    CAST(mgap AS HUGEINT) * 20 >
+        |      CAST(n_win AS HUGEINT) * n_ref * 3 END AS drifted
+        |FROM ab ORDER BY w_start""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

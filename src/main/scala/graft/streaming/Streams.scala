@@ -294,18 +294,82 @@ object Streams {
     require(reference.size == bins,
       s"reference histogram has ${reference.size} bins, grid is $bins")
     import graft.llm.Sketches
-    stream.withWatermark(eventTimeCol, delay)
-      .groupBy(window(col(eventTimeCol), windowLen).as("w"))
-      .agg(Sketches.histogram(col(valueCol), lo, hi, bins).as("sk"),
-        count(lit(1)).as("n_win"))
-      .select(col("w"), col("n_win"),
+    driftWindows(stream, eventTimeCol, valueCol, delay, windowLen,
+        lo, hi, bins)
+      .select(col("w_start"), col("n_win"),
         Sketches.histKs(col("sk"), typedLit(reference)).as("ks"))
-      .select(unix_micros(col("w.start")).as("w_start"),
+      .select(col("w_start"),
         col("n_win"),
         col("ks.n_b").as("n_ref"),
         col("ks.max_gap").as("max_gap"),
         col("ks.max_mass").as("max_mass"),
         col("ks.at_bin").as("at_bin"))
+  }
+
+  /** Per-window histogram sketch stream WITHOUT a baked-in reference —
+    * the monitor half of the drift gate, split out so the reference
+    * policy is the caller's choice: [[driftGate]] scores each window
+    * against a STATIC trusted-period literal, while
+    * [[rollingDriftScore]] re-baselines against the trailing windows
+    * (production references go stale — a permanent level shift is
+    * "drift" for a while and then the new normal). State per open
+    * window is the grid (`bins` longs), never the data; append output
+    * + watermark evict closed windows exactly once. */
+  def driftWindows(stream: DataFrame, eventTimeCol: String,
+                   valueCol: String, delay: String, windowLen: String,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    import graft.llm.Sketches
+    stream.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen).as("w"))
+      .agg(Sketches.histogram(col(valueCol), lo, hi, bins).as("sk"),
+        count(lit(1)).as("n_win"))
+      .select(unix_micros(col("w.start")).as("w_start"),
+        col("n_win"), col("sk"))
+  }
+
+  /** Lagged ROLLING re-baseline over [[driftWindows]] output — the
+    * alerting layer for a monitor whose reference must not go stale:
+    * each window's reference histogram is the elementwise SUM of the
+    * `lag` preceding OBSERVED windows' sketches, so a permanent level
+    * shift alarms for exactly `lag` windows and then becomes the new
+    * baseline (the q266 selective-refresh shape: per trigger this
+    * rescoring rides the ≤ windows×bins DOMAIN grid — posexplode of
+    * the sketch column — never the fact stream). All drift arithmetic
+    * is exact: cumulative gaps are cross-multiplied on DECIMAL(38,0)
+    * (|ca·n_ref − cr·n_win|, the q235 integer-KS form), one floored
+    * division renders the KS float at the end. The FIRST window has no
+    * reference and emits NULL ks/at_bin (warmup surfaced, never a
+    * fabricated 0); a window after a gap in the data compares against
+    * the last `lag` windows that EXIST (ROWS, not RANGE — the monitor
+    * re-baselines on observed history, stated not hidden).
+    *
+    * Output per window: w_start, n_win, n_ref (NULL on warmup),
+    * max_gap, at_bin (first bin index achieving the sup), and the
+    * KS statistic `ks` as a double on the 1e-6 grid. */
+  def rollingDriftScore(perWindow: DataFrame, lag: Int): DataFrame = {
+    require(lag >= 1, "lag must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val g = perWindow.select(col("w_start"), col("n_win"),
+      posexplode(col("sk")).as(Seq("bin", "a")))
+    val wRef = Window.partitionBy(col("bin")).orderBy(col("w_start"))
+      .rowsBetween(-lag, -1)
+    val wCum = Window.partitionBy(col("w_start")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wWin = Window.partitionBy(col("w_start"))
+    g.withColumn("r", sum(col("a")).over(wRef))
+      .withColumn("ca", sum(col("a")).over(wCum))
+      .withColumn("cr", sum(col("r")).over(wCum))
+      .withColumn("n_ref", sum(col("r")).over(wWin))
+      .withColumn("gap", abs(col("ca").cast(d38) * col("n_ref").cast(d38)
+        - col("cr").cast(d38) * col("n_win").cast(d38)))
+      .withColumn("mgap", max(col("gap")).over(wWin))
+      .groupBy(col("w_start"), col("n_win"), col("n_ref"))
+      .agg(max(col("gap")).cast("long").as("max_gap"),
+        min(when(col("gap") === col("mgap"), col("bin"))).as("at_bin"))
+      .withColumn("ks", floor(col("max_gap").cast("double") /
+        (col("n_win").cast("double") * col("n_ref").cast("double"))
+        * 1e6 + 0.5) / 1e6)
   }
 
   /** Continuous online-store materialization: foreachBatch MERGE of each

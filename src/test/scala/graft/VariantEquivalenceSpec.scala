@@ -197,4 +197,124 @@ class VariantEquivalenceSpec extends AnyFunSuite {
         s"$t: overcount past the sketch bound (md5=$em prod=$ep exact=$nm)")
     }
   }
+
+  // ---- IVFPQ production retrieval twins (q244/q248 __prod) -------------
+
+  /** Mean recall of the IVFPQ candidate stage against the exact cosine
+    * top-k — the q239 tripwire shape: data + seeds are fixed, so the
+    * number either holds forever or a refactor broke the index/codes. */
+  private def candidateRecall(k: Int): Double = {
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val exact = graft.llm.Similarity.cosineTopK(
+        emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = k)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SparkEntry.ivfpqCandidates(spark, sf, k)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      approx.getOrElse(qid, Set.empty).intersect(want).size.toDouble /
+        want.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("q244__prod: IVFPQ candidate recall above the tripwire; fusion " +
+      "tail identical to the sibling's") {
+    val r = candidateRecall(20)
+    // the floor is the regression tripwire — a broken codebook/probe
+    // refactor lands near chance (~20/125 ≈ 0.16), a working one stays
+    // well above (recall@10 measures 0.31; @20 is looser)
+    assert(r >= 0.35, f"IVFPQ candidate recall@20 $r%.3f collapsed")
+    val twin = SparkEntry.prodVariants("q244_rrf_hybrid__prod")(spark, sf)
+    val sib = SparkEntry.queries("q244_rrf_hybrid")(spark, sf)
+    // structure: every query answers with ranks 1..5, same query set
+    val byQ = twin.select("qid", "rank").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val sibQ = sib.select("qid").as[Long].collect().toSet
+    assert(byQ.keySet === sibQ)
+    byQ.foreach { case (q, rs) => assert(rs === Seq(1L, 2L, 3L, 4L, 5L),
+      s"query $q emitted ranks $rs") }
+    // the LEXICAL leg is hash-free and shared: wherever twin and
+    // sibling emit the same (qid, nid), the lexical rank must agree
+    val sibRl = sib.select("qid", "nid", "rl")
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (q, n, rl) => (q, n) -> rl }.toMap
+    val twinRl = twin.select("qid", "nid", "rl")
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (q, n, rl) => (q, n) -> rl }.toMap
+    val sharedKeys = sibRl.keySet.intersect(twinRl.keySet)
+    assert(sharedKeys.nonEmpty, "twin and sibling share no rows at all")
+    sharedKeys.foreach { k =>
+      assert(sibRl(k) === twinRl(k), s"lexical rank diverged at $k") }
+  }
+
+  test("q248__prod: candidate recall above the tripwire; greedy rounds " +
+      "replay exactly over the twin's own candidates") {
+    // measured 0.31 at sf0.001 (recall@10 is tighter than @20 — fewer
+    // exact neighbors survive 4-bit ADC ranking); chance is ~10/124 ≈
+    // 0.08, so 0.2 separates working from broken by 2.5×
+    val r = candidateRecall(10)
+    assert(r >= 0.2, f"IVFPQ candidate recall@10 $r%.3f collapsed")
+    // independent replay of the MMR greedy over the twin's OWN candidate
+    // frame: the rel/sim numerics come from the same engine expressions
+    // (no float-parity gap to bridge), the SELECTION logic — argmax,
+    // anti-join, 0.7·rel − 0.3·maxsim — is re-derived in plain Scala on
+    // the collected queries×10 rows, so a broken round refactor cannot
+    // hide behind low candidate overlap with the exact sibling
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val cands = SparkEntry.ivfpqCandidates(spark, sf, 10)
+    val cv = cands.join(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("v")),
+      Seq("nid"))
+    val simRows = cv.select(col("qid"), col("nid").as("anid"),
+        col("v").as("av"))
+      .join(cv.select(col("qid"), col("nid").as("bnid"),
+        col("v").as("bv")), Seq("qid"))
+      .filter(col("anid") =!= col("bnid"))
+      .select(col("qid"), col("anid"), col("bnid"),
+        graft.llm.Similarity.round6(
+          graft.llm.Similarity.dot(col("av"), col("bv")) /
+          (graft.llm.Similarity.l2Norm(col("av")) *
+            graft.llm.Similarity.l2Norm(col("bv")))).as("sim"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, a, b, s) => (q, a, b) -> s }.toMap
+    val rel = cands.select("qid", "nid", "cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = rel.flatMap { case (q, cs) =>
+      var picked = Vector.empty[(Long, Double)]
+      (1 to 3).foreach { _ =>
+        val avail = cs.filter(c => !picked.exists(_._1 == c._1))
+        val scored = avail.map { case (n, rl) =>
+          if (picked.isEmpty) n -> rl
+          else n -> r6(0.7 * rl -
+            0.3 * picked.map(p => simRows((q, n, p._1))).max)
+        }
+        if (scored.nonEmpty) {
+          // argmax on (score DESC, nid ASC) — the engine's tie order
+          val best = scored.toSeq.minBy { case (n, sc) => (-sc, n) }
+          picked :+= best
+        }
+      }
+      picked.zipWithIndex.map { case ((n, sc), i) =>
+        (q, i + 1, n) -> sc }
+    }
+    val twin = SparkEntry.prodVariants("q248_mmr_rerank__prod")(spark, sf)
+      .select("qid", "pick", "nid", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map { case (q, p, n, sc) => (q, p.toLong, n) -> sc }.toMap
+    assert(twin.keySet === expected.map { case ((q, p, n), _) =>
+      (q, p.toLong, n) }.toSet,
+      "twin pick set diverged from the independent greedy replay")
+    expected.foreach { case ((q, p, n), sc) =>
+      assert(twin((q, p.toLong, n)) === sc,
+        s"score diverged at query $q pick $p") }
+  }
 }

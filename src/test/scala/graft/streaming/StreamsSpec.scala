@@ -403,4 +403,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.select("k", "v").as[(Long, String)].collect().toSet
       === Set((1L, "b"), (2L, "c")))
   }
+
+  test("rollingDriftScore: a permanent level shift alarms for exactly " +
+      "lag windows, then re-baselines") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("rolldrift").toString
+    // 12 days x 4 events; days 1-5 level 1.0 (bin 0), days 6-12 level
+    // 500.0 (clamps to the top bin) — a PERMANENT shift at day 6
+    val rows = for { d <- 1 to 12; i <- 1 to 4 }
+      yield (d.toLong * 86400L + i * 10L, if (d <= 5) 1.0 else 500.0)
+    rows.toDF("ts_s", "v")
+      .select(timestamp_seconds(col("ts_s")).as("evt"), col("v"))
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val perWin = Streams.runToMemory(
+      Streams.driftWindows(stream, "evt", "v",
+        delay = "1 hour", windowLen = "1 day", lo = 0.0, hi = 8.0,
+        bins = 4),
+      s"rolld_${System.nanoTime()}")
+    val out = Streams.rollingDriftScore(perWin, lag = 3)
+      .withColumn("day", expr("w_start div 86400000000"))
+      .withColumn("alarm", when(col("n_ref").isNotNull,
+        col("max_gap") * 20 > col("n_win") * col("n_ref") * 3))
+      .select("day", "alarm").as[(Long, Option[Boolean])]
+      .collect().toMap
+    assert(out.keySet === (1L to 12L).toSet)
+    // day 1: no reference yet — warmup is NULL, never a verdict
+    assert(out(1L).isEmpty, "warmup window must not carry a verdict")
+    // days 2-5: steady state, no alarm
+    (2L to 5L).foreach(d => assert(out(d) === Some(false),
+      s"pre-shift day $d must not alarm"))
+    // days 6-8: the rolling reference still contains pre-shift days —
+    // EXACTLY lag = 3 alarming windows
+    (6L to 8L).foreach(d => assert(out(d) === Some(true),
+      s"day $d (reference still pre-shift-contaminated) must alarm"))
+    // day 9 on: the reference is all post-shift — re-baselined
+    (9L to 12L).foreach(d => assert(out(d) === Some(false),
+      s"day $d must have re-baselined onto the new level"))
+  }
 }
