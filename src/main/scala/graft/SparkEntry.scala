@@ -8493,6 +8493,42 @@ object SparkEntry {
         .ordered(col("w_start"))
     }),
 
+    // ---- RAG pipeline: overlapping token-window chunking ----------------
+    // The retrieval-corpus builder every RAG pipeline runs before
+    // embedding: each document splits into 64-token chunks with a
+    // 16-token overlap (step 48), emitted with provenance (1-based
+    // token offset, chunk census) and a content hash the downstream
+    // embed/dedup stages key on. Chunk count is exact integer
+    // arithmetic — ceil((ntok−overlap)/step) with a 1 floor, so an
+    // empty/short doc yields exactly one (possibly empty) chunk rather
+    // than vanishing (absence is not an acceptable failure mode for a
+    // provenance table). One scan, one explode; per-row work is
+    // slice+join over the already-tokenized array (the tokens_ws
+    // kernel — single-pass, codegen'd). No windows, no joins, no
+    // shuffle except the output sort — embarrassingly parallel at any
+    // corpus size. slice() start is ci·step+1 ≥ 1 by construction (the
+    // q244 sequence/slice landmine stays closed).
+    "q287_rag_chunks" -> ((s, dir) => {
+      val cs = 64
+      val ov = 16
+      val step = cs - ov
+      Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .withColumn("ntok", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", greatest(lit(1L),
+          expr(s"(ntok - $ov + ${step - 1}) div $step")))
+        .withColumn("ci", explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .withColumn("ctoks",
+          slice(col("toks"), (col("ci") * step + 1).cast("int"), lit(cs)))
+        .select(col("doc_id"), col("ci").as("chunk_id"), col("n_chunks"),
+          col("ntok"),
+          (col("ci") * step + 1).as("tok_lo"),
+          size(col("ctoks")).cast("long").as("n_tok_chunk"),
+          md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
+        .ordered(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -16281,6 +16317,32 @@ object SparkEntry {
         |    CAST(mgap AS HUGEINT) * 20 >
         |      CAST(n_win AS HUGEINT) * n_ref * 3 END AS drifted
         |FROM ab ORDER BY w_start""".stripMargin,
+
+    // the same tokenizer twin (space split, empties dropped), ceil-div
+    // chunk census with the 1 floor, inclusive list_slice windows, and
+    // the empty-chunk md5 via COALESCE (DuckDB array_to_string([]) is
+    // NULL — the adversarial-fixture lesson)
+    "q287_rag_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0)
+        |      AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |n AS (SELECT doc_id, toks, len(toks) AS ntok,
+        |    GREATEST(1, (len(toks) - 16 + 47) // 48) AS n_chunks
+        |  FROM d),
+        |c AS (SELECT doc_id, toks, ntok, n_chunks,
+        |    UNNEST(range(0, n_chunks)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(ntok AS BIGINT) AS ntok,
+        |  CAST(ci * 48 + 1 AS BIGINT) AS tok_lo,
+        |  CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64))
+        |    AS BIGINT) AS n_tok_chunk,
+        |  md5(COALESCE(array_to_string(
+        |    list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' '), ''))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking
