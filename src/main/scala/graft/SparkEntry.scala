@@ -8529,6 +8529,83 @@ object SparkEntry {
         .ordered(col("doc_id"), col("chunk_id"))
     }),
 
+    // ---- Training data: leakage-safe group split + audit ----------------
+    // The split every eval pipeline needs and the one row-level splits
+    // get WRONG: assignment is a pure function of the GROUP (user), so
+    // no user's events can straddle train/val/test (row-hash splits
+    // leak user behavior across the boundary and inflate eval). Hash =
+    // the cross-engine md5 kernel (content-uniform, seed-tagged);
+    // 8/1/1 by h%10. The leakage audit is COMPUTED, not assumed: the
+    // distinct (user, split) count must equal the distinct user count,
+    // and the difference rides every output row (0 or the query is
+    // wrong — an assertion the data carries). One fact scan collapsing
+    // to per-split aggregates + a one-row audit aggregate (the q190
+    // lazy-denominator shape).
+    "q288_group_split" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("user_id"),
+          floor(col("value") * 1e2 + 0.5).cast("long").as("v2"))
+        .withColumn("h", shiftrightunsigned(call_function("md5_lower64",
+          concat(col("user_id").cast("string"), lit("#q288"))), 11))
+        .withColumn("split", when(col("h") % 10 < 8, "train")
+          .when(col("h") % 10 === 8, "val").otherwise("test"))
+      val audit = e.select(col("user_id"), col("split")).distinct()
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_user_splits"))
+      e.groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users_split"),
+          count(lit(1)).as("n_events"),
+          sum(col("v2").cast(d38)).as("sv2"))
+        .crossJoin(audit)
+        .select(col("split"), col("n_users_split"), col("n_events"),
+          r6(col("sv2").cast("double") /
+            (col("n_events").cast("double") * 100)).as("mean_value"),
+          (col("n_user_splits") - col("n_users")).as("leaked_users"))
+        .ordered(col("split"))
+    }),
+
+    // ---- Training data: deterministic negative sampling -----------------
+    // The ranking-model staple: for every user with purchase history,
+    // K=3 sampled non-interactions as training negatives — but
+    // DETERMINISTIC (hash of user×slot, the cross-engine md5 kernel),
+    // so the sample is a pure function of the data set: reproducible
+    // across runs/engines, mergeable across shards, and auditable. The
+    // item domain is [1, max item] via a one-row aggregate (TPC-H part
+    // keys are dense); an accidental positive is FLAGGED, never
+    // silently dropped or resampled (a resample loop hides collision
+    // rate — downstream filters on the flag and knows exactly what it
+    // lost). Work: one pair-distinct, users×K hash rows, one left join
+    // back against positives — no windows, no catalog² anywhere.
+    "q289_negative_sampling" -> ((s, dir) => {
+      val kNeg = 3
+      val pos = Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          Seq("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+        .distinct()
+      val maxItem = pos.agg(max(col("item")).as("max_item"))
+      pos.select(col("u")).distinct()
+        .crossJoin(maxItem)
+        .withColumn("k", explode(sequence(lit(1), lit(kNeg))))
+        .withColumn("neg_item",
+          shiftrightunsigned(call_function("md5_lower64",
+            concat(col("u").cast("string"), lit("#q289#"),
+              col("k").cast("string"))), 11) % col("max_item") + 1)
+        .join(pos.select(col("u"), col("item").as("neg_item"))
+          .withColumn("hit", lit(1)), Seq("u", "neg_item"), "left")
+        .select(col("u"), col("k").cast("long").as("k"), col("neg_item"),
+          col("hit").isNotNull.as("collided"))
+        .ordered(col("u"), col("k"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -16343,6 +16420,56 @@ object SparkEntry {
         |    list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' '), ''))
         |    AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the same group-hash assignment and the computed leakage audit —
+    // the one-row (n_users, n_user_splits) frame crossed onto every
+    // split row
+    "q288_group_split" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS v2,
+        |    CAST(md5_number_lower(CAST(user_id AS VARCHAR) || '#q288')
+        |      >> 11 AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |s AS (SELECT *, CASE WHEN h % 10 < 8 THEN 'train'
+        |    WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM e),
+        |a AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(COUNT(*) AS BIGINT) AS n_user_splits
+        |  FROM (SELECT DISTINCT user_id, split FROM s)),
+        |g AS (SELECT split,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_split,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    SUM(CAST(v2 AS HUGEINT)) AS sv2
+        |  FROM s GROUP BY 1)
+        |SELECT split, n_users_split, n_events,
+        |  CAST(FLOOR(CAST(sv2 AS DOUBLE) /
+        |    (CAST(n_events AS DOUBLE) * 100) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS mean_value,
+        |  CAST(n_user_splits - n_users AS BIGINT) AS leaked_users
+        |FROM g, a ORDER BY split""".stripMargin,
+
+    // the same user x slot hash draw over the dense item domain; an
+    // accidental positive stays a FLAGGED row
+    "q289_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+        |    AND l.l_orderkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+        |m AS (SELECT MAX(item) AS max_item FROM pos),
+        |uu AS (SELECT DISTINCT u FROM pos),
+        |n AS (SELECT uu.u, k.k,
+        |    (CAST(md5_number_lower(CAST(uu.u AS VARCHAR) || '#q289#'
+        |        || CAST(k.k AS VARCHAR)) >> 11 AS BIGINT))
+        |      % m.max_item + 1 AS neg_item
+        |  FROM uu CROSS JOIN (SELECT UNNEST(range(1, 4)) AS k) k
+        |  CROSS JOIN m)
+        |SELECT n.u, CAST(n.k AS BIGINT) AS k,
+        |  CAST(n.neg_item AS BIGINT) AS neg_item,
+        |  p.item IS NOT NULL AS collided
+        |FROM n LEFT JOIN pos p ON p.u = n.u AND p.item = n.neg_item
+        |ORDER BY n.u, n.k""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

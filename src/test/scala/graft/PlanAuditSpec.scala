@@ -145,7 +145,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q231_rfm", "q233_backtest", "q239_pq_topk", "q244_rrf_hybrid",
     "q246_hazard", "q248_mmr_rerank", "q251_collocations",
     "q253_dedup_cascade", "q263_retrieval_eval", "q271_hard_mining",
-    "q274_rec_eval", "q283_knn_eval")
+    "q274_rec_eval", "q283_knn_eval",
+    // q288: the ONE-ROW leakage-audit aggregate (n_users, n_user_splits)
+    //   crossed onto the 3-row split frame (the q190 lazy-denominator
+    //   shape); q289: the ONE-ROW max-item domain aggregate crossed onto
+    //   the user frame before the hash draw (same shape).
+    "q288_group_split", "q289_negative_sampling")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = plans.flatMap { case (name, planStr) =>
@@ -236,7 +241,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q274_rec_eval" -> "one-row summary aggregates over top-5 lists",
     "q278_decayed_popularity" -> "(type x day) grid + one-row score total",
     "q279_uplift_qini" -> "decile-domain uplift grid",
-    "q285_itemcf_cap_ledger" -> "one-row basket-census ledger rollup")
+    "q285_itemcf_cap_ledger" -> "one-row basket-census ledger rollup",
+    "q288_group_split" -> "one-row leakage-audit aggregate (2 counters)",
+    "q289_negative_sampling" -> "one-row max-item domain aggregate")
 
   test("every planner-inserted SinglePartition exchange has a named bound") {
     val offenders = plans.flatMap { case (name, plan) =>
