@@ -568,8 +568,7 @@ object SparkEntry {
       val schema = Tables(s, dir, "events").schema
       // file-source streams need a directory: stream the sf dir with a glob
       // filter selecting only the events table file
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .select("user_id", "event_id", "ts_us", "event_type", "value")
       val latest = Streams.latestPerKey(stream, Seq("user_id"), "ts_us", "event_id")
@@ -583,8 +582,7 @@ object SparkEntry {
     // payload aggregates are count + exact decimal sum) ----------------
     "q63_stream_window" -> ((s, dir) => {
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
       val agg = stream
         .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
@@ -1681,8 +1679,7 @@ object SparkEntry {
     // dropped — measured: doc 0 vanished without the offset).
     "q71_stream_dedup" -> ((s, dir) => {
       val schema = Tables(s, dir, "documents").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "documents")
         .withColumn("evt", timestamp_micros((col("doc_id") + 1) * 1000000L))
       val gated = Streams.dedupByFingerprint(stream, "text", "evt", "1 minute")
         .select("fingerprint")
@@ -2274,8 +2271,7 @@ object SparkEntry {
       Streams.runToMemoryIsolated(s, statePartitions = 8,
           s"q77_mem_${System.nanoTime()}", "append") { sc =>
       val schema = Tables(sc, dir, "events").schema
-      def raw = sc.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def raw = Tables.stream(sc, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
       // sentinel shift must clear the WHOLE span plus the lookback: the
       // agg's effective watermark trails the join inputs' by the join's
@@ -2507,8 +2503,7 @@ object SparkEntry {
       Streams.runToMemoryIsolated(s, statePartitions = 8,
           s"q103_mem_${System.nanoTime()}", "append") { sc =>
       val schema = Tables(sc, dir, "events").schema
-      def raw = sc.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def raw = Tables.stream(sc, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
       val dayUs = 32L * 86400000000L
       val withSent = raw.select(col("user_id"), col("ts_us"))
@@ -3079,8 +3074,7 @@ object SparkEntry {
       Streams.runToMemoryIsolated(s, statePartitions = 8,
           s"q123_mem_${System.nanoTime()}", "complete") { sc =>
         val schema = Tables(sc, dir, "events").schema
-        val raw = sc.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val raw = Tables.stream(sc, dir, "events")
         val cust = Tables(sc, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         raw.join(broadcast(cust), col("user_id") === col("c_custkey"))
@@ -3569,8 +3563,7 @@ object SparkEntry {
     // batch-equivalent windows (streaming must equal batch semantics).
     "q136_stream_quantile" -> ((s, dir) => {
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
       val agg = stream
         .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
@@ -3598,8 +3591,7 @@ object SparkEntry {
     // the raw hashes (q130's SQL per window).
     "q165_stream_hll" -> ((s, dir) => {
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("user_id").isNotNull)
       val h31 = shiftrightunsigned(
@@ -5393,8 +5385,7 @@ object SparkEntry {
       val root = scratchDir("cdconline", dir)
       val opsPath = s"$root/ops"
       val schema = Tables(s, dir, "events").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = Tables.stream(s, dir, "events")
       val ops = raw
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_type").isNotNull && col("event_id").isNotNull)
@@ -6619,8 +6610,7 @@ object SparkEntry {
         .agg(Sketches.histogram(col("value"), lo, hi, bins).as("sk"))
         .collect()(0).getSeq[Long](0)
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("ts_us").isNotNull && col("value").isNotNull &&
           !isnan(col("value")))
@@ -7275,16 +7265,10 @@ object SparkEntry {
       val baseline: Map[String, (Long, Long)] = mm.collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
       val schema = Tables(s, dir, "events").schema
-      // the file-stream source needs a DIRECTORY: the fixture's
-      // events.parquet is a single file (stream the parent with a name
-      // filter), a replica workdir's is a directory of part files
-      // (stream it directly — the dir-level pathGlobFilter idiom matches
-      // NOTHING there; caught by the 10× scaling run reading 0 rows)
-      val tablePath = s"$dir/events.parquet"
-      val reader = s.readStream.schema(schema)
-      val stream = (if (new java.io.File(tablePath).isDirectory)
-          reader.parquet(tablePath)
-        else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
+      // Tables.stream carries the layout branch (single-file fixture vs
+      // replica part-file directory — caught by the 10× scaling run
+      // reading 0 rows; the branch now lives in the catalog)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
         .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
@@ -8128,8 +8112,7 @@ object SparkEntry {
     // not claimed by this oracle.
     "q145_stream_topk" -> ((s, dir) => {
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("event_type").isNotNull)
       val agg = stream
@@ -8468,8 +8451,7 @@ object SparkEntry {
       val (lo, hi, bins) = (0.0, 512.0, 256)
       val d38 = "decimal(38,0)"
       val schema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("ts_us").isNotNull && col("value").isNotNull &&
           !isnan(col("value")))
@@ -9123,13 +9105,7 @@ object SparkEntry {
       val d38 = "decimal(38,0)"
       def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val schema = Tables(s, dir, "events").schema
-      // layout branch (q250 lesson): a replica table is a DIRECTORY of
-      // part files, where the dir-level glob idiom matches nothing
-      val tablePath = s"$dir/events.parquet"
-      val reader = s.readStream.schema(schema)
-      val stream = (if (new java.io.File(tablePath).isDirectory)
-          reader.parquet(tablePath)
-        else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = Tables.stream(s, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
         .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
           col("value").isNotNull && !isnan(col("value")))

@@ -17,6 +17,21 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** File-STREAM source for a fixture table, layout-branched (the q250
+    * lesson): a fixture table is a single FILE — streamable only as the
+    * sf dir plus a glob filter — while a scaling replica is a DIRECTORY
+    * of part files, where that dir-level glob matches NOTHING and the
+    * stream silently reads zero rows. Every streaming query sources
+    * through here so the branch lives in exactly one place. The schema
+    * comes from a batch read of the same table (file-source streams
+    * require an explicit schema). */
+  def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val reader = spark.readStream.schema(apply(spark, sfDir, name).schema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+  }
+
   /** Fan a fixture scan out to all cores BEFORE heavy per-row compute.
     *
     * Every fixture file is a SINGLE parquet row group, so the raw scan is
