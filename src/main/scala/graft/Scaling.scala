@@ -542,6 +542,27 @@ object Scaling {
       // unrolled rounds stay queries×10-sized — wall must track the
       // candidate stage, the rounds' share must shrink
       "mmr" -> (dir => SparkEntry.queries("q248_mmr_rerank")(spark, dir)),
+      // q285: one map-side-combined basket census + a one-row rollup —
+      // wall must track the lineitem scan
+      "itemcf_ledger" ->
+        (dir => SparkEntry.queries("q285_itemcf_cap_ledger")(spark, dir)),
+      // q286: streaming per-day sketches (state = 256-long grid per open
+      // window) + the rolling rescoring over the days×256 DOMAIN grid —
+      // wall must track the replay scan, the grid is volume-invariant
+      "rolling_drift" ->
+        (dir => SparkEntry.queries("q286_rolling_drift")(spark, dir)),
+      // q287: one scan + one explode, per-row slice/join over the token
+      // array — embarrassingly parallel, wall tracks the corpus
+      "rag_chunks" ->
+        (dir => SparkEntry.queries("q287_rag_chunks")(spark, dir)),
+      // q288: per-split aggregates + a one-row audit — wall tracks the
+      // events scan, output is 3 rows at any volume
+      "group_split" ->
+        (dir => SparkEntry.queries("q288_group_split")(spark, dir)),
+      // q289: users×K hash rows + one left join against positives —
+      // wall tracks the pair-distinct, never catalog²
+      "neg_sampling" ->
+        (dir => SparkEntry.queries("q289_negative_sampling")(spark, dir)),
       // the IVFPQ production twins: same fusion/greedy tails, candidate
       // stage swapped from the corpus-wide exact cosine to IVF-pruned
       // ADC over PQ codes — the 100 TB candidate path; their ratios
