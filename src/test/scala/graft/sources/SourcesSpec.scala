@@ -89,4 +89,34 @@ class SourcesSpec extends AnyFunSuite {
     val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
     assert(lines.head === "id" && lines.size === 8)
   }
+
+  test("Tables.stream reads BOTH fixture layouts: single file and part-file dir") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tstream").toString
+    // single-FILE layout (the fixture shape): one parquet file named
+    // <table>.parquet directly under the sf dir
+    val single = s"$root/single"
+    new java.io.File(single).mkdirs()
+    val tmp = s"$root/tmp"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(single, "events.parquet"))
+    // DIRECTORY layout (the scaling-replica shape): <table>.parquet is a
+    // directory of part files — where a dir-level glob matches nothing
+    val repl = s"$root/replica"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartition(2).write.parquet(s"$repl/events.parquet")
+    def rows(dir: String): Long =
+      graft.streaming.Streams.runToMemory(
+        graft.sources.Tables.stream(spark, dir, "events")
+          .groupBy().agg(count(lit(1)).as("n")),
+        s"tstream_${System.nanoTime()}").as[Long].head()
+    assert(rows(single) === 3L, "single-file fixture layout must stream")
+    assert(rows(repl) === 4L,
+      "part-file directory layout must stream (the silent-0-rows bug)")
+  }
 }
