@@ -8462,7 +8462,10 @@ object SparkEntry {
         s"q286_mem_${System.nanoTime()}")
       Streams.rollingDriftScore(perWin, lag = 3)
         .select(col("w_start"), col("n_win"), col("n_ref"),
-          col("max_gap"), col("ks"),
+          // the exact decimal gap leaves as a double magnitude (the
+          // verdict below consumes the decimal; a BIGINT output would
+          // overflow past ~3e9-event windows — q232 lesson)
+          col("max_gap").cast("double").as("max_gap"), col("ks"),
           when(col("at_bin").isNotNull, lit(lo) +
             (col("at_bin") + 1).cast("double") * lit((hi - lo) / bins))
             .as("at_boundary"),
@@ -16361,7 +16364,7 @@ object SparkEntry {
         |SELECT CAST(day * 86400000000 AS BIGINT) AS w_start,
         |  CAST(n_win AS BIGINT) AS n_win,
         |  CAST(n_ref AS BIGINT) AS n_ref,
-        |  CAST(mgap AS BIGINT) AS max_gap,
+        |  CAST(mgap AS DOUBLE) AS max_gap,
         |  CAST(FLOOR(CAST(mgap AS DOUBLE) /
         |    (CAST(n_win AS DOUBLE) * CAST(n_ref AS DOUBLE))
         |    * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ks,

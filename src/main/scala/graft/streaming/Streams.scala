@@ -365,7 +365,11 @@ object Streams {
         - col("cr").cast(d38) * col("n_win").cast(d38)))
       .withColumn("mgap", max(col("gap")).over(wWin))
       .groupBy(col("w_start"), col("n_win"), col("n_ref"))
-      .agg(max(col("gap")).cast("long").as("max_gap"),
+      // max_gap STAYS DECIMAL(38,0): it is bounded by n_win·n_ref, which
+      // passes 2^63 near ~3e9-event windows — a long cast would throw
+      // (ANSI) or wrap divergently vs the oracle's HUGEINT (the q232
+      // overflow lesson); callers emit the double magnitude
+      .agg(max(col("gap")).as("max_gap"),
         min(when(col("gap") === col("mgap"), col("bin"))).as("at_bin"))
       .withColumn("ks", floor(col("max_gap").cast("double") /
         (col("n_win").cast("double") * col("n_ref").cast("double"))
