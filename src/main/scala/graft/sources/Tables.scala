@@ -28,7 +28,16 @@ object Tables {
   def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val reader = spark.readStream.schema(apply(spark, sfDir, name).schema)
-    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    // Hadoop FS, not java.io.File: the branch must also hold on
+    // HDFS/object-store URIs, where a local-FS stat answers false for
+    // everything and would silently route a directory table into the
+    // nothing-matching glob
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir =
+      try fs.getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) reader.parquet(path)
     else reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 
