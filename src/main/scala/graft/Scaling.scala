@@ -563,6 +563,10 @@ object Scaling {
       // wall tracks the pair-distinct, never catalog²
       "neg_sampling" ->
         (dir => SparkEntry.queries("q289_negative_sampling")(spark, dir)),
+      // q290: facts collapse map-side to the (segment × 512-bin) grid;
+      // AP rides partitioned windows over ≤ 2048 grid rows
+      "pr_auc" ->
+        (dir => SparkEntry.queries("q290_pr_auc")(spark, dir)),
       // the IVFPQ production twins: same fusion/greedy tails, candidate
       // stage swapped from the corpus-wide exact cosine to IVF-pruned
       // ADC over PQ codes — the 100 TB candidate path; their ratios

@@ -8591,6 +8591,48 @@ object SparkEntry {
         .ordered(col("u"), col("k"))
     }),
 
+    // ---- Model evaluation: PR curve / average precision ------------------
+    // The imbalanced-data companion to q258's ROC-AUC: average
+    // precision over the (segment × score-bin) contingency GRID — the
+    // Eval discipline, never a fact-table sort. Descending-threshold
+    // cumulative TP and predicted-positive counts ride a partitioned
+    // window over ≤ 4×512 grid rows; each bin's AP term
+    // p_b·TP_b/(TP_b+FP_b) is quantized to the 1e-6 grid in EXACT
+    // integer arithmetic (decimal product, one floored division) before
+    // the sum, so accumulation order cannot diverge across engines —
+    // the block-tie form of step-wise AP (every positive in a bin takes
+    // the bin-end precision). A segment with zero positives emits NULL,
+    // not a fabricated 0.
+    "q290_pr_auc" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("segment"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)),
+            lit(511L)).as("sb"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val g = e.groupBy(col("segment"), col("sb"))
+        .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+      val wDesc = Window.partitionBy(col("segment")).orderBy(desc("sb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wSeg = Window.partitionBy(col("segment"))
+      g.withColumn("tp", sum(col("p")).over(wDesc))
+        .withColumn("cum", sum(col("p") + col("n")).over(wDesc))
+        .withColumn("np", sum(col("p")).over(wSeg))
+        .withColumn("nn", sum(col("n")).over(wSeg))
+        .withColumn("t6", floor(col("p").cast(d38) * col("tp").cast(d38)
+          * lit(1000000L).cast(d38) / col("cum").cast(d38)))
+        .groupBy(col("segment"), col("np"), col("nn"))
+        .agg(sum(col("t6").cast(d38)).as("ap6"))
+        .select(col("segment"), col("np").as("n_pos"),
+          col("nn").as("n_neg"),
+          when(col("np") > 0, r6(col("ap6").cast("double") /
+            (col("np").cast("double") * 1e6))).as("avg_precision"))
+        .ordered(col("segment"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -16449,6 +16491,35 @@ object SparkEntry {
         |  p.item IS NOT NULL AS collided
         |FROM n LEFT JOIN pos p ON p.u = n.u AND p.item = n.neg_item
         |ORDER BY n.u, n.k""".stripMargin,
+
+    // the same (segment x score-bin) grid, descending cumulative
+    // counts, and 1e-6-quantized exact AP terms; zero-positive
+    // segments stay NULL
+    "q290_pr_auc" ->
+      """WITH e AS (SELECT user_id % 4 AS segment,
+        |    LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 511) AS sb,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT segment, sb, SUM(y) AS p, SUM(1 - y) AS n
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    SUM(p) OVER (PARTITION BY segment ORDER BY sb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(p + n) OVER (PARTITION BY segment ORDER BY sb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(p) OVER (PARTITION BY segment) AS np,
+        |    SUM(n) OVER (PARTITION BY segment) AS nn FROM g),
+        |t AS (SELECT segment, np, nn,
+        |    SUM((CAST(p AS HUGEINT) * tp * 1000000) // cum) AS ap6
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(CASE WHEN np > 0 THEN
+        |    FLOOR(CAST(ap6 AS DOUBLE) / (CAST(np AS DOUBLE) * 1e6)
+        |      * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS avg_precision
+        |FROM t ORDER BY segment""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking
