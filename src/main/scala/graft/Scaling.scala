@@ -563,6 +563,10 @@ object Scaling {
       // wall tracks the pair-distinct, never catalog²
       "neg_sampling" ->
         (dir => SparkEntry.queries("q289_negative_sampling")(spark, dir)),
+      // q291: two chained as-of joins — fan-out bounded by per-key
+      // density inside each TTL window; one window shuffle per view
+      "multi_view_pit" ->
+        (dir => SparkEntry.queries("q291_multi_view_features")(spark, dir)),
       // q290: facts collapse map-side to the (segment × 512-bin) grid;
       // AP rides partitioned windows over ≤ 2048 grid rows
       "pr_auc" ->

@@ -8633,6 +8633,49 @@ object SparkEntry {
         .ordered(col("segment"))
     }),
 
+    // ---- Feature store: multi-view point-in-time training set ------------
+    // The production get_historical_features shape q53 only hints at:
+    // ONE entity spine (purchases) enriched from SEVERAL feature views
+    // at DIFFERENT TTLs in sequence — last click value within 3 days
+    // and the signup event within 30 days — each through the same
+    // leak-free as-of join (feature time ≤ entity time, TTL-bounded,
+    // deterministic tie-break), with per-feature STALENESS columns
+    // (entity time − feature time) riding along, the freshness audit a
+    // serving team actually monitors. A TTL miss stays NULL across the
+    // whole feature group — absence is the signal. Chaining works
+    // because the as-of join preserves every left column: each view
+    // adds O(|entities| × per-key-in-TTL) work, never a view×view
+    // product.
+    "q291_multi_view_features" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val entities = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          col("ts_us").as("e_ts"))
+      // event_id rides the view only as the deterministic tie-break
+      // (the as-of join resolves ties on (ts, tieBreak) and the break
+      // column must be part of the view's projection)
+      val vClickVal = FeatureStore.FeatureView("user_click", Seq("user_id"),
+        "ts_us", ttlUs = 3L * 24 * 3600 * 1000000,
+        features = Seq("event_id", "value"))
+      val vSignup = FeatureStore.FeatureView("user_signup", Seq("user_id"),
+        "ts_us", ttlUs = 30L * 24 * 3600 * 1000000,
+        features = Seq("event_id"))
+      val step1 = FeatureStore.getHistoricalFeatures(entities, vClickVal,
+          e.filter(col("event_type") === "click"), "e_ts",
+          tieBreak = "event_id")
+        .select(col("e_id"), col("user_id"), col("e_ts"),
+          col("value").as("recent_click_value"),
+          (col("e_ts") - col("ts_us")).as("click_age_us"))
+      FeatureStore.getHistoricalFeatures(step1, vSignup,
+          e.filter(col("event_type") === "signup"), "e_ts",
+          tieBreak = "event_id")
+        .select(col("e_id"), col("user_id"), col("e_ts"),
+          col("recent_click_value"), col("click_age_us"),
+          col("event_id").as("signup_id"),
+          (col("e_ts") - col("ts_us")).as("signup_age_us"))
+        .ordered(col("e_id"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -16520,6 +16563,39 @@ object SparkEntry {
         |    FLOOR(CAST(ap6 AS DOUBLE) / (CAST(np AS DOUBLE) * 1e6)
         |      * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS avg_precision
         |FROM t ORDER BY segment""".stripMargin,
+
+    // the same two leak-free as-of lookups (rn = 1 over ts DESC, id
+    // DESC within each TTL window) and the staleness arithmetic
+    "q291_multi_view_features" ->
+      """WITH en AS (SELECT event_id AS e_id, user_id,
+        |    epoch_us(ts) AS e_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |f1 AS (SELECT user_id, epoch_us(ts) AS f_ts, value AS f_value,
+        |    event_id AS f_id
+        |  FROM events WHERE event_type = 'click'),
+        |j1 AS (SELECT en.e_id, f1.f_value, f1.f_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY en.e_id
+        |      ORDER BY f1.f_ts DESC, f1.f_id DESC) AS rn
+        |  FROM en JOIN f1 ON en.user_id = f1.user_id
+        |    AND f1.f_ts <= en.e_ts
+        |    AND f1.f_ts >= en.e_ts - 259200000000),
+        |f2 AS (SELECT user_id, epoch_us(ts) AS g_ts, event_id AS g_id
+        |  FROM events WHERE event_type = 'signup'),
+        |j2 AS (SELECT en.e_id, f2.g_id, f2.g_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY en.e_id
+        |      ORDER BY f2.g_ts DESC, f2.g_id DESC) AS rn
+        |  FROM en JOIN f2 ON en.user_id = f2.user_id
+        |    AND f2.g_ts <= en.e_ts
+        |    AND f2.g_ts >= en.e_ts - 2592000000000)
+        |SELECT en.e_id, en.user_id, en.e_ts,
+        |  j1.f_value AS recent_click_value,
+        |  CAST(en.e_ts - j1.f_ts AS BIGINT) AS click_age_us,
+        |  j2.g_id AS signup_id,
+        |  CAST(en.e_ts - j2.g_ts AS BIGINT) AS signup_age_us
+        |FROM en
+        |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1 ON en.e_id = j1.e_id
+        |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2 ON en.e_id = j2.e_id
+        |ORDER BY en.e_id""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

@@ -35,11 +35,21 @@ object PointInTime {
     * (left-outer semantics), mirroring Feast TTL semantics
     * (user_features.py:11).
     *
-    * Implementation: range-condition join + `max_by` re-aggregation keyed by
-    * a unique left row id. One shuffle for the join, one for the re-agg; the
-    * TTL bound keeps the range-join fan-out proportional to the per-key event
-    * density inside the TTL window rather than all history. For very hot keys
-    * AQE skew-join splits the partitions.
+    * Implementation: LEFT range-condition join + one row_number window
+    * keyed by a unique left row id — a single linear plan. The earlier
+    * form (inner join + max_by re-aggregation + join BACK onto the
+    * row-id'd left) referenced the `monotonically_increasing_id` frame
+    * TWICE: on a left input whose row order is not execution-stable (any
+    * shuffled/aggregated frame — e.g. the output of a previous asofJoin
+    * in a multi-view chain), the two executions can assign DIFFERENT ids
+    * and the join-back attaches features to the WRONG entities (caught
+    * by q291's negative staleness; a plain scan left like q53's never
+    * trips it). A single-reference linear plan executes the id exactly
+    * once per action, so the id only ever needs to be unique — and it
+    * also costs one shuffle (the window) instead of two (re-agg + back
+    * join). The TTL bound keeps the range-join fan-out proportional to
+    * the per-key event density inside the TTL window rather than all
+    * history; for very hot keys AQE skew-join splits the partitions.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String, ttlUs: Long,
@@ -57,12 +67,15 @@ object PointInTime {
     val rightCols = right.columns.filterNot(key.contains)
     val ord = if (rightTieBreak == null) Seq(rc(rightTs))
               else Seq(rc(rightTs), rc(rightTieBreak))
-    val payload = struct(rightCols.toSeq.map(c => rc(c).as(c)): _*)
-    val matched = l.join(r, cond, "inner")
-      .groupBy(col("__rowid"))
-      .agg(max_by(payload, struct(ord: _*)).as("__m"))
-    l.join(matched, Seq("__rowid"), "left")
+    // left join: an unmatched left row is its rowid's single (all-null
+    // payload) candidate and survives the rn = 1 filter — left-outer
+    // semantics with no second join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rowid")).orderBy(ord.map(_.desc): _*)
+    l.join(r, cond, "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(left.columns.toSeq.map(col) ++
-        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+        rightCols.map(c => rc(c).as(c)): _*)
   }
 }
