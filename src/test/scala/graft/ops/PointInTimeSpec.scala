@@ -77,6 +77,64 @@ class PointInTimeSpec extends AnyFunSuite {
     assert(viaOp.values.exists(_.isDefined) && viaOp.values.exists(_.isEmpty))
   }
 
+  test("asofJoin is correct on a SHUFFLED left input (the rowid double-" +
+      "execution class) and chains across views") {
+    // The round-15 bug: a left input whose row order is not
+    // execution-stable (any shuffled/aggregated frame — here an
+    // aggregate output, exactly the multi-view chaining shape) made the
+    // old two-reference rowid plan attach features to the WRONG rows.
+    // Ground truth is computed on the driver from the same data.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 16).map(i => s"k$i")
+    val featRows = (1 to 500).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(2000).toLong))
+    val feats = featRows.toDF("f_id", "k", "f_ts")
+    val entityRows = (1 to 200).map(i =>
+      (keys(rnd.nextInt(keys.size)), rnd.nextInt(2200).toLong))
+    // SHUFFLED left: per-key aggregate (one row per (k, bucket)) whose
+    // partition-internal order is whatever the exchange produced
+    val lefts = entityRows.toDF("k", "ts0")
+      .groupBy(col("k"), (col("ts0") % 7).as("bucket"))
+      .agg(max(col("ts0")).as("p_ts"))
+      .repartition(13)
+    val ttl = 400L
+    val got = PointInTime.asofJoin(lefts, feats, Seq("k"), "p_ts", "f_ts",
+        ttlUs = ttl, strict = true, rightTieBreak = "f_id")
+      .select("k", "bucket", "p_ts", "f_id")
+      .as[(String, Long, Long, Option[Long])].collect()
+    // driver-side ground truth per (k, p_ts)
+    val byKey = featRows.groupBy(_._2)
+    def truth(k: String, pTs: Long): Option[Long] =
+      byKey.getOrElse(k, Seq.empty)
+        .filter(f => f._3 < pTs && f._3 >= pTs - ttl)
+        .sortBy(f => (-f._3, -f._1)).headOption.map(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (k, b, pTs, fId) =>
+      assert(fId === truth(k, pTs),
+        s"wrong feature attached at ($k, bucket $b, p_ts $pTs)") }
+    // and the chain: a second asofJoin OVER the first one's output
+    // (the q291 multi-view shape) still attaches per-row-correctly
+    val feats2 = (1 to 300).map(i =>
+      (10000L + i, keys(rnd.nextInt(keys.size)), rnd.nextInt(2200).toLong))
+    val f2 = feats2.toDF("g_id", "k", "g_ts")
+    val step1 = PointInTime.asofJoin(lefts, feats, Seq("k"), "p_ts", "f_ts",
+      ttlUs = ttl, strict = true, rightTieBreak = "f_id")
+    val step2 = PointInTime.asofJoin(step1, f2, Seq("k"), "p_ts", "g_ts",
+        ttlUs = 2 * ttl, strict = true, rightTieBreak = "g_id")
+      .select("k", "p_ts", "f_id", "g_id")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+    val byKey2 = feats2.groupBy(_._2)
+    def truth2(k: String, pTs: Long): Option[Long] =
+      byKey2.getOrElse(k, Seq.empty)
+        .filter(f => f._3 < pTs && f._3 >= pTs - 2 * ttl)
+        .sortBy(f => (-f._3, -f._1)).headOption.map(_._1)
+    step2.foreach { case (k, pTs, fId, gId) =>
+      assert(fId === truth(k, pTs), s"view-1 feature wrong after chain at ($k, $pTs)")
+      assert(gId === truth2(k, pTs), s"view-2 feature wrong at ($k, $pTs)")
+    }
+  }
+
   test("unmatched keys keep left row with null feature columns") {
     val left = Seq((11L, "nope", 500L)).toDF("p_id", "k", "p_ts")
     val out = PointInTime.asofJoin(left, feats, Seq("k"), "p_ts", "f_ts",
