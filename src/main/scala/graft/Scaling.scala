@@ -563,6 +563,10 @@ object Scaling {
       // wall tracks the pair-distinct, never catalog²
       "neg_sampling" ->
         (dir => SparkEntry.queries("q289_negative_sampling")(spark, dir)),
+      // q292: both halves collapse map-side to ≤ 4×512 grid cells;
+      // Brier/ECE terms are exact integers on the joined grid
+      "brier_ece" ->
+        (dir => SparkEntry.queries("q292_brier_ece")(spark, dir)),
       // q291: two chained as-of joins — fan-out bounded by per-key
       // density inside each TTL window; one window shuffle per view
       "multi_view_pit" ->

@@ -8633,6 +8633,64 @@ object SparkEntry {
         .ordered(col("segment"))
     }),
 
+    // ---- Model evaluation: Brier score + expected calibration error -----
+    // The probability-quality pair q259's reliability table points at:
+    // a per-(segment × score-bin) empirical click-rate predictor is FIT
+    // on the calibration half (even event ids, the q265/q276 split) and
+    // scored on the serving half — Brier = mean (p − y)² and ECE =
+    // Σ_b |acc_b − conf_b|·n_b/N, both EXACT until one final division:
+    // the predictor is a floored micro-probability p6, each Brier term
+    // is counts × (p6)²/(1e6−p6)² on DECIMAL(38,0), each ECE term is
+    // the cross-multiplied |c_b·1e6 − p6·n_b|. Serving rows whose bin
+    // never appeared in calibration can't be scored — they are COUNTED
+    // (n_unscored), never silently dropped. Facts collapse map-side to
+    // ≤ 4×512 grid cells per half; everything downstream rides grids.
+    "q292_brier_ece" -> ((s, dir) => {
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val d38 = "decimal(38,0)"
+      val e = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 4).cast("long").as("segment"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)),
+            lit(511L)).as("sb"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"),
+          (col("event_id") % 2).as("half"))
+      val cal = e.filter(col("half") === 0)
+        .groupBy(col("segment"), col("sb"))
+        .agg(count(lit(1)).as("n_cal"), sum(col("y")).as("c_cal"))
+        .select(col("segment"), col("sb"),
+          floor(col("c_cal").cast(d38) * lit(1000000L).cast(d38) /
+            col("n_cal").cast(d38)).cast("long").as("p6"))
+      val srv = e.filter(col("half") === 1)
+        .groupBy(col("segment"), col("sb"))
+        .agg(count(lit(1)).as("n_srv"), sum(col("y")).as("c_srv"))
+      val tot = srv.groupBy(col("segment"))
+        .agg(sum(col("n_srv")).as("n_total"))
+      val scored = srv.join(cal, Seq("segment", "sb"))
+        .withColumn("bterm",
+          (col("n_srv") - col("c_srv")).cast(d38) *
+            col("p6").cast(d38) * col("p6").cast(d38) +
+          col("c_srv").cast(d38) *
+            (lit(1000000L) - col("p6")).cast(d38) *
+            (lit(1000000L) - col("p6")).cast(d38))
+        .withColumn("eterm",
+          abs(col("c_srv").cast(d38) * lit(1000000L).cast(d38) -
+            col("p6").cast(d38) * col("n_srv").cast(d38)))
+        .groupBy(col("segment"))
+        .agg(sum(col("n_srv")).as("n_eval"),
+          sum(col("bterm")).as("bsum"), sum(col("eterm")).as("esum"))
+      scored.join(tot, Seq("segment"))
+        .select(col("segment"), col("n_eval"),
+          (col("n_total") - col("n_eval")).as("n_unscored"),
+          r6(col("bsum").cast("double") /
+            (col("n_eval").cast("double") * 1e12)).as("brier"),
+          r6(col("esum").cast("double") /
+            (col("n_eval").cast("double") * 1e6)).as("ece"))
+        .ordered(col("segment"))
+    }),
+
     // ---- Feature store: multi-view point-in-time training set ------------
     // The production get_historical_features shape q53 only hints at:
     // ONE entity spine (purchases) enriched from SEVERAL feature views
@@ -16563,6 +16621,44 @@ object SparkEntry {
         |    FLOOR(CAST(ap6 AS DOUBLE) / (CAST(np AS DOUBLE) * 1e6)
         |      * 1e6 + 0.5) / 1e6 END AS DOUBLE) AS avg_precision
         |FROM t ORDER BY segment""".stripMargin,
+
+    // the same split-grid predictor (floored micro-probability), exact
+    // HUGEINT Brier/ECE terms, and the unscored-bin census
+    "q292_brier_ece" ->
+      """WITH e AS (SELECT user_id % 4 AS segment,
+        |    LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 511) AS sb,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |    event_id % 2 AS half
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cal AS (SELECT segment, sb,
+        |    (CAST(SUM(y) AS HUGEINT) * 1000000) // COUNT(*) AS p6
+        |  FROM e WHERE half = 0 GROUP BY 1, 2),
+        |srv AS (SELECT segment, sb, COUNT(*) AS n_srv, SUM(y) AS c_srv
+        |  FROM e WHERE half = 1 GROUP BY 1, 2),
+        |tot AS (SELECT segment, SUM(n_srv) AS n_total FROM srv
+        |  GROUP BY 1),
+        |sc AS (SELECT srv.segment, SUM(n_srv) AS n_eval,
+        |    SUM(CAST(n_srv - c_srv AS HUGEINT) * p6 * p6 +
+        |      CAST(c_srv AS HUGEINT) * (1000000 - p6)
+        |        * (1000000 - p6)) AS bsum,
+        |    SUM(ABS(CAST(c_srv AS HUGEINT) * 1000000 -
+        |      CAST(p6 AS HUGEINT) * n_srv)) AS esum
+        |  FROM srv JOIN cal ON cal.segment = srv.segment
+        |    AND cal.sb = srv.sb
+        |  GROUP BY 1)
+        |SELECT CAST(sc.segment AS BIGINT) AS segment,
+        |  CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(n_total - n_eval AS BIGINT) AS n_unscored,
+        |  CAST(FLOOR(CAST(bsum AS DOUBLE) /
+        |    (CAST(n_eval AS DOUBLE) * 1e12) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS brier,
+        |  CAST(FLOOR(CAST(esum AS DOUBLE) /
+        |    (CAST(n_eval AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS DOUBLE) AS ece
+        |FROM sc JOIN tot ON tot.segment = sc.segment
+        |ORDER BY segment""".stripMargin,
 
     // the same two leak-free as-of lookups (rn = 1 over ts DESC, id
     // DESC within each TTL window) and the staleness arithmetic
