@@ -8456,10 +8456,14 @@ object SparkEntry {
         .filter(col("ts_us").isNotNull && col("value").isNotNull &&
           !isnan(col("value")))
         .withColumn("ev_time", timestamp_micros(col("ts_us")))
+      // outputMode explicit at the call site: COMPLETE, because this
+      // is a bounded AvailableNow replay and the final day's window
+      // must be emitted (append would hold it forever — the watermark
+      // never passes its end). See driftWindows' output-mode contract.
       val perWin = Streams.runToMemory(
         Streams.driftWindows(stream, "ev_time", "value",
           delay = "1 hour", windowLen = "1 day", lo, hi, bins),
-        s"q286_mem_${System.nanoTime()}")
+        s"q286_mem_${System.nanoTime()}", outputMode = "complete")
       Streams.rollingDriftScore(perWin, lag = 3)
         .select(col("w_start"), col("n_win"), col("n_ref"),
           // the exact decimal gap leaves as a double magnitude (the
@@ -8622,8 +8626,16 @@ object SparkEntry {
         .withColumn("cum", sum(col("p") + col("n")).over(wDesc))
         .withColumn("np", sum(col("p")).over(wSeg))
         .withColumn("nn", sum(col("n")).over(wSeg))
-        .withColumn("t6", floor(col("p").cast(d38) * col("tp").cast(d38)
-          * lit(1000000L).cast(d38) / col("cum").cast(d38)))
+        // EXACT integer division, not floor(decimal / decimal): Spark
+        // rounds a DECIMAL(38,0)/DECIMAL(38,0) quotient HALF_UP to
+        // scale 6 BEFORE floor sees it, so a remainder fraction
+        // >= 0.9999995 would floor one above the true quotient and
+        // diverge from DuckDB's exact HUGEINT `//` truncation. `div`
+        // (IntegralDivide) truncates the exact decimal quotient — and
+        // every operand here is non-negative, so trunc IS floor.
+        .withColumn("t6", expr(
+          s"cast(p as $d38) * cast(tp as $d38) * cast(1000000 as $d38)" +
+            s" div cast(cum as $d38)"))
         .groupBy(col("segment"), col("np"), col("nn"))
         .agg(sum(col("t6").cast(d38)).as("ap6"))
         .select(col("segment"), col("np").as("n_pos"),
@@ -8660,9 +8672,15 @@ object SparkEntry {
       val cal = e.filter(col("half") === 0)
         .groupBy(col("segment"), col("sb"))
         .agg(count(lit(1)).as("n_cal"), sum(col("y")).as("c_cal"))
+        // Same exact-integer-division discipline as q290's t6 / q276's
+        // pred2: `div` truncates the EXACT decimal quotient, where
+        // floor(decimal / decimal) would see a quotient already
+        // HALF_UP-rounded to scale 6 and could exceed the true floor
+        // by 1 on near-integer fractions. All operands non-negative,
+        // so trunc == floor. n_cal = COUNT(*) > 0 always.
         .select(col("segment"), col("sb"),
-          floor(col("c_cal").cast(d38) * lit(1000000L).cast(d38) /
-            col("n_cal").cast(d38)).cast("long").as("p6"))
+          expr(s"cast(c_cal as $d38) * cast(1000000 as $d38)" +
+            s" div cast(n_cal as $d38)").as("p6"))
       val srv = e.filter(col("half") === 1)
         .groupBy(col("segment"), col("sb"))
         .agg(count(lit(1)).as("n_srv"), sum(col("y")).as("c_srv"))
@@ -16451,21 +16469,24 @@ object SparkEntry {
         |FROM s ORDER BY source""".stripMargin,
 
     // the same basket census and cap; NULL max_kept when every basket
-    // is over the cap (absence surfaced, never a fabricated 0)
+    // is over the cap (absence surfaced, never a fabricated 0). The
+    // cap is INTERPOLATED from ItemCf.MaxBasketSize — single source of
+    // truth with the Spark side, so changing the constant can never
+    // silently diverge engine vs oracle.
     "q285_itemcf_cap_ledger" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_partkey IS NOT NULL),
         |sz AS (SELECT bk, COUNT(*) AS bsz FROM li GROUP BY 1)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets,
-        |  CAST(SUM(CASE WHEN bsz > 1000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dropped,
-        |  CAST(SUM(CASE WHEN bsz > 1000 THEN bsz ELSE 0 END) AS BIGINT)
-        |    AS dropped_rows,
+        |  CAST(SUM(CASE WHEN bsz > ${ItemCf.MaxBasketSize} THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN bsz > ${ItemCf.MaxBasketSize} THEN bsz
+        |    ELSE 0 END) AS BIGINT) AS dropped_rows,
         |  CAST(MAX(bsz) AS BIGINT) AS max_basket,
-        |  CAST(MAX(CASE WHEN bsz <= 1000 THEN bsz END) AS BIGINT)
-        |    AS max_kept,
-        |  CAST(SUM(CASE WHEN bsz <= 1000
+        |  CAST(MAX(CASE WHEN bsz <= ${ItemCf.MaxBasketSize} THEN bsz
+        |    END) AS BIGINT) AS max_kept,
+        |  CAST(SUM(CASE WHEN bsz <= ${ItemCf.MaxBasketSize}
         |    THEN CAST(bsz AS HUGEINT) * bsz ELSE 0 END) AS DOUBLE)
         |    AS pair_work_kept
         |FROM sz""".stripMargin,
@@ -16941,12 +16962,12 @@ object SparkEntry {
     // full replay of q268's pipeline plus the three metric CTEs; a
     // missing within-list pair coalesces to cosine 0 on both sides
     "q274_rec_eval" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_partkey IS NOT NULL),
         |li AS (SELECT bk, item FROM (SELECT *,
         |    COUNT(*) OVER (PARTITION BY bk) AS bsz FROM li0)
-        |  WHERE bsz <= 1000),
+        |  WHERE bsz <= ${ItemCf.MaxBasketSize}),
         |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
         |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
         |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item
@@ -17153,12 +17174,12 @@ object SparkEntry {
     // the same basket self-join, symmetrized pair counts, and
     // quantize-before-rank cosine
     "q268_item_cf" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_partkey IS NOT NULL),
         |li AS (SELECT bk, item FROM (SELECT *,
         |    COUNT(*) OVER (PARTITION BY bk) AS bsz FROM li0)
-        |  WHERE bsz <= 1000),
+        |  WHERE bsz <= ${ItemCf.MaxBasketSize}),
         |cnt AS (SELECT item, COUNT(*) AS c FROM li GROUP BY 1),
         |half AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS cab
         |  FROM li a JOIN li b ON a.bk = b.bk AND a.item < b.item

@@ -313,8 +313,18 @@ object Streams {
     * [[rollingDriftScore]] re-baselines against the trailing windows
     * (production references go stale — a permanent level shift is
     * "drift" for a while and then the new normal). State per open
-    * window is the grid (`bins` longs), never the data; append output
-    * + watermark evict closed windows exactly once. */
+    * window is the grid (`bins` longs), never the data.
+    *
+    * OUTPUT MODE is the caller's choice and changes what is emitted:
+    * q286 runs this in `complete` mode (every window re-emitted each
+    * trigger — correct for bounded AvailableNow replays, where the
+    * final window must appear even though the watermark never passes
+    * its end). An `append` caller gets watermark-evicted closed
+    * windows exactly once but must account for the windows still open
+    * at end-of-stream — on a bounded replay the LAST window is never
+    * emitted in append mode. State eviction only happens under
+    * append/update; complete mode retains all windows' grids (fine
+    * here: the state IS the days×bins domain grid, not the data). */
   def driftWindows(stream: DataFrame, eventTimeCol: String,
                    valueCol: String, delay: String, windowLen: String,
                    lo: Double, hi: Double, bins: Int): DataFrame = {
