@@ -8752,6 +8752,45 @@ object SparkEntry {
         .ordered(col("e_id"))
     }),
 
+    // ---- Streaming: stream-stream interval join (attribution) -----------
+    // TWO live watermarked streams joined on key + time band — the one
+    // Structured Streaming surface the rest of the suite only used as
+    // q77's internal building block: every click attributes to every
+    // impression of the same user within the 1-day band AFTER the
+    // impression (view ≤ click ≤ view + 1d). Both sides carry
+    // watermarks, so join state is BOUNDED — Spark evicts a buffered
+    // impression once the click-side watermark passes its band, and
+    // drops late arrivals with visible accounting
+    // (Streams.watermarkLedger; StreamsSpec proves both the drop ledger
+    // and the eviction). Inner-join matches emit in the micro-batch
+    // they occur in (no watermark wait), so the bounded AvailableNow
+    // replay needs no sentinels and the batch oracle is the exact
+    // equivalent band join. State per side is one band of rows per key
+    // — 100 TB posture: state scales with (keys × band density), never
+    // the stream's history.
+    "q293_stream_interval_join" -> ((s, dir) => {
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q293_mem_${System.nanoTime()}", "append") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        def raw = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("ts_us").isNotNull)
+        val imps = raw.filter(col("event_type") === "view")
+          .select(col("event_id").as("imp_id"), col("user_id"),
+            col("ts_us").as("imp_us"),
+            timestamp_micros(col("ts_us")).as("imp_t"))
+        val clks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"),
+            timestamp_micros(col("ts_us")).as("click_t"))
+        Streams.streamIntervalJoin(imps, clks, "user_id",
+            "imp_t", "click_t", delay = "10 seconds", window = "1 day")
+          .select(col("user_id"), col("imp_id"), col("click_id"),
+            (col("click_us") - col("imp_us")).as("gap_us"))
+      }.ordered(col("user_id"), col("imp_id"), col("click_id"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -16713,6 +16752,27 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM j1 WHERE rn = 1) j1 ON en.e_id = j1.e_id
         |LEFT JOIN (SELECT * FROM j2 WHERE rn = 1) j2 ON en.e_id = j2.e_id
         |ORDER BY en.e_id""".stripMargin,
+
+    // the exact batch equivalent of the watermarked stream-stream band
+    // join: inner matches only, inclusive bounds, 1-day band after the
+    // impression (86400000000 micros)
+    "q293_stream_interval_join" ->
+      """WITH i AS (SELECT event_id AS imp_id, user_id,
+        |    epoch_us(ts) AS imp_us
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL)
+        |SELECT i.user_id, imp_id, click_id,
+        |  CAST(click_us - imp_us AS BIGINT) AS gap_us
+        |FROM i JOIN c ON c.user_id = i.user_id
+        |  AND click_us >= imp_us
+        |  AND click_us <= imp_us + 86400000000
+        |ORDER BY i.user_id, imp_id, click_id""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface — the reference's Kafka JSON pipeline
@@ -186,6 +186,27 @@ object Streams {
          |$rightTs >= $leftTs AND
          |$rightTs <= $leftTs + INTERVAL $window""".stripMargin))
       .drop("__rk")
+  }
+
+  /** Watermark accounting for a finished (or stopped) streaming query —
+    * the no-silent-drops ledger for watermarked stateful operators.
+    * `droppedLate` counts input rows that arrived BEHIND the watermark
+    * and were discarded before they could join or aggregate (a
+    * production attribution join alarms on this — silent drops are
+    * unattributed revenue); `evicted` counts state rows removed once the
+    * watermark cleared their interval (the bounded-state guarantee doing
+    * its job — zero evictions on a long-running join means state grows
+    * without bound). Both are summed across every state operator and
+    * every progress report the query retained (the driver keeps the last
+    * ~100 progress entries; for longer-lived queries attach a
+    * StreamingQueryListener and fold the same fields incrementally). */
+  final case class WatermarkLedger(droppedLate: Long, evicted: Long)
+
+  def watermarkLedger(q: StreamingQuery): WatermarkLedger = {
+    val ps = q.recentProgress
+    WatermarkLedger(
+      ps.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum,
+      ps.map(_.stateOperators.map(_.numRowsRemoved).sum).sum)
   }
 
   /** Streaming point-in-time (as-of) enrichment: each event joins the

@@ -206,6 +206,48 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Set(1L))
   }
 
+  test("interval join drops late rows WITH accounting and evicts state") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val l = imps.toDF().toDF("ad_id", "imp_us")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val r = clicks.toDF().toDF("ad_id", "click_us")
+      .withColumn("click_ts", timestamp_micros(col("click_us")))
+    val joined = Streams.streamIntervalJoin(l, r, "ad_id",
+      "imp_ts", "click_ts", delay = "5 seconds", window = "10 seconds")
+    val q = joined.select("ad_id", "imp_us", "click_us")
+      .writeStream.format("memory").queryName("ssj_ledger")
+      .outputMode("append").start()
+    val base = 1700000000000000L
+    val minute = 60000000L
+    // batch 1: an impression + its in-window click (attributes), plus a
+    // far-future row on BOTH sides to advance both watermarks a minute
+    // past the impression's join band
+    imps.addData((1L, base), (99L, base + minute))
+    clicks.addData((1L, base + 3000000L), (98L, base + minute))
+    q.processAllAvailable()
+    // batch 2: a click for ad 1 only 4s after its impression — INSIDE
+    // the band, but its event time is ~56s behind the click-side
+    // watermark (base+55s): Spark must drop it as late, not attribute it
+    clicks.addData((1L, base + 4000000L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_ledger")
+      .select("ad_id", "click_us").as[(Long, Long)].collect().toSet
+    val ledger = Streams.watermarkLedger(q)
+    q.stop()
+    assert(out === Set((1L, base + 3000000L)),
+      s"late click must NOT attribute, got $out")
+    // the drop is ACCOUNTED, not silent
+    assert(ledger.droppedLate >= 1L,
+      s"watermark ledger must record the late drop, got $ledger")
+    // and the watermark evicted the out-of-band join state (ad 1's
+    // impression band [base, base+15s] is fully behind both watermarks)
+    assert(ledger.evicted >= 1L,
+      s"watermark must evict expired join state, got $ledger")
+  }
+
   test("stream-static broadcast enrichment join") {
     implicit val sql = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
