@@ -164,6 +164,17 @@ object Bench {
           .toMap
       }
     }
+    // Every isolated confirmation is RECORDED in BENCH_DETAIL's
+    // "confirmed" section (query -> isolated min-of-2 seconds), not just
+    // used to pick the smaller number: a third party running
+    // tools/bench_gate.py on this artifact from a contended machine can
+    // then self-adjudicate — a query whose in-suite number trips the
+    // gate rule but whose recorded isolated number passes is demoted to
+    // a note, while a REAL regression (slow isolated too) still fails.
+    // This closes the round-15 process gap where the confirmation ran
+    // but the artifact carried only in-suite numbers, forcing a human
+    // to rerun the tripping queries by hand.
+    val confirmedIso = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     def confirmIsolated(measured: Seq[(String, Double)],
                         pool: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Seq[(String, Double)] = {
       val prior = loadPriorBaseline().getOrElse(return measured)
@@ -188,6 +199,11 @@ object Bench {
         System.gc()
         onePass(spark, qs).map { case (n, t) => n -> math.min(t, f1(n)) }.toMap
       } finally spark.stop()
+      // record EVERY isolated number, kept or not — the gate's
+      // adjudication data must include the case where isolated is
+      // slower (a real regression), or the artifact only ever tells
+      // the exculpatory half of the story
+      fresh.foreach { case (n, ft) => confirmedIso.put(n, ft) }
       measured.map { case (n, t) =>
         fresh.get(n) match {
           case Some(ft) if ft < t =>
@@ -235,8 +251,13 @@ object Bench {
       def entries(xs: Seq[(String, Double)]): String =
         xs.map { case (k, v) => s"""  "$k": {"sec": $v, "rows": ${rowCounts.getOrDefault(k, -1L)}}""" }
           .mkString("{\n", ",\n", "\n}")
+      import scala.jdk.CollectionConverters._
+      val confirmed = confirmedIso.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""  "$k": {"sec": $v}""" }
+        .mkString("{\n", ",\n", "\n}")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""queries":${entries(results)},"variants":${entries(prod)}}"""
+        s""""queries":${entries(results)},"variants":${entries(prod)},""" +
+        s""""confirmed":$confirmed}"""
     }
     try {
       val p = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json")

@@ -43,9 +43,23 @@ Queries present on one side only are reported informationally, never
 fatal (new operators appear, variants move between maps). Exit 0 =
 green, 1 = regression, 2 = usage/IO error.
 
+Self-adjudication via the artifact's "confirmed" section (round 16):
+Bench reruns any gate-tripping query min-of-2 in a FRESH session and
+records that isolated number in BENCH_DETAIL.json's "confirmed" map —
+whether or not it was kept as the headline number. When a query trips
+the gate rule on its in-suite number, the gate re-applies the SAME rule
+(normalized and catastrophic clauses alike) to the recorded isolated
+number: if the isolated number passes, the trip is demoted to a loud
+informational note (in-suite contention, adjudicated by the artifact
+itself — no human rerun needed); if the isolated number ALSO trips, the
+regression is real and the gate fails. An artifact without a
+"confirmed" entry for the tripping query fails as before.
+
 Self-test: tools/test_bench_gate.py (run with python3) — asserts exit 0
-on synthetic uniform-noise pairs and exit 1 on an injected single-query
-regression.
+on synthetic uniform-noise pairs, exit 1 on an injected single-query
+regression, exit 0 on a contended artifact whose confirmed section
+clears the trip, and exit 1 on a planted TRUE regression that stays
+slow in its confirmed entry.
 """
 import json
 import sys
@@ -86,6 +100,19 @@ def load_queries(path):
     return out
 
 
+def load_confirmed(path):
+    """Isolated-confirmation numbers recorded by Bench in the CURRENT
+    artifact ({"confirmed": {q: {"sec": s}}}). Absent/malformed sections
+    degrade to {} — the gate then behaves exactly as before."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return {name: (v["sec"] if isinstance(v, dict) else float(v))
+                for name, v in doc.get("confirmed", {}).items()}
+    except (OSError, json.JSONDecodeError, TypeError, KeyError, ValueError):
+        return {}
+
+
 def run_scale(cur, prior, shared):
     """Median per-query ratio — the run-level contention estimate.
 
@@ -102,8 +129,26 @@ def run_scale(cur, prior, shared):
     return ratios[mid] if n % 2 else (ratios[mid - 1] + ratios[mid]) / 2
 
 
-def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr):
-    """Core rule, separated from IO so the self-test can drive it."""
+def trips_rule(c, p, scale, factor):
+    """The per-query regression rule, shared between the in-suite number
+    and the confirmed (isolated) number so adjudication applies EXACTLY
+    the same bar."""
+    cn = c / scale
+    return (p >= MIN_PRIOR_S and cn > factor * p and cn - p > 0.5) or \
+           (c > CATASTROPHIC_FACTOR * p and c - p > CATASTROPHIC_FLOOR_S)
+
+
+def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr,
+         confirmed=None):
+    """Core rule, separated from IO so the self-test can drive it.
+
+    `confirmed` is the CURRENT artifact's isolated-confirmation map
+    (query -> isolated min-of-2 seconds, recorded by Bench). A query
+    whose in-suite number trips the rule but whose confirmed number
+    passes it is demoted to an informational note — the artifact
+    adjudicates its own contention. A confirmed number that ALSO trips
+    is a real regression and fails."""
+    confirmed = confirmed or {}
     shared = set(cur) & set(prior)
     scale = run_scale(cur, prior, shared)
     print(f"[bench-gate] run scale (median per-query ratio): {scale:.2f}x",
@@ -117,8 +162,20 @@ def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr):
     for name in sorted(shared):
         c, p = cur[name], prior[name]
         cn = c / scale
-        if (p >= MIN_PRIOR_S and cn > factor * p and cn - p > 0.5) or \
-           (c > CATASTROPHIC_FACTOR * p and c - p > CATASTROPHIC_FLOOR_S):
+        if trips_rule(c, p, scale, factor):
+            if name in confirmed and not trips_rule(confirmed[name], p,
+                                                    scale, factor):
+                print(f"[bench-gate] ADJUDICATED {name}: in-suite {c:.2f}s "
+                      f"trips vs prior {p:.2f}s, but the artifact's "
+                      f"isolated confirmation measured {confirmed[name]:.2f}s "
+                      f"— in-suite contention, not a plan regression",
+                      file=out)
+                continue
+            if name in confirmed:
+                # real: slow in-suite AND slow isolated — report the
+                # isolated number, it is the steady-state measurement
+                c = confirmed[name]
+                cn = c / scale
             bad.append((name, p, c, cn))
     for name in sorted(set(cur) - set(prior)):
         print(f"[bench-gate] note: {name} new this round ({cur[name]:.2f}s)",
@@ -151,7 +208,7 @@ def main(argv):
     except (OSError, json.JSONDecodeError, GateInputError) as e:
         print(f"[bench-gate] cannot load inputs: {e}", file=sys.stderr)
         return 2
-    return gate(cur, prior, factor)
+    return gate(cur, prior, factor, confirmed=load_confirmed(argv[1]))
 
 
 if __name__ == "__main__":

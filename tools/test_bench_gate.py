@@ -15,8 +15,9 @@ sys.path.insert(0, __import__("os").path.dirname(__file__))
 from bench_gate import gate  # noqa: E402
 
 
-def run(cur, prior, factor=2.0):
-    return gate(cur, prior, factor, out=io.StringIO(), err=io.StringIO())
+def run(cur, prior, factor=2.0, confirmed=None):
+    return gate(cur, prior, factor, out=io.StringIO(), err=io.StringIO(),
+                confirmed=confirmed)
 
 
 def main():
@@ -91,10 +92,43 @@ def main():
     cata[qbig] = prior[qbig] * 20.0
     cases.append(("catastrophic 20x under 2.5x contention", cata, 1))
 
+    # 8. self-adjudication: a deliberately CONTENDED artifact — q62 trips
+    #    at 2.5x in-suite, but Bench's recorded isolated confirmation
+    #    measured it at its prior level -> the gate must exit 0 without
+    #    any human adjudication (the round-15 q215/q265 shape)
+    contended = dict(prior)
+    contended["q62"] = prior["q62"] * 2.5
+    cases.append(("contended in-suite, confirmed clean",
+                  (contended, prior, {"q62": prior["q62"] * 1.05}), 0))
+
+    # 9. planted TRUE regression: q62 is slow in-suite AND its isolated
+    #    confirmation stays slow -> the confirmed section must NOT excuse
+    #    it; the gate fails on the isolated number
+    cases.append(("true regression, confirmed still slow",
+                  (contended, prior, {"q62": prior["q62"] * 2.4}), 1))
+
+    # 10. a catastrophic trip with a clean confirmation is also demoted:
+    #     the adjudication applies the SAME rule, both clauses
+    cata_conf = dict(prior)
+    qbig2 = max(prior, key=prior.get)
+    cata_conf[qbig2] = prior[qbig2] * 20.0 + 12.0
+    cases.append(("catastrophic in-suite, confirmed clean",
+                  (cata_conf, prior, {qbig2: prior[qbig2] * 1.1}), 0))
+
+    # 11. a confirmed entry for a NON-tripping query changes nothing
+    cases.append(("confirmed entry on a green query",
+                  (dict(prior), prior, {"q62": prior["q62"] * 0.9}), 0))
+
     failures = []
     for name, case, expect in cases:
-        cur, pri = case if isinstance(case, tuple) else (case, prior)
-        got = run(cur, pri)
+        conf = None
+        if isinstance(case, tuple) and len(case) == 3:
+            cur, pri, conf = case
+        elif isinstance(case, tuple):
+            cur, pri = case
+        else:
+            cur, pri = case, prior
+        got = run(cur, pri, confirmed=conf)
         status = "ok" if got == expect else f"FAIL (expected {expect}, got {got})"
         print(f"  {name}: exit {got} — {status}")
         if got != expect:
