@@ -10066,6 +10066,22 @@ object SparkEntry {
     }),
     "q122_cms_counts__prod" -> ((s, dir) =>
       cmsQuery(s, dir, c => shiftrightunsigned(xxhash64(c), 33))),
+    // q100's router in single-pass form: merged token -> per-class
+    // numerator vector (no K-way join fan-out, one tokenize, argmax
+    // projection instead of grid + rank window). Row-identical to the
+    // sibling by construction; VariantEquivalenceSpec gates it.
+    "q100_class_route__prod" -> ((s, dir) => {
+      import graft.llm.UnigramLm
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val model = UnigramLm.fitClassVocab(docs, "source", "text",
+        vocabSize = 20)
+      UnigramLm.routeByClassMerged(docs, "doc_id", "text", model,
+          carry = Seq("source"))
+        .select(col("doc_id"), col("pred_cls"), col("n_tokens"),
+          col("mass"),
+          (col("pred_cls") === col("source")).cast("long").as("self_routed"))
+        .ordered(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] =

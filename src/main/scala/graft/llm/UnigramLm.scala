@@ -347,6 +347,84 @@ object UnigramLm {
         col("n_tokens"), col("mass"))
   }
 
+  /** Single-pass [[routeByClass]] — the production form: the stacked
+    * (cls, tok, p) model is pivoted ONCE on the driver into a merged
+    * token → per-class-numerator-vector map (token rows are unique, so
+    * the broadcast scoring join has NO K-way fan-out), every document
+    * is tokenized ONCE (token count and all K class masses come out of
+    * the same aggregation), and the winner is an argmax PROJECTION over
+    * the K mass columns instead of a doc×class grid + rank window.
+    * Row-identical to [[routeByClass]] by construction
+    * (VariantEquivalenceSpec gates it): per-(doc, class) numerators are
+    * the same integer sums — a token absent from class k's vocabulary
+    * contributes the same 0 whether it fails a join (sibling) or reads
+    * a 0 slot (here) — the mass formula is the identical fixed division
+    * sequence, and the ascending-class when-chain reproduces the
+    * window's (desc mass, asc cls) tie-break exactly (masses are
+    * 1e-6-grid doubles, so equality is bit-safe).
+    *
+    * Per doc the plan carries ONE exploded token stream, one broadcast
+    * hash probe per token, and K+1 primitive-long aggregates (codegen'd,
+    * map-side combined) — shuffle volume is docs × (K+1) longs, K-free
+    * in the token dimension. The merged map is classes × vocabSize
+    * rows wide — driver-small by the [[fitClassVocab]] contract. */
+  def routeByClassMerged(docs: DataFrame, id: String, text: String,
+                         model: DataFrame,
+                         carry: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = docs.sparkSession
+    // materialize the driver-small model once (the routeByClass /
+    // IVF-centroid discipline: never reference a fit pipeline twice)
+    val rows = model.select(col("cls"), col("tok"), col("p")).collect()
+    val classes = rows.map(_.getString(0)).distinct.sorted
+    val k = classes.length
+    require(k >= 1, "routeByClassMerged needs at least one class")
+    val clsIdx = classes.zipWithIndex.toMap
+    val merged = rows.groupBy(_.getString(1)).toSeq.map { case (tok, rs) =>
+      val arr = Array.fill(k)(0L)
+      rs.foreach { r =>
+        arr(clsIdx(r.getString(0))) =
+          math.floor(r.getDouble(2) * 1e9 + 0.5).toLong
+      }
+      Row.fromSeq(tok +: arr.toSeq)
+    }
+    val schema = StructType(StructField("tok", StringType) +:
+      (0 until k).map(i => StructField(s"__n$i", LongType)))
+    import scala.jdk.CollectionConverters._
+    val mergedDf = spark.createDataFrame(merged.asJava, schema)
+    // `carry` columns ride the explode and the groupBy (they are
+    // functionally dependent on the doc id), so a caller needing a doc
+    // attribute next to the route (q100's `source`) pays NO join-back
+    // shuffle — the attribute never leaves the row.
+    val toks = docs.select(col(id).as("__doc") +: carry.map(col) :+
+      explode_outer(TextStats.tokens(lower(col(text)))).as("tok"): _*)
+    val agg = toks
+      .join(broadcast(mergedDf), Seq("tok"), "left")
+      .groupBy(col("__doc") +: carry.map(col): _*)
+      .agg(count(col("tok")).as("n_tokens"),
+        (0 until k).map(i =>
+          sum(coalesce(col(s"__n$i"), lit(0L))).as(s"__s$i")): _*)
+    // argmax as an ARRAY projection, not a K-branch when-chain over a
+    // greatest(): withColumn aliases are inlined by projection collapse,
+    // so a when-chain would copy the K-arg greatest K more times (the
+    // q231 plan-size lesson). array_position finds the FIRST index of
+    // the max — classes are sorted ascending, so this IS the sibling
+    // window's (desc mass, asc cls) tie-break; masses are 1e-6-grid
+    // doubles, so the equality inside array_position is bit-safe.
+    val masses = array((0 until k).map(i =>
+      when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(floor(col(s"__s$i").cast("double") / 1e9
+          / col("n_tokens") * 1e6 + 0.5) / 1e6)): _*)
+    agg.withColumn("__ms", masses)
+      .select(col("__doc").as(id) +: carry.map(col) :+
+        element_at(typedlit(classes.toSeq),
+          array_position(col("__ms"), array_max(col("__ms"))).cast("int"))
+          .as("pred_cls") :+
+        col("n_tokens") :+
+        array_max(col("__ms")).as("mass"): _*)
+  }
+
   /** Vocabulary drift between two corpus snapshots — the data-drift
     * monitor a pipeline reads between crawls (a shifted token
     * distribution is the early signal that quality filters, classifier

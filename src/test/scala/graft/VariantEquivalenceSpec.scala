@@ -42,6 +42,21 @@ class VariantEquivalenceSpec extends AnyFunSuite {
         s"only-sibling=${(sibling -- twin).take(5)}")
   }
 
+  test("q100__prod single-pass router equals the grid+window sibling row for row") {
+    // exact operator: the merged-map twin must reproduce every route,
+    // token count, mass, and tie-break bit for bit (masses are
+    // 1e-6-grid doubles, so Set equality is well-defined)
+    val twin = SparkEntry.prodVariants("q100_class_route__prod")(spark, sf)
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    val sibling = SparkEntry.queries("q100_class_route")(spark, sf)
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    assert(twin.nonEmpty, "router produced no rows")
+    assert(twin === sibling,
+      s"single-pass router diverged from the sibling: " +
+        s"only-twin=${(twin -- sibling).take(5)} " +
+        s"only-sibling=${(sibling -- twin).take(5)}")
+  }
+
   test("q17 LSH twin (murmur3) is plausibility-matched to the md5 sibling") {
     def pairs(mode: String): Map[(Long, Long), Double] =
       Dedup.minhashLsh(Tables(spark, sf, "documents"), "doc_id", "text",
