@@ -8791,6 +8791,90 @@ object SparkEntry {
       }.ordered(col("user_id"), col("imp_id"), col("click_id"))
     }),
 
+    // ---- ANN index maintenance: append + occupancy-skew ledger -----------
+    // IvfIndex.fit is fit-once-offline; a growing corpus appends between
+    // refits and the index goes STALE — appended data from a shifted
+    // distribution lands wherever the OLD centroids put it, and hot
+    // cells break the cell-size discipline q39/q240 ride (per-probe
+    // candidate mass is bounded by cell×nprobe only while cells stay
+    // near fair share). This query exercises the REAL maintenance path:
+    // build the inverted file for the base corpus, APPEND a
+    // deterministic distribution-shifted batch (negated vectors, new
+    // ids — closed-form, so the oracle replays it), then read the
+    // occupancy ledger back FROM THE PERSISTED CELL PARTITIONS — the
+    // oracle would catch an append that wrote to the wrong cell. Empty
+    // cells are ledger rows too (a starving cell is drift evidence).
+    // All verdicts are exact integer cross-multiplications: hot =
+    // count×nlist > 4×n; needs_refit = any hot OR corpus grown past
+    // 2×nlist×512 (the nlist = n/512 discipline's refit trigger).
+    // The tree is query-private (the shared q39/q89 index is immutable
+    // by contract); the ledger is nlist rows — collected and re-entered
+    // as a local relation so the tmp tree can be deleted eagerly.
+    "q294_ivf_append_ledger" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, _) = ivfAcquire(s, dir, corpus)
+      val k = index.centroids.size
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q294_")
+      val cells = tmp.resolve("cells").toString
+      val out = try {
+        IvfIndex.buildInverted(corpus, index, cells)
+        val batch = emb.select((col("vec_id") + lit(10000000L)).as("nid"),
+          transform(col("embedding"), x => -x).as("nvec"))
+        IvfIndex.appendInverted(batch, index, cells)
+        import s.implicits._
+        val counts = s.read.parquet(cells)
+          .select(col("cell"), (col("nid") >= 10000000L).as("isNew"))
+          .groupBy("cell")
+          .agg(sum(when(!col("isNew"), 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("isNew"), 1L).otherwise(0L)).as("n_new"))
+        // per-cell counts collapse map-side to <= nlist rows; the verdict
+        // over those nlist rows is driver-side policy math (the same
+        // arithmetic IvfIndex.staleness runs) — never a corpus-side op
+        val got = counts.collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val ledRows = index.centroids.map(_._1).sorted.map { c =>
+          val (nb, nn) = got.getOrElse(c, (0L, 0L))
+          (c, nb, nn, nb + nn)
+        }
+        val n = ledRows.map(_._4).sum
+        val hotAny = ledRows.exists(t => t._4 * k > 4L * n)
+        val needsRefit = hotAny || n > 2L * k * 512L
+        ledRows.map { case (c, nb, nn, nt) =>
+          org.apache.spark.sql.Row(c, nb, nn, nt,
+            if (nt * k > 4L * n) 1L else 0L,
+            if (needsRefit) 1L else 0L)
+        }
+      } finally {
+        // eager cleanup: the result is materialized above, nothing lazy
+        // still reads the tree
+        val st = java.nio.file.Files.walk(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally st.close()
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(out.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_base",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_new",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_total",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hot",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("needs_refit",
+            org.apache.spark.sql.types.LongType))))
+        .ordered(col("cell"))
+    }),
+
     // ---- Monitoring: anomaly root-cause contribution --------------------
     // q242 flags WHICH days are abnormal; ops needs WHO moved. For
     // every flagged (type, day), each user segment's day share is
@@ -10087,7 +10171,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
       q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql ++
-      q273OracleSql
+      q273OracleSql ++ q294OracleSql
 
   /** q273's run-state oracle ([[q89OracleSql]] contract): the same
     * fitted centroids replayed for assignment, the second-best cell via
@@ -17438,6 +17522,57 @@ object SparkEntry {
            |  FROM cc JOIN n USING (cell))
            |SELECT vec_id, CAST(cell AS INT) AS cell FROM r
            |WHERE u < rate ORDER BY vec_id""".stripMargin
+    }.toMap
+  }
+
+  /** q294's oracle: the SAME fitted centroids replayed for BOTH cell
+    * assignments — the base corpus and the appended batch (vectors
+    * negated in DOUBLE space, exactly what Spark's float negate + double
+    * cast computes) — then the full-cell-list occupancy ledger and the
+    * exact-integer hot / needs_refit verdicts, all recomputed from
+    * scratch in DuckDB. Catches an append written to the wrong cell, a
+    * miscounted empty cell, or a verdict arithmetic drift. */
+  private def q294OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k0 => Option(ivfCache.get(k0))).map { m =>
+      val cents = m.centroids.sortBy(_._1)
+      val k = cents.size
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }.mkString("[\n    ", ",\n    ", "]")
+      val cellIds = cents.map(_._1).mkString("[", ",", "]")
+      "q294_ivf_append_ledger" ->
+        s"""WITH v AS (
+           |  SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |b AS (
+           |  SELECT list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM (SELECT $scores AS ss FROM v)),
+           |a AS (
+           |  SELECT list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM (SELECT $scores AS ss
+           |        FROM (SELECT list_transform(ev, x -> -x) AS ev FROM v))),
+           |cells AS (SELECT UNNEST($cellIds) AS cell),
+           |cb AS (SELECT cell, COUNT(*) AS nb FROM b GROUP BY 1),
+           |ca AS (SELECT cell, COUNT(*) AS na FROM a GROUP BY 1),
+           |led AS (SELECT cells.cell, COALESCE(nb, 0) AS nb,
+           |    COALESCE(na, 0) AS na
+           |  FROM cells LEFT JOIN cb USING (cell)
+           |  LEFT JOIN ca USING (cell)),
+           |tot AS (SELECT SUM(nb + na) AS n,
+           |    MAX(CASE WHEN (nb + na) * $k > 4 * (SELECT SUM(nb + na)
+           |      FROM led) THEN 1 ELSE 0 END) AS hot_any
+           |  FROM led)
+           |SELECT CAST(led.cell AS INT) AS cell,
+           |  CAST(nb AS BIGINT) AS n_base, CAST(na AS BIGINT) AS n_new,
+           |  CAST(nb + na AS BIGINT) AS n_total,
+           |  CAST(CASE WHEN (nb + na) * $k > 4 * n THEN 1 ELSE 0 END
+           |    AS BIGINT) AS hot,
+           |  CAST(CASE WHEN hot_any = 1 OR n > ${2L * k * 512L}
+           |    THEN 1 ELSE 0 END AS BIGINT) AS needs_refit
+           |FROM led, tot ORDER BY led.cell""".stripMargin
     }.toMap
   }
 

@@ -73,6 +73,81 @@ object IvfIndex {
       .repartition(org.apache.spark.sql.functions.col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to the
+    * EXISTING centroids and append into the inverted file's cell
+    * partitions. This is the cheap path a growing corpus takes between
+    * refits — one projection + one cell-partitioned write, no KMeans, no
+    * rewrite of existing cells — and it is exactly how the index gets
+    * STALE: appended data from a shifted distribution lands wherever the
+    * OLD centroids put it, concentrating in few cells (hot cells break
+    * the cell-size discipline: candidate mass per probe is bounded by
+    * cell×nprobe only while cells stay near their fair share). Pair
+    * every append cadence with [[staleness]] and a [[refitIfStale]]
+    * policy — the retrieval-quality analogue of a drift monitor's
+    * rolling re-baseline. `batch` must expose `nid` and `nvec`. */
+  def appendInverted(batch: DataFrame, index: Model, path: String): Unit =
+    batch
+      .withColumn("cell", Similarity.ivfCell(
+        org.apache.spark.sql.functions.col("nvec"), index))
+      .repartition(org.apache.spark.sql.functions.col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** Occupancy-skew staleness verdict for a persisted inverted file.
+    * All triggers are EXACT integer comparisons on cell counts:
+    *  - a HOT cell holds more than `hotFactor`× its fair share
+    *    (count × nlist > hotFactor × n, cross-multiplied longs) — probes
+    *    touching it blow the per-probe candidate budget;
+    *  - GROWN: the corpus exceeds `growFactor`× the size the nlist was
+    *    sized for (n > growFactor × nlist × cellTarget under the
+    *    nlist = n/cellTarget discipline) — even perfectly balanced cells
+    *    are now oversized.
+    * Empty cells are counted (a starving cell is wasted nlist budget and
+    * a symptom of drift) but do not trigger alone. */
+  final case class Staleness(nRows: Long, nlist: Int, maxCell: Long,
+                             hotCells: Int, emptyCells: Int,
+                             grown: Boolean, needsRefit: Boolean)
+
+  def staleness(spark: SparkSession, cellsPath: String, index: Model,
+                hotFactor: Int = 4, cellTarget: Int = 512,
+                growFactor: Int = 2): Staleness = {
+    val counts = spark.read.parquet(cellsPath)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val k = index.centroids.size
+    val n = counts.values.sum
+    val maxCell = if (counts.isEmpty) 0L else counts.values.max
+    val hot = index.centroids.count { case (i, _, _) =>
+      counts.getOrElse(i, 0L) * k > hotFactor.toLong * n }
+    val empty = index.centroids.count { case (i, _, _) =>
+      counts.getOrElse(i, 0L) == 0L }
+    val grown = n > growFactor.toLong * k * cellTarget
+    Staleness(n, k, maxCell, hot, empty, grown, hot > 0 || grown)
+  }
+
+  /** Refit policy: when [[staleness]] trips, refit on the CURRENT corpus
+    * (the inverted file holds it — base plus every appended batch) with
+    * nlist re-derived from the cell-size discipline
+    * (max(old nlist, n / cellTarget) — nlist never shrinks, so probe
+    * plans sized for the old index stay valid) and return the fresh
+    * model for the caller to republish (save + buildInverted + publish,
+    * the same atomic-rename path as the original build). Returns None
+    * while the index is healthy — the caller keeps appending. */
+  def refitIfStale(spark: SparkSession, cellsPath: String, index: Model,
+                   hotFactor: Int = 4, cellTarget: Int = 512,
+                   growFactor: Int = 2, seed: Long = 42L): Option[Model] = {
+    val st = staleness(spark, cellsPath, index, hotFactor, cellTarget,
+      growFactor)
+    if (!st.needsRefit) None
+    else {
+      val nlist = math.max(index.centroids.size.toLong,
+        math.max(1L, st.nRows / cellTarget)).toInt
+      Some(fit(spark.read.parquet(cellsPath)
+        .select(org.apache.spark.sql.functions.col("nid"),
+          org.apache.spark.sql.functions.col("nvec")),
+        nlist = nlist, seed = seed))
+    }
+  }
+
   /** Publish a fully-written index directory `tmp` to its final path
     * `fin` by atomic rename, safe under concurrent publishers: losing the
     * rename race is success (the winner's tree is complete — drop our

@@ -70,6 +70,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b, "fresh-fit and loaded index must probe identically")
   }
 
+  test("IVF append: appended vectors findable, staleness trips, refit restores balance") {
+    val dim = 8
+    val rnd = new scala.util.Random(47)
+    def around(anchor: Array[Float], spread: Float): Seq[Float] =
+      anchor.map(a => a + spread * rnd.nextGaussian().toFloat).toSeq
+    // base corpus: 4 well-separated anchors near the origin region
+    val baseAnchors = (0 until 4).map(i =>
+      Array.tabulate(dim)(j => if (j == i * 2) 3f else 0f))
+    val base = (0 until 200).map(i =>
+      (i.toLong, around(baseAnchors(i % 4), 0.2f)))
+    val corpus = base.toDF("nid", "nvec")
+    val index = IvfIndex.fit(corpus, nlist = 8, fitFraction = 1.0)
+    val root = java.nio.file.Files.createTempDirectory("ivf_append")
+    val cells = root.resolve("cells").toString
+    IvfIndex.buildInverted(corpus, index, cells)
+    // distribution shift: ONE new anchor in a far region the fit never
+    // saw — the stale centroids funnel all 300 appended rows into one
+    // cell (the hot-cell pathology q294 ledgers); the refit's KMeans
+    // splits that 300-point mass (largest SSE term) across cells
+    val newAnchor = Array.fill(dim)(8f)
+    val appended = (0 until 300).map(i =>
+      (1000L + i, around(newAnchor, 0.2f)))
+    IvfIndex.appendInverted(appended.toDF("nid", "nvec"), index, cells)
+
+    // 1. recall-after-append tripwire (the q239 shape: fixed data +
+    // seeds, so the floor either holds forever or the append path
+    // broke): perturbed twins of appended rows must find their source
+    // query ids are DISJOINT from corpus ids (the probe excludes
+    // qid == nid as a self-match); target = qid - 4000
+    val queries = appended.take(30).map { case (id, v) =>
+      (id + 4000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)) }
+      .toDF("qid", "qvec")
+    def recall(idx: IvfIndex.Model, path: String): Double = {
+      val got = Similarity.ivfTopKPersisted(queries, path, k = 1, idx,
+          nprobe = 3)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => q - 4000L == n }.toDouble / 30
+    }
+    val staleRecall = recall(index, cells)
+    assert(staleRecall >= 0.9,
+      s"appended rows must be findable through the stale index, " +
+        s"recall=$staleRecall")
+
+    // 2. the occupancy monitor trips: the funnel cell holds > 4x fair
+    // share; the grown trigger stays quiet at this size
+    val st = IvfIndex.staleness(spark, cells, index)
+    assert(st.nRows === 500L)
+    assert(st.hotCells >= 1 && st.needsRefit,
+      s"shifted append must trip the hot-cell trigger, got $st")
+    assert(!st.grown, s"500 rows must not trip the 2x512-per-cell " +
+      s"grown trigger, got $st")
+    // the grown trigger, isolated: size the discipline for tiny cells
+    assert(IvfIndex.staleness(spark, cells, index, cellTarget = 10).grown)
+
+    // 3. the refit policy fires, and the refit index restores the
+    // cell-size discipline (7 anchors, 8 centroids -> no funnel cell)
+    // without losing the appended rows' recall
+    val refit = IvfIndex.refitIfStale(spark, cells, index)
+    assert(refit.nonEmpty, "refitIfStale must fire on a stale index")
+    val cells2 = root.resolve("cells2").toString
+    val all = spark.read.parquet(cells).select(col("nid"), col("nvec"))
+    IvfIndex.buildInverted(all, refit.get, cells2)
+    val st2 = IvfIndex.staleness(spark, cells2, refit.get)
+    assert(st2.hotCells === 0 && !st2.needsRefit,
+      s"refit must clear the hot-cell trigger, got $st2")
+    assert(st2.maxCell < st.maxCell,
+      s"refit must shrink the hottest cell: ${st.maxCell} -> ${st2.maxCell}")
+    val refitRecall = recall(refit.get, cells2)
+    assert(refitRecall >= 0.9,
+      s"refit must not lose appended-row recall, got $refitRecall")
+    // policy idempotence: a healthy tree does not refit again
+    assert(IvfIndex.refitIfStale(spark, cells2, refit.get).isEmpty)
+  }
+
   test("ivfTopKPersisted equals the in-memory probe and prunes to probed cells") {
     val dim = 8
     val rnd = new scala.util.Random(31)
