@@ -794,6 +794,16 @@ object Scaling {
       // domain-bounded per window; wall must track the stream replay
       "stream_auc" ->
         (dir => SparkEntry.queries("q272_stream_auc")(spark, dir)),
+      // q103: session-window state is one open (user, session) span per
+      // key — merged and evicted by the watermark, never the event
+      // backlog; wall must track the stream replay
+      "sessions" ->
+        (dir => SparkEntry.queries("q103_stream_session")(spark, dir)),
+      // q77: TWO chained stateful operators (interval join + windowed
+      // as-of max_by); join state is watermark-bounded to the 6h
+      // lookback band per key — the heaviest streaming state path
+      "stream_asof" ->
+        (dir => SparkEntry.queries("q77_stream_asof")(spark, dir)),
       // q273's shape: O(n·nlist) against literal centroids, never
       // point×point — the index is a fit-once artifact (ivfpqModels,
       // base corpus, the pq_adc/ivfpq posture), so this row measures
