@@ -8817,16 +8817,25 @@ object SparkEntry {
         col("embedding").as("nvec"))
       val (index, _) = ivfAcquire(s, dir, corpus)
       val k = index.centroids.size
+      // appended ids must be DISJOINT from every base id at any scale:
+      // a fixed offset silently collides on replicas whose synthesis
+      // already offsets ids (the 10x replica starts at 10M — VERIFY_10X
+      // caught exactly this: base rows misread as appended). Derive the
+      // offset from the data's own id range; the oracle never sees ids
+      // (it splits by construction), so this is read-back-only.
+      val Array(idRow) = emb.agg(min("vec_id"), max("vec_id")).collect()
+      val newBase = idRow.getLong(1) - idRow.getLong(0) + 1L
+      val newFloor = idRow.getLong(1) + 1L
       val tmp = java.nio.file.Files.createTempDirectory("graft_q294_")
       val cells = tmp.resolve("cells").toString
       val out = try {
         IvfIndex.buildInverted(corpus, index, cells)
-        val batch = emb.select((col("vec_id") + lit(10000000L)).as("nid"),
+        val batch = emb.select((col("vec_id") + lit(newBase)).as("nid"),
           transform(col("embedding"), x => -x).as("nvec"))
         IvfIndex.appendInverted(batch, index, cells)
         import s.implicits._
         val counts = s.read.parquet(cells)
-          .select(col("cell"), (col("nid") >= 10000000L).as("isNew"))
+          .select(col("cell"), (col("nid") >= newFloor).as("isNew"))
           .groupBy("cell")
           .agg(sum(when(!col("isNew"), 1L).otherwise(0L)).as("n_base"),
             sum(when(col("isNew"), 1L).otherwise(0L)).as("n_new"))
