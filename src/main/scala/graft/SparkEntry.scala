@@ -8791,6 +8791,58 @@ object SparkEntry {
       }.ordered(col("user_id"), col("imp_id"), col("click_id"))
     }),
 
+    // ---- Streaming: unclicked impressions (left-outer interval join) ----
+    // q293's attribution join answers "which clicks attribute"; training
+    // a CTR model also needs the NEGATIVES — impressions with NO click
+    // in the band. The left-OUTER stream-stream interval join emits an
+    // unmatched impression with NULLs exactly once, and only once the
+    // watermark has passed its whole band (emitting earlier would
+    // mislabel slow clicks as negatives — the label-correctness
+    // guarantee batch anti-joins get for free and streams must earn).
+    // Bounded-replay mechanics: far-future sentinels on BOTH inputs
+    // advance the watermark past the last real band (the q77 +32d
+    // contract: clears the ~30d span plus the 1d band from any sentinel
+    // source row); matched rows and sentinels are removed DRIVER-LOCALLY
+    // after the memory sink — a streaming-plan predicate would be pushed
+    // into the union's sentinel branch before the watermark node and
+    // strand the final bands (q77/q103 lesson). Oracle: the batch
+    // NOT EXISTS over the same band.
+    "q295_unclicked_impressions" -> ((s, dir) => {
+      val evKey = Long.MinValue + 1L
+      val ftKey = Long.MinValue + 2L
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q295_mem_${System.nanoTime()}", "append") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        def raw = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("ts_us").isNotNull)
+        val dayUs32 = 32L * 86400000000L
+        val imps = raw.filter(col("event_type") === "view")
+          .select(col("event_id").as("imp_id"), col("user_id"),
+            col("ts_us").as("imp_us"),
+            timestamp_micros(col("ts_us")).as("imp_t"))
+          .unionByName(raw.filter(col("event_id") % 1000 === 0)
+            .select(lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
+              (col("ts_us") + dayUs32).as("imp_us"),
+              timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))
+        val clks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("click_t"))
+          .unionByName(raw.filter(col("event_id") % 1000 === 1)
+            .select(lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
+              timestamp_micros(col("ts_us") + dayUs32).as("click_t")))
+        Streams.streamIntervalJoinLeftOuter(imps, clks, "user_id",
+            "imp_t", "click_t", delay = "10 seconds", window = "1 day")
+          .select(col("user_id"), col("imp_id"), col("imp_us"),
+            col("click_id"))
+      } // materialized local relation from here — filters cannot reach
+        // the streaming plan (see scaladoc caution)
+        .filter(col("click_id").isNull && col("user_id") =!= evKey)
+        .select(col("user_id"), col("imp_id"), col("imp_us"))
+        .ordered(col("user_id"), col("imp_id"))
+    }),
+
     // ---- ANN index maintenance: append + occupancy-skew ledger -----------
     // IvfIndex.fit is fit-once-offline; a growing corpus appends between
     // refits and the index goes STALE — appended data from a shifted
@@ -16882,6 +16934,25 @@ object SparkEntry {
         |  AND click_us >= imp_us
         |  AND click_us <= imp_us + 86400000000
         |ORDER BY i.user_id, imp_id, click_id""".stripMargin,
+
+    // the batch NOT EXISTS over the same band — the negatives the
+    // left-outer streaming join must emit exactly once, post-watermark
+    "q295_unclicked_impressions" ->
+      """WITH i AS (SELECT event_id AS imp_id, user_id,
+        |    epoch_us(ts) AS imp_us
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL)
+        |SELECT i.user_id, imp_id, imp_us FROM i
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |  WHERE c.user_id = i.user_id
+        |    AND c.click_us >= i.imp_us
+        |    AND c.click_us <= i.imp_us + 86400000000)
+        |ORDER BY i.user_id, imp_id""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

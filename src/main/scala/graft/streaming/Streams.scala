@@ -188,6 +188,38 @@ object Streams {
       .drop("__rk")
   }
 
+  /** OUTER variant of [[streamIntervalJoin]]: same key + time-band
+    * condition, but unmatched LEFT rows are emitted with NULLs on the
+    * right side — and only once the watermark has passed their whole
+    * band (before that, a match could still arrive; Spark holds the row
+    * in state and emits the NULL form exactly once at eviction). This is
+    * the negative-label generator of an attribution pipeline: an
+    * impression with no click inside the band becomes a negative example
+    * the moment lateness can no longer change the verdict — emitting
+    * negatives any earlier would mislabel slow clicks. On a BOUNDED
+    * replay the final band's unmatched rows only flush if something
+    * advances the watermark past `stream end + window` — union far-future
+    * sentinel rows with unmatchable keys onto BOTH inputs (q77's
+    * contract; see q295) and filter them out DRIVER-LOCALLY after the
+    * sink, never with a streaming-plan predicate (Catalyst pushes a
+    * left-side predicate into the union's sentinel branch BEFORE the
+    * watermark node, silently stranding the final bands — the q77/q103
+    * lesson). */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                  key: String, leftTs: String,
+                                  rightTs: String, delay: String,
+                                  window: String): DataFrame = {
+    require(leftTs != rightTs,
+      "left/right event-time columns must have distinct names")
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withColumnRenamed(key, "__rk").withWatermark(rightTs, delay)
+    l.join(r, expr(
+      s"""$key = __rk AND
+         |$rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + INTERVAL $window""".stripMargin), "leftOuter")
+      .drop("__rk")
+  }
+
   /** Watermark accounting for a finished (or stopped) streaming query —
     * the no-silent-drops ledger for watermarked stateful operators.
     * `droppedLate` counts input rows that arrived BEHIND the watermark

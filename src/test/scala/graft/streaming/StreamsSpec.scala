@@ -248,6 +248,45 @@ class StreamsSpec extends AnyFunSuite {
       s"watermark must evict expired join state, got $ledger")
   }
 
+  test("left-outer interval join: unmatched impression emits NULLs exactly once, post-watermark") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val l = imps.toDF().toDF("ad_id", "imp_us")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val r = clicks.toDF().toDF("ad_id", "click_us")
+      .withColumn("click_ts", timestamp_micros(col("click_us")))
+    val joined = Streams.streamIntervalJoinLeftOuter(l, r, "ad_id",
+      "imp_ts", "click_ts", delay = "5 seconds", window = "10 seconds")
+    val q = joined.select("ad_id", "imp_us", "click_us")
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    val base = 1700000000000000L
+    // ad 1 gets a click in-band; ad 2 never does
+    imps.addData((1L, base), (2L, base))
+    clicks.addData((1L, base + 3000000L))
+    q.processAllAvailable()
+    // before the watermark passes ad 2's band [base, base+15s], its NULL
+    // row must NOT have been emitted — a match could still arrive
+    val early = spark.table("ssj_outer")
+      .select("ad_id", "click_us").as[(Long, Option[Long])].collect().toSet
+    assert(early === Set((1L, Some(base + 3000000L))),
+      s"negative must not emit while its band is open, got $early")
+    // advance both watermarks past the band: +60s on each side
+    imps.addData((99L, base + 60000000L))
+    clicks.addData((98L, base + 60000000L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_outer")
+      .select("ad_id", "click_us").as[(Long, Option[Long])].collect().toList
+    q.stop()
+    // ad 2 emits its NULL form exactly ONCE; ad 1 never gets a NULL row
+    assert(out.count(_ == (2L, None)) === 1,
+      s"unmatched impression must emit exactly once, got $out")
+    assert(!out.contains((1L, None)),
+      s"matched impression must never emit a NULL row, got $out")
+  }
+
   test("stream-static broadcast enrichment join") {
     implicit val sql = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
