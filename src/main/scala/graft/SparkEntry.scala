@@ -8018,15 +8018,29 @@ object SparkEntry {
       val p = 8
       val li = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_returnflag").isNotNull)
+      // DISTINCT FIRST, then sketch: HLL registers are duplicate-
+      // insensitive (max over rho per bucket), so hashing the distinct
+      // (flag, key) pairs yields bit-identical registers — and it keeps
+      // countDistinct OUT of the sketch groupBy. Mixing a distinct
+      // aggregate with a typed Aggregator in one groupBy forces the
+      // expand + sort-based fallback over doubled rows with per-row
+      // encoder overhead (measured: this query was 5.1 s in the r16
+      // closing suite, 3x its sketch-family siblings; restructured it
+      // tracks them). The md5 also now runs once per distinct pair,
+      // not once per lineitem row.
+      val base = li.select(col("l_returnflag"), col("l_orderkey"))
+        .distinct()
+        // two consumers (per-flag sketches and the global exact) — the
+        // q148 pin discipline
+        .persist()
       val h31 = shiftrightunsigned(
         call_function("md5_lower64", col("l_orderkey").cast("string")), 33)
-      // persist: two consumers of the per-flag sketches (the per-flag
-      // rows and the global merge) — the q148 pin discipline
-      val perFlag = li.groupBy(col("l_returnflag"))
+      val perFlag = base.groupBy(col("l_returnflag"))
         .agg(Sketches.hllRegisters(h31, p).as("sk"),
-          countDistinct(col("l_orderkey")).as("exact_n"))
+          count(lit(1)).as("exact_n"))
         .persist()
-      val globalExact = li.agg(countDistinct(col("l_orderkey")).as("exact_n"))
+      val globalExact = base
+        .agg(countDistinct(col("l_orderkey")).as("exact_n"))
       val global = perFlag.agg(Sketches.hllMerge(col("sk"), p).as("sk"))
         .crossJoin(broadcast(globalExact))
         .select(lit("__all__").as("l_returnflag"), col("sk"), col("exact_n"))
