@@ -3343,12 +3343,20 @@ object SparkEntry {
     // ln-based small-range correction is deliberately omitted); exact
     // distinct and the active-register count ride alongside.
     "q130_hll_distinct" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
+      // distinct FIRST (the q150 lesson): HLL registers are duplicate-
+      // insensitive, so sketching the distinct keys is bit-identical —
+      // and it keeps the distinct rewrite away from the object-typed
+      // aggregator (mixed, they force the sort-based fallback with
+      // per-row encoder overhead over expanded rows). The exact count
+      // becomes a plain count(*) over the same distinct frame, and the
+      // md5 runs once per KEY, not once per lineitem row.
+      val keys = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull)
+        .select(col("l_orderkey")).distinct()
       val h31 = shiftrightunsigned(
         call_function("md5_lower64", col("l_orderkey").cast("string")), 33)
-      li.agg(Sketches.hllRegisters(h31, 8).as("sk"),
-          countDistinct(col("l_orderkey")).as("exact_n"))
+      keys.agg(Sketches.hllRegisters(h31, 8).as("sk"),
+          count(lit(1)).as("exact_n"))
         .select(
           (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
             .as("hll_est"),
