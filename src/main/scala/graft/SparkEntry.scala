@@ -10247,7 +10247,10 @@ object SparkEntry {
         .select(col("doc_id"), col("pred_cls"), col("n_tokens"),
           col("mass"),
           (col("pred_cls") === col("source")).cast("long").as("self_routed"))
-        .ordered(col("doc_id"))
+        // no global sort: a production router emits unordered (the
+        // sibling keeps .ordered as its oracle-output convention; this
+        // twin is bench-only and VariantEquivalenceSpec compares SETS).
+        // The sort costs a range-partition sampling job + a stage.
     }),
   )
 
