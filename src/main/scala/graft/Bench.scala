@@ -157,11 +157,31 @@ object Bench {
       val files = java.nio.file.Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.matches("BENCH_DETAIL_r\\d+\\.json"))
         .toSeq.sortBy(p => "\\d+".r.findFirstIn(p.getFileName.toString).get.toInt)
-      files.lastOption.map { p =>
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        "\"(q[^\"]+)\":\\s*\\{\"sec\":\\s*([-0-9.eE+]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
+      // Parse as JSON and read ONLY the queries/variants sections — the
+      // same sections bench_gate.py's load_queries reads. The detail file
+      // also carries a "confirmed" section reusing the same query names;
+      // a whole-file regex scan let those entries (last in the file)
+      // overwrite the headline numbers, so a query whose prior-round
+      // isolated confirmation was SLOWER than its kept headline would be
+      // flagged against the larger number, diverging from the gate.
+      files.lastOption.flatMap { p =>
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          val out = scala.collection.mutable.Map.empty[String, Double]
+          for (section <- Seq("queries", "variants")) {
+            val node = root.get(section)
+            if (node != null && node.isObject) {
+              val names = node.fieldNames()
+              while (names.hasNext) {
+                val k = names.next()
+                val sec = node.get(k).get("sec")
+                if (sec != null && sec.isNumber) out(k) = sec.asDouble()
+              }
+            }
+          }
+          if (out.isEmpty) None else Some(out.toMap)
+        } catch { case _: Exception => None }
       }
     }
     // Every isolated confirmation is RECORDED in BENCH_DETAIL's

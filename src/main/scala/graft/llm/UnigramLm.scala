@@ -377,7 +377,23 @@ object UnigramLm {
     // materialize the driver-small model once (the routeByClass /
     // IVF-centroid discipline: never reference a fit pipeline twice)
     val rows = model.select(col("cls"), col("tok"), col("p")).collect()
-    val classes = rows.map(_.getString(0)).distinct.sorted
+    // Sort classes by UTF-8 BYTE order, not Scala's default String
+    // ordering: the sibling routeByClass tie-breaks with Spark's
+    // asc("cls"), which compares UTF8String bytes (= code points).
+    // Scala's String.compareTo compares UTF-16 code UNITS, and the two
+    // disagree for supplementary-plane characters (a surrogate pair's
+    // lead unit 0xD800-0xDBFF sorts BELOW U+E000..U+FFFF in UTF-16 but
+    // its code point U+10000+ sorts ABOVE them in UTF-8), which would
+    // flip the argmax tie-break and break the row-identity contract.
+    val classes = rows.map(_.getString(0)).distinct
+      .sortWith { (a, b) =>
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n && x(i) == y(i)) i += 1
+        if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+      }
     val k = classes.length
     require(k >= 1, "routeByClassMerged needs at least one class")
     val clsIdx = classes.zipWithIndex.toMap

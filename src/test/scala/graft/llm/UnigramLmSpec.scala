@@ -215,4 +215,30 @@ class UnigramLmSpec extends AnyFunSuite {
       .as[(Long, String, Long, Double)].collect().head
     assert(out._2 === "x" && out._4 === 1.0)
   }
+
+  test("routeByClassMerged: supplementary-plane class labels tie-break " +
+      "identically to the window sibling (UTF-8 vs UTF-16 order)") {
+    // U+F000 (BMP private use) vs U+10000 (supplementary, surrogate pair
+    // 𐀀). UTF-16 code-unit order: 0xD800 < 0xF000, so Scala's
+    // String.compareTo sorts the supplementary label FIRST. Spark's
+    // asc("cls") compares UTF8String bytes (= code points): U+F000 <
+    // U+10000, the OPPOSITE. The two classes are given identical token
+    // distributions so every routed doc is an exact mass tie and the
+    // argmax is decided entirely by the class ordering — the sibling's
+    // window picks U+F000; the merged form must too.
+    val clsLo = ""          // code point 0xF000
+    val clsHi = "𐀀"    // code point 0x10000
+    val corpus = Seq((clsHi, "a a b"), (clsLo, "a a b")).toDF("cls", "text")
+    val m = UnigramLm.fitClassVocab(corpus, "cls", "text", vocabSize = 2)
+    val docs = Seq((1L, "a b"), (2L, "b"), (3L, "zz")).toDF("doc_id", "text")
+    val sib = UnigramLm.routeByClass(docs, "doc_id", "text", m)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val merged = UnigramLm.routeByClassMerged(docs, "doc_id", "text", m)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(sib.forall(_._2 === clsLo),
+      s"window sibling must pick the UTF-8-smaller class, got $sib")
+    assert(merged === sib,
+      s"merged router diverged on supplementary-plane tie-break: " +
+        s"merged=$merged sibling=$sib")
+  }
 }

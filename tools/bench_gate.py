@@ -147,7 +147,13 @@ def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr,
     whose in-suite number trips the rule but whose confirmed number
     passes it is demoted to an informational note — the artifact
     adjudicates its own contention. A confirmed number that ALSO trips
-    is a real regression and fails."""
+    is a real regression and fails.
+
+    The confirmed number is judged at scale 1.0: the isolated rerun is
+    a fresh-session measurement NOT subject to the suite's contention,
+    so dividing it by the in-suite run scale (steal swings reach 1.5x)
+    would let a genuine regression of up to factor*scale slip through
+    the normalized clause. The catastrophic clause was always raw."""
     confirmed = confirmed or {}
     shared = set(cur) & set(prior)
     scale = run_scale(cur, prior, shared)
@@ -163,8 +169,10 @@ def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr,
         c, p = cur[name], prior[name]
         cn = c / scale
         if trips_rule(c, p, scale, factor):
+            # scale 1.0 for the confirmation: isolated reruns carry no
+            # suite contention, so in-suite normalization doesn't apply
             if name in confirmed and not trips_rule(confirmed[name], p,
-                                                    scale, factor):
+                                                    1.0, factor):
                 print(f"[bench-gate] ADJUDICATED {name}: in-suite {c:.2f}s "
                       f"trips vs prior {p:.2f}s, but the artifact's "
                       f"isolated confirmation measured {confirmed[name]:.2f}s "
@@ -174,8 +182,9 @@ def gate(cur, prior, factor=2.0, out=sys.stdout, err=sys.stderr,
             if name in confirmed:
                 # real: slow in-suite AND slow isolated — report the
                 # isolated number, it is the steady-state measurement
+                # (no contention to normalize away, so cn == c)
                 c = confirmed[name]
-                cn = c / scale
+                cn = c
             bad.append((name, p, c, cn))
     for name in sorted(set(cur) - set(prior)):
         print(f"[bench-gate] note: {name} new this round ({cur[name]:.2f}s)",

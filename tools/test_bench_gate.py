@@ -119,6 +119,22 @@ def main():
     cases.append(("confirmed entry on a green query",
                   (dict(prior), prior, {"q62": prior["q62"] * 0.9}), 0))
 
+    # 12. the round-16 ADVICE shape: the SUITE is contended (1.5x run
+    #     scale) AND q62 carries a genuine 2.5x regression whose isolated
+    #     confirmation is also 2.5x. The confirmation must be judged at
+    #     scale 1.0 — dividing the isolated number by the in-suite scale
+    #     (2.5/1.5 = 1.67x < factor) would demote a real regression.
+    cont_reg = {q: t * 1.5 * rnd.uniform(0.95, 1.05)
+                for q, t in prior.items()}
+    cont_reg["q62"] = prior["q62"] * 2.5 * 1.5
+    cases.append(("real regression under contention, confirmed slow",
+                  (cont_reg, prior, {"q62": prior["q62"] * 2.5}), 1))
+
+    # 12b. same contended suite, but the isolated confirmation is clean
+    #      -> still demoted (scale-1.0 judging must not over-fail)
+    cases.append(("contended suite, confirmed clean at scale 1.0",
+                  (cont_reg, prior, {"q62": prior["q62"] * 1.1}), 0))
+
     failures = []
     for name, case, expect in cases:
         conf = None
