@@ -2445,11 +2445,18 @@ object SparkEntry {
     // report of the corpus mixture.
     "q100_class_route" -> ((s, dir) => {
       import graft.llm.UnigramLm
+      // PRIMARY = the single-pass merged router (promoted round 17, the
+      // r16 brief's #4): one tokenize, one broadcast probe of the merged
+      // token -> per-class-numerator map (no K-way join fan-out), argmax
+      // as an array projection, `source` riding the aggregation so the
+      // self_routed flag costs no join-back. Row-identical to the
+      // grid+window sibling by construction — VariantEquivalenceSpec
+      // keeps the demoted sibling as the equivalence oracle twin.
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val model = UnigramLm.fitClassVocab(docs, "source", "text",
         vocabSize = 20)
-      UnigramLm.routeByClass(docs, "doc_id", "text", model)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      UnigramLm.routeByClassMerged(docs, "doc_id", "text", model,
+          carry = Seq("source"))
         .select(col("doc_id"), col("pred_cls"), col("n_tokens"),
           col("mass"),
           (col("pred_cls") === col("source")).cast("long").as("self_routed"))
@@ -10233,25 +10240,11 @@ object SparkEntry {
     }),
     "q122_cms_counts__prod" -> ((s, dir) =>
       cmsQuery(s, dir, c => shiftrightunsigned(xxhash64(c), 33))),
-    // q100's router in single-pass form: merged token -> per-class
-    // numerator vector (no K-way join fan-out, one tokenize, argmax
-    // projection instead of grid + rank window). Row-identical to the
-    // sibling by construction; VariantEquivalenceSpec gates it.
-    "q100_class_route__prod" -> ((s, dir) => {
-      import graft.llm.UnigramLm
-      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val model = UnigramLm.fitClassVocab(docs, "source", "text",
-        vocabSize = 20)
-      UnigramLm.routeByClassMerged(docs, "doc_id", "text", model,
-          carry = Seq("source"))
-        .select(col("doc_id"), col("pred_cls"), col("n_tokens"),
-          col("mass"),
-          (col("pred_cls") === col("source")).cast("long").as("self_routed"))
-        // no global sort: a production router emits unordered (the
-        // sibling keeps .ordered as its oracle-output convention; this
-        // twin is bench-only and VariantEquivalenceSpec compares SETS).
-        // The sort costs a range-partition sampling job + a stage.
-    }),
+    // q100's merged router was a __prod twin through round 16; round 17
+    // promoted it to the PRIMARY q100 path (it is row-identical and
+    // ~0.5x the wall), so the twin entry is gone — the demoted
+    // grid+window sibling lives on as VariantEquivalenceSpec's
+    // equivalence oracle, built inline there from routeByClass.
   )
 
   def oracleSql: Map[String, String] =

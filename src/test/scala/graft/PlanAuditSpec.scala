@@ -27,11 +27,16 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** One executedPlan string per query, built once and shared by every
-    * audit in this suite (the build itself is the expensive part). */
+    * audit in this suite (the build itself is the expensive part).
+    * The bench-only production twins (`prodVariants`) are swept with the
+    * same rules — round 16's gap was exactly that the most expensive
+    * bench item (q248__prod) sat outside the cartesian/SinglePartition
+    * guard because the sweep read only `queries`. */
   private lazy val plans: Seq[(String, String)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, dir).queryExecution.executedPlan.toString
-    }
+    (SparkEntry.queries.toSeq ++ SparkEntry.prodVariants.toSeq)
+      .sortBy(_._1).map { case (name, fn) =>
+        name -> fn(spark, dir).queryExecution.executedPlan.toString
+      }
 
   /** Queries whose cross/NLJ is a documented design choice:
     *   - q16: the exact all-pairs ground-truth harness (its point).
@@ -46,10 +51,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *     shape that lets ReuseExchange tokenize the corpus once.
     *   - q98: fit's scalar total plus qualityBuckets' one-row broadcast
     *     tercile cuts joined onto every scored row.
-    *   - q100: routeByClass completes the doc x class score grid with a
-    *     broadcast cross of the class list (K rows, K = #classes) so
-    *     zero-hit classes score 0.0; plus fitClassVocab's class-total
-    *     broadcast.
+    *   - (q100 left this list in round 17: the promoted merged router
+    *     scores via ONE broadcast equi-join on the token — the class-list
+    *     cross belonged to the demoted grid+window sibling, and the
+    *     fitClassVocab subtree is collected at plan-build time.)
     *   - q102: the G-row per-group size table (G = #groups) broadcast-
     *     crossed with itself so zero-intersection pairs stay in the
     *     overlap matrix.
@@ -136,7 +141,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q16_ngram_jaccard", "q19_cosine_topk", "q56_cosine_neardup",
     "q34_dedup_groups", "q59_tfidf", "q81_quantized_topk",
     "q79_unigram_lm", "q97_dsir_select", "q98_ccnet_buckets",
-    "q100_class_route", "q102_source_overlap", "q105_vocab_drift",
+    "q102_source_overlap", "q105_vocab_drift",
     "q88_vocab_coverage", "q118_sparse_topk", "q122_cms_counts",
     "q135_kmv_overlap", "q141_kmv_matrix", "q160_pps_sample",
     "q149_kmv_merge", "q150_hll_merge", "q151_cms_merge",
@@ -150,7 +155,14 @@ class PlanAuditSpec extends AnyFunSuite {
     //   crossed onto the 3-row split frame (the q190 lazy-denominator
     //   shape); q289: the ONE-ROW max-item domain aggregate crossed onto
     //   the user frame before the hash draw (same shape).
-    "q288_group_split", "q289_negative_sampling")
+    "q288_group_split", "q289_negative_sampling",
+    // q122__prod: the xxh64 hash-mode twin of q122 — identical shape
+    //   (6 literal probe rows crossed with the ONE-ROW CMS aggregate).
+    //   Notably the OTHER prod twins are cross-free: the q244/q248
+    //   IVFPQ candidate stages are equi-joins (cell probe + code join),
+    //   which is exactly why they scale where the siblings' broadcast
+    //   NLJ baselines don't.
+    "q122_cms_counts__prod")
 
   test("no undocumented cartesian/broadcast-NLJ in any query plan") {
     val offenders = plans.flatMap { case (name, planStr) =>
@@ -243,7 +255,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q279_uplift_qini" -> "decile-domain uplift grid",
     "q285_itemcf_cap_ledger" -> "one-row basket-census ledger rollup",
     "q288_group_split" -> "one-row leakage-audit aggregate (2 counters)",
-    "q289_negative_sampling" -> "one-row max-item domain aggregate")
+    "q289_negative_sampling" -> "one-row max-item domain aggregate",
+    "q40_vocab_sketch__prod" -> "one-row sketch aggregate (q40's shape)",
+    "q122_cms_counts__prod" -> "one-row Count-Min sketch aggregate (q122's shape)")
 
   test("every planner-inserted SinglePartition exchange has a named bound") {
     val offenders = plans.flatMap { case (name, plan) =>

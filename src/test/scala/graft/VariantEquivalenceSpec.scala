@@ -42,19 +42,30 @@ class VariantEquivalenceSpec extends AnyFunSuite {
         s"only-sibling=${(sibling -- twin).take(5)}")
   }
 
-  test("q100__prod single-pass router equals the grid+window sibling row for row") {
-    // exact operator: the merged-map twin must reproduce every route,
-    // token count, mass, and tie-break bit for bit (masses are
-    // 1e-6-grid doubles, so Set equality is well-defined)
-    val twin = SparkEntry.prodVariants("q100_class_route__prod")(spark, sf)
+  test("q100 primary (merged router) equals the demoted grid+window " +
+      "sibling row for row") {
+    // exact operator: since round 17 the merged single-pass router IS
+    // q100's primary (oracle-checked) path; the K-cross grid+window form
+    // it replaced is rebuilt here as the equivalence oracle — every
+    // route, token count, mass, and tie-break must match bit for bit
+    // (masses are 1e-6-grid doubles, so Set equality is well-defined)
+    import graft.llm.UnigramLm
+    import graft.sources.Tables
+    val docs = Tables(spark, sf, "documents").filter(col("text").isNotNull)
+    val model = UnigramLm.fitClassVocab(docs, "source", "text",
+      vocabSize = 20)
+    val sibling = UnigramLm.routeByClass(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred_cls"), col("n_tokens"), col("mass"),
+        (col("pred_cls") === col("source")).cast("long").as("self_routed"))
       .as[(Long, String, Long, Double, Long)].collect().toSet
-    val sibling = SparkEntry.queries("q100_class_route")(spark, sf)
+    val primary = SparkEntry.queries("q100_class_route")(spark, sf)
       .as[(Long, String, Long, Double, Long)].collect().toSet
-    assert(twin.nonEmpty, "router produced no rows")
-    assert(twin === sibling,
-      s"single-pass router diverged from the sibling: " +
-        s"only-twin=${(twin -- sibling).take(5)} " +
-        s"only-sibling=${(sibling -- twin).take(5)}")
+    assert(primary.nonEmpty, "router produced no rows")
+    assert(primary === sibling,
+      s"merged primary diverged from the grid+window sibling: " +
+        s"only-primary=${(primary -- sibling).take(5)} " +
+        s"only-sibling=${(sibling -- primary).take(5)}")
   }
 
   test("q17 LSH twin (murmur3) is plausibility-matched to the md5 sibling") {
