@@ -8872,6 +8872,65 @@ object SparkEntry {
         .ordered(col("user_id"), col("imp_id"))
     }),
 
+    // ---- Streaming: unified watermark-correct CTR labeler ----------------
+    // q293 emits the positives and q295 the negatives from two separate
+    // replays of the same join shape; a production labeler is ONE pass —
+    // the left-outer interval join already carries both verdicts in its
+    // output (matched row = positive with gap + click provenance, NULL
+    // form = negative, emitted exactly once when the watermark clears the
+    // band), so `label = click_id IS NOT NULL` falls out of a single
+    // stream. Label correctness is the watermark's doing: a slow click
+    // that lands INSIDE the band flips its impression to a positive
+    // because the NULL form was held back until the band closed; one that
+    // lands outside stays a negative (StreamsSpec pins both directions).
+    // Multi-click impressions emit one positive row per attributing
+    // click — the per-pair grain a CTR trainer weights or dedups
+    // downstream; the negative grain is exactly one row per unclicked
+    // impression. Same bounded-replay mechanics as q295 (+32d sentinels
+    // on BOTH inputs, sentinel rows filtered DRIVER-LOCALLY post-sink).
+    // 100 TB posture: state is (keys × band density) per side, evicted
+    // by watermark — never the stream's history. Oracle: the batch LEFT
+    // JOIN over the same band.
+    // Reference streaming path: stream_silver_to_gold.py:71-145; the
+    // click/label semantics: batch_process_Bronze_to_Silver.py:82-83.
+    "q296_ctr_labels" -> ((s, dir) => {
+      val evKey = Long.MinValue + 1L
+      val ftKey = Long.MinValue + 2L
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q296_mem_${System.nanoTime()}", "append") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        def raw = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("ts_us").isNotNull)
+        val dayUs32 = 32L * 86400000000L
+        val imps = raw.filter(col("event_type") === "view")
+          .select(col("event_id").as("imp_id"), col("user_id"),
+            col("ts_us").as("imp_us"),
+            timestamp_micros(col("ts_us")).as("imp_t"))
+          .unionByName(raw.filter(col("event_id") % 1000 === 0)
+            .select(lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
+              (col("ts_us") + dayUs32).as("imp_us"),
+              timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))
+        val clks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"),
+            timestamp_micros(col("ts_us")).as("click_t"))
+          .unionByName(raw.filter(col("event_id") % 1000 === 1)
+            .select(lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
+              (col("ts_us") + dayUs32).as("click_us"),
+              timestamp_micros(col("ts_us") + dayUs32).as("click_t")))
+        Streams.streamIntervalJoinLeftOuter(imps, clks, "user_id",
+            "imp_t", "click_t", delay = "10 seconds", window = "1 day")
+          .select(col("user_id"), col("imp_id"), col("imp_us"),
+            col("click_id"),
+            (col("click_us") - col("imp_us")).as("gap_us"))
+      } // materialized local relation — sentinel removal stays driver-local
+        .filter(col("user_id") =!= evKey)
+        .withColumn("label", col("click_id").isNotNull.cast("long"))
+        .ordered(col("user_id"), col("imp_id"), col("click_id"))
+    }),
+
     // ---- ANN index maintenance: append + occupancy-skew ledger -----------
     // IvfIndex.fit is fit-once-offline; a growing corpus appends between
     // refits and the index goes STALE — appended data from a shifted
@@ -16971,6 +17030,28 @@ object SparkEntry {
         |    AND c.click_us >= i.imp_us
         |    AND c.click_us <= i.imp_us + 86400000000)
         |ORDER BY i.user_id, imp_id""".stripMargin,
+
+    // the unified labeler's batch equivalent: ONE left join over the
+    // band — matched row = positive (gap + click provenance), NULL form
+    // = negative, label derived from match presence
+    "q296_ctr_labels" ->
+      """WITH i AS (SELECT event_id AS imp_id, user_id,
+        |    epoch_us(ts) AS imp_us
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |    AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL)
+        |SELECT i.user_id, imp_id, imp_us, click_id,
+        |  CAST(click_us - imp_us AS BIGINT) AS gap_us,
+        |  CAST(click_id IS NOT NULL AS BIGINT) AS label
+        |FROM i LEFT JOIN c ON c.user_id = i.user_id
+        |  AND click_us >= imp_us
+        |  AND click_us <= imp_us + 86400000000
+        |ORDER BY i.user_id, imp_id, click_id""".stripMargin,
 
     // the same grids: q242's med/MAD flag, whole-period baselines, and
     // the exact HUGEINT surprise cross-product ranking

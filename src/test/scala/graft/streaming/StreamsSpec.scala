@@ -287,6 +287,53 @@ class StreamsSpec extends AnyFunSuite {
       s"matched impression must never emit a NULL row, got $out")
   }
 
+  test("q296 labeler semantics: a slow click flips its impression from " +
+      "negative to positive iff it lands inside the band") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val l = imps.toDF().toDF("ad_id", "imp_us")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val r = clicks.toDF().toDF("ad_id", "click_us")
+      .withColumn("click_ts", timestamp_micros(col("click_us")))
+    val joined = Streams.streamIntervalJoinLeftOuter(l, r, "ad_id",
+      "imp_ts", "click_ts", delay = "5 seconds", window = "10 seconds")
+    val q = joined.select("ad_id", "imp_us", "click_us")
+      .writeStream.format("memory").queryName("ssj_labels")
+      .outputMode("append").start()
+    val base = 1700000000000000L
+    // both impressions arrive first; their clicks are SLOW (a later
+    // micro-batch). The watermark has not closed either band yet, so
+    // neither impression may have been written off as a negative.
+    imps.addData((1L, base), (2L, base))
+    q.processAllAvailable()
+    assert(spark.table("ssj_labels").count() === 0,
+      "no verdict may emit while both bands are open")
+    // ad 1's slow click lands INSIDE the band (+8s <= 10s): it must flip
+    // the impression to a positive. ad 2's lands OUTSIDE (+20s): no flip.
+    clicks.addData((1L, base + 8000000L), (2L, base + 20000000L))
+    q.processAllAvailable()
+    // close the bands on both sides
+    imps.addData((99L, base + 60000000L))
+    clicks.addData((98L, base + 60000000L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_labels")
+      .select("ad_id", "click_us").as[(Long, Option[Long])].collect().toList
+      .filter(t => t._1 == 1L || t._1 == 2L)
+    q.stop()
+    // positive: exactly the in-band pair, and NO null row for ad 1 —
+    // the held-back NULL form was discarded when the slow click matched
+    assert(out.count(_ == (1L, Some(base + 8000000L))) === 1 &&
+      !out.contains((1L, None)),
+      s"slow in-band click must flip its impression to positive, got $out")
+    // negative: ad 2 emits its NULL form exactly once; the out-of-band
+    // click never attributes
+    assert(out.count(_ == (2L, None)) === 1 &&
+      !out.exists(t => t._1 == 2L && t._2.isDefined),
+      s"out-of-band click must leave its impression negative, got $out")
+  }
+
   test("stream-static broadcast enrichment join") {
     implicit val sql = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
