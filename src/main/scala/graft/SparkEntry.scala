@@ -10137,49 +10137,77 @@ object SparkEntry {
     * (qid, nid, rel) — shared by the oracle-checked exact query and its
     * IVFPQ `__prod` twin so only the CANDIDATE stage can differ.
     *
-    * The unrolled rounds reference `cands` ~8 times (cv's two pair
-    * branches, each round's anti-join + score join) — uncached, each
-    * reference re-executes the candidate stage (measured 3.8 s vs
-    * 1.3 s); the candidate lists are queries×10 rows, the textbook
-    * persist (Bench's clearCache releases it). */
+    * Round 17 rewrote the unrolled distributed rounds (per pick:
+    * anti-join remaining → max-sim aggregate over picked → windowed
+    * argmax — ~15 tiny shuffles moving queries×10 rows, pure
+    * stage-scheduling cost, the suite's dominant tail at 2.3–5 s) as
+    * ONE aggregation: the candidate set is per-query-local by
+    * construction (≤10 rows), so each query's whole greedy selection
+    * folds inside a single collect_list row — one shuffle on qid, no
+    * joins, no windows, no persists. The fold state is
+    * (remaining, picked); each step scores remaining (msim NULL ⟹
+    * round-1 ⟹ score = rel, matching the old sel1), array_sorts by
+    * (score desc, nid asc) — the window's exact tie-break — then
+    * updates each survivor's max-sim incrementally against the new
+    * pick (greatest skips the NULL initial msim). The pairwise-sim
+    * arithmetic is the identical dot/norm/round6 sequence, so scores
+    * are bit-for-bit the old plan's; `VariantEquivalenceSpec`'s
+    * independent Scala replay and the DuckDB greedy oracle both gate
+    * it. The single-element-transform wrapper is a let-binding: `best`
+    * evaluates once per step instead of once per reference.
+    * 100 TB posture: work is (queries × k²·d) spread across qid
+    * partitions — candidate-set-local, corpus-size-independent. */
   private def mmrRounds(emb: DataFrame, cands0: DataFrame): DataFrame = {
-    val cands = cands0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cv = cands.join(
+    val cv = cands0.join(
       emb.select(col("vec_id").as("nid"), col("embedding").as("v")),
       Seq("nid"))
-    val pairs = cv.select(col("qid"), col("nid").as("anid"),
-        col("v").as("av"))
-      .join(cv.select(col("qid"), col("nid").as("bnid"),
-        col("v").as("bv")), Seq("qid"))
-      .filter(col("anid") =!= col("bnid"))
-      .select(col("qid"), col("anid"), col("bnid"),
-        Similarity.round6(Similarity.dot(col("av"), col("bv")) /
-          (Similarity.l2Norm(col("av")) * Similarity.l2Norm(col("bv"))))
-          .as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def argmax(scored: DataFrame, pickNo: Int): DataFrame = {
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(desc("sc"), asc("nid"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("qid"), lit(pickNo).as("pick"), col("nid"),
-          col("sc").as("score"))
-    }
-    val sel1 = argmax(cands.withColumn("sc", col("rel")), 1)
-    def round(selected: DataFrame, pickNo: Int): DataFrame = {
-      val keys = selected.select(col("qid"), col("nid"))
-      val ms = pairs
-        .join(keys.withColumnRenamed("nid", "bnid"), Seq("qid", "bnid"))
-        .groupBy(col("qid"), col("anid")).agg(max(col("sim")).as("msim"))
-        .withColumnRenamed("anid", "nid")
-      val scored = cands.join(keys, Seq("qid", "nid"), "left_anti")
-        .join(ms, Seq("qid", "nid"))
-        .withColumn("sc", Similarity.round6(
-          lit(0.7) * col("rel") - lit(0.3) * col("msim")))
-      selected.unionByName(argmax(scored, pickNo))
-    }
-    round(round(sel1, 2), 3)
+    val g = cv.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("rel"), col("v"))).as("cs"))
+    def fld(c: Column, f: String): Column = c.getField(f)
+    def sim(a: Column, b: Column): Column =
+      Similarity.round6(Similarity.dot(a, b) /
+        (Similarity.l2Norm(a) * Similarity.l2Norm(b)))
+    // (score desc, nid asc) — row_number's ordering as a comparator
+    def cmp(l: Column, r: Column): Column =
+      when(fld(l, "sc") > fld(r, "sc"), -1)
+        .when(fld(l, "sc") < fld(r, "sc"), 1)
+        .when(fld(l, "nid") < fld(r, "nid"), -1)
+        .when(fld(l, "nid") > fld(r, "nid"), 1)
+        .otherwise(0)
+    val init = struct(
+      transform(col("cs"), x => struct(
+        fld(x, "nid").as("nid"), fld(x, "rel").as("rel"),
+        lit(null).cast("double").as("msim"), fld(x, "v").as("v")))
+        .as("rem"),
+      array().cast("array<struct<pick:int,nid:bigint,score:double>>")
+        .as("picked"))
+    val folded = aggregate(sequence(lit(1), lit(3)), init, (st, _) => {
+      val scored = array_sort(transform(fld(st, "rem"), x => struct(
+        when(fld(x, "msim").isNull, fld(x, "rel"))
+          .otherwise(Similarity.round6(
+            lit(0.7) * fld(x, "rel") - lit(0.3) * fld(x, "msim")))
+          .as("sc"),
+        fld(x, "nid").as("nid"), fld(x, "rel").as("rel"),
+        fld(x, "msim").as("msim"), fld(x, "v").as("v"))), cmp)
+      get(transform(array(get(scored, lit(0))), best =>
+        when(best.isNull, st).otherwise(struct(
+          transform(
+            filter(fld(st, "rem"), x =>
+              fld(x, "nid") =!= fld(best, "nid")),
+            x => struct(
+              fld(x, "nid").as("nid"), fld(x, "rel").as("rel"),
+              greatest(fld(x, "msim"),
+                sim(fld(x, "v"), fld(best, "v"))).as("msim"),
+              fld(x, "v").as("v"))).as("rem"),
+          concat(fld(st, "picked"), array(struct(
+            (size(fld(st, "picked")) + 1).cast("int").as("pick"),
+            fld(best, "nid").as("nid"),
+            fld(best, "sc").as("score")))).as("picked")))),
+        lit(0))
+    })
+    g.select(col("qid"), explode(folded.getField("picked")).as("p"))
+      .select(col("qid"), col("p.pick").as("pick"),
+        col("p.nid").as("nid"), col("p.score").as("score"))
   }
 
   /** Shared IVFPQ candidate stage for the production retrieval twins

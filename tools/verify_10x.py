@@ -48,6 +48,16 @@ QUERIES = [
     "q274_rec_eval",          # full ItemCF replay + metric tails
     "q289_negative_sampling", # hash-mod sampling + collision marking
     "q294_ivf_append_ledger", # append path + occupancy verdicts
+    # -- streaming family (round 17): the sentinel/watermark mechanics
+    #    (+32d far-future sentinels, flush contracts, %1000 sentinel
+    #    sources) are absolute-offset arithmetic of exactly the kind a
+    #    re-synthesized replica breaks (the q294 lesson) — the replica
+    #    keeps `ts` but multiplies rows 10x and offsets ids
+    "q77_stream_asof",        # two chained stateful ops + flush contract
+    "q103_stream_session",    # session windows + bounded-replay flush
+    "q293_stream_interval_join",   # stream-stream inner band join
+    "q295_unclicked_impressions",  # left-outer negatives, post-band flush
+    "q296_ctr_labels",        # unified labeler: both verdicts, one pass
 ]
 
 # q253 (pinned prefix dedup cascade) gets a PARTIAL check by design: its
@@ -199,6 +209,15 @@ def main(argv):
                 "sizing, and PrefixSum boundary buckets are "
                 "data-derived, not thresholded — their 10x rows above "
                 "hash-match, which is the gate evidence.\n"
+                "- Streaming family (round 17): the bounded-replay "
+                "sentinel mechanics survive the replica — the +32d "
+                "far-future offset still clears the span because the "
+                "synthesis keeps `ts` verbatim (only ids shift, by "
+                "multiples of 100M/10M, which preserves the %1000 "
+                "sentinel-source classes at 10x density); the q77/q103 "
+                "flush contracts and q295/q296's post-band NULL "
+                "emission hash-match the batch oracles over ~10x the "
+                "pair mass.\n"
                 "\nFound-and-fixed by this artifact: q294's read-back "
                 "new-id split used a fixed 10M offset that collides "
                 "with the replica synthesis' own id offsets — base "
