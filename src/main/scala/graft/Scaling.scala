@@ -1271,6 +1271,126 @@ object Scaling {
       recallAt(src)
     }
 
+    // ---- IVF staleness: recall at the candidate budget vs occupancy ----
+    // The occupancy-skew trigger (hot = count×nlist > hotFactor×n) is a
+    // PROXY for retrieval quality under a bounded candidate budget; this
+    // probe measures the thing itself. The budgeted scan models what the
+    // cell-size discipline promises a prober: per query it reads at most
+    // nprobe × hotFactor × cellTarget candidate rows from its probed
+    // cells, truncating overflow in append order (what a bounded
+    // posting-list read does — appended rows are physically last).
+    // Protocol per dir: fit + build on the base corpus, then append
+    // distribution-SHIFTED halves (negated vectors, data-derived id
+    // offsets — the q294 discipline), measuring after each append:
+    // staleness verdicts, recall@k at the budget, and UNBUDGETED recall
+    // as the control (it should stay flat — the centroids still route
+    // shifted queries to the cells holding the shifted mass; what breaks
+    // is the budget, i.e. the COST bound the trigger guards). Then
+    // refitIfStale → rebuild → the same measurement, expecting recovery:
+    // the refit re-derives nlist from n/cellTarget and re-balances cells
+    // so the budget stops binding. */
+    if (only.forall(_.contains("ivf_staleness"))) {
+      import graft.llm.IvfIndex
+      import org.apache.spark.sql.expressions.Window
+      val cellTarget = 512
+      val hotFactor = 4
+      val nprobe = 16
+      val k = 5
+      def probeAt(dir: String, tag: String): Unit = {
+        val emb = Tables(spark, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val base = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val n0 = base.count()
+        val nlist = math.max(64, (n0 / cellTarget).toInt)
+        val idx = IvfIndex.fit(base, nlist)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ivf_stale_").toString
+        val cells = s"$tmp/cells"
+        IvfIndex.buildInverted(base, idx, cells)
+        val Array(idRow) = base.agg(min("nid"), max("nid")).collect()
+        val span = idRow.getLong(1) - idRow.getLong(0) + 1L
+        val budget = nprobe * hotFactor * cellTarget
+        def measure(index: IvfIndex.Model, path: String,
+                    stage: String): Unit = {
+          val st = IvfIndex.staleness(spark, path, index,
+            hotFactor, cellTarget)
+          val cur = spark.read.parquet(path).select("nid", "nvec")
+          // ~hundreds of queries, mixed strata (base + every appended
+          // batch — id ranges are disjoint so %997 samples them all)
+          val queries = cur.filter(pmod(col("nid"), lit(997L)) === 0)
+            .select(col("nid").as("qid"), col("nvec").as("qvec"))
+          val exact = Similarity.cosineTopK(queries, cur, k)
+            .select("qid", "nid").cache()
+          val nE = exact.count().toDouble
+          val np = math.min(nprobe, index.centroids.size)
+          val queryCells = queries.withColumn("cell",
+            explode(Similarity.ivfProbeCells(col("qvec"), index, np)))
+          val cand = queryCells
+            .join(spark.read.parquet(path), Seq("cell"))
+            .filter(col("qid") =!= col("nid"))
+          def recallOf(c: DataFrame): Double = {
+            val w = Window.partitionBy("qid")
+              .orderBy(desc("cos"), asc("nid"))
+            val top = c.withColumn("cos", Similarity.round6(
+                Similarity.dot(col("qvec"), col("nvec")) /
+                (Similarity.l2Norm(col("qvec")) *
+                  Similarity.l2Norm(col("nvec")))))
+              .withColumn("r", row_number().over(w))
+              .filter(col("r") <= k)
+            top.select("qid", "nid")
+              .join(exact, Seq("qid", "nid"), "left_semi")
+              .count() / nE
+          }
+          // budgeted: keep each query's first `budget` candidates in
+          // append order (nid ascends with append batch by construction)
+          val wScan = Window.partitionBy("qid").orderBy(asc("nid"))
+          val budgeted = cand.withColumn("__scan", row_number().over(wScan))
+            .filter(col("__scan") <= budget)
+          val rB = recallOf(budgeted)
+          val rU = recallOf(cand)
+          exact.unpersist()
+          val fairX100 = if (st.nRows == 0) 0L
+            else st.maxCell * st.nlist * 100L / st.nRows
+          println(f"ivf_staleness,$dir,$tag/$stage,n=${st.nRows}," +
+            f"nlist=${st.nlist},maxcell_over_fair=${fairX100 / 100.0}%.2f," +
+            f"hot=${st.hotCells},empty=${st.emptyCells}," +
+            f"needs_refit=${st.needsRefit}," +
+            f"recall_budget=$rB%.4f,recall_unbudgeted=$rU%.4f")
+        }
+        measure(idx, cells, "base")
+        // two shifted appends, each base-sized: every appended vector
+        // blends 0.8 toward one ANCHOR direction (the max-id base
+        // embedding — deterministic, data-derived), modelling a new
+        // crawl dominated by a single template. A symmetric shift (e.g.
+        // negation) re-balances under a symmetric embedding
+        // distribution and never skews occupancy — concentration is
+        // what makes cells hot. Ids offset by the data's own span per
+        // batch (the q294 discipline).
+        val anchor = base.filter(col("nid") === lit(idRow.getLong(1)))
+          .select("nvec").head().getSeq[Float](0).toSeq
+        for (b <- 1 to 2) {
+          val batch = base
+            .select((col("nid") + lit(span * b)).as("nid"),
+              zip_with(col("nvec"), typedlit(anchor),
+                (v, a) => lit(0.5f) * v + lit(0.5f) * a).as("nvec"))
+          IvfIndex.appendInverted(batch, idx, cells)
+          measure(idx, cells, s"append$b")
+        }
+        IvfIndex.refitIfStale(spark, cells, idx, hotFactor, cellTarget)
+          match {
+          case Some(idx2) =>
+            val cells2 = s"$tmp/cells_refit"
+            IvfIndex.buildInverted(
+              spark.read.parquet(cells).select("nid", "nvec"), idx2, cells2)
+            measure(idx2, cells2, "refit")
+          case None =>
+            println(s"ivf_staleness,$dir,$tag/refit,SKIPPED (not stale)")
+        }
+      }
+      probeAt(out, s"${factor}x")
+    }
+
     // ---- sequence packing: windowed vs distributed prefix sum ----------
     // The adversarial shape is ONE source: packWindowed's per-source
     // window puts every row in a single task (parallelism = #sources),
