@@ -132,6 +132,15 @@ object SparkEntry {
     * semantics ("cap every cluster's contribution") are scale-free. */
   private val Q89Target = 40L
 
+  /** q297's per-query candidate budget: deliberately BELOW the fixture
+    * probe's typical candidate mass at sf0.01/sf0.1 (nprobe/nlist ×
+    * corpus ≈ 500–1250 rows) so the truncation ledger is non-trivially
+    * oracle-verified — at production settings the budget would be
+    * nprobe × hotFactor × cellTarget (the contract SCALING.md's
+    * round-17 section measures), which balanced cells never hit. Shared
+    * with the oracle so the two can never diverge. */
+  private val Q297Budget = 256
+
   /** q76's per-dir learned BPE merge tables — fit once per JVM per dir,
     * and the record that lets [[q76OracleSql]] inline the EXACT merges
     * that run used (same single-probed-dir rule as [[ivfDigestByDir]]:
@@ -8931,6 +8940,36 @@ object SparkEntry {
         .ordered(col("user_id"), col("imp_id"), col("click_id"))
     }),
 
+    // ---- ANN: budgeted probe with truncation ledger ----------------------
+    // The online complement of q294's offline occupancy verdicts: a
+    // production prober bounds its per-query work (latency SLA), so when
+    // a cell goes hot the overflow MUST be truncated — and silent
+    // truncation is how a stale index quietly loses recall (SCALING.md
+    // round-17: 0.35 absolute recall by the second hot append at 30×).
+    // Similarity.ivfTopKBudgeted reads at most `budget` candidate rows
+    // per query from its probed cells (ascending nid = the deterministic
+    // posting/append-order proxy, so overflow drops the newest rows
+    // first) and ACCOUNTS the drop on every output row: n_cand (the
+    // query's full candidate mass — the occupancy signal) and n_trunc
+    // (what the budget cut). A monitor alarming on n_trunc rates is what
+    // schedules refitIfStale. The fixture budget deliberately binds so
+    // the ledger is non-trivially verified; scan order, truncation,
+    // cosine, rank, and both ledger columns replay exactly in DuckDB
+    // from the fitted centroid literals (the q39 oracle contract).
+    // One hash partitioning on qid carries scan-rank, candidate count,
+    // and top-k rank (the count is a window, not a join-back).
+    "q297_ivf_budgeted_probe" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, fin) = ivfAcquire(s, dir, corpus)
+      Similarity.ivfTopKBudgeted(queries, fin.resolve("cells").toString,
+          k = 5, index, nprobe = Q39Nprobe, budget = Q297Budget)
+        .ordered(col("qid"), col("rank"))
+    }),
+
     // ---- ANN index maintenance: append + occupancy-skew ledger -----------
     // IvfIndex.fit is fit-once-offline; a growing corpus appends between
     // refits and the index goes STALE — appended data from a shifted
@@ -10337,7 +10376,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
       q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql ++
-      q273OracleSql ++ q294OracleSql
+      q273OracleSql ++ q294OracleSql ++ q297OracleSql
 
   /** q273's run-state oracle ([[q89OracleSql]] contract): the same
     * fitted centroids replayed for assignment, the second-best cell via
@@ -17697,6 +17736,63 @@ object SparkEntry {
            |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
            |  FROM p)
            |SELECT qid, nid, cos, rank FROM r WHERE rank <= 5
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  /** q297's oracle: the q39 probe replay (same fitted centroids, same
+    * single-probed-dir digest rule) EXTENDED with the budget mechanics —
+    * scan order (ROW_NUMBER by nid over each query's probed candidates),
+    * the per-query candidate count, truncation at the shared
+    * [[Q297Budget]], and both ledger columns. A wrong scan order, a
+    * candidate silently dropped before the ledger, or a ledger column
+    * derived after truncation all hash-diverge. */
+  private def q297OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k => Option(ivfCache.get(k))).map { m =>
+      val cents = m.centroids.sortBy(_._1)
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }.mkString("[\n    ", ",\n    ", "]")
+      val cellIds = cents.map(_._1).mkString("[", ",", "]")
+      "q297_ivf_budgeted_probe" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |cs AS (
+           |  SELECT vec_id, ev, $scores AS ss
+           |  FROM v),
+           |cc AS (
+           |  SELECT vec_id AS nid, ev AS nv,
+           |    list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM cs),
+           |qp AS (
+           |  SELECT vec_id AS qid, ev AS qv,
+           |    UNNEST(ss) AS s, UNNEST($cellIds) AS cell
+           |  FROM cs WHERE vec_id % 20 = 0),
+           |qsel AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cell ASC) AS rn
+           |    FROM qp) WHERE rn <= $Q39Nprobe),
+           |cand AS (
+           |  SELECT qid, qv, nid, nv,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nid ASC) AS scan,
+           |    COUNT(*) OVER (PARTITION BY qid) AS n_cand
+           |  FROM qsel JOIN cc USING (cell) WHERE qid <> nid),
+           |p AS (
+           |  SELECT qid, nid, n_cand,
+           |    FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+           |       sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+           |  FROM cand WHERE scan <= $Q297Budget),
+           |r AS (SELECT qid, nid, cos, n_cand,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+           |  FROM p)
+           |SELECT qid, nid, cos, rank, CAST(n_cand AS BIGINT) AS n_cand,
+           |  CAST(GREATEST(n_cand - $Q297Budget, 0) AS BIGINT) AS n_trunc
+           |FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
     }.toMap
   }

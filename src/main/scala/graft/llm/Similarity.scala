@@ -131,6 +131,56 @@ object Similarity {
     ivfRank(queryCells, corpusCells, k)
   }
 
+  /** BUDGETED probe of a persisted inverted file, with a truncation
+    * ledger: [[ivfTopKPersisted]]'s pruned scan, but each query reads at
+    * most `budget` candidate rows from its probed cells — the per-probe
+    * work bound the cell-size discipline promises ([[IvfIndex]]'s
+    * nlist = n/cellTarget contract: balanced cells keep candidate mass at
+    * ~nprobe × cellTarget, so a sane budget never binds; a HOT cell blows
+    * past it and the prober must either truncate or blow its latency
+    * SLA). Truncation order is ascending `nid` — the deterministic proxy
+    * for posting/append order (appends assign ascending id ranges, so
+    * overflow drops the newest rows first, exactly what a bounded
+    * posting-list read does) — and is ACCOUNTED, never silent: every
+    * output row carries the query's full candidate count (`n_cand`) and
+    * how many rows truncation dropped (`n_trunc`), the retrieval
+    * analogue of the streaming watermark ledger. A monitor alarming on
+    * `n_trunc > 0` rates is the online complement of
+    * [[IvfIndex.staleness]]'s offline occupancy verdicts (SCALING.md's
+    * round-17 section measures the recall cost of ignoring either: 0.35
+    * absolute recall at 30× replica by the second hot append).
+    *
+    * One pass: the scan-order ranking, the per-query candidate count,
+    * and the top-k ranking all ride ONE hash partitioning on `qid` (the
+    * count is a window over the same key — no second scan of the probed
+    * cells, no ledger join-back). */
+  def ivfTopKBudgeted(queries: DataFrame, cellsPath: String, k: Int,
+                      index: IvfIndex.Model, nprobe: Int,
+                      budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val queryCells = queries.withColumn("cell",
+      explode(ivfProbeCells(col("qvec"), index, nprobe)))
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusCells = spark.read.parquet(cellsPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val cand = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    val wScan = Window.partitionBy("qid").orderBy(asc("nid"))
+    val wAll = Window.partitionBy("qid")
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    cand.withColumn("__scan", row_number().over(wScan))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .filter(col("__scan") <= budget)
+      .withColumn("cos", round6(cosine(col("qvec"), col("nvec"))))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"),
+        col("n_cand"),
+        greatest(col("n_cand") - budget, lit(0L)).as("n_trunc"))
+  }
+
   /** Shared IVF ranking tail: meet candidates on cell id, score exactly,
     * keep each query's top k. Each corpus vector lives in exactly one cell
     * and probe cells are distinct, so (qid, nid) pairs are already

@@ -167,6 +167,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("cell"), s"expected cell pruning in plan:\n$plan")
   }
 
+  test("ivfTopKBudgeted: exact ledger, slack budget equals unbudgeted, " +
+      "binding budget truncates newest-id rows first") {
+    val dim = 8
+    val rnd = new scala.util.Random(97)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.toDF("nid", "nvec")
+    val qs = corpus.filter(col("nid") % 25 === 0)
+      .select(col("nid").as("qid"), col("nvec").as("qvec"))
+    val idx = IvfIndex.fit(corpus, nlist = 6, fitFraction = 1.0)
+    val cells = java.nio.file.Files.createTempDirectory("ivf_bud").toString +
+      "/cells"
+    IvfIndex.buildInverted(corpus, idx, cells)
+    // independent candidate sets: every corpus row in a probed cell
+    val cellOf = corpus
+      .select(col("nid"), Similarity.ivfCell(col("nvec"), idx).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val probedOf = qs.select(col("qid"),
+        Similarity.ivfProbeCells(col("qvec"), idx, 2).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val candsOf = probedOf.map { case (q, cs) =>
+      q -> cellOf.filter { case (n, c) => n != q && cs.contains(c) }
+        .keys.toSeq.sorted }
+    // slack budget (>= every candidate set): rows must equal the
+    // unbudgeted persisted probe, ledger must carry exact counts, zero
+    // truncation
+    val slack = Similarity.ivfTopKBudgeted(qs, cells, k = 3, idx,
+        nprobe = 2, budget = 1000)
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    val unbud = Similarity.ivfTopKPersisted(qs, cells, k = 3, idx,
+        nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(slack.map(r => (r._1, r._2, r._3, r._4)).toSet === unbud,
+      "slack budget must reproduce the unbudgeted probe row for row")
+    slack.foreach { case (q, _, _, _, nc, nt) =>
+      assert(nc === candsOf(q).size.toLong, s"n_cand wrong for query $q")
+      assert(nt === 0L, s"slack budget must not truncate (query $q)")
+    }
+    // binding budget: kept rows come only from each query's
+    // budget-smallest nids (append-order truncation drops newest first),
+    // and the ledger accounts the exact overflow
+    val budget = 20
+    val tight = Similarity.ivfTopKBudgeted(qs, cells, k = 3, idx,
+        nprobe = 2, budget = budget)
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(tight.exists(_._6 > 0L), "fixture must make the budget bind")
+    tight.foreach { case (q, n, _, _, nc, nt) =>
+      val cand = candsOf(q)
+      assert(nc === cand.size.toLong)
+      assert(nt === math.max(0, cand.size - budget).toLong,
+        s"truncation ledger wrong for query $q")
+      assert(cand.take(budget).contains(n),
+        s"query $q kept nid $n from beyond its scan budget")
+    }
+  }
+
   test("annTopK finds planted near-neighbors (high-cosine pairs)") {
     // sign-LSH recall depends on cosine: P(bucket-match) ~ (1-θ/π)^planes per
     // table, so near-random vectors (cos~0.2, as in the fixture embeddings)
