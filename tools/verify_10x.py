@@ -58,6 +58,7 @@ QUERIES = [
     "q293_stream_interval_join",   # stream-stream inner band join
     "q295_unclicked_impressions",  # left-outer negatives, post-band flush
     "q296_ctr_labels",        # unified labeler: both verdicts, one pass
+    "q297_ivf_budgeted_probe",  # budget truncation + ledger at 10x mass
 ]
 
 # q253 (pinned prefix dedup cascade) gets a PARTIAL check by design: its
