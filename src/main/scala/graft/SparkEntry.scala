@@ -8970,6 +8970,46 @@ object SparkEntry {
         .ordered(col("qid"), col("rank"))
     }),
 
+    // ---- ANN: sampled recall tripwire ------------------------------------
+    // The third leg of the index-health triad: q294 reads occupancy
+    // (offline), q297 accounts budget truncation (online), and this
+    // query MEASURES the quantity both proxy — recall of the budgeted
+    // probe against the exact top-k, on a deterministic sparse query
+    // sample (%100: recall estimation needs a sample, not the query
+    // load; the exact side is a bounded-broadcast q19 baseline over
+    // sample × corpus, the one place the brute force belongs). Per-query
+    // grain: n_exact, n_hit, recall — a monitor alarms on the sample
+    // mean sinking below its baseline band, which is precisely the
+    // degradation SCALING.md's round-17 curve shows arriving with hot
+    // cells (penalty 0 while skew < 4×, 0.35 absolute recall two hot
+    // appends later). Everything is deterministic — both sides replay
+    // exactly in DuckDB (exact = q19's pipeline on the sparser sample,
+    // approx = q297's centroid-literal replay) — so the tripwire itself
+    // is oracle-verified, not just spec-asserted.
+    "q298_recall_tripwire" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"))
+      val (index, fin) = ivfAcquire(s, dir, corpus)
+      val exact = Similarity.cosineTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("nid"))
+      val approx = Similarity.ivfTopKBudgeted(queries,
+          fin.resolve("cells").toString, k = 5, index,
+          nprobe = Q39Nprobe, budget = Q297Budget)
+        .select(col("qid"), col("nid"))
+      val ne = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      val hits = approx.join(exact, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      ne.join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (floor(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact").cast("double") * 1e6 + 0.5) / 1e6).as("recall"))
+        .ordered(col("qid"))
+    }),
+
     // ---- ANN index maintenance: append + occupancy-skew ledger -----------
     // IvfIndex.fit is fit-once-offline; a growing corpus appends between
     // refits and the index goes STALE — appended data from a shifted
@@ -10376,7 +10416,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ q39OracleSql ++ q76OracleSql ++ q80OracleSql ++
       q89OracleSql ++ q142OracleSql ++ q239OracleSql ++ q240OracleSql ++
-      q273OracleSql ++ q294OracleSql ++ q297OracleSql
+      q273OracleSql ++ q294OracleSql ++ q297OracleSql ++ q298OracleSql
 
   /** q273's run-state oracle ([[q89OracleSql]] contract): the same
     * fitted centroids replayed for assignment, the second-best cell via
@@ -17794,6 +17834,81 @@ object SparkEntry {
            |  CAST(GREATEST(n_cand - $Q297Budget, 0) AS BIGINT) AS n_trunc
            |FROM r WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  /** q298's oracle: both legs recomputed from scratch — the exact side
+    * is q19's brute-force pipeline on the sparser %100 sample, the
+    * approx side is q297's budgeted replay (same centroid literals,
+    * same scan order, same shared budget), then the per-query hit count
+    * and floored recall. A drift in EITHER leg (a probe refactor, a
+    * rank tie-break change, a budget constant fork) hash-diverges the
+    * tripwire itself. */
+  private def q298OracleSql: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    soleDigest(ivfDigestByDir.values().asScala)
+      .flatMap(k => Option(ivfCache.get(k))).map { m =>
+      val cents = m.centroids.sortBy(_._1)
+      def dotSql(v: String, cv: Seq[Float]): String =
+        s"list_sum(list_apply(list_zip($v, [${cv.map(_.toDouble).mkString(",")}]), x -> x[1] * x[2]))"
+      val scores = cents.map { case (_, cv, n2) =>
+        s"(${dotSql("ev", cv)} - ${n2 / 2})" }.mkString("[\n    ", ",\n    ", "]")
+      val cellIds = cents.map(_._1).mkString("[", ",", "]")
+      "q298_recall_tripwire" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |cs AS (
+           |  SELECT vec_id, ev, $scores AS ss
+           |  FROM v),
+           |cc AS (
+           |  SELECT vec_id AS nid, ev AS nv,
+           |    list_position(ss, list_aggregate(ss, 'max')) - 1 AS cell
+           |  FROM cs),
+           |q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id % 100 = 0),
+           |ep AS (
+           |  SELECT qid, nid,
+           |    FLOOR(list_sum(list_apply(list_zip(qv, ev), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+           |       sqrt(list_sum(list_apply(ev, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+           |  FROM q, (SELECT vec_id AS nid, ev FROM v)
+           |  WHERE qid <> nid),
+           |ex AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+           |  FROM ep) WHERE rank <= 5),
+           |qp AS (
+           |  SELECT vec_id AS qid, ev AS qv,
+           |    UNNEST(ss) AS s, UNNEST($cellIds) AS cell
+           |  FROM cs WHERE vec_id % 100 = 0),
+           |qsel AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cell ASC) AS rn
+           |    FROM qp) WHERE rn <= $Q39Nprobe),
+           |cand AS (
+           |  SELECT qid, qv, nid, nv,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nid ASC) AS scan
+           |  FROM qsel JOIN cc USING (cell) WHERE qid <> nid),
+           |ap AS (
+           |  SELECT qid, nid,
+           |    FLOOR(list_sum(list_apply(list_zip(qv, nv), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_apply(qv, x -> x * x))) *
+           |       sqrt(list_sum(list_apply(nv, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+           |  FROM cand WHERE scan <= $Q297Budget),
+           |ax AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+           |  FROM ap) WHERE rank <= 5),
+           |ne AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+           |h AS (SELECT ax.qid, COUNT(*) AS n_hit
+           |  FROM ax JOIN ex ON ax.qid = ex.qid AND ax.nid = ex.nid
+           |  GROUP BY 1)
+           |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           |  FLOOR(CAST(COALESCE(n_hit, 0) AS DOUBLE) /
+           |    CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+           |FROM ne LEFT JOIN h USING (qid)
+           |ORDER BY ne.qid""".stripMargin
     }.toMap
   }
 

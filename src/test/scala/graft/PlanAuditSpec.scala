@@ -156,6 +156,12 @@ class PlanAuditSpec extends AnyFunSuite {
     //   shape); q289: the ONE-ROW max-item domain aggregate crossed onto
     //   the user frame before the hash draw (same shape).
     "q288_group_split", "q289_negative_sampling",
+    // q298: the EXACT leg of the recall tripwire is q19's bounded-
+    //   broadcast brute-force baseline over the %100 query sample —
+    //   deliberately the one place the brute force belongs (recall
+    //   estimation needs ground truth on a sample); the approx leg is
+    //   the equi-join budgeted probe.
+    "q298_recall_tripwire",
     // q122__prod: the xxh64 hash-mode twin of q122 — identical shape
     //   (6 literal probe rows crossed with the ONE-ROW CMS aggregate).
     //   Notably the OTHER prod twins are cross-free: the q244/q248
