@@ -804,6 +804,21 @@ object Scaling {
       // lookback band per key — the heaviest streaming state path
       "stream_asof" ->
         (dir => SparkEntry.queries("q77_stream_asof")(spark, dir)),
+      // round 17: the stream-stream interval-join family. State per
+      // side is one 1-day band of rows per user, watermark-evicted —
+      // wall must track input+output volume (matches grow with band
+      // density × replicas), never the stream's history
+      "stream_join" ->
+        (dir => SparkEntry.queries("q293_stream_interval_join")(spark, dir)),
+      // q295: the left-outer negatives — adds the held-back NULL forms
+      // flushed post-band (state additionally holds unmatched left rows
+      // until the watermark clears their band, still band-bounded)
+      "stream_negatives" ->
+        (dir => SparkEntry.queries("q295_unclicked_impressions")(spark, dir)),
+      // q296: the unified labeler — both verdicts from one left-outer
+      // pass; output is positives + negatives, the largest of the three
+      "ctr_labels" ->
+        (dir => SparkEntry.queries("q296_ctr_labels")(spark, dir)),
       // q273's shape: O(n·nlist) against literal centroids, never
       // point×point — the index is a fit-once artifact (ivfpqModels,
       // base corpus, the pq_adc/ivfpq posture), so this row measures
