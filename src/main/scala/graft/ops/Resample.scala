@@ -59,6 +59,14 @@ object Resample {
     val sec = unix_timestamp(col(tsCol)).cast("long")
     val bkt = ((sec - pmod(sec, lit(bucketSec))) / lit(bucketSec))
       .cast("long")
+    // persisted: the bucketed observations are referenced TWICE below
+    // (the per-key span aggregation AND the grid join) and the two
+    // references share no exchange the optimizer can reuse (one goes
+    // through a further aggregate into a broadcast), so uncached the
+    // source scan + cell aggregation execute twice (the q231
+    // own-your-input-caching lesson). The frame is (keys × observed
+    // buckets) — already aggregated, far smaller than the input; the
+    // bench's per-query clearCache releases it.
     val obs = df
       .filter(k.isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
       .groupBy(k, bkt.as("bucket"))
@@ -66,6 +74,7 @@ object Resample {
         count(lit(1)).as("__c"))
       .select(k, col("bucket"),
         (col("__s6").cast("double") / (col("__c") * lit(1e6))).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = obs.groupBy(k)
       .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
     val grid = span.select(k,
