@@ -181,7 +181,14 @@ object Bench {
             }
           }
           if (out.isEmpty) None else Some(out.toMap)
-        } catch { case _: Exception => None }
+        } catch { case e: Exception =>
+          // degrade loudly: an unreadable baseline silently disabling
+          // the isolated-confirmation pass would strip the artifact of
+          // its adjudication data with no hint why
+          System.err.println(s"[bench] prior baseline $p unreadable " +
+            s"(${e.getMessage}) — isolated confirmation disabled this run")
+          None
+        }
       }
     }
     // Every isolated confirmation is RECORDED in BENCH_DETAIL's

@@ -1295,8 +1295,9 @@ object Scaling {
     // cells, truncating overflow in append order (what a bounded
     // posting-list read does — appended rows are physically last).
     // Protocol per dir: fit + build on the base corpus, then append
-    // distribution-SHIFTED halves (negated vectors, data-derived id
-    // offsets — the q294 discipline), measuring after each append:
+    // distribution-SHIFTED base-sized batches (0.5-anchor-blended
+    // vectors, data-derived id offsets — see the append comment below),
+    // measuring after each append:
     // staleness verdicts, recall@k at the budget, and UNBUDGETED recall
     // as the control (it should stay flat — the centroids still route
     // shifted queries to the cells holding the shifted mass; what breaks
@@ -1375,12 +1376,17 @@ object Scaling {
         }
         measure(idx, cells, "base")
         // two shifted appends, each base-sized: every appended vector
-        // blends 0.8 toward one ANCHOR direction (the max-id base
+        // blends 0.5 toward one ANCHOR direction (the max-id base
         // embedding — deterministic, data-derived), modelling a new
-        // crawl dominated by a single template. A symmetric shift (e.g.
-        // negation) re-balances under a symmetric embedding
-        // distribution and never skews occupancy — concentration is
-        // what makes cells hot. Ids offset by the data's own span per
+        // crawl dominated by a single template. Calibration notes from
+        // the measurement: a SYMMETRIC shift (negation) re-balances
+        // under the fixture's symmetric embedding distribution and
+        // never skews occupancy (max/fair stayed ~1.4x), while a 0.8
+        // blend makes the appended cloud near-degenerate — KMeans
+        // cannot split a zero-radius mass across centroids, so hot
+        // cells PERSIST after refit. 0.5 keeps enough per-vector
+        // variance that the refit re-balances, which is the recovery
+        // half of the curve. Ids offset by the data's own span per
         // batch (the q294 discipline).
         val anchor = base.filter(col("nid") === lit(idRow.getLong(1)))
           .select("nvec").head().getSeq[Float](0).toSeq

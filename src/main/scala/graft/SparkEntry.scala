@@ -7133,19 +7133,19 @@ object SparkEntry {
     // greedily pick 3 maximizing λ·rel − (1−λ)·max-sim-to-already-picked
     // (λ=0.7), so near-duplicate hits can't crowd the context window.
     // The greedy recurrence is bounded by construction (k picks over ≤10
-    // candidates per query), so it UNROLLS into k−1 static rounds of
-    // [anti-join remaining → max-sim aggregate over picked → windowed
-    // argmax] — per-query work is candidate-set-local; only the
-    // candidate stage touches the corpus (q19's audited posture, or
-    // annTopK/IVF at scale). Pairwise sims are computed once within the
-    // ≤10-candidate sets (≤90 pairs/query), never corpus×corpus. Floats:
-    // rel and sim arrive 1e-6-floored, one fused λ-combination re-floored
-    // before ranking; ties break on nid — deterministic both engines.
-    // Bench cost is STAGE-SCHEDULING, not data (q155's shape): the
-    // candidate stage measures 0.74 s and the greedy rounds move ≤22.5k
-    // rows through ~15 tiny shuffles; at real scale those stages stay
-    // queries×10-sized while the candidate stage grows — the right
-    // asymmetry.
+    // candidates per query), so since round 17 the whole selection FOLDS
+    // inside one aggregation (see mmrRounds' scaladoc): each query's
+    // candidate set collects into a single row and the picks come out of
+    // an aggregate/array_sort/transform fold — per-query work is
+    // candidate-set-local; only the candidate stage touches the corpus
+    // (q19's audited posture, or annTopK/IVF at scale). Pairwise sims
+    // are computed within the ≤10-candidate sets (≤90 pairs/query),
+    // never corpus×corpus. Floats: rel and sim arrive 1e-6-floored, one
+    // fused λ-combination re-floored before ranking; ties break on nid —
+    // deterministic both engines. Bench: the fold replaced ~15 tiny
+    // stage-scheduling shuffles with 2 (3.71 s → 1.06 s closing wall at
+    // sf0.1; the __prod twin 9.91 s → 2.30 s, its remaining cost the
+    // IVFPQ candidate stage — the scalable part).
     "q248_mmr_rerank" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
