@@ -1032,6 +1032,10 @@ object Scaling {
           ((d * 7 + 13) % 9973).as("dst"))
         val e2 = docs.filter(d % 3 === 0).select((d % 9973).as("src"),
           ((d * 31 + 5) % 9973).as("dst"))
+        // this row's purpose is evidence for the DISTRIBUTED fixed-point
+        // path — disable the broadcast-scale local gate (the cc row's
+        // localMax=0 discipline; the edge set here is mod-bounded)
+        spark.conf.set("spark.graft.linkgraph.localMax", "0")
         graft.llm.LinkGraph.pageRank(
           e1.unionByName(e2).filter(col("src") < 9000), "src", "dst", 6)
       }))

@@ -31,6 +31,59 @@ object LinkGraph {
   private def r12(c: Column): Column = floor(c * 1e12 + 0.5) / 1e12
   private def dec(c: Column): Column = r12(c).cast("decimal(28,12)")
 
+  // ---- driver-local fast path (the CC localMax discipline) -------------
+  // A fixed-point iteration over a BROADCAST-SCALE graph pays K × (2
+  // joins + 2 aggregations + 2 localCheckpoint materializations) of pure
+  // stage-scheduling cost — microseconds of arithmetic behind seconds of
+  // scheduling (q155's 97-node fixture graph measured 3.5 s distributed).
+  // Below `spark.graft.linkgraph.localMax` DISTINCT edges (default
+  // 100 000, ~1.6 MB of longs; 0 disables) the iterations run on the
+  // driver over the collected edge list. Long-keyed edges only; other
+  // key types always distribute. The probe IS the fetch:
+  // `limit(localMax+1).collect()` — over the cap, fall through (the
+  // completed map stages are reused by the distributed solve).
+  //
+  // BIT-PARITY is the whole contract (the DuckDB oracles replay the
+  // distributed arithmetic): the local solve reproduces the exact
+  // operation sequence — r12 = floor(x·1e12+0.5)/1e12 in pure IEEE ops;
+  // dec = r12 then double→DECIMAL(28,12) (Spark casts via the double's
+  // shortest decimal representation, HALF_UP to scale 12 =
+  // BigDecimal.valueOf(d).setScale(12, HALF_UP)); per-node sums are
+  // EXACT decimal additions (associative, so a HashMap accumulation
+  // order is immaterial); decimal→double is BigDecimal.doubleValue.
+  // LinkGraphSpec pins both-paths row identity.
+  private def r12d(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+  private def decD(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(r12d(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Collected long-keyed edges when the graph fits the local gate;
+    * None ⟹ distribute. `e` must be the NULL-filtered DISTINCT
+    * (src, dst) frame. */
+  private def localEdges(e: DataFrame): Option[Array[(Long, Long)]] = {
+    val sess = e.sparkSession
+    val localMax = {
+      val raw = sess.conf.get("spark.graft.linkgraph.localMax", "100000")
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.linkgraph.localMax must be a long, got '$raw'")
+      }
+    }
+    val longKeyed = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax <= 0 || !longKeyed) return None
+    val probe = e.limit(localMax.toInt + 1).collect()
+    if (probe.length > localMax) None
+    else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  private def localResult(sess: org.apache.spark.sql.SparkSession,
+                          rows: Seq[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    sess.createDataFrame(rows.asJava, schema)
+  }
+
   /** Ranks after exactly `iterations` rounds: (node, rank). NULL
     * endpoints drop; duplicate edges collapse (PageRank is defined on
     * the simple graph); isolated dst-only nodes participate (they
@@ -38,10 +91,17 @@ object LinkGraph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val e = edges
+    val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct()
+    localEdges(e0) match {
+      case Some(collected) =>
+        return pageRankLocal(edges.sparkSession, collected, iterations,
+          damping)
+      case None => // fall through to the distributed solve
+    }
+    val e = e0.cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).cache()
@@ -81,6 +141,47 @@ object LinkGraph {
     ranks
   }
 
+  /** Driver-local [[pageRank]] — the exact distributed operation
+    * sequence over a collected edge list (see the localEdges contract):
+    * dec-quantized per-edge contributions summed exactly, the dangling
+    * mass fold, the identical affine update. HashMap accumulation order
+    * is immaterial because the decimal additions are associative. */
+  private def pageRankLocal(sess: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)], iterations: Int,
+                            damping: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "pageRank on an empty (or all-NULL) edge set")
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val dang = nodes.filterNot(odeg.contains)
+    var rank: Map[Long, Double] = nodes.map(_ -> 1.0 / n).toMap
+    var i = 0
+    while (i < iterations) {
+      val contribs =
+        new scala.collection.mutable.HashMap[Long, java.math.BigDecimal]()
+      edges.foreach { case (s, d) =>
+        val c = decD(rank(s) / odeg(s))
+        contribs.updateWith(d) {
+          case Some(acc) => Some(acc.add(c))
+          case None => Some(c)
+        }
+      }
+      val contribD = contribs.map { case (k, v) => k -> v.doubleValue }
+      val dmass = dang.foldLeft(java.math.BigDecimal.ZERO) {
+        (acc, x) => acc.add(decD(rank(x))) }.doubleValue
+      rank = nodes.map { nd =>
+        nd -> r12d((1 - damping) / n + damping *
+          (contribD.getOrElse(nd, 0.0) + dmass / n.toDouble))
+      }.toMap
+      i += 1
+    }
+    localResult(sess, nodes.toSeq.map(nd => Row(nd, rank(nd))),
+      StructType(Seq(StructField("node", LongType),
+        StructField("rank", DoubleType))))
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999, "Authoritative sources
     * in a hyperlinked environment") after exactly `iterations` rounds:
     * (node, hub, auth). The OTHER classic link signal beside
@@ -104,10 +205,16 @@ object LinkGraph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val e = edges
+    val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct()
+    localEdges(e0) match {
+      case Some(collected) =>
+        return hitsLocal(edges.sparkSession, collected, iterations)
+      case None => // fall through to the distributed solve
+    }
+    val e = e0.cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
@@ -141,6 +248,52 @@ object LinkGraph {
     val out = hubs.join(auths, Seq("node"))
     Seq(e, nodes).foreach(_.unpersist())
     out
+  }
+
+  /** Driver-local [[hits]] — the exact distributed half-step sequence
+    * over a collected edge list: auth from current hubs (dec-quantized
+    * per-edge terms, exact decimal sums, one L1 normalization fold),
+    * then hub from the NEW auths. */
+  private def hitsLocal(sess: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long)],
+                        iterations: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "hits on an empty (or all-NULL) edge set")
+    var hub: Map[Long, Double] = nodes.map(_ -> 1.0 / n).toMap
+    var auth: Map[Long, Double] = null
+    // one half-step: per-receiver exact decimal sum of dec(score(sender)),
+    // cast to double, then the L1 normalization (sum of dec(raw) -> the
+    // divide -> r12), NULL-absent receivers scoring 0.0 — the literal
+    // replay of the distributed join + agg + crossJoin(broadcast) chain
+    def halfStep(score: Map[Long, Double],
+                 byEdge: Array[(Long, Long)]): Map[Long, Double] = {
+      val raw = new scala.collection.mutable.HashMap[Long, java.math.BigDecimal]()
+      byEdge.foreach { case (sender, receiver) =>
+        val c = decD(score(sender))
+        raw.updateWith(receiver) {
+          case Some(acc) => Some(acc.add(c))
+          case None => Some(c)
+        }
+      }
+      val rawD = raw.map { case (k, v) => k -> v.doubleValue }
+      val norm = rawD.values.foldLeft(java.math.BigDecimal.ZERO) {
+        (acc, x) => acc.add(decD(x)) }.doubleValue
+      nodes.map(nd => nd -> r12d(rawD.getOrElse(nd, 0.0) / norm)).toMap
+    }
+    val rev = edges.map { case (s, d) => (d, s) }
+    var i = 0
+    while (i < iterations) {
+      auth = halfStep(hub, edges) // sender = src's hub, receiver = dst
+      hub = halfStep(auth, rev)   // sender = dst's auth, receiver = src
+      i += 1
+    }
+    localResult(sess,
+      nodes.toSeq.map(nd => Row(nd, hub(nd), auth(nd))),
+      StructType(Seq(StructField("node", LongType),
+        StructField("hub", DoubleType), StructField("auth", DoubleType))))
   }
 
   /** Triangle count of the UNDIRECTED simple graph underlying a

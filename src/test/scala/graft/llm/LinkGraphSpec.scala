@@ -97,6 +97,31 @@ class LinkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank/hits: the driver-local gate and the distributed solve " +
+      "agree bit for bit (the cc both-paths discipline)") {
+    // a messier graph than the reference fixtures: hub, spokes, a
+    // 3-cycle, dangling sinks, a duplicate edge — 40 nodes
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((0L, 1L), (0L, 1L))
+    def withGate[A](v: String)(body: => A): A = {
+      spark.conf.set("spark.graft.linkgraph.localMax", v)
+      try body finally
+        spark.conf.set("spark.graft.linkgraph.localMax", "100000")
+    }
+    val prLocal = withGate("100000") { run(edges, 4) }
+    val prDist = withGate("0") { run(edges, 4) }
+    assert(prLocal === prDist, "pageRank local vs distributed diverged")
+    val hLocal = withGate("100000") { runHits(edges, 3) }
+    val hDist = withGate("0") { runHits(edges, 3) }
+    assert(hLocal === hDist, "hits local vs distributed diverged")
+    // and the probe itself: a gate BELOW the edge count must distribute
+    // (row identity again — the fall-through path is the same solve)
+    val prSmallGate = withGate("5") { run(edges, 2) }
+    assert(prSmallGate === withGate("0") { run(edges, 2) })
+  }
+
   private def runTri(edges: Seq[(Long, Long)]): (Long, Long) = {
     val r = LinkGraph.triangles(edges.toDF("s", "t"), "s", "t").head()
     (r.getLong(0), r.getLong(1))
