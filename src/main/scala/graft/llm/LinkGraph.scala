@@ -339,6 +339,11 @@ object LinkGraph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
+    localEdges(und) match {
+      case Some(collected) =>
+        return lpaLocal(edges.sparkSession, collected, iters)
+      case None => // fall through to the distributed solve
+    }
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint()
@@ -356,6 +361,31 @@ object LinkGraph {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** Driver-local [[lpa]]: the identical synchronous rounds over a
+    * collected edge list — per-node neighbor-label counts, argmax by
+    * (count desc, label asc). Pure integer arithmetic, so parity with
+    * the distributed solve is structural, not numeric. */
+  private def lpaLocal(sess: org.apache.spark.sql.SparkSession,
+                       und: Array[(Long, Long)], iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val adj = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val nodes = adj.keys.toArray
+    var labels: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = nodes.map { n =>
+        val counts = adj(n).map(labels)
+          .groupBy(identity).map { case (l, xs) => l -> xs.length }
+        // max struct(cnt, -label) = most frequent, ties to MIN label
+        n -> counts.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    localResult(sess, nodes.toSeq.map(n => Row(n, labels(n))),
+      StructType(Seq(StructField("node", LongType),
+        StructField("label", LongType))))
   }
 
   /** k-core decomposition by iterative peeling: repeatedly delete every
@@ -378,12 +408,18 @@ object LinkGraph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxIter: Int = 60): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var und = edges
+    val und0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct().localCheckpoint()
+      .distinct()
+    localEdges(und0) match {
+      case Some(collected) =>
+        return kCoreLocal(edges.sparkSession, collected, k, maxIter)
+      case None => // fall through to the distributed solve
+    }
+    var und = und0.localCheckpoint()
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
@@ -406,13 +442,48 @@ object LinkGraph {
     degrees(und)
   }
 
+  /** Driver-local [[kCore]]: identical simultaneous peel rounds over a
+    * collected canonical edge list. Pure integer arithmetic. */
+  private def kCoreLocal(sess: org.apache.spark.sql.SparkSession,
+                         und0: Array[(Long, Long)], k: Int,
+                         maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    var und = und0
+    def degrees(e: Array[(Long, Long)]): Map[Long, Long] =
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.length.toLong }
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val bad = degrees(und).filter(_._2 < k).keySet
+      if (bad.isEmpty) converged = true
+      else {
+        und = und.filter(e => !bad(e._1) && !bad(e._2))
+        it += 1
+      }
+    }
+    require(converged, s"kCore: no fixpoint within $maxIter peel rounds " +
+      "(pathological chain graph? raise maxIter)")
+    localResult(sess,
+      degrees(und).toSeq.map { case (n, d) => Row(n, d) },
+      StructType(Seq(StructField("node", LongType),
+        StructField("deg", LongType))))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    val und0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct().cache()
+      .distinct()
+    localEdges(und0) match {
+      case Some(collected) =>
+        return trianglesLocal(edges.sparkSession, collected)
+      case None => // fall through to the distributed solve
+    }
+    val und = und0.cache()
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -452,5 +523,26 @@ object LinkGraph {
       .localCheckpoint()
     Seq(und, o).foreach(_.unpersist())
     out
+  }
+
+  /** Driver-local [[triangles]]: each triangle x<y<z counted once at its
+    * (x, y) edge via sorted-adjacency intersection with c > y — the same
+    * count the degree-oriented distributed join produces (orientation
+    * changes join geometry, never the count). Pure integer arithmetic. */
+  private def trianglesLocal(sess: org.apache.spark.sql.SparkSession,
+                             und: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val adj = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var tri = 0L
+    und.foreach { case (a, b) => // canonical a < b
+      val (small, large) =
+        if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+      small.foreach { c => if (c > b && large(c)) tri += 1 }
+    }
+    localResult(sess, Seq(Row(tri, und.length.toLong)),
+      StructType(Seq(StructField("n_triangles", LongType),
+        StructField("n_edges", LongType))))
   }
 }

@@ -120,6 +120,24 @@ class LinkGraphSpec extends AnyFunSuite {
     // (row identity again — the fall-through path is the same solve)
     val prSmallGate = withGate("5") { run(edges, 2) }
     assert(prSmallGate === withGate("0") { run(edges, 2) })
+    // the integer family: lpa labels, kCore survivors+degrees, the
+    // triangle count — structural parity, but gate it anyway
+    def lpaOf(): Set[(Long, Long)] =
+      LinkGraph.lpa(edges.toDF("s", "t"), "s", "t", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withGate("100000")(lpaOf()) === withGate("0")(lpaOf()),
+      "lpa local vs distributed diverged")
+    def kcOf(): Set[(Long, Long)] =
+      LinkGraph.kCore(edges.toDF("s", "t"), "s", "t", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withGate("100000")(kcOf()) === withGate("0")(kcOf()),
+      "kCore local vs distributed diverged")
+    def triOf(): (Long, Long) = {
+      val r = LinkGraph.triangles(edges.toDF("s", "t"), "s", "t").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(withGate("100000")(triOf()) === withGate("0")(triOf()),
+      "triangles local vs distributed diverged")
   }
 
   private def runTri(edges: Seq[(Long, Long)]): (Long, Long) = {
