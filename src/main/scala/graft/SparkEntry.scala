@@ -574,15 +574,21 @@ object SparkEntry {
 
     // ---- Structured Streaming: latest-per-key materialization (T1-T6) ---
     "q23_stream_latest" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      // file-source streams need a directory: stream the sf dir with a glob
-      // filter selecting only the events table file
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .select("user_id", "event_id", "ts_us", "event_type", "value")
-      val latest = Streams.latestPerKey(stream, Seq("user_id"), "ts_us", "event_id")
-      Streams.runToMemory(latest, s"q23_mem_${System.nanoTime()}")
-        .ordered(col("user_id"))
+      // statePartitions = 8: per-stream-load state sizing (the q77
+      // discipline) — a fixture-sized stream pays one state-store commit
+      // per partition per operator per micro-batch, so 32 partitions of
+      // near-empty state is pure commit overhead. Results are
+      // partition-count-invariant (hash-partitioned state, same keys).
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q23_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        // file-source streams need a directory: stream the sf dir with a
+        // glob filter selecting only the events table file
+        val stream = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .select("user_id", "event_id", "ts_us", "event_type", "value")
+        Streams.latestPerKey(stream, Seq("user_id"), "ts_us", "event_id")
+      }.ordered(col("user_id"))
     }),
 
     // ---- Streaming tumbling-window aggregation (T7 through the REAL
@@ -590,19 +596,20 @@ object SparkEntry {
     // mode; distinct aggregates are unsupported on streams, so the
     // payload aggregates are count + exact decimal sum) ----------------
     "q63_stream_window" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-      val agg = stream
-        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum((floor(col("value") * 1e4 + 0.5) / 1e4)
-            .cast("decimal(18,4)")).cast("double").as("sum_value"))
-        .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
-          col("n"), col("sum_value"))
-      Streams.runToMemory(agg, s"q63_mem_${System.nanoTime()}")
-        .ordered(col("w_start"), col("event_type"))
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q63_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((floor(col("value") * 1e4 + 0.5) / 1e4)
+              .cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(unix_micros(col("w.start")).as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      }.ordered(col("w_start"), col("event_type"))
     }),
 
     // ---- Bucketed co-located join: the one-time-layout answer to the
@@ -1687,13 +1694,15 @@ object SparkEntry {
     // watermark is late by the strict-inequality rule and silently
     // dropped — measured: doc 0 vanished without the offset).
     "q71_stream_dedup" -> ((s, dir) => {
-      val schema = Tables(s, dir, "documents").schema
-      val stream = Tables.stream(s, dir, "documents")
-        .withColumn("evt", timestamp_micros((col("doc_id") + 1) * 1000000L))
-      val gated = Streams.dedupByFingerprint(stream, "text", "evt", "1 minute")
-        .select("fingerprint")
-      Streams.runToMemory(gated, s"q71_mem_${System.nanoTime()}", "append")
-        .ordered(col("fingerprint"))
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q71_mem_${System.nanoTime()}", "append") { sc =>
+        val stream = Tables.stream(sc, dir, "documents")
+          .withColumn("evt",
+            timestamp_micros((col("doc_id") + 1) * 1000000L))
+        Streams.dedupByFingerprint(stream, "text", "evt", "1 minute")
+          .select("fingerprint")
+      }.ordered(col("fingerprint"))
     }),
 
     // ---- Multimodal: REAL PNG pixel decode (inflate + unfilter) ---------
@@ -3586,21 +3595,22 @@ object SparkEntry {
     // [0,512)x256 — width 2.0, dyadic midpoints. Oracle replays the
     // batch-equivalent windows (streaming must equal batch semantics).
     "q136_stream_quantile" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-      val agg = stream
-        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
-        .agg(Sketches.histogram(col("value"), 0.0, 512.0, 256).as("sk"),
-          count(lit(1)).as("n"))
-        .select(unix_micros(col("w.start")).as("w_start"),
-          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.5)
-            .as("approx_p50"),
-          Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.9)
-            .as("approx_p90"),
-          col("n"))
-      Streams.runToMemory(agg, s"q136_mem_${System.nanoTime()}")
-        .ordered(col("w_start"))
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q136_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+          .agg(Sketches.histogram(col("value"), 0.0, 512.0, 256).as("sk"),
+            count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("w_start"),
+            Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.5)
+              .as("approx_p50"),
+            Sketches.histQuantile(col("sk"), 0.0, 512.0, 256, 0.9)
+              .as("approx_p90"),
+            col("n"))
+      }.ordered(col("w_start"))
     }),
 
     // ---- Streaming windowed HLL distinct (T7 × the sketch family) -------
@@ -3614,23 +3624,24 @@ object SparkEntry {
     // answer. The oracle builds each window's registers directly from
     // the raw hashes (q130's SQL per window).
     "q165_stream_hll" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("user_id").isNotNull)
-      val h31 = shiftrightunsigned(
-        call_function("md5_lower64", col("user_id").cast("string")), 33)
-      val agg = stream
-        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
-        .agg(Sketches.hllRegisters(h31, 8).as("sk"),
-          count(lit(1)).as("n_events"))
-        .select(unix_micros(col("w.start")).as("w_start"),
-          (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
-            .as("hll_est"),
-          size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
-          col("n_events"))
-      Streams.runToMemory(agg, s"q165_mem_${System.nanoTime()}")
-        .ordered(col("w_start"))
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q165_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        val h31 = shiftrightunsigned(
+          call_function("md5_lower64", col("user_id").cast("string")), 33)
+        Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("user_id").isNotNull)
+          .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+          .agg(Sketches.hllRegisters(h31, 8).as("sk"),
+            count(lit(1)).as("n_events"))
+          .select(unix_micros(col("w.start")).as("w_start"),
+            (floor(Sketches.hllEstimate(col("sk"), 8) * 1e6 + 0.5) / 1e6)
+              .as("hll_est"),
+            size(filter(col("sk"), r => r > 0)).cast("long").as("n_active"),
+            col("n_events"))
+      }.ordered(col("w_start"))
     }),
 
     // ---- Data-quality publish gate (Deequ-style constraint run) ---------
@@ -6633,17 +6644,21 @@ object SparkEntry {
         .filter(expr(s"ts_us div $dayUs") < splitDay)
         .agg(Sketches.histogram(col("value"), lo, hi, bins).as("sk"))
         .collect()(0).getSeq[Long](0)
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
-          !isnan(col("value")))
-        .withColumn("ev_time", timestamp_micros(col("ts_us")))
-      val gate = Streams.driftGate(stream, "ev_time", "value",
-        delay = "1 hour", windowLen = "1 day", ref, lo, hi, bins)
       val d38 = "decimal(38,0)"
-      Streams.runToMemory(gate, s"q235_mem_${System.nanoTime()}")
-        .select(col("w_start"), col("n_win"), col("n_ref"),
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      // (the ref histogram above is batch work on the parent session;
+      // only the stream builds on the clone)
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q235_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        val stream = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+            !isnan(col("value")))
+          .withColumn("ev_time", timestamp_micros(col("ts_us")))
+        Streams.driftGate(stream, "ev_time", "value",
+          delay = "1 hour", windowLen = "1 day", ref, lo, hi, bins)
+      }.select(col("w_start"), col("n_win"), col("n_ref"),
           (floor(col("max_gap").cast("double") /
             (col("n_win") * col("n_ref")).cast("double") * 1e6 + 0.5)
             / 1e6).as("ks"),
@@ -7288,20 +7303,22 @@ object SparkEntry {
       // contract-small: one (med, mad) pair per event type
       val baseline: Map[String, (Long, Long)] = mm.collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
-      val schema = Tables(s, dir, "events").schema
-      // Tables.stream carries the layout branch (single-file fixture vs
-      // replica part-file directory — caught by the 10× scaling run
-      // reading 0 rows; the branch now lives in the catalog)
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
-        .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
-        .as[(String, Long)]
-      val mon = Streams.cusumMonitor(stream, baseline)
-        .toDF("event_type", "day", "n_events", "cusum", "alarm")
-      Streams.runToMemory(mon, s"q250_mem_${System.nanoTime()}",
-          outputMode = "append")
-        .ordered(col("event_type"), col("day"))
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      // (the MAD baseline above is batch work on the parent session)
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q250_mem_${System.nanoTime()}", "append") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        // Tables.stream carries the layout branch (single-file fixture vs
+        // replica part-file directory — caught by the 10× scaling run
+        // reading 0 rows; the branch now lives in the catalog)
+        val stream = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+          .select(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+          .as[(String, Long)]
+        Streams.cusumMonitor(stream, baseline)
+          .toDF("event_type", "day", "n_events", "cusum", "alarm")
+      }.ordered(col("event_type"), col("day"))
     }),
 
     // ---- Text analysis: PMI-lift collocations ------------------------------------
@@ -8149,18 +8166,19 @@ object SparkEntry {
     // contract degrades to the q142 bracket, pinned by SketchesSpec,
     // not claimed by this oracle.
     "q145_stream_topk" -> ((s, dir) => {
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("event_type").isNotNull)
-      val agg = stream
-        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
-        .agg(Sketches.heavyHitters(col("event_type"), 64).as("sk"))
-        .select(unix_micros(col("w.start")).as("w_start"),
-          col("sk._1").as("ks"), col("sk._2").as("cs"),
-          col("sk._3").as("off"))
-      Streams.runToMemory(agg, s"q145_mem_${System.nanoTime()}")
-        .select(col("w_start"), col("off"),
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q145_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("event_type").isNotNull)
+          .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"))
+          .agg(Sketches.heavyHitters(col("event_type"), 64).as("sk"))
+          .select(unix_micros(col("w.start")).as("w_start"),
+            col("sk._1").as("ks"), col("sk._2").as("cs"),
+            col("sk._3").as("off"))
+      }.select(col("w_start"), col("off"),
           posexplode(col("ks")).as(Seq("__i", "event_type")),
           col("cs"))
         .select(col("w_start"), col("event_type"),
@@ -8488,20 +8506,22 @@ object SparkEntry {
     "q286_rolling_drift" -> ((s, dir) => {
       val (lo, hi, bins) = (0.0, 512.0, 256)
       val d38 = "decimal(38,0)"
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("ts_us").isNotNull && col("value").isNotNull &&
-          !isnan(col("value")))
-        .withColumn("ev_time", timestamp_micros(col("ts_us")))
       // outputMode explicit at the call site: COMPLETE, because this
       // is a bounded AvailableNow replay and the final day's window
       // must be emitted (append would hold it forever — the watermark
       // never passes its end). See driftWindows' output-mode contract.
-      val perWin = Streams.runToMemory(
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing.
+      val perWin = Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q286_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        val stream = Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("ts_us").isNotNull && col("value").isNotNull &&
+            !isnan(col("value")))
+          .withColumn("ev_time", timestamp_micros(col("ts_us")))
         Streams.driftWindows(stream, "ev_time", "value",
-          delay = "1 hour", windowLen = "1 day", lo, hi, bins),
-        s"q286_mem_${System.nanoTime()}", outputMode = "complete")
+          delay = "1 hour", windowLen = "1 day", lo, hi, bins)
+      }
       Streams.rollingDriftScore(perWin, lag = 3)
         .select(col("w_start"), col("n_win"), col("n_ref"),
           // the exact decimal gap leaves as a double magnitude (the
@@ -9619,22 +9639,24 @@ object SparkEntry {
     "q272_stream_auc" -> ((s, dir) => {
       val d38 = "decimal(38,0)"
       def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val schema = Tables(s, dir, "events").schema
-      val stream = Tables.stream(s, dir, "events")
-        .withColumn("ts_us", Tables.tsUsOf(schema))
-        .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
-          col("value").isNotNull && !isnan(col("value")))
-        .select(col("ts_us"),
-          least(greatest(floor(col("value")).cast("long"), lit(0L)),
-            lit(511L)).as("sb"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
-      val agg = stream
-        .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
-          col("sb"))
-        .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("q"))
-        .select(unix_micros(col("w.start")).as("w_start"), col("sb"),
-          col("p"), col("q"))
-      val grid = Streams.runToMemory(agg, s"q272_mem_${System.nanoTime()}")
+      // statePartitions = 8: the q23/q77 per-stream-load state sizing
+      val grid = Streams.runToMemoryIsolated(s, statePartitions = 8,
+          s"q272_mem_${System.nanoTime()}", "complete") { sc =>
+        val schema = Tables(sc, dir, "events").schema
+        Tables.stream(sc, dir, "events")
+          .withColumn("ts_us", Tables.tsUsOf(schema))
+          .filter(col("event_type").isNotNull && col("ts_us").isNotNull &&
+            col("value").isNotNull && !isnan(col("value")))
+          .select(col("ts_us"),
+            least(greatest(floor(col("value")).cast("long"), lit(0L)),
+              lit(511L)).as("sb"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+          .groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"),
+            col("sb"))
+          .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("q"))
+          .select(unix_micros(col("w.start")).as("w_start"), col("sb"),
+            col("p"), col("q"))
+      }
       val below = Window.partitionBy(col("w_start")).orderBy(col("sb"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val incl = Window.partitionBy(col("w_start")).orderBy(col("sb"))
