@@ -7219,6 +7219,11 @@ object SparkEntry {
         .withColumn("ks", count(lit(1)).over(wSa))
         .groupBy(col("event_type"))
         .agg(sEsts.head, sEsts.tail: _*)
+      // NOT persisted (measured, this round): full is referenced twice
+      // (exact-quantile window pass + the true-rank join) but the A/B at
+      // sf0.1 put the persist at 3.43 s vs 3.19 s uncached — the
+      // (event_type × v6) grid is wide enough that the InMemoryRelation
+      // write outweighs one re-aggregation of the events scan.
       val full = e.groupBy(col("event_type"), col("v6"))
         .agg(count(lit(1)).as("c"))
       val wFv = Window.partitionBy(col("event_type")).orderBy(col("v6"))
@@ -9501,11 +9506,20 @@ object SparkEntry {
       // hot basket is the classic skewed-shuffle killer. The cap is in
       // the oracle too (declared semantics, not a silent truncation);
       // q285 is the accounting ledger, ItemCfSpec the hot-basket proof.
+      // li is referenced THREE ways (cnt aggregation + both self-join
+      // sides) and cnt FOUR ways (scoredHalf's two marginals, pop, cat);
+      // only the self-join sides share an exchange the optimizer can
+      // reuse, so uncached the scan + distinct + cap-window re-execute
+      // per branch (the q231 own-your-input-caching lesson). Both frames
+      // are small by construction (distinct basket-item pairs / one row
+      // per item); the bench's per-query clearCache releases them.
       val li = ItemCf.cappedBaskets(Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
         .distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val half = li.as("a")
         .join(li.as("b"), col("a.bk") === col("b.bk"))
         .filter(col("a.item") < col("b.item"))
@@ -9844,6 +9858,13 @@ object SparkEntry {
       // killer. The cap is in the oracle too (declared semantics, not
       // a silent truncation); q285 is the accounting ledger, ItemCfSpec
       // the hot-basket proof, Scaling's item_cf_hot the measured row.
+      // NOT persisted (measured, this round): li has three references
+      // (marginal counts + both self-join sides) but the join sides
+      // share a ReusedExchange and the cnt branch is one cheap
+      // aggregation — A/B at sf0.1 put the persist at 5.06 s vs 4.78 s
+      // uncached (the InMemoryRelation write costs more than the one
+      // re-aggregation it saves; q274, with FOUR cnt references, is the
+      // shape where the same persist wins).
       val li = ItemCf.cappedBaskets(Tables(s, dir, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
