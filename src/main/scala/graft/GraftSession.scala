@@ -30,6 +30,18 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Join strategy (guide §3.1): let the planner pick a shuffled-hash
+    // join when its size conditions hold instead of always preferring
+    // sort-merge — SHJ skips both sort passes, and the risk (a build-side
+    // partition that outgrows memory) is bounded by the same size checks
+    // the planner already applies. The AQE threshold additionally
+    // rewrites an already-planned SMJ to SHJ at runtime when EVERY
+    // post-shuffle partition is under 64 MB (default 0 = never) — a
+    // size-gated, scale-graceful rewrite: at cluster scale partitions
+    // sized to the 100 MB-1 GB guidance simply keep the SMJ.
+    .config("spark.sql.join.preferSortMergeJoin", "false")
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      (64L * 1024 * 1024).toString)
     // Long-lived-driver hygiene: the app/SQL status stores retain
     // per-execution detail — including FULL plan strings, which for
     // literal-heavy plans (PQ/IVF codebooks, q24's hyperplane tables)
