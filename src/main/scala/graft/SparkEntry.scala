@@ -7450,8 +7450,14 @@ object SparkEntry {
       val docs = Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"), col("text"))
+      // persisted: groups is consumed by the survivors keep-join AND the
+      // stage-1 ledger count, and its fingerprint (tokenize + sort + md5
+      // per doc) is the most expensive per-row expression in the query —
+      // uncached it runs once per branch (q231 own-your-input-caching
+      // lesson). One row per distinct fingerprint, tiny by construction.
       val groups = Dedup.exact(docs, TextStats.fingerprint(col("text")),
         "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val survivors = docs.join(
         groups.select(col("keep_id").as("doc_id")), Seq("doc_id"))
       // 3-gram shingles, NOT unigrams: the 31-token vocabulary makes
@@ -7462,8 +7468,14 @@ object SparkEntry {
       // allPairsMax = 0 pins the PREFIX-INDEX plan: the auto gate would
       // pick all-pairs at 5k docs (12.5M jaccards, measured 25 s) — right
       // for a one-off, wrong for the pipeline this query demonstrates
+      // docCount = MaxValue skips the gating count(): with cap 0 the
+      // prefix path is predetermined, and the count would otherwise
+      // execute the whole survivors lineage (scan + fingerprint groupBy
+      // + keep-join) once more for an answer that cannot change the plan
+      // (the q34__prefix discipline)
       val pairs = Dedup.jaccardPairsAuto(survivors, "doc_id", "text",
-        shingleK = 3, threshold = 0.8, allPairsMax = 0)
+        shingleK = 3, threshold = 0.8, allPairsMax = 0,
+        docCount = Long.MaxValue)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val n0 = docs.agg(count(lit(1)).as("n0"))
       val g1 = groups.agg(count(lit(1)).as("g1"))
