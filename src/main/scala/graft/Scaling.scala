@@ -729,9 +729,17 @@ object Scaling {
         (dir => SparkEntry.queries("q276_regression_eval")(spark, dir)),
       // q277: per-round frontier×edges equi-join + min-groupBy on a
       // FIXED 311-node domain — edge volume grows with docs, rounds
-      // fixed; wall must track per-round join cost ~linearly
+      // fixed; wall must track per-round join cost ~linearly. This
+      // row's purpose is evidence for the DISTRIBUTED relaxation path —
+      // disable the broadcast-scale local gate (the pagerank/cc
+      // localMax=0 discipline; the mod-311 edge set is under the gate
+      // at every scale)
       "sssp" ->
-        (dir => SparkEntry.queries("q277_sssp")(spark, dir)),
+        (dir => {
+          spark.conf.set("spark.graft.linkgraph.localMax", "0")
+          try SparkEntry.queries("q277_sssp")(spark, dir)
+          finally spark.conf.unset("spark.graft.linkgraph.localMax")
+        }),
       // q278: facts collapse to the (type × day) grid; the decayed
       // scoring rides the grid — wall must track the events scan
       "decayed_pop" ->

@@ -5582,23 +5582,15 @@ object SparkEntry {
           greatest(col("src"), col("dst")).as("b")).distinct()
       val edges = und0.select(col("a").as("from"), col("b").as("to"))
         .unionByName(und0.select(col("b").as("from"), col("a").as("to")))
-        .localCheckpoint()
-      var visited = Tables(s, dir, "documents")
-        .filter(d % 311 < 3).select((d % 311).as("node")).distinct()
-        .select(col("node"), lit(0L).as("hops"))
-        .localCheckpoint()
-      var frontier = visited
-      (1 to 5).foreach { k =>
-        frontier = frontier
-          .join(edges.select(col("from").as("node"), col("to")),
-            Seq("node"))
-          .select(col("to").as("node")).distinct()
-          .join(visited.select(col("node")), Seq("node"), "left_anti")
-          .select(col("node"), lit(k.toLong).as("hops"))
-          .localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
-      }
-      visited.ordered(col("node"))
+      val seeds = Tables(s, dir, "documents")
+        .filter(d % 311 < 3).select((d % 311).as("node"))
+      // LinkGraph.bfsHops carries the size-gated driver-local walk
+      // (the pageRank/CC localMax discipline — round 17): below the
+      // edge gate the 5 rounds of join+distinct+anti-join are pure
+      // stage scheduling around integer set arithmetic
+      graft.llm.LinkGraph.bfsHops(edges, "from", "to", seeds, "node",
+          rounds = 5)
+        .ordered(col("node"))
     }),
 
     // ---- Network enrichment: longest-prefix CIDR match ----------------------------
@@ -9441,22 +9433,13 @@ object SparkEntry {
       val edges = e1.unionByName(e2)
         .filter(col("from") =!= col("to")).distinct()
         .withColumn("w", (col("from") * 7 + col("to") * 13) % 97 + 1)
-        .localCheckpoint()
-      var dist = docs.filter(d % 311 < 3)
-        .select((d % 311).as("node")).distinct()
-        .withColumn("dist", lit(0L))
-        .localCheckpoint()
-      (1 to 5).foreach { _ =>
-        val relaxed = dist
-          .join(edges.select(col("from").as("node"), col("to"),
-            col("w")), Seq("node"))
-          .select(col("to").as("node"),
-            (col("dist") + col("w")).as("dist"))
-        dist = dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-      }
-      dist.ordered(col("node"))
+      val seeds = docs.filter(d % 311 < 3).select((d % 311).as("node"))
+      // LinkGraph.sssp carries the size-gated driver-local relaxation
+      // (the pageRank/CC localMax discipline — round 17): integer
+      // weights, so both paths are trivially bit-identical
+      graft.llm.LinkGraph.sssp(edges, "from", "to", "w", seeds, "node",
+          rounds = 5)
+        .ordered(col("node"))
     }),
 
     // ---- Product analytics: recency-decayed popularity ------------------

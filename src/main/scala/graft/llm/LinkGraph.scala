@@ -545,4 +545,171 @@ object LinkGraph {
       StructType(Seq(StructField("n_triangles", LongType),
         StructField("n_edges", LongType))))
   }
+
+  /** Collected long-keyed seed nodes under the same local gate as
+    * [[localEdges]]; None ⟹ distribute. Pure integer node ids, so the
+    * only parity requirement is the set itself. */
+  private def localSeeds(s0: DataFrame): Option[Array[Long]] = {
+    val sess = s0.sparkSession
+    val localMax = sess.conf
+      .get("spark.graft.linkgraph.localMax", "100000").toLong
+    if (localMax <= 0 ||
+      s0.schema.fields.head.dataType !=
+        org.apache.spark.sql.types.LongType) return None
+    val probe = s0.limit(math.min(localMax,
+      Int.MaxValue - 2L).toInt + 1).collect()
+    if (probe.length > localMax) None
+    else Some(probe.map(_.getLong(0)))
+  }
+
+  /** Minimum-hop BFS labels from a seed set after exactly `rounds`
+    * frontier expansions over a DIRECTED edge table (pass the
+    * symmetrized frame for undirected semantics): (node, hops), seeds at
+    * hop 0, a node's label is the first round that reached it; nodes not
+    * reached within `rounds` are absent. Pure integer labels — the two
+    * paths below are trivially bit-identical (LinkGraphSpec pins it).
+    *
+    * Distributed shape: per round, ONE frontier×edges equi-join +
+    * distinct + one anti-join against the visited set, localCheckpoint
+    * truncating lineage (the CC discipline). Below the
+    * `spark.graft.linkgraph.localMax` edge gate the walk runs on the
+    * driver over the collected adjacency (the pageRank/HITS/CC
+    * localMax discipline): K × (join + distinct + anti-join + two
+    * materializations) of stage scheduling for microseconds of set
+    * arithmetic. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "bfsHops needs a non-negative round count")
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("from"), col(dstCol).as("to")).distinct()
+    val s0 = seeds.filter(col(seedCol).isNotNull)
+      .select(col(seedCol).as("node")).distinct()
+    (localEdges(e0), localSeeds(s0)) match {
+      case (Some(es), Some(sd)) =>
+        return bfsHopsLocal(edges.sparkSession, es, sd, rounds)
+      case _ => // distribute
+    }
+    val e = e0.cache()
+    var visited = s0.withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = visited
+    (1 to rounds).foreach { k =>
+      frontier = frontier
+        .join(e.select(col("from").as("node"), col("to")), Seq("node"))
+        .select(col("to").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("hops"))
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Driver-local [[bfsHops]] — the identical round structure over the
+    * collected adjacency. */
+  private def bfsHopsLocal(sess: org.apache.spark.sql.SparkSession,
+                           edges: Array[(Long, Long)], seeds: Array[Long],
+                           rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val hops = new scala.collection.mutable.HashMap[Long, Long]()
+    seeds.foreach(hops(_) = 0L)
+    var frontier: Array[Long] = seeds
+    var k = 1L
+    while (k <= rounds && frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+        .distinct.filterNot(hops.contains)
+      frontier.foreach(hops(_) = k)
+      k += 1
+    }
+    localResult(sess,
+      hops.toSeq.sortBy(_._1).map { case (n, h) => Row(n, h) },
+      StructType(Seq(StructField("node", LongType),
+        StructField("hops", LongType))))
+  }
+
+  /** Shortest-path distances from a seed set after exactly `rounds`
+    * Bellman-Ford relaxations over a DIRECTED weighted edge table:
+    * (node, dist) with dist = the minimum total weight over walks of at
+    * most `rounds` edges (seeds at 0); unreached nodes are absent.
+    * Integer weights only — exact arithmetic on both paths, so the
+    * driver-local gate below `spark.graft.linkgraph.localMax` edges is
+    * bit-identical to the distributed solve (LinkGraphSpec pins it).
+    * Duplicate (from, to, w) edges collapse; the caller owns weight
+    * determinism for (from, to) duplicates with conflicting weights
+    * (both paths then relax over the same distinct triple set).
+    *
+    * Distributed shape: per round, ONE dist×edges equi-join + a
+    * min-groupBy over the union with the previous front,
+    * localCheckpoint truncating lineage. */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "sssp needs a non-negative round count")
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(wCol).isNotNull)
+      .select(col(srcCol).as("from"), col(dstCol).as("to"),
+        col(wCol).as("w")).distinct()
+    val s0 = seeds.filter(col(seedCol).isNotNull)
+      .select(col(seedCol).as("node")).distinct()
+    val weighted = {
+      // reuse the 2-col local gate on (from, to); weights ride along
+      // only when the pair gate passes AND w is long-keyed
+      val longW =
+        e0.schema("w").dataType == org.apache.spark.sql.types.LongType
+      if (!longW) None
+      else localEdges(e0.select(col("from"), col("to"))).map { _ =>
+        e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    (weighted, localSeeds(s0)) match {
+      case (Some(es), Some(sd)) =>
+        return ssspLocal(edges.sparkSession, es, sd, rounds)
+      case _ => // distribute
+    }
+    val e = e0.cache()
+    var dist = s0.withColumn("dist", lit(0L)).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist
+        .join(e.select(col("from").as("node"), col("to"), col("w")),
+          Seq("node"))
+        .select(col("to").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Driver-local [[sssp]] — the identical relaxation rounds over the
+    * collected weighted adjacency; exact longs, so min-fold order is
+    * immaterial. */
+  private def ssspLocal(sess: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long, Long)],
+                        seeds: Array[Long], rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val adj = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    var k = 0
+    while (k < rounds) {
+      val next = scala.collection.mutable.HashMap[Long, Long](dist.toSeq: _*)
+      dist.foreach { case (n, d) =>
+        adj.getOrElse(n, Array.empty[(Long, Long)]).foreach { case (t, w) =>
+          val nd = d + w
+          if (nd < next.getOrElse(t, Long.MaxValue)) next(t) = nd
+        }
+      }
+      dist = next.toMap
+      k += 1
+    }
+    localResult(sess,
+      dist.toSeq.sortBy(_._1).map { case (n, d) => Row(n, d) },
+      StructType(Seq(StructField("node", LongType),
+        StructField("dist", LongType))))
+  }
 }

@@ -138,6 +138,30 @@ class LinkGraphSpec extends AnyFunSuite {
     }
     assert(withGate("100000")(triOf()) === withGate("0")(triOf()),
       "triangles local vs distributed diverged")
+    // the walk family (round 17): bfs hop labels and bounded-round
+    // Bellman-Ford distances — integer results, but gate parity anyway;
+    // seeds include a node absent from the edge list (isolated seed
+    // must surface at hop 0 / dist 0 on BOTH paths)
+    val seeds = Seq(0L, 5L, 99L).toDF("n")
+    def bfsOf(r: Int): Set[(Long, Long)] =
+      LinkGraph.bfsHops(edges.toDF("s", "t"), "s", "t", seeds, "n", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    (0 to 3).foreach { r =>
+      assert(withGate("100000")(bfsOf(r)) === withGate("0")(bfsOf(r)),
+        s"bfsHops local vs distributed diverged at rounds=$r")
+    }
+    val wedges = edges.map { case (a, b) => (a, b, (a * 7 + b * 13) % 97 + 1) }
+    def ssspOf(r: Int): Set[(Long, Long)] =
+      LinkGraph.sssp(wedges.toDF("s", "t", "w"), "s", "t", "w",
+          seeds, "n", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    (0 to 3).foreach { r =>
+      assert(withGate("100000")(ssspOf(r)) === withGate("0")(ssspOf(r)),
+        s"sssp local vs distributed diverged at rounds=$r")
+    }
+    // under-gate fall-through for the walks too
+    assert(withGate("5")(bfsOf(2)) === withGate("0")(bfsOf(2)))
+    assert(withGate("5")(ssspOf(2)) === withGate("0")(ssspOf(2)))
   }
 
   private def runTri(edges: Seq[(Long, Long)]): (Long, Long) = {
