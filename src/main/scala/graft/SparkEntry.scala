@@ -2307,21 +2307,26 @@ object SparkEntry {
       // on unmatched keys already keeps sentinels out of the output).
       val evKey = Long.MinValue + 1L
       val ftKey = Long.MinValue + 2L
-      val events = raw.filter(col("event_id") % 2 === 0)
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          timestamp_micros(col("ts_us")).as("e_t"))
-        .unionByName(raw.filter(col("event_id") % 1000 === 0)
-          .select(lit(evKey).as("event_id"), lit(evKey).as("user_id"),
-            (col("ts_us") + dayUs).as("ts_us"),
-            timestamp_micros(col("ts_us") + dayUs).as("e_t")))
-      val feats = raw.filter(col("event_id") % 2 === 1)
-        .select(col("event_id").as("feat_id"), col("user_id"),
+      // data + sentinel branches ride ONE scan per side via branchRows
+      // (was a 2-branch union = 2 file-source reads per side per
+      // micro-batch); row multiset and watermark behavior identical
+      val events = branchRows(raw, Seq(
+        (col("event_id") % 2 === 0, struct(
+          col("event_id"), col("user_id"), col("ts_us"),
+          timestamp_micros(col("ts_us")).as("e_t"))),
+        (col("event_id") % 1000 === 0, struct(
+          lit(evKey).as("event_id"), lit(evKey).as("user_id"),
+          (col("ts_us") + dayUs).as("ts_us"),
+          timestamp_micros(col("ts_us") + dayUs).as("e_t")))))
+      val feats = branchRows(raw, Seq(
+        (col("event_id") % 2 === 1, struct(
+          col("event_id").as("feat_id"), col("user_id"),
           col("value").as("feat_value"),
-          timestamp_micros(col("ts_us")).as("f_t"))
-        .unionByName(raw.filter(col("event_id") % 1000 === 1)
-          .select(lit(ftKey).as("feat_id"), lit(ftKey).as("user_id"),
-            lit(0.0).as("feat_value"),
-            timestamp_micros(col("ts_us") + dayUs).as("f_t")))
+          timestamp_micros(col("ts_us")).as("f_t"))),
+        (col("event_id") % 1000 === 1, struct(
+          lit(ftKey).as("feat_id"), lit(ftKey).as("user_id"),
+          lit(0.0).as("feat_value"),
+          timestamp_micros(col("ts_us") + dayUs).as("f_t")))))
       Streams.streamAsofEnrich(events, feats, "user_id",
         "e_t", "f_t", delay = "10 seconds", lookback = "6 hours",
         eventCols = Seq("event_id", "user_id", "ts_us"),
@@ -2531,10 +2536,13 @@ object SparkEntry {
       def raw = Tables.stream(sc, dir, "events")
         .withColumn("ts_us", Tables.tsUsOf(schema))
       val dayUs = 32L * 86400000000L
-      val withSent = raw.select(col("user_id"), col("ts_us"))
-        .unionByName(raw.filter(col("event_id") % 1000 === 0)
-          .select(lit(sentKey).as("user_id"),
-            (col("ts_us") + dayUs).as("ts_us")))
+      // data + sentinel branches on ONE scan (branchRows — was a
+      // 2-branch union = 2 file-source reads per micro-batch)
+      val withSent = branchRows(raw, Seq(
+        (lit(true), struct(col("user_id"), col("ts_us"))),
+        (col("event_id") % 1000 === 0, struct(
+          lit(sentKey).as("user_id"),
+          (col("ts_us") + dayUs).as("ts_us")))))
         .withColumn("e_t", timestamp_micros(col("ts_us")))
         .withWatermark("e_t", "10 seconds")
       val sess = withSent
@@ -8885,20 +8893,24 @@ object SparkEntry {
           .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
             col("ts_us").isNotNull)
         val dayUs32 = 32L * 86400000000L
-        val imps = raw.filter(col("event_type") === "view")
-          .select(col("event_id").as("imp_id"), col("user_id"),
+        // data + sentinel branches ride ONE scan per side (branchRows —
+        // was a 2-branch union = 2 file-source reads per side per batch)
+        val imps = branchRows(raw, Seq(
+          (col("event_type") === "view", struct(
+            col("event_id").as("imp_id"), col("user_id"),
             col("ts_us").as("imp_us"),
-            timestamp_micros(col("ts_us")).as("imp_t"))
-          .unionByName(raw.filter(col("event_id") % 1000 === 0)
-            .select(lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
-              (col("ts_us") + dayUs32).as("imp_us"),
-              timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))
-        val clks = raw.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            timestamp_micros(col("ts_us")).as("click_t"))
-          .unionByName(raw.filter(col("event_id") % 1000 === 1)
-            .select(lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
-              timestamp_micros(col("ts_us") + dayUs32).as("click_t")))
+            timestamp_micros(col("ts_us")).as("imp_t"))),
+          (col("event_id") % 1000 === 0, struct(
+            lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
+            (col("ts_us") + dayUs32).as("imp_us"),
+            timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))))
+        val clks = branchRows(raw, Seq(
+          (col("event_type") === "click", struct(
+            col("event_id").as("click_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("click_t"))),
+          (col("event_id") % 1000 === 1, struct(
+            lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
+            timestamp_micros(col("ts_us") + dayUs32).as("click_t")))))
         Streams.streamIntervalJoinLeftOuter(imps, clks, "user_id",
             "imp_t", "click_t", delay = "10 seconds", window = "1 day")
           .select(col("user_id"), col("imp_id"), col("imp_us"),
@@ -8942,22 +8954,26 @@ object SparkEntry {
           .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
             col("ts_us").isNotNull)
         val dayUs32 = 32L * 86400000000L
-        val imps = raw.filter(col("event_type") === "view")
-          .select(col("event_id").as("imp_id"), col("user_id"),
+        // data + sentinel branches ride ONE scan per side (branchRows —
+        // was a 2-branch union = 2 file-source reads per side per batch)
+        val imps = branchRows(raw, Seq(
+          (col("event_type") === "view", struct(
+            col("event_id").as("imp_id"), col("user_id"),
             col("ts_us").as("imp_us"),
-            timestamp_micros(col("ts_us")).as("imp_t"))
-          .unionByName(raw.filter(col("event_id") % 1000 === 0)
-            .select(lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
-              (col("ts_us") + dayUs32).as("imp_us"),
-              timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))
-        val clks = raw.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("imp_t"))),
+          (col("event_id") % 1000 === 0, struct(
+            lit(evKey).as("imp_id"), lit(evKey).as("user_id"),
+            (col("ts_us") + dayUs32).as("imp_us"),
+            timestamp_micros(col("ts_us") + dayUs32).as("imp_t")))))
+        val clks = branchRows(raw, Seq(
+          (col("event_type") === "click", struct(
+            col("event_id").as("click_id"), col("user_id"),
             col("ts_us").as("click_us"),
-            timestamp_micros(col("ts_us")).as("click_t"))
-          .unionByName(raw.filter(col("event_id") % 1000 === 1)
-            .select(lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
-              (col("ts_us") + dayUs32).as("click_us"),
-              timestamp_micros(col("ts_us") + dayUs32).as("click_t")))
+            timestamp_micros(col("ts_us")).as("click_t"))),
+          (col("event_id") % 1000 === 1, struct(
+            lit(ftKey).as("click_id"), lit(ftKey).as("user_id"),
+            (col("ts_us") + dayUs32).as("click_us"),
+            timestamp_micros(col("ts_us") + dayUs32).as("click_t")))))
         Streams.streamIntervalJoinLeftOuter(imps, clks, "user_id",
             "imp_t", "click_t", delay = "10 seconds", window = "1 day")
           .select(col("user_id"), col("imp_id"), col("imp_us"),
@@ -9546,10 +9562,20 @@ object SparkEntry {
         .select(col("ia"), col("ib"), col("cos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // intra-list pair dissimilarity: within-list pairs (b1 < b2)
-      // looked up in the half table; absent pair = cos 0
-      val lp = recs.select(col("ia"), col("ib").as("b1"))
-        .join(recs.select(col("ia"), col("ib").as("b2")), "ia")
-        .filter(col("b1") < col("b2"))
+      // looked up in the half table; absent pair = cos 0. The pairs come
+      // from ONE groupBy(ia) + bounded array expansion (≤ C(5,2) = 10
+      // per ia) instead of a recs×recs self-join — same pair multiset
+      // (ib is distinct within a list, sort_array gives b1 < b2), one
+      // less join and its exchange (guide §2.4); recs is already
+      // hash-partitioned by ia from the rank window, so the groupBy
+      // reuses that layout shuffle-free
+      val lists = recs.groupBy(col("ia"))
+        .agg(sort_array(collect_list(col("ib"))).as("bs"))
+      val lp = lists
+        .select(col("ia"), explode(flatten(transform(col("bs"),
+          (x, i) => transform(slice(col("bs"), i + 2, size(col("bs"))),
+            y => struct(x.as("b1"), y.as("b2")))))).as("p"))
+        .select(col("ia"), col("p.b1").as("b1"), col("p.b2").as("b2"))
         .join(scoredHalf.select(col("ia").as("b1"), col("ib").as("b2"),
           col("cos").as("pc")), Seq("b1", "b2"), "left")
         .withColumn("pc6",
@@ -10213,6 +10239,30 @@ object SparkEntry {
     * ≥3-token gate keeps shingles_k's whole-doc fallback from firing,
     * so short docs simply don't participate in the lexical list (the
     * oracle filters the same). */
+  /** Single-scan replacement for the streaming union idiom
+    * `df.filter(c1).select(row1) unionByName df.filter(c2).select(row2)`
+    * (guide §6 read amplification, §2.4 remove passes outright): per
+    * input row, emit exactly the branch rows whose condition holds —
+    * explode of a per-row array instead of N union branches. On a
+    * STREAMING source every union branch is a separate file-source leaf
+    * in the physical plan, so each micro-batch reads the same parquet
+    * bytes once per branch; this form reads them ONCE. The output row
+    * multiset is identical to the union's (each branch struct is built
+    * under the same condition its filter expressed), so watermark
+    * semantics and results are unchanged — the sentinel mechanism the
+    * bounded replays rely on (q77 contract) is untouched. Branch structs
+    * must share one schema (same field names and types, same order). */
+  private def branchRows(df: DataFrame,
+                         branches: Seq[(Column, Column)]): DataFrame = {
+    val arr = branches.map { case (cond, row) =>
+      // slice(array(row), 1, 0): a typed empty array without a DDL
+      // type-string spelling; the otherwise branch of a non-matching
+      // condition contributes zero rows
+      when(cond, array(row)).otherwise(slice(array(row), 1, 0))
+    }.reduce(concat(_, _))
+    df.select(explode(arr).as("__r")).select(col("__r.*"))
+  }
+
   private def rrfHybrid(s: SparkSession, dir: String,
                         dense: DataFrame): DataFrame = {
     def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6

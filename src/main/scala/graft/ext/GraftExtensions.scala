@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, OggMetaExpr, ParseKvExpr, PdfMetaExpr, ParseKvFieldsExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
+import graft.parse.{BpeApplyExpr, CountInExpr, DotProductExpr, FlacMetaExpr, IntDotExpr, IntersectCountExpr, JaccardExpr, L2SqExpr, Md5Lower64Expr, MediaMetaExpr, MinhashExpr, Mp4MetaExpr, MpegAudioMetaExpr, NfcExpr, OggMetaExpr, ParseKvExpr, PdfMetaExpr, ParseKvFieldsExpr, PqCodeExpr, RollingHashExpr, ShinglesExpr, SimhashExpr, TokensExpr, WebpMetaExpr}
 
 /** Engine extensions, installed with
   * `spark.sql.extensions=graft.ext.GraftExtensions` (GraftSession sets
@@ -35,6 +35,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_code"),
+      new ExpressionInfo(classOf[PqCodeExpr].getName, "pq_code"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "pq_code(subvector, array(array(double)) codebook literal)")
+        val arr = children(1).eval()
+        require(arr != null, "pq_code: codebook must not be NULL")
+        val ad = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val table = (0 until ad.numElements()).map { c =>
+          val row = ad.getArray(c)
+          (0 until row.numElements()).map(row.getDouble)
+        }
+        PqCodeExpr(children.head, table)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[L2SqExpr].getName, "vec_l2sq"),
+      (children: Seq[Expression]) =>
+        L2SqExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot_i"),
       new ExpressionInfo(classOf[IntDotExpr].getName, "vec_dot_i"),

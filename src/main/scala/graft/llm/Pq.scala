@@ -96,8 +96,10 @@ object Pq {
   }
 
   /** Per-element squared-distance fold in the exact order the oracle's
-    * `list_sum(list_apply(list_zip(...)))` replays. */
-  private def l2(sub: Column, cent: Seq[Double]): Column =
+    * `list_sum(list_apply(list_zip(...)))` replays. Kept as the
+    * spec-readable reference form ([[encode]] uses the pq_code kernel,
+    * whose distances PqSpec pins against this composition). */
+  private[llm] def l2(sub: Column, cent: Seq[Double]): Column =
     aggregate(
       zip_with(sub, typedLit(cent), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
@@ -107,11 +109,16 @@ object Pq {
       lit(0.0), (acc, x) => acc + x)
 
   /** Adds code columns `code_0 .. code_{m-1}` (int, first-min argmin —
-    * the cross-engine tie-break) for `vecCol`. Staged projections: the
-    * subvector slice and the distance array are materialized ONCE per
-    * subspace, so the ksub-term distance expressions reference plain
-    * attributes (the Column DSL copies subexpression trees per
-    * reference — inlining blows the plan, the ntileDescMany lesson). */
+    * the cross-engine tie-break) for `vecCol`. One pq_code kernel call
+    * per subspace (graft.parse.PqCodeExpr): the previous expression-tree
+    * form (array of ksub l2 folds + array_min + array_position per
+    * subspace, staged projections) evaluated m×ksub interpreted HOF
+    * folds per row — and its kernelized variant produced a generated
+    * method big enough that HotSpot refused to JIT it (q239 measured
+    * 2.7 s HOF vs 5.3+ s with 128 inlined vec_l2sq kernels; one call
+    * per subspace benches 2.0 s). Codes are bit-identical: same (x−c)²
+    * left fold per centroid, same first-min tie-break (PqSpec pins the
+    * composition identity). */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
     val staged = (0 until model.m).foldLeft(
       df.withColumn("__pv", col(vecCol).cast("array<double>"))) {
@@ -119,17 +126,13 @@ object Pq {
         acc.withColumn(s"__sub_$j",
           slice(col("__pv"), j * model.dsub + 1, model.dsub))
     }
-    val withDs = (0 until model.m).foldLeft(staged) { (acc, j) =>
-      acc.withColumn(s"__ds_$j", array(
-        model.centroids(j).map(c => l2(col(s"__sub_$j"), c)): _*))
-    }
-    val withCodes = (0 until model.m).foldLeft(withDs) { (acc, j) =>
+    val withCodes = (0 until model.m).foldLeft(staged) { (acc, j) =>
       acc.withColumn(s"code_$j",
-        (array_position(col(s"__ds_$j"), array_min(col(s"__ds_$j"))) - 1)
-          .cast("int"))
+        call_function("pq_code", col(s"__sub_$j"),
+          typedLit(model.centroids(j))))
     }
     withCodes.drop("__pv" +:
-      (0 until model.m).flatMap(j => Seq(s"__sub_$j", s"__ds_$j")): _*)
+      (0 until model.m).map(j => s"__sub_$j"): _*)
   }
 
   /** ADC score of a float query vector against a row's codes: the dot

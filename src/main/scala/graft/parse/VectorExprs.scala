@@ -83,6 +83,171 @@ object DotProductExpr {
   }
 }
 
+/** Squared L2 distance over float/double arrays — the kernel behind
+  * [[graft.llm.Pq]]'s per-subspace codebook distances: encode evaluates
+  * m×ksub of these per corpus row, and the
+  * `aggregate(zip_with(a, b, (x,c) -> (x-c)*(x-c)), 0.0, _+_)` HOF form
+  * runs its lambda interpreted per element (KernelRewriteRule only
+  * matches the plain product lambda). Same left-to-right fold, same
+  * per-element arithmetic — (x−c)*(x−c) then acc+term in index order —
+  * so the doubles are bit-identical to the HOF composition's. Null
+  * semantics identical to [[DotProductExpr]]: NULL on null input,
+  * unequal lengths, or any null element — never a partial sum. */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq requires array<float|double> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    L2SqExpr.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("l2sq")
+      s"""java.lang.Double $tmp = graft.parse.L2SqExpr.l2sq(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_l2sq"
+}
+
+object L2SqExpr {
+  /** Left-to-right fold in double — bit-identical to
+    * `aggregate(zip_with(a, b, (x,c) => (x-c)*(x-c)), 0.0, _+_)`
+    * including its null semantics (see [[DotProductExpr.dot]]). */
+  def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean,
+           bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val c = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - c
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
+/** PQ subspace code assignment: argmin over a codebook of squared-L2
+  * distances — the whole per-subspace encode step
+  * ([[graft.llm.Pq.encode]]) in ONE native call. The expression-tree
+  * form (array(ksub × l2 folds) + array_min + array_position) evaluates
+  * ksub distance expressions per row through either the interpreted HOF
+  * evaluator or a generated method large enough that HotSpot refuses to
+  * JIT it; this is one tight loop over a pre-extracted double[][] table.
+  *
+  * Bit-identical to the composition it replaces:
+  *   - each distance is the same left-to-right (x−c)² fold;
+  *   - the winner is the FIRST minimum under Spark's double ordering
+  *     (java.lang.Double.compare — NaN greatest, NaN equal to itself),
+  *     exactly array_position(ds, array_min(ds)) − 1 on an all-non-null
+  *     distance array;
+  *   - null input element or length mismatch ⇒ every distance is NULL in
+  *     the HOF form ⇒ code NULL (same here).
+  * PqSpec/VectorExprsSpec pin composition equality. */
+case class PqCodeExpr(child: Expression, codebook: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.forall(_.size == codebook.head.size),
+    "pq_code: codebook must be a non-empty rectangular table")
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_code requires array<float|double> input, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  private lazy val table: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Shared eval: one pass per centroid, same fold order as the l2
+    * expression; first-min by Double.compare (array_min/array_position
+    * ordering). */
+  def code(sub: ArrayData): java.lang.Integer = {
+    val n = sub.numElements()
+    var best = 0.0
+    var bestIdx = -1
+    var c = 0
+    while (c < table.length) {
+      val cent = table(c)
+      if (n != cent.length) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (sub.isNullAt(i)) return null
+        val x = if (isFloat) sub.getFloat(i).toDouble else sub.getDouble(i)
+        val d = x - cent(i)
+        s += d * d
+        i += 1
+      }
+      if (bestIdx < 0 || java.lang.Double.compare(s, best) < 0) {
+        best = s; bestIdx = c
+      }
+      c += 1
+    }
+    java.lang.Integer.valueOf(bestIdx)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    code(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodeExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pqc")
+      s"""java.lang.Integer $tmp = $ref.code($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.intValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_code"
+}
+
 /** Exact integer dot product over integral arrays (tinyint..bigint) —
   * the kernel behind quantized similarity ([[graft.llm.Quant]]): a
   * 64-dim int8 dot inside an n×q scoring join evaluates its lambda

@@ -24,6 +24,49 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(native.toSeq === hof.toSeq) // exact equality, not approx
   }
 
+  test("vec_l2sq equals the aggregate(zip_with) squared-distance fold bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ =>
+      (Seq.fill(8)(rnd.nextDouble() * 2 - 1), Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    val native = df.select(call_function("vec_l2sq", col("a"), col("b")))
+      .as[Double].collect()
+    assert(native.toSeq === hof.toSeq) // exact equality, not approx
+    // null semantics: unequal lengths -> NULL, like the zip_with fold
+    val uneq = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(call_function("vec_l2sq", col("a"), col("b")))
+    assert(uneq.collect().head.isNullAt(0))
+  }
+
+  test("pq_code equals the array_position(array_min) over l2-fold composition") {
+    val rnd = new scala.util.Random(13)
+    val cb = (0 until 16).map(_ => Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val rows = (1 to 200).map(_ => Tuple1(Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("sub")
+    def l2(cent: Seq[Double]) = aggregate(
+      zip_with(col("sub"), typedLit(cent), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val ds = array(cb.map(l2): _*)
+    val comp = df.select((array_position(ds, array_min(ds)) - 1).cast("int"))
+      .as[Int].collect()
+    val native = df.select(call_function("pq_code", col("sub"), typedLit(cb)))
+      .as[Int].collect()
+    assert(native.toSeq === comp.toSeq)
+    // tie-break: duplicate centroid -> FIRST min wins (array_position order)
+    val dup = Seq(cb(3)) ++ cb
+    val nat2 = df.select(call_function("pq_code", col("sub"), typedLit(dup)))
+      .as[Int].collect()
+    comp.zip(nat2).foreach { case (c, n2) =>
+      assert(n2 === (if (c == 3) 0 else c + 1)) }
+    // null semantics: length mismatch -> NULL, like the all-NULL distance array
+    val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("sub")
+      .select(call_function("pq_code", col("sub"), typedLit(cb)))
+    assert(bad.collect().head.isNullAt(0))
+  }
+
   test("vec_dot handles mixed float/double arrays (hyperplane path)") {
     val out = Seq((Seq(1f, 2f), Seq(0.5, 0.25))).toDF("v", "p")
       .select(call_function("vec_dot", col("v"), col("p"))).as[Double].head()
