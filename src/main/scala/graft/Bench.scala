@@ -121,6 +121,22 @@ object Bench {
     // the chunk's OWN fresh session, then the session stops — codegen
     // classloaders, shuffle dirs, broadcast and localCheckpoint blocks
     // all release deterministically before the next chunk measures.
+    // Session teardown: stop the JVM-global state-store machinery BEFORE
+    // the SparkContext. The maintenance pool is not tied to the context —
+    // providers loaded by finished streaming replays keep pinging the
+    // StateStoreCoordinator on their 60s cadence, and once the chunk's
+    // context stops those pings surface as transient
+    // RpcEndpointNotFoundException retries in the bench tail (round-17
+    // driver log), polluting whatever runs next. stop() unloads the
+    // providers and parks the pool; the next session's first stateful
+    // query lazily restarts it. Runs BETWEEN chunks — never inside a
+    // timed query.
+    def stopSession(spark: SparkSession): Unit = {
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case e: Exception =>
+        System.err.println(s"[bench] state-store stop skipped: ${e.getMessage}") }
+      spark.stop()
+    }
     def minOfTwoChunked(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] = {
       val groups = if (chunkSize <= 0) Seq(qs)
         else qs.grouped(chunkSize).toSeq
@@ -131,7 +147,7 @@ object Bench {
           // let ContextCleaner reclaim localCheckpoint blocks before pass 2
           System.gc()
           onePass(spark, chunk).map { case (n, t) => n -> math.min(t, r1(n)) }
-        } finally spark.stop()
+        } finally stopSession(spark)
       }
     }
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -225,7 +241,7 @@ object Bench {
         val f1 = onePass(spark, qs).toMap
         System.gc()
         onePass(spark, qs).map { case (n, t) => n -> math.min(t, f1(n)) }.toMap
-      } finally spark.stop()
+      } finally stopSession(spark)
       // record EVERY isolated number, kept or not — the gate's
       // adjudication data must include the case where isolated is
       // slower (a real regression), or the artifact only ever tells

@@ -39,6 +39,12 @@ object GraftSession {
     // post-shuffle partition is under 64 MB (default 0 = never) — a
     // size-gated, scale-graceful rewrite: at cluster scale partitions
     // sized to the 100 MB-1 GB guidance simply keep the SMJ.
+    // DEPLOYMENT NOTE (r17 ADVICE #1): unlike the AQE rewrite below
+    // (gated on ACTUAL runtime partition sizes), this static preference
+    // decides from size ESTIMATES, which can be badly wrong after
+    // filters — a cluster deployment that prefers SMJ's graceful spill
+    // can re-set this to true AFTER tune() (later .config wins on the
+    // same builder) without touching the runtime-gated threshold.
     .config("spark.sql.join.preferSortMergeJoin", "false")
     .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
       (64L * 1024 * 1024).toString)

@@ -31,6 +31,20 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Conf toggle that RESTORES the prior value (not unset) — a plain
+    // unset in a finally clobbers any operator-set gate on the shared
+    // session for the rest of the run (r17 ADVICE). Used by the rows
+    // that pin the graph gates off to keep distributed-path evidence.
+    def withConf[T](key: String, value: String)(body: => T): T = {
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     // ---- synthesize factor× tables with fresh ids ----------------------
     val e = spark.read.parquet(s"$src/events.parquet")
     (0 until factor).map { i =>
@@ -735,10 +749,8 @@ object Scaling {
       // localMax=0 discipline; the mod-311 edge set is under the gate
       // at every scale)
       "sssp" ->
-        (dir => {
-          spark.conf.set("spark.graft.linkgraph.localMax", "0")
-          try SparkEntry.queries("q277_sssp")(spark, dir)
-          finally spark.conf.unset("spark.graft.linkgraph.localMax")
+        (dir => withConf("spark.graft.linkgraph.localMax", "0") {
+          SparkEntry.queries("q277_sssp")(spark, dir)
         }),
       // q278: facts collapse to the (type × day) grid; the decayed
       // scoring rides the grid — wall must track the events scan
@@ -1042,10 +1054,14 @@ object Scaling {
           ((d * 31 + 5) % 9973).as("dst"))
         // this row's purpose is evidence for the DISTRIBUTED fixed-point
         // path — disable the broadcast-scale local gate (the cc row's
-        // localMax=0 discipline; the edge set here is mod-bounded)
-        spark.conf.set("spark.graft.linkgraph.localMax", "0")
-        graft.llm.LinkGraph.pageRank(
-          e1.unionByName(e2).filter(col("src") < 9000), "src", "dst", 6)
+        // localMax=0 discipline; the edge set here is mod-bounded). The
+        // gate probes at pageRank CALL time, so restoring after the call
+        // returns is sound (and this row previously never restored at
+        // all, clobbering the gate for the rest of the run — r17 ADVICE)
+        withConf("spark.graft.linkgraph.localMax", "0") {
+          graft.llm.LinkGraph.pageRank(
+            e1.unionByName(e2).filter(col("src") < 9000), "src", "dst", 6)
+        }
       }))
     // comma-separated subset filter for targeted runs (mirrors Bench)
     val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
@@ -1085,14 +1101,13 @@ object Scaling {
             shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
           .write.mode("overwrite").parquet(pairsPath)
         val pairs = spark.read.parquet(pairsPath)
-        spark.conf.set("spark.graft.cc.localMax", "0")
-        try {
+        withConf("spark.graft.cc.localMax", "0") {
           val t0 = System.nanoTime()
           val (labels, rounds) =
             Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
           val n = labels.count() // rounds already materialized; this is cheap
           ((System.nanoTime() - t0) / 1e9, rounds, n)
-        } finally spark.conf.unset("spark.graft.cc.localMax")
+        }
       }
       val _ = ccRow(src, "warm") // warm codegen/JIT
       val (t1, r1, n1) = ccRow(src, "base")

@@ -297,6 +297,12 @@ object SparkEntry {
     (index, fin)
   }
 
+  /** The declared query catalog. CACHING CONTRACT for embedders: some
+    * queries `persist()` multi-referenced intermediates inside their
+    * closure and do NOT unpersist (their lifetime is the returned plan's)
+    * — Bench and Verify release them via `spark.catalog.clearCache()`
+    * after each query. A long-lived driver invoking these without that
+    * per-query hygiene accumulates cached relations (r17 ADVICE #3). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Relational core (SURVEY §2.2/2.4: P*, A1-A2) -------------------
     "q01_pricing_agg" -> ((s, dir) => {

@@ -77,6 +77,25 @@ object LinkGraph {
     else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
   }
 
+  /** [[localEdges]] for a weighted (from, to, w) triple frame: one
+    * limit-probe that IS the fetch, all three columns long-keyed. */
+  private def localTriples(e: DataFrame): Option[Array[(Long, Long, Long)]] = {
+    val sess = e.sparkSession
+    val localMax = {
+      val raw = sess.conf.get("spark.graft.linkgraph.localMax", "100000")
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.linkgraph.localMax must be a long, got '$raw'")
+      }
+    }
+    val longKeyed = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMax <= 0 || !longKeyed) return None
+    val probe = e.limit(localMax.toInt + 1).collect()
+    if (probe.length > localMax) None
+    else Some(probe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
   private def localResult(sess: org.apache.spark.sql.SparkSession,
                           rows: Seq[org.apache.spark.sql.Row],
                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -654,16 +673,11 @@ object LinkGraph {
         col(wCol).as("w")).distinct()
     val s0 = seeds.filter(col(seedCol).isNotNull)
       .select(col(seedCol).as("node")).distinct()
-    val weighted = {
-      // reuse the 2-col local gate on (from, to); weights ride along
-      // only when the pair gate passes AND w is long-keyed
-      val longW =
-        e0.schema("w").dataType == org.apache.spark.sql.types.LongType
-      if (!longW) None
-      else localEdges(e0.select(col("from"), col("to"))).map { _ =>
-        e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      }
-    }
+    // probe the TRIPLE frame directly so the gate probe IS the fetch
+    // (mirrors localEdges/localSeeds) — the earlier form probed a
+    // 2-col projection, discarded it, and re-executed the full distinct
+    // lineage via e0.collect() (r17 ADVICE)
+    val weighted = localTriples(e0)
     (weighted, localSeeds(s0)) match {
       case (Some(es), Some(sd)) =>
         return ssspLocal(edges.sparkSession, es, sd, rounds)
