@@ -580,9 +580,16 @@ object Dedup {
           i => struct(i.cast("int").as("pos"),
             array_join(slice(tcol, i + 1, lit(k)), " ").as("sh"))))
         .otherwise(array().cast("array<struct<pos:int,sh:string>>"))
+    // base is consumed three ways (the window histogram, the join-back,
+    // and the final cleaned-text join) and tokenize is the query's most
+    // expensive per-row expression — uncached, the scan + tokenize
+    // re-execute per branch (3 scans in the recorded q112 plan; the
+    // q253 fingerprint-persist shape). Callers release via clearCache
+    // (the SparkEntry.queries caching contract).
     val base = docs.select(col(docId).as("doc"),
       TextStats.tokens(lower(col(docText))).as("__t"))
       .repartition(col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allSh = base.select(col("doc"), explode(posShingles(col("__t"))).as("g"))
       .select(col("doc"), col("g.pos").as("pos"), col("g.sh").as("sh"))
     val dupAll = allSh.groupBy("sh")
@@ -743,6 +750,13 @@ object Dedup {
     * (documented broadcast NLJ — G² rows, PlanAuditSpec allowlist). */
   def crossGroupOverlap(docs: DataFrame, groupCol: String, text: String,
                         k: Int): DataFrame = {
+    // NOT persisted (measured, round 18): sh has four references and the
+    // pre-AQE plan re-derives shingles+distinct per branch, but runtime
+    // exchange reuse collapses the identical distinct subtrees and the
+    // InMemoryRelation write costs more than what it saves — isolated
+    // min-of-2 A/B at sf0.1: persisted {2.93, 3.80} vs uncached
+    // {1.94, 2.01} s. The q112 persist wins because its three consumers
+    // diverge BEFORE any shared exchange; here they diverge after.
     val sh = docs
       .select(col(groupCol).as("g"), explode(shingles(col(text), k)).as("sh"))
       .distinct()

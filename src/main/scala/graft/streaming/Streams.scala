@@ -503,6 +503,24 @@ object Streams {
   def runToMemory(result: DataFrame, name: String,
                   outputMode: String = "complete"): DataFrame = {
     val spark = result.sparkSession
+    val (rows, schema) = runToMemoryRows(result, name, outputMode)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  /** [[runToMemory]] returning the collected rows + schema directly —
+    * the memory sink's table is already driver-resident, so callers
+    * that re-enter the result on ANOTHER session (runToMemoryIsolated)
+    * can build their local relation from these rows without a second
+    * collect of an intermediate DataFrame. Size caution: the memory
+    * sink materializes the full result on the driver by design; this
+    * path is for BOUNDED replays (tests, oracle checks, bench) whose
+    * results are fixture-sized — an unbounded production stream keeps
+    * a real sink (see upsertOnline). */
+  private def runToMemoryRows(result: DataFrame, name: String,
+                              outputMode: String)
+      : (Array[org.apache.spark.sql.Row], StructType) = {
+    val spark = result.sparkSession
     val q = result.writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
@@ -523,16 +541,16 @@ object Streams {
         }.mkString(" "))
     }
     // The memory sink's table is fully materialized on the driver already;
-    // re-enter its rows as a local relation and DROP the temp view before
-    // returning. Callers use throwaway query names (q23/q63/q71 suffix
-    // nanoTime), so leaving the view registered would accumulate one
-    // materialized result table plus its streaming-query state per
-    // invocation in a long-lived JVM (bench and verify loops).
-    import scala.jdk.CollectionConverters._
+    // take its rows and DROP the temp view before returning. Callers use
+    // throwaway query names (q23/q63/q71 suffix nanoTime), so leaving the
+    // view registered would accumulate one materialized result table plus
+    // its streaming-query state per invocation in a long-lived JVM (bench
+    // and verify loops).
     val t = spark.table(name)
-    val local = spark.createDataFrame(t.collect().toSeq.asJava, t.schema)
+    val rows = t.collect()
+    val schema = t.schema
     spark.catalog.dropTempView(name)
-    local
+    (rows, schema)
   }
 
   /** [[runToMemory]] with the stream's state-partition count as an
@@ -556,9 +574,11 @@ object Streams {
     val cloned = spark.newSession()
     cloned.conf.set("spark.sql.shuffle.partitions",
       statePartitions.toString)
-    val local = runToMemory(build(cloned), name, outputMode)
-    // local was materialized via the clone; rebind to the parent session
+    // one collect: the memory sink's rows re-enter the PARENT session
+    // directly (the old path built a clone-session DataFrame and
+    // collected it a second time to rebind)
+    val (rows, schema) = runToMemoryRows(build(cloned), name, outputMode)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(local.collect().toSeq.asJava, local.schema)
+    spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 }
